@@ -1,0 +1,181 @@
+"""Coordinate / cell / footprint scalar functions.
+
+Every function here exists in TWO forms generated from one definition:
+
+- a PySpark ``Column`` expression (JVM-side, whole-stage-codegen'd — no
+  Python in the hot path), and
+- an ANSI-SQL string fragment (run by the DuckDB oracle in
+  ``__spark_entry__.py``),
+
+so the correctness gate compares literally the same arithmetic.
+
+Concepts re-expressed from the reference:
+- decimicro fixed-point coords (/root/reference/src/osm.rs:137-143)
+- the 9-digit 3/3/3 shard path (/root/reference/src/osmbin.rs:227-245)
+- the synthetic geo footprint packed into ``phash`` (our engine's analog
+  of the reference Node coords, per FIXTURES.md §1).
+
+Cell scheme: a flat equirectangular grid at power-of-two resolution.
+``res`` is log2 of the cell edge in decimicro units (res=20 → edge
+2**20 ≈ 1,048,576 decimicro ≈ 0.105°, close to the reference's 0.1°
+buffer scale). Cell ids are ``cell_y * Y_STRIDE + cell_x`` — a single
+int64 equi-join key, the same role H3/S2 indexes play; neighbors are
+±1 / ±Y_STRIDE, which makes k-ring expansion pure integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DECIMICRO = 10_000_000
+LAT_OFFSET = 900_000_000  # shifts lat into [0, 1.8e9]
+LON_OFFSET = 1_800_000_000  # shifts lon into [0, 3.6e9]
+PHASH_LON_BASE = 4_294_967_296  # 2**32
+Y_STRIDE = 100_000  # max cell_x at res>=16 is 3.6e9/65536 < 55000 < Y_STRIDE
+DEFAULT_RES = 20
+
+
+# ---------------------------------------------------------------------------
+# decimicro <-> degrees
+# ---------------------------------------------------------------------------
+
+def coord_to_decimicro(col: Column) -> Column:
+    """degrees (double) -> decimicro int; round-half-away like the
+    reference's `.round()` (/root/reference/src/osm.rs:137-139)."""
+    return F.round(col * DECIMICRO).cast("long")
+
+
+def decimicro_to_coord(col: Column) -> Column:
+    return col.cast("double") / DECIMICRO
+
+
+# ---------------------------------------------------------------------------
+# phash <-> footprint (lat, lon)
+# ---------------------------------------------------------------------------
+
+def pack_footprint(lat: Column, lon: Column) -> Column:
+    """(lat, lon) decimicro -> single int64 'phash' footprint."""
+    return (lat + LAT_OFFSET) * PHASH_LON_BASE + (lon + LON_OFFSET)
+
+
+def unpack_lat(phash: Column) -> Column:
+    # phash can exceed 2**53, so float division would lose the floor;
+    # phash >= 0 makes an arithmetic shift an exact integer division.
+    return F.shiftright(phash, 32) - LAT_OFFSET
+
+
+def unpack_lon(phash: Column) -> Column:
+    return phash % PHASH_LON_BASE - LON_OFFSET
+
+
+def sql_unpack_lat(phash: str) -> str:
+    return f"(({phash}) // {PHASH_LON_BASE} - {LAT_OFFSET})"
+
+
+def sql_unpack_lon(phash: str) -> str:
+    return f"(({phash}) % {PHASH_LON_BASE} - {LON_OFFSET})"
+
+
+# ---------------------------------------------------------------------------
+# derived footprints from arbitrary int keys (for oracle-checkable queries
+# over the driver star schema: deterministic LCG-style spread into a ±1°
+# band around the origin, where the fixture regions live)
+# ---------------------------------------------------------------------------
+
+LAT_SPAN = 44_000_001  # ±2.2° band
+LON_SPAN = 44_000_001
+_LAT_MULT = 48_271
+_LON_MULT = 69_621
+
+
+def derived_lat(key: Column) -> Column:
+    return (key * _LAT_MULT) % LAT_SPAN - (LAT_SPAN - 1) // 2
+
+
+def derived_lon(key: Column) -> Column:
+    return (key * _LON_MULT) % LON_SPAN - (LON_SPAN - 1) // 2
+
+
+def sql_derived_lat(key: str) -> str:
+    return f"(({key}) * {_LAT_MULT}) % {LAT_SPAN} - {(LAT_SPAN - 1) // 2}"
+
+
+def sql_derived_lon(key: str) -> str:
+    return f"(({key}) * {_LON_MULT}) % {LON_SPAN} - {(LON_SPAN - 1) // 2}"
+
+
+# ---------------------------------------------------------------------------
+# cells
+# ---------------------------------------------------------------------------
+
+def cell_edge(res: int = DEFAULT_RES) -> int:
+    return 1 << res
+
+
+def cell_xy(lon: int, lat: int, res: int = DEFAULT_RES) -> tuple[int, int]:
+    """Driver-side cell coords for ints (floor division; offsets keep the
+    dividend non-negative so //, div and % agree everywhere)."""
+    return (lon + LON_OFFSET) >> res, (lat + LAT_OFFSET) >> res
+
+
+def cell_id_from_xy(cx: int, cy: int) -> int:
+    return cy * Y_STRIDE + cx
+
+
+def cell_id(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
+    """JVM-side cell id: pure integer arithmetic, codegen-friendly."""
+    cx = F.shiftright(lon + LON_OFFSET, res)
+    cy = F.shiftright(lat + LAT_OFFSET, res)
+    return cy * Y_STRIDE + cx
+
+
+def sql_cell_id(lon: str, lat: str, res: int = DEFAULT_RES) -> str:
+    edge = cell_edge(res)
+    return (
+        f"((({lat}) + {LAT_OFFSET}) // {edge}) * {Y_STRIDE}"
+        f" + ((({lon}) + {LON_OFFSET}) // {edge})"
+    )
+
+
+def cell_ring_offsets(k: int) -> list[int]:
+    """Cell-id offsets of the square ring at Chebyshev radius exactly k."""
+    if k == 0:
+        return [0]
+    offs = []
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            if max(abs(dx), abs(dy)) == k:
+                offs.append(dy * Y_STRIDE + dx)
+    return offs
+
+
+def cell_disk_offsets(k: int) -> list[int]:
+    """All offsets with Chebyshev radius <= k (the k-disk)."""
+    return [
+        dy * Y_STRIDE + dx
+        for dy in range(-k, k + 1)
+        for dx in range(-k, k + 1)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# shard path (reference /root/reference/src/osmbin.rs:227-245: 9-digit id
+# split 3/3/3 into a directory path; also used for diff state numbers,
+# /root/reference/src/update.rs:76-81)
+# ---------------------------------------------------------------------------
+
+def shard_path(id_col: Column) -> Column:
+    return F.format_string(
+        "%03d/%03d/%03d",
+        ((id_col / 1_000_000).cast("long") % 1000).cast("int"),
+        ((id_col / 1_000).cast("long") % 1000).cast("int"),
+        (id_col % 1_000).cast("int"),
+    )
+
+
+def sql_shard_path(id_expr: str) -> str:
+    return (
+        f"printf('%03d/%03d/%03d', (({id_expr}) // 1000000) % 1000, "
+        f"(({id_expr}) // 1000) % 1000, ({id_expr}) % 1000)"
+    )

@@ -1,0 +1,143 @@
+"""Staged bbox aggregation — the set-based re-expression of the
+reference's bbox-annotation pass (/root/reference/src/osmxml/bbox.rs).
+
+The reference streams a diff and, per element, probes its osmbin store
+for old geometry, folding min/max into a BoundingBox
+(/root/reference/src/osm.rs:155-171) while consulting running maps of
+bboxes computed earlier in the same batch
+(/root/reference/src/osmxml/bbox.rs:16-18, 61-66, 79-84, 116-122).
+
+Set-based equivalent (SURVEY.md §4.3 #4): because OSM diffs order nodes
+before ways before relations, the per-row running maps are equivalent to
+a staged batch computation over the full diff:
+
+  stage 1  point bbox   = old coord ∪ new coord          (union + agg)
+  stage 2  way bbox     = min/max over member points     (explode + join + agg)
+  stage 3  relation bbox= fixpoint over members           (bounded iterative
+           (points, ways, relations)                       join + agg)
+
+Cycles between relations (reference guard /root/reference/src/osmxml/bbox.rs:112-115)
+are handled by the bounded monotone iteration: unions only grow, so the
+loop converges; back-edges simply stop contributing new extent.
+Missing references contribute nothing (tolerated, reference
+/root/reference/src/osmbin.rs:427-430).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BBOX_AGGS = [
+    F.min("lat").alias("minlat"),
+    F.max("lat").alias("maxlat"),
+    F.min("lon").alias("minlon"),
+    F.max("lon").alias("maxlon"),
+]
+
+
+def point_bboxes(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """bbox of each changed point = old coord ∪ new coord (reference
+    /root/reference/src/osmxml/bbox.rs:60-71: both lookups feed the same
+    expand). ``base`` carries (id, lat, lon); ``changes`` carries
+    (id, action, new_lat, new_lon). Deletes fold in only the old coord;
+    creates only the new one; missing base rows are tolerated."""
+    changed_ids = changes.select(F.col(id_col)).distinct()
+    old_pts = base.join(changed_ids, id_col, "left_semi").select(
+        id_col, F.col("lat").cast("long").alias("lat"), F.col("lon").cast("long").alias("lon")
+    )
+    new_pts = changes.filter(F.col("new_lat").isNotNull()).select(
+        id_col,
+        F.col("new_lat").cast("long").alias("lat"),
+        F.col("new_lon").cast("long").alias("lon"),
+    )
+    return (
+        old_pts.unionByName(new_pts)
+        .groupBy(id_col)
+        .agg(*BBOX_AGGS)
+    )
+
+
+def _member_edges(groups: DataFrame) -> DataFrame:
+    """(group_id, kind, ref, ref_type) — the exploded membership edge list
+    (analog of way node-refs and relation members,
+    /root/reference/src/osm.rs:49-114)."""
+    return groups.select(
+        "group_id",
+        "kind",
+        F.explode("members").alias("m"),
+    ).select(
+        "group_id",
+        "kind",
+        F.col("m.ref").alias("ref"),
+        F.col("m.type").alias("ref_type"),
+    )
+
+
+def group_bboxes(
+    groups: DataFrame,
+    point_bbox: DataFrame,
+    point_id_col: str = "image_id",
+    max_iters: int = 5,
+) -> DataFrame:
+    """bboxes of composite groups (ways + relations) from member bboxes.
+
+    Returns (group_id, kind, minlat, maxlat, minlon, maxlon); groups none
+    of whose members resolve are absent (reference emits no bbox child in
+    that case, /root/reference/src/osmxml/bbox.rs:145-163).
+    """
+    edges = _member_edges(groups).persist()
+    pt = point_bbox.select(
+        F.col(point_id_col).alias("ref"), "minlat", "maxlat", "minlon", "maxlon"
+    )
+
+    bbox_aggs = [
+        F.min("minlat").alias("minlat"),
+        F.max("maxlat").alias("maxlat"),
+        F.min("minlon").alias("minlon"),
+        F.max("maxlon").alias("maxlon"),
+    ]
+
+    # stage 2: ways (members are points only)
+    way_edges = edges.filter(F.col("kind") == "way")
+    way_bbox = (
+        way_edges.join(pt, "ref", "inner").groupBy("group_id").agg(*bbox_aggs)
+    )
+
+    # stage 3: relations — bounded monotone fixpoint
+    rel_edges = edges.filter(F.col("kind") == "relation").persist()
+    group_resolved = way_bbox  # (group_id, bbox) resolvable as 'group' refs
+    rel_bbox = None
+    for _ in range(max_iters):
+        resolvable = pt.unionByName(
+            group_resolved.select(
+                F.col("group_id").alias("ref"), "minlat", "maxlat", "minlon", "maxlon"
+            )
+        )
+        new_rel = (
+            rel_edges.join(resolvable, "ref", "inner")
+            .groupBy("group_id")
+            .agg(*bbox_aggs)
+        )
+        # converged when the relation bboxes stop changing
+        if rel_bbox is not None:
+            diff_cnt = (
+                new_rel.exceptAll(rel_bbox).count()
+                + rel_bbox.exceptAll(new_rel).count()
+            )
+            if diff_cnt == 0:
+                break
+        rel_bbox = new_rel.persist()
+        group_resolved = way_bbox.unionByName(rel_bbox)
+
+    ways = groups.select("group_id", "kind").join(way_bbox, "group_id", "inner")
+    rels = groups.select("group_id", "kind").join(
+        rel_bbox if rel_bbox is not None else way_bbox.limit(0), "group_id", "inner"
+    )
+    return ways.filter(F.col("kind") == "way").unionByName(
+        rels.filter(F.col("kind") == "relation")
+    )

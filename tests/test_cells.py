@@ -1,0 +1,58 @@
+"""Cell cover correctness: the (cell, full/partial) classification must
+reproduce exact polygon membership for arbitrary points."""
+
+import numpy as np
+
+from osm_replication_rust_spark.datagen.synth import fixture_regions
+from osm_replication_rust_spark.functions.coords import (
+    cell_id_from_xy,
+    cell_ring_offsets,
+    cell_disk_offsets,
+    cell_xy,
+)
+from osm_replication_rust_spark.functions.geometry import (
+    points_in_buffered_polygon,
+    points_in_polygon,
+)
+from osm_replication_rust_spark.operators.cells import cover_cells
+
+RES = 20
+BUF = 1_000_000
+
+
+def test_cover_vs_exact_membership():
+    rng = np.random.default_rng(11)
+    lon = rng.integers(-22_000_000, 22_000_000, size=4000)
+    lat = rng.integers(-22_000_000, 22_000_000, size=4000)
+    for mp in fixture_regions():
+        cover = dict(cover_cells(mp, RES, BUF))
+        exact_in = points_in_polygon(lon, lat, mp)
+        exact_buf = points_in_buffered_polygon(lon, lat, mp, BUF)
+        for i in range(len(lon)):
+            cx, cy = cell_xy(int(lon[i]), int(lat[i]), RES)
+            kind = cover.get(cell_id_from_xy(cx, cy))
+            if kind is None:
+                # cell absent from cover => point must be outside the buffer
+                assert not exact_buf[i], (mp.region_id, lon[i], lat[i])
+            elif kind:  # full cell => certainly inside the polygon
+                assert exact_in[i], (mp.region_id, lon[i], lat[i])
+            # partial cells make no claim — refine handles them
+
+
+def test_full_cells_dominate_for_big_region():
+    """Scale property: the share of 'full' (refine-free) cells grows as
+    the region gets large relative to the buffer. Fixture A is only
+    2°x2° with a 0.1° buffer, so the partial band eats a visible share;
+    a planet-scale region (20°) at the same res would be ~97% full."""
+    mp = fixture_regions()[0]  # "A": 2°x2° square with a hole
+    cover = cover_cells(mp, 18, BUF)
+    full = sum(1 for _, f in cover if f)
+    assert full / len(cover) > 0.55
+
+
+def test_ring_offsets():
+    assert cell_ring_offsets(0) == [0]
+    assert len(cell_ring_offsets(1)) == 8
+    assert len(cell_ring_offsets(3)) == 24
+    assert len(cell_disk_offsets(2)) == 25
+    assert set(cell_disk_offsets(1)) == set(cell_ring_offsets(0) + cell_ring_offsets(1))
