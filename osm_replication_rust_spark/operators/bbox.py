@@ -28,12 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BBOX_AGGS = [
-    F.min("lat").alias("minlat"),
-    F.max("lat").alias("maxlat"),
-    F.min("lon").alias("minlon"),
-    F.max("lon").alias("maxlon"),
-]
+def _point_aggs():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        F.min("lat").alias("minlat"),
+        F.max("lat").alias("maxlat"),
+        F.min("lon").alias("minlon"),
+        F.max("lon").alias("maxlon"),
+    ]
 
 
 def point_bboxes(
@@ -55,11 +57,7 @@ def point_bboxes(
         F.col("new_lat").cast("long").alias("lat"),
         F.col("new_lon").cast("long").alias("lon"),
     )
-    return (
-        old_pts.unionByName(new_pts)
-        .groupBy(id_col)
-        .agg(*BBOX_AGGS)
-    )
+    return old_pts.unionByName(new_pts).groupBy(id_col).agg(*_point_aggs())
 
 
 def _member_edges(groups: DataFrame) -> DataFrame:
@@ -108,10 +106,14 @@ def group_bboxes(
         way_edges.join(pt, "ref", "inner").groupBy("group_id").agg(*bbox_aggs)
     )
 
-    # stage 3: relations — bounded monotone fixpoint
+    # stage 3: relations — bounded monotone fixpoint. The iteration only
+    # grows bboxes (mins decrease, maxs increase) and only adds rows, so
+    # a single aggregate signature detects convergence in one job
+    # instead of two exceptAll shuffles.
     rel_edges = edges.filter(F.col("kind") == "relation").persist()
     group_resolved = way_bbox  # (group_id, bbox) resolvable as 'group' refs
     rel_bbox = None
+    prev_sig = None
     for _ in range(max_iters):
         resolvable = pt.unionByName(
             group_resolved.select(
@@ -122,16 +124,18 @@ def group_bboxes(
             rel_edges.join(resolvable, "ref", "inner")
             .groupBy("group_id")
             .agg(*bbox_aggs)
-        )
-        # converged when the relation bboxes stop changing
-        if rel_bbox is not None:
-            diff_cnt = (
-                new_rel.exceptAll(rel_bbox).count()
-                + rel_bbox.exceptAll(new_rel).count()
-            )
-            if diff_cnt == 0:
-                break
-        rel_bbox = new_rel.persist()
+        ).localCheckpoint(eager=True)  # truncate the growing lineage
+        sig = new_rel.agg(
+            F.count(F.lit(1)),
+            F.sum("minlat"),
+            F.sum("maxlat"),
+            F.sum("minlon"),
+            F.sum("maxlon"),
+        ).collect()[0]
+        rel_bbox = new_rel
+        if tuple(sig) == prev_sig:
+            break
+        prev_sig = tuple(sig)
         group_resolved = way_bbox.unionByName(rel_bbox)
 
     ways = groups.select("group_id", "kind").join(way_bbox, "group_id", "inner")

@@ -1,0 +1,85 @@
+"""The flagship incremental pipeline — the engine's `update` entry point
+(reference /root/reference/src/update.rs:30-146, one iteration per diff
+state):
+
+  per state N, in sequence order:
+    a. bbox stage      — point bboxes over old ∪ new geometry
+                         (operators/bbox.py; reference stage b)
+    b. filter stage    — flattened keep/delete/drop classification
+                         against every region (operators/filter.py;
+                         reference stage c, the recursive fan-out)
+    c. publish stage   — per-region tile output written partitioned by
+                         region path (reference's <dest>/<region>/minute/N
+                         files, /root/reference/src/diffs.rs:94-166)
+    d. merge stage     — idempotent MERGE into the base table + manifest
+                         advance (reference stage d + state symlink)
+
+A killed job re-runs from the last committed state: ``TableStore``
+refuses to re-apply completed states and the tile output for a state is
+rewritten atomically (overwrite of the state=N partition).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.coords import unpack_lat, unpack_lon
+from ..functions.geometry import BUFFER_DECIMICRO, MultiPolygon
+from ..operators.bbox import point_bboxes
+from ..operators.filter import classify_diff
+from ..operators.merge import TableStore
+
+
+def run_update(
+    store: TableStore,
+    diffs: DataFrame,
+    regions: list[MultiPolygon],
+    out_dir: str,
+    buffer: int = BUFFER_DECIMICRO,
+) -> list[int]:
+    """Process every diff state newer than the store's checkpoint, in
+    sequence order. Returns the list of states applied this run."""
+    states = [
+        r["state"]
+        for r in diffs.select("state").distinct().orderBy("state").collect()
+    ]
+    last = store.last_state() or 0
+    applied = []
+    for state in states:
+        if state <= last:
+            continue  # resume: already committed
+        batch = diffs.filter(F.col("state") == state)
+        # the base table stores the footprint packed in phash
+        # (FIXTURES.md §1); unpack once for the geometry stages
+        # persist: the resolved-footprint frame feeds both the bbox and
+        # filter stages (the reference's cache handoff bbox→filter,
+        # /root/reference/src/update.rs:124-131)
+        base = store.current().select(
+            "image_id",
+            unpack_lat(F.col("phash")).alias("lat"),
+            unpack_lon(F.col("phash")).alias("lon"),
+        ).persist()
+
+        # a. bbox stage (annotation output kept alongside the tiles)
+        bbox = point_bboxes(base, batch)
+        bbox.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"bbox/state={state}")
+        )
+
+        # b+c. classify + publish per-region tiles, partitioned by region
+        tiles = classify_diff(batch, base, regions, buffer=buffer)
+        (
+            tiles.repartition("region_id")
+            .write.mode("overwrite")
+            .partitionBy("region_id")
+            .parquet(os.path.join(out_dir, f"tiles/state={state}"))
+        )
+
+        # d. merge + checkpoint advance (atomic manifest publish)
+        store.apply_batch(state, batch)
+        base.unpersist()
+        applied.append(state)
+    return applied

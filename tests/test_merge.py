@@ -1,0 +1,122 @@
+"""MERGE emulation + checkpointed store + incremental pipeline:
+upsert/delete semantics, last-writer-wins, idempotent re-apply, resume
+(reference /root/reference/src/osmbin.rs:665-747 update semantics and
+/root/reference/src/update.rs:40-47 state resume)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_replication_rust_spark.operators.merge import TableStore, merge_changes
+
+M = 1_000_000
+
+
+@pytest.fixture
+def base(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a", "b", "c"],
+                "caption": ["ca", "cb", "cc"],
+                "phash": [100, 200, 300],
+            }
+        )
+    )
+
+
+def changes_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["image_id", "action", "seq", "new_caption", "new_phash"],
+        ).astype({"new_phash": "object"})
+    )
+
+
+def test_merge_upsert_delete(spark, base):
+    ch = changes_df(
+        spark,
+        [
+            ("a", "modify", 0, "ca2", None),  # partial update: phash kept
+            ("b", "delete", 1, None, None),
+            ("d", "create", 2, "cd", 400),
+        ],
+    )
+    got = {r.image_id: (r.caption, r.phash) for r in merge_changes(base, ch).collect()}
+    assert got == {"a": ("ca2", 100), "c": ("cc", 300), "d": ("cd", 400)}
+
+
+def test_last_writer_wins(spark, base):
+    ch = changes_df(
+        spark,
+        [
+            ("a", "modify", 0, "first", None),
+            ("a", "modify", 5, "last", None),
+            ("b", "delete", 1, None, None),
+            ("b", "create", 2, "revived", 250),
+        ],
+    )
+    got = {r.image_id: (r.caption, r.phash) for r in merge_changes(base, ch).collect()}
+    assert got["a"] == ("last", 100)
+    assert got["b"] == ("revived", 250)
+
+
+def test_store_idempotent_resume(spark, base, tmp_path):
+    store = TableStore(spark, str(tmp_path / "tbl"))
+    store.init(base)
+    assert store.last_state() == 0
+
+    ch1 = changes_df(spark, [("a", "modify", 0, "ca2", None)])
+    ch2 = changes_df(spark, [("b", "delete", 0, None, None)])
+
+    assert store.apply_batch(1, ch1) is True
+    assert store.apply_batch(1, ch1) is False  # idempotent: no re-apply
+    assert store.apply_batch(2, ch2) is True
+    assert store.last_state() == 2
+    got = {r.image_id: r.caption for r in store.current().collect()}
+    assert got == {"a": "ca2", "c": "cc"}
+
+    # resume: a fresh store object on the same path sees the checkpoint
+    store2 = TableStore(spark, str(tmp_path / "tbl"))
+    assert store2.last_state() == 2
+    assert store2.apply_batch(2, ch2) is False
+    man = store2.manifest()
+    assert [s["state"] for s in man["snapshots"]] == [0, 1, 2]
+    assert all("lineage" in s for s in man["snapshots"][1:])
+
+
+def test_pipeline_end_to_end(spark, regions, images_pdf, tmp_path):
+    from osm_replication_rust_spark.datagen.synth import gen_diffs
+    from osm_replication_rust_spark.plans.pipeline import run_update
+    from osm_replication_rust_spark.operators.merge import TableStore
+
+    base = spark.createDataFrame(
+        images_pdf[["image_id", "caption", "phash"]].iloc[:300]
+    )
+    diffs = spark.createDataFrame(gen_diffs(images_pdf.iloc[:300], n_batches=2))
+    store = TableStore(spark, str(tmp_path / "images"))
+    store.init(base)
+
+    out_dir = str(tmp_path / "out")
+    applied = run_update(store, diffs, regions, out_dir)
+    assert applied == [1, 2]
+    assert store.last_state() == 2
+
+    tiles = spark.read.parquet(os.path.join(out_dir, "tiles/state=1"))
+    assert tiles.count() > 0
+    assert set(tiles.columns) == {"image_id", "action", "out_action", "region_id"}
+    # partitioned publish: one directory per region that got rows
+    parts = os.listdir(os.path.join(out_dir, "tiles/state=1"))
+    assert any(p.startswith("region_id=") for p in parts)
+
+    # resume: re-running applies nothing and changes nothing
+    snap_rows = store.current().count()
+    assert run_update(store, diffs, regions, out_dir) == []
+    assert store.current().count() == snap_rows
+
+    # bbox stage artifact exists per state
+    bbox = spark.read.parquet(os.path.join(out_dir, "bbox/state=2"))
+    assert {"image_id", "minlat", "maxlat", "minlon", "maxlon"} <= set(bbox.columns)
