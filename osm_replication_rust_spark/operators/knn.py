@@ -1,0 +1,147 @@
+"""kNN via cell-ring expansion (SURVEY.md J6 — the north_star addition;
+not in the reference, which has no neighbor queries).
+
+Scheme: both sides carry grid cell ids (functions/coords.cell_id).
+Starting at disk radius r=0, each query joins to points whose cell lies
+in its Chebyshev r-disk; a query is *certified* once its k-th best
+candidate is within ``r * cell_edge`` — any unscanned point is at least
+one full cell away, i.e. strictly farther. Radius doubles until every
+query certifies (or the cap is hit, when an exact brute-force fallback
+finishes the stragglers — correctness never depends on density).
+
+The disk join is an equi-join: candidate cell = query cell + offset,
+with the offset list exploded from a literal array (pure JVM). Top-k is
+a window over (query, distance). Distances are exact int64 squared
+Euclidean in decimicro space.
+
+Scale: each round shuffles only the *remaining* queries (shrinking
+fast); the points side is re-used as a persisted frame keyed by cell.
+Skewed mega-cells are handled by AQE skew-join splitting; at extreme
+densities drop to a finer res so disks hold fewer points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.coords import DEFAULT_RES, Y_STRIDE, cell_edge, cell_id
+
+
+def _dist2(qlat, qlon, plat, plon):
+    dl = qlat - plat
+    dn = qlon - plon
+    return dl * dl + dn * dn
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    q_id: str = "query_id",
+    p_id: str = "point_id",
+) -> DataFrame:
+    """Exact baseline: cross join + window top-k. O(Q*P) — the oracle for
+    tests and the fallback for uncertified queries. Ties broken by point
+    id for determinism."""
+    q = queries.select(
+        F.col(q_id), F.col("lat").alias("_qlat"), F.col("lon").alias("_qlon")
+    )
+    p = points.select(
+        F.col(p_id), F.col("lat").alias("_plat"), F.col("lon").alias("_plon")
+    )
+    d = q.crossJoin(p).withColumn(
+        "dist2",
+        _dist2(F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")),
+    )
+    w = Window.partitionBy(q_id).orderBy("dist2", p_id)
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, p_id, "dist2", "rank")
+    )
+
+
+def knn_cell_ring(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    res: int = DEFAULT_RES,
+    q_id: str = "query_id",
+    p_id: str = "point_id",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Exact kNN via expanding cell disks; see module docstring."""
+    spark = queries.sparkSession
+    edge = cell_edge(res)
+
+    p = points.select(
+        F.col(p_id),
+        F.col("lat").alias("_plat"),
+        F.col("lon").alias("_plon"),
+        cell_id(F.col("lon"), F.col("lat"), res).alias("_pcell"),
+    ).persist()
+    remaining = queries.select(
+        F.col(q_id),
+        F.col("lat").alias("_qlat"),
+        F.col("lon").alias("_qlon"),
+        cell_id(F.col("lon"), F.col("lat"), res).alias("_qcell"),
+    ).persist()
+
+    results: list[DataFrame] = []
+    r = 1
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        # offsets of the full r-disk as a literal array -> explode -> equi-join
+        offs = [
+            dy * Y_STRIDE + dx
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+        ]
+        cand = (
+            remaining.withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
+            .withColumn("_cell", F.col("_qcell") + F.col("_off"))
+            .join(p, F.col("_cell") == F.col("_pcell"), "inner")
+            .withColumn(
+                "dist2",
+                _dist2(F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")),
+            )
+        )
+        w = Window.partitionBy(q_id).orderBy("dist2", p_id)
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .persist()
+        )
+        # certification: k-th neighbor within r*edge means no unscanned
+        # point can beat it (unscanned => >= (r)*edge away from the query)
+        cert_bound = (r * edge) ** 2
+        done = (
+            topk.groupBy(q_id)
+            .agg(F.count(F.lit(1)).alias("_n"), F.max("dist2").alias("_worst"))
+            .filter((F.col("_n") == k) & (F.col("_worst") <= cert_bound))
+            .select(q_id)
+        )
+        results.append(
+            topk.join(done, q_id, "left_semi").select(q_id, p_id, "dist2", "rank")
+        )
+        remaining = remaining.join(done, q_id, "left_anti").persist()
+        r *= 2
+
+    if not remaining.isEmpty():
+        results.append(
+            knn_bruteforce(
+                remaining.select(
+                    q_id, F.col("_qlat").alias("lat"), F.col("_qlon").alias("lon")
+                ),
+                points,
+                k,
+                q_id,
+                p_id,
+            )
+        )
+    out = results[0]
+    for rdf in results[1:]:
+        out = out.unionByName(rdf)
+    return out

@@ -1,0 +1,112 @@
+"""Dedup tier tests: exact, n-gram Jaccard (vs independent pandas
+oracle), MinHash-LSH (estimates true Jaccard; catches planted
+near-dups), SimHash banding (lossless within Hamming budget)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_replication_rust_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def make_docs(n=60, seed=3):
+    rng = np.random.default_rng(seed)
+    texts, ids = [], []
+    for i in range(n):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(WORDS, size=30)))
+    # planted exact dup + near dup (one word changed)
+    ids += [1000, 1001, 1002]
+    texts += [texts[0], texts[1][:-5] + " zeta", texts[2]]
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(make_docs()).persist()
+
+
+def test_exact_duplicates(spark, docs):
+    got = exact_duplicates(docs, "text", "doc_id").collect()
+    dup_keepers = {r.keeper_id: r.n_dups for r in got}
+    assert dup_keepers == {0: 2, 2: 2}  # doc 1000 == doc 0, 1002 == doc 2
+
+
+def jaccard_oracle(pdf, n=3):
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
+
+    sets = {r.doc_id: sh(r.text) for r in pdf.itertuples()}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= 0.5:
+                    out[(a, b)] = round(j, 9)
+    return out
+
+
+def test_ngram_jaccard_vs_oracle(spark, docs):
+    pdf = make_docs()
+    want = jaccard_oracle(pdf)
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).collect()
+    }
+    assert got == want
+    assert (0, 1000) in got and got[(0, 1000)] == 1.0  # exact dup
+    assert any(k in got for k in [(1, 1001)])  # planted near dup
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """Property: signature agreement rate ≈ true Jaccard (±0.2 with 32
+    hashes on the planted pairs)."""
+    sig = minhash_signatures(docs, "text", "doc_id", 3, 32).toPandas().set_index("id")
+    pdf = make_docs()
+    true = jaccard_oracle(pdf, 3)
+    for (a, b), j in true.items():
+        agree = float((sig.loc[a] == sig.loc[b]).mean())
+        assert abs(agree - j) <= 0.25, (a, b, j, agree)
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs):
+    got = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    assert (0, 1000) in got
+    assert (2, 1002) in got
+    assert (1, 1001) in got
+    # verified stage: no false positives below threshold
+    want = set(jaccard_oracle(make_docs()))
+    assert got <= want
+
+
+def test_simhash_near_pairs(spark, docs):
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(docs, "text", "doc_id", max_hamming=4).collect()
+    }
+    assert got[(0, 1000)] == 0  # identical text -> identical simhash
+    assert got[(2, 1002)] == 0
+    # every reported pair respects the budget (banding is a prefilter only)
+    assert all(h <= 4 for h in got.values())
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": ["one two", ""]}))
+    got = word_shingles(df, "text", "doc_id", 3).collect()
+    assert {(r.id, r.shingle) for r in got} == {(1, "one two")}

@@ -1,0 +1,59 @@
+"""Text analysis operators vs independent python oracles."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_replication_rust_spark.operators.text import (
+    STOPWORDS,
+    fingerprint_udf,
+    lang_score,
+    quality_features,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog."),
+    (2, "der hund und die katze, der vogel ist frei und das ist gut"),
+    (3, "le chat et le chien, c'est la vie et c'est tout"),
+    (4, ""),
+    (5, "word"),
+    (6, "  padded   with   spaces  "),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_token_count(spark, docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    want = {i: len(t.split()) for i, t in DOCS}
+    assert got == want
+
+
+def test_quality_features(spark, docs):
+    got = {r.doc_id: r.asDict() for r in quality_features(docs, "text", "doc_id").collect()}
+    assert got[1]["n_tokens"] == 9
+    assert got[1]["n_punct"] == 1
+    # 'the' appears twice as a bounded word
+    padded = " " + DOCS[0][1] + " "
+    want_hits = sum(padded.count(f" {w} ") for w in STOPWORDS)
+    assert got[1]["stopword_ratio"] == pytest.approx(want_hits / 9)
+    assert got[4]["n_tokens"] == 0
+
+
+def test_lang_score(spark, docs):
+    got = {r.doc_id: (r.pred_lang, r.pred_score) for r in lang_score(docs, "text", "doc_id").collect()}
+    assert got[1][0] == "en"
+    assert got[2][0] == "de"
+    assert got[3][0] == "fr"
+
+
+def test_fingerprint_deterministic(spark, docs):
+    fp = fingerprint_udf()
+    a = {r.doc_id: r.f for r in docs.select("doc_id", fp(F.col("text")).alias("f")).collect()}
+    b = {r.doc_id: r.f for r in docs.select("doc_id", fp(F.col("text")).alias("f")).collect()}
+    assert a == b
+    assert len({v for k, v in a.items() if k != 4}) == 5  # distinct docs -> distinct prints
