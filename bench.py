@@ -1,0 +1,121 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...}
+
+- headline: the flagship spatial-join+tiling throughput on a synthetic
+  geo-tagged table (BASELINE.json metric), measured warm;
+- plus wall time per catalog query at $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Flags: --tiling-only (scaling runs), --rows N (tiling table size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from osm_replication_rust_spark.datagen.synth import fixture_regions  # noqa: E402
+from osm_replication_rust_spark.operators.spatial_join import assign_regions  # noqa: E402
+from osm_replication_rust_spark.session import get_spark  # noqa: E402
+
+# catalog queries worth timing (mix of relational, geometry, window,
+# dedup, similarity, streaming-shaped)
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping",
+    "spatial_join_tiles",
+    "cell_encode",
+    "bbox_agg",
+    "knn",
+    "topk_per_group",
+    "dedup_last_writer",
+    "ngram_jaccard",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "stream_window_stats",
+    "merge_upsert",
+]
+
+
+def synthetic_points(spark, n: int):
+    """Deterministic geo-tagged table: the LCG footprint spread over the
+    fixture-region band (same derivation the oracle queries use)."""
+    return spark.range(n).select(
+        F.col("id").alias("image_id"),
+        ((F.col("id") * 48271) % 44000001 - 22000000).alias("lat"),
+        ((F.col("id") * 69621) % 44000001 - 22000000).alias("lon"),
+    )
+
+
+def run_tiling(spark, n_rows: int, repeats: int = 1) -> tuple[float, int]:
+    """Best-of-N wall time (the sandbox host is shared and noisy; min is
+    the stable statistic). res=18 keeps ~40% of covered cells interior
+    for the fixture regions, the sweet spot measured in BENCH.md."""
+    pts = synthetic_points(spark, n_rows)
+    out = assign_regions(pts, fixture_regions(), keep_cols=["image_id"], res=18)
+    best, cnt = float("inf"), 0
+    for _ in range(repeats):
+        t0 = time.time()
+        cnt = out.count()
+        best = min(best, time.time() - t0)
+    return best, cnt
+
+
+def main() -> None:
+    tiling_only = "--tiling-only" in sys.argv
+    n_rows = int(os.environ.get("SPARK_GRAFT_TILING_ROWS", "5000000"))
+    if "--rows" in sys.argv:
+        n_rows = int(sys.argv[sys.argv.index("--rows") + 1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cpus=cpus)
+
+    # warmup: start python workers + JIT before measuring
+    run_tiling(spark, 200_000)
+
+    queries: dict[str, float] = {}
+    t_tile, n_assigned = run_tiling(spark, n_rows, repeats=3)
+    queries["tiling_flagship"] = round(t_tile, 3)
+    images_per_sec = int(n_rows / t_tile)
+
+    if not tiling_only:
+        from osm_replication_rust_spark.plans import entry_queries
+
+        catalog = entry_queries.queries()
+        for name in BENCH_QUERIES:
+            fn = catalog[name]
+            best = float("inf")
+            for _ in range(2):  # report warm time (min of two runs)
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            queries[name] = round(best, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join+tiling images/sec (synthetic geo-tagged table) + catalog query wall times",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "tiling_rows": n_rows,
+                "tiling_assigned": n_assigned,
+                "images_per_sec": images_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

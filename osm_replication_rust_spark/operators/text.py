@@ -121,9 +121,9 @@ def fingerprint_udf():
                 continue
             b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
             h = np.uint64(1469598103934665603)
-            # horner evaluation; numpy does the byte loop in C via reduce
-            for chunk in np.array_split(b, max(1, len(b) // 4096)):
-                for x in chunk:
+            # horner evaluation; uint64 wraparound is the hash semantics
+            with np.errstate(over="ignore"):
+                for x in b:
                     h = h * B + x
             out[i] = h
         return pd.Series(out.astype(np.int64))

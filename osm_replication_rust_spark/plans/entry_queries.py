@@ -9,10 +9,11 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import coords as C
+from ..functions.geometry import MultiPolygon
 from ..datagen.synth import fixture_regions
 from ..operators.spatial_join import assign_regions
 
@@ -203,3 +204,721 @@ def bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# generated ray-cast SQL: the DuckDB twin of the numpy point-in-polygon
+# kernel (even-odd + boundary-counts-inside), emitted from the same
+# MultiPolygon fixture so both engines evaluate literally the same edges
+# ---------------------------------------------------------------------------
+
+def sql_raycast(mp: MultiPolygon, lon: str, lat: str) -> str:
+    cross_terms = []
+    boundary_terms = []
+    for ring in mp.rings:
+        c = ring.closed()
+        for (x1, y1), (x2, y2) in zip(c[:-1], c[1:]):
+            x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
+            num = f"(({x1} - ({lon})) * ({y2 - y1}) + (({lat}) - {y1}) * ({x2 - x1}))"
+            gt = f"{num} > 0" if y2 > y1 else f"{num} < 0"
+            cross_terms.append(
+                f"(CASE WHEN (({y1} > ({lat})) <> ({y2} > ({lat}))) AND ({gt}) THEN 1 ELSE 0 END)"
+            )
+            boundary_terms.append(
+                f"(({x2 - x1}) * (({lat}) - {y1}) - ({y2 - y1}) * (({lon}) - {x1}) = 0"
+                f" AND ({lon}) BETWEEN {min(x1, x2)} AND {max(x1, x2)}"
+                f" AND ({lat}) BETWEEN {min(y1, y2)} AND {max(y1, y2)})"
+            )
+    crossings = " + ".join(cross_terms)
+    boundary = " OR ".join(boundary_terms)
+    return f"((({crossings}) % 2 = 1) OR {boundary})"
+
+
+_EV_LAT = C.sql_derived_lat("event_id")
+_EV_LON = C.sql_derived_lon("event_id")
+
+
+@register(
+    "pip_polygon",
+    f"""
+    SELECT event_id FROM events
+    WHERE {sql_raycast(fixture_regions()[5], _EV_LON, _EV_LAT)}
+    ORDER BY event_id
+    """,
+)
+def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: exact point-in-polygon (pentagon fixture: non-rectilinear
+    edges) through the engine's Arrow kernel; oracle = generated
+    ray-cast SQL over the same edges."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    pentagon = fixture_regions()[5]
+    assert pentagon.region_id == "E"
+    return (
+        assign_regions(ev, [pentagon], keep_cols=["event_id"], buffer=0)
+        .filter(F.col("in_poly"))
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "spatial_join_tiles",
+    "\nUNION ALL\n".join(
+        f"""SELECT event_id, '{mp.region_id}' AS region_id FROM events
+        WHERE {sql_raycast(mp, _EV_LON, _EV_LAT)}"""
+        for mp in fixture_regions()
+    )
+    + "\nORDER BY event_id, region_id",
+)
+def spatial_join_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (flagship): the full cell-prefilter spatial join against the
+    whole region hierarchy; oracle = per-region ray-cast SQL UNION."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    return (
+        assign_regions(ev, fixture_regions(), keep_cols=["event_id"], buffer=0)
+        .filter(F.col("in_poly"))
+        .select("event_id", "region_id")
+        .orderBy("event_id", "region_id")
+    )
+
+
+_RECT = (2_000_000, -8_000_000, 14_000_000, 6_000_000)  # lon0, lat0, lon1, lat1
+
+
+@register(
+    "bbox_intersects",
+    f"""
+    WITH bb AS (
+      SELECT user_id,
+             min({_EV_LAT}) AS minlat, max({_EV_LAT}) AS maxlat,
+             min({_EV_LON}) AS minlon, max({_EV_LON}) AS maxlon
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id FROM bb
+    WHERE NOT (maxlon < {_RECT[0]} OR minlon > {_RECT[2]}
+               OR maxlat < {_RECT[1]} OR minlat > {_RECT[3]})
+    ORDER BY user_id
+    """,
+)
+def bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: cheap bbox-vs-rect prefilter (the reference's gate before
+    per-node tests, /root/reference/src/osmxml/filter.rs:238-244)."""
+    ev = _t(spark, sf_dir, "events")
+    lat = C.derived_lat(F.col("event_id"))
+    lon = C.derived_lon(F.col("event_id"))
+    bb = (
+        ev.select("user_id", lat.alias("lat"), lon.alias("lon"))
+        .groupBy("user_id")
+        .agg(
+            F.min("lat").alias("minlat"),
+            F.max("lat").alias("maxlat"),
+            F.min("lon").alias("minlon"),
+            F.max("lon").alias("maxlon"),
+        )
+    )
+    lon0, lat0, lon1, lat1 = _RECT
+    return (
+        bb.filter(
+            ~(
+                (F.col("maxlon") < lon0)
+                | (F.col("minlon") > lon1)
+                | (F.col("maxlat") < lat0)
+                | (F.col("minlat") > lat1)
+            )
+        )
+        .select("user_id")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "knn",
+    f"""
+    WITH pts AS (
+      SELECT event_id, {_EV_LAT} AS lat, {_EV_LON} AS lon FROM events
+    ),
+    q AS (SELECT event_id AS query_id, lat, lon FROM pts WHERE event_id <= 20),
+    d AS (
+      SELECT q.query_id, p.event_id AS point_id,
+             (q.lat - p.lat) * (q.lat - p.lat)
+             + (q.lon - p.lon) * (q.lon - p.lon) AS dist2
+      FROM q, pts p
+    ),
+    r AS (
+      SELECT query_id, point_id, dist2,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist2, point_id) AS rank
+      FROM d
+    )
+    SELECT query_id, point_id, dist2, rank FROM r WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: kNN via cell-ring expansion; oracle = windowed cross join."""
+    from ..operators.knn import knn_cell_ring
+
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    q = pts.filter(F.col("event_id") <= 20).select(
+        F.col("event_id").alias("query_id"), "lat", "lon"
+    )
+    return knn_cell_ring(
+        q, pts.withColumnRenamed("event_id", "point_id"), k=5
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "integrity_anti_join",
+    """
+    SELECT DISTINCT l.l_partkey AS dangling_key
+    FROM lineitem l
+    WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 40)
+    ORDER BY dangling_key
+    """,
+)
+def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: referential-integrity check as a left anti join (the
+    reference's check_database, /root/reference/src/osmbin.rs:251-363);
+    the p_size filter manufactures dangling refs deterministically."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 40)
+    return (
+        li.select(F.col("l_partkey").alias("dangling_key"))
+        .join(part.select(F.col("p_partkey").alias("dangling_key")), "dangling_key", "left_anti")
+        .distinct()
+        .orderBy("dangling_key")
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT text, count(*) AS n_dups, min(doc_id) AS keeper_id
+    FROM u GROUP BY text HAVING count(*) > 1
+    ORDER BY keeper_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; duplicates synthesized by a
+    deterministic union so the fixture has real dup groups."""
+    d = _t(spark, sf_dir, "documents")
+    u = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        u.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+@register(
+    "ngram_jaccard",
+    """
+    WITH u AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0 AND doc_id < 100
+    ),
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM u),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+      WHERE length(array_to_string(w[i:i+2], ' ')) > 0
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.id = id_a
+    JOIN sz sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via shingle self-join
+    (the SQL-checkable tier of the dedup suite)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    u = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        ngram_jaccard_pairs(u, "text", "doc_id", n=3, threshold=0.5)
+        .select("id_a", "id_b", "n_common", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH qv AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+      FROM embeddings WHERE vec_id < 10
+    ),
+    iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      FROM embeddings
+    ),
+    d AS (
+      SELECT query_id, vec_id, CAST(list_dot_product(q, v) AS BIGINT) AS dot_q
+      FROM qv, iv
+    ),
+    r AS (
+      SELECT query_id, vec_id, dot_q,
+             row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, dot_q, rank FROM r WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline on quantized integer dot products
+    (bit-reproducible across engines; the float cosine path is covered
+    by pytest against numpy)."""
+    from ..operators.similarity import dot_q_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    it = emb.select("vec_id", F.col("embedding").alias("_iv"))
+    d = F.broadcast(q).crossJoin(it).withColumn(
+        "dot_q", dot_q_expr(F.col("_qv"), F.col("_iv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.col("vec_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", "dot_q", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_count",
+    None,  # filled below from the shared sql generator
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting, JVM expression only."""
+    from ..operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    None,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal features (pretraining filters) as expressions."""
+    from ..operators.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "lang_id",
+    None,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic with deterministic argmax."""
+    from ..operators.text import lang_score
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_score(d, "text", "doc_id").orderBy("doc_id")
+
+
+def _fill_text_oracles() -> None:
+    from ..operators.text import (
+        STOPWORDS,
+        sql_occurrences,
+        sql_stopword_hits,
+        sql_token_count,
+    )
+
+    _ORACLES["token_count"] = f"""
+    SELECT doc_id, {sql_token_count('text')} AS n_tokens
+    FROM documents ORDER BY doc_id
+    """
+
+    ntok = sql_token_count("text")
+    _ORACLES["text_quality"] = f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           {ntok} AS n_tokens,
+           CAST(length(text) AS DOUBLE) / greatest({ntok}, 1) AS mean_tok_len,
+           CAST(({sql_stopword_hits('text')}) AS DOUBLE) / greatest({ntok}, 1) AS stopword_ratio,
+           {sql_occurrences('text', '.')} + {sql_occurrences('text', ',')}
+             + {sql_occurrences('text', '!')} AS n_punct
+    FROM documents ORDER BY doc_id
+    """
+
+    markers = {
+        "en": (" the ", " and ", " is "),
+        "de": (" der ", " und ", " ist "),
+        "fr": (" le ", " et ", " est "),
+        "es": (" el ", " y ", " es "),
+    }
+    padded = "(' ' || text || ' ')"
+    score = {
+        lang: "(" + " + ".join(sql_occurrences(padded, m) for m in ms) + ")"
+        for lang, ms in markers.items()
+    }
+    # argmax with greatest-struct semantics: ties resolve to the
+    # lexicographically largest language (matches F.array_max on
+    # struct(score, lang))
+    _ORACLES["lang_id"] = f"""
+    WITH s AS (
+      SELECT doc_id, {score['en']} AS s_en, {score['de']} AS s_de,
+             {score['fr']} AS s_fr, {score['es']} AS s_es
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+           WHEN s_en >= s_de THEN 'en'
+           ELSE 'de' END AS pred_lang,
+      CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN s_fr
+           WHEN s_es >= s_en AND s_es >= s_de THEN s_es
+           WHEN s_en >= s_de THEN s_en
+           ELSE s_de END AS pred_score
+    FROM s ORDER BY doc_id
+    """
+
+
+_fill_text_oracles()
+
+
+# ---------------------------------------------------------------------------
+# windows / top-k / set ops over the star schema
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_per_group",
+    """
+    SELECT user_id, event_id, value, rnk FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    ) WHERE rnk <= 3
+    ORDER BY user_id, rnk
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k (§2.6): top-3 events by value per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk")
+        .orderBy("user_id", "rnk")
+    )
+
+
+@register(
+    "dedup_last_writer",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def dedup_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins dedup (§2.6; the diff in-order overwrite rule)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "q03_shipping",
+    """
+    SELECT o.o_orderkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10 (broadcast dims)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "group_membership_exists",
+    f"""
+    SELECT DISTINCT o.o_orderkey AS group_id
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+      AND ({C.sql_derived_lat('l.l_partkey')}) BETWEEN {_RECT[1]} AND {_RECT[3]}
+      AND ({C.sql_derived_lon('l.l_partkey')}) BETWEEN {_RECT[0]} AND {_RECT[2]}
+    )
+    ORDER BY group_id
+    """,
+)
+def group_membership_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: existential membership (way ∈ region ⇔ ∃ member point ∈
+    region) as a left semi join; orders play the composite element,
+    lineitems its members."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lon0, lat0, lon1, lat1 = _RECT
+    members_in = li.filter(
+        C.derived_lat(F.col("l_partkey")).between(lat0, lat1)
+        & C.derived_lon(F.col("l_partkey")).between(lon0, lon1)
+    ).select(F.col("l_orderkey").alias("group_id"))
+    return (
+        o.select(F.col("o_orderkey").alias("group_id"))
+        .join(members_in, "group_id", "left_semi")
+        .distinct()
+        .orderBy("group_id")
+    )
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH ch AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'delete'
+                  WHEN doc_id % 5 = 0 THEN 'modify'
+                  ELSE NULL END AS action
+      FROM documents
+    ),
+    survivors AS (
+      SELECT d.doc_id,
+             CASE WHEN ch.action = 'modify' THEN 'rewritten ' || CAST(d.doc_id AS VARCHAR)
+                  ELSE d.text END AS text
+      FROM documents d LEFT JOIN ch ON d.doc_id = ch.doc_id
+      WHERE ch.action IS NULL OR ch.action <> 'delete'
+    )
+    SELECT doc_id, text FROM survivors
+    UNION ALL
+    SELECT doc_id + 5000000, 'created ' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 11 = 0
+    ORDER BY doc_id
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K4: the engine's MERGE (upsert/delete/partial-update) against a
+    relationally-expressed oracle; the change batch is synthesized
+    deterministically from the base table."""
+    from ..operators.merge import merge_changes
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mods = d.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)).select(
+        F.col("doc_id"),
+        F.lit("modify").alias("action"),
+        F.monotonically_increasing_id().alias("seq"),
+        F.concat(F.lit("rewritten "), F.col("doc_id").cast("string")).alias("new_text"),
+    )
+    dels = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id"),
+        F.lit("delete").alias("action"),
+        F.monotonically_increasing_id().alias("seq"),
+        F.lit(None).cast("string").alias("new_text"),
+    )
+    crts = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.lit("create").alias("action"),
+        F.monotonically_increasing_id().alias("seq"),
+        F.concat(F.lit("created "), F.col("doc_id").cast("string")).alias("new_text"),
+    )
+    changes = mods.unionByName(dels).unionByName(crts)
+    return merge_changes(d, changes, key="doc_id").orderBy("doc_id")
+
+
+@register(
+    "stream_window_stats",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+           count(*) AS n, sum(value) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: the windowed change-stats aggregation (same plan batch and
+    streaming; streamed variant exercised in tests)."""
+    from ..streaming.incremental import windowed_change_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_change_stats(ev).orderBy("win_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible: engine-hash / LSH / binary ops)
+# ---------------------------------------------------------------------------
+
+@register("minhash_lsh_pairs")
+def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64 signatures are not
+    reproducible in the oracle engine; exactness guaranteed by the
+    verify stage + pytest property tests)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    u = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return minhash_lsh_pairs(u, "text", "doc_id").select(
+        "id_a", "id_b", "jaccard"
+    ).orderBy("id_a", "id_b")
+
+
+@register("simhash_pairs")
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming<=3 (pigeonhole banding)."""
+    from ..operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    u = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return simhash_near_pairs(u, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    ).orderBy("id_a", "id_b")
+
+
+@register("ann_lsh_topk")
+def ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH + exact rerank."""
+    from ..operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    return ann_lsh_topk(q, emb, k=5, dim=64, n_tables=8, n_bits=8).select(
+        "query_id", "vec_id", "rank"
+    ).orderBy("query_id", "rank")
+
+
+@register("doc_fingerprint")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (Arrow kernel)."""
+    from ..operators.text import fingerprint_udf
+
+    d = _t(spark, sf_dir, "documents")
+    fp = fingerprint_udf()
+    return d.select("doc_id", fp(F.col("text")).alias("fingerprint")).orderBy("doc_id")
+
+
+@register("multimodal_decode_stats")
+def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode + per-image stats through mapInPandas (codec
+    stubbed; plumbing and batch shape real). Input synthesized
+    deterministically (the driver star schema has no binary column)."""
+    from ..datagen.synth import gen_images
+    from ..operators.multimodal import decode_stats
+
+    imgs = spark.createDataFrame(gen_images(500, seed=42))
+    return decode_stats(imgs).select(
+        "image_id", "pix_mean", "pix_max", "pix_min"
+    ).orderBy("image_id")
+
+
+@register("group_bbox_fixpoint")
+def group_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: recursive relation-bbox resolution to fixpoint (cycle-safe).
+    Groups synthesized deterministically; the point set comes from the
+    events footprints."""
+    from ..datagen.synth import gen_groups, gen_images
+    from ..operators.bbox import group_bboxes, point_bboxes
+
+    images = gen_images(300, seed=42)
+    base = spark.createDataFrame(images[["image_id", "phash"]]).select(
+        "image_id",
+        C.unpack_lat(F.col("phash")).alias("lat"),
+        C.unpack_lon(F.col("phash")).alias("lon"),
+    )
+    changes = base.select(
+        "image_id",
+        F.lit("modify").alias("action"),
+        F.lit(0).alias("seq"),
+        F.col("lat").alias("new_lat"),
+        F.col("lon").alias("new_lon"),
+    )
+    groups = spark.createDataFrame(gen_groups(images))
+    pb = point_bboxes(base, changes)
+    return group_bboxes(groups, pb).orderBy("group_id")

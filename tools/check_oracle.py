@@ -36,6 +36,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
+        if np.issubdtype(s.dtype, np.integer):
+            df[c] = s.astype("int64")
+            continue
         if s.dtype == object:
             df[c] = s.astype(str)
         elif np.issubdtype(s.dtype, np.floating):
