@@ -57,12 +57,15 @@ def synthetic_points(spark, n: int):
 
 def run_tiling(spark, n_rows: int, repeats: int = 1) -> tuple[float, int]:
     """Best-of-N wall time (the sandbox host is shared and noisy; min is
-    the stable statistic). res=18 keeps ~40% of covered cells interior
-    for the fixture regions, the sweet spot measured in BENCH.md."""
-    pts = synthetic_points(spark, n_rows)
-    out = assign_regions(pts, fixture_regions(), keep_cols=["image_id"], res=18)
+    the stable statistic). Each repeat REBUILDS the plan on a slightly
+    different row count — counting the same DataFrame twice lets Spark
+    reuse the first run's shuffle map outputs and measures nothing.
+    res=18 keeps ~40% of covered cells interior for the fixture regions
+    (sweet spot measured in BENCH.md)."""
     best, cnt = float("inf"), 0
-    for _ in range(repeats):
+    for i in range(repeats):
+        pts = synthetic_points(spark, n_rows + i)
+        out = assign_regions(pts, fixture_regions(), keep_cols=["image_id"], res=18)
         t0 = time.time()
         cnt = out.count()
         best = min(best, time.time() - t0)

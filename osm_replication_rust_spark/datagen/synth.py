@@ -208,10 +208,19 @@ def gen_diffs(images: pd.DataFrame, n_batches: int = 3, seed: int = 43) -> pd.Da
             )
             seq += 1
     df = pd.DataFrame(rows)
-    df["new_phash"] = [
-        None if pd.isna(la) else (int(la) + LAT_OFFSET) * PHASH_LON_BASE + (int(lo) + LON_OFFSET)
-        for la, lo in zip(df.new_lat, df.new_lon)
-    ]
+    # nullable Int64, NOT float64: phash exceeds 2^53 and float coercion
+    # silently destroys the low bits
+    df["new_phash"] = pd.array(
+        [
+            None
+            if pd.isna(la)
+            else (int(la) + LAT_OFFSET) * PHASH_LON_BASE + (int(lo) + LON_OFFSET)
+            for la, lo in zip(df.new_lat, df.new_lon)
+        ],
+        dtype="Int64",
+    )
+    df["new_lat"] = df["new_lat"].astype("Int64")
+    df["new_lon"] = df["new_lon"].astype("Int64")
     return df
 
 

@@ -1,0 +1,113 @@
+"""Geometry compiled to Catalyst expressions.
+
+The cell-cover discretization leaves only boundary-cell rows needing an
+exact test. For polygons of modest edge count, that test itself can be
+*compiled to JVM expressions* — the same even-odd ray-cast + segment
+distance the numpy kernel and the generated oracle SQL implement — so
+the entire spatial join becomes whole-stage-codegen'd JVM work: no
+Python workers, no Arrow hops, linear thread scaling.
+
+(Measured motivation, BENCH.md: at 32 local threads the Arrow-UDF
+refine anti-scaled — JVM task thread + python worker per task
+oversubscribes the host 2x — while expression codegen scales with
+cores. The Arrow kernel remains the fallback for very complex
+geometries where a thousand-term expression would blow up codegen;
+``assign_regions(strategy='auto')`` picks by total edge count.)
+
+All crossing arithmetic is exact int64 (same bounds as the kernel);
+the buffered-membership distance test is float64 with the identical
+per-edge formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .geometry import MultiPolygon
+
+#: above this many total edges, expression compilation is declined
+#: (codegen size; the Arrow kernel takes over)
+MAX_EXPR_EDGES = 2048
+
+
+def raycast_expr(mp: MultiPolygon, lon: Column, lat: Column) -> Column:
+    """Even-odd point-in-multipolygon with boundary-counts-inside, as a
+    single boolean Column (mirrors sql_raycast / points_in_polygon)."""
+    crossings: Column | None = None
+    boundary: Column | None = None
+    ex1, ey1, ex2, ey2 = mp.edges()
+    for x1, y1, x2, y2 in zip(ex1, ey1, ex2, ey2):
+        x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
+        num = (F.lit(x1) - lon) * F.lit(y2 - y1) + (lat - F.lit(y1)) * F.lit(x2 - x1)
+        straddle = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        crossed = straddle & ((num > 0) if y2 > y1 else (num < 0))
+        c = F.when(crossed, 1).otherwise(0)
+        crossings = c if crossings is None else crossings + c
+        on_seg = (
+            ((F.lit(x2 - x1) * (lat - F.lit(y1)) - F.lit(y2 - y1) * (lon - F.lit(x1))) == 0)
+            & lon.between(min(x1, x2), max(x1, x2))
+            & lat.between(min(y1, y2), max(y1, y2))
+        )
+        boundary = on_seg if boundary is None else (boundary | on_seg)
+    return (crossings % 2 == 1) | boundary
+
+
+def buffer_dist_expr(mp: MultiPolygon, lon: Column, lat: Column, buffer: int) -> Column:
+    """True iff the point lies within ``buffer`` of any ring segment
+    (squared-distance test against the clamped projection, float64 —
+    the identical formula distance_to_boundary evaluates)."""
+    px = lon.cast("double")
+    py = lat.cast("double")
+    b2 = float(buffer) * float(buffer)
+    out: Column | None = None
+    ex1, ey1, ex2, ey2 = mp.edges()
+    for x1, y1, x2, y2 in zip(ex1, ey1, ex2, ey2):
+        x1f, y1f, x2f, y2f = float(x1), float(y1), float(x2), float(y2)
+        dx, dy = x2f - x1f, y2f - y1f
+        len2 = dx * dx + dy * dy
+        if len2 == 0:
+            d2 = (px - F.lit(x1f)) ** 2 + (py - F.lit(y1f)) ** 2
+        else:
+            t_raw = ((px - F.lit(x1f)) * F.lit(dx) + (py - F.lit(y1f)) * F.lit(dy)) / F.lit(len2)
+            t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+            cx = F.lit(x1f) + t * F.lit(dx)
+            cy = F.lit(y1f) + t * F.lit(dy)
+            d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+        near = d2 <= F.lit(b2)
+        out = near if out is None else (out | near)
+    return out
+
+
+def membership_exprs(
+    regions: list[MultiPolygon],
+    region_idx: Column,
+    lon: Column,
+    lat: Column,
+    buffer: int,
+) -> tuple[Column, Column]:
+    """(in_poly, in_buffer) Columns dispatched on the dense region index
+    — one CASE chain per predicate, fully codegen'd."""
+    in_poly: Column | None = None
+    in_buf: Column | None = None
+    for i, mp in enumerate(regions):
+        pred = raycast_expr(mp, lon, lat)
+        in_poly = (
+            F.when(region_idx == i, pred)
+            if in_poly is None
+            else in_poly.when(region_idx == i, pred)
+        )
+        if buffer:
+            bpred = pred | buffer_dist_expr(mp, lon, lat, buffer)
+        else:
+            bpred = pred
+        in_buf = (
+            F.when(region_idx == i, bpred)
+            if in_buf is None
+            else in_buf.when(region_idx == i, bpred)
+        )
+    return in_poly.otherwise(F.lit(False)), in_buf.otherwise(F.lit(False))
+
+
+def total_edges(regions: list[MultiPolygon]) -> int:
+    return sum(len(r.closed()) - 1 for mp in regions for r in mp.rings)

@@ -1,0 +1,81 @@
+"""Skew handling: salted joins for hot keys (north_rule: "skewed
+mega-cells salted and AQE-split explicitly").
+
+Two mechanisms, used at different layers:
+
+1. AQE skew-join splitting is always on (session.py) — it covers the
+   shuffle joins (aggs, jaccard self-join, window stages) by splitting
+   oversized partitions at runtime.
+2. ``salted_join`` is the explicit tool for joins AQE can't fix: a
+   shuffle equi-join where one key dominates (a mega-cell holding a city
+   worth of points). The hot side gets a random salt in [0, S); the dim
+   side is exploded S ways on the same salts; the join key becomes
+   (key, salt), spreading each hot key over S reducers.
+
+The flagship spatial join itself needs neither (its big side is never
+shuffled — broadcast join + map refine); salting matters when two FACT
+tables meet on cell ids, e.g. points x points co-location joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join big⋈small on ``key`` with the big side salted S ways.
+
+    ``small`` (the replicated side) is exploded into S copies — its size
+    grows by S, so keep S modest (8-32). Deterministic output, random
+    salt placement (hash of a per-row random is not needed: pmod of a
+    uniform random suffices — correctness does not depend on placement).
+    """
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
+    salted_small = small.withColumn("_salt", F.explode(salts))
+    out = salted_big.join(salted_small, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def hot_keys(df: DataFrame, key: str, threshold_ratio: float = 0.01) -> DataFrame:
+    """Keys holding more than ``threshold_ratio`` of all rows — the
+    skew diagnosis step (run on a sample at scale)."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > total * threshold_ratio)
+        .orderBy(F.desc("n"))
+    )
+
+
+def split_hot_cells(
+    points: DataFrame,
+    cell_col: str = "cell",
+    max_per_cell: int = 100_000,
+    sub_buckets: int = 16,
+) -> DataFrame:
+    """Cap cell fan-out by sub-bucketing dense cells (the "subdivide
+    dense H3 cells" strategy): cells above the cap get a stable
+    sub-bucket id appended; downstream groupBys key on (cell, sub)."""
+    counts = points.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        points.join(F.broadcast(counts.filter(F.col("_n") > max_per_cell)), cell_col, "left")
+        .withColumn(
+            "cell_sub",
+            F.when(
+                F.col("_n").isNotNull(),
+                F.pmod(F.xxhash64(*points.columns[:1]), F.lit(sub_buckets)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_n")
+    )

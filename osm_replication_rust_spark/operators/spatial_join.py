@@ -45,6 +45,7 @@ from .cells import cover_rows
 _COVER_SCHEMA = T.StructType(
     [
         T.StructField("region_id", T.StringType(), False),
+        T.StructField("region_idx", T.IntegerType(), False),
         T.StructField("cell", T.LongType(), False),
         T.StructField("full", T.BooleanType(), False),
     ]
@@ -57,13 +58,22 @@ def cover_df(
     res: int = DEFAULT_RES,
     buffer: int = 0,
 ) -> DataFrame:
-    return spark.createDataFrame(cover_rows(regions, res, buffer), schema=_COVER_SCHEMA)
+    """Covering cells of every region, with a dense integer region index:
+    the refine kernel keys on the int (vectorized batch grouping), the
+    string region_id rides along only for the final output."""
+    idx = {mp.region_id: i for i, mp in enumerate(regions)}
+    rows = [
+        {**r, "region_idx": idx[r["region_id"]]} for r in cover_rows(regions, res, buffer)
+    ]
+    return spark.createDataFrame(rows, schema=_COVER_SCHEMA)
 
 
 def _membership_udf(spark: SparkSession, regions: list[MultiPolygon], buffer: int):
     """Arrow-batched membership kernel. The region geometries ride a Spark
-    broadcast variable (pickled once per executor, not per task)."""
-    geo_bc = spark.sparkContext.broadcast({mp.region_id: mp for mp in regions})
+    broadcast variable (pickled once per executor, not per task); the
+    batch is grouped by the dense integer region index (numpy sort-based
+    grouping — no python string comparisons in the hot path)."""
+    geo_bc = spark.sparkContext.broadcast(list(regions))
 
     schema = T.StructType(
         [
@@ -73,18 +83,18 @@ def _membership_udf(spark: SparkSession, regions: list[MultiPolygon], buffer: in
     )
 
     @F.pandas_udf(schema)
-    def member(region_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    def member(region_idx: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
         import numpy as np
 
         geos = geo_bc.value
-        rid_np = region_id.to_numpy()
+        ridx = region_idx.to_numpy("int64")
         lon_np = lon.to_numpy("int64")
         lat_np = lat.to_numpy("int64")
-        out_poly = np.zeros(len(rid_np), dtype=bool)
-        out_buf = np.zeros(len(rid_np), dtype=bool)
-        for rid in pd.unique(rid_np):
-            mp = geos[rid]
-            ii = np.nonzero(rid_np == rid)[0]
+        out_poly = np.zeros(len(ridx), dtype=bool)
+        out_buf = np.zeros(len(ridx), dtype=bool)
+        for rix in np.unique(ridx):
+            mp = geos[rix]
+            ii = np.nonzero(ridx == rix)[0]
             inp = points_in_polygon(lon_np[ii], lat_np[ii], mp)
             out_poly[ii] = inp
             if buffer:
@@ -95,7 +105,12 @@ def _membership_udf(spark: SparkSession, regions: list[MultiPolygon], buffer: in
                 out_buf[ii] = inp
         return pd.DataFrame({"in_poly": out_poly, "in_buffer": out_buf})
 
-    return member
+    # deterministic in truth, but marked nondeterministic ON PURPOSE:
+    # otherwise Catalyst substitutes the UDF into every expression that
+    # references the struct (filter + projection), producing TWO chained
+    # ArrowEvalPython stages — measured 20x slower on the refine path.
+    # Nondeterministic expressions are never duplicated or pushed into.
+    return member.asNondeterministic()
 
 
 def assign_regions(
@@ -106,16 +121,27 @@ def assign_regions(
     res: int = DEFAULT_RES,
     buffer: int = BUFFER_DECIMICRO,
     keep_cols: list[str] | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Assign every point to every region whose buffered polygon contains
     it. Output: ``keep_cols + (region_id, in_poly, in_buffer)`` with one
     row per (point, matching region); points matching nothing produce no
     rows (they were 'dropped' in reference terms).
+
+    ``strategy``: how boundary-cell rows are refined —
+    - 'expr' : geometry compiled to Catalyst expressions (pure JVM,
+               whole-stage codegen; linear thread scaling)
+    - 'udf'  : Arrow-batched numpy kernel (for very complex geometries)
+    - 'auto' : 'expr' while the total edge count is codegen-friendly
     """
+    from ..functions.geo_expr import MAX_EXPR_EDGES, membership_exprs, total_edges
+
     spark = points.sparkSession
     lon = F.col(lon_col) if isinstance(lon_col, str) else lon_col
     lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
     keep_cols = keep_cols or [c for c in points.columns]
+    if strategy == "auto":
+        strategy = "expr" if total_edges(regions) <= MAX_EXPR_EDGES else "udf"
 
     pts = points.withColumn("_cell", cell_id(lon, lat, res)).withColumn(
         "_lon", lon.cast("long")
@@ -131,16 +157,29 @@ def assign_regions(
         F.lit(True).alias("in_buffer"),
     )
 
-    member = _membership_udf(spark, regions, buffer)
-    partial = (
-        joined.filter(~F.col("full"))
-        .withColumn("_m", member(F.col("region_id"), F.col("_lon"), F.col("_lat")))
-        .filter(F.col("_m.in_buffer"))
-        .select(
-            *keep_cols,
-            F.col("region_id"),
-            F.col("_m.in_poly").alias("in_poly"),
-            F.col("_m.in_buffer").alias("in_buffer"),
+    boundary = joined.filter(~F.col("full"))
+    if strategy == "expr":
+        in_poly, in_buf = membership_exprs(
+            regions, F.col("region_idx"), F.col("_lon"), F.col("_lat"), buffer
         )
-    )
+        partial = (
+            boundary.withColumn("in_poly", in_poly)
+            .withColumn("in_buffer", in_buf)
+            .filter(F.col("in_buffer"))
+            .select(*keep_cols, F.col("region_id"), "in_poly", "in_buffer")
+        )
+    else:
+        member = _membership_udf(spark, regions, buffer)
+        partial = (
+            boundary.withColumn(
+                "_m", member(F.col("region_idx"), F.col("_lon"), F.col("_lat"))
+            )
+            .filter(F.col("_m.in_buffer"))
+            .select(
+                *keep_cols,
+                F.col("region_id"),
+                F.col("_m.in_poly").alias("in_poly"),
+                F.col("_m.in_buffer").alias("in_buffer"),
+            )
+        )
     return full.unionByName(partial)

@@ -21,9 +21,10 @@ rewritten atomically (overwrite of the state=N partition).
 
 from __future__ import annotations
 
+import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions.coords import unpack_lat, unpack_lon
@@ -69,14 +70,35 @@ def run_update(
             os.path.join(out_dir, f"bbox/state={state}")
         )
 
-        # b+c. classify + publish per-region tiles, partitioned by region
+        # b+c. classify + publish per-region tiles, partitioned by region.
+        # Observation = the reference's stats counters
+        # (/root/reference/src/osmbin.rs:66-77) without an extra job.
         tiles = classify_diff(batch, base, regions, buffer=buffer)
+        obs = Observation(f"tiles_s{state}")
+        tiles = tiles.observe(
+            obs,
+            F.count(F.lit(1)).alias("tile_rows"),
+            F.sum(F.when(F.col("out_action") == F.col("action"), 1).otherwise(0)).alias(
+                "kept"
+            ),
+            F.sum(F.when(F.col("out_action") != F.col("action"), 1).otherwise(0)).alias(
+                "forced_delete"
+            ),
+            F.approx_count_distinct("image_id").alias("distinct_elements"),
+        )
         (
             tiles.repartition("region_id")
             .write.mode("overwrite")
             .partitionBy("region_id")
             .parquet(os.path.join(out_dir, f"tiles/state={state}"))
         )
+        metrics = {k: (v if not hasattr(v, "item") else v.item()) for k, v in obs.get.items()}
+        mdir = os.path.join(out_dir, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".state={state}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"state": state, **metrics}, f)
+        os.replace(tmp, os.path.join(mdir, f"state={state}.json"))
 
         # d. merge + checkpoint advance (atomic manifest publish)
         store.apply_batch(state, batch)

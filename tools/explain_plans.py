@@ -1,0 +1,91 @@
+"""Plan-hygiene audit: .explain("formatted") for the key queries, with
+automated assertions on the shapes that matter at 100 TB:
+
+- parquet scans carry PushedFilters / pruned ReadSchema where expected
+- the spatial-join cover join is a BroadcastHashJoin (no shuffle of the
+  point side)
+- the flagship has no Exchange before the refine stage
+- whole-stage codegen spans cover the relational queries
+
+Usage: python tools/explain_plans.py [sf_dir]   (prints PASS/FAIL lines
+and the formatted plans for eyeballing)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main(sf_dir: str) -> int:
+    from osm_replication_rust_spark.datagen.synth import fixture_regions
+    from osm_replication_rust_spark.operators.spatial_join import assign_regions
+    from osm_replication_rust_spark.plans import entry_queries
+    from osm_replication_rust_spark.session import get_spark
+
+    spark = get_spark("explain", cpus=8, shuffle_partitions=8)
+    failures = 0
+
+    def check(name: str, ok: bool, detail: str = "") -> None:
+        nonlocal failures
+        print(f"{'PASS' if ok else 'FAIL'} {name} {detail}")
+        if not ok:
+            failures += 1
+
+    # 1. flagship: broadcast join, no exchange on the point side
+    pts = spark.range(1000).select(
+        F.col("id").alias("image_id"),
+        ((F.col("id") * 48271) % 44000001 - 22000000).alias("lat"),
+        ((F.col("id") * 69621) % 44000001 - 22000000).alias("lon"),
+    )
+    tiling = assign_regions(pts, fixture_regions(), keep_cols=["image_id"])
+    p = plan_of(tiling)
+    check("tiling.broadcast_join", "BroadcastHashJoin" in p)
+    # the only exchanges allowed are broadcast exchanges + the union
+    bad_exchanges = [
+        ln for ln in p.splitlines()
+        if re.search(r"\bExchange (hash|range)partitioning", ln)
+    ]
+    check("tiling.no_shuffle", not bad_exchanges, f"found: {bad_exchanges[:2]}")
+
+    # 2. q01: filter pushdown + pruned schema + codegen
+    q01 = entry_queries.queries()["q01_pricing_summary"](spark, sf_dir)
+    p = plan_of(q01)
+    check("q01.pushed_filters", "PushedFilters: [IsNotNull(l_shipdate)" in p or "LessThanOrEqual(l_shipdate" in p)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = m.group(1) if m else ""
+    check("q01.column_pruning", "l_partkey" not in cols and "l_suppkey" not in cols, cols)
+    check("q01.codegen", "WholeStageCodegen" in p)
+
+    # 3. q03: broadcast of the filtered dim
+    q03 = entry_queries.queries()["q03_shipping"](spark, sf_dir)
+    p = plan_of(q03)
+    check("q03.broadcast_dim", "BroadcastHashJoin" in p)
+    check(
+        "q03.dim_filter_pushdown",
+        "EqualTo(c_mktsegment,BUILDING)" in p.replace(" ", ""),
+    )
+
+    # 4. cell_encode: pure codegen, single agg pair
+    ce = entry_queries.queries()["cell_encode"](spark, sf_dir)
+    p = plan_of(ce)
+    check("cell_encode.no_python", "Python" not in p)
+    check("cell_encode.codegen", "WholeStageCodegen" in p)
+
+    print(f"\n{'ALL PLANS HEALTHY' if failures == 0 else f'{failures} PLAN CHECKS FAILED'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
