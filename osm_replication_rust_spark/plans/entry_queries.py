@@ -922,3 +922,111 @@ def group_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = spark.createDataFrame(gen_groups(images))
     pb = point_bboxes(base, changes)
     return group_bboxes(groups, pb).orderBy("group_id")
+
+
+# ---------------------------------------------------------------------------
+# additional relational operators (as-of join, sessionization, rollup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS right_o_orderkey, o.o_totalprice AS right_o_totalprice
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id % 150 + 1 = o.o_custkey AND o.o_orderdate <= e.ts
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest order at-or-before each event, per customer) —
+    union + last-observation window, one shuffle, no range explosion;
+    oracle = DuckDB's native ASOF JOIN.
+
+    DuckDB ASOF tie rule differs on exact timestamp ties and on
+    duplicate right timestamps (it picks one arbitrary max row), so the
+    fixture keys avoid both: o_orderdate values are unique per customer
+    in the driver schema and never equal event ts exactly."""
+    from ..operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("user_id") % 150 + 1).alias("cust"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(ev, orders, key="cust", ts="ts", value_cols=["o_orderkey", "o_totalprice"])
+    return out.select(
+        "event_id", "user_id", "ts", "right_o_orderkey", "right_o_totalprice"
+    ).orderBy("event_id")
+
+
+@register(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM g ORDER BY user_id, event_id
+    """,
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) per user."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return ev.withColumn(
+        "session_id", F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).select("user_id", "event_id", "session_id").orderBy("user_id", "event_id")
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*) AS n,
+           grouping(l_returnflag) + grouping(l_linestatus) AS lvl
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY lvl, rf, ls
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set rollup with grouping() level markers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus")).alias("lvl"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "revenue",
+            "n",
+            "lvl",
+        )
+        .orderBy("lvl", "rf", "ls")
+    )
