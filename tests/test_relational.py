@@ -10,7 +10,7 @@ from osm_replication_rust_spark.operators.relational import asof_join, sessioniz
 
 
 def ts(m):
-    return dt.datetime(2024, 1, 1, 0, m)
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
 
 
 def test_asof_backward(spark):
