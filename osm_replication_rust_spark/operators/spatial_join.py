@@ -65,7 +65,9 @@ def cover_df(
     rows = [
         {**r, "region_idx": idx[r["region_id"]]} for r in cover_rows(regions, res, buffer)
     ]
-    return spark.createDataFrame(rows, schema=_COVER_SCHEMA)
+    # via pandas -> Arrow: a columnar local relation, not a Python RDD
+    pdf = pd.DataFrame(rows, columns=["region_id", "region_idx", "cell", "full"])
+    return spark.createDataFrame(pdf, schema=_COVER_SCHEMA)
 
 
 def _membership_udf(spark: SparkSession, regions: list[MultiPolygon], buffer: int):

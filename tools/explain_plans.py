@@ -28,6 +28,13 @@ def plan_of(df) -> str:
     )
 
 
+def simple_plan_of(df) -> str:
+    # `*(n)` markers (whole-stage codegen ids) only appear in simple mode
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "simple"
+    )
+
+
 def main(sf_dir: str) -> int:
     from osm_replication_rust_spark.datagen.synth import fixture_regions
     from osm_replication_rust_spark.operators.spatial_join import assign_regions
@@ -66,7 +73,8 @@ def main(sf_dir: str) -> int:
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = m.group(1) if m else ""
     check("q01.column_pruning", "l_partkey" not in cols and "l_suppkey" not in cols, cols)
-    check("q01.codegen", "WholeStageCodegen" in p)
+    q01.collect()  # AQE shows codegen ids only in the final executed plan
+    check("q01.codegen", "*(" in simple_plan_of(q01))
 
     # 3. q03: broadcast of the filtered dim
     q03 = entry_queries.queries()["q03_shipping"](spark, sf_dir)
@@ -80,8 +88,16 @@ def main(sf_dir: str) -> int:
     # 4. cell_encode: pure codegen, single agg pair
     ce = entry_queries.queries()["cell_encode"](spark, sf_dir)
     p = plan_of(ce)
-    check("cell_encode.no_python", "Python" not in p)
-    check("cell_encode.codegen", "WholeStageCodegen" in p)
+    check("cell_encode.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
+    ce.collect()
+    check("cell_encode.codegen", "*(" in simple_plan_of(ce))
+
+    # 5. flagship expr strategy: zero runtime Python in the plan
+    pt = plan_of(tiling)
+    check(
+        "tiling.no_python_runtime",
+        "ArrowEvalPython" not in pt and "BatchEvalPython" not in pt,
+    )
 
     print(f"\n{'ALL PLANS HEALTHY' if failures == 0 else f'{failures} PLAN CHECKS FAILED'}")
     return 1 if failures else 0
