@@ -119,6 +119,15 @@ class TableStore:
         man = self.manifest()
         return self.spark.read.parquet(man["snapshots"][-1]["path"])
 
+    def as_of(self, state: int) -> DataFrame:
+        """Time travel: the table exactly as of ``state`` (the newest
+        snapshot with state <= requested — Iceberg's snapshot-as-of)."""
+        man = self.manifest()
+        eligible = [s for s in man["snapshots"] if s["state"] <= state]
+        if not eligible:
+            raise ValueError(f"no snapshot at or before state {state}")
+        return self.spark.read.parquet(eligible[-1]["path"])
+
     def apply_batch(self, state: int, changes: DataFrame) -> bool:
         """Idempotent MERGE of one diff batch. Returns False if the state
         was already applied (resume path: no re-tiling of completed

@@ -1030,3 +1030,50 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lvl", "rf", "ls")
     )
+
+
+@register("ivf_topk")
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse k-means quantizer + nprobe list scan + exact
+    rerank); recall measured against brute force in tests."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    return ivf_topk(q, emb, k=5, dim=64, n_centroids=16, nprobe=4).select(
+        "query_id", "vec_id", "rank"
+    ).orderBy("query_id", "rank")
+
+
+@register("embedding_near_dup")
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup tier 5): LSH
+    candidates + exact cosine >= 0.99; duplicates planted by a
+    deterministic self-union with scaled copies (same direction =>
+    cosine 1)."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    u = emb.select("vec_id", "embedding").unionByName(planted)
+    return embedding_near_dup_pairs(u, 0.99, dim=64).select(
+        "id_a", "id_b"
+    ).orderBy("id_a", "id_b")
+
+
+@register("session_window_stats")
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (gap-based), the built-in
+    sibling of operators/relational.sessionize."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("s_start"), "n", "sum_value")
+        .orderBy("user_id", "s_start")
+    )
