@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "cosine_topk",
+    "ivf_topk",
+    "asof_join",
+    "rollup_revenue",
     "stream_window_stats",
     "merge_upsert",
 ]
