@@ -46,8 +46,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
-        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        # G1 defaults collapse under 16-32 concurrent codegen tasks in one
+        # JVM (measured 2.5x, BENCH.md): bigger regions + relaxed pause
+        # target restore linear scaling of the allocation-heavy stages
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.timezone=UTC -XX:G1HeapRegionSize=32m -XX:MaxGCPauseMillis=400",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Duser.timezone=UTC -XX:G1HeapRegionSize=32m -XX:MaxGCPauseMillis=400",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
