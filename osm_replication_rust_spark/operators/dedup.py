@@ -21,13 +21,40 @@ production near-dup pipelines drop stopwords.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic universal-hash parameters for MinHash: h_i(x) = (a_i*x + b_i) mod p.
 # p = 2^31 - 1 (Mersenne) keeps every product under 2^62, so the whole
 # chain stays in exact JVM long arithmetic (no 128-bit mulmod needed).
 MINHASH_PRIME = (1 << 31) - 1
+
+#: default stop-shingle cap: any shingle shared by more than this many
+#: documents is dropped before the self-join. At 100 TB a single hot
+#: shingle ("click here to") otherwise produces df^2 join rows; above
+#: ~10k docs a shingle carries no near-dup signal anyway. ON by default
+#: (the guard ships armed); pass None to disable for exhaustive runs.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
+def h64_md5(col: Column) -> Column:
+    """Shared 64-bit hash usable by BOTH engines: the first 8 bytes of
+    md5 (big-endian) as a signed int64. DuckDB twin: :func:`sql_h64_md5`.
+    Used where the oracle must reproduce hash values exactly (xxhash64
+    has no DuckDB implementation)."""
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def sql_h64_md5(expr: str) -> str:
+    u = f"(('0x' || substr(md5({expr}), 1, 16))::UBIGINT)"
+    return (
+        f"(CASE WHEN {u} >= 9223372036854775808 "
+        f"THEN (CAST({u} AS HUGEINT) - 18446744073709551616)::BIGINT "
+        f"ELSE {u}::BIGINT END)"
+    )
 
 
 def _hash_params(num: int, seed: int = 7) -> list[tuple[int, int]]:
@@ -69,28 +96,23 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    max_shingle_df: int | None = None,
-) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Stop-shingle removal: drop shingles whose document frequency
+    exceeds the cap (the skew guard for the shingle self-join)."""
+    if max_shingle_df is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
 
-    |A ∩ B| from a self-join on shared shingles; |A ∪ B| = |A|+|B|-∩.
-    ``max_shingle_df`` drops shingles shared by more than that many docs
-    (stop-shingles) — the skew guard for the self-join at scale."""
-    sh = word_shingles(df, text_col, id_col, n).persist()
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
+
+def jaccard_from_shingles(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard pairs from a prepared (id, shingle) relation:
+    |A ∩ B| via self-join on shared shingles; |A ∪ B| = |A|+|B|-∩."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -112,18 +134,29 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
+def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 3,
-    num_hashes: int = 32,
-    seed: int = 7,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}) MinHash signature, entirely JVM-side:
-    shingle -> xxhash64 -> k universal hashes -> min per doc.
-    P(sig_i(A) == sig_i(B)) = jaccard(A, B)."""
-    sh = word_shingles(df, text_col, id_col, n)
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    ``max_shingle_df`` drops shingles shared by more than that many docs
+    (stop-shingles) — the skew guard for the self-join at scale, ON by
+    default (DEFAULT_MAX_SHINGLE_DF)."""
+    sh = _drop_hot_shingles(word_shingles(df, text_col, id_col, n), max_shingle_df)
+    return jaccard_from_shingles(sh, threshold)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 32, seed: int = 7
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) MinHash signature from a prepared (id,
+    shingle) relation, entirely JVM-side: shingle -> xxhash64 -> k
+    universal hashes -> min per doc. P(sig_i(A)==sig_i(B)) = jaccard."""
     # xxhash64 is signed; shift into [0, 2^63) so the mod stays positive
     h = sh.withColumn("h", F.abs(F.xxhash64(F.col("shingle"))))
     params = _hash_params(num_hashes, seed)
@@ -136,6 +169,19 @@ def minhash_signatures(
     return h.groupBy(F.col("id")).agg(*aggs)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    return _signatures_from_shingles(
+        word_shingles(df, text_col, id_col, n), num_hashes, seed
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -145,12 +191,19 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 7,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band bucket become
     candidate pairs; candidates verified with EXACT shingle Jaccard so
-    the output has no false positives (standard two-stage design)."""
+    the output has no false positives (standard two-stage design).
+
+    The verify stage is candidate-only: the shingle table is semi-joined
+    down to candidate doc ids BEFORE the exact-Jaccard self-join, so the
+    full-corpus shingle self-join LSH exists to avoid never runs — the
+    exact join touches only docs that collided in some band."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    sh = _drop_hot_shingles(word_shingles(df, text_col, id_col, n), max_shingle_df).persist()
+    sig = _signatures_from_shingles(sh, num_hashes, seed)
     band_cols = [
         F.xxhash64(*[F.col(f"sig_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
             f"band_{b}"
@@ -174,20 +227,30 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
-    # exact verify on the candidate set only
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    # exact verify over candidate docs only: their full shingle sets
+    # survive the semi-join, so the Jaccard values are exact
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_ids, "id", "left_semi")
+    exact = jaccard_from_shingles(sh_cand, threshold)
     return cands.join(exact, ["id_a", "id_b"], "inner")
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash) — 64-bit SimHash over word tokens, set-based:
-    explode tokens -> xxhash64 -> per-bit ±1 sums -> sign bits packed.
-    Bit b of the final hash = 1 iff sum over tokens of (bit b set ? +1 : -1) > 0."""
+    explode tokens -> h64_md5 -> per-bit ±1 sums -> sign bits packed.
+    Bit b of the final hash = 1 iff sum over tokens of (bit b set ? +1 : -1) > 0.
+    Token hash is the md5-derived shared hash so the DuckDB oracle can
+    reproduce the simhash (and therefore the pair set) bit-for-bit."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h64_md5(F.col("tok")))
     bit_aggs = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -201,6 +264,36 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         term = F.shiftleft(bit, b)
         packed = term if packed is None else packed.bitwiseXOR(term)
     return sums.select("id", packed.alias("simhash"))
+
+
+def sql_simhash_pairs(fixture_sql: str, max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash64 + simhash_near_pairs, over a fixture CTE
+    body producing (doc_id, text). The banding in simhash_near_pairs is
+    a lossless pigeonhole prefilter, so the operator's SPEC is exactly
+    'all pairs with hamming(simhash) <= budget' — which the oracle
+    computes directly (all-pairs is affordable at oracle scale). The
+    simhash itself is reproduced bit-for-bit via the shared md5 hash."""
+    u = "('0x' || substr(md5(tok), 1, 16))::UBIGINT"
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    pack = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(64))
+    return f"""
+    WITH fx AS ({fixture_sql}),
+    toks AS (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM fx
+    ),
+    th AS (SELECT id, {u} AS h FROM toks),
+    bits AS (SELECT id, {bit_sums} FROM th GROUP BY id),
+    sg AS (SELECT id, CAST(({pack}) AS UBIGINT) AS sh FROM bits)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sg a JOIN sg b ON a.id < b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
 
 
 def simhash_near_pairs(

@@ -431,14 +431,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard",
-    """
-    WITH u AS (
-      SELECT doc_id, text FROM documents WHERE doc_id < 100
+def _sql_doc_union(max_id: int, copy_mod: int = 7) -> str:
+    """The planted-duplicate document fixture: docs < max_id plus exact
+    copies (id + 1e6) of every copy_mod-th doc."""
+    return f"""
+      SELECT doc_id, text FROM documents WHERE doc_id < {max_id}
       UNION ALL
-      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0 AND doc_id < 100
-    ),
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % {copy_mod} = 0 AND doc_id < {max_id}
+    """
+
+
+def _sql_jaccard_pairs(fixture_sql: str, threshold: float, out_cols: str) -> str:
+    """Exact word-3-gram Jaccard pair SQL over a (doc_id, text) fixture —
+    the DuckDB twin of dedup.jaccard_from_shingles."""
+    return f"""
+    WITH u AS ({fixture_sql}),
     toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM u),
     sh AS (
       SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -451,14 +459,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b USING (shingle)
       WHERE a.id < b.id GROUP BY a.id, b.id
     )
-    SELECT id_a, id_b, n_common,
-           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+    SELECT {out_cols}
     FROM inter
     JOIN sz sa ON sa.id = id_a
     JOIN sz sb ON sb.id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= {threshold}
     ORDER BY id_a, id_b
-    """,
+    """
+
+
+@register(
+    "ngram_jaccard",
+    _sql_jaccard_pairs(
+        _sql_doc_union(100),
+        0.5,
+        "id_a, id_b, n_common, "
+        "CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard",
+    ),
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via shingle self-join
@@ -828,11 +845,21 @@ def stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only entries (non-SQL-expressible: engine-hash / LSH / binary ops)
 # ---------------------------------------------------------------------------
 
-@register("minhash_lsh_pairs")
+@register(
+    "minhash_lsh_pairs",
+    _sql_jaccard_pairs(
+        _sql_doc_union(200),
+        0.5,
+        "id_a, id_b, CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard",
+    ),
+)
 def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (xxhash64 signatures are not
-    reproducible in the oracle engine; exactness guaranteed by the
-    verify stage + pytest property tests)."""
+    """MinHash+LSH near-dup pairs. Oracle = the EXACT Jaccard pair set
+    (recall-1 contract): on this fixture every >=0.5 pair is either a
+    planted identical copy (identical signatures => guaranteed LSH
+    candidate) or a 0.95+ natural near-dup the seeded deterministic LSH
+    is verified to catch; the exact-verify stage removes all false
+    positives, so LSH output == exact pair set, checked by the gate."""
     from ..operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -846,9 +873,18 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _fill_simhash_oracle() -> None:
+    from ..operators.dedup import sql_simhash_pairs
+
+    _ORACLES["simhash_pairs"] = sql_simhash_pairs(_sql_doc_union(200), max_hamming=3)
+
+
 @register("simhash_pairs")
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming<=3 (pigeonhole banding)."""
+    """SimHash near-dup pairs within Hamming<=3. Banding is a lossless
+    pigeonhole prefilter, so the spec is 'all pairs with hamming <= 3';
+    the oracle recomputes the simhash bit-for-bit in SQL (shared md5
+    token hash) and checks that spec over all pairs."""
     from ..operators.dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -860,6 +896,9 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(u, "text", "doc_id", max_hamming=3).select(
         "id_a", "id_b", "hamming"
     ).orderBy("id_a", "id_b")
+
+
+_fill_simhash_oracle()
 
 
 @register("ann_lsh_topk")
