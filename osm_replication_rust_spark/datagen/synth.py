@@ -224,6 +224,30 @@ def gen_diffs(images: pd.DataFrame, n_batches: int = 3, seed: int = 43) -> pd.Da
     return df
 
 
+def gen_group_diffs(
+    groups: pd.DataFrame, n_batches: int = 3, seed: int = 45
+) -> pd.DataFrame:
+    """Change batches for composite elements (the way/relation rows of
+    an OsmChange): per state a deterministic mix of modifies and deletes
+    over the stored groups (membership unchanged — the classifier reads
+    stored members, exactly the reference's store-lookup path)."""
+    rng = np.random.default_rng(seed)
+    ids = list(groups.group_id)
+    rows = []
+    for state in range(1, n_batches + 1):
+        pick = rng.choice(len(ids), size=min(8, len(ids)), replace=False)
+        for seq, p in enumerate(pick):
+            rows.append(
+                dict(
+                    state=state,
+                    seq=seq,
+                    group_id=ids[int(p)],
+                    action="delete" if seq % 4 == 3 else "modify",
+                )
+            )
+    return pd.DataFrame(rows)
+
+
 def gen_groups(images: pd.DataFrame, n_ways: int = 20, n_relations: int = 8, seed: int = 44) -> pd.DataFrame:
     """Composite elements per FIXTURES.md §4: 'way' groups of image members
     and 'relation' groups whose members mix images, ways and relations —

@@ -46,6 +46,24 @@ def coord_to_decimicro(col: Column) -> Column:
     return F.round(col * DECIMICRO).cast("long")
 
 
+def coord_to_decimicro_py(x: float) -> int:
+    """Driver-side twin of coord_to_decimicro for the text parsers:
+    exact half-away-from-zero on the binary double (Rust f64::round
+    semantics). Python's round() is half-to-even and diverges on exact
+    .5 decimicro boundaries; floor(v+0.5) misrounds values one ulp
+    below a half."""
+    import math
+
+    v = x * DECIMICRO
+    f = math.floor(v)
+    frac = v - f
+    if frac > 0.5:
+        return f + 1
+    if frac < 0.5:
+        return f
+    return f + 1 if v >= 0 else f
+
+
 def decimicro_to_coord(col: Column) -> Column:
     return col.cast("double") / DECIMICRO
 

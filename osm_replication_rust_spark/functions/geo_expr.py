@@ -56,27 +56,41 @@ def raycast_expr(mp: MultiPolygon, lon: Column, lat: Column) -> Column:
 def buffer_dist_expr(mp: MultiPolygon, lon: Column, lat: Column, buffer: int) -> Column:
     """True iff the point lies within ``buffer`` of any ring segment
     (squared-distance test against the clamped projection, float64 —
-    the identical formula distance_to_boundary evaluates)."""
+    the identical formula distance_to_boundary evaluates).
+
+    Expressed as F.exists over a CONSTANT edge array rather than an
+    unrolled per-edge OR chain: the unrolled float math for a full
+    region tree blew the JVM's 64 KB method limit inside the broadcast-
+    join's whole-stage consume function ("Code grows beyond 64 KB"),
+    silently demoting the ENTIRE flagship stage to interpreted execution
+    (~2x slower, measured). The higher-order function keeps the
+    generated method O(1) per region — the stage compiles — while the
+    edge loop runs over a constant-folded literal array."""
     px = lon.cast("double")
     py = lat.cast("double")
     b2 = float(buffer) * float(buffer)
-    out: Column | None = None
     ex1, ey1, ex2, ey2 = mp.edges()
-    for x1, y1, x2, y2 in zip(ex1, ey1, ex2, ey2):
-        x1f, y1f, x2f, y2f = float(x1), float(y1), float(x2), float(y2)
-        dx, dy = x2f - x1f, y2f - y1f
-        len2 = dx * dx + dy * dy
-        if len2 == 0:
-            d2 = (px - F.lit(x1f)) ** 2 + (py - F.lit(y1f)) ** 2
-        else:
-            t_raw = ((px - F.lit(x1f)) * F.lit(dx) + (py - F.lit(y1f)) * F.lit(dy)) / F.lit(len2)
-            t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
-            cx = F.lit(x1f) + t * F.lit(dx)
-            cy = F.lit(y1f) + t * F.lit(dy)
-            d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
-        near = d2 <= F.lit(b2)
-        out = near if out is None else (out | near)
-    return out
+    edges = F.array(*[
+        F.struct(
+            F.lit(float(x1)).alias("x1"),
+            F.lit(float(y1)).alias("y1"),
+            F.lit(float(x2 - x1)).alias("dx"),
+            F.lit(float(y2 - y1)).alias("dy"),
+            F.lit(max(float((x2 - x1)) ** 2 + float((y2 - y1)) ** 2, 1.0)).alias("len2"),
+        )
+        for x1, y1, x2, y2 in zip(ex1, ey1, ex2, ey2)
+    ])
+
+    def near(e: Column) -> Column:
+        # zero-length edges: len2 clamped to 1.0 above; dx=dy=0 makes
+        # t irrelevant and d2 the plain point distance (same formula)
+        t_raw = ((px - e.x1) * e.dx + (py - e.y1) * e.dy) / e.len2
+        t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        cx = e.x1 + t * e.dx
+        cy = e.y1 + t * e.dy
+        return (px - cx) * (px - cx) + (py - cy) * (py - cy) <= F.lit(b2)
+
+    return F.exists(edges, near)
 
 
 def membership_exprs(

@@ -80,13 +80,19 @@ def group_bboxes(
     groups: DataFrame,
     point_bbox: DataFrame,
     point_id_col: str = "image_id",
-    max_iters: int = 5,
+    max_iters: int = 20,
 ) -> DataFrame:
     """bboxes of composite groups (ways + relations) from member bboxes.
 
     Returns (group_id, kind, minlat, maxlat, minlon, maxlon); groups none
     of whose members resolve are absent (reference emits no bbox child in
     that case, /root/reference/src/osmxml/bbox.rs:145-163).
+
+    Every join discriminates on ref_type (image vs group) so an id
+    collision across the two namespaces cannot pollute a bbox; the
+    fixpoint loop runs until the convergence signature stabilises
+    (max_iters is a safety bound well above any real member-chain depth,
+    not the expected iteration count).
     """
     edges = _member_edges(groups).persist()
     pt = point_bbox.select(
@@ -99,9 +105,13 @@ def group_bboxes(
         F.min("minlon").alias("minlon"),
         F.max("maxlon").alias("maxlon"),
     ]
+    bb_cols = ["group_id", "minlat", "maxlat", "minlon", "maxlon"]
 
-    # stage 2: ways (members are points only)
-    way_edges = edges.filter(F.col("kind") == "way")
+    # stage 2: ways (point members only; group-typed refs in a way are
+    # not a thing in the data model, and the filter enforces it)
+    way_edges = edges.filter(
+        (F.col("kind") == "way") & (F.col("ref_type") == "image")
+    )
     way_bbox = (
         way_edges.join(pt, "ref", "inner").groupBy("group_id").agg(*bbox_aggs)
     )
@@ -110,20 +120,28 @@ def group_bboxes(
     # grows bboxes (mins decrease, maxs increase) and only adds rows, so
     # a single aggregate signature detects convergence in one job
     # instead of two exceptAll shuffles.
-    rel_edges = edges.filter(F.col("kind") == "relation").persist()
+    rel_pt = (
+        edges.filter((F.col("kind") == "relation") & (F.col("ref_type") == "image"))
+        .join(pt, "ref", "inner")
+        .select(*bb_cols)
+        .persist()
+    )
+    rel_gp = edges.filter(
+        (F.col("kind") == "relation") & (F.col("ref_type") == "group")
+    ).persist()
     group_resolved = way_bbox  # (group_id, bbox) resolvable as 'group' refs
     rel_bbox = None
     prev_sig = None
     for _ in range(max_iters):
-        resolvable = pt.unionByName(
+        via_groups = rel_gp.join(
             group_resolved.select(
                 F.col("group_id").alias("ref"), "minlat", "maxlat", "minlon", "maxlon"
-            )
-        )
+            ),
+            "ref",
+            "inner",
+        ).select(*bb_cols)
         new_rel = (
-            rel_edges.join(resolvable, "ref", "inner")
-            .groupBy("group_id")
-            .agg(*bbox_aggs)
+            rel_pt.unionByName(via_groups).groupBy("group_id").agg(*bbox_aggs)
         ).localCheckpoint(eager=True)  # truncate the growing lineage
         sig = new_rel.agg(
             F.count(F.lit(1)),

@@ -144,6 +144,171 @@ def cascade_classify(
 
 
 # ---------------------------------------------------------------------------
+# existential group membership (P4/P5) and the composite-element
+# three-way diff filter (the reference's update_way / update_relation,
+# /root/reference/src/osmxml/filter.rs:237-299)
+# ---------------------------------------------------------------------------
+
+def groups_in_regions_buffered(
+    groups: DataFrame,
+    member_assignments: DataFrame,
+    max_iters: int = 20,
+) -> DataFrame:
+    """(group_id, kind, region_id, in_poly, in_buffer) for every group
+    with >=1 member matching the region's buffered polygon.
+
+    ``member_assignments`` is (image_id, region_id, in_poly, in_buffer)
+    — per-point results of assign_regions. Ways resolve directly;
+    relations OR-propagate (in_poly, in_buffer) up group->group edges to
+    a monotone fixpoint (booleans only grow, so the loop converges;
+    cycles stop contributing — reference guard
+    /root/reference/src/osmxml/filter.rs:159-169). Missing members
+    contribute nothing."""
+    edges = groups.select(
+        "group_id", "kind", F.explode("members").alias("m")
+    ).select(
+        "group_id", "kind", F.col("m.ref").alias("ref"), F.col("m.type").alias("ref_type")
+    ).persist()
+
+    pt = member_assignments.select(
+        F.col("image_id").alias("ref"), "region_id", "in_poly", "in_buffer"
+    )
+    flag_aggs = [
+        F.max("in_poly").alias("in_poly"),
+        F.max("in_buffer").alias("in_buffer"),
+    ]
+    cols = ["group_id", "region_id", "in_poly", "in_buffer"]
+
+    way_flags = (
+        edges.filter((F.col("kind") == "way") & (F.col("ref_type") == "image"))
+        .join(pt, "ref", "inner")
+        .groupBy("group_id", "region_id")
+        .agg(*flag_aggs)
+        .persist()
+    )
+
+    rel_pt = (
+        edges.filter((F.col("kind") == "relation") & (F.col("ref_type") == "image"))
+        .join(pt, "ref", "inner")
+        .select(*cols)
+        .persist()
+    )
+    rel_gp = edges.filter(
+        (F.col("kind") == "relation") & (F.col("ref_type") == "group")
+    ).persist()
+
+    resolved = way_flags  # groups resolvable as 'group' refs
+    rel_flags = None
+    prev_sig = None
+    for _ in range(max_iters):
+        via_groups = rel_gp.join(
+            resolved.select(
+                F.col("group_id").alias("ref"), "region_id", "in_poly", "in_buffer"
+            ),
+            "ref",
+            "inner",
+        ).select(*cols)
+        new_rel = (
+            rel_pt.unionByName(via_groups)
+            .groupBy("group_id", "region_id")
+            .agg(*flag_aggs)
+        ).localCheckpoint(eager=True)
+        sig = new_rel.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("in_poly").cast("long")),
+            F.sum(F.col("in_buffer").cast("long")),
+        ).collect()[0]
+        rel_flags = new_rel
+        if tuple(sig) == prev_sig:
+            break
+        prev_sig = tuple(sig)
+        resolved = way_flags.unionByName(rel_flags)
+
+    kinds = groups.select("group_id", "kind").distinct()
+    ways = way_flags.join(kinds.filter(F.col("kind") == "way"), "group_id")
+    rels = (
+        rel_flags if rel_flags is not None else way_flags.limit(0)
+    ).join(kinds.filter(F.col("kind") == "relation"), "group_id")
+    return ways.unionByName(rels).select(
+        "group_id", "kind", "region_id", "in_poly", "in_buffer"
+    )
+
+
+def classify_group_diff(
+    group_changes: DataFrame,
+    groups: DataFrame,
+    base: DataFrame,
+    regions: list[MultiPolygon],
+    res: int = DEFAULT_RES,
+    buffer: int = BUFFER_DECIMICRO,
+) -> DataFrame:
+    """Three-way diff classification of changed ways/relations — the
+    set-based re-expression of the reference's update_way /
+    update_relation (/root/reference/src/osmxml/filter.rs:237-299):
+
+      ∃ member in polygon          -> KEEP, original action
+      ∃ member in buffer(0.1°)     -> KEEP, action forced to 'delete'
+      no member in any buffer      -> DROP (no output row)
+
+    Member geometry comes from the pre-batch store (``base``) for EVERY
+    action — the reference resolves way nodes / relation members from
+    osmbin BEFORE the batch is merged, and the delete branch explicitly
+    falls back to stored geometry (filter.rs:250-254).
+
+    ``group_changes``: (group_id, action[, new_members]) — when a modify
+    /create carries ``new_members`` (the diff element's member list,
+    filter.rs resolves the NEW refs), it overrides the stored list.
+    ``groups``: stored (group_id, kind, members). ``base``: stored
+    points (image_id, lat, lon). Returns
+    (group_id, kind, action, region_id, out_action)."""
+    from .spatial_join import assign_regions as _assign
+
+    changed = group_changes.select("group_id", "action")
+    eff_groups = groups.join(changed.select("group_id"), "group_id", "left_semi")
+    if "new_members" in group_changes.columns:
+        overrides = group_changes.filter(F.col("new_members").isNotNull()).select(
+            "group_id", F.col("new_members").alias("_nm")
+        )
+        eff_groups = (
+            eff_groups.join(overrides, "group_id", "left")
+            .withColumn("members", F.coalesce(F.col("_nm"), F.col("members")))
+            .drop("_nm")
+        )
+
+    # only member points actually referenced by a changed group need the
+    # (expensive) region assignment: semi-join the store first
+    refs = (
+        eff_groups.select(F.explode("members").alias("m"))
+        .filter(F.col("m.type") == "image")
+        .select(F.col("m.ref").alias("image_id"))
+        .distinct()
+    )
+    member_pts = base.join(refs, "image_id", "left_semi")
+    assignments = _assign(
+        member_pts,
+        regions,
+        res=res,
+        buffer=buffer,
+        keep_cols=["image_id"],
+    )
+
+    flags = groups_in_regions_buffered(eff_groups, assignments)
+    return (
+        flags.join(changed, "group_id")
+        .filter(F.col("in_buffer"))
+        .select(
+            "group_id",
+            "kind",
+            "action",
+            "region_id",
+            F.when(F.col("in_poly"), F.col("action"))
+            .otherwise(F.lit("delete"))
+            .alias("out_action"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # existential group membership (P4/P5)
 # ---------------------------------------------------------------------------
 

@@ -43,9 +43,14 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact baseline: cross join + window top-k. O(Q*P) — the oracle for
     tests and the fallback for uncertified queries. Ties broken by point
-    id for determinism."""
-    q = queries.select(
-        F.col(q_id), F.col("lat").alias("_qlat"), F.col("lon").alias("_qlon")
+    id for determinism. The query side is BROADCAST: the cross join is a
+    map-side scan of the points table (no points shuffle), which is the
+    best possible plan for the sparse-region stragglers that reach the
+    fallback."""
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id), F.col("lat").alias("_qlat"), F.col("lon").alias("_qlon")
+        )
     )
     p = points.select(
         F.col(p_id), F.col("lat").alias("_plat"), F.col("lon").alias("_plon")
@@ -89,15 +94,20 @@ def knn_cell_ring(
     ).persist()
 
     results: list[DataFrame] = []
+    best: DataFrame | None = None  # carried top-k rows of uncertified queries
     r = 1
+    prev_r = -1
     for _ in range(max_rounds):
         if remaining.isEmpty():
             break
-        # offsets of the full r-disk as a literal array -> explode -> equi-join
+        # NEW cells only: the ring band prev_r < radius <= r (cells in
+        # the previous disk were already scanned; their best candidates
+        # ride along in `best`, so no work is repeated across rounds)
         offs = [
             dy * Y_STRIDE + dx
             for dy in range(-r, r + 1)
             for dx in range(-r, r + 1)
+            if max(abs(dx), abs(dy)) > prev_r
         ]
         cand = (
             remaining.withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
@@ -107,7 +117,10 @@ def knn_cell_ring(
                 "dist2",
                 _dist2(F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")),
             )
+            .select(q_id, p_id, "dist2")
         )
+        if best is not None:
+            cand = cand.unionByName(best)
         w = Window.partitionBy(q_id).orderBy("dist2", p_id)
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
@@ -127,6 +140,8 @@ def knn_cell_ring(
             topk.join(done, q_id, "left_semi").select(q_id, p_id, "dist2", "rank")
         )
         remaining = remaining.join(done, q_id, "left_anti").persist()
+        best = topk.join(done, q_id, "left_anti").select(q_id, p_id, "dist2").persist()
+        prev_r = r
         r *= 2
 
     if not remaining.isEmpty():

@@ -74,13 +74,32 @@ def merge_changes(base: DataFrame, changes: DataFrame, key: str = "image_id") ->
 
 class TableStore:
     """Snapshot-per-batch parquet table with a checkpoint manifest —
-    the engine's stand-in for an Iceberg table + snapshot log."""
+    the engine's stand-in for an Iceberg table + snapshot log.
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "image_id"):
+    The table is hash-bucketed on the merge key (``_bucket`` partition
+    column, the engine's analog of Iceberg's bucket(N, key) partition
+    transform). ``apply_batch`` REWRITES ONLY BUCKETS CONTAINING CHANGED
+    KEYS: unchanged bucket directories are hard-linked into the new
+    snapshot byte-identical. A minutely diff touching K of N buckets
+    rewrites K/N of the table instead of all of it — the property that
+    makes per-minute MERGE viable at the 10^12-row design point (and
+    exactly what Iceberg COW MERGE file-pruning does)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "image_id",
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
 
     @property
     def _manifest_path(self) -> str:
@@ -105,19 +124,40 @@ class TableStore:
 
     def init(self, df: DataFrame) -> None:
         snap = os.path.join(self.path, "v0")
-        df.write.mode("overwrite").parquet(snap)
+        (
+            df.withColumn("_bucket", self._bucket_col())
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(snap)
+        )
+        written = self.spark.read.parquet(snap)
         self._publish_manifest(
             {
                 "last_state": 0,
                 "snapshots": [
-                    {"state": 0, "path": snap, "rows": self.spark.read.parquet(snap).count()}
+                    {
+                        "state": 0,
+                        "path": snap,
+                        "rows": written.count(),
+                        "lineage": self._bucket_lineage(written),
+                    }
                 ],
             }
         )
 
+    def _bucket_lineage(self, df: DataFrame) -> dict:
+        return {
+            str(r["_bucket"]): r["cnt"]
+            for r in df.groupBy("_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+
+    def _read_snapshot(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
     def current(self) -> DataFrame:
         man = self.manifest()
-        return self.spark.read.parquet(man["snapshots"][-1]["path"])
+        return self._read_snapshot(man["snapshots"][-1]["path"]).drop("_bucket")
 
     def as_of(self, state: int) -> DataFrame:
         """Time travel: the table exactly as of ``state`` (the newest
@@ -126,33 +166,65 @@ class TableStore:
         eligible = [s for s in man["snapshots"] if s["state"] <= state]
         if not eligible:
             raise ValueError(f"no snapshot at or before state {state}")
-        return self.spark.read.parquet(eligible[-1]["path"])
+        return self._read_snapshot(eligible[-1]["path"]).drop("_bucket")
 
     def apply_batch(self, state: int, changes: DataFrame) -> bool:
-        """Idempotent MERGE of one diff batch. Returns False if the state
-        was already applied (resume path: no re-tiling of completed
-        states)."""
+        """Idempotent, bucket-pruned MERGE of one diff batch. Returns
+        False if the state was already applied (resume path: no
+        re-tiling of completed states).
+
+        Only buckets containing a changed key are recomputed + written;
+        every other bucket directory is hard-linked from the previous
+        snapshot (byte-identical files, O(1) per file)."""
         man = self.manifest()
         if man["last_state"] is not None and state <= man["last_state"]:
             return False
-        merged = merge_changes(self.current(), changes, self.key)
+        prev_path = man["snapshots"][-1]["path"]
         snap = os.path.join(self.path, f"v{state}")
-        merged.write.mode("overwrite").parquet(snap)
-        written = self.spark.read.parquet(snap)
-        # per-partition lineage: rows per parquet file of the snapshot
-        lineage = {
-            os.path.basename(r["file"]): r["cnt"]
-            for r in written.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+
+        ch_buckets = sorted(
+            r["_b"]
+            for r in changes.select(
+                F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("_b")
+            )
+            .distinct()
             .collect()
-        }
+        )
+        prev_raw = self._read_snapshot(prev_path)
+        # partition pruning: only the changed buckets are scanned
+        prev_changed = prev_raw.filter(F.col("_bucket").isin(ch_buckets)).drop("_bucket")
+        merged = merge_changes(prev_changed, changes, self.key)
+        (
+            merged.withColumn("_bucket", self._bucket_col())
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(snap)
+        )
+        # carry unchanged buckets forward as hard links (byte-identical)
+        changed_set = {f"_bucket={b}" for b in ch_buckets}
+        for entry in sorted(os.listdir(prev_path)):
+            if not entry.startswith("_bucket=") or entry in changed_set:
+                continue
+            src_dir = os.path.join(prev_path, entry)
+            dst_dir = os.path.join(snap, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in os.listdir(src_dir):
+                dst = os.path.join(dst_dir, fn)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(src_dir, fn), dst)
+
+        written = self._read_snapshot(snap)
         man["snapshots"].append(
             {
                 "state": state,
                 "path": snap,
                 "rows": written.count(),
                 "applied_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                "lineage": lineage,
+                "rewritten_buckets": ch_buckets,
+                "lineage": self._bucket_lineage(written),
             }
         )
         man["last_state"] = state

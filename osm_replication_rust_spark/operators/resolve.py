@@ -72,13 +72,19 @@ def resolve_relation_members(
     # frontier of group-typed refs still to expand: (root group, current node)
     frontier = rel_edges.filter(F.col("ref_type") == "group").select(
         "group_id", F.col("ref").alias("node")
-    ).persist()
+    ).distinct().persist()
 
     all_edges = edges.select(
         F.col("group_id").alias("node"),
         F.col("ref"),
         F.col("ref_type"),
     )
+
+    # cycle guard: accumulated visited set of (root, node) pairs — a
+    # 2-cycle's back edge must be excepted against EVERY prior frontier,
+    # not just the immediately-previous one, or it oscillates and is
+    # re-expanded until max_depth
+    visited = frontier
 
     for depth in range(2, max_depth + 2):
         if frontier.isEmpty():
@@ -94,11 +100,10 @@ def resolve_relation_members(
             step.filter(F.col("ref_type") == "group")
             .select("group_id", F.col("ref").alias("node"))
             .distinct()
-            # cycle guard: drop (root, node) pairs already expanded —
-            # without visited-set tracking a 2-cycle loops forever
-            .exceptAll(frontier.select("group_id", "node"))
+            .exceptAll(visited)
             .persist()
         )
+        visited = visited.unionByName(frontier).persist()
 
     w = Window.partitionBy("group_id", "member_id").orderBy("depth")
     return (

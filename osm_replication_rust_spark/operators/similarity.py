@@ -70,31 +70,80 @@ def cosine_topk_bruteforce(
     )
 
 
+#: embedding quantization scale: vq = round_half_away(x * 1000), the
+#: same quantization the dot_q oracle tier uses (Spark F.round / DuckDB
+#: round are both half-away-from-zero).
+Q_SCALE = 1000
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero round(x*1000) -> int64, exactly matching
+    DuckDB round() on the binary double value: rint (half-to-even, exact
+    for non-halves — unlike floor(v+0.5), which misrounds values like
+    0.49999999999999994) with representable .5 fractions fixed to
+    away-from-zero."""
+    v = mat * Q_SCALE
+    r = np.rint(v)
+    half = np.abs(v - np.trunc(v)) == 0.5
+    return np.where(half, np.trunc(v) + np.sign(v), r).astype(np.int64)
+
+
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 13) -> np.ndarray:
+    """INTEGER hyperplanes in [-1000, 1000]: projections of quantized
+    embeddings are exact int64 dot products, so bucket ids are
+    bit-reproducible in the DuckDB oracle (sql_lsh_buckets) — no float
+    sign flips at the decision boundary."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_tables, n_bits, dim)).astype(np.float64)
+    return rng.integers(-1000, 1001, size=(n_tables, n_bits, dim)).astype(np.int64)
 
 
 def lsh_bucket_udf(spark, dim: int, n_tables: int, n_bits: int, seed: int = 13):
     """Arrow-batched signature kernel: per row, one bucket id per table
-    (sign bits of hyperplane projections, packed to int64)."""
+    (sign bits of integer hyperplane projections of the quantized
+    embedding, packed to int64). All-integer: |proj| <= D*1000*|vq| stays
+    far under 2^63, every step exact."""
     planes_bc = spark.sparkContext.broadcast(_hyperplanes(dim, n_tables, n_bits, seed))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(emb: pd.Series) -> pd.Series:
-        planes = planes_bc.value  # (T, B, D)
+        planes = planes_bc.value  # (T, B, D) int64
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])  # (N, D)
-        out = []
-        # (T, B, N) projections -> sign bits -> packed ids
-        proj = np.einsum("tbd,nd->tbn", planes, mat)
+        vq = _quantize(mat)  # (N, D) int64
+        # (T, B, N) integer projections -> sign bits -> packed ids
+        proj = np.einsum("tbd,nd->tbn", planes, vq)
         bits = (proj > 0).astype(np.int64)  # (T, B, N)
         weights = (1 << np.arange(bits.shape[1], dtype=np.int64))[None, :, None]
         packed = (bits * weights).sum(axis=1)  # (T, N)
-        for i in range(mat.shape[0]):
-            out.append([int(packed[t, i]) for t in range(planes.shape[0])])
+        out = [
+            [int(packed[t, i]) for t in range(planes.shape[0])]
+            for i in range(vq.shape[0])
+        ]
         return pd.Series(out)
 
     return buckets
+
+
+def sql_quantized(vec: str) -> str:
+    return f"list_transform({vec}, x -> round(CAST(x AS DOUBLE) * {Q_SCALE}))"
+
+
+def sql_lsh_buckets(
+    dim: int, n_tables: int, n_bits: int, seed: int = 13, vec: str = "v"
+) -> list[str]:
+    """DuckDB twin of lsh_bucket_udf: one bucket expression per table
+    over a quantized list column ``vec`` (literal integer planes from
+    the same seeded generator)."""
+    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    exprs = []
+    for t in range(n_tables):
+        terms = []
+        for b in range(n_bits):
+            lit = "[" + ", ".join(str(int(x)) for x in planes[t, b]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec}, {lit}) > 0 THEN {1 << b} ELSE 0 END)"
+            )
+        exprs.append("(" + " + ".join(terms) + ")")
+    return exprs
 
 
 def ann_lsh_topk(
@@ -108,37 +157,52 @@ def ann_lsh_topk(
     n_tables: int = 8,
     n_bits: int = 10,
     seed: int = 13,
+    rank_by: str = "cosine",
 ) -> DataFrame:
     """Approximate top-k: multi-table LSH bucket join for candidates,
-    exact cosine rerank of candidates only. Output schema matches
+    exact rerank of candidates only. Output schema matches
     :func:`cosine_topk_bruteforce` (queries with < k candidates return
-    fewer rows — measure recall against the brute-force baseline)."""
+    fewer rows — measure recall against the brute-force baseline).
+
+    ``rank_by``: 'cosine' (float, the similarity spec) or 'dot_q'
+    (integer quantized dot — bit-reproducible in the DuckDB oracle; on
+    unit-norm embeddings the ordering is the same signal).
+
+    The candidate distinct() runs on (query_id, item_id) pairs ONLY —
+    embedding vectors are re-joined afterwards, so the dedup shuffle
+    never carries fat array rows."""
+    if rank_by not in ("cosine", "dot_q"):
+        raise ValueError(f"rank_by must be cosine|dot_q, got {rank_by!r}")
     spark = queries.sparkSession
     budf = lsh_bucket_udf(spark, dim, n_tables, n_bits, seed)
 
     def tag(df, idc):
         return df.withColumn("_bkts", budf(F.col(vec))).select(
             F.col(idc),
-            F.col(vec),
             F.posexplode("_bkts").alias("table", "bucket"),
         )
 
-    qb = tag(queries, q_id).withColumnRenamed(vec, "_qv")
-    ib = tag(items, i_id).withColumnRenamed(vec, "_iv")
     cands = (
-        qb.join(ib, ["table", "bucket"], "inner")
-        .select(q_id, i_id, "_qv", "_iv")
+        tag(queries, q_id)
+        .join(tag(items, i_id), ["table", "bucket"], "inner")
+        .select(q_id, i_id)
         .distinct()
     )
-    scored = cands.withColumn(
-        "cosine",
-        _dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv"))),
+    scored = (
+        cands.join(queries.select(F.col(q_id), F.col(vec).alias("_qv")), q_id)
+        .join(items.select(F.col(i_id), F.col(vec).alias("_iv")), i_id)
+        .withColumn("dot_q", dot_q_expr(F.col("_qv"), F.col("_iv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_qv"), F.col("_iv"))
+            / (_norm(F.col("_qv")) * _norm(F.col("_iv"))),
+        )
     )
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(i_id))
+    w = Window.partitionBy(q_id).orderBy(F.desc(rank_by), F.col(i_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(q_id, i_id, "cosine", "rank")
+        .select(q_id, i_id, "dot_q", "cosine", "rank")
     )
 
 
@@ -161,30 +225,36 @@ def dot_q_expr(a, b):
 # IVF (inverted-file) ANN: coarse k-means quantizer + probe-nearest-lists
 # ---------------------------------------------------------------------------
 
-def _argmin_centroid_udf(spark, centroids: np.ndarray):
-    """id of the nearest centroid per row (squared L2), Arrow-batched."""
-    cb = spark.sparkContext.broadcast(centroids.astype(np.float64))
+def _argmin_centroid_udf(spark, centroids_q: np.ndarray):
+    """index of the nearest centroid per row — EXACT integer squared L2
+    between the quantized embedding and pre-quantized centroids, so the
+    assignment is bit-reproducible in SQL (ties -> lowest index)."""
+    cb = spark.sparkContext.broadcast(centroids_q.astype(np.int64))
 
     @F.pandas_udf(T.IntegerType())
     def nearest(emb: pd.Series) -> pd.Series:
-        c = cb.value  # (K, D)
+        c = cb.value  # (K, D) int64
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])  # (N, D)
-        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
-        d = mat @ c.T * -2.0 + (c * c).sum(axis=1)[None, :]
+        vq = _quantize(mat)  # (N, D) int64
+        # (N, K) exact integer distances; argmin ties -> first index
+        d = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
     return nearest
 
 
-def _nprobe_centroids_udf(spark, centroids: np.ndarray, nprobe: int):
-    cb = spark.sparkContext.broadcast(centroids.astype(np.float64))
+def _nprobe_centroids_udf(spark, centroids_q: np.ndarray, nprobe: int):
+    """nprobe nearest centroid indices per query, same exact integer
+    distance; ties broken by centroid index (stable sort)."""
+    cb = spark.sparkContext.broadcast(centroids_q.astype(np.int64))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probes(emb: pd.Series) -> pd.Series:
         c = cb.value
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
-        d = mat @ c.T * -2.0 + (c * c).sum(axis=1)[None, :]
-        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        vq = _quantize(mat)
+        d = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.Series(list(map(list, order)))
 
     return probes
@@ -201,8 +271,12 @@ def train_centroids(
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means on a driver-side sample (coarse
     quantizers are tiny; the expensive part — assignment of the full
-    table — happens distributedly in ivf_topk)."""
-    pdf = items.select(vec).limit(sample).toPandas()
+    table — happens distributedly in ivf_topk). A real random sample,
+    not limit(): limit() takes the first partitions, which on
+    sorted/clustered input trains the quantizer on a biased corner."""
+    n = items.count()
+    frac = min(1.0, (4.0 * sample) / max(n, 1))
+    pdf = items.select(vec).sample(fraction=frac, seed=seed).limit(sample).toPandas()
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=k, replace=False)]
@@ -226,14 +300,26 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 17,
+    centroids: np.ndarray | None = None,
+    rank_by: str = "cosine",
 ) -> DataFrame:
     """IVF ANN: items partitioned into centroid lists once; each query
-    scans only its nprobe nearest lists, exact cosine rerank inside.
-    Same output schema as cosine_topk_bruteforce."""
+    scans only its nprobe nearest lists, exact rerank inside. Same
+    output schema as cosine_topk_bruteforce plus dot_q.
+
+    ``centroids``: pass a (K, D) float matrix to skip training (the
+    oracle-checked catalog entry selects data vectors as centroids so
+    DuckDB can reproduce the quantizer exactly); default trains k-means
+    on a random sample. Assignment and nprobe use EXACT integer L2 on
+    quantized vectors either way."""
+    if rank_by not in ("cosine", "dot_q"):
+        raise ValueError(f"rank_by must be cosine|dot_q, got {rank_by!r}")
     spark = queries.sparkSession
-    centroids = train_centroids(items, dim, n_centroids, vec, seed=seed)
-    assign = _argmin_centroid_udf(spark, centroids)
-    probes = _nprobe_centroids_udf(spark, centroids, nprobe)
+    if centroids is None:
+        centroids = train_centroids(items, dim, n_centroids, vec, seed=seed)
+    cq = _quantize(np.asarray(centroids, dtype=np.float64))
+    assign = _argmin_centroid_udf(spark, cq)
+    probes = _nprobe_centroids_udf(spark, cq, nprobe)
 
     lists = items.select(F.col(i_id), F.col(vec).alias("_iv")).withColumn(
         "_cid", assign(F.col("_iv"))
@@ -243,14 +329,16 @@ def ivf_topk(
     )
     cands = qp.join(lists, "_cid", "inner")
     scored = cands.withColumn(
+        "dot_q", dot_q_expr(F.col("_qv"), F.col("_iv"))
+    ).withColumn(
         "cosine",
         _dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv"))),
     )
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(i_id))
+    w = Window.partitionBy(q_id).orderBy(F.desc(rank_by), F.col(i_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(q_id, i_id, "cosine", "rank")
+        .select(q_id, i_id, "dot_q", "cosine", "rank")
     )
 
 
@@ -267,26 +355,30 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (the 5th dedup tier):
     multi-table hyperplane LSH candidates -> exact cosine >= threshold.
     (id_a < id_b, cosine) with no false positives; recall is the LSH
-    knob, measured in tests."""
+    knob, measured in tests.
+
+    Candidate dedup happens on (id_a, id_b) only; vectors are re-joined
+    for the exact check, so the distinct never shuffles embedding
+    arrays."""
     spark = items.sparkSession
     budf = lsh_bucket_udf(spark, dim, n_tables, n_bits, seed)
     tagged = items.select(F.col(i_id), F.col(vec)).withColumn(
         "_bkts", budf(F.col(vec))
-    ).select(i_id, vec, F.posexplode("_bkts").alias("table", "bucket"))
-    a = tagged.select(
-        F.col(i_id).alias("id_a"), F.col(vec).alias("_va"), "table", "bucket"
-    )
-    b = tagged.select(
-        F.col(i_id).alias("id_b"), F.col(vec).alias("_vb"), "table", "bucket"
-    )
+    ).select(i_id, F.posexplode("_bkts").alias("table", "bucket"))
+    a = tagged.select(F.col(i_id).alias("id_a"), "table", "bucket")
+    b = tagged.select(F.col(i_id).alias("id_b"), "table", "bucket")
     cands = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    va = items.select(F.col(i_id).alias("id_a"), F.col(vec).alias("_va"))
+    vb = items.select(F.col(i_id).alias("id_b"), F.col(vec).alias("_vb"))
     return (
-        cands.withColumn(
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
             "cosine",
             _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
         )

@@ -36,7 +36,15 @@ def salted_join(
     grows by S, so keep S modest (8-32). Deterministic output, random
     salt placement (hash of a per-row random is not needed: pmod of a
     uniform random suffices — correctness does not depend on placement).
+
+    Only inner/left joins are supported: an outer join would return each
+    unmatched replicated small-side row S times (one per salt copy).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): outer "
+            "joins duplicate unmatched small-side rows salt_buckets times"
+        )
     salted_big = big.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
@@ -60,13 +68,18 @@ def hot_keys(df: DataFrame, key: str, threshold_ratio: float = 0.01) -> DataFram
 
 def split_hot_cells(
     points: DataFrame,
+    id_col: str,
     cell_col: str = "cell",
     max_per_cell: int = 100_000,
     sub_buckets: int = 16,
 ) -> DataFrame:
     """Cap cell fan-out by sub-bucketing dense cells (the "subdivide
     dense H3 cells" strategy): cells above the cap get a stable
-    sub-bucket id appended; downstream groupBys key on (cell, sub)."""
+    sub-bucket id appended; downstream groupBys key on (cell, sub).
+
+    ``id_col`` must be a row-unique column: the sub-bucket is its hash.
+    (Hashing the cell column itself — or anything correlated with it —
+    would land every row of a hot cell in ONE sub-bucket, a no-op.)"""
     counts = points.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_n"))
     return (
         points.join(F.broadcast(counts.filter(F.col("_n") > max_per_cell)), cell_col, "left")
@@ -74,7 +87,7 @@ def split_hot_cells(
             "cell_sub",
             F.when(
                 F.col("_n").isNotNull(),
-                F.pmod(F.xxhash64(*points.columns[:1]), F.lit(sub_buckets)),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(sub_buckets)),
             ).otherwise(F.lit(0)),
         )
         .drop("_n")

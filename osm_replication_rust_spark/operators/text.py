@@ -107,25 +107,63 @@ def lang_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: polynomial fingerprint parameters: h = fold over Unicode code points
+#: of (h * B + cp) mod 2^64, h0 = FNV offset basis; emitted as signed
+#: int64. Defined over CODE POINTS (not utf-8 bytes) so the DuckDB twin
+#: (sql_fingerprint) expresses the identical fold with unicode().
+FP_BASE = 1_000_003
+FP_OFFSET = 1_469_598_103_934_665_603
+_U64 = 1 << 64
+
+
 def fingerprint_udf():
-    """64-bit polynomial rolling-hash document fingerprint (karp-rabin
-    style over bytes), Arrow-batched. The per-doc loop is sequential but
-    tiny; numpy vectorizes over characters."""
+    """64-bit polynomial rolling-hash document fingerprint (Karp-Rabin
+    style over code points), Arrow-batched. Horner's rule is rewritten
+    as a power-vector dot product so the char axis is fully numpy-
+    vectorized (uint64 wraparound IS the mod-2^64 semantics):
+
+        h = h0 * B^n + sum_k cp[k] * B^(n-1-k)   (mod 2^64)
+    """
 
     @F.pandas_udf(T.LongType())
     def fp(text: pd.Series) -> pd.Series:
-        B = np.uint64(1000003)
-        out = np.zeros(len(text), dtype=np.uint64)
-        for i, s in enumerate(text):
-            if s is None:
-                continue
-            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            h = np.uint64(1469598103934665603)
-            # horner evaluation; uint64 wraparound is the hash semantics
-            with np.errstate(over="ignore"):
-                for x in b:
-                    h = h * B + x
-            out[i] = h
-        return pd.Series(out.astype(np.int64))
+        maxlen = 0
+        for s in text:
+            if s is not None and len(s) > maxlen:
+                maxlen = len(s)
+        # B^0..B^maxlen mod 2^64: uint64 multiplication wraps natively
+        pows = np.ones(maxlen + 1, dtype=np.uint64)
+        if maxlen:
+            pows[1:] = np.cumprod(np.full(maxlen, FP_BASE, dtype=np.uint64))
+        h0 = np.uint64(FP_OFFSET)
+        vals: list[int | None] = []
+        with np.errstate(over="ignore"):
+            for s in text:
+                if s is None:
+                    vals.append(None)
+                    continue
+                cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.uint64
+                )
+                n = len(cp)
+                h = h0 * pows[n] + (cp * pows[:n][::-1]).sum(dtype=np.uint64)
+                v = int(h)
+                vals.append(v - _U64 if v >= _U64 // 2 else v)
+        return pd.Series(pd.array(vals, dtype="Int64"))
 
     return fp
+
+
+def sql_fingerprint(text: str) -> str:
+    """DuckDB twin of fingerprint_udf: the same code-point Horner fold
+    mod 2^64 in HUGEINT arithmetic, reinterpreted as signed int64."""
+    cps = f"list_transform(range(1, length({text}) + 1), i -> unicode(({text})[i]))"
+    fold = (
+        f"list_reduce(list_prepend(CAST({FP_OFFSET} AS HUGEINT), {cps}), "
+        f"(acc, x) -> (acc * {FP_BASE} + x) % {_U64})"
+    )
+    return (
+        f"(CASE WHEN {text} IS NULL THEN NULL "
+        f"WHEN {fold} >= {_U64 // 2} THEN ({fold} - {_U64})::BIGINT "
+        f"ELSE ({fold})::BIGINT END)"
+    )

@@ -234,6 +234,32 @@ def sql_raycast(mp: MultiPolygon, lon: str, lat: str) -> str:
     return f"((({crossings}) % 2 = 1) OR {boundary})"
 
 
+def sql_buffer_dist(mp: MultiPolygon, lon: str, lat: str, buffer: int) -> str:
+    """DuckDB twin of geo_expr.buffer_dist_expr: true iff the point lies
+    within ``buffer`` of any ring segment — the IDENTICAL float64
+    clamped-projection formula in the identical evaluation order, so the
+    two engines compute bit-equal d² values."""
+    px = f"CAST({lon} AS DOUBLE)"
+    py = f"CAST({lat} AS DOUBLE)"
+    b2 = repr(float(buffer) * float(buffer))
+    terms = []
+    ex1, ey1, ex2, ey2 = mp.edges()
+    for x1, y1, x2, y2 in zip(ex1, ey1, ex2, ey2):
+        x1f, y1f, x2f, y2f = float(x1), float(y1), float(x2), float(y2)
+        dx, dy = x2f - x1f, y2f - y1f
+        len2 = dx * dx + dy * dy
+        if len2 == 0:
+            d2 = f"(({px} - {x1f!r}) * ({px} - {x1f!r}) + ({py} - {y1f!r}) * ({py} - {y1f!r}))"
+        else:
+            t_raw = f"((({px} - {x1f!r}) * {dx!r} + ({py} - {y1f!r}) * {dy!r}) / {len2!r})"
+            t = f"least(greatest({t_raw}, 0.0), 1.0)"
+            cx = f"({x1f!r} + {t} * {dx!r})"
+            cy = f"({y1f!r} + {t} * {dy!r})"
+            d2 = f"(({px} - {cx}) * ({px} - {cx}) + ({py} - {cy}) * ({py} - {cy}))"
+        terms.append(f"({d2} <= {b2})")
+    return "(" + " OR ".join(terms) + ")"
+
+
 _EV_LAT = C.sql_derived_lat("event_id")
 _EV_LON = C.sql_derived_lon("event_id")
 
@@ -739,6 +765,13 @@ def q03_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# membership rect covers the lower-left quadrant: small partkeys (the
+# only keys present at sf0.001, where l_partkey <= 199 and the derived
+# footprint starts near (-22M, -22M)) land inside, so the query is
+# non-vacuous at EVERY tested scale factor
+_MEMBER_RECT = (-22_000_000, -22_000_000, 0, 0)  # lon0, lat0, lon1, lat1
+
+
 @register(
     "group_membership_exists",
     f"""
@@ -746,8 +779,8 @@ def q03_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o
     WHERE EXISTS (
       SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
-      AND ({C.sql_derived_lat('l.l_partkey')}) BETWEEN {_RECT[1]} AND {_RECT[3]}
-      AND ({C.sql_derived_lon('l.l_partkey')}) BETWEEN {_RECT[0]} AND {_RECT[2]}
+      AND ({C.sql_derived_lat('l.l_partkey')}) BETWEEN {_MEMBER_RECT[1]} AND {_MEMBER_RECT[3]}
+      AND ({C.sql_derived_lon('l.l_partkey')}) BETWEEN {_MEMBER_RECT[0]} AND {_MEMBER_RECT[2]}
     )
     ORDER BY group_id
     """,
@@ -758,7 +791,7 @@ def group_membership_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitems its members."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    lon0, lat0, lon1, lat1 = _RECT
+    lon0, lat0, lon1, lat1 = _MEMBER_RECT
     members_in = li.filter(
         C.derived_lat(F.col("l_partkey")).between(lat0, lat1)
         & C.derived_lon(F.col("l_partkey")).between(lon0, lon1)
@@ -768,6 +801,100 @@ def group_membership_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(members_in, "group_id", "left_semi")
         .distinct()
         .orderBy("group_id")
+    )
+
+
+def _group_diff_oracle() -> str:
+    """Per-region SQL twin of classify_group_diff over the star schema:
+    ways = orders (members = their lineitems' derived points), relations
+    = customers (members = their orders as group refs). Existential
+    in_poly/in_buffer via bool_or of the generated raycast / buffer-
+    distance predicates — the same flattened semantics the relation
+    fixpoint converges to."""
+    from ..functions.geometry import BUFFER_DECIMICRO
+
+    lat = C.sql_derived_lat("l_partkey")
+    lon = C.sql_derived_lon("l_partkey")
+    tiers = []
+    for mp in fixture_regions():
+        inp = sql_raycast(mp, lon, lat)
+        buf = f"({inp} OR {sql_buffer_dist(mp, lon, lat, BUFFER_DECIMICRO)})"
+        tiers.append(f"""
+    SELECT 'w' || l_orderkey AS group_id, 'way' AS kind,
+           '{mp.region_id}' AS region_id,
+           CASE WHEN in_poly THEN action ELSE 'delete' END AS out_action
+    FROM (
+      SELECT l_orderkey,
+             CASE WHEN l_orderkey % 7 = 0 THEN 'delete' ELSE 'modify' END AS action,
+             bool_or({inp}) AS in_poly, bool_or({buf}) AS in_buffer
+      FROM lineitem GROUP BY l_orderkey
+    ) WHERE in_buffer""")
+        tiers.append(f"""
+    SELECT 'r' || o_custkey AS group_id, 'relation' AS kind,
+           '{mp.region_id}' AS region_id,
+           CASE WHEN in_poly THEN action ELSE 'delete' END AS out_action
+    FROM (
+      SELECT o.o_custkey,
+             CASE WHEN o.o_custkey % 4 = 0 THEN 'delete' ELSE 'modify' END AS action,
+             bool_or({inp}) AS in_poly, bool_or({buf}) AS in_buffer
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    ) WHERE in_buffer""")
+    return "\nUNION ALL\n".join(tiers) + "\nORDER BY group_id, kind, region_id"
+
+
+@register("group_diff_classify", _group_diff_oracle())
+def group_diff_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6 for composite elements: the three-way keep / buffered-
+    delete / drop classification of changed ways AND relations
+    (reference update_way/update_relation,
+    /root/reference/src/osmxml/filter.rs:237-299) through the REAL
+    operator — member points resolved from the store, existential
+    membership, relation flags via the group-edge fixpoint."""
+    from ..operators.filter import classify_group_diff
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+
+    base = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("image_id"),
+        C.derived_lat(F.col("l_partkey")).alias("lat"),
+        C.derived_lon(F.col("l_partkey")).alias("lon"),
+    ).distinct()
+
+    ways = li.groupBy(F.concat(F.lit("w"), F.col("l_orderkey")).alias("group_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.concat(F.lit("p"), F.col("l_partkey")).alias("ref"),
+                F.lit("image").alias("type"),
+                F.lit("").alias("role"),
+            )
+        ).alias("members")
+    ).withColumn("kind", F.lit("way"))
+    rels = o.groupBy(F.concat(F.lit("r"), F.col("o_custkey")).alias("group_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.concat(F.lit("w"), F.col("o_orderkey")).alias("ref"),
+                F.lit("group").alias("type"),
+                F.lit("").alias("role"),
+            )
+        ).alias("members")
+    ).withColumn("kind", F.lit("relation"))
+    groups = ways.unionByName(rels)
+
+    changes = li.select(
+        F.concat(F.lit("w"), F.col("l_orderkey")).alias("group_id"),
+        F.when(F.col("l_orderkey") % 7 == 0, "delete").otherwise("modify").alias("action"),
+    ).distinct().unionByName(
+        o.select(
+            F.concat(F.lit("r"), F.col("o_custkey")).alias("group_id"),
+            F.when(F.col("o_custkey") % 4 == 0, "delete").otherwise("modify").alias("action"),
+        ).distinct()
+    )
+
+    out = classify_group_diff(changes, groups, base, fixture_regions())
+    return out.select("group_id", "kind", "region_id", "out_action").orderBy(
+        "group_id", "kind", "region_id"
     )
 
 
@@ -901,21 +1028,64 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _fill_simhash_oracle()
 
 
-@register("ann_lsh_topk")
+def _ann_lsh_oracle() -> str:
+    """Full SQL twin of ann_lsh_topk: the integer hyperplanes are
+    emitted as literals, buckets recomputed per table over quantized
+    embeddings (bit-identical candidate sets), rerank by the exact
+    integer dot product."""
+    from ..operators.similarity import sql_lsh_buckets, sql_quantized
+
+    bkts = sql_lsh_buckets(dim=64, n_tables=8, n_bits=8, seed=13, vec="v")
+    per_table = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, {e} AS bucket FROM iv"
+        for t, e in enumerate(bkts)
+    )
+    return f"""
+    WITH iv AS (SELECT vec_id, {sql_quantized('embedding')} AS v FROM embeddings),
+    bt AS (
+      {per_table}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, i.vec_id
+      FROM bt q JOIN bt i USING (tbl, bucket)
+      WHERE q.vec_id < 10
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             CAST(list_dot_product(q.v, i.v) AS BIGINT) AS dot_q
+      FROM cand c
+      JOIN iv q ON q.vec_id = c.query_id
+      JOIN iv i ON i.vec_id = c.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, dot_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, dot_q, rank FROM r WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle())
 def ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH + exact rerank."""
+    """Approximate NN via random-hyperplane LSH + exact rerank. Integer
+    hyperplanes on quantized embeddings make the whole pipeline —
+    buckets, candidates, rerank order — reproducible in the oracle."""
     from ..operators.similarity import ann_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
-    return ann_lsh_topk(q, emb, k=5, dim=64, n_tables=8, n_bits=8).select(
-        "query_id", "vec_id", "rank"
-    ).orderBy("query_id", "rank")
+    return ann_lsh_topk(
+        q, emb, k=5, dim=64, n_tables=8, n_bits=8, rank_by="dot_q"
+    ).select("query_id", "vec_id", "dot_q", "rank").orderBy("query_id", "rank")
 
 
 @register("doc_fingerprint")
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints (Arrow kernel)."""
+    """Rolling-hash document fingerprints (vectorized Arrow kernel);
+    oracle = the identical code-point Horner fold in HUGEINT SQL."""
     from ..operators.text import fingerprint_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -923,11 +1093,52 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp(F.col("text")).alias("fingerprint")).orderBy("doc_id")
 
 
-@register("multimodal_decode_stats")
+def _fill_fingerprint_oracle() -> None:
+    from ..operators.text import sql_fingerprint
+
+    _ORACLES["doc_fingerprint"] = f"""
+    SELECT doc_id, {sql_fingerprint('text')} AS fingerprint
+    FROM documents ORDER BY doc_id
+    """
+
+
+_fill_fingerprint_oracle()
+
+
+def _multimodal_oracle() -> str:
+    """DuckDB twin of decode_stats over the deterministic fake codec:
+    pixel k of image i is (k*1103515245 + i*12345 + 7) % 251 (the LCG
+    datagen.synth.gen_images writes into the binary payload), so the
+    per-image stats are computable from first principles — only
+    (image_id, w, h, i) metadata is emitted as literals."""
+    from ..datagen.synth import gen_images
+
+    images = gen_images(500, seed=42)
+    meta = ",\n      ".join(
+        f"('{r.image_id}', {r.w}, {r.h}, {i})"
+        for i, r in enumerate(images.itertuples())
+    )
+    px = "CAST((k * 1103515245 + i * 12345 + 7) % 251 AS BIGINT)"
+    return f"""
+    WITH meta(image_id, w, h, i) AS (VALUES
+      {meta}
+    )
+    SELECT image_id,
+           avg(CAST({px} AS DOUBLE)) AS pix_mean,
+           max({px}) AS pix_max,
+           min({px}) AS pix_min
+    FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
+    GROUP BY image_id
+    ORDER BY image_id
+    """
+
+
+@register("multimodal_decode_stats", _multimodal_oracle())
 def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + per-image stats through mapInPandas (codec
     stubbed; plumbing and batch shape real). Input synthesized
-    deterministically (the driver star schema has no binary column)."""
+    deterministically (the driver star schema has no binary column);
+    the oracle recomputes the fake-codec pixels in SQL."""
     from ..datagen.synth import gen_images
     from ..operators.multimodal import decode_stats
 
@@ -937,11 +1148,61 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
-@register("group_bbox_fixpoint")
+def _group_bbox_oracle() -> str:
+    """DuckDB twin of the A3 fixpoint: a recursive CTE computes the
+    transitive image-closure of every group (UNION dedup terminates the
+    2-cycle), then min/max over reachable points — provably equal to the
+    monotone bbox iteration because bbox-union composes to min/max over
+    all transitively reachable members. Fixture literals are emitted
+    from the same deterministic generator the Spark query uses."""
+    from ..datagen.synth import gen_groups, gen_images
+
+    images = gen_images(300, seed=42)
+    lat = (images.phash // C.PHASH_LON_BASE) - C.LAT_OFFSET
+    lon = (images.phash % C.PHASH_LON_BASE) - C.LON_OFFSET
+    pts = ",\n      ".join(
+        f"('{i}', {la}, {lo})"
+        for i, la, lo in zip(images.image_id, lat, lon)
+    )
+    rows = []
+    for g in gen_groups(images).itertuples():
+        for m in g.members:
+            rows.append(
+                f"('{g.group_id}', '{g.kind}', '{m['ref']}', '{m['type']}')"
+            )
+    edges = ",\n      ".join(rows)
+    return f"""
+    WITH RECURSIVE
+    pts(ref, lat, lon) AS (VALUES
+      {pts}
+    ),
+    edges(group_id, kind, ref, ref_type) AS (VALUES
+      {edges}
+    ),
+    reach(group_id, img) AS (
+      SELECT group_id, ref FROM edges WHERE ref_type = 'image'
+      UNION
+      SELECT e.group_id, r.img
+      FROM edges e JOIN reach r ON e.ref_type = 'group' AND e.ref = r.group_id
+    ),
+    gk AS (SELECT DISTINCT group_id, kind FROM edges)
+    SELECT r.group_id, gk.kind,
+           min(p.lat) AS minlat, max(p.lat) AS maxlat,
+           min(p.lon) AS minlon, max(p.lon) AS maxlon
+    FROM reach r
+    JOIN pts p ON p.ref = r.img
+    JOIN gk ON gk.group_id = r.group_id
+    GROUP BY r.group_id, gk.kind
+    ORDER BY r.group_id
+    """
+
+
+@register("group_bbox_fixpoint", _group_bbox_oracle())
 def group_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: recursive relation-bbox resolution to fixpoint (cycle-safe).
     Groups synthesized deterministically; the point set comes from the
-    events footprints."""
+    events footprints. Oracle = recursive-CTE closure over the same
+    fixture (/root/reference/src/osmxml/bbox.rs:91-127 semantics)."""
     from ..datagen.synth import gen_groups, gen_images
     from ..operators.bbox import group_bboxes, point_bboxes
 
@@ -1071,25 +1332,133 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_topk")
+#: centroid vec_ids for the oracle-checked IVF entry: data vectors
+#: selected by literal id (so DuckDB reproduces the quantizer exactly);
+#: the k-means training path is exercised by tests/test_ivf.py.
+_IVF_CENT_IDS = [7 + 31 * j for j in range(16)]
+
+
+def _ivf_oracle() -> str:
+    from ..operators.similarity import sql_quantized
+
+    ids = ", ".join(str(i) for i in _IVF_CENT_IDS)
+    # exact integer L2 via dot products (all values < 2^53: exact doubles)
+    dist = (
+        "(list_dot_product(iv.v, iv.v) - 2 * list_dot_product(iv.v, cent.cv)"
+        " + list_dot_product(cent.cv, cent.cv))"
+    )
+    return f"""
+    WITH iv AS (SELECT vec_id, {sql_quantized('embedding')} AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM iv WHERE vec_id IN ({ids})
+    ),
+    d AS (
+      SELECT iv.vec_id, cent.cid,
+             row_number() OVER (PARTITION BY iv.vec_id
+                                ORDER BY {dist}, cent.cid) AS rn
+      FROM iv, cent
+    ),
+    lists AS (SELECT vec_id, cid FROM d WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM d WHERE vec_id < 10 AND rn <= 4),
+    scored AS (
+      SELECT p.query_id, l.vec_id,
+             CAST(list_dot_product(q.v, i.v) AS BIGINT) AS dot_q
+      FROM probes p
+      JOIN lists l ON l.cid = p.cid
+      JOIN iv q ON q.vec_id = p.query_id
+      JOIN iv i ON i.vec_id = l.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, dot_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, dot_q, rank FROM r WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register("ivf_topk", _ivf_oracle())
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (coarse k-means quantizer + nprobe list scan + exact
-    rerank); recall measured against brute force in tests."""
+    """IVF ANN (coarse quantizer + nprobe list scan + exact rerank).
+    This entry uses data vectors as centroids so the oracle reproduces
+    the quantizer exactly; assignment is exact integer L2 on quantized
+    vectors in both engines. The trained-k-means path (random-sample
+    Lloyd's) is covered by tests/test_ivf.py recall tests."""
+    import numpy as np
+
     from ..operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    cent_pdf = (
+        emb.filter(F.col("vec_id").isin(_IVF_CENT_IDS))
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()
+    )
+    centroids = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in cent_pdf["embedding"]]
+    )
     q = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
-    return ivf_topk(q, emb, k=5, dim=64, n_centroids=16, nprobe=4).select(
-        "query_id", "vec_id", "rank"
-    ).orderBy("query_id", "rank")
+    return ivf_topk(
+        q, emb, k=5, dim=64, nprobe=4, centroids=centroids, rank_by="dot_q"
+    ).select("query_id", "vec_id", "dot_q", "rank").orderBy("query_id", "rank")
 
 
-@register("embedding_near_dup")
+def _near_dup_oracle() -> str:
+    """SQL twin of embedding_near_dup: same planted fixture (x2 scaling
+    is exact in any float width), bit-identical LSH candidate sets via
+    the integer-plane buckets, exact cosine >= threshold filter."""
+    from ..operators.similarity import sql_lsh_buckets, sql_quantized
+
+    bkts = sql_lsh_buckets(dim=64, n_tables=12, n_bits=8, seed=13, vec="v")
+    per_table = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, {e} AS bucket FROM iv"
+        for t, e in enumerate(bkts)
+    )
+    return f"""
+    WITH u AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+      FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 200
+    ),
+    iv AS (SELECT vec_id, {sql_quantized('embedding')} AS v,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+           FROM u),
+    bt AS (
+      {per_table}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bt a JOIN bt b USING (tbl, bucket)
+      WHERE a.vec_id < b.vec_id
+    ),
+    chk AS (
+      SELECT c.id_a, c.id_b,
+             list_dot_product(x.fv, y.fv)
+               / (sqrt(list_dot_product(x.fv, x.fv))
+                  * sqrt(list_dot_product(y.fv, y.fv))) AS cosine
+      FROM cand c
+      JOIN iv x ON x.vec_id = c.id_a
+      JOIN iv y ON y.vec_id = c.id_b
+    )
+    SELECT id_a, id_b FROM chk WHERE cosine >= 0.99
+    ORDER BY id_a, id_b
+    """
+
+
+@register("embedding_near_dup", _near_dup_oracle())
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup tier 5): LSH
     candidates + exact cosine >= 0.99; duplicates planted by a
     deterministic self-union with scaled copies (same direction =>
-    cosine 1)."""
+    cosine 1). Candidate sets are bit-identical across engines (integer
+    planes); the cosine threshold only separates ~1.0 from <=0.7, so
+    float rounding cannot flip membership."""
     from ..operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
@@ -1103,10 +1472,34 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("session_window_stats")
+@register(
+    "session_window_stats",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, min(ts) AS s_start,
+           count(*) AS n, sum(value) AS sum_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, s_start
+    """,
+)
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation (gap-based), the built-in
-    sibling of operators/relational.sessionize."""
+    sibling of operators/relational.sessionize. Spark session windows
+    are half-open [start, last_ts + gap): an event at exactly
+    last_ts + gap starts a NEW session, hence the oracle's >= 1800."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )

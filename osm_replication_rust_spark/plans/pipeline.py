@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 
 from ..functions.coords import unpack_lat, unpack_lon
 from ..functions.geometry import BUFFER_DECIMICRO, MultiPolygon
-from ..operators.bbox import point_bboxes
-from ..operators.filter import classify_diff
+from ..operators.bbox import group_bboxes, point_bboxes
+from ..operators.filter import classify_diff, classify_group_diff
 from ..operators.merge import TableStore
 
 
@@ -40,9 +40,20 @@ def run_update(
     regions: list[MultiPolygon],
     out_dir: str,
     buffer: int = BUFFER_DECIMICRO,
+    groups: DataFrame | None = None,
+    group_diffs: DataFrame | None = None,
 ) -> list[int]:
     """Process every diff state newer than the store's checkpoint, in
-    sequence order. Returns the list of states applied this run."""
+    sequence order. Returns the list of states applied this run.
+
+    ``groups`` (stored group_id/kind/members) + ``group_diffs`` (state,
+    group_id, action) wire the composite elements through the same
+    stages the reference runs for ways/relations: per state, changed
+    groups are three-way classified (keep / buffered-delete / drop,
+    /root/reference/src/osmxml/filter.rs:237-299) into
+    ``tiles_groups/state=N`` and annotated with member-closure bboxes
+    (/root/reference/src/osmxml/bbox.rs:145-164) into
+    ``bbox_groups/state=N``, next to the point artifacts."""
     states = [
         r["state"]
         for r in diffs.select("state").distinct().orderBy("state").collect()
@@ -69,6 +80,44 @@ def run_update(
         bbox.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"bbox/state={state}")
         )
+
+        # a'. composite elements: changed groups get member-closure
+        # bboxes and the three-way classification, published beside the
+        # point artifacts (reference stages b+c for ways/relations)
+        gbatch = None
+        if groups is not None and group_diffs is not None:
+            gbatch = group_diffs.filter(F.col("state") == state).select(
+                "group_id", "action"
+            )
+            changed_groups = groups.join(
+                gbatch.select("group_id"), "group_id", "left_semi"
+            )
+            # member bbox source: changed-point bboxes (old ∪ new) plus
+            # degenerate bboxes of untouched stored points — the batch
+            # view the reference's running maps present to the way/
+            # relation passes (/root/reference/src/osmxml/bbox.rs:61-84)
+            untouched = base.join(
+                batch.select("image_id").distinct(), "image_id", "left_anti"
+            ).select(
+                "image_id",
+                F.col("lat").cast("long").alias("minlat"),
+                F.col("lat").cast("long").alias("maxlat"),
+                F.col("lon").cast("long").alias("minlon"),
+                F.col("lon").cast("long").alias("maxlon"),
+            )
+            member_bbox = bbox.unionByName(untouched)
+            gbx = group_bboxes(changed_groups, member_bbox)
+            gbx.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"bbox_groups/state={state}")
+            )
+
+            gtiles = classify_group_diff(gbatch, groups, base, regions, buffer=buffer)
+            (
+                gtiles.repartition("region_id")
+                .write.mode("overwrite")
+                .partitionBy("region_id")
+                .parquet(os.path.join(out_dir, f"tiles_groups/state={state}"))
+            )
 
         # b+c. classify + publish per-region tiles, partitioned by region.
         # Observation = the reference's stats counters

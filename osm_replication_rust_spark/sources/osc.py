@@ -32,6 +32,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.coords import coord_to_decimicro_py
+
 CHANGE_SCHEMA = (
     "state long, seq long, action string, image_id string, "
     "new_lat long, new_lon long, new_caption string, new_phash long"
@@ -62,8 +64,8 @@ def parse_osc_bytes(data: bytes, state: int) -> list[dict]:
                     "seq": seq,
                     "action": group.tag,
                     "image_id": el.get("id"),
-                    "new_lat": int(round(float(lat) * 1e7)) if lat else None,
-                    "new_lon": int(round(float(lon) * 1e7)) if lon else None,
+                    "new_lat": coord_to_decimicro_py(float(lat)) if lat else None,
+                    "new_lon": coord_to_decimicro_py(float(lon)) if lon else None,
                     "new_caption": tags.get("caption"),
                     "new_phash": int(tags["phash"]) if "phash" in tags else None,
                 }

@@ -22,6 +22,7 @@ import os
 
 import numpy as np
 
+from ..functions.coords import coord_to_decimicro_py
 from ..functions.geometry import MultiPolygon, Ring
 
 
@@ -43,9 +44,13 @@ def parse_poly(text: str, region_id: str, parent_id: str | None = None) -> Multi
             if lines[i]:
                 lon_s, lat_s = lines[i].split()[:2]
                 # decimicro rounding exactly as the reference
-                # (/root/reference/src/osm.rs:137-139)
+                # (/root/reference/src/osm.rs:137-139): half away from
+                # zero, not Python round()'s half-to-even
                 coords.append(
-                    (int(round(float(lon_s) * 1e7)), int(round(float(lat_s) * 1e7)))
+                    (
+                        coord_to_decimicro_py(float(lon_s)),
+                        coord_to_decimicro_py(float(lat_s)),
+                    )
                 )
             i += 1
         i += 1  # consume ring END

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from osm_replication_rust_spark.operators.filter import (
     cascade_classify,
     classify_diff,
+    classify_group_diff,
     effective_changes,
     groups_in_regions,
 )
@@ -111,6 +112,111 @@ def test_golden_counts(spark, regions, images_pdf):
     # golden values pinned from the fixed-seed fixture (seed 42/43):
     # 17 changes -> 23 (element, region) rows, 14 kept, 9 forced-delete
     assert (len(out), kept, forced) == (23, 14, 9)
+
+
+GROUP_SCHEMA = "group_id string, kind string, members array<struct<ref:string,type:string,role:string>>"
+
+
+def _m(ref, typ="image"):
+    return {"ref": ref, "type": typ, "role": ""}
+
+
+def test_classify_group_diff_three_way(spark, regions):
+    """Reference update_way/update_relation semantics
+    (/root/reference/src/osmxml/filter.rs:237-299): keep inside,
+    buffered-delete near the boundary, drop outside; deletes resolve
+    member geometry from the store (the :250-254 fallback)."""
+    M = 1_000_000
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["p_inC", "p_out", "p_buf"],
+                "lat": [-6 * M, 21 * M, 0],
+                # p_buf: 0.05 deg outside A's outer ring -> buffer only
+                "lon": [-6 * M, 21 * M, 10 * M + M // 2],
+            }
+        )
+    )
+    groups = spark.createDataFrame(
+        [
+            ("w_in", "way", [_m("p_inC"), _m("p_out")]),   # kept (∃ inside)
+            ("w_buf", "way", [_m("p_buf")]),                # buffer -> delete
+            ("w_out", "way", [_m("p_out")]),                # dropped
+            ("w_gone", "way", [_m("p_inC")]),               # DELETED way, old geometry keeps it
+            ("r_via", "relation", [_m("w_in", "group")]),   # in via member way
+            ("r_buf", "relation", [_m("w_buf", "group")]),  # buffer via member way
+        ],
+        GROUP_SCHEMA,
+    )
+    changes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "group_id": ["w_in", "w_buf", "w_out", "w_gone", "r_via", "r_buf"],
+                "action": ["modify", "modify", "modify", "delete", "modify", "modify"],
+            }
+        )
+    )
+    got = {
+        (r.group_id, r.region_id): (r.kind, r.out_action)
+        for r in classify_group_diff(changes, groups, base, regions).collect()
+    }
+    assert got[("w_in", "A")] == ("way", "modify")
+    assert got[("w_in", "A/B/C")] == ("way", "modify")
+    assert got[("w_buf", "A")] == ("way", "delete")     # buffered tier
+    assert got[("w_gone", "A")] == ("way", "delete")    # old-geometry fallback
+    assert not any(g == "w_out" for g, _ in got)        # dropped
+    assert got[("r_via", "A")] == ("relation", "modify")
+    assert got[("r_via", "A/B/C")] == ("relation", "modify")
+    assert got[("r_buf", "A")] == ("relation", "delete")
+
+
+def test_classify_group_diff_new_members(spark, regions):
+    """A modify carrying new_members overrides the stored list (the
+    diff element's refs, like the reference resolving the NEW way)."""
+    M = 1_000_000
+    base = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["p_in", "p_out"], "lat": [-6 * M, 21 * M], "lon": [-6 * M, 21 * M]})
+    )
+    groups = spark.createDataFrame([("w1", "way", [_m("p_in")])], GROUP_SCHEMA)
+    changes = spark.createDataFrame(
+        [("w1", "modify", [_m("p_out")])],
+        "group_id string, action string, new_members array<struct<ref:string,type:string,role:string>>",
+    )
+    got = classify_group_diff(changes, groups, base, regions).collect()
+    assert got == []  # new member list is outside everything -> dropped
+
+
+def test_golden_counts_all_kinds(spark, regions, images_pdf):
+    """Reference-style golden counts over ALL element kinds
+    (/root/reference/src/osmxml/filter.rs:390-392 counts node/way/
+    relation probes): fixed seeds => exact per-kind row counts."""
+    from osm_replication_rust_spark.datagen.synth import (
+        gen_diffs,
+        gen_group_diffs,
+        gen_groups,
+    )
+
+    base = spark.createDataFrame(images_pdf[["image_id", "phash"]]).select(
+        "image_id",
+        (F.shiftright("phash", 32) - 900_000_000).alias("lat"),
+        (F.col("phash") % (1 << 32) - 1_800_000_000).alias("lon"),
+    )
+    pt_diffs = spark.createDataFrame(gen_diffs(images_pdf, n_batches=1))
+    groups_pdf = gen_groups(images_pdf)
+    groups = spark.createDataFrame(groups_pdf)
+    g_diffs = spark.createDataFrame(gen_group_diffs(groups_pdf, n_batches=1))
+
+    pts = classify_diff(pt_diffs, base, regions).collect()
+    grp = classify_group_diff(
+        g_diffs.select("group_id", "action"), groups, base, regions
+    ).collect()
+    n_way = sum(1 for r in grp if r.kind == "way")
+    n_rel = sum(1 for r in grp if r.kind == "relation")
+    kept = sum(1 for r in grp if r.out_action == r.action)
+    # golden values pinned from the fixed-seed fixtures (42/43/44/45):
+    # 23 point rows (test_golden_counts), 4 way + 6 relation rows of
+    # which 6 kept (the rest buffered-delete)
+    assert (len(pts), n_way, n_rel, kept) == (23, 4, 6, 6)
 
 
 def test_groups_in_regions(spark, regions):

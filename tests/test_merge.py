@@ -88,8 +88,53 @@ def test_store_idempotent_resume(spark, base, tmp_path):
     assert all("lineage" in s for s in man["snapshots"][1:])
 
 
+def test_bucket_pruned_merge(spark, tmp_path):
+    """apply_batch rewrites ONLY buckets containing changed keys;
+    untouched bucket files are carried forward byte-identical (hard
+    links), and the manifest records which buckets were rewritten."""
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"k{i:04d}" for i in range(200)],
+                "caption": [f"c{i}" for i in range(200)],
+                "phash": list(range(200)),
+            }
+        )
+    )
+    store = TableStore(spark, str(tmp_path / "t"), n_buckets=8)
+    store.init(base)
+    ch = changes_df(spark, [("k0007", "modify", 0, "new7", None)])
+    assert store.apply_batch(1, ch) is True
+
+    man = store.manifest()
+    v0, v1 = man["snapshots"][0]["path"], man["snapshots"][1]["path"]
+    rewritten = set(man["snapshots"][1]["rewritten_buckets"])
+    assert len(rewritten) == 1  # one key -> one bucket
+    untouched = [
+        e for e in os.listdir(v0)
+        if e.startswith("_bucket=") and int(e.split("=")[1]) not in rewritten
+    ]
+    assert len(untouched) == 7
+    for e in untouched:
+        for fn in os.listdir(os.path.join(v0, e)):
+            a, b = os.path.join(v0, e, fn), os.path.join(v1, e, fn)
+            assert os.path.exists(b)
+            with open(a, "rb") as fa, open(b, "rb") as fb:
+                assert fa.read() == fb.read()  # byte-identical carry-forward
+
+    got = {r.image_id: r.caption for r in store.current().collect()}
+    assert got["k0007"] == "new7" and len(got) == 200
+    # time travel still sees the pre-merge value
+    old = {r.image_id: r.caption for r in store.as_of(0).collect()}
+    assert old["k0007"] == "c7"
+
+
 def test_pipeline_end_to_end(spark, regions, images_pdf, tmp_path):
-    from osm_replication_rust_spark.datagen.synth import gen_diffs
+    from osm_replication_rust_spark.datagen.synth import (
+        gen_diffs,
+        gen_group_diffs,
+        gen_groups,
+    )
     from osm_replication_rust_spark.plans.pipeline import run_update
     from osm_replication_rust_spark.operators.merge import TableStore
 
@@ -97,13 +142,26 @@ def test_pipeline_end_to_end(spark, regions, images_pdf, tmp_path):
         images_pdf[["image_id", "caption", "phash"]].iloc[:300]
     )
     diffs = spark.createDataFrame(gen_diffs(images_pdf.iloc[:300], n_batches=2))
+    groups_pdf = gen_groups(images_pdf.iloc[:300])
+    groups = spark.createDataFrame(groups_pdf)
+    group_diffs = spark.createDataFrame(gen_group_diffs(groups_pdf, n_batches=2))
     store = TableStore(spark, str(tmp_path / "images"))
     store.init(base)
 
     out_dir = str(tmp_path / "out")
-    applied = run_update(store, diffs, regions, out_dir)
+    applied = run_update(
+        store, diffs, regions, out_dir, groups=groups, group_diffs=group_diffs
+    )
     assert applied == [1, 2]
     assert store.last_state() == 2
+
+    # composite artifacts published per state beside the point artifacts
+    gtiles = spark.read.parquet(os.path.join(out_dir, "tiles_groups/state=1"))
+    assert set(gtiles.columns) == {"group_id", "kind", "action", "out_action", "region_id"}
+    assert gtiles.count() > 0
+    gbx = spark.read.parquet(os.path.join(out_dir, "bbox_groups/state=1"))
+    assert {"group_id", "kind", "minlat", "maxlat", "minlon", "maxlon"} <= set(gbx.columns)
+    assert gbx.count() > 0
 
     tiles = spark.read.parquet(os.path.join(out_dir, "tiles/state=1"))
     assert tiles.count() > 0

@@ -6,7 +6,11 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from osm_replication_rust_spark.operators.skew import hot_keys, salted_join
+from osm_replication_rust_spark.operators.skew import (
+    hot_keys,
+    salted_join,
+    split_hot_cells,
+)
 
 
 @pytest.fixture(scope="module")
@@ -38,3 +42,26 @@ def test_hot_keys(spark, skewed):
     big, _ = skewed
     hot = hot_keys(big, "cell", threshold_ratio=0.5).collect()
     assert [r.cell for r in hot] == [7]
+
+
+def test_salted_join_rejects_outer(spark, skewed):
+    big, dim = skewed
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, dim, "cell", how="full")
+
+
+def test_split_hot_cells_spreads(spark, skewed):
+    """The hot cell must actually fan out over >1 sub-bucket (hashing a
+    cell-correlated column would put all its rows in one bucket)."""
+    big, _ = skewed
+    out = split_hot_cells(big, id_col="val", max_per_cell=5_000, sub_buckets=8)
+    per = {
+        r.cell: r.n
+        for r in out.groupBy("cell").agg(
+            F.countDistinct("cell_sub").alias("n")
+        ).collect()
+    }
+    assert per[7] > 4  # hot cell spread over most sub-buckets
+    assert all(n == 1 for c, n in per.items() if c != 7)  # cold cells: sub 0
+    # row count preserved
+    assert out.count() == big.count()

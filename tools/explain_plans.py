@@ -99,6 +99,19 @@ def main(sf_dir: str) -> int:
         "ArrowEvalPython" not in pt and "BatchEvalPython" not in pt,
     )
 
+    # 6. the flagship's generated code actually COMPILES. Plan text can
+    # show WholeStageCodegen while janino fails at runtime ("Code grows
+    # beyond 64 KB") and Spark silently executes interpreted (~2x slower,
+    # measured) — disable the fallback so a compile failure FAILS here.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        tiling.limit(1).collect()
+        check("tiling.codegen_compiles", True)
+    except Exception as e:  # noqa: BLE001
+        check("tiling.codegen_compiles", False, str(e)[:200])
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
     print(f"\n{'ALL PLANS HEALTHY' if failures == 0 else f'{failures} PLAN CHECKS FAILED'}")
     return 1 if failures else 0
 
