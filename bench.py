@@ -63,12 +63,13 @@ def run_tiling(spark, n_rows: int, repeats: int = 1) -> tuple[float, int]:
     the stable statistic). Each repeat REBUILDS the plan on a slightly
     different row count — counting the same DataFrame twice lets Spark
     reuse the first run's shuffle map outputs and measures nothing.
-    res=18 keeps ~40% of covered cells interior for the fixture regions
-    (sweet spot measured in BENCH.md)."""
+    Default res (20) + the Arrow refine measured fastest at 32 threads
+    (26.3M rows/s vs 11.0M for compiled expressions; res=18 shrinks
+    interior cells below the buffer width and was 4-30x slower)."""
     best, cnt = float("inf"), 0
     for i in range(repeats):
         pts = synthetic_points(spark, n_rows + i)
-        out = assign_regions(pts, fixture_regions(), keep_cols=["image_id"], res=18)
+        out = assign_regions(pts, fixture_regions(), keep_cols=["image_id"])
         t0 = time.time()
         cnt = out.count()
         best = min(best, time.time() - t0)
@@ -77,15 +78,19 @@ def run_tiling(spark, n_rows: int, repeats: int = 1) -> tuple[float, int]:
 
 def main() -> None:
     tiling_only = "--tiling-only" in sys.argv
-    n_rows = int(os.environ.get("SPARK_GRAFT_TILING_ROWS", "5000000"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_TILING_ROWS", "50000000"))
     if "--rows" in sys.argv:
         n_rows = int(sys.argv[sys.argv.index("--rows") + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", cpus=cpus)
 
-    # warmup: start python workers + JIT before measuring
-    run_tiling(spark, 200_000)
+    # warmup: start python workers on EVERY executor + JIT before
+    # measuring (two rounds — the first run on a fresh multi-executor
+    # cluster pays worker spawn + numpy import per worker; one round
+    # leaves stragglers cold)
+    run_tiling(spark, 2_000_000)
+    run_tiling(spark, 2_000_001)
 
     queries: dict[str, float] = {}
     t_tile, n_assigned = run_tiling(spark, n_rows, repeats=3)

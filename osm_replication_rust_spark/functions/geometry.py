@@ -102,24 +102,18 @@ class MultiPolygon:
         )
 
 
-def points_in_polygon(
-    lon: np.ndarray, lat: np.ndarray, mp: MultiPolygon
-) -> np.ndarray:
-    """Vectorized even-odd point-in-multipolygon, boundary counts inside.
+#: rows per kernel chunk: keeps the (chunk x edges) int64 temporaries of
+#: the vectorized predicates L2-resident (4096 rows x ~10 edges x 8 B x
+#: a few temporaries ≈ 1-2 MB) instead of streaming tens of MB of
+#: temporaries through DRAM per Arrow batch — memory bandwidth, not
+#: arithmetic, was the multi-core ceiling of the unchunked kernels.
+_CHUNK = 4096
 
-    int64-exact: no point/edge combination within the bbox prefilter can
-    overflow (extent-bounded products, see _MAX_EXTENT).
-    """
-    lon = np.asarray(lon, dtype=np.int64)
-    lat = np.asarray(lat, dtype=np.int64)
-    out = np.zeros(lon.shape[0], dtype=bool)
-    minx, miny, maxx, maxy = mp.bbox
-    cand = (lon >= minx) & (lon <= maxx) & (lat >= miny) & (lat <= maxy)
-    if not cand.any():
-        return out
-    px = lon[cand][:, None]
-    py = lat[cand][:, None]
 
+def _pip_chunk(px: np.ndarray, py: np.ndarray, mp: MultiPolygon) -> np.ndarray:
+    """Even-odd + boundary membership for one pre-filtered chunk."""
+    px = px[:, None]
+    py = py[:, None]
     x1, y1, x2, y2 = (a[None, :] for a in mp.edges())
 
     # crossing count (half-open rule on y; xi > px decided by exact sign test)
@@ -137,7 +131,32 @@ def points_in_polygon(
         & (py >= np.minimum(y1, y2))
         & (py <= np.maximum(y1, y2))
     )
-    out[cand] = inside | on_seg.any(axis=1)
+    return inside | on_seg.any(axis=1)
+
+
+def points_in_polygon(
+    lon: np.ndarray, lat: np.ndarray, mp: MultiPolygon
+) -> np.ndarray:
+    """Vectorized even-odd point-in-multipolygon, boundary counts inside.
+
+    int64-exact: no point/edge combination within the bbox prefilter can
+    overflow (extent-bounded products, see _MAX_EXTENT). Evaluated in
+    L2-sized chunks (see _CHUNK).
+    """
+    lon = np.asarray(lon, dtype=np.int64)
+    lat = np.asarray(lat, dtype=np.int64)
+    out = np.zeros(lon.shape[0], dtype=bool)
+    minx, miny, maxx, maxy = mp.bbox
+    cand = (lon >= minx) & (lon <= maxx) & (lat >= miny) & (lat <= maxy)
+    if not cand.any():
+        return out
+    px = lon[cand]
+    py = lat[cand]
+    res = np.empty(px.shape[0], dtype=bool)
+    for s in range(0, px.shape[0], _CHUNK):
+        e = s + _CHUNK
+        res[s:e] = _pip_chunk(px[s:e], py[s:e], mp)
+    out[cand] = res
     return out
 
 
@@ -151,22 +170,27 @@ def distance_to_boundary(
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     x1, y1, x2, y2 = (a.astype(np.float64)[None, :] for a in mp.edges())
-    px = lon[:, None]
-    py = lat[:, None]
     dx = x2 - x1
     dy = y2 - y1
     seg_len2 = dx * dx + dy * dy
-    # parameter of the projection clamped to [0, 1]; guard zero-length edges
-    t = np.where(
-        seg_len2 > 0,
-        ((px - x1) * dx + (py - y1) * dy) / np.where(seg_len2 > 0, seg_len2, 1.0),
-        0.0,
-    )
-    t = np.clip(t, 0.0, 1.0)
-    cx = x1 + t * dx
-    cy = y1 + t * dy
-    d2 = (px - cx) ** 2 + (py - cy) ** 2
-    return np.sqrt(d2.min(axis=1))
+    safe_len2 = np.where(seg_len2 > 0, seg_len2, 1.0)
+    out = np.empty(lon.shape[0], dtype=np.float64)
+    for s in range(0, lon.shape[0], _CHUNK):
+        e = s + _CHUNK
+        px = lon[s:e][:, None]
+        py = lat[s:e][:, None]
+        # projection parameter clamped to [0, 1]; guard zero-length edges
+        t = np.where(
+            seg_len2 > 0,
+            ((px - x1) * dx + (py - y1) * dy) / safe_len2,
+            0.0,
+        )
+        t = np.clip(t, 0.0, 1.0)
+        cx = x1 + t * dx
+        cy = y1 + t * dy
+        d2 = (px - cx) ** 2 + (py - cy) ** 2
+        out[s:e] = np.sqrt(d2.min(axis=1))
+    return out
 
 
 def points_in_buffered_polygon(

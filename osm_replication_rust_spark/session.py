@@ -13,6 +13,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _active_processor_flag(master: str) -> str:
+    """Under local-cluster (several executor JVMs on ONE host), each
+    executor otherwise sizes its GC / JIT / netty thread pools by the
+    HOST's core count — 4 executors x 32 GC threads thrash each other.
+    -XX:ActiveProcessorCount=<its own cores> makes every JVM size pools
+    for its actual share. Measured on the compute-bound control: N->4N
+    efficiency 0.46 -> 0.67 (L4 throughput +50%). Real cluster managers
+    (YARN/k8s) do this via cgroups; standalone local-cluster does not."""
+    import re
+
+    m = re.match(r"local-cluster\[\s*\d+\s*,\s*(\d+)", master)
+    if not m:
+        return ""
+    return f" -XX:ActiveProcessorCount={m.group(1)}"
+
+
 def get_spark(
     app_name: str = "osm_replication_rust_spark",
     cpus: int | None = None,
@@ -31,9 +47,25 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # SPARK_GRAFT_MASTER overrides the master URL — used by the scaling
+    # harness to run process-isolated executors, e.g.
+    # local-cluster[4,8,4096] = 4 separate executor JVMs x 8 cores
+    # (the closest this sandbox gets to a real multi-executor cluster)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
+    # executor python workers must import this package: under
+    # local-cluster (separate executor JVMs) PYTHONPATH is not inherited
+    # from the driver's sys.path — ship the repo root explicitly (the
+    # local-mode stand-in for spark-submit --py-files)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exec_pythonpath = ":".join(
+        p for p in (repo_root, os.environ.get("PYTHONPATH", "")) if p
+    )
+
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.executorEnv.PYTHONPATH", exec_pythonpath)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -41,10 +73,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # big Arrow batches: the geometry kernels are O(rows) numpy with
-        # per-batch fixed cost — 64k batches cut UDF overhead ~3-5x vs
-        # the 10k default (measured in BENCH.md)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # per-batch fixed cost — 256k batches measured 29M rows/s vs
+        # 22M at 64k vs ~6M at the 10k default (flagship refine, 32
+        # threads; BENCH.md)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # only meaningful under local-cluster / a real cluster manager
+        .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
         .config("spark.ui.enabled", "false")
         # G1 defaults collapse under 16-32 concurrent codegen tasks in one
         # JVM (measured 2.5x, BENCH.md): bigger regions + relaxed pause
@@ -55,7 +90,8 @@ def get_spark(
         )
         .config(
             "spark.executor.extraJavaOptions",
-            "-Duser.timezone=UTC -XX:G1HeapRegionSize=32m -XX:MaxGCPauseMillis=400",
+            "-Duser.timezone=UTC -XX:G1HeapRegionSize=32m -XX:MaxGCPauseMillis=400"
+            + _active_processor_flag(master),
         )
     )
     for k, v in (extra_conf or {}).items():

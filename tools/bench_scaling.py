@@ -1,6 +1,9 @@
-"""Two-parallelism scaling evidence (BASELINE.json north_rule: N->4N
-executor throughput scaling efficiency >= 0.8; in this sandbox the two
-"cluster sizes" are two local[...] levels on the same input).
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule: N->4N
+executor throughput scaling efficiency >= 0.8; no real cluster exists in
+this sandbox, so the two sizes are local-cluster[1,8,·] vs
+local-cluster[4,8,·] — SEPARATE executor JVM processes with their own
+heaps, GCs and python workers, the closest available analog of 1 vs 4
+cluster nodes. Pass --local to fall back to in-process local[N] levels.)
 
 The sandbox host is SHARED with bursty external tenants (load >10 with
 none of our processes running), which falsifies naive wall-clock
@@ -10,7 +13,7 @@ run when external busy < QUIET_CORES; attempts bracketed by a noisy
 pre/post sample are discarded. Levels alternate; best accepted run per
 level wins.
 
-Usage: python tools/bench_scaling.py [rows] [lo_cores] [hi_cores]
+Usage: python tools/bench_scaling.py [rows] [lo_executors] [hi_executors] [--local]
 """
 
 from __future__ import annotations
@@ -43,25 +46,61 @@ def external_busy_cores(window: float = 2.0) -> float:
     return (1 - di / dt) * ncpu if dt else 0.0
 
 
-def run_level(cpus: int, rows: int) -> dict:
+CORES_PER_EXEC = 8
+
+
+def run_level(level: int, rows: int, local: bool) -> dict:
+    """One bench run confined to the level's core budget.
+
+    The whole process tree (driver JVM, executor JVMs, python workers)
+    is PINNED with taskset to level*8 physical cores — a real N-node
+    cluster gives each node a fixed core budget that its JVM task
+    threads and python workers time-share; without pinning, the small
+    level silently borrows the idle rest of the box (its python workers
+    ride free cores) and the measured "scaling" is meaningless."""
     env = dict(os.environ)
-    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    cores = level if local else level * CORES_PER_EXEC
+    if local:
+        env["SPARK_GRAFT_CPUS"] = str(level)
+    else:
+        # worker = 15g, executor = 14g: at 600M rows a 6g executor heap
+        # hit its cap and GC-thrashed (measured 10x collapse); per-node
+        # memory is constant across cluster sizes on a real cluster, so
+        # equal per-executor memory at both levels is the fair setup
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{level},{CORES_PER_EXEC},15360]"
+        env["SPARK_GRAFT_CPUS"] = str(cores)
+        env["SPARK_GRAFT_EXECUTOR_MEM"] = "14g"
+        env["SPARK_GRAFT_DRIVER_MEM"] = "12g"
     out = subprocess.run(
-        [sys.executable, "bench.py", "--tiling-only", "--rows", str(rows)],
+        [
+            "taskset",
+            "-c",
+            f"0-{cores - 1}",
+            sys.executable,
+            "bench.py",
+            "--tiling-only",
+            "--rows",
+            str(rows),
+        ],
         capture_output=True,
         text=True,
         env=env,
         cwd=REPO,
         timeout=2400,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print("run failed; stderr tail:", out.stderr[-800:], flush=True)
+        raise RuntimeError("bench run produced no JSON")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000_000
-    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo
+    local = "--local" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--local"]
+    rows = int(args[0]) if len(args) > 0 else 150_000_000
+    lo = int(args[1]) if len(args) > 1 else (8 if local else 1)
+    hi = int(args[2]) if len(args) > 2 else 4 * lo
 
     accepted: dict[int, list[dict]] = {lo: [], hi: []}
     t_start = time.time()
@@ -74,21 +113,21 @@ def main() -> None:
             print(f"host noisy (ext busy={pre:.1f} cores) — waiting", flush=True)
             time.sleep(20)
             continue
-        cpus = (lo, hi)[turn % 2]
+        level = (lo, hi)[turn % 2]
         turn += 1
-        if len(accepted[cpus]) >= NEEDED_PER_LEVEL:
-            cpus = lo if cpus == hi else hi
-        r = run_level(cpus, rows)
+        if len(accepted[level]) >= NEEDED_PER_LEVEL:
+            level = lo if level == hi else hi
+        r = run_level(level, rows, local)
         post = external_busy_cores()
         if post > QUIET_CORES:
-            print(f"discarding {cpus}-core run (post ext busy={post:.1f})", flush=True)
+            print(f"discarding level-{level} run (post ext busy={post:.1f})", flush=True)
             continue
         print(
-            f"accepted {cpus}-core run: {r['queries']['tiling_flagship']}s "
+            f"accepted level-{level} run: {r['queries']['tiling_flagship']}s "
             f"({r['images_per_sec']:,}/s) pre={pre:.1f} post={post:.1f}",
             flush=True,
         )
-        accepted[cpus].append(r)
+        accepted[level].append(r)
 
     if not accepted[lo] or not accepted[hi]:
         print("FAILED: no quiet window for one of the levels")
@@ -98,17 +137,24 @@ def main() -> None:
     thr_lo, thr_hi = r_lo["images_per_sec"], r_hi["images_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     stamp = time.strftime("%Y-%m-%d %H:%M:%SZ", time.gmtime())
+    if local:
+        lo_desc, hi_desc = f"local[{lo}]", f"local[{hi}]"
+    else:
+        lo_desc = f"local-cluster[{lo},{CORES_PER_EXEC},8g]"
+        hi_desc = f"local-cluster[{hi},{CORES_PER_EXEC},8g]"
     report = f"""## Scaling evidence ({stamp})
 
 Same tiling job (cell-prefilter spatial join, {rows:,} synthetic
-geo-tagged rows, expression-compiled refine, warm JVM) at two
-parallelism levels; every accepted run was bracketed by quiet-host
-checks (external busy < {QUIET_CORES} cores before and after):
+geo-tagged rows, Arrow-batched refine, warm JVM) at two cluster sizes —
+{lo_desc} vs {hi_desc} ({'shared-JVM threads' if local else
+'SEPARATE executor JVM processes: own heaps, GCs, python workers'}).
+Every accepted run was bracketed by quiet-host checks (external busy <
+{QUIET_CORES} cores before and after):
 
-| level | cores | wall (s) | images/sec | accepted runs |
+| level | executors x cores | wall (s) | images/sec | accepted runs |
 |---|---|---|---|---|
-| N  | {lo} | {r_lo['queries']['tiling_flagship']} | {thr_lo:,} | {len(accepted[lo])} |
-| 4N | {hi} | {r_hi['queries']['tiling_flagship']} | {thr_hi:,} | {len(accepted[hi])} |
+| N  | {lo_desc} | {r_lo['queries']['tiling_flagship']} | {thr_lo:,} | {len(accepted[lo])} |
+| 4N | {hi_desc} | {r_hi['queries']['tiling_flagship']} | {thr_hi:,} | {len(accepted[hi])} |
 
 Scaling efficiency (N->4N) = (thr_4N / thr_N) / {hi // lo} = **{eff:.3f}**
 (target >= 0.8 per BASELINE.json north_rule).

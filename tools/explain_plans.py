@@ -92,10 +92,22 @@ def main(sf_dir: str) -> int:
     ce.collect()
     check("cell_encode.codegen", "*(" in simple_plan_of(ce))
 
-    # 5. flagship expr strategy: zero runtime Python in the plan
-    pt = plan_of(tiling)
+    # 5a. default (auto=udf) flagship: the refine is ONE Arrow-batched
+    # stage on the boundary branch only — never row-at-a-time Python
+    pt = simple_plan_of(tiling)  # simple mode: each node appears once
     check(
-        "tiling.no_python_runtime",
+        "tiling.arrow_refine_single_stage",
+        pt.count("ArrowEvalPython") == 1 and "BatchEvalPython" not in pt,
+        f"arrow_nodes={pt.count('ArrowEvalPython')}",
+    )
+
+    # 5b. expr strategy variant: zero runtime Python in the plan
+    tiling_expr = assign_regions(
+        pts, fixture_regions(), keep_cols=["image_id"], strategy="expr"
+    )
+    pt = plan_of(tiling_expr)
+    check(
+        "tiling_expr.no_python_runtime",
         "ArrowEvalPython" not in pt and "BatchEvalPython" not in pt,
     )
 
@@ -104,13 +116,13 @@ def main(sf_dir: str) -> int:
     # beyond 64 KB") and Spark silently executes interpreted (~2x slower,
     # measured) — disable the fallback so a compile failure FAILS here.
     spark.conf.set("spark.sql.codegen.fallback", "false")
-    try:
-        tiling.limit(1).collect()
-        check("tiling.codegen_compiles", True)
-    except Exception as e:  # noqa: BLE001
-        check("tiling.codegen_compiles", False, str(e)[:200])
-    finally:
-        spark.conf.set("spark.sql.codegen.fallback", "true")
+    for name, df in (("tiling", tiling), ("tiling_expr", tiling_expr)):
+        try:
+            df.limit(1).collect()
+            check(f"{name}.codegen_compiles", True)
+        except Exception as e:  # noqa: BLE001
+            check(f"{name}.codegen_compiles", False, str(e)[:200])
+    spark.conf.set("spark.sql.codegen.fallback", "true")
 
     print(f"\n{'ALL PLANS HEALTHY' if failures == 0 else f'{failures} PLAN CHECKS FAILED'}")
     return 1 if failures else 0
