@@ -96,6 +96,53 @@ def resize_stage(df: DataFrame, out_w: int, out_h: int, bytes_col: str = "bytes"
     return df.mapInPandas(stage, out_schema)
 
 
+def frame_sample(
+    df: DataFrame,
+    n_samples: int,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Video frame sampling as a mapInPandas stage: the binary payload is
+    treated as n_frames concatenated w*h frames; ``n_samples`` frames are
+    taken at uniform temporal offsets (the standard pretraining sampling
+    strategy), one output ROW per sampled frame. Codec stubbed as
+    elsewhere (raw frames); the plumbing — batch iteration, per-row
+    explode into multiple rows, binary slicing — is the real shape."""
+    out_schema = f"{id_col} string, frame_idx int, n_frames int, {bytes_col} binary, w int, h int"
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, nfr, frames, ws, hs = [], [], [], [], [], []
+            for rid, payload, w, h in zip(
+                pdf[id_col], pdf[bytes_col], pdf["w"], pdf["h"]
+            ):
+                fsize = int(w) * int(h)
+                n_frames = max(len(payload) // fsize, 1) if fsize else 1
+                take = np.unique(
+                    (np.arange(n_samples) * n_frames) // max(n_samples, 1)
+                )
+                take = take[take < n_frames]
+                for k in take:
+                    ids.append(rid)
+                    fidx.append(int(k))
+                    nfr.append(int(n_frames))
+                    frames.append(bytes(payload[k * fsize : (k + 1) * fsize]))
+                    ws.append(int(w))
+                    hs.append(int(h))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": fidx,
+                    "n_frames": nfr,
+                    bytes_col: frames,
+                    "w": ws,
+                    "h": hs,
+                }
+            )
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def psnr_check(
     left: DataFrame,
     right: DataFrame,

@@ -47,6 +47,108 @@ def windowed_change_stats(events: DataFrame, window: str = "5 minutes") -> DataF
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n long, sum_value double"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long, sum_value double"
+
+
+def stateful_sessions(
+    events: DataFrame, gap_sec: int = 1800, watermark: str = "1 hour"
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-
+    user gap-based sessionization that EMITS each session once it is
+    closed — either by a later in-stream event past the gap, or by the
+    event-time timeout when the watermark passes session_end + gap.
+
+    Same gap semantics as the batch session_window query (a gap >= gap_sec
+    starts a new session), so closed sessions equal the batch-computed
+    ones — asserted in tests/test_streaming.py. State per user is one
+    (start, last, n, sum_value) tuple; batch rows are folded with a
+    vectorized split on the sorted timestamps."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).withWatermark("ts", watermark)
+
+    def fold(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "n": [n],
+                    "sum_value": [sv],
+                }
+            )
+            return
+
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        ts = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        vals = pdf["value"].to_numpy(dtype=float)
+
+        # segment ids within the batch: a gap >= gap_sec starts a new one
+        seg = np.zeros(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            seg[1:] = np.cumsum((np.diff(ts) >= gap_sec).astype(np.int64))
+
+        # fold the carried state into the first segment if it continues
+        closed = []
+        carry = state.get if state.exists else None
+        first_continues = carry is not None and ts[0] - carry[1] < gap_sec
+        if carry is not None and not first_continues:
+            closed.append(carry)
+            carry = None
+
+        for s in range(int(seg[-1]) + 1 if len(ts) else 0):
+            m = seg == s
+            seg_start, seg_last = int(ts[m][0]), int(ts[m][-1])
+            seg_n, seg_sv = int(m.sum()), float(vals[m].sum())
+            if s == 0 and carry is not None:
+                seg_start = carry[0]
+                seg_n += int(carry[2])
+                seg_sv += float(carry[3])
+            if s < int(seg[-1]):
+                closed.append((seg_start, seg_last, seg_n, seg_sv))
+            else:
+                state.update((seg_start, seg_last, seg_n, seg_sv))
+                # the natural timeout may already lie behind the
+                # watermark (a late-ish session observed after the
+                # stream advanced) — clamp forward so it fires on the
+                # next watermark move instead of raising
+                desired = (seg_last + gap_sec) * 1000
+                state.setTimeoutTimestamp(
+                    max(desired, state.getCurrentWatermarkMs() + 1)
+                )
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="s") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="s") for c in closed],
+                    "n": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_update(
     diff_stream: DataFrame,
     store: TableStore,

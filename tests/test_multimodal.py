@@ -77,3 +77,30 @@ def test_psnr_math():
     assert psnr(a, a) == float("inf")
     # mse = 255^2/16 -> psnr = 10*log10(16)
     assert psnr(a, b) == pytest.approx(10 * np.log10(16))
+
+
+def test_frame_sample(spark):
+    """Uniform temporal frame sampling: payload = concatenated w*h
+    frames; sampled frames must be byte-exact slices at the expected
+    offsets."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_replication_rust_spark.operators.multimodal import frame_sample
+
+    w, h, n_frames = 4, 2, 10
+    fsize = w * h
+    payload = bytes(np.arange(n_frames * fsize, dtype=np.uint8) % 251)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["v1"], "bytes": [payload], "w": [w], "h": [h]}
+        )
+    )
+    got = {r.frame_idx: r for r in frame_sample(df, n_samples=4).collect()}
+    assert sorted(got) == [0, 2, 5, 7]  # uniform offsets k*10//4
+    for k, r in got.items():
+        assert r.n_frames == n_frames
+        assert bytes(r.bytes) == payload[k * fsize : (k + 1) * fsize]
+    # more samples than frames -> each frame at most once
+    few = frame_sample(df, n_samples=25).collect()
+    assert len(few) == len({r.frame_idx for r in few}) <= n_frames

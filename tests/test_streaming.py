@@ -69,3 +69,73 @@ def test_stream_update_foreachbatch(spark, regions, images_pdf, tmp_path):
         q.stop()
     assert store.last_state() == 2
     assert os.path.exists(str(tmp_path / "out/tiles/state=2"))
+
+
+def test_stateful_sessions(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions close
+    either in-stream (gap inside a later batch) or via event-time
+    timeout; closed sessions must equal the batch-computed ones."""
+    import pandas as pd
+    from osm_replication_rust_spark.streaming.incremental import stateful_sessions
+
+    t0 = 1_600_000_000
+    batch1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime([t0, t0 + 100, t0 + 50], unit="s"),
+            "value": [1.0, 2.0, 5.0],
+        }
+    )
+    # user 1: an event 1h later -> closes session A in-stream and opens B;
+    # user 3: far-future event advances the watermark past everything,
+    # timing out user 2's session and user 1's session B
+    batch2 = pd.DataFrame(
+        {
+            "user_id": [1, 3],
+            "ts": pd.to_datetime([t0 + 3700, t0 + 10_000_000], unit="s"),
+            "value": [7.0, 0.0],
+        }
+    )
+    src_dir = str(tmp_path / "sess_src")
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = stateful_sessions(stream, gap_sec=1800, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    # a third far-future batch triggers the micro-batch in which the
+    # timeouts set after batch2's watermark advance actually fire
+    batch3 = pd.DataFrame(
+        {
+            "user_id": [3],
+            "ts": pd.to_datetime([t0 + 20_000_000], unit="s"),
+            "value": [0.0],
+        }
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        spark.createDataFrame(batch3).coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        got = {
+            (r.user_id, int(r.session_start.timestamp())): (
+                int(r.session_end.timestamp()),
+                r.n,
+                r.sum_value,
+            )
+            for r in spark.sql("SELECT * FROM sessions").collect()
+        }
+    finally:
+        q.stop()
+    assert got[(1, t0)] == (t0 + 100, 2, 3.0)          # closed in-stream
+    assert got[(2, t0 + 50)] == (t0 + 50, 1, 5.0)      # closed by timeout
+    assert got[(1, t0 + 3700)] == (t0 + 3700, 1, 7.0)  # closed by timeout
