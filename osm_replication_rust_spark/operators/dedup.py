@@ -266,6 +266,53 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return sums.select("id", packed.alias("simhash"))
 
 
+def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (id, keeper_id)
+    with keeper = min id of the component — the step that turns pair
+    lists (from any dedup tier) into actual keep/drop decisions.
+
+    Min-label propagation: every node starts labelled with itself; each
+    round every node takes the min of its own and its neighbours'
+    labels. Converges in O(component diameter) rounds — near-dup
+    clusters are shallow (dup cliques, short chains), so a handful of
+    joins; each round is one shuffle join + one aggregate, no driver
+    data. Convergence detected with a sum-of-labels signature (labels
+    only decrease monotonically)."""
+    edges = pairs.select("id_a", "id_b")
+    und = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        und.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(
+                labels.select(F.col("id").alias("id_b"), F.col("label").alias("_nl")),
+                "id_b",
+            )
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.min("_nl").alias("_nl"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        sig = labels.agg(F.sum("label")).collect()[0][0]
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels.select("id", F.col("label").alias("keeper_id"))
+
+
 def sql_simhash_pairs(fixture_sql: str, max_hamming: int = 3) -> str:
     """DuckDB twin of simhash64 + simhash_near_pairs, over a fixture CTE
     body producing (doc_id, text). The banding in simhash_near_pairs is

@@ -522,6 +522,42 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE und AS (
+      SELECT id_a AS a, id_b AS b FROM (
+        {_sql_jaccard_pairs(_sql_doc_union(100), 0.5, "id_a, id_b")}
+      )
+      UNION ALL
+      SELECT id_b, id_a FROM (
+        {_sql_jaccard_pairs(_sql_doc_union(100), 0.5, "id_a, id_b")}
+      )
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.r FROM und u JOIN reach r ON r.id = u.b
+    )
+    SELECT id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY id
+    """,
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pair graph ->
+    (id, keeper_id): min-label propagation to fixpoint; oracle =
+    recursive-CTE transitive closure with min over reachable ids."""
+    from ..operators.dedup import dedup_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    u = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    pairs = ngram_jaccard_pairs(u, "text", "doc_id", n=3, threshold=0.5)
+    return dedup_components(pairs).orderBy("id")
+
+
+@register(
     "cosine_topk",
     """
     WITH qv AS (
@@ -568,6 +604,97 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "dot_q", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "pretrain_filter_pipeline",
+    None,  # filled below: composed from the shared text-op SQL generators
+)
+def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone training-data pipeline: quality-filter + language gate +
+    exact-dedup keeper selection composed into ONE declarative plan —
+    what a pretraining ingestion job actually runs. Survivors = docs
+    with enough tokens, sane mean token length, some stopword mass,
+    predicted 'en', and that are their duplicate group's keeper."""
+    from ..operators.dedup import exact_duplicates
+    from ..operators.text import lang_score, quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_features(d, "text", "doc_id")
+    lang = lang_score(d, "text", "doc_id")
+    keep_q = q.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("mean_tok_len") >= 3)
+        & (F.col("mean_tok_len") <= 12)
+        & (F.col("stopword_ratio") > 0)
+    ).select("doc_id", "n_tokens")
+    keep_lang = lang.filter(F.col("pred_lang") == "en").select("doc_id")
+    dups = exact_duplicates(d, "text", "doc_id")
+    losers = (
+        d.join(dups.select("content_hash", "keeper_id"),
+               F.xxhash64(F.col("text")) == F.col("content_hash"))
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+    return (
+        keep_q.join(keep_lang, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+def _fill_pipeline_oracle() -> None:
+    from ..operators.text import sql_stopword_hits, sql_token_count
+
+    ntok = sql_token_count("text")
+    markers = {
+        "en": (" the ", " and ", " is "),
+        "de": (" der ", " und ", " ist "),
+        "fr": (" le ", " et ", " est "),
+        "es": (" el ", " y ", " es "),
+    }
+    padded = "(' ' || text || ' ')"
+    from ..operators.text import sql_occurrences
+
+    score = {
+        lang: "(" + " + ".join(sql_occurrences(padded, m) for m in ms) + ")"
+        for lang, ms in markers.items()
+    }
+    _ORACLES["pretrain_filter_pipeline"] = f"""
+    WITH q AS (
+      SELECT doc_id, text, {ntok} AS n_tokens,
+             CAST(length(text) AS DOUBLE) / greatest({ntok}, 1) AS mean_tok_len,
+             CAST(({sql_stopword_hits('text')}) AS DOUBLE) / greatest({ntok}, 1) AS swr
+      FROM documents
+    ),
+    lang AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, {score['en']} AS s_en, {score['de']} AS s_de,
+               {score['fr']} AS s_fr, {score['es']} AS s_es
+        FROM documents
+      ) -- argmax tie rule: ties go to the lexicographically LARGER lang
+        -- (array_max on struct(score, lang)); en beats de on a tie but
+        -- loses ties to es and fr
+      WHERE s_en >= s_de AND s_en > s_fr AND s_en > s_es
+    ),
+    keepers AS (
+      SELECT text, min(doc_id) AS keeper_id, count(*) AS n
+      FROM documents GROUP BY text
+    ),
+    losers AS (
+      SELECT d.doc_id FROM documents d
+      JOIN keepers k ON k.text = d.text
+      WHERE k.n > 1 AND d.doc_id <> k.keeper_id
+    )
+    SELECT q.doc_id, q.n_tokens FROM q
+    WHERE q.n_tokens >= 10 AND q.mean_tok_len BETWEEN 3 AND 12 AND q.swr > 0
+      AND q.doc_id IN (SELECT doc_id FROM lang)
+      AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+    ORDER BY q.doc_id
+    """
+
+
+_fill_pipeline_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -110,3 +110,17 @@ def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": ["one two", ""]}))
     got = word_shingles(df, "text", "doc_id", 3).collect()
     assert {(r.id, r.shingle) for r in got} == {(1, "one two")}
+
+
+def test_dedup_components_chain(spark):
+    """Transitivity: a-b and b-c put all three in one component with
+    keeper = min id, across >1 propagation round (chain diameter 4)."""
+    import pandas as pd
+
+    from osm_replication_rust_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 20, 30, 40, 100], "id_b": [20, 30, 40, 50, 101]})
+    )
+    got = {r.id: r.keeper_id for r in dedup_components(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 10, 100: 100, 101: 100}
