@@ -91,7 +91,12 @@ def get_spark(
         .config(
             "spark.executor.extraJavaOptions",
             "-Duser.timezone=UTC -XX:G1HeapRegionSize=32m -XX:MaxGCPauseMillis=400"
-            + _active_processor_flag(master),
+            + _active_processor_flag(master)
+            # e.g. "-Xms14g -XX:+AlwaysPreTouch": committing the heap at
+            # executor startup removes the first-big-run page-commitment
+            # storm measured under local-cluster (354s -> 27s first rep)
+            + (" " + os.environ["SPARK_GRAFT_EXECUTOR_JVM_EXTRA"]
+               if os.environ.get("SPARK_GRAFT_EXECUTOR_JVM_EXTRA") else ""),
         )
     )
     for k, v in (extra_conf or {}).items():
