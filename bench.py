@@ -58,18 +58,33 @@ def synthetic_points(spark, n: int):
     )
 
 
-def run_tiling(spark, n_rows: int, repeats: int = 1) -> tuple[float, int]:
+def run_tiling(
+    spark, n_rows: int, repeats: int = 1, strategy: str | None = None
+) -> tuple[float, int]:
     """Best-of-N wall time (the sandbox host is shared and noisy; min is
-    the stable statistic). Each repeat REBUILDS the plan on a slightly
-    different row count — counting the same DataFrame twice lets Spark
-    reuse the first run's shuffle map outputs and measures nothing.
+    the stable statistic). Each repeat REBUILDS the plan as a fresh
+    Dataset — a fresh object means fresh RDD lineage, so Spark cannot
+    stage-skip into the previous run's shuffle map outputs (counting
+    the SAME DataFrame twice only runs the final reduce and measures
+    nothing). The row count is kept IDENTICAL across repeats on
+    purpose: the tiling plan is map-side-only up to count's single
+    final exchange, so there is nothing reusable, and an identical
+    plan keeps the generated code Janino-cache-hot — round 2 varied
+    the count per repeat, which recompiled the whole-stage codegen
+    every repeat and showed up as a fixed ~1 s/job that dominated the
+    small-cluster scaling levels.
+
+    ``strategy`` (or $SPARK_GRAFT_REFINE): auto|udf|expr refine path.
     Default res (20) + the Arrow refine measured fastest at 32 threads
     (26.3M rows/s vs 11.0M for compiled expressions; res=18 shrinks
     interior cells below the buffer width and was 4-30x slower)."""
+    strategy = strategy or os.environ.get("SPARK_GRAFT_REFINE", "auto")
     best, cnt = float("inf"), 0
-    for i in range(repeats):
-        pts = synthetic_points(spark, n_rows + i)
-        out = assign_regions(pts, fixture_regions(), keep_cols=["image_id"])
+    for _ in range(repeats):
+        pts = synthetic_points(spark, n_rows)
+        out = assign_regions(
+            pts, fixture_regions(), keep_cols=["image_id"], strategy=strategy
+        )
         t0 = time.time()
         cnt = out.count()
         best = min(best, time.time() - t0)
@@ -101,14 +116,26 @@ def main() -> None:
         from osm_replication_rust_spark.plans import entry_queries
 
         catalog = entry_queries.queries()
-        for name in BENCH_QUERIES:
-            fn = catalog[name]
-            best = float("inf")
-            for _ in range(2):  # report warm time (min of two runs)
+        # INTERLEAVED passes, min per query: the host is shared and a
+        # noisy 30 s window must not pin its full cost on whichever
+        # query it happened to overlap (round-2 artifact: one query
+        # charged 32 s for work that takes 3 s on a quiet host).
+        # Back-to-back repeats of the same query share the noise
+        # window; interleaving decorrelates it. Each pass rebuilds the
+        # plan from scratch (fresh DataFrames -> no shuffle reuse) and
+        # caches are dropped between runs so persisted fixtures can't
+        # make later passes lie.
+        passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+        best: dict[str, float] = {name: float("inf") for name in BENCH_QUERIES}
+        for _ in range(passes):
+            for name in BENCH_QUERIES:
+                fn = catalog[name]
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            queries[name] = round(best, 3)
+                best[name] = min(best[name], time.time() - t0)
+                spark.catalog.clearCache()
+        for name in BENCH_QUERIES:
+            queries[name] = round(best[name], 3)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -123,6 +150,7 @@ def main() -> None:
                 "tiling_rows": n_rows,
                 "tiling_assigned": n_assigned,
                 "images_per_sec": images_per_sec,
+                "refine": os.environ.get("SPARK_GRAFT_REFINE", "auto"),
             }
         )
     )

@@ -7,12 +7,15 @@ distance the numpy kernel and the generated oracle SQL implement — so
 the entire spatial join becomes whole-stage-codegen'd JVM work: no
 Python workers, no Arrow hops, linear thread scaling.
 
-(Measured motivation, BENCH.md: at 32 local threads the Arrow-UDF
-refine anti-scaled — JVM task thread + python worker per task
-oversubscribes the host 2x — while expression codegen scales with
-cores. The Arrow kernel remains the fallback for very complex
-geometries where a thousand-term expression would blow up codegen;
-``assign_regions(strategy='auto')`` picks by total edge count.)
+(Role, per BENCH.md round-2 measurements: ``assign_regions``'s
+'auto' strategy resolves to the Arrow-UDF kernel — on this host it
+measured 26.3M rows/s vs 11.0M for the compiled expressions, because
+the F.exists buffer HOF is CodegenFallback, i.e. interpreted per
+boundary row. The expr path is kept as the pure-JVM alternative for
+deployments that forbid Python workers, and as the
+process-isolation-friendly variant the scaling harness certifies —
+request it explicitly with strategy='expr'. MAX_EXPR_EDGES bounds the
+generated code size either way.)
 
 All crossing arithmetic is exact int64 (same bounds as the kernel);
 the buffered-membership distance test is float64 with the identical

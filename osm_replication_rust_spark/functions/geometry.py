@@ -219,6 +219,129 @@ def points_in_buffered_polygon(
     return out
 
 
+def _in_edge_bands(
+    lon: np.ndarray, lat: np.ndarray, mp: MultiPolygon, buffer: float
+) -> np.ndarray:
+    """Within perpendicular distance ``buffer`` of an edge INTERIOR
+    (projection parameter t in [0, 1]) — the exact offset-rectangle part
+    of a round-join buffer, with no vertex rounding."""
+    x1, y1, x2, y2 = (a.astype(np.float64)[None, :] for a in mp.edges())
+    dx = x2 - x1
+    dy = y2 - y1
+    seg_len2 = dx * dx + dy * dy
+    safe_len2 = np.where(seg_len2 > 0, seg_len2, 1.0)
+    out = np.zeros(lon.shape[0], dtype=bool)
+    b2 = float(buffer) * float(buffer)
+    for s in range(0, lon.shape[0], _CHUNK):
+        e = s + _CHUNK
+        px = lon[s:e].astype(np.float64)[:, None]
+        py = lat[s:e].astype(np.float64)[:, None]
+        t = ((px - x1) * dx + (py - y1) * dy) / safe_len2
+        on_band = (seg_len2 > 0) & (t >= 0.0) & (t <= 1.0)
+        cx = x1 + np.clip(t, 0.0, 1.0) * dx
+        cy = y1 + np.clip(t, 0.0, 1.0) * dy
+        d2 = (px - cx) ** 2 + (py - cy) ** 2
+        out[s:e] = (on_band & (d2 <= b2)).any(axis=1)
+    return out
+
+
+def _in_vertex_fans(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    mp: MultiPolygon,
+    buffer: float,
+    quad_segs: int,
+) -> np.ndarray:
+    """Within the INSCRIBED (4*quad_segs)-gon of radius ``buffer``
+    centered at some ring vertex — the chord-approximated round join.
+    Radius at angle phi: R(phi) = d*cos(delta/2)/cos(phi_hat) with
+    delta = 2*pi/(4*quad_segs) and phi_hat the offset from the nearest
+    chord midpoint; chord endpoints touch the true circle, midpoints sit
+    at d*cos(delta/2) (the sagitta shrink)."""
+    verts = np.vstack([r.coords for r in mp.rings]).astype(np.float64)
+    vx = verts[:, 0][None, :]
+    vy = verts[:, 1][None, :]
+    delta = 2.0 * np.pi / (4 * quad_segs)
+    half = delta / 2.0
+    rad_mid = float(buffer) * np.cos(half)
+    out = np.zeros(lon.shape[0], dtype=bool)
+    for s in range(0, lon.shape[0], _CHUNK):
+        e = s + _CHUNK
+        px = lon[s:e].astype(np.float64)[:, None]
+        py = lat[s:e].astype(np.float64)[:, None]
+        ddx = px - vx
+        ddy = py - vy
+        r2 = ddx * ddx + ddy * ddy
+        phi = np.arctan2(ddy, ddx)
+        phi_hat = np.abs(((phi + half) % delta) - half)
+        R = rad_mid / np.cos(phi_hat)
+        out[s:e] = (r2 <= R * R).any(axis=1)
+    return out
+
+
+def points_in_buffered_polygon_8seg(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    mp: MultiPolygon,
+    buffer: int = BUFFER_DECIMICRO,
+    quad_segs: int = 8,
+) -> np.ndarray:
+    """GEOS-style ``buffer(d, quad_segs)`` membership (the reference's
+    exact construction, /root/reference/src/osmxml/filter.rs:44-56):
+    inside ∪ edge offset bands ∪ inscribed vertex fans.
+
+    The union decomposition IS the round-join buffer region: edge bands
+    are exact; each vertex's round join is the chord-approximated
+    (inscribed) circle, so the buffer is slightly SMALLER than the true
+    distance-``d`` set near convex corners — by at most the chord
+    sagitta (1 - cos(pi/(4*quad_segs))) * d ≈ 0.48% of d at
+    quad_segs=8. Our fan is the full inscribed polygon rather than
+    GEOS's directed fillet over the convex gap only; the extra area lies
+    inside the polygon or the adjacent edge bands, so membership differs
+    from GEOS only by chord PHASE within the same sagitta band.
+    :func:`buffer_sliver_mask` enumerates exactly the points where this
+    mode and the exact-distance mode can disagree."""
+    lon = np.asarray(lon, dtype=np.int64)
+    lat = np.asarray(lat, dtype=np.int64)
+    out = points_in_polygon(lon, lat, mp)
+    minx, miny, maxx, maxy = mp.bbox
+    near = (
+        (lon >= minx - buffer)
+        & (lon <= maxx + buffer)
+        & (lat >= miny - buffer)
+        & (lat <= maxy + buffer)
+        & ~out
+    )
+    if near.any():
+        nl, nt = lon[near], lat[near]
+        hit = _in_edge_bands(nl, nt, mp, float(buffer))
+        miss = ~hit
+        if miss.any():
+            hit[miss] = _in_vertex_fans(
+                nl[miss], nt[miss], mp, float(buffer), quad_segs
+            )
+        out[near] = hit
+    return out
+
+
+def buffer_sliver_mask(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    mp: MultiPolygon,
+    buffer: int = BUFFER_DECIMICRO,
+    quad_segs: int = 8,
+) -> np.ndarray:
+    """True where exact-distance membership (points_in_buffered_polygon)
+    and the GEOS-style 8-segment mode DISAGREE — the corner sliver the
+    round-2 review asked to quantify. Sliver points necessarily sit
+    outside every edge band, within (d*cos(pi/(4*qs)), d] of a ring
+    vertex: kept-as-delete under the exact rule, dropped under the
+    chord-approximated rule."""
+    exact = points_in_buffered_polygon(lon, lat, mp, buffer)
+    seg8 = points_in_buffered_polygon_8seg(lon, lat, mp, buffer, quad_segs)
+    return exact != seg8
+
+
 def bbox_intersects_polygon(
     minlon: np.ndarray,
     minlat: np.ndarray,

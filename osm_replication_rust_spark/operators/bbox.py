@@ -60,6 +60,139 @@ def point_bboxes(
     return old_pts.unionByName(new_pts).groupBy(id_col).agg(*_point_aggs())
 
 
+def annotate_diff_bboxes(
+    elements: DataFrame,
+    base: DataFrame,
+    stored_groups: DataFrame | None = None,
+    max_depth: int = 20,
+) -> DataFrame:
+    """bbox per changed element of a parsed three-kind diff
+    (sources.osc.ELEMENT_SCHEMA) — the set-based re-expression of the
+    reference's bbox-annotation pass (/root/reference/src/osmxml/bbox.rs
+    write_node/write_way/write_relation): every element's bbox is the
+    union of its OLD geometry (store lookups: ``base`` points and
+    ``stored_groups`` membership) and its NEW geometry (the diff
+    element's own refs), with diff-internal references resolving
+    through the same-batch bboxes (the reference's *_modified maps).
+
+    Returns (element_id, kind, minlat, maxlat, minlon, maxlon);
+    elements none of whose geometry resolves are absent (the reference
+    emits no <bbox> child then, bbox.rs:145-163). The relation
+    fixpoint is cycle-safe (monotone union; the 7801⇄7802-style cycle
+    stops contributing, bbox.rs:112-115).
+
+    Deviation (documented): for an element id occurring MORE THAN ONCE
+    in one diff the reference emits a per-occurrence running bbox in
+    document order; the set-based pass emits the final (full-union)
+    bbox for every occurrence — identical for the last occurrence,
+    which is the one the *_modified map carries forward.
+
+    Scale: ``stored_groups`` is pruned to the member-closure of the
+    changed elements (iterative semi-joins, ``max_depth`` bound) before
+    the fixpoint, so the expensive stages touch only the diff's
+    neighbourhood, never the whole store."""
+    from ..sources.osc import elements_to_engine
+
+    points, gch = elements_to_engine(elements)
+    pb = point_bboxes(base, points)  # changed nodes: old ∪ new
+
+    # effective membership of changed composites = stored ∪ new refs
+    # (the reference expands BOTH expand_bbox_way_id(stored) and
+    # expand_bbox_way_only(new), bbox.rs:86-89)
+    changed = gch.select(
+        "group_id", "kind", F.col("new_members").alias("members")
+    )
+    if stored_groups is not None:
+        stored_for_changed = stored_groups.join(
+            changed.select("group_id").distinct(), "group_id", "left_semi"
+        ).select("group_id", "kind", "members")
+        changed = changed.unionByName(stored_for_changed)
+    eff_changed = (
+        changed.select("group_id", "kind", F.explode_outer("members").alias("m"))
+        .groupBy("group_id", "kind")
+        .agg(F.collect_list("m").alias("members"))
+    )
+
+    # resolution universe: changed composites + the stored groups their
+    # members transitively reference (pruned reachability, not the store)
+    resolution = eff_changed
+    if stored_groups is not None:
+        frontier = (
+            _member_edges(eff_changed)
+            .filter(F.col("ref_type") == "group")
+            .select(F.col("ref").alias("group_id"))
+            .distinct()
+            .join(eff_changed.select("group_id"), "group_id", "left_anti")
+        )
+        seen = frontier
+        for _ in range(max_depth):
+            if frontier.isEmpty():
+                break
+            hit = stored_groups.join(frontier, "group_id", "left_semi").select(
+                "group_id", "kind", "members"
+            ).persist()
+            resolution = resolution.unionByName(hit)
+            frontier = (
+                _member_edges(hit)
+                .filter(F.col("ref_type") == "group")
+                .select(F.col("ref").alias("group_id"))
+                .distinct()
+                .join(seen, "group_id", "left_anti")
+                .join(eff_changed.select("group_id"), "group_id", "left_anti")
+                .persist()
+            )
+            seen = seen.unionByName(frontier)
+
+    # point resolver: changed-node bboxes ∪ stored coords of every
+    # referenced point (degenerate bboxes), referenced set only
+    refs = (
+        _member_edges(resolution)
+        .filter(F.col("ref_type") == "image")
+        .select(F.col("ref").alias("image_id"))
+        .distinct()
+    )
+    stored_pts = base.join(refs, "image_id", "left_semi").select(
+        "image_id",
+        F.col("lat").cast("long").alias("minlat"),
+        F.col("lat").cast("long").alias("maxlat"),
+        F.col("lon").cast("long").alias("minlon"),
+        F.col("lon").cast("long").alias("maxlon"),
+    )
+    resolver = (
+        pb.unionByName(stored_pts)
+        .groupBy("image_id")
+        .agg(
+            F.min("minlat").alias("minlat"),
+            F.max("maxlat").alias("maxlat"),
+            F.min("minlon").alias("minlon"),
+            F.max("maxlon").alias("maxlon"),
+        )
+    )
+
+    gb = group_bboxes(resolution, resolver).join(
+        eff_changed.select("group_id").distinct(), "group_id", "inner"
+    )
+    nodes_out = points.select(F.col("image_id").alias("element_id")).distinct().join(
+        pb.withColumnRenamed("image_id", "element_id"), "element_id", "inner"
+    ).select(
+        "element_id",
+        F.lit("node").alias("kind"),
+        "minlat",
+        "maxlat",
+        "minlon",
+        "maxlon",
+    )
+    comps_out = gb.select(
+        F.col("group_id").alias("element_id"),
+        F.when(F.col("kind") == "way", "way").otherwise("relation").alias("kind"),
+        "minlat",
+        "maxlat",
+        "minlon",
+        "maxlon",
+    )
+    return nodes_out.unionByName(comps_out)
+
+
 def _member_edges(groups: DataFrame) -> DataFrame:
     """(group_id, kind, ref, ref_type) — the exploded membership edge list
     (analog of way node-refs and relation members,

@@ -29,11 +29,13 @@ from pyspark.sql import functions as F
 # chain stays in exact JVM long arithmetic (no 128-bit mulmod needed).
 MINHASH_PRIME = (1 << 31) - 1
 
-#: default stop-shingle cap: any shingle shared by more than this many
-#: documents is dropped before the self-join. At 100 TB a single hot
-#: shingle ("click here to") otherwise produces df^2 join rows; above
-#: ~10k docs a shingle carries no near-dup signal anyway. ON by default
-#: (the guard ships armed); pass None to disable for exhaustive runs.
+#: default stop-shingle cap for the SCALE tier (minhash_lsh_pairs): any
+#: shingle shared by more than this many documents is dropped before
+#: signatures/joins. At 100 TB a single hot shingle ("click here to")
+#: otherwise produces df^2 join rows; above ~10k docs a shingle carries
+#: no near-dup signal anyway. The EXACT tier (ngram_jaccard_pairs)
+#: defaults to no cap — a function documented as exact Jaccard must not
+#: silently truncate; arm the cap there explicitly for large corpora.
 DEFAULT_MAX_SHINGLE_DF = 10_000
 
 
@@ -140,13 +142,15 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
-    ``max_shingle_df`` drops shingles shared by more than that many docs
-    (stop-shingles) — the skew guard for the self-join at scale, ON by
-    default (DEFAULT_MAX_SHINGLE_DF)."""
+    ``max_shingle_df`` (default None = exact): pass a cap to drop
+    shingles shared by more than that many docs (stop-shingles) — the
+    skew guard for the self-join at scale. With a cap the result is no
+    longer exact Jaccard (hot shingles are excluded from both ∩ and ∪);
+    the scale tier that arms it by default is minhash_lsh_pairs."""
     sh = _drop_hot_shingles(word_shingles(df, text_col, id_col, n), max_shingle_df)
     return jaccard_from_shingles(sh, threshold)
 
@@ -197,21 +201,39 @@ def minhash_lsh_pairs(
     candidate pairs; candidates verified with EXACT shingle Jaccard so
     the output has no false positives (standard two-stage design).
 
-    The verify stage is candidate-only: the shingle table is semi-joined
-    down to candidate doc ids BEFORE the exact-Jaccard self-join, so the
-    full-corpus shingle self-join LSH exists to avoid never runs — the
-    exact join touches only docs that collided in some band."""
+    Shuffle-lean shape (the whole query is ~6 exchanges):
+
+    1. ONE per-doc aggregate computes the MinHash signature AND carries
+       the doc's distinct shingle set (the shuffle is O(corpus tokens)
+       either way, so carrying the set costs nothing extra);
+    2. banding buckets self-join into candidate pairs (the two sides
+       are the same plan — Spark reuses the exchange);
+    3. the exact verify is a candidate-only pair join computing
+       |A ∩ B| via array_intersect on the carried sets — no
+       shingle-level self-join exists anywhere in this query, and only
+       candidate ids pull fat set rows through the final joins."""
     rows = num_hashes // bands
-    sh = _drop_hot_shingles(word_shingles(df, text_col, id_col, n), max_shingle_df).persist()
-    sig = _signatures_from_shingles(sh, num_hashes, seed)
+    sh = _drop_hot_shingles(word_shingles(df, text_col, id_col, n), max_shingle_df)
+    h = sh.withColumn("h", F.abs(F.xxhash64(F.col("shingle"))))
+    params = _hash_params(num_hashes, seed)
+    hp = F.col("h") % MINHASH_PRIME
+    sig_aggs = [
+        F.min((F.lit(ai) * hp + F.lit(bi)) % MINHASH_PRIME).alias(f"sig_{i}")
+        for i, (ai, bi) in enumerate(params)
+    ]
+    per_doc = (
+        h.groupBy(F.col("id"))
+        .agg(*sig_aggs, F.collect_set("shingle").alias("_shset"))
+        .withColumn("_sz", F.size("_shset"))
+        .persist()
+    )
     band_cols = [
         F.xxhash64(*[F.col(f"sig_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
             f"band_{b}"
         )
         for b in range(bands)
     ]
-    banded = sig.select("id", *band_cols)
-    stacked = banded.select(
+    stacked = per_doc.select("id", *band_cols).select(
         "id",
         F.explode(
             F.array(*[
@@ -227,18 +249,40 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .persist()
     )
-    # exact verify over candidate docs only: their full shingle sets
-    # survive the semi-join, so the Jaccard values are exact
-    cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .unionByName(cands.select(F.col("id_b").alias("id")))
-        .distinct()
+    slim = per_doc.select("id", "_shset", "_sz")
+    return (
+        cands.join(
+            slim.select(
+                F.col("id").alias("id_a"),
+                F.col("_shset").alias("_sa"),
+                F.col("_sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            slim.select(
+                F.col("id").alias("id_b"),
+                F.col("_shset").alias("_sb"),
+                F.col("_sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            "jaccard",
+        )
     )
-    sh_cand = sh.join(cand_ids, "id", "left_semi")
-    exact = jaccard_from_shingles(sh_cand, threshold)
-    return cands.join(exact, ["id_a", "id_b"], "inner")
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -258,11 +302,24 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         for b in range(64)
     ]
     sums = toks.groupBy("id").agg(*bit_aggs)
-    packed = None
-    for b in range(64):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        packed = term if packed is None else packed.bitwiseXOR(term)
+    # pack sign bits via a HOF fold over a 64-element array instead of a
+    # 64-deep chained-XOR expression tree: the deep tree costs ~8 s of
+    # Janino compile on first execution (superlinear in depth); the HOF
+    # is interpreted per ROW but runs on one row per doc (measured 5x
+    # faster cold, identical warm). Bit 63 is the sign bit: its literal
+    # is -(2^63); all positions are distinct so XOR == OR == exact pack.
+    def _bit_lit(b: int) -> Column:
+        return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+
+    terms = F.array(
+        *[
+            F.when(F.col(f"s{b}") > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ]
+    )
+    packed = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+    )
     return sums.select("id", packed.alias("simhash"))
 
 
@@ -277,7 +334,10 @@ def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     clusters are shallow (dup cliques, short chains), so a handful of
     joins; each round is one shuffle join + one aggregate, no driver
     data. Convergence detected with a sum-of-labels signature (labels
-    only decrease monotonically)."""
+    only decrease monotonically, so an unchanged sum IS a fixpoint).
+    Raises RuntimeError if ``max_iters`` rounds pass without reaching
+    the fixpoint (a silent partial answer would split one true
+    component across several keepers)."""
     edges = pairs.select("id_a", "id_b")
     und = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -288,6 +348,7 @@ def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .withColumn("label", F.col("id"))
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             und.join(
@@ -308,8 +369,16 @@ def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         ).localCheckpoint(eager=True)
         sig = labels.agg(F.sum("label")).collect()[0][0]
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters — "
+            "a partial answer would assign several keepers to one "
+            "true component"
+        )
     return labels.select("id", F.col("label").alias("keeper_id"))
 
 

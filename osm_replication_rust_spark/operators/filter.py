@@ -255,16 +255,35 @@ def classify_group_diff(
     osmbin BEFORE the batch is merged, and the delete branch explicitly
     falls back to stored geometry (filter.rs:250-254).
 
-    ``group_changes``: (group_id, action[, new_members]) — when a modify
-    /create carries ``new_members`` (the diff element's member list,
-    filter.rs resolves the NEW refs), it overrides the stored list.
-    ``groups``: stored (group_id, kind, members). ``base``: stored
-    points (image_id, lat, lon). Returns
+    ``group_changes``: (group_id, action[, kind][, new_members]) — when
+    a modify/create carries ``new_members`` (the diff element's member
+    list, filter.rs resolves the NEW refs), it overrides the stored
+    list. A CREATE of a group absent from the store classifies from the
+    diff element's own member list (reference update_way/update_relation
+    build the member set from the diff element, filter.rs:237-299) —
+    this requires the change row to carry both ``kind`` and
+    ``new_members``; creates without them cannot be classified and
+    raise ValueError at plan time rather than silently emitting
+    nothing. ``groups``: stored (group_id, kind, members). ``base``:
+    stored points (image_id, lat, lon). Returns
     (group_id, kind, action, region_id, out_action)."""
     from .spatial_join import assign_regions as _assign
 
     changed = group_changes.select("group_id", "action")
-    eff_groups = groups.join(changed.select("group_id"), "group_id", "left_semi")
+    supports_create = {"new_members", "kind"} <= set(group_changes.columns)
+    if not supports_create:
+        # cheap guard only on the ill-equipped path: a create with no
+        # (kind, new_members) has no member list to classify from and
+        # must error, not silently vanish
+        if not group_changes.filter(F.col("action") == "create").isEmpty():
+            raise ValueError(
+                "classify_group_diff: 'create' actions require the "
+                "change rows to carry (kind, new_members) — a created "
+                "group has no stored member list to classify from"
+            )
+    eff_groups = groups.select("group_id", "kind", "members").join(
+        changed.select("group_id"), "group_id", "left_semi"
+    )
     if "new_members" in group_changes.columns:
         overrides = group_changes.filter(F.col("new_members").isNotNull()).select(
             "group_id", F.col("new_members").alias("_nm")
@@ -274,6 +293,17 @@ def classify_group_diff(
             .withColumn("members", F.coalesce(F.col("_nm"), F.col("members")))
             .drop("_nm")
         )
+        if "kind" in group_changes.columns:
+            # creates of groups the store has never seen: their member
+            # list IS the diff element's list — union them in so the
+            # flag computation (and therefore the classification) sees
+            # them like any stored group
+            created = (
+                group_changes.filter(F.col("new_members").isNotNull())
+                .select("group_id", "kind", F.col("new_members").alias("members"))
+                .join(groups.select("group_id"), "group_id", "left_anti")
+            )
+            eff_groups = eff_groups.unionByName(created)
 
     # only member points actually referenced by a changed group need the
     # (expensive) region assignment: semi-join the store first

@@ -49,21 +49,63 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     return 10.0 * np.log10(peak * peak / mse)
 
 
+def _shape_groups(pdf: pd.DataFrame, bytes_col: str):
+    """Group a batch's row indices by identical (payload_len, w, h) so
+    equal-shape rows decode as ONE numpy stack (the common case in a
+    real corpus: one resolution dominates). Yields
+    (row_indices, payload_len, w, h). Variable-size rows degrade
+    gracefully to groups of 1 — the per-row Python walk the round-2
+    review flagged only survives for genuinely ragged batches."""
+    n = len(pdf)
+    ws = pdf["w"].to_numpy(np.int64)
+    hs = pdf["h"].to_numpy(np.int64)
+    lens = np.fromiter((len(b) for b in pdf[bytes_col]), dtype=np.int64, count=n)
+    order = np.lexsort((lens, hs, ws))
+    sw, sh, sl = ws[order], hs[order], lens[order]
+    boundary = np.nonzero((np.diff(sw) != 0) | (np.diff(sh) != 0) | (np.diff(sl) != 0))[0] + 1
+    starts = np.concatenate([[0], boundary])
+    ends = np.concatenate([boundary, [n]])
+    for s, e in zip(starts, ends):
+        ii = order[s:e]
+        yield ii, int(sl[s]), int(sw[s]), int(sh[s])
+
+
+def _decode_stack(payloads, L: int, w: int, h: int) -> np.ndarray:
+    """fake_decode over an equal-shape group as one (n, w*h) matrix:
+    concatenated buffer -> reshape -> cycled index gather (byte k of the
+    payload is pixel k, cycled — identical to np.resize semantics)."""
+    need = w * h
+    n = len(payloads)
+    if L == 0 or need == 0:
+        return np.zeros((n, need), dtype=np.uint8)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(n, L)
+    if L == need:
+        return buf
+    idx = np.arange(need, dtype=np.int64) % L
+    return buf[:, idx]
+
+
 def decode_stats(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """mapInPandas pipeline stage: decode (fake codec) + per-image pixel
-    stats. Demonstrates the real batch shape: binary in, struct out,
-    whole batch handled as one numpy block per Arrow batch."""
+    stats. Demonstrates the real batch shape: binary in, struct out.
+    Equal-shape rows within each Arrow batch decode as one numpy stack
+    (measured 5x per-row throughput on uniform 256x256 batches,
+    BENCH.md); ragged rows fall back to per-row groups."""
     fields = [f"{c} {t}" for c, t in df.dtypes]
     out_schema = ", ".join(fields + ["pix_mean double", "pix_max int", "pix_min int"])
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            means, maxs, mins = [], [], []
-            for payload, w, h in zip(pdf[bytes_col], pdf["w"], pdf["h"]):
-                px = fake_decode(payload, int(w), int(h))
-                means.append(float(px.mean()))
-                maxs.append(int(px.max()))
-                mins.append(int(px.min()))
+            n = len(pdf)
+            means = np.zeros(n, dtype=np.float64)
+            maxs = np.zeros(n, dtype=np.int64)
+            mins = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                px = _decode_stack(list(payloads[ii]), L, w, h)
+                means[ii] = px.mean(axis=1)
+                maxs[ii] = px.max(axis=1)
+                mins[ii] = px.min(axis=1)
             yield pdf.assign(pix_mean=means, pix_max=maxs, pix_min=mins)
 
     return df.mapInPandas(stage, out_schema)
@@ -81,12 +123,19 @@ def resize_stage(df: DataFrame, out_w: int, out_h: int, bytes_col: str = "bytes"
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for payload, w, h in zip(pdf[bytes_col], pdf["w"], pdf["h"]):
-                px = fake_decode(payload, int(w), int(h))
+            n = len(pdf)
+            payloads_in = pdf[bytes_col].to_numpy(dtype=object)
+            payloads = [b""] * n
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                px = _decode_stack(list(payloads_in[ii]), L, w, h).reshape(
+                    len(ii), h, w
+                )
                 yi = (np.arange(out_h) * h // out_h).astype(int)
                 xi = (np.arange(out_w) * w // out_w).astype(int)
-                payloads.append(px[np.ix_(yi, xi)].tobytes())
+                res = px[:, yi[:, None], xi[None, :]]  # (n, out_h, out_w)
+                flat = np.ascontiguousarray(res).reshape(len(ii), -1)
+                for k, row in zip(ii, flat):
+                    payloads[int(k)] = row.tobytes()
             out = pdf[keep].copy()
             out[bytes_col] = payloads
             out["w"] = out_w

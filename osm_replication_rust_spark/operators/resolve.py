@@ -28,7 +28,10 @@ def resolve_way_full(groups: DataFrame, points: DataFrame, point_id: str = "imag
     )
     pts = points.select(
         F.col(point_id).alias("ref"),
-        F.struct(F.col("lat").cast("long"), F.col("lon").cast("long")).alias("pt"),
+        F.struct(
+            F.col("lat").cast("long").alias("lat"),
+            F.col("lon").cast("long").alias("lon"),
+        ).alias("pt"),
     )
     joined = edges.join(pts, "ref", "inner")
     w = Window.partitionBy("group_id").orderBy("pos")

@@ -160,9 +160,11 @@ def ann_lsh_topk(
     rank_by: str = "cosine",
 ) -> DataFrame:
     """Approximate top-k: multi-table LSH bucket join for candidates,
-    exact rerank of candidates only. Output schema matches
-    :func:`cosine_topk_bruteforce` (queries with < k candidates return
-    fewer rows — measure recall against the brute-force baseline).
+    exact rerank of candidates only. Output schema is
+    :func:`cosine_topk_bruteforce`'s plus a ``dot_q`` column (the
+    integer quantized dot; drop it for schema-exact unions with the
+    brute-force baseline). Queries with < k candidates return fewer
+    rows — measure recall against the brute-force baseline.
 
     ``rank_by``: 'cosine' (float, the similarity spec) or 'dot_q'
     (integer quantized dot — bit-reproducible in the DuckDB oracle; on

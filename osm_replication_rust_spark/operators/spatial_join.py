@@ -70,11 +70,31 @@ def cover_df(
     return spark.createDataFrame(pdf, schema=_COVER_SCHEMA)
 
 
-def _membership_udf(spark: SparkSession, regions: list[MultiPolygon], buffer: int):
+def _membership_udf(
+    spark: SparkSession,
+    regions: list[MultiPolygon],
+    buffer: int,
+    buffer_mode: str = "exact",
+):
     """Arrow-batched membership kernel. The region geometries ride a Spark
     broadcast variable (pickled once per executor, not per task); the
     batch is grouped by the dense integer region index (numpy sort-based
-    grouping — no python string comparisons in the hot path)."""
+    grouping — no python string comparisons in the hot path).
+
+    ``buffer_mode``: 'exact' tests distance <= buffer (the default);
+    '8seg' reproduces the reference's GEOS buffer(d, quad_segs=8)
+    chord-approximated region (functions.geometry.
+    points_in_buffered_polygon_8seg) — see buffer_sliver_mask for the
+    quantified difference."""
+    from ..functions.geometry import points_in_buffered_polygon_8seg
+
+    if buffer_mode not in ("exact", "8seg"):
+        raise ValueError(f"buffer_mode must be exact|8seg, got {buffer_mode!r}")
+    buffered_fn = (
+        points_in_buffered_polygon
+        if buffer_mode == "exact"
+        else points_in_buffered_polygon_8seg
+    )
     geo_bc = spark.sparkContext.broadcast(list(regions))
 
     schema = T.StructType(
@@ -100,9 +120,7 @@ def _membership_udf(spark: SparkSession, regions: list[MultiPolygon], buffer: in
             inp = points_in_polygon(lon_np[ii], lat_np[ii], mp)
             out_poly[ii] = inp
             if buffer:
-                out_buf[ii] = inp | points_in_buffered_polygon(
-                    lon_np[ii], lat_np[ii], mp, buffer
-                )
+                out_buf[ii] = inp | buffered_fn(lon_np[ii], lat_np[ii], mp, buffer)
             else:
                 out_buf[ii] = inp
         return pd.DataFrame({"in_poly": out_poly, "in_buffer": out_buf})
@@ -124,6 +142,7 @@ def assign_regions(
     buffer: int = BUFFER_DECIMICRO,
     keep_cols: list[str] | None = None,
     strategy: str = "auto",
+    buffer_mode: str = "exact",
 ) -> DataFrame:
     """Assign every point to every region whose buffered polygon contains
     it. Output: ``keep_cols + (region_id, in_poly, in_buffer)`` with one
@@ -142,6 +161,10 @@ def assign_regions(
                per boundary row; numpy amortizes per Arrow batch). The
                expr path remains for deployments that forbid Python
                workers.
+
+    ``buffer_mode`` ('udf' strategy only): 'exact' = distance <= buffer;
+    '8seg' = the reference's GEOS chord-approximated buffer (see
+    _membership_udf). The 'expr' strategy compiles the exact rule.
     """
     from ..functions.geo_expr import membership_exprs
 
@@ -167,6 +190,8 @@ def assign_regions(
     )
 
     boundary = joined.filter(~F.col("full"))
+    if strategy == "expr" and buffer_mode != "exact":
+        raise ValueError("buffer_mode='8seg' requires the 'udf' strategy")
     if strategy == "expr":
         in_poly, in_buf = membership_exprs(
             regions, F.col("region_idx"), F.col("_lon"), F.col("_lat"), buffer
@@ -178,7 +203,7 @@ def assign_regions(
             .select(*keep_cols, F.col("region_id"), "in_poly", "in_buffer")
         )
     else:
-        member = _membership_udf(spark, regions, buffer)
+        member = _membership_udf(spark, regions, buffer, buffer_mode)
         partial = (
             boundary.withColumn(
                 "_m", member(F.col("region_idx"), F.col("_lon"), F.col("_lat"))

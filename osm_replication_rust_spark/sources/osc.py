@@ -39,7 +39,19 @@ CHANGE_SCHEMA = (
     "new_lat long, new_lon long, new_caption string, new_phash long"
 )
 
+#: full three-kind element schema (node/way/relation with optional
+#: <bbox> child), the faithful relational image of the reference's
+#: OsmChange model (/root/reference/src/osmxml.rs:382-785: element
+#: attributes, <nd ref>, <member type ref role>, <tag k v>, <bbox>)
+ELEMENT_SCHEMA = (
+    "state long, seq long, action string, kind string, element_id string, "
+    "new_lat long, new_lon long, tags map<string,string>, "
+    "members array<struct<ref:string,type:string,role:string>>, "
+    "bbox struct<minlat:long,maxlat:long,minlon:long,maxlon:long>"
+)
+
 _ACTIONS = ("create", "modify", "delete")
+_KINDS = ("node", "way", "relation")
 
 
 def parse_osc_bytes(data: bytes, state: int) -> list[dict]:
@@ -68,6 +80,65 @@ def parse_osc_bytes(data: bytes, state: int) -> list[dict]:
                     "new_lon": coord_to_decimicro_py(float(lon)) if lon else None,
                     "new_caption": tags.get("caption"),
                     "new_phash": int(tags["phash"]) if "phash" in tags else None,
+                }
+            )
+            seq += 1
+    return rows
+
+
+def parse_osc_elements(data: bytes, state: int) -> list[dict]:
+    """One .osc[.gz] payload -> three-kind element rows (document order
+    = seq, all kinds in one sequence). Ways carry their <nd> refs as
+    members (type 'node'); relations carry typed <member> children;
+    an optional <bbox> child (the bbox-annotation pass's output,
+    /root/reference/src/osmxml/bbox.rs) parses into decimicro ints."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    root = ET.parse(io.BytesIO(data)).getroot()
+    rows: list[dict] = []
+    seq = 0
+    for group in root:
+        if group.tag not in _ACTIONS:
+            continue
+        for el in group:
+            if el.tag not in _KINDS:
+                continue
+            tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
+            bb = el.find("bbox")
+            bbox = None
+            if bb is not None:
+                bbox = {
+                    k: coord_to_decimicro_py(float(bb.get(k)))
+                    for k in ("minlat", "maxlat", "minlon", "maxlon")
+                }
+            members = None
+            if el.tag == "way":
+                members = [
+                    {"ref": nd.get("ref"), "type": "node", "role": ""}
+                    for nd in el.findall("nd")
+                ]
+            elif el.tag == "relation":
+                members = [
+                    {
+                        "ref": m.get("ref"),
+                        "type": m.get("type"),
+                        "role": m.get("role") or "",
+                    }
+                    for m in el.findall("member")
+                ]
+            lat, lon = el.get("lat"), el.get("lon")
+            rows.append(
+                {
+                    "state": state,
+                    "seq": seq,
+                    "action": group.tag,
+                    "kind": el.tag,
+                    "element_id": el.get("id"),
+                    "new_lat": coord_to_decimicro_py(float(lat)) if lat else None,
+                    "new_lon": coord_to_decimicro_py(float(lon)) if lon else None,
+                    "tags": tags or None,
+                    "members": members,
+                    "bbox": bbox,
                 }
             )
             seq += 1
@@ -106,6 +177,129 @@ def read_osc_dir(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(parse, CHANGE_SCHEMA)
+
+
+def read_osc_elements_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed three-kind scan of a diff directory (ELEMENT_SCHEMA):
+    same binaryFile -> mapInPandas shape as read_osc_dir, but ways and
+    relations come through with their member lists and optional bbox."""
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.osc*"
+    ).option("recursiveFileLookup", "true").load(path)
+
+    cols = [
+        "state", "seq", "action", "kind", "element_id",
+        "new_lat", "new_lon", "tags", "members", "bbox",
+    ]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                out.extend(parse_osc_elements(bytes(content), state_from_path(p)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.select("path", "content").mapInPandas(parse, ELEMENT_SCHEMA)
+
+
+def _xml_escape(v: str) -> str:
+    return (
+        str(v)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace('"', "&quot;")
+    )
+
+
+def format_osc_elements(rows: list[dict]) -> str:
+    """Three-kind element rows -> action-grouped OsmChange XML with
+    <nd>/<member>/<tag> children and the optional <bbox> child in the
+    reference writer's shape (/root/reference/src/osmxml.rs:824-955:
+    nd refs then tags then bbox on ways; members then tags then bbox on
+    relations)."""
+    out = ['<?xml version="1.0" encoding="UTF-8"?>', '<osmChange version="0.6">']
+    current = None
+    for r in sorted(rows, key=lambda r: r["seq"]):
+        if r["action"] != current:
+            if current is not None:
+                out.append(f"</{current}>")
+            current = r["action"]
+            out.append(f"<{current}>")
+        kind = r["kind"]
+        attrs = f' id="{r["element_id"]}"'
+        if r.get("new_lat") is not None:
+            attrs += f' lat="{r["new_lat"] / 1e7:.7f}" lon="{r["new_lon"] / 1e7:.7f}"'
+        kids = ""
+        if kind == "way":
+            for m in r.get("members") or []:
+                kids += f'<nd ref="{m["ref"]}"/>'
+        elif kind == "relation":
+            for m in r.get("members") or []:
+                kids += (
+                    f'<member type="{m["type"]}" ref="{m["ref"]}"'
+                    f' role="{_xml_escape(m["role"])}"/>'
+                )
+        for k, v in (r.get("tags") or {}).items():
+            kids += f'<tag k="{_xml_escape(k)}" v="{_xml_escape(v)}"/>'
+        bb = r.get("bbox")
+        if bb is not None:
+            kids += (
+                f'<bbox minlat="{bb["minlat"] / 1e7:.7f}"'
+                f' maxlat="{bb["maxlat"] / 1e7:.7f}"'
+                f' minlon="{bb["minlon"] / 1e7:.7f}"'
+                f' maxlon="{bb["maxlon"] / 1e7:.7f}"/>'
+            )
+        if kids:
+            out.append(f"<{kind}{attrs}>{kids}</{kind}>")
+        else:
+            out.append(f"<{kind}{attrs}/>")
+    if current is not None:
+        out.append(f"</{current}>")
+    out.append("</osmChange>")
+    return "\n".join(out) + "\n"
+
+
+def elements_to_engine(elements: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a three-kind element frame into the engine's two change
+    models (all JVM-side):
+
+    - point changes (CHANGE_SCHEMA shape): node rows, caption/phash
+      lifted out of the tag map;
+    - group changes (group_id, action, kind, new_members): way/relation
+      rows with member types mapped into the engine's namespace
+      (node -> 'image'; way/relation -> 'group' — the engine
+      discriminates point refs from composite refs, classify_group_diff
+      resolves both kinds of composites identically)."""
+    from pyspark.sql import functions as F
+
+    points = elements.filter(F.col("kind") == "node").select(
+        "state",
+        "seq",
+        "action",
+        F.col("element_id").alias("image_id"),
+        "new_lat",
+        "new_lon",
+        F.col("tags")["caption"].alias("new_caption"),
+        F.col("tags")["phash"].cast("long").alias("new_phash"),
+    )
+    groups = elements.filter(F.col("kind").isin("way", "relation")).select(
+        "state",
+        "seq",
+        F.col("element_id").alias("group_id"),
+        "action",
+        "kind",
+        F.transform(
+            "members",
+            lambda m: F.struct(
+                m["ref"].alias("ref"),
+                F.when(m["type"] == "node", F.lit("image"))
+                .otherwise(F.lit("group"))
+                .alias("type"),
+                m["role"].alias("role"),
+            ),
+        ).alias("new_members"),
+    )
+    return points, groups
 
 
 def format_osc(rows: list[dict]) -> str:

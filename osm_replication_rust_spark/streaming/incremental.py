@@ -94,40 +94,50 @@ def stateful_sessions(
         pdf = pd.concat(list(pdfs)).sort_values("ts")
         ts = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
         vals = pdf["value"].to_numpy(dtype=float)
+        if len(ts) == 0:
+            return
 
         # segment ids within the batch: a gap >= gap_sec starts a new one
         seg = np.zeros(len(ts), dtype=np.int64)
         if len(ts) > 1:
             seg[1:] = np.cumsum((np.diff(ts) >= gap_sec).astype(np.int64))
 
-        # fold the carried state into the first segment if it continues
-        closed = []
-        carry = state.get if state.exists else None
-        first_continues = carry is not None and ts[0] - carry[1] < gap_sec
-        if carry is not None and not first_continues:
-            closed.append(carry)
-            carry = None
-
-        for s in range(int(seg[-1]) + 1 if len(ts) else 0):
+        # batch segments as (start, last, n, sum) intervals, start-sorted
+        segs = []
+        for s in range(int(seg[-1]) + 1):
             m = seg == s
-            seg_start, seg_last = int(ts[m][0]), int(ts[m][-1])
-            seg_n, seg_sv = int(m.sum()), float(vals[m].sum())
-            if s == 0 and carry is not None:
-                seg_start = carry[0]
-                seg_n += int(carry[2])
-                seg_sv += float(carry[3])
-            if s < int(seg[-1]):
-                closed.append((seg_start, seg_last, seg_n, seg_sv))
+            segs.append(
+                [int(ts[m][0]), int(ts[m][-1]), int(m.sum()), float(vals[m].sum())]
+            )
+
+        # The watermark admits out-of-order events, so batch segments
+        # may precede, overlap, or follow the carried interval. Insert
+        # the carry into the start-sorted segment list and re-merge
+        # adjacent intervals whose gap < gap_sec — exactly the batch
+        # session_window merge rule on intervals (a late event inside
+        # or before the carry merges instead of regressing session_end).
+        if state.exists:
+            segs.append(list(state.get))
+            segs.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[list] = []
+        for iv in segs:
+            if merged and iv[0] - merged[-1][1] < gap_sec:
+                cur = merged[-1]
+                cur[1] = max(cur[1], iv[1])
+                cur[2] += iv[2]
+                cur[3] += iv[3]
             else:
-                state.update((seg_start, seg_last, seg_n, seg_sv))
-                # the natural timeout may already lie behind the
-                # watermark (a late-ish session observed after the
-                # stream advanced) — clamp forward so it fires on the
-                # next watermark move instead of raising
-                desired = (seg_last + gap_sec) * 1000
-                state.setTimeoutTimestamp(
-                    max(desired, state.getCurrentWatermarkMs() + 1)
-                )
+                merged.append(list(iv))
+
+        closed = [tuple(iv) for iv in merged[:-1]]
+        seg_start, seg_last, seg_n, seg_sv = merged[-1]
+        state.update((int(seg_start), int(seg_last), int(seg_n), float(seg_sv)))
+        # the natural timeout may already lie behind the watermark (a
+        # late-ish session observed after the stream advanced) — clamp
+        # forward so it fires on the next watermark move instead of
+        # raising
+        desired = (seg_last + gap_sec) * 1000
+        state.setTimeoutTimestamp(max(desired, state.getCurrentWatermarkMs() + 1))
 
         if closed:
             yield pd.DataFrame(

@@ -186,6 +186,53 @@ def test_classify_group_diff_new_members(spark, regions):
     assert got == []  # new member list is outside everything -> dropped
 
 
+def test_classify_group_diff_create(spark, regions):
+    """A CREATE of a group the store has never seen classifies from the
+    diff element's own member list (reference update_way builds the
+    member set from the diff element, filter.rs:237-299) — it must NOT
+    silently vanish just because the stored groups table lacks a row."""
+    M = 1_000_000
+    base = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["p_in", "p_out"], "lat": [-6 * M, 21 * M], "lon": [-6 * M, 21 * M]})
+    )
+    groups = spark.createDataFrame([("w1", "way", [_m("p_in")])], GROUP_SCHEMA)
+    sch = (
+        "group_id string, action string, kind string, "
+        "new_members array<struct<ref:string,type:string,role:string>>"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("w_new", "create", "way", [_m("p_in")]),    # created inside -> kept
+            ("w_far", "create", "way", [_m("p_out")]),   # created outside -> dropped
+            ("w1", "modify", "way", None),               # stored path unaffected
+        ],
+        sch,
+    )
+    got = {
+        (r.group_id, r.region_id): (r.kind, r.out_action)
+        for r in classify_group_diff(changes, groups, base, regions).collect()
+    }
+    assert got[("w_new", "A")] == ("way", "create")
+    assert got[("w_new", "A/B/C")] == ("way", "create")
+    assert not any(g == "w_far" for g, _ in got)
+    assert got[("w1", "A")] == ("way", "modify")
+
+
+def test_classify_group_diff_create_without_members_raises(spark, regions):
+    """Creates without (kind, new_members) cannot be classified — the
+    operator must error loudly instead of emitting nothing."""
+    M = 1_000_000
+    base = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["p_in"], "lat": [-6 * M], "lon": [-6 * M]})
+    )
+    groups = spark.createDataFrame([("w1", "way", [_m("p_in")])], GROUP_SCHEMA)
+    changes = spark.createDataFrame(
+        pd.DataFrame({"group_id": ["w_new"], "action": ["create"]})
+    )
+    with pytest.raises(ValueError, match="create"):
+        classify_group_diff(changes, groups, base, regions)
+
+
 def test_golden_counts_all_kinds(spark, regions, images_pdf):
     """Reference-style golden counts over ALL element kinds
     (/root/reference/src/osmxml/filter.rs:390-392 counts node/way/

@@ -104,3 +104,48 @@ def test_frame_sample(spark):
     # more samples than frames -> each frame at most once
     few = frame_sample(df, n_samples=25).collect()
     assert len(few) == len({r.frame_idx for r in few}) <= n_frames
+
+
+def test_shape_grouped_decode_equals_per_row(spark):
+    """The equal-shape vectorized decode path (one numpy stack per
+    (len, w, h) group) must be row-for-row identical to per-row
+    fake_decode on a RAGGED batch — mixed shapes, payloads shorter and
+    longer than w*h (cycling), and repeated shapes."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_replication_rust_spark.operators.multimodal import (
+        decode_stats,
+        fake_decode,
+        resize_stage,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        w = int(rng.choice([3, 4, 7]))
+        h = int(rng.choice([2, 5]))
+        plen = int(rng.choice([max(w * h - 3, 1), w * h, w * h + 9]))
+        rows.append(
+            {
+                "image_id": f"i{i:03d}",
+                "bytes": bytes(rng.integers(0, 256, plen, dtype=np.uint8)),
+                "w": w,
+                "h": h,
+                "fmt": "fake",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    got = {r.image_id: r for r in decode_stats(df).collect()}
+    for r in rows:
+        px = fake_decode(r["bytes"], r["w"], r["h"])
+        g = got[r["image_id"]]
+        assert g.pix_mean == pytest.approx(float(px.mean()))
+        assert (g.pix_max, g.pix_min) == (int(px.max()), int(px.min()))
+    out = {r.image_id: r for r in resize_stage(df, 3, 3).collect()}
+    for r in rows:
+        px = fake_decode(r["bytes"], r["w"], r["h"])
+        yi = (np.arange(3) * r["h"] // 3).astype(int)
+        xi = (np.arange(3) * r["w"] // 3).astype(int)
+        assert bytes(out[r["image_id"]].bytes) == px[np.ix_(yi, xi)].tobytes()

@@ -1,0 +1,189 @@
+"""Three-kind OsmChange XML: parse / write round-trip, golden counts on
+the reference's own test fixture (saint_barthelemy.osc.gz — the same
+file the reference's bbox/filter tests drive,
+/root/reference/src/osmxml/bbox.rs:260-272), set-based bbox annotation
+vs the golden bbox-annotated file, and the full parsed diff fed through
+the classifier for all three kinds at once."""
+
+import gzip
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_replication_rust_spark.sources.osc import (
+    elements_to_engine,
+    format_osc_elements,
+    parse_osc_elements,
+    read_osc_elements_dir,
+)
+
+REF = "/root/reference/tests/resources"
+SRC = f"{REF}/saint_barthelemy.osc.gz"
+GOLD = f"{REF}/saint_barthelemy.bbox.osc.gz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SRC), reason="reference fixtures not available"
+)
+
+
+def _rows(path):
+    with open(path, "rb") as f:
+        return parse_osc_elements(f.read(), state=1)
+
+
+def test_parse_reference_fixture_golden_counts():
+    """Golden per-kind/per-action counts over the reference's own diff
+    fixture (the set-based analog of bbox.rs:269-271's probe counts):
+    the file carries 5 nodes, 4 ways, 5 relations."""
+    rows = _rows(SRC)
+    by = {}
+    for r in rows:
+        by[(r["action"], r["kind"])] = by.get((r["action"], r["kind"]), 0) + 1
+    assert by == {
+        ("delete", "node"): 3,
+        ("delete", "way"): 3,
+        ("delete", "relation"): 2,
+        ("create", "node"): 2,
+        ("create", "way"): 1,
+        ("create", "relation"): 3,
+    }
+    w = {r["element_id"]: r for r in rows if r["kind"] == "way"}
+    assert len(w["24552609"]["members"]) == 13  # nd refs, order preserved
+    assert w["24552609"]["members"][0]["ref"] == "266964195"
+    r7800 = next(r for r in rows if r["element_id"] == "7800")
+    assert [m["type"] for m in r7800["members"]] == ["node", "node", "way"]
+    assert r7800["members"][2]["role"] == "outer"
+    # document order == seq order, nodes/ways/relations interleaved
+    assert [r["seq"] for r in rows] == list(range(14))
+
+
+def test_element_roundtrip_with_bbox():
+    """parse -> format -> parse is the identity on the golden
+    bbox-annotated fixture (members, tags, coords, bbox children)."""
+    rows = _rows(GOLD)
+    assert any(r["bbox"] is not None for r in rows)
+    again = parse_osc_elements(format_osc_elements(rows).encode(), state=1)
+    assert again == rows
+
+
+def test_bbox_annotation_matches_golden_for_diff_resolvable(spark):
+    """Set-based bbox annotation vs the reference's golden file, under
+    the reference test's own store (MockReader: empty except the
+    7801⇄7802 relation cycle, bbox.rs:205-247): every element whose
+    geometry resolves from the diff itself must carry EXACTLY the
+    golden bbox; store-resolved elements are absent (the mock store has
+    no geometry), and the pure cycle resolves to nothing."""
+    from osm_replication_rust_spark.operators.bbox import annotate_diff_bboxes
+
+    rows = _rows(SRC)
+    gold = {
+        r["element_id"]: r["bbox"] for r in _rows(GOLD) if r["bbox"] is not None
+    }
+    elements = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="state long, seq long, action string, kind string, "
+        "element_id string, new_lat long, new_lon long, "
+        "tags map<string,string>, "
+        "members array<struct<ref:string,type:string,role:string>>, "
+        "bbox struct<minlat:long,maxlat:long,minlon:long,maxlon:long>",
+    )
+    base = spark.createDataFrame([], "image_id string, lat long, lon long")
+    cycle = spark.createDataFrame(
+        [
+            ("7801", "relation", [{"ref": "7802", "type": "group", "role": "subarea"}]),
+            ("7802", "relation", [{"ref": "7801", "type": "group", "role": "subarea"}]),
+        ],
+        "group_id string, kind string, "
+        "members array<struct<ref:string,type:string,role:string>>",
+    )
+    got = {
+        r.element_id: (r.kind, r.minlat, r.maxlat, r.minlon, r.maxlon)
+        for r in annotate_diff_bboxes(elements, base, stored_groups=cycle).collect()
+    }
+    # all five nodes carry coords -> bbox == own coord == golden
+    for nid in ("1759873129", "1759883953", "1973325505", "78", "79"):
+        g = gold[nid]
+        assert got[nid] == ("node", g["minlat"], g["maxlat"], g["minlon"], g["maxlon"])
+    # way 780 and relation 7800 resolve fully from in-diff nodes
+    for gid, kind in (("780", "way"), ("7800", "relation")):
+        g = gold[gid]
+        assert got[gid] == (kind, g["minlat"], g["maxlat"], g["minlon"], g["maxlon"])
+    # delete-section composites reference only store geometry the mock
+    # doesn't have -> no bbox row (reference emits no <bbox> then)
+    for absent in ("24552609", "24552626", "24552826", "529891", "1106302"):
+        assert absent not in got
+    # the 2-cycle contributes no geometry and must not loop forever
+    assert "7801" not in got and "7802" not in got
+
+
+def test_read_osc_elements_dir_distributed(spark, tmp_path):
+    """binaryFile -> mapInPandas scan returns the same rows as the
+    driver-side parse, with state recovered from the sharded path."""
+    import shutil
+
+    d = tmp_path / "000" / "000"
+    d.mkdir(parents=True)
+    shutil.copy(SRC, d / "001.osc.gz")
+    shutil.copy(GOLD, d / "002.osc.gz")
+    df = read_osc_elements_dir(spark, str(tmp_path))
+    got = df.groupBy("state", "kind").count().collect()
+    cnt = {(r.state, r.kind): r["count"] for r in got}
+    assert cnt[(1, "node")] == 5 and cnt[(1, "way")] == 4 and cnt[(1, "relation")] == 5
+    assert cnt[(2, "node")] == 5 and cnt[(2, "way")] == 4 and cnt[(2, "relation")] == 5
+    # bbox children survive the distributed parse
+    n_bbox = df.filter(F.col("bbox").isNotNull()).count()
+    assert n_bbox == 12  # every golden element but the geometry-less 2-cycle
+
+
+def test_three_kind_diff_through_classifier(spark):
+    """One parsed XML diff drives BOTH classifiers (points + composites)
+    — reference-style golden counts across all three element kinds
+    (filter.rs:390-392 counts probes per kind; we pin the classified
+    row counts, which are pure data facts of fixture × polygon)."""
+    from osm_replication_rust_spark.operators.filter import (
+        classify_diff,
+        classify_group_diff,
+    )
+    from osm_replication_rust_spark.sources.poly import parse_poly
+
+    with open(f"{REF}/saint_barthelemy.poly") as f:
+        region = parse_poly(f.read(), "saint_barthelemy")
+
+    from osm_replication_rust_spark.sources.osc import ELEMENT_SCHEMA
+
+    rows = _rows(SRC)
+    elements = spark.createDataFrame(pd.DataFrame(rows), schema=ELEMENT_SCHEMA)
+    points, gch = elements_to_engine(elements)
+    # store for member resolution: the diff's own node coordinates
+    # (the reference's nodes_seen maps resolve diff-internal refs)
+    base = points.filter(F.col("new_lat").isNotNull()).select(
+        "image_id", F.col("new_lat").alias("lat"), F.col("new_lon").alias("lon")
+    )
+    pt_out = classify_diff(points, base, [region]).collect()
+    grp_out = classify_group_diff(
+        gch.select("group_id", "action", "kind", "new_members"),
+        spark.createDataFrame(
+            [],
+            "group_id string, kind string, "
+            "members array<struct<ref:string,type:string,role:string>>",
+        ),
+        base,
+        [region],
+    ).collect()
+    got_pts = {(r.image_id, r.out_action) for r in pt_out}
+    got_grp = {(r.group_id, r.kind, r.out_action) for r in grp_out}
+    # golden (fixture × polygon facts): the three deleted nodes sit
+    # INSIDE Saint-Barthélemy -> kept with their original action;
+    # creates 78/79 sit ~0.2° outside the buffered polygon -> dropped;
+    # way 780 / relation 7800 reference only those outside nodes ->
+    # dropped; the delete-section composites reference store-only
+    # geometry the empty store lacks -> dropped (same as the
+    # reference's MockReader run); 7801/7802 have no geometry at all.
+    assert got_pts == {
+        ("1759873129", "delete"),
+        ("1759883953", "delete"),
+        ("1973325505", "delete"),
+    }
+    assert got_grp == set()

@@ -139,3 +139,71 @@ def test_stateful_sessions(spark, tmp_path):
     assert got[(1, t0)] == (t0 + 100, 2, 3.0)          # closed in-stream
     assert got[(2, t0 + 50)] == (t0 + 50, 1, 5.0)      # closed by timeout
     assert got[(1, t0 + 3700)] == (t0 + 3700, 1, 7.0)  # closed by timeout
+
+
+def test_stateful_sessions_late_events(spark, tmp_path):
+    """Out-of-order events admitted by the watermark must MERGE into the
+    carried session interval (batch session_window semantics), not
+    regress session_end or re-split: a late event inside the carried
+    interval and one before its start both fold in."""
+    import pandas as pd
+    from osm_replication_rust_spark.streaming.incremental import stateful_sessions
+
+    t0 = 1_600_000_000
+    batch1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime([t0, t0 + 100, t0 + 50], unit="s"),
+            "value": [1.0, 2.0, 5.0],
+        }
+    )
+    # watermark after batch1 = (t0+100) - 600 < t0+20: both late rows
+    # below are admitted. user 1 gets a late event INSIDE its carried
+    # interval; user 2 a late event BEFORE its carried start.
+    batch2 = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": pd.to_datetime([t0 + 50, t0 + 20], unit="s"),
+            "value": [0.5, 4.0],
+        }
+    )
+    batch3 = pd.DataFrame(
+        {"user_id": [3], "ts": pd.to_datetime([t0 + 10_000_000], unit="s"), "value": [0.0]}
+    )
+    batch4 = pd.DataFrame(
+        {"user_id": [3], "ts": pd.to_datetime([t0 + 20_000_000], unit="s"), "value": [0.0]}
+    )
+    src_dir = str(tmp_path / "late_src")
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = stateful_sessions(stream, gap_sec=1800, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in (batch2, batch3, batch4):
+            spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src_dir)
+            q.processAllAvailable()
+        got = {
+            (r.user_id, int(r.session_start.timestamp())): (
+                int(r.session_end.timestamp()),
+                r.n,
+                r.sum_value,
+            )
+            for r in spark.sql("SELECT * FROM late_sessions").collect()
+        }
+    finally:
+        q.stop()
+    # late event folded in: end does NOT regress, counts/sums include it
+    assert got[(1, t0)] == (t0 + 100, 3, 3.5)
+    # late event before the carried start extends the session backwards
+    assert got[(2, t0 + 20)] == (t0 + 50, 2, 9.0)

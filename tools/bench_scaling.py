@@ -13,7 +13,8 @@ run when external busy < QUIET_CORES; attempts bracketed by a noisy
 pre/post sample are discarded. Levels alternate; best accepted run per
 level wins.
 
-Usage: python tools/bench_scaling.py [rows] [lo_executors] [hi_executors] [--local]
+Usage: python tools/bench_scaling.py [rows] [lo_executors] [hi_executors]
+       [--local] [--refine expr|udf|auto]
 """
 
 from __future__ import annotations
@@ -49,7 +50,7 @@ def external_busy_cores(window: float = 2.0) -> float:
 CORES_PER_EXEC = 8
 
 
-def run_level(level: int, rows: int, local: bool) -> dict:
+def run_level(level: int, rows: int, local: bool, refine: str = "auto") -> dict:
     """One bench run confined to the level's core budget.
 
     The whole process tree (driver JVM, executor JVMs, python workers)
@@ -59,6 +60,7 @@ def run_level(level: int, rows: int, local: bool) -> dict:
     level silently borrows the idle rest of the box (its python workers
     ride free cores) and the measured "scaling" is meaningless."""
     env = dict(os.environ)
+    env["SPARK_GRAFT_REFINE"] = refine
     cores = level if local else level * CORES_PER_EXEC
     if local:
         env["SPARK_GRAFT_CPUS"] = str(level)
@@ -100,7 +102,12 @@ def run_level(level: int, rows: int, local: bool) -> dict:
 
 def main() -> None:
     local = "--local" in sys.argv
-    args = [a for a in sys.argv[1:] if a != "--local"]
+    refine = "auto"
+    argv = sys.argv[1:]
+    if "--refine" in argv:
+        refine = argv[argv.index("--refine") + 1]
+        del argv[argv.index("--refine") : argv.index("--refine") + 2]
+    args = [a for a in argv if a != "--local"]
     rows = int(args[0]) if len(args) > 0 else 150_000_000
     lo = int(args[1]) if len(args) > 1 else (8 if local else 1)
     hi = int(args[2]) if len(args) > 2 else 4 * lo
@@ -120,7 +127,7 @@ def main() -> None:
         turn += 1
         if len(accepted[level]) >= NEEDED_PER_LEVEL:
             level = lo if level == hi else hi
-        r = run_level(level, rows, local)
+        r = run_level(level, rows, local, refine)
         post = external_busy_cores()
         if post > QUIET_CORES:
             print(f"discarding level-{level} run (post ext busy={post:.1f})", flush=True)
@@ -148,7 +155,8 @@ def main() -> None:
     report = f"""## Scaling evidence ({stamp})
 
 Same tiling job (cell-prefilter spatial join, {rows:,} synthetic
-geo-tagged rows, Arrow-batched refine, warm JVM) at two cluster sizes —
+geo-tagged rows, refine strategy '{refine}', warm JVM, identical plan
+per repeat so codegen is Janino-cache-hot) at two cluster sizes —
 {lo_desc} vs {hi_desc} ({'shared-JVM threads' if local else
 'SEPARATE executor JVM processes: own heaps, GCs, python workers'}).
 Every accepted run was bracketed by quiet-host checks (external busy <
