@@ -65,6 +65,7 @@ def annotate_diff_bboxes(
     base: DataFrame,
     stored_groups: DataFrame | None = None,
     max_depth: int = 20,
+    namespace_ids: bool = False,
 ) -> DataFrame:
     """bbox per changed element of a parsed three-kind diff
     (sources.osc.ELEMENT_SCHEMA) — the set-based re-expression of the
@@ -93,7 +94,7 @@ def annotate_diff_bboxes(
     neighbourhood, never the whole store."""
     from ..sources.osc import elements_to_engine
 
-    points, gch = elements_to_engine(elements)
+    points, gch = elements_to_engine(elements, namespace_ids=namespace_ids)
     pb = point_bboxes(base, points)  # changed nodes: old ∪ new
 
     # effective membership of changed composites = stored ∪ new refs

@@ -1324,6 +1324,59 @@ def _group_bbox_oracle() -> str:
     """
 
 
+#: per-sf_dir memo of the generated PBF fixture path
+_PBF_CACHE: dict = {}
+
+
+@register(
+    "pbf_scan",
+    f"""
+    SELECT event_id AS element_id,
+           {C.sql_derived_lat('event_id')} AS lat,
+           {C.sql_derived_lon('event_id')} AS lon
+    FROM events WHERE event_id < 20000
+    ORDER BY element_id
+    """,
+)
+def pbf_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: PBF bulk import (/root/reference/src/osmpbf.rs) — a
+    deterministic .osm.pbf is built from the events footprints with the
+    fixture writer (delta+zigzag varints, zlib blobs), then scanned
+    DISTRIBUTED through the blob-index + mapInPandas reader; the oracle
+    recomputes the same footprints relationally, so every decoded
+    coordinate is checked bit-exactly."""
+    import os
+    import tempfile
+
+    from ..sources.pbf import read_pbf_elements, write_pbf
+
+    path = _PBF_CACHE.get(sf_dir)
+    if path is None or not os.path.exists(path):
+        ev = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 20000)
+            .select(
+                "event_id",
+                C.derived_lat(F.col("event_id")).alias("lat"),
+                C.derived_lon(F.col("event_id")).alias("lon"),
+            )
+            .orderBy("event_id")
+            .collect()
+        )
+        nodes = [(int(r[0]), int(r[1]), int(r[2])) for r in ev]
+        path = os.path.join(
+            tempfile.gettempdir(), f"graft_pbf_{abs(hash(sf_dir))}.osm.pbf"
+        )
+        write_pbf(path, nodes)
+        _PBF_CACHE[sf_dir] = path
+    el = read_pbf_elements(spark, path)
+    return (
+        el.filter(F.col("kind") == "node")
+        .select("element_id", "lat", "lon")
+        .orderBy("element_id")
+    )
+
+
 def _closure_fixture_pts() -> tuple:
     """Shared fixture literals for the S9/S10 closure oracles: the same
     deterministic (image_id, lat, lon) set group_bbox uses."""

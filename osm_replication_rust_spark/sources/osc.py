@@ -259,7 +259,22 @@ def format_osc_elements(rows: list[dict]) -> str:
     return "\n".join(out) + "\n"
 
 
-def elements_to_engine(elements: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _ns_prefix(kind_or_type):
+    """n/w/r id-namespace prefix by OSM kind — the engine's group/point
+    tables live in ONE id namespace, while OSM ids are per-type; the
+    prefix keeps way 100 and relation 100 distinct after conversion."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.when(kind_or_type == "node", F.lit("n"))
+        .when(kind_or_type == "way", F.lit("w"))
+        .otherwise(F.lit("r"))
+    )
+
+
+def elements_to_engine(
+    elements: DataFrame, namespace_ids: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Split a three-kind element frame into the engine's two change
     models (all JVM-side):
 
@@ -269,29 +284,43 @@ def elements_to_engine(elements: DataFrame) -> tuple[DataFrame, DataFrame]:
       rows with member types mapped into the engine's namespace
       (node -> 'image'; way/relation -> 'group' — the engine
       discriminates point refs from composite refs, classify_group_diff
-      resolves both kinds of composites identically)."""
+      resolves both kinds of composites identically).
+
+    ``namespace_ids`` prefixes every id with its OSM type (n/w/r) so
+    the converted frames can join a store whose ids were converted the
+    same way (sources.pbf.pbf_to_engine) — OSM ids are only unique per
+    type."""
     from pyspark.sql import functions as F
 
+    eid = F.col("element_id")
     points = elements.filter(F.col("kind") == "node").select(
         "state",
         "seq",
         "action",
-        F.col("element_id").alias("image_id"),
+        (F.concat(F.lit("n"), eid) if namespace_ids else eid).alias("image_id"),
         "new_lat",
         "new_lon",
         F.col("tags")["caption"].alias("new_caption"),
         F.col("tags")["phash"].cast("long").alias("new_phash"),
     )
+
+    def member_ref(m):
+        if namespace_ids:
+            return F.concat(_ns_prefix(m["type"]), m["ref"]).alias("ref")
+        return m["ref"].alias("ref")
+
     groups = elements.filter(F.col("kind").isin("way", "relation")).select(
         "state",
         "seq",
-        F.col("element_id").alias("group_id"),
+        (
+            F.concat(_ns_prefix(F.col("kind")), eid) if namespace_ids else eid
+        ).alias("group_id"),
         "action",
         "kind",
         F.transform(
             "members",
             lambda m: F.struct(
-                m["ref"].alias("ref"),
+                member_ref(m),
                 F.when(m["type"] == "node", F.lit("image"))
                 .otherwise(F.lit("group"))
                 .alias("type"),

@@ -1,0 +1,536 @@
+"""OSM PBF bulk-import source (SURVEY.md S3).
+
+The reference bulk-loads planet `.osm.pbf` files through the osmpbfreader
+crate with a fixed projection — nodes keep only (id, decimicro lat/lon),
+ways only (id, node refs), relations everything
+(/root/reference/src/osmpbf.rs:13-17, 42-135). This module re-expresses
+that import Spark-first, from scratch (pure stdlib + numpy; the wire
+format is the public OSM PBF spec):
+
+1. **Blob index (driver, cheap).** A PBF file is a sequence of
+   independently-decodable blobs: ``[4-byte BE length][BlobHeader][Blob]``.
+   The index scan reads ~20 bytes per blob and seeks over the payload —
+   O(100k) seeks for a planet file, milliseconds of I/O.
+2. **Distributed decode.** The (offset, size) index becomes a DataFrame;
+   ``mapInPandas`` partitions open the file, read their byte ranges and
+   decode locally. Blob = the natural split unit (the format guarantees
+   no element spans blobs), so a 70 GB planet fans out over every
+   executor with zero shuffle.
+3. **numpy wire decode.** The heavy arrays (dense node ids/lats/lons,
+   way refs, relation memids) are protobuf *packed* fields; they are
+   decoded with a vectorized varint kernel (segment-reduce over the
+   continuation bits) instead of a per-byte Python loop — the same
+   batch-kernel discipline as the geometry refine.
+
+Output schema mirrors the reference projection, in the engine's
+decimicro integer coordinates (PBF nanodegrees / 100).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+#: unified element schema of the distributed scan
+PBF_SCHEMA = (
+    "kind string, element_id long, lat long, lon long, "
+    "refs array<long>, "
+    "members array<struct<ref:long,type:string,role:string>>, "
+    "tags map<string,string>"
+)
+
+_MEMBER_TYPES = ("node", "way", "relation")
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    """Single varint at offset i -> (value, next_offset)."""
+    shift = 0
+    val = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def iter_fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
+    """Walk one protobuf message: yields (field_no, wire_type, value).
+    wire 0 -> int, wire 2 -> bytes slice, wire 5/1 -> raw fixed bytes.
+    Messages at this level are small (headers, per-group framing); the
+    big packed arrays inside are handed to the numpy kernel."""
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, i = _read_varint(buf, i)
+        elif wire == 2:
+            ln, i = _read_varint(buf, i)
+            val = buf[i : i + ln]
+            i += ln
+        elif wire == 5:
+            val = buf[i : i + 4]
+            i += 4
+        elif wire == 1:
+            val = buf[i : i + 8]
+            i += 8
+        else:  # pragma: no cover - groups are not used by OSM PBF
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def decode_packed_varints(buf: bytes) -> np.ndarray:
+    """Vectorized packed-varint decode -> uint64 array.
+
+    Continuation bits mark group ends; each byte contributes its low 7
+    bits shifted by 7 * (position within its group); groups reduce with
+    a segment-sum (np.add.reduceat). Arithmetic is mod 2^64, exactly
+    protobuf's overflow behavior."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = (b & 0x80) == 0
+    end_idx = np.nonzero(ends)[0]
+    starts = np.empty_like(end_idx)
+    starts[0] = 0
+    starts[1:] = end_idx[:-1] + 1
+    # position of each byte within its group
+    group_of_byte = np.repeat(
+        np.arange(starts.size, dtype=np.int64), end_idx - starts + 1
+    )
+    pos = np.arange(b.size, dtype=np.int64) - starts[group_of_byte]
+    with np.errstate(over="ignore"):
+        vals = (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
+        return np.add.reduceat(vals, starts)
+
+
+def _zigzag(u: np.ndarray) -> np.ndarray:
+    """sint64 zigzag decode (uint64 -> int64)."""
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(u & np.uint64(1)).astype(
+        np.int64
+    )
+
+
+def decode_packed_sints(buf: bytes) -> np.ndarray:
+    return _zigzag(decode_packed_varints(buf))
+
+
+def _zigzag1(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _nano_to_decimicro(a):
+    """nanodegrees -> decimicro, truncating toward zero exactly like the
+    reference's integer division (in practice granularity=100 and
+    offsets are multiples of 100, so the division is exact)."""
+    a = np.asarray(a)
+    return np.sign(a) * (np.abs(a) // 100)
+
+
+# ---------------------------------------------------------------------------
+# blob framing
+# ---------------------------------------------------------------------------
+
+def scan_pbf_blobs(path: str) -> list[dict]:
+    """Driver-side blob index: [(offset, size, type)] — reads only the
+    tiny BlobHeaders, seeking over payloads."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            hlen = struct.unpack(">I", head)[0]
+            header = f.read(hlen)
+            btype, datasize = "", 0
+            for field, _, val in iter_fields(header):
+                if field == 1:
+                    btype = val.decode()
+                elif field == 3:
+                    datasize = int(val)
+            offset = f.tell()
+            out.append({"offset": offset, "size": datasize, "type": btype})
+            f.seek(offset + datasize)
+    return out
+
+
+def _blob_payload(raw: bytes) -> bytes:
+    """Blob message -> decompressed PrimitiveBlock bytes."""
+    plain = zdata = None
+    for field, _, val in iter_fields(raw):
+        if field == 1:
+            plain = val
+        elif field == 3:
+            zdata = val
+    if plain is not None:
+        return bytes(plain)
+    if zdata is not None:
+        return zlib.decompress(zdata)
+    raise ValueError("blob carries neither raw nor zlib_data")
+
+
+# ---------------------------------------------------------------------------
+# PrimitiveBlock decode
+# ---------------------------------------------------------------------------
+
+def _parse_block(payload: bytes) -> list[dict]:
+    """One PrimitiveBlock -> element rows (reference projection:
+    node coords, way refs, relation members + tags)."""
+    stringtable: list[str] = []
+    groups: list[bytes] = []
+    granularity, lat_off, lon_off = 100, 0, 0
+    for field, _, val in iter_fields(payload):
+        if field == 1:
+            for f2, _, s in iter_fields(val):
+                if f2 == 1:
+                    stringtable.append(s.decode("utf-8", "replace"))
+        elif field == 2:
+            groups.append(val)
+        elif field == 17:
+            granularity = int(val)
+        elif field == 19:
+            lat_off = int(val)
+        elif field == 20:
+            lon_off = int(val)
+
+    rows: list[dict] = []
+    for g in groups:
+        for field, _, val in iter_fields(g):
+            if field == 2:  # DenseNodes
+                ids = lats = lons = None
+                for f2, _, v2 in iter_fields(val):
+                    if f2 == 1:
+                        ids = np.cumsum(decode_packed_sints(v2))
+                    elif f2 == 8:
+                        lats = np.cumsum(decode_packed_sints(v2))
+                    elif f2 == 9:
+                        lons = np.cumsum(decode_packed_sints(v2))
+                if ids is None:
+                    continue
+                # nanodegrees -> decimicro (1 decimicro = 100 nano)
+                dlat = _nano_to_decimicro(lat_off + granularity * lats)
+                dlon = _nano_to_decimicro(lon_off + granularity * lons)
+                rows.extend(
+                    {
+                        "kind": "node",
+                        "element_id": int(i),
+                        "lat": int(la),
+                        "lon": int(lo),
+                        "refs": None,
+                        "members": None,
+                        "tags": None,
+                    }
+                    for i, la, lo in zip(ids, dlat, dlon)
+                )
+            elif field == 1:  # plain Node (rare); id/lat/lon are sint64
+                nid = rlat = rlon = 0
+                for f2, _, v2 in iter_fields(val):
+                    if f2 == 1:
+                        nid = _zigzag1(int(v2))
+                    elif f2 == 8:
+                        rlat = _zigzag1(int(v2))
+                    elif f2 == 9:
+                        rlon = _zigzag1(int(v2))
+                rows.append(
+                    {
+                        "kind": "node",
+                        "element_id": int(nid),
+                        "lat": int(_nano_to_decimicro(lat_off + granularity * rlat)),
+                        "lon": int(_nano_to_decimicro(lon_off + granularity * rlon)),
+                        "refs": None,
+                        "members": None,
+                        "tags": None,
+                    }
+                )
+            elif field == 3:  # Way
+                wid = 0
+                refs = np.zeros(0, dtype=np.int64)
+                for f2, _, v2 in iter_fields(val):
+                    if f2 == 1:
+                        wid = int(v2)
+                    elif f2 == 8:
+                        refs = np.cumsum(decode_packed_sints(v2))
+                rows.append(
+                    {
+                        "kind": "way",
+                        "element_id": wid,
+                        "lat": None,
+                        "lon": None,
+                        "refs": [int(r) for r in refs],
+                        "members": None,
+                        "tags": None,
+                    }
+                )
+            elif field == 4:  # Relation
+                rid = 0
+                keys = vals = np.zeros(0, dtype=np.uint64)
+                roles = memids = types = np.zeros(0, dtype=np.int64)
+                for f2, _, v2 in iter_fields(val):
+                    if f2 == 1:
+                        rid = int(v2)
+                    elif f2 == 2:
+                        keys = decode_packed_varints(v2)
+                    elif f2 == 3:
+                        vals = decode_packed_varints(v2)
+                    elif f2 == 8:
+                        roles = decode_packed_varints(v2).astype(np.int64)
+                    elif f2 == 9:
+                        memids = np.cumsum(decode_packed_sints(v2))
+                    elif f2 == 10:
+                        types = decode_packed_varints(v2).astype(np.int64)
+                members = [
+                    {
+                        "ref": int(m),
+                        "type": _MEMBER_TYPES[int(t)],
+                        "role": stringtable[int(r)] if int(r) < len(stringtable) else "",
+                    }
+                    for m, t, r in zip(memids, types, roles)
+                ]
+                tags = {
+                    stringtable[int(k)]: stringtable[int(v)]
+                    for k, v in zip(keys, vals)
+                    if int(k) < len(stringtable) and int(v) < len(stringtable)
+                }
+                rows.append(
+                    {
+                        "kind": "relation",
+                        "element_id": rid,
+                        "lat": None,
+                        "lon": None,
+                        "refs": None,
+                        "members": members,
+                        "tags": tags or None,
+                    }
+                )
+    return rows
+
+
+def parse_pbf_blob(path: str, offset: int, size: int) -> list[dict]:
+    with open(path, "rb") as f:
+        f.seek(offset)
+        raw = f.read(size)
+    return _parse_block(_blob_payload(raw))
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture/round-trip + oracle entries; the engine proper only
+# READS pbf — the reference likewise only imports it)
+# ---------------------------------------------------------------------------
+
+def _enc_varint(v: int) -> bytes:
+    v &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _enc_field(field: int, wire: int, payload) -> bytes:
+    key = _enc_varint((field << 3) | wire)
+    if wire == 0:
+        return key + _enc_varint(payload)
+    return key + _enc_varint(len(payload)) + payload
+
+
+def _enc_packed_sint_deltas(vals: list[int]) -> bytes:
+    out = bytearray()
+    prev = 0
+    for v in vals:
+        out += _enc_varint(_enc_zigzag(v - prev))
+        prev = v
+    return bytes(out)
+
+
+def write_pbf(
+    path: str,
+    nodes: list[tuple[int, int, int]],
+    ways: list[tuple[int, list[int]]] | None = None,
+    relations: list[tuple[int, list[tuple[int, str, str]]]] | None = None,
+    nodes_per_blob: int = 8000,
+) -> None:
+    """Minimal deterministic .osm.pbf writer (granularity 100, zero
+    offsets — decimicro coords encode verbatim): DenseNodes blobs of
+    ``nodes_per_blob`` plus one blob of ways/relations. zlib-compressed
+    blobs so the reader's decompression path is exercised.
+
+    ``nodes``: (id, decimicro_lat, decimicro_lon); ``ways``: (id,
+    node_refs); ``relations``: (id, [(member_ref, type, role)])."""
+    blobs: list[bytes] = []
+    for s in range(0, len(nodes), nodes_per_blob):
+        chunk = nodes[s : s + nodes_per_blob]
+        dense = (
+            _enc_field(1, 2, _enc_packed_sint_deltas([n[0] for n in chunk]))
+            # granularity=100: raw = nano/100 = decimicro, verbatim
+            + _enc_field(8, 2, _enc_packed_sint_deltas([n[1] for n in chunk]))
+            + _enc_field(9, 2, _enc_packed_sint_deltas([n[2] for n in chunk]))
+        )
+        group = _enc_field(2, 2, dense)
+        block = _enc_field(1, 2, _enc_field(1, 2, b"")) + _enc_field(2, 2, group)
+        blobs.append(block)
+
+    if ways or relations:
+        strings = [b""]
+        sidx: dict[str, int] = {"": 0}
+
+        def sid(s: str) -> int:
+            if s not in sidx:
+                sidx[s] = len(strings)
+                strings.append(s.encode())
+            return sidx[s]
+
+        group = b""
+        for wid, refs in ways or []:
+            group += _enc_field(
+                3,
+                2,
+                _enc_field(1, 0, wid) + _enc_field(8, 2, _enc_packed_sint_deltas(refs)),
+            )
+        tmap = {"node": 0, "way": 1, "relation": 2}
+        for rid, members in relations or []:
+            roles = b"".join(_enc_varint(sid(m[2])) for m in members)
+            memids = _enc_packed_sint_deltas([m[0] for m in members])
+            types = b"".join(_enc_varint(tmap[m[1]]) for m in members)
+            group += _enc_field(
+                4,
+                2,
+                _enc_field(1, 0, rid)
+                + _enc_field(8, 2, roles)
+                + _enc_field(9, 2, memids)
+                + _enc_field(10, 2, types),
+            )
+        st = b"".join(_enc_field(1, 2, s) for s in strings)
+        block = _enc_field(1, 2, st) + _enc_field(2, 2, group)
+        blobs.append(block)
+
+    with open(path, "wb") as f:
+        header_block = _enc_field(4, 2, b"OsmSchema-V0.6")  # required_features
+        for i, block in enumerate([header_block] + blobs):
+            btype = b"OSMHeader" if i == 0 else b"OSMData"
+            z = zlib.compress(block)
+            blob = _enc_field(2, 0, len(block)) + _enc_field(3, 2, z)
+            bh = _enc_field(1, 2, btype) + _enc_field(3, 0, len(blob))
+            f.write(struct.pack(">I", len(bh)) + bh + blob)
+
+
+# ---------------------------------------------------------------------------
+# the distributed scan
+# ---------------------------------------------------------------------------
+
+def read_pbf_elements(
+    spark: SparkSession, path: str, partitions: int | None = None
+) -> DataFrame:
+    """Distributed PBF scan: blob index -> mapInPandas range decode.
+    One task decodes one-or-more whole blobs (the format's natural
+    split); no shuffle anywhere. ``partitions`` defaults to the number
+    of data blobs capped at the session's default parallelism."""
+    blobs = [b for b in scan_pbf_blobs(path) if b["type"] == "OSMData"]
+    if not blobs:
+        raise ValueError(f"no OSMData blobs in {path}")
+    if partitions is None:
+        partitions = min(len(blobs), spark.sparkContext.defaultParallelism)
+    idx = spark.createDataFrame(
+        pd.DataFrame(blobs)[["offset", "size"]], "offset long, size long"
+    ).repartition(partitions)
+
+    cols = ["kind", "element_id", "lat", "lon", "refs", "members", "tags"]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for off, size in zip(pdf["offset"], pdf["size"]):
+                out.extend(parse_pbf_blob(path, int(off), int(size)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return idx.mapInPandas(decode, PBF_SCHEMA)
+
+
+def pbf_to_engine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """PBF -> the engine's store model, ids namespaced by OSM type
+    (n/w/r prefixes, matching elements_to_engine(namespace_ids=True)):
+
+    - base points (image_id, lat, lon)
+    - groups (group_id, kind, members) with node members typed 'image'
+      and way/relation members typed 'group'
+
+    This is the bulk-import path (SURVEY.md S3): TableStore.init(base)
+    plus a groups table, after which incremental .osc diffs replay on
+    top — the reference's osmbin import followed by update runs."""
+    from pyspark.sql import functions as F
+
+    el = read_pbf_elements(spark, path)
+    base = el.filter(F.col("kind") == "node").select(
+        F.concat(F.lit("n"), F.col("element_id")).alias("image_id"),
+        "lat",
+        "lon",
+    )
+    ways = el.filter(F.col("kind") == "way").select(
+        F.concat(F.lit("w"), F.col("element_id")).alias("group_id"),
+        F.lit("way").alias("kind"),
+        F.transform(
+            "refs",
+            lambda r: F.struct(
+                F.concat(F.lit("n"), r).alias("ref"),
+                F.lit("image").alias("type"),
+                F.lit("").alias("role"),
+            ),
+        ).alias("members"),
+    )
+    rels = el.filter(F.col("kind") == "relation").select(
+        F.concat(F.lit("r"), F.col("element_id")).alias("group_id"),
+        F.lit("relation").alias("kind"),
+        F.transform(
+            "members",
+            lambda m: F.struct(
+                F.concat(
+                    F.when(m["type"] == "node", F.lit("n"))
+                    .when(m["type"] == "way", F.lit("w"))
+                    .otherwise(F.lit("r")),
+                    m["ref"],
+                ).alias("ref"),
+                F.when(m["type"] == "node", F.lit("image"))
+                .otherwise(F.lit("group"))
+                .alias("type"),
+                m["role"].alias("role"),
+            ),
+        ).alias("members"),
+    )
+    return base, ways.unionByName(rels)
+
+
+def read_pbf_tables(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(nodes, ways, relations) DataFrames in the reference projection
+    (/root/reference/src/osmpbf.rs:13-17): nodes (element_id, lat, lon);
+    ways (element_id, refs); relations (element_id, members, tags)."""
+    from pyspark.sql import functions as F
+
+    el = read_pbf_elements(spark, path)
+    nodes = el.filter(F.col("kind") == "node").select("element_id", "lat", "lon")
+    ways = el.filter(F.col("kind") == "way").select("element_id", "refs")
+    rels = el.filter(F.col("kind") == "relation").select(
+        "element_id", "members", "tags"
+    )
+    return nodes, ways, rels
