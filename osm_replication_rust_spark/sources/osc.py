@@ -87,20 +87,31 @@ def parse_osc_bytes(data: bytes, state: int) -> list[dict]:
 
 
 def parse_osc_elements(data: bytes, state: int) -> list[dict]:
-    """One .osc[.gz] payload -> three-kind element rows (document order
-    = seq, all kinds in one sequence). Ways carry their <nd> refs as
-    members (type 'node'); relations carry typed <member> children;
-    an optional <bbox> child (the bbox-annotation pass's output,
-    /root/reference/src/osmxml/bbox.rs) parses into decimicro ints."""
+    """One .osc[.gz] or .osm[.gz] payload -> three-kind element rows
+    (document order = seq, all kinds in one sequence). Ways carry their
+    <nd> refs as members (type 'node'); relations carry typed <member>
+    children; an optional <bbox> child (the bbox-annotation pass's
+    output, /root/reference/src/osmxml/bbox.rs) parses into decimicro
+    ints.
+
+    Elements wrapped in <create>/<modify>/<delete> take that action;
+    BARE elements under the root (plain <osm> files, and the mixed
+    roots the reference's update path accepts) act as 'modify' — the
+    reference applies Action::None as a write
+    (/root/reference/src/osmxml.rs update_to + osmbin update_node)."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
     root = ET.parse(io.BytesIO(data)).getroot()
     rows: list[dict] = []
     seq = 0
-    for group in root:
-        if group.tag not in _ACTIONS:
-            continue
-        for el in group:
+    groups = []
+    for child in root:
+        if child.tag in _ACTIONS:
+            groups.append((child.tag, list(child)))
+        elif child.tag in _KINDS:
+            groups.append(("modify", [child]))
+    for action, els in groups:
+        for el in els:
             if el.tag not in _KINDS:
                 continue
             tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
@@ -131,7 +142,7 @@ def parse_osc_elements(data: bytes, state: int) -> list[dict]:
                 {
                     "state": state,
                     "seq": seq,
-                    "action": group.tag,
+                    "action": action,
                     "kind": el.tag,
                     "element_id": el.get("id"),
                     "new_lat": coord_to_decimicro_py(float(lat)) if lat else None,
