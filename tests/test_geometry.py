@@ -149,3 +149,50 @@ def test_degenerate_bboxes(square):
         square,
     )
     assert list(got) == [True, True, True]
+
+
+def test_canarias_reference_goldens():
+    """The reference's canarias .poly goldens
+    (/root/reference/src/osmgeom.rs:125-221): 9 island rings with exact
+    vertex counts, the pinned inside/outside points, and every
+    degenerate bbox-intersects case (point / line / rect, inside and
+    outside)."""
+    import os
+
+    from osm_replication_rust_spark.functions.geometry import (
+        bbox_intersects_polygon,
+        points_in_polygon,
+    )
+    from osm_replication_rust_spark.sources.poly import parse_poly
+
+    path = "/root/reference/tests/resources/canarias.poly"
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not available")
+    with open(path) as f:
+        mp = parse_poly(f.read(), "canarias")
+    assert [len(r.coords) for r in mp.rings] == [8, 55, 9, 61, 69, 72, 24, 33, 29]
+    assert not any(r.hole for r in mp.rings)
+
+    def pip(lon, lat):
+        return bool(points_in_polygon(np.array([lon]), np.array([lat]), mp)[0])
+
+    assert pip(0, 0) is False
+    assert pip(-166015000, 281876000) is True
+
+    def bbi(minlat, maxlat, minlon, maxlon):
+        return bool(
+            bbox_intersects_polygon(
+                np.array([minlon]), np.array([minlat]),
+                np.array([maxlon]), np.array([maxlat]), mp,
+            )[0]
+        )
+
+    # osmgeom.rs:150-221, same order
+    assert bbi(-266015000, 0, -366015000, -266015000) is False  # rect outside
+    assert bbi(0, 0, 0, 0) is False                             # point outside
+    assert bbi(0, 0, -166015200, -166015100) is False           # line outside
+    assert bbi(0, 281876000, -166015000, 0) is True             # rect overlap
+    assert bbi(281875000, 281876000, -166015200, -166015100) is True
+    assert bbi(281876000, 281876000, -166015100, -166015100) is True  # point inside
+    assert bbi(281875000, 281876000, -166015100, -166015100) is True  # v-line
+    assert bbi(281876000, 281876000, -166015200, -166015100) is True  # h-line

@@ -22,6 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def count_shuffle_exchanges(p: str) -> int:
+    """Distinct non-broadcast Exchange nodes in a formatted plan (each
+    node appears once in the numbered section; BroadcastExchange is a
+    different node name and is not counted)."""
+    return len(re.findall(r"^\(\d+\) Exchange$", p, re.M))
+
+
 def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted"
@@ -59,12 +66,14 @@ def main(sf_dir: str) -> int:
     tiling = assign_regions(pts, fixture_regions(), keep_cols=["image_id"])
     p = plan_of(tiling)
     check("tiling.broadcast_join", "BroadcastHashJoin" in p)
-    # the only exchanges allowed are broadcast exchanges + the union
-    bad_exchanges = [
-        ln for ln in p.splitlines()
-        if re.search(r"\bExchange (hash|range)partitioning", ln)
-    ]
-    check("tiling.no_shuffle", not bad_exchanges, f"found: {bad_exchanges[:2]}")
+    # the only exchanges allowed are broadcast exchanges + the union.
+    # Formatted mode names nodes "(N) Exchange" with the partitioning
+    # under Arguments — count the numbered node list, not the tree.
+    check(
+        "tiling.no_shuffle",
+        count_shuffle_exchanges(p) == 0,
+        f"exchanges={count_shuffle_exchanges(p)}",
+    )
 
     # 2. q01: filter pushdown + pruned schema + codegen
     q01 = entry_queries.queries()["q01_pricing_summary"](spark, sf_dir)
@@ -109,6 +118,30 @@ def main(sf_dir: str) -> int:
     check(
         "tiling_expr.no_python_runtime",
         "ArrowEvalPython" not in pt and "BatchEvalPython" not in pt,
+    )
+
+    # 5c. minhash: the round-2 regression was an exchange-count problem
+    # (~11 exchanges -> ~37 AQE sub-jobs whose fixed latency host noise
+    # multiplied). Guard the restructured shape: at most 7 non-broadcast
+    # exchanges (doc-union scan, per-doc agg, banding self-join pair,
+    # pair distinct, two set joins), and no shingle-level self-join
+    # anywhere (its signature: a join whose keys include 'shingle').
+    mh = entry_queries.queries()["minhash_lsh_pairs"](spark, sf_dir)
+    p = plan_of(mh)
+    n_ex = count_shuffle_exchanges(p)
+    check("minhash.exchange_budget", 0 < n_ex <= 7, f"exchanges={n_ex}")
+    check(
+        "minhash.no_shingle_self_join",
+        not re.search(r"Join.*\[shingle", p),
+    )
+
+    # 5d. pbf_scan: blob-range decode is map-only up to the final sort
+    pbf = entry_queries.queries()["pbf_scan"](spark, sf_dir)
+    p = plan_of(pbf)
+    check(
+        "pbf_scan.single_python_stage",
+        len(re.findall(r"^\(\d+\) MapInPandas$", p, re.M)) == 1
+        and "BatchEvalPython" not in p,
     )
 
     # 6. the flagship's generated code actually COMPILES. Plan text can
