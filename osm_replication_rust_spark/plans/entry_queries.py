@@ -1324,6 +1324,89 @@ def _group_bbox_oracle() -> str:
     """
 
 
+#: coarse cell resolution for the skew entries: big cells (2^24
+#: decimicro ~ 1.7 deg) so the event footprints concentrate into a few
+#: mega-cells far above the sub-bucket cap — the hot path really runs
+_SKEW_RES = 24
+
+
+@register(
+    "skew_salted_agg",
+    f"""
+    SELECT {C.sql_cell_id(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'), 24)} AS cell,
+           count(*) AS n_points,
+           sum(value) AS sum_value
+    FROM events GROUP BY cell ORDER BY cell
+    """,
+)
+def skew_salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew tooling (north_rule: "skewed mega-cells salted and
+    AQE-split explicitly"): hot cells are sub-bucketed
+    (operators/skew.split_hot_cells), the aggregate runs in two stages
+    — partial per (cell, sub), final per cell — and the oracle's
+    direct single-stage aggregation must match value-for-value, proving
+    the salting is a pure physical transform."""
+    from ..operators.skew import split_hot_cells
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        C.cell_id(
+            C.derived_lon(F.col("event_id")),
+            C.derived_lat(F.col("event_id")),
+            _SKEW_RES,
+        ).alias("cell"),
+    )
+    sub = split_hot_cells(ev, "event_id", max_per_cell=500, sub_buckets=8)
+    partial = sub.groupBy("cell", "cell_sub").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_s")
+    )
+    return (
+        partial.groupBy("cell")
+        .agg(F.sum("_n").alias("n_points"), F.sum("_s").alias("sum_value"))
+        .orderBy("cell")
+    )
+
+
+@register(
+    "skew_salted_join",
+    f"""
+    WITH pts AS (
+      SELECT event_id, value,
+             {C.sql_cell_id(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'), 24)} AS cell
+      FROM events
+    ),
+    dim AS (SELECT DISTINCT cell, cell % 7 AS zone FROM pts)
+    SELECT d.zone AS zone, count(*) AS n, sum(p.value) AS sum_value
+    FROM pts p JOIN dim d ON p.cell = d.cell
+    GROUP BY zone ORDER BY zone
+    """,
+)
+def skew_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted equi-join (operators/skew.salted_join): the hot
+    fact side is salted S ways, the dim side exploded over the same
+    salts; the join result — and therefore the aggregate — must equal
+    the plain join exactly (salt placement cannot change membership)."""
+    from ..operators.skew import salted_join
+
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        C.cell_id(
+            C.derived_lon(F.col("event_id")),
+            C.derived_lat(F.col("event_id")),
+            _SKEW_RES,
+        ).alias("cell"),
+    )
+    dim = pts.select("cell").distinct().withColumn("zone", F.col("cell") % 7)
+    joined = salted_join(pts, dim, "cell", salt_buckets=8)
+    return (
+        joined.groupBy("zone")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .orderBy("zone")
+    )
+
+
 #: per-sf_dir memo of the generated PBF fixture path
 _PBF_CACHE: dict = {}
 
