@@ -1407,6 +1407,107 @@ def skew_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "osc_roundtrip",
+    f"""
+    SELECT * FROM (
+      SELECT 'n' || event_id AS element_id, 'node' AS kind,
+             {C.sql_derived_lat('event_id')} AS lat,
+             {C.sql_derived_lon('event_id')} AS lon,
+             CAST(0 AS BIGINT) AS n_members
+      FROM events WHERE event_id < 500
+      UNION ALL
+      SELECT 'w' || l_orderkey AS element_id, 'way' AS kind,
+             CAST(NULL AS BIGINT) AS lat, CAST(NULL AS BIGINT) AS lon,
+             count(*) AS n_members
+      FROM lineitem WHERE l_orderkey < 400
+      GROUP BY l_orderkey
+    ) ORDER BY element_id
+    """,
+)
+def osc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/K1/K2 through the gate: a deterministic three-kind diff is
+    BUILT from the star schema (nodes = event footprints, ways = order
+    line chains), WRITTEN with the action-grouped XML writer
+    (format_osc_elements), PARSED back (parse_osc_elements), and the
+    decoded frame is compared to the relational recomputation — every
+    coordinate survives the degree-string round trip exactly (7-decimal
+    format == decimicro)."""
+    import pandas as pd
+
+    from ..sources.osc import (
+        ELEMENT_SCHEMA,
+        format_osc_elements,
+        parse_osc_elements,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            C.derived_lat(F.col("event_id")).alias("lat"),
+            C.derived_lon(F.col("event_id")).alias("lon"),
+        )
+        .collect()
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 400)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+        .collect()
+    )
+    rows = []
+    seq = 0
+    for r in ev:
+        rows.append(
+            {
+                "state": 1,
+                "seq": seq,
+                "action": "modify" if r[0] % 3 else "create",
+                "kind": "node",
+                "element_id": f"n{r[0]}",
+                "new_lat": int(r[1]),
+                "new_lon": int(r[2]),
+                "tags": None,
+                "members": None,
+                "bbox": None,
+            }
+        )
+        seq += 1
+    for r in li:
+        rows.append(
+            {
+                "state": 1,
+                "seq": seq,
+                "action": "modify",
+                "kind": "way",
+                "element_id": f"w{r[0]}",
+                "new_lat": None,
+                "new_lon": None,
+                "tags": None,
+                "members": [
+                    {"ref": f"p{p}", "type": "node", "role": ""} for p in r[1]
+                ],
+                "bbox": None,
+            }
+        )
+        seq += 1
+    xml = format_osc_elements(rows)
+    parsed = parse_osc_elements(xml.encode(), state=1)
+    back = spark.createDataFrame(pd.DataFrame(parsed), schema=ELEMENT_SCHEMA)
+    return back.select(
+        "element_id",
+        "kind",
+        "new_lat",
+        "new_lon",
+        F.coalesce(F.size("members"), F.lit(0)).cast("long").alias("n_members"),
+    ).withColumnRenamed("new_lat", "lat").withColumnRenamed(
+        "new_lon", "lon"
+    ).orderBy("element_id")
+
+
 #: per-sf_dir memo of the generated PBF fixture path
 _PBF_CACHE: dict = {}
 
