@@ -1496,7 +1496,11 @@ def osc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq += 1
     xml = format_osc_elements(rows)
     parsed = parse_osc_elements(xml.encode(), state=1)
-    back = spark.createDataFrame(pd.DataFrame(parsed), schema=ELEMENT_SCHEMA)
+    # Build straight from the list of dicts: going through pandas coerces
+    # the int-or-None new_lat/new_lon columns to float64, which the
+    # DRIVER's bare (non-Arrow) session rejects for LongType.  Gate
+    # queries must not depend on session.py conf.
+    back = spark.createDataFrame(parsed, schema=ELEMENT_SCHEMA)
     return back.select(
         "element_id",
         "kind",
@@ -1548,9 +1552,14 @@ def pbf_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         nodes = [(int(r[0]), int(r[1]), int(r[2])) for r in ev]
-        path = os.path.join(
-            tempfile.gettempdir(), f"graft_pbf_{abs(hash(sf_dir))}.osm.pbf"
-        )
+        # hashlib, not hash(): PYTHONHASHSEED randomizes hash() per
+        # process, so the cross-run file cache would almost never hit.
+        # NOTE: executors open this path directly — assumes a shared
+        # filesystem (true for local / local-cluster gate runs).
+        import hashlib
+
+        digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:16]
+        path = os.path.join(tempfile.gettempdir(), f"graft_pbf_{digest}.osm.pbf")
         write_pbf(path, nodes)
         _PBF_CACHE[sf_dir] = path
     el = read_pbf_elements(spark, path)
