@@ -38,33 +38,75 @@ def latest_per_key(changes: DataFrame, key: str = "image_id", order: str = "seq"
     )
 
 
-def merge_changes(base: DataFrame, changes: DataFrame, key: str = "image_id") -> DataFrame:
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str = "image_id",
+    order: str = "seq",
+    version_col: str | None = None,
+) -> DataFrame:
     """Apply one diff batch to the base table.
 
     - delete  -> row removed (reference /root/reference/src/osmbin.rs:666-747)
     - create/modify -> upsert; change columns named ``new_<col>``
       override, nulls keep the old value (partial updates tolerated).
+    - ``order`` picks the within-batch winner per key (default the
+      document-order ``seq``; pass ``"version"`` for version order).
+    - ``version_col`` (when present in BOTH frames) makes the MERGE
+      idempotent across replayed batches — the reference's element
+      version (osm.rs:26, SURVEY §2.10 "MERGE keyed on
+      (type,id,version)"): a change whose version is <= the stored row's
+      version is STALE and leaves the row untouched (replays and
+      out-of-order deliveries cannot regress newer data); applied
+      upserts advance the stored version.
     """
-    last = latest_per_key(changes, key)
+    last = latest_per_key(changes, key, order)
     new_cols = {c[4:]: c for c in last.columns if c.startswith("new_")}
-    ch = last.select(
+    use_ver = (
+        version_col is not None
+        and version_col in base.columns
+        and version_col in last.columns
+    )
+    sel = [
         F.col(key).alias("_k"),
         F.col("action").alias("_action"),
         *[F.col(src).alias(f"_n_{dst}") for dst, src in new_cols.items()],
-    )
+    ]
+    if use_ver:
+        sel.append(F.col(version_col).alias("_cv"))
+    ch = last.select(*sel)
     joined = base.join(ch, base[key] == ch["_k"], "full_outer")
 
+    if use_ver:
+        stale = (
+            F.col("_cv").isNotNull()
+            & F.col(version_col).isNotNull()
+            & (F.col("_cv") <= F.col(version_col))
+        )
+        act = F.when(stale, F.lit(None).cast("string")).otherwise(F.col("_action"))
+    else:
+        act = F.col("_action")
+
     keep = (
-        F.col("_action").isNull()  # untouched base row
-        | (F.col("_action") != "delete")
-    ) & (F.col(key).isNotNull() | (F.col("_action") != "delete"))
+        act.isNull()  # untouched base row (or stale change)
+        | (act != "delete")
+    ) & (F.col(key).isNotNull() | (act != "delete"))
 
     out_cols = []
     for c in base.columns:
         if c == key:
             out_cols.append(F.coalesce(F.col(key), F.col("_k")).alias(key))
+        elif use_ver and c == version_col:
+            out_cols.append(
+                F.when(act.isNull(), F.col(c))
+                .otherwise(F.coalesce(F.col("_cv"), F.col(c)))
+                .cast(base.schema[c].dataType)
+                .alias(c)
+            )
         elif c in new_cols:
-            col = F.coalesce(F.col(f"_n_{c}"), F.col(c))
+            col = F.when(act.isNull(), F.col(c)).otherwise(
+                F.coalesce(F.col(f"_n_{c}"), F.col(c))
+            )
             # preserve the base column's type (diff columns may be wider)
             out_cols.append(col.cast(base.schema[c].dataType).alias(c))
         else:

@@ -1414,12 +1414,23 @@ def skew_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'n' || event_id AS element_id, 'node' AS kind,
              {C.sql_derived_lat('event_id')} AS lat,
              {C.sql_derived_lon('event_id')} AS lon,
-             CAST(0 AS BIGINT) AS n_members
+             CAST(0 AS BIGINT) AS n_members,
+             CAST(event_id % 7 + 1 AS BIGINT) AS version,
+             '2021-0' || (event_id % 9 + 1) || '-01T00:00:00Z' AS ts,
+             CAST(event_id % 89 + 1 AS BIGINT) AS uid,
+             'u"' || (event_id % 89 + 1) AS usr,
+             CAST(event_id * 3 + 11 AS BIGINT) AS changeset,
+             'cap=c' || event_id || ';cap=dup' AS tag_sig
       FROM events WHERE event_id < 500
       UNION ALL
       SELECT 'w' || l_orderkey AS element_id, 'way' AS kind,
              CAST(NULL AS BIGINT) AS lat, CAST(NULL AS BIGINT) AS lon,
-             count(*) AS n_members
+             count(*) AS n_members,
+             CAST(l_orderkey % 5 + 1 AS BIGINT) AS version,
+             CAST(NULL AS VARCHAR) AS ts,
+             CAST(NULL AS BIGINT) AS uid, CAST(NULL AS VARCHAR) AS usr,
+             CAST(NULL AS BIGINT) AS changeset,
+             CAST(NULL AS VARCHAR) AS tag_sig
       FROM lineitem WHERE l_orderkey < 400
       GROUP BY l_orderkey
     ) ORDER BY element_id
@@ -1432,9 +1443,12 @@ def osc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (format_osc_elements), PARSED back (parse_osc_elements), and the
     decoded frame is compared to the relational recomputation — every
     coordinate survives the degree-string round trip exactly (7-decimal
-    format == decimicro)."""
-    import pandas as pd
-
+    format == decimicro), the five metadata attributes
+    (version/timestamp/uid/user/changeset, osm.rs:16-35) survive
+    verbatim (user includes a quote to exercise escaping), and an
+    ORDERED, DUPLICATE-KEY tag list (osm.rs:50-53
+    Vec<(String,String)>) survives with order and duplicates intact
+    (checked via its order-sensitive signature string)."""
     from ..sources.osc import (
         ELEMENT_SCHEMA,
         format_osc_elements,
@@ -1461,16 +1475,25 @@ def osc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     seq = 0
     for r in ev:
+        eid = int(r[0])
         rows.append(
             {
                 "state": 1,
                 "seq": seq,
-                "action": "modify" if r[0] % 3 else "create",
+                "action": "modify" if eid % 3 else "create",
                 "kind": "node",
-                "element_id": f"n{r[0]}",
+                "element_id": f"n{eid}",
                 "new_lat": int(r[1]),
                 "new_lon": int(r[2]),
-                "tags": None,
+                "version": eid % 7 + 1,
+                "timestamp": f"2021-0{eid % 9 + 1}-01T00:00:00Z",
+                "uid": eid % 89 + 1,
+                "user": f'u"{eid % 89 + 1}',
+                "changeset": eid * 3 + 11,
+                "tags": [
+                    {"k": "cap", "v": f"c{eid}"},
+                    {"k": "cap", "v": "dup"},
+                ],
                 "members": None,
                 "bbox": None,
             }
@@ -1486,6 +1509,11 @@ def osc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "element_id": f"w{r[0]}",
                 "new_lat": None,
                 "new_lon": None,
+                "version": int(r[0]) % 5 + 1,
+                "timestamp": None,
+                "uid": None,
+                "user": None,
+                "changeset": None,
                 "tags": None,
                 "members": [
                     {"ref": f"p{p}", "type": "node", "role": ""} for p in r[1]
@@ -1504,11 +1532,18 @@ def osc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "element_id",
         "kind",
-        "new_lat",
-        "new_lon",
+        F.col("new_lat").alias("lat"),
+        F.col("new_lon").alias("lon"),
         F.coalesce(F.size("members"), F.lit(0)).cast("long").alias("n_members"),
-    ).withColumnRenamed("new_lat", "lat").withColumnRenamed(
-        "new_lon", "lon"
+        "version",
+        F.col("timestamp").alias("ts"),
+        "uid",
+        F.col("user").alias("usr"),
+        "changeset",
+        F.array_join(
+            F.transform("tags", lambda t: F.concat(t["k"], F.lit("="), t["v"])),
+            ";",
+        ).alias("tag_sig"),
     ).orderBy("element_id")
 
 

@@ -41,14 +41,31 @@ CHANGE_SCHEMA = (
 
 #: full three-kind element schema (node/way/relation with optional
 #: <bbox> child), the faithful relational image of the reference's
-#: OsmChange model (/root/reference/src/osmxml.rs:382-785: element
-#: attributes, <nd ref>, <member type ref role>, <tag k v>, <bbox>)
+#: OsmChange model (/root/reference/src/osmxml.rs:120-175 parse,
+#: 782-955 write: element attributes incl. the five metadata fields
+#: version/timestamp/uid/user/changeset of /root/reference/src/osm.rs:16-35,
+#: <nd ref>, <member type ref role>, <tag k v>, <bbox>).
+#:
+#: ``tags`` is an ORDERED list of (k, v) structs, not a map: the
+#: reference models tags as Vec<(String,String)>
+#: (/root/reference/src/osm.rs:50-53) — order-preserving, duplicate
+#: keys legal — and a map would silently dedup and reorder them.
+#: ``timestamp`` stays a verbatim string like the reference's
+#: Option<String> (no datetime parse — byte-faithful round trips).
 ELEMENT_SCHEMA = (
     "state long, seq long, action string, kind string, element_id string, "
-    "new_lat long, new_lon long, tags map<string,string>, "
+    "new_lat long, new_lon long, "
+    "version long, timestamp string, uid long, user string, changeset long, "
+    "tags array<struct<k:string,v:string>>, "
     "members array<struct<ref:string,type:string,role:string>>, "
     "bbox struct<minlat:long,maxlat:long,minlon:long,maxlon:long>"
 )
+
+#: metadata attributes in the reference writer's emission order
+#: (/root/reference/src/osmxml.rs:789-812: id, version, timestamp,
+#: uid, user, changeset — then lat/lon on nodes)
+_META_ATTRS = ("version", "timestamp", "uid", "user", "changeset")
+_META_INT = {"version", "uid", "changeset"}
 
 _ACTIONS = ("create", "modify", "delete")
 _KINDS = ("node", "way", "relation")
@@ -114,7 +131,9 @@ def parse_osc_elements(data: bytes, state: int) -> list[dict]:
         for el in els:
             if el.tag not in _KINDS:
                 continue
-            tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
+            tags = [
+                {"k": t.get("k"), "v": t.get("v")} for t in el.findall("tag")
+            ]
             bb = el.find("bbox")
             bbox = None
             if bb is not None:
@@ -138,20 +157,22 @@ def parse_osc_elements(data: bytes, state: int) -> list[dict]:
                     for m in el.findall("member")
                 ]
             lat, lon = el.get("lat"), el.get("lon")
-            rows.append(
-                {
-                    "state": state,
-                    "seq": seq,
-                    "action": action,
-                    "kind": el.tag,
-                    "element_id": el.get("id"),
-                    "new_lat": coord_to_decimicro_py(float(lat)) if lat else None,
-                    "new_lon": coord_to_decimicro_py(float(lon)) if lon else None,
-                    "tags": tags or None,
-                    "members": members,
-                    "bbox": bbox,
-                }
-            )
+            row = {
+                "state": state,
+                "seq": seq,
+                "action": action,
+                "kind": el.tag,
+                "element_id": el.get("id"),
+                "new_lat": coord_to_decimicro_py(float(lat)) if lat else None,
+                "new_lon": coord_to_decimicro_py(float(lon)) if lon else None,
+                "tags": tags or None,
+                "members": members,
+                "bbox": bbox,
+            }
+            for a in _META_ATTRS:
+                v = el.get(a)
+                row[a] = (int(v) if a in _META_INT else v) if v is not None else None
+            rows.append(row)
             seq += 1
     return rows
 
@@ -200,7 +221,9 @@ def read_osc_elements_dir(spark: SparkSession, path: str) -> DataFrame:
 
     cols = [
         "state", "seq", "action", "kind", "element_id",
-        "new_lat", "new_lon", "tags", "members", "bbox",
+        "new_lat", "new_lon",
+        "version", "timestamp", "uid", "user", "changeset",
+        "tags", "members", "bbox",
     ]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -225,9 +248,11 @@ def _xml_escape(v: str) -> str:
 def format_osc_elements(rows: list[dict]) -> str:
     """Three-kind element rows -> action-grouped OsmChange XML with
     <nd>/<member>/<tag> children and the optional <bbox> child in the
-    reference writer's shape (/root/reference/src/osmxml.rs:824-955:
-    nd refs then tags then bbox on ways; members then tags then bbox on
-    relations)."""
+    reference writer's shape (/root/reference/src/osmxml.rs:782-955:
+    attributes id, version, timestamp, uid, user, changeset, then
+    lat/lon on nodes; children nd refs then tags then bbox on ways;
+    members then tags then bbox on relations).  Tags are an ordered
+    (k, v) list — emission order and duplicate keys are preserved."""
     out = ['<?xml version="1.0" encoding="UTF-8"?>', '<osmChange version="0.6">']
     current = None
     for r in sorted(rows, key=lambda r: r["seq"]):
@@ -238,6 +263,10 @@ def format_osc_elements(rows: list[dict]) -> str:
             out.append(f"<{current}>")
         kind = r["kind"]
         attrs = f' id="{r["element_id"]}"'
+        for a in _META_ATTRS:
+            v = r.get(a)
+            if v is not None:
+                attrs += f' {a}="{_xml_escape(v)}"'
         if r.get("new_lat") is not None:
             attrs += f' lat="{r["new_lat"] / 1e7:.7f}" lon="{r["new_lon"] / 1e7:.7f}"'
         kids = ""
@@ -250,8 +279,8 @@ def format_osc_elements(rows: list[dict]) -> str:
                     f'<member type="{m["type"]}" ref="{m["ref"]}"'
                     f' role="{_xml_escape(m["role"])}"/>'
                 )
-        for k, v in (r.get("tags") or {}).items():
-            kids += f'<tag k="{_xml_escape(k)}" v="{_xml_escape(v)}"/>'
+        for t in r.get("tags") or []:
+            kids += f'<tag k="{_xml_escape(t["k"])}" v="{_xml_escape(t["v"])}"/>'
         bb = r.get("bbox")
         if bb is not None:
             kids += (
@@ -268,6 +297,46 @@ def format_osc_elements(rows: list[dict]) -> str:
         out.append(f"</{current}>")
     out.append("</osmChange>")
     return "\n".join(out) + "\n"
+
+
+def elements_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Parsed element rows -> DataFrame, built STRAIGHT from the list
+    of dicts: a pandas detour coerces int-or-None columns (coords,
+    version/uid/changeset) to float64, which a bare non-Arrow session
+    rejects for LongType — this constructor is safe in ANY session."""
+    return spark.createDataFrame(rows, schema=ELEMENT_SCHEMA)
+
+
+def tag_value(tags_col, key: str):
+    """First value of tag ``key`` in an ordered (k, v) tag list column
+    (NULL when absent).  The map-like lookup view over the
+    order-preserving, duplicate-tolerant list representation —
+    ``F.get`` (0-based, NULL out of bounds) keeps it safe under ANSI
+    mode in a bare session."""
+    from pyspark.sql import functions as F
+
+    if isinstance(tags_col, str):
+        tags_col = F.col(tags_col)
+    return F.get(F.filter(tags_col, lambda t: t["k"] == F.lit(key)), 0)["v"]
+
+
+def tags_to_map(tags_col):
+    """Ordered (k, v) tag list -> map<string,string> view for consumers
+    that want map semantics; FIRST occurrence wins on duplicate keys
+    (explicit aggregate — ``map_from_entries`` would throw under the
+    default EXCEPTION dedup policy)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(tags_col, str):
+        tags_col = F.col(tags_col)
+    return F.aggregate(
+        tags_col,
+        F.create_map().cast("map<string,string>"),
+        lambda acc, t: F.when(
+            F.isnull(F.try_element_at(acc, t["k"])),
+            F.map_concat(acc, F.create_map(t["k"], t["v"])),
+        ).otherwise(acc),
+    )
 
 
 def _ns_prefix(kind_or_type):
@@ -311,8 +380,9 @@ def elements_to_engine(
         (F.concat(F.lit("n"), eid) if namespace_ids else eid).alias("image_id"),
         "new_lat",
         "new_lon",
-        F.col("tags")["caption"].alias("new_caption"),
-        F.col("tags")["phash"].cast("long").alias("new_phash"),
+        "version",
+        tag_value("tags", "caption").alias("new_caption"),
+        tag_value("tags", "phash").cast("long").alias("new_phash"),
     )
 
     def member_ref(m):
@@ -328,6 +398,7 @@ def elements_to_engine(
         ).alias("group_id"),
         "action",
         "kind",
+        "version",
         F.transform(
             "members",
             lambda m: F.struct(

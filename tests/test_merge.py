@@ -178,3 +178,91 @@ def test_pipeline_end_to_end(spark, regions, images_pdf, tmp_path):
     # bbox stage artifact exists per state
     bbox = spark.read.parquet(os.path.join(out_dir, "bbox/state=2"))
     assert {"image_id", "minlat", "maxlat", "minlon", "maxlon"} <= set(bbox.columns)
+
+
+def test_version_keyed_idempotent_merge(spark):
+    """SURVEY §2.10: MERGE keyed on (id, version) — stale or replayed
+    changes (version <= stored version, osm.rs:26) cannot regress newer
+    rows; applied upserts advance the stored version; a stale delete is
+    ignored while a newer delete lands."""
+    base = spark.createDataFrame(
+        [("a", "ca", 3), ("b", "cb", 5), ("c", "cc", 1)],
+        "image_id string, caption string, version long",
+    )
+    ch = spark.createDataFrame(
+        [
+            ("a", "modify", 0, 4, "ca4"),   # newer -> applied
+            ("b", "modify", 1, 5, "STALE"), # same version -> ignored
+            ("c", "delete", 2, 1, None),    # stale delete -> ignored
+            ("d", "create", 3, 1, "cd"),    # unknown key -> insert
+        ],
+        "image_id string, action string, seq long, version long, new_caption string",
+    )
+    got = {
+        r.image_id: (r.caption, r.version)
+        for r in merge_changes(
+            base, ch, key="image_id", version_col="version"
+        ).collect()
+    }
+    assert got == {
+        "a": ("ca4", 4),
+        "b": ("cb", 5),
+        "c": ("cc", 1),
+        "d": ("cd", 1),
+    }
+    # replaying the SAME batch on the merged result is a no-op
+    merged = merge_changes(base, ch, key="image_id", version_col="version")
+    again = {
+        r.image_id: (r.caption, r.version)
+        for r in merge_changes(
+            merged, ch, key="image_id", version_col="version"
+        ).collect()
+    }
+    assert again == got
+    # a newer delete lands
+    ch2 = spark.createDataFrame(
+        [("c", "delete", 0, 2, None)],
+        "image_id string, action string, seq long, version long, new_caption string",
+    )
+    got2 = {
+        r.image_id
+        for r in merge_changes(
+            merged, ch2, key="image_id", version_col="version"
+        ).collect()
+    }
+    assert got2 == {"a", "b", "d"}
+
+
+def test_version_merge_from_parsed_diff(spark):
+    """elements_to_engine threads the element version through, so a
+    parsed .osc diff can drive the version-keyed MERGE directly."""
+    from osm_replication_rust_spark.sources.osc import (
+        elements_df,
+        elements_to_engine,
+        parse_osc_elements,
+    )
+
+    xml = b"""<?xml version="1.0" encoding="UTF-8"?>
+<osmChange version="0.6">
+<modify>
+<node id="1" version="7" lat="1.0000000" lon="2.0000000"/>
+<node id="2" version="1" lat="9.0000000" lon="9.0000000"/>
+</modify>
+</osmChange>
+"""
+    points, _ = elements_to_engine(
+        elements_df(spark, parse_osc_elements(xml, state=1))
+    )
+    assert "version" in points.columns
+    base = spark.createDataFrame(
+        [("1", 0, 0, 3), ("2", 0, 0, 3)],
+        "image_id string, lat long, lon long, version long",
+    )
+    got = {
+        r.image_id: (r.lat, r.lon, r.version)
+        for r in merge_changes(
+            base, points, key="image_id", version_col="version"
+        ).collect()
+    }
+    # node 1: version 7 > 3 applied; node 2: version 1 <= 3 stale
+    assert got == {"1": (10_000_000, 20_000_000, 7), "2": (0, 0, 3)}

@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from osm_replication_rust_spark.sources.osc import (
+    elements_df,
     elements_to_engine,
     format_osc_elements,
     parse_osc_elements,
@@ -81,14 +82,7 @@ def test_bbox_annotation_matches_golden_for_diff_resolvable(spark):
     gold = {
         r["element_id"]: r["bbox"] for r in _rows(GOLD) if r["bbox"] is not None
     }
-    elements = spark.createDataFrame(
-        pd.DataFrame(rows),
-        schema="state long, seq long, action string, kind string, "
-        "element_id string, new_lat long, new_lon long, "
-        "tags map<string,string>, "
-        "members array<struct<ref:string,type:string,role:string>>, "
-        "bbox struct<minlat:long,maxlat:long,minlon:long,maxlon:long>",
-    )
+    elements = elements_df(spark, rows)
     base = spark.createDataFrame([], "image_id string, lat long, lon long")
     cycle = spark.createDataFrame(
         [
@@ -151,10 +145,8 @@ def test_three_kind_diff_through_classifier(spark):
     with open(f"{REF}/saint_barthelemy.poly") as f:
         region = parse_poly(f.read(), "saint_barthelemy")
 
-    from osm_replication_rust_spark.sources.osc import ELEMENT_SCHEMA
-
     rows = _rows(SRC)
-    elements = spark.createDataFrame(pd.DataFrame(rows), schema=ELEMENT_SCHEMA)
+    elements = elements_df(spark, rows)
     points, gch = elements_to_engine(elements)
     # store for member resolution: the diff's own node coordinates
     # (the reference's nodes_seen maps resolve diff-internal refs)
@@ -187,3 +179,87 @@ def test_three_kind_diff_through_classifier(spark):
         ("1973325505", "delete"),
     }
     assert got_grp == set()
+
+
+def test_metadata_survives_roundtrip_on_reference_fixture():
+    """version/timestamp/uid/user/changeset (osm.rs:16-35, parsed at
+    osmxml.rs:131-166, re-emitted at 789-812) survive
+    parse -> format -> parse on the reference's own fixture, and the
+    parsed values match the file's literal attributes."""
+    rows = _rows(SRC)
+    n = next(r for r in rows if r["element_id"] == "1759873129")
+    assert (n["version"], n["uid"], n["changeset"]) == (3, 1811738, 19926891)
+    assert n["timestamp"] == "2014-01-10T23:00:23Z"
+    assert n["user"] == "47NOE"
+    w = next(r for r in rows if r["element_id"] == "24552609")
+    assert (w["version"], w["user"]) == (1, "encleadus")
+    # every element in the fixture carries all five attributes
+    for r in rows:
+        for a in ("version", "timestamp", "uid", "user", "changeset"):
+            assert r[a] is not None, (r["element_id"], a)
+    again = parse_osc_elements(format_osc_elements(rows).encode(), state=1)
+    assert again == rows
+
+
+def test_ordered_duplicate_key_tags_roundtrip():
+    """Tags are Vec<(String,String)> in the reference (osm.rs:50-53):
+    order-preserving, duplicate keys legal. A hostile-but-legal tag
+    list must survive the writer/parser byte dance verbatim."""
+    hostile = [
+        {
+            "state": 1, "seq": 0, "action": "modify", "kind": "node",
+            "element_id": "1", "new_lat": 10, "new_lon": 20,
+            "version": 2, "timestamp": "2020-01-01T00:00:00Z",
+            "uid": None, "user": 'quo"te & <angle>', "changeset": 9,
+            "tags": [
+                {"k": "name", "v": "second"},
+                {"k": "zzz", "v": "x"},
+                {"k": "name", "v": "first"},
+                {"k": "name", "v": "second"},
+            ],
+            "members": None, "bbox": None,
+        }
+    ]
+    back = parse_osc_elements(format_osc_elements(hostile).encode(), state=1)
+    assert back == hostile
+    assert [t["v"] for t in back[0]["tags"]] == ["second", "x", "first", "second"]
+
+
+def test_tag_views_and_bare_session_frame(spark):
+    """tag_value/tags_to_map give map-like lookups over the ordered
+    list (first occurrence wins), and elements_df builds the frame
+    without pandas so nullable-int metadata stays LongType."""
+    from osm_replication_rust_spark.sources.osc import tag_value, tags_to_map
+
+    rows = [
+        {
+            "state": 1, "seq": 0, "action": "create", "kind": "node",
+            "element_id": "n1", "new_lat": 5, "new_lon": 6,
+            "version": 7, "timestamp": None, "uid": None, "user": None,
+            "changeset": None,
+            "tags": [
+                {"k": "caption", "v": "one"},
+                {"k": "caption", "v": "two"},
+                {"k": "phash", "v": "42"},
+            ],
+            "members": None, "bbox": None,
+        },
+        {
+            "state": 1, "seq": 1, "action": "create", "kind": "node",
+            "element_id": "n2", "new_lat": None, "new_lon": None,
+            "version": None, "timestamp": None, "uid": None, "user": None,
+            "changeset": None, "tags": None, "members": None, "bbox": None,
+        },
+    ]
+    df = elements_df(spark, rows)
+    assert dict(df.dtypes)["version"] == "bigint"
+    got = df.select(
+        "element_id",
+        tag_value("tags", "caption").alias("cap"),
+        tag_value("tags", "phash").cast("long").alias("ph"),
+        tags_to_map("tags").alias("m"),
+    ).collect()
+    by = {r.element_id: r for r in got}
+    assert by["n1"].cap == "one" and by["n1"].ph == 42
+    assert by["n1"].m == {"caption": "one", "phash": "42"}
+    assert by["n2"].cap is None and by["n2"].m is None

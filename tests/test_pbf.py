@@ -99,7 +99,7 @@ def test_pbf_store_reproduces_golden_bbox_file(spark):
 
     from osm_replication_rust_spark.operators.bbox import annotate_diff_bboxes
     from osm_replication_rust_spark.sources.osc import (
-        ELEMENT_SCHEMA,
+        elements_df,
         parse_osc_elements,
     )
     from osm_replication_rust_spark.sources.pbf import pbf_to_engine
@@ -107,7 +107,7 @@ def test_pbf_store_reproduces_golden_bbox_file(spark):
     base, groups = pbf_to_engine(spark, PBF)
     with open(SRC, "rb") as f:
         rows = parse_osc_elements(f.read(), state=1)
-    elements = spark.createDataFrame(pd.DataFrame(rows), schema=ELEMENT_SCHEMA)
+    elements = elements_df(spark, rows)
     out = annotate_diff_bboxes(
         elements, base, stored_groups=groups, namespace_ids=True
     )
@@ -178,7 +178,7 @@ def test_store_update_golden_reads(spark):
 
     from osm_replication_rust_spark.operators.merge import merge_changes
     from osm_replication_rust_spark.sources.osc import (
-        ELEMENT_SCHEMA,
+        elements_df,
         elements_to_engine,
         parse_osc_elements,
     )
@@ -188,7 +188,7 @@ def test_store_update_golden_reads(spark):
     with open(f"{REF}/way-666412102.osm.gz", "rb") as f:
         rows = parse_osc_elements(f.read(), state=1)
     assert all(r["action"] == "modify" for r in rows)  # bare <osm> elements
-    elements = spark.createDataFrame(pd.DataFrame(rows), schema=ELEMENT_SCHEMA)
+    elements = elements_df(spark, rows)
     points, gch = elements_to_engine(elements, namespace_ids=True)
 
     new_base = merge_changes(base, points, key="image_id")
@@ -259,7 +259,7 @@ def test_store_boundary_update_golden(spark):
 
     from osm_replication_rust_spark.operators.merge import merge_changes
     from osm_replication_rust_spark.sources.osc import (
-        ELEMENT_SCHEMA,
+        elements_df,
         elements_to_engine,
         parse_osc_elements,
     )
@@ -287,7 +287,7 @@ def test_store_boundary_update_golden(spark):
 
     with open(f"{REF}/saint_barthelemy-boundary.osc.gz", "rb") as f:
         rows = parse_osc_elements(f.read(), state=1)
-    elements = spark.createDataFrame(pd.DataFrame(rows), schema=ELEMENT_SCHEMA)
+    elements = elements_df(spark, rows)
     points, gch = elements_to_engine(elements, namespace_ids=True)
     new_base = merge_changes(base, points, key="image_id")
     new_groups = merge_changes(
