@@ -126,12 +126,14 @@ def annotate_diff_bboxes(
             .join(eff_changed.select("group_id"), "group_id", "left_anti")
         )
         seen = frontier
+        pinned = []  # per-iteration caches, released once resolution is cut
         for _ in range(max_depth):
             if frontier.isEmpty():
                 break
             hit = stored_groups.join(frontier, "group_id", "left_semi").select(
                 "group_id", "kind", "members"
             ).persist()
+            pinned.append(hit)
             resolution = resolution.unionByName(hit)
             frontier = (
                 _member_edges(hit)
@@ -142,7 +144,15 @@ def annotate_diff_bboxes(
                 .join(eff_changed.select("group_id"), "group_id", "left_anti")
                 .persist()
             )
+            pinned.append(frontier)
             seen = seen.unionByName(frontier)
+        if pinned:
+            # cut the fixpoint-deep union lineage, then release every
+            # per-iteration cache — long-lived sessions (the streaming
+            # path calls this per micro-batch) must not accumulate RDDs
+            resolution = resolution.localCheckpoint(eager=True)
+            for df in pinned:
+                df.unpersist()
 
     # point resolver: changed-node bboxes ∪ stored coords of every
     # referenced point (degenerate bboxes), referenced set only

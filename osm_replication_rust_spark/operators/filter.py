@@ -371,6 +371,9 @@ def groups_in_regions(
         "group_id", F.col("ref").alias("child_id")
     ).persist()
 
+    # one action per round: the previous round's count is carried in a
+    # Python variable instead of re-counting the persisted frame
+    prev_count = resolved.count()
     for _ in range(max_iters):
         via_children = (
             group_edges.join(
@@ -382,9 +385,11 @@ def groups_in_regions(
             .distinct()
         )
         new_resolved = resolved.unionByName(via_children).distinct().persist()
-        if new_resolved.count() == resolved.count():
+        new_count = new_resolved.count()
+        resolved.unpersist()
+        resolved = new_resolved
+        if new_count == prev_count:
             break
-        resolved = new_resolved
-    else:
-        resolved = new_resolved
+        prev_count = new_count
+    group_edges.unpersist()
     return resolved

@@ -34,12 +34,14 @@ def resolve_way_full(groups: DataFrame, points: DataFrame, point_id: str = "imag
         ).alias("pt"),
     )
     joined = edges.join(pts, "ref", "inner")
-    w = Window.partitionBy("group_id").orderBy("pos")
-    return (
-        joined.withColumn("coords", F.collect_list("pt").over(w))
-        .withColumn("_rn", F.row_number().over(Window.partitionBy("group_id").orderBy(F.desc("pos"))))
-        .filter(F.col("_rn") == 1)
-        .select("group_id", "coords")
+    # one hash-agg instead of two window passes: collect (pos, pt)
+    # pairs, sort by position, strip the position — order preserved,
+    # one shuffle, map-side partial agg applies
+    return joined.groupBy("group_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "pt"))),
+            lambda s: s["pt"],
+        ).alias("coords")
     )
 
 

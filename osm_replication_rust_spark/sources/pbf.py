@@ -168,15 +168,28 @@ def scan_pbf_blobs(path: str) -> list[dict]:
 def _blob_payload(raw: bytes) -> bytes:
     """Blob message -> decompressed PrimitiveBlock bytes."""
     plain = zdata = None
+    other_codec = None
+    # fileformat.proto Blob fields: 1 raw, 3 zlib_data, 4 lzma_data,
+    # 6 lz4_data, 7 zstd_data — only raw/zlib are implemented (the
+    # ones the reference's osmpbf stack emits); anything else must
+    # fail naming the codec, not with a generic error
+    _CODECS = {4: "lzma", 6: "lz4", 7: "zstd"}
     for field, _, val in iter_fields(raw):
         if field == 1:
             plain = val
         elif field == 3:
             zdata = val
+        elif field in _CODECS:
+            other_codec = _CODECS[field]
     if plain is not None:
         return bytes(plain)
     if zdata is not None:
         return zlib.decompress(zdata)
+    if other_codec is not None:
+        raise ValueError(
+            f"blob uses unsupported compression '{other_codec}' "
+            "(only raw and zlib are implemented)"
+        )
     raise ValueError("blob carries neither raw nor zlib_data")
 
 
@@ -289,6 +302,19 @@ def _parse_block(payload: bytes) -> list[dict]:
                         memids = np.cumsum(decode_packed_sints(v2))
                     elif f2 == 10:
                         types = decode_packed_varints(v2).astype(np.int64)
+                # roles_sid/types may legally be absent or shorter than
+                # memids (proto3 packed defaults) — pad with the proto
+                # defaults (role sid 0, type 0=node) so zip cannot
+                # silently drop members
+                n_mem = len(memids)
+                if len(roles) < n_mem:
+                    roles = np.concatenate(
+                        [roles, np.zeros(n_mem - len(roles), dtype=np.int64)]
+                    )
+                if len(types) < n_mem:
+                    types = np.concatenate(
+                        [types, np.zeros(n_mem - len(types), dtype=np.int64)]
+                    )
                 members = [
                     {
                         "ref": int(m),
