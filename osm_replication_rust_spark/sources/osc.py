@@ -456,8 +456,111 @@ def write_osc_tree(changes_pdf: pd.DataFrame, root: str, gz: bool = True) -> lis
         p = os.path.join(d, f"{c:03d}.osc" + (".gz" if gz else ""))
         payload = format_osc(grp.to_dict("records")).encode()
         if gz:
-            payload = gzip.compress(payload)
+            payload = gzip.compress(payload, mtime=0)  # deterministic bytes
         with open(p, "wb") as f:
             f.write(payload)
         paths.append(p)
     return paths
+
+
+def _shard(state: int) -> str:
+    """state -> the reference's 3/3/3 shard path 'AAA/BBB/CCC'
+    (/root/reference/src/update.rs:76-82)."""
+    s = int(state)
+    return f"{s // 1_000_000 % 1000:03d}/{s // 1_000 % 1000:03d}/{s % 1000:03d}"
+
+
+def _element_records(pdf: pd.DataFrame) -> list[dict]:
+    """Arrow-batched pandas rows -> plain element dicts: nullable int64
+    columns arrive as float64-with-NaN, arrays as ndarrays — normalize
+    back to the parse_osc_elements shape so the writer sees identical
+    input either way."""
+    import math
+
+    int_cols = ("state", "seq", "new_lat", "new_lon", "version", "uid", "changeset")
+    recs = []
+    for r in pdf.to_dict("records"):
+        out = {}
+        for k in int_cols:
+            v = r.get(k)
+            out[k] = (
+                None
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                else int(v)
+            )
+        for k in ("action", "kind", "element_id", "timestamp", "user"):
+            v = r.get(k)
+            out[k] = v if isinstance(v, str) else None
+        for k in ("tags", "members"):
+            v = r.get(k)
+            out[k] = None if v is None else [dict(x) for x in list(v)]
+        bb = r.get("bbox")
+        out["bbox"] = None if bb is None else {kk: int(vv) for kk, vv in bb.items()}
+        recs.append(out)
+    return recs
+
+
+def write_region_osc_tree(
+    elements: DataFrame, root: str, region_col: str = "region"
+) -> list[dict]:
+    """DISTRIBUTED per-region diff publish — the reference's interchange
+    artifact (/root/reference/src/diffs.rs:94-166 generate_diff):
+    ``<root>/<hier_name>/minute/AAA/BBB/CCC.osc.gz`` per (region, state)
+    plus the sibling ``CCC.state.txt`` and the per-region
+    ``minute/state.txt`` symlink to the newest state.
+
+    ``elements`` is an ELEMENT_SCHEMA frame with an extra region
+    (hier-name) column. Each (region, state) group is formatted and
+    written ON AN EXECUTOR via ``applyInPandas`` — one shuffle on the
+    grouping key, tmp-file + atomic rename exactly like the reference
+    (diffs.rs:146-149) — so the publish scales with the number of
+    region×state cells, not with driver memory. Bytes are deterministic
+    (seq-sorted rows, gzip mtime=0): identical to a driver-side
+    ``format_osc_elements`` of the same rows. Assumes a shared
+    filesystem across executors (true for local / any cluster writing
+    to a shared mount; swap the open() for an object-store client
+    otherwise). Returns one manifest dict per written file."""
+
+    out_schema = "region string, state long, path string, n_rows long"
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        region, state = str(key[0]), int(key[1])
+        recs = _element_records(pdf.sort_values("seq"))
+        payload = gzip.compress(format_osc_elements(recs).encode(), mtime=0)
+        d = os.path.join(root, region, "minute", os.path.dirname(_shard(state)))
+        os.makedirs(d, exist_ok=True)
+        leaf = os.path.basename(_shard(state))
+        path = os.path.join(d, f"{leaf}.osc.gz")
+        tmp = os.path.join(d, f".{leaf}.osc.gz.tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)  # tmp + atomic rename (diffs.rs:146-149)
+        state_txt = os.path.join(d, f"{leaf}.state.txt")
+        tmp_st = state_txt + ".tmp"
+        with open(tmp_st, "w") as f:
+            f.write(f"sequenceNumber={state}\n")
+        os.replace(tmp_st, state_txt)
+        return pd.DataFrame(
+            [{"region": region, "state": state, "path": path, "n_rows": len(recs)}]
+        )
+
+    written = [
+        r.asDict()
+        for r in elements.groupBy(region_col, "state")
+        .applyInPandas(write_group, out_schema)
+        .collect()
+    ]
+    # per-region current-state pointer: minute/state.txt -> newest
+    # state's .state.txt (the reference's symlink publish, diffs.rs:152-162)
+    newest: dict[str, int] = {}
+    for w in written:
+        newest[w["region"]] = max(newest.get(w["region"], -1), w["state"])
+    for region, state in newest.items():
+        link = os.path.join(root, region, "minute", "state.txt")
+        target = _shard(state) + ".state.txt"
+        try:
+            os.remove(link)
+        except FileNotFoundError:
+            pass
+        os.symlink(target, link)
+    return written

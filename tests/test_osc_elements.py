@@ -263,3 +263,70 @@ def test_tag_views_and_bare_session_frame(spark):
     assert by["n1"].cap == "one" and by["n1"].ph == 42
     assert by["n1"].m == {"caption": "one", "phash": "42"}
     assert by["n2"].cap is None and by["n2"].m is None
+
+
+def test_distributed_region_tree_byte_parity(spark, tmp_path):
+    """K5 interop: write_region_osc_tree publishes the reference's
+    per-region interchange tree (<region>/minute/AAA/BBB/CCC.osc.gz +
+    state.txt symlink, diffs.rs:94-166) from a DataFrame via
+    applyInPandas, and every published file is BYTE-identical to a
+    driver-side format_osc_elements of the same rows."""
+    from osm_replication_rust_spark.sources.osc import (
+        ELEMENT_SCHEMA,
+        write_region_osc_tree,
+    )
+
+    base_rows = _rows(GOLD)  # carries tags, members, bbox, metadata
+    regions = [
+        "africa/spain/canarias/las_palmas",
+        "africa/spain/canarias/santa_cruz_de_tenerife",
+        "europe/france",
+    ]
+    states = [1, 1_000_002]
+    cells = {}
+    rows = []
+    for ri, region in enumerate(regions):
+        for state in states:
+            # distinct per-cell subset so files must differ
+            sel = [
+                dict(r, state=state)
+                for i, r in enumerate(base_rows)
+                if i % (ri + 2) == 0
+            ]
+            cells[(region, state)] = sel
+            rows.extend(dict(r, region=region) for r in sel)
+    df = spark.createDataFrame(rows, schema=ELEMENT_SCHEMA + ", region string")
+
+    root = str(tmp_path / "diffs")
+    written = write_region_osc_tree(df, root)
+    assert len(written) == len(cells)
+
+    for w in written:
+        expect = gzip.compress(
+            format_osc_elements(cells[(w["region"], w["state"])]).encode(),
+            mtime=0,
+        )
+        with open(w["path"], "rb") as f:
+            assert f.read() == expect, (w["region"], w["state"])
+        assert w["n_rows"] == len(cells[(w["region"], w["state"])])
+
+    # layout: region hierarchy + 3/3/3 shard + state sidecars
+    p = os.path.join(
+        root, "africa/spain/canarias/las_palmas", "minute/001/000/002.osc.gz"
+    )
+    assert os.path.exists(p)
+    st = os.path.join(
+        root, "africa/spain/canarias/las_palmas", "minute/001/000/002.state.txt"
+    )
+    with open(st) as f:
+        assert f.read() == "sequenceNumber=1000002\n"
+    link = os.path.join(root, "africa/spain/canarias/las_palmas", "minute/state.txt")
+    assert os.path.islink(link)
+    with open(link) as f:  # resolves through the symlink to the newest
+        assert f.read() == "sequenceNumber=1000002\n"
+
+    # the published tree reads back distributedly with states recovered
+    back = read_osc_elements_dir(spark, os.path.join(root, "europe/france"))
+    got = {r["state"]: r["cnt"] for r in back.groupBy("state").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == {s: len(cells[("europe/france", s)]) for s in states}
