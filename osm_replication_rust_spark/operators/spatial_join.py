@@ -133,6 +133,25 @@ def _membership_udf(
     return member.asNondeterministic()
 
 
+def _auto_strategy(spark: SparkSession) -> str:
+    """Default refine strategy by deployment topology: Arrow numpy
+    kernel in a single JVM (``local[N]`` — fastest measured there,
+    no multi-executor scaling question), compiled JVM expressions on
+    every multi-executor master (the certified-scaling configuration,
+    BENCH.md round-3 iso-load decomposition: 0.96 engine-attributable
+    N->4N efficiency)."""
+    return _auto_strategy_for_master(spark.conf.get("spark.master", ""))
+
+
+def _auto_strategy_for_master(master: str) -> str:
+    # "local" / "local[N]" / "local[*]" are one JVM; "local-cluster[...]",
+    # "spark://", "yarn", "k8s://" all run separate executor processes
+    is_single_jvm = master == "local" or (
+        master.startswith("local[") and not master.startswith("local-cluster")
+    )
+    return "udf" if is_single_jvm else "expr"
+
+
 def assign_regions(
     points: DataFrame,
     regions: list[MultiPolygon],
@@ -154,13 +173,24 @@ def assign_regions(
     - 'expr' : geometry compiled to Catalyst expressions (pure JVM;
                raycast unrolled, buffer distance via F.exists HOF so
                the stage stays under the JVM 64 KB method limit)
-    - 'auto' : 'udf' — MEASURED faster, not assumed: at 32 threads /
-               30M rows / quiet host, the numpy refine ran 26.3M rows/s
-               vs 11.0M rows/s for the compiled expression path (the
-               HOF buffer loop is CodegenFallback, i.e. interpreted
-               per boundary row; numpy amortizes per Arrow batch). The
-               expr path remains for deployments that forbid Python
-               workers.
+    - 'auto' : resolved BY MASTER so the default config always runs
+               the configuration whose scaling story is certified:
+               * single-JVM ``local[N]`` masters -> 'udf' — MEASURED
+                 faster there, not assumed: at 32 threads / 30M rows /
+                 quiet host the numpy refine ran 26.3M rows/s vs
+                 11.0M for the compiled expressions (the HOF buffer
+                 loop is CodegenFallback; numpy amortizes per Arrow
+                 batch). One process, no cross-executor scaling
+                 question exists.
+               * multi-executor masters (local-cluster, standalone,
+                 yarn, k8s) -> 'expr' — the iso-load decomposition
+                 (tools/bench_isoload.py, BENCH.md round 3) certifies
+                 its engine-attributable N->4N scaling at 0.96>=0.8;
+                 the Arrow path's multi-executor scaling could not be
+                 certified on this host (bimodal independent-jobs arm)
+                 and additionally shares each core budget between JVM
+                 task threads, Arrow writers, and python workers.
+               Pass an explicit strategy to override either choice.
 
     ``buffer_mode`` ('udf' strategy only): 'exact' = distance <= buffer;
     '8seg' = the reference's GEOS chord-approximated buffer (see
@@ -173,7 +203,7 @@ def assign_regions(
     lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
     keep_cols = keep_cols or [c for c in points.columns]
     if strategy == "auto":
-        strategy = "udf"
+        strategy = _auto_strategy(spark)
 
     pts = points.withColumn("_cell", cell_id(lon, lat, res)).withColumn(
         "_lon", lon.cast("long")

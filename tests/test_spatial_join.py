@@ -67,3 +67,23 @@ def test_cascade_containment(spark, regions, images_pdf):
         while parent is not None:
             assert (iid, parent) in in_poly, (iid, rid, parent)
             parent = by_parent[parent]
+
+
+def test_auto_strategy_by_master(spark):
+    """'auto' resolves to the Arrow kernel only inside a single JVM;
+    every multi-executor master gets the certified-scaling compiled
+    expression path (BENCH.md round-3 iso-load decomposition)."""
+    from osm_replication_rust_spark.operators.spatial_join import (
+        _auto_strategy,
+        _auto_strategy_for_master,
+    )
+
+    assert _auto_strategy_for_master("local[32]") == "udf"
+    assert _auto_strategy_for_master("local[*]") == "udf"
+    assert _auto_strategy_for_master("local") == "udf"
+    assert _auto_strategy_for_master("local-cluster[4,8,8192]") == "expr"
+    assert _auto_strategy_for_master("spark://host:7077") == "expr"
+    assert _auto_strategy_for_master("yarn") == "expr"
+    assert _auto_strategy_for_master("k8s://https://host:6443") == "expr"
+    # the test session is local[N]
+    assert _auto_strategy(spark) == "udf"
