@@ -76,6 +76,17 @@ def cosine_topk_bruteforce(
 Q_SCALE = 1000
 
 
+def _emb_matrix(emb: pd.Series) -> np.ndarray:
+    """Arrow-batched array<float> Series -> (N, D) float64 matrix.
+    One C-level concatenate instead of a per-row Python loop (measured
+    ~4x cheaper at 100k x 64); embeddings are fixed-dimension, which
+    the reshape asserts for free."""
+    vals = emb.to_numpy()
+    if len(vals) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.concatenate(vals).reshape(len(vals), -1).astype(np.float64)
+
+
 def _quantize(mat: np.ndarray) -> np.ndarray:
     """Half-away-from-zero round(x*1000) -> int64, exactly matching
     DuckDB round() on the binary double value: rint (half-to-even, exact
@@ -107,7 +118,7 @@ def lsh_bucket_udf(spark, dim: int, n_tables: int, n_bits: int, seed: int = 13):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(emb: pd.Series) -> pd.Series:
         planes = planes_bc.value  # (T, B, D) int64
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])  # (N, D)
+        mat = _emb_matrix(emb)  # (N, D)
         vq = _quantize(mat)  # (N, D) int64
         # (T, B, N) integer projections -> sign bits -> packed ids
         proj = np.einsum("tbd,nd->tbn", planes, vq)
@@ -236,13 +247,18 @@ def _argmin_centroid_udf(spark, centroids_q: np.ndarray):
     @F.pandas_udf(T.IntegerType())
     def nearest(emb: pd.Series) -> pd.Series:
         c = cb.value  # (K, D) int64
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])  # (N, D)
+        mat = _emb_matrix(emb)  # (N, D)
         vq = _quantize(mat)  # (N, D) int64
         # (N, K) exact integer distances; argmin ties -> first index
         d = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
-    return nearest
+    # value is a pure function of the input, but Catalyst must not
+    # clone the call: the join-key isnotnull filter otherwise pushes a
+    # SECOND ArrowEvalPython of the assignment below the first
+    # (measured 2x the items-side Python cost; same fix as
+    # spatial_join._membership_udf)
+    return nearest.asNondeterministic()
 
 
 def _nprobe_centroids_udf(spark, centroids_q: np.ndarray, nprobe: int):
@@ -253,13 +269,13 @@ def _nprobe_centroids_udf(spark, centroids_q: np.ndarray, nprobe: int):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probes(emb: pd.Series) -> pd.Series:
         c = cb.value
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        mat = _emb_matrix(emb)
         vq = _quantize(mat)
         d = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.Series(list(map(list, order)))
 
-    return probes
+    return probes.asNondeterministic()  # see _argmin_centroid_udf
 
 
 def train_centroids(
@@ -329,7 +345,11 @@ def ivf_topk(
     qp = queries.select(F.col(q_id), F.col(vec).alias("_qv")).withColumn(
         "_cid", F.explode(probes(F.col("_qv")))
     )
-    cands = qp.join(lists, "_cid", "inner")
+    # broadcast the (queries x nprobe) side and STREAM the item lists:
+    # left to itself Spark broadcasts whichever side it estimates
+    # smaller, which at scale is wrong here — the item table is the
+    # fact side (10^12 design point) and must never be exchanged
+    cands = lists.join(F.broadcast(qp), "_cid", "inner")
     scored = cands.withColumn(
         "dot_q", dot_q_expr(F.col("_qv"), F.col("_iv"))
     ).withColumn(
