@@ -1079,6 +1079,91 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_versioned",
+    """
+    WITH base AS (
+      SELECT doc_id, text, doc_id % 4 + 1 AS version FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, 'modify' AS action, doc_id % 6 AS cv,
+             'rev ' || CAST(doc_id % 6 AS VARCHAR) AS new_text
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id, 'delete', doc_id % 8, NULL
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 5000000, 'create', 1, 'new ' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 11 = 0 AND doc_id % 3 <> 0 AND doc_id % 10 <> 0
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN c.doc_id IS NULL
+                     OR (b.version IS NOT NULL AND c.cv <= b.version)
+                THEN b.text ELSE COALESCE(c.new_text, b.text) END AS text,
+           CASE WHEN c.doc_id IS NULL
+                     OR (b.version IS NOT NULL AND c.cv <= b.version)
+                THEN b.version ELSE c.cv END AS version
+    FROM base b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL
+       OR (b.version IS NOT NULL AND c.cv <= b.version)
+       OR c.action <> 'delete'
+    ORDER BY doc_id
+    """,
+)
+def merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K4 + SURVEY §2.10 'idempotent MERGE keyed on (type,id,version)':
+    the version-keyed MERGE (osm.rs:26 element versions) against a
+    relational full-outer-join oracle. The synthesized batch mixes
+    stale modifies (cv <= stored), applied modifies, stale AND applied
+    deletes, and creates — stale changes must leave rows untouched,
+    applied upserts must advance the stored version."""
+    from ..operators.merge import merge_changes
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 4 + 1).alias("version")
+    )
+    mods = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 10 != 0))
+        .select(
+            "doc_id",
+            F.lit("modify").alias("action"),
+            (F.col("doc_id") % 6).alias("version"),
+            F.concat(F.lit("rev "), (F.col("doc_id") % 6).cast("string")).alias(
+                "new_text"
+            ),
+        )
+    )
+    dels = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.lit("delete").alias("action"),
+            (F.col("doc_id") % 8).alias("version"),
+            F.lit(None).cast("string").alias("new_text"),
+        )
+    )
+    crts = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 11 == 0)
+            & (F.col("doc_id") % 3 != 0)
+            & (F.col("doc_id") % 10 != 0)
+        )
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.lit("create").alias("action"),
+            F.lit(1).cast("long").alias("version"),
+            F.concat(F.lit("new "), F.col("doc_id").cast("string")).alias("new_text"),
+        )
+    )
+    changes = mods.unionByName(dels).unionByName(crts)
+    return merge_changes(
+        d, changes, key="doc_id", order="version", version_col="version"
+    ).orderBy("doc_id")
+
+
+@register(
     "stream_window_stats",
     """
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
@@ -1549,6 +1634,137 @@ def osc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: per-sf_dir memo of the generated PBF fixture path
 _PBF_CACHE: dict = {}
+
+
+@register(
+    "poly_dir_scan",
+    """
+    SELECT * FROM (
+      SELECT 'reg' || r_regionkey AS region_id,
+             CAST(NULL AS VARCHAR) AS parent_id,
+             CAST(CASE WHEN r_regionkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_rings,
+             CAST(CASE WHEN r_regionkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_holes,
+             CAST(CASE WHEN r_regionkey % 2 = 0 THEN 8 ELSE 4 END AS BIGINT)
+               AS n_vertices,
+             CAST(200000000 * r_regionkey - 400000000
+                  - (r_regionkey + 1) * 1000000 AS BIGINT) AS min_lon,
+             CAST(200000000 * r_regionkey - 400000000
+                  + (r_regionkey + 1) * 1000000 AS BIGINT) AS max_lon,
+             CAST(100000000 * r_regionkey - 200000000
+                  - (r_regionkey + 1) * 1000000 AS BIGINT) AS min_lat,
+             CAST(100000000 * r_regionkey - 200000000
+                  + (r_regionkey + 1) * 1000000 AS BIGINT) AS max_lat
+      FROM region
+      UNION ALL
+      SELECT 'reg' || n_regionkey || '/nat' || n_nationkey,
+             'reg' || n_regionkey,
+             CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(4 AS BIGINT),
+             CAST(200000000 * n_regionkey - 400000000
+                  + (n_nationkey + 1) * 100000 - 50000 AS BIGINT),
+             CAST(200000000 * n_regionkey - 400000000
+                  + (n_nationkey + 1) * 100000 + 50000 AS BIGINT),
+             CAST(100000000 * n_regionkey - 200000000
+                  + (n_nationkey + 1) * 100000 - 50000 AS BIGINT),
+             CAST(100000000 * n_regionkey - 200000000
+                  + (n_nationkey + 1) * 100000 + 50000 AS BIGINT)
+      FROM nation
+    ) ORDER BY region_id
+    """,
+)
+def poly_dir_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/F7 through the gate: a deterministic `.poly` hierarchy
+    (regions as parents with hole rings on even keys, nations as
+    children — the reference's dir/x.poly pairing,
+    /root/reference/src/diffs.rs:195-260) is WRITTEN as literal Osmosis
+    polygon text from the star schema, SCANNED back with
+    regions_from_dir/parse_poly (7-decimal degree strings -> decimicro
+    ints, '!'-prefixed hole headers, /root/reference/src/osmgeom.rs:15-62),
+    and the parsed facts (ring/hole/vertex counts, exact coordinate
+    extremes) are compared to the relational recomputation."""
+    import os
+    import tempfile
+
+    from ..sources.poly import regions_from_dir
+
+    regions = (
+        _t(spark, sf_dir, "region").select("r_regionkey").orderBy("r_regionkey")
+        .collect()
+    )
+    nations = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+
+    def square(clon: int, clat: int, d: int) -> list[tuple[int, int]]:
+        return [
+            (clon - d, clat - d),
+            (clon + d, clat - d),
+            (clon + d, clat + d),
+            (clon - d, clat + d),
+        ]
+
+    def ring_lines(name: str, coords: list[tuple[int, int]]) -> list[str]:
+        out = [name]
+        out += [f"   {lon / 1e7:.7f}   {lat / 1e7:.7f}" for lon, lat in coords]
+        out.append("END")
+        return out
+
+    import hashlib
+
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"graft_poly_{digest}")
+    if not os.path.isdir(root):
+        tmp_root = root + ".tmp"
+        for rr in regions:
+            k = int(rr[0])
+            clon, clat = 200_000_000 * k - 400_000_000, 100_000_000 * k - 200_000_000
+            d = (k + 1) * 1_000_000
+            lines = [f"reg{k}"]
+            lines += ring_lines("1", square(clon, clat, d))
+            if k % 2 == 0:  # hole ring on even keys
+                lines += ring_lines("!2", square(clon, clat, d // 2))
+            lines.append("END")
+            os.makedirs(tmp_root, exist_ok=True)
+            with open(os.path.join(tmp_root, f"reg{k}.poly"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+        for nr in nations:
+            nk, rk = int(nr[0]), int(nr[1])
+            clon = 200_000_000 * rk - 400_000_000 + (nk + 1) * 100_000
+            clat = 100_000_000 * rk - 200_000_000 + (nk + 1) * 100_000
+            lines = [f"nat{nk}"]
+            lines += ring_lines("1", square(clon, clat, 50_000))
+            lines.append("END")
+            d = os.path.join(tmp_root, f"reg{rk}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"nat{nk}.poly"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+        os.replace(tmp_root, root)
+
+    rows = []
+    for mp in regions_from_dir(root):
+        all_coords = [c for r in mp.rings for c in r.coords]
+        rows.append(
+            {
+                "region_id": mp.region_id,
+                "parent_id": mp.parent_id,
+                "n_rings": len(mp.rings),
+                "n_holes": sum(1 for r in mp.rings if r.hole),
+                "n_vertices": len(all_coords),
+                "min_lon": min(int(c[0]) for c in all_coords),
+                "max_lon": max(int(c[0]) for c in all_coords),
+                "min_lat": min(int(c[1]) for c in all_coords),
+                "max_lat": max(int(c[1]) for c in all_coords),
+            }
+        )
+    schema = (
+        "region_id string, parent_id string, n_rings long, n_holes long, "
+        "n_vertices long, min_lon long, max_lon long, min_lat long, max_lat long"
+    )
+    return spark.createDataFrame(rows, schema=schema).orderBy("region_id")
 
 
 @register(
