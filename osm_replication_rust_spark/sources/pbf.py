@@ -41,7 +41,7 @@ PBF_SCHEMA = (
     "kind string, element_id long, lat long, lon long, "
     "refs array<long>, "
     "members array<struct<ref:long,type:string,role:string>>, "
-    "tags map<string,string>"
+    "tags array<struct<k:string,v:string>>"
 )
 
 _MEMBER_TYPES = ("node", "way", "relation")
@@ -323,11 +323,14 @@ def _parse_block(payload: bytes) -> list[dict]:
                     }
                     for m, t, r in zip(memids, types, roles)
                 ]
-                tags = {
-                    stringtable[int(k)]: stringtable[int(v)]
+                # ORDERED (k, v) list, matching the wire order and the
+                # reference model's Vec<(String,String)> (osm.rs:85) —
+                # duplicates and ordering survive
+                tags = [
+                    {"k": stringtable[int(k)], "v": stringtable[int(v)]}
                     for k, v in zip(keys, vals)
                     if int(k) < len(stringtable) and int(v) < len(stringtable)
-                }
+                ]
                 rows.append(
                     {
                         "kind": "relation",

@@ -60,8 +60,9 @@ def test_pbf_parse_golden_counts_and_values():
         {"ref": 670634766, "type": "node", "role": ""},
         {"ref": 670634768, "type": "node", "role": ""},
     ]
-    assert r["tags"]["name"] == "Saint-Barthélemy III"
-    assert r["tags"]["type"] == "site"
+    tags = {t["k"]: t["v"] for t in r["tags"]}  # ordered (k,v) list
+    assert tags["name"] == "Saint-Barthélemy III"
+    assert tags["type"] == "site"
 
     nodes = {r["element_id"]: r for r in rows if r["kind"] == "node"}
     assert (nodes[266964195]["lat"], nodes[266964195]["lon"]) == (
@@ -238,7 +239,7 @@ def test_pbf_relation_golden_full():
         {"ref": 174027473, "type": "way", "role": "outer"},
         {"ref": 174023902, "type": "way", "role": "outer"},
     ]
-    assert r["tags"] == {
+    assert {t["k"]: t["v"] for t in r["tags"]} == {
         "admin_level": "8",
         "boundary": "administrative",
         "local_name": "Statia",
