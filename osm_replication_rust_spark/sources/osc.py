@@ -523,7 +523,7 @@ def write_region_osc_tree(
 
     out_schema = "region string, state long, path string, n_rows long"
 
-    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def write_group(key, pdf):
         region, state = str(key[0]), int(key[1])
         recs = _element_records(pdf.sort_values("seq"))
         payload = gzip.compress(format_osc_elements(recs).encode(), mtime=0)
