@@ -1,0 +1,197 @@
+"""Raster <-> vector conversion over the decimicro grid.
+
+The north rule names four index primitives — H3/S2 cells, point-in-
+polygon, kNN, and raster<->vector.  The first three live in
+``operators/cells.py`` / ``spatial_join.py`` / ``knn.py``; this module
+closes the loop:
+
+- vector -> raster: burn points (``rasterize_points``) or a region
+  multipolygon (``rasterize_polygon``) into dense per-tile pixel
+  rasters.  The reference works purely in vector space (bbox extents,
+  ``.poly`` rings — /root/reference/src/osm.rs, poly.rs); the raster
+  form is the engine-side analog of its region *coverage* products,
+  discretized on the same grid the cell-prefilter join uses.
+- raster -> vector: ``vectorize_raster`` converts a mask raster back
+  into maximal pixel-aligned rectangles (gaps-and-islands in both
+  axes), i.e. a coarse polygonization whose union is exactly the mask.
+
+Grid scheme (shared with ``functions/coords.py``): pixels are grid
+cells at ``px_res`` (edge ``2**px_res`` decimicro); tiles are grid
+cells at ``tile_res > px_res`` and carry the standard ``cell_id``
+(``cy * Y_STRIDE + cx``), so a raster tile and a cover/join cell with
+the same id describe the same square.  Each tile's raster is a dense
+row-major ``array<long>`` of ``npx*npx`` pixels, ``npx =
+2**(tile_res-px_res)``, pixel (0,0) at the tile's south-west corner.
+
+Scale notes (100 TB): rasterize is two hash aggregations with map-side
+combine — sparse (tile, idx) partial counts, then one
+``map_from_entries`` densify per tile; nothing shuffles pixel rows
+twice and no Python runs anywhere (whole-stage codegen throughout).
+``npx`` bounds per-tile state at ``8 * npx**2`` bytes, independent of
+input size.  vectorize partitions by pixel row then by run extent —
+both keys are high-cardinality, skew-free, and the output is rectangle
+rows, never a driver-side bitmap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.coords import LAT_OFFSET, LON_OFFSET, Y_STRIDE
+from ..functions.geo_expr import raycast_expr
+from ..functions.geometry import MultiPolygon
+
+
+def _check_res(tile_res: int, px_res: int) -> int:
+    if not (0 < px_res < tile_res):
+        raise ValueError(f"need 0 < px_res < tile_res, got {px_res} >= {tile_res}")
+    if tile_res < 16:
+        raise ValueError("tile_res < 16 overflows Y_STRIDE cell packing")
+    return 1 << (tile_res - px_res)
+
+
+def _densify(sparse: DataFrame, npx: int, value: Column | None = None) -> DataFrame:
+    """(tile, idx, n) sparse pixel rows -> (tile, raster array<long>)."""
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("idx").alias("k"), F.col("n").alias("v")))
+    )
+    return (
+        sparse.groupBy("tile")
+        .agg(m.alias("_m"))
+        .select(
+            "tile",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(npx * npx - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+            ).alias("raster"),
+        )
+    )
+
+
+def rasterize_points(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    tile_res: int = 23,
+    px_res: int = 19,
+) -> DataFrame:
+    """Vector -> raster: per-tile density raster of a point table.
+
+    Returns ``(tile, raster)`` where ``raster[py*npx+px]`` counts the
+    input points falling in that pixel.  Pure integer arithmetic into
+    two hash aggs; the heavy first agg combines map-side.
+    """
+    npx = _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    mask = npx - 1
+    gx = F.shiftright(F.col(lon) + LON_OFFSET, px_res)
+    gy = F.shiftright(F.col(lat) + LAT_OFFSET, px_res)
+    sparse = (
+        df.select(
+            (F.shiftright(gy, shift) * Y_STRIDE + F.shiftright(gx, shift)).alias("tile"),
+            (gy.bitwiseAND(F.lit(mask)) * npx + gx.bitwiseAND(F.lit(mask))).alias("idx"),
+        )
+        .groupBy("tile", "idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _densify(sparse, npx)
+
+
+def rasterize_polygon(
+    spark: SparkSession,
+    mp: MultiPolygon,
+    tile_res: int = 23,
+    px_res: int = 19,
+) -> DataFrame:
+    """Vector -> raster: binary mask of ``mp`` over its bbox grid.
+
+    Pixel value 1 iff the pixel's *center* is inside the multipolygon
+    (even-odd, boundary-inside — the engine's standard PIP semantics).
+    The pixel grid is generated distributedly with ``spark.range`` and
+    tested with the compiled ray-cast expression (no Python, no UDF);
+    tiles wholly outside stay absent, matching ``cover_cells``.
+    """
+    npx = _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    mask = npx - 1
+    half = 1 << (px_res - 1)
+    minx, miny, maxx, maxy = mp.bbox
+    x0 = (minx + LON_OFFSET) >> px_res
+    x1 = (maxx + LON_OFFSET) >> px_res
+    y0 = (miny + LAT_OFFSET) >> px_res
+    y1 = (maxy + LAT_OFFSET) >> px_res
+    nx = x1 - x0 + 1
+    ny = y1 - y0 + 1
+
+    grid = spark.range(nx * ny).select(
+        (F.lit(x0) + F.col("id") % nx).alias("gx"),
+        (F.lit(y0) + F.floor(F.col("id") / nx).cast("long")).alias("gy"),
+    )
+    ctr_lon = F.shiftleft(F.col("gx"), px_res) + half - LON_OFFSET
+    ctr_lat = F.shiftleft(F.col("gy"), px_res) + half - LAT_OFFSET
+    sparse = grid.filter(raycast_expr(mp, ctr_lon, ctr_lat)).select(
+        (
+            F.shiftright(F.col("gy"), shift) * Y_STRIDE
+            + F.shiftright(F.col("gx"), shift)
+        ).alias("tile"),
+        (
+            F.col("gy").bitwiseAND(F.lit(mask)) * npx
+            + F.col("gx").bitwiseAND(F.lit(mask))
+        ).alias("idx"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    return _densify(sparse, npx)
+
+
+def vectorize_raster(
+    raster_df: DataFrame,
+    tile_res: int = 23,
+    px_res: int = 19,
+    threshold: int = 1,
+) -> DataFrame:
+    """Raster -> vector: maximal pixel-aligned rectangles of the mask
+    ``raster >= threshold``.
+
+    Two gaps-and-islands passes: horizontal runs per global pixel row
+    (``gx - row_number`` keys a maximal run), then vertical merge of
+    runs with identical ``[x0, x1]`` extent in consecutive rows.  The
+    union of the returned rectangles is exactly the thresholded mask,
+    with no overlaps.  Output coords are decimicro outer edges
+    (``min_lon/min_lat`` inclusive SW pixel edge, ``max_lon/max_lat``
+    exclusive NE pixel edge) plus the rectangle's pixel count.
+    """
+    npx = _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+
+    px = raster_df.select(
+        "tile", F.posexplode("raster").alias("idx", "v")
+    ).filter(F.col("v") >= threshold)
+    tx = F.col("tile") % Y_STRIDE
+    ty = F.floor(F.col("tile") / Y_STRIDE).cast("long")
+    px = px.select(
+        (F.shiftleft(tx, shift) + F.col("idx") % npx).alias("gx"),
+        (F.shiftleft(ty, shift) + F.floor(F.col("idx") / npx).cast("long")).alias("gy"),
+    )
+
+    w_run = Window.partitionBy("gy").orderBy("gx")
+    runs = (
+        px.withColumn("_rk", F.col("gx") - F.row_number().over(w_run))
+        .groupBy("gy", "_rk")
+        .agg(F.min("gx").alias("x0"), F.max("gx").alias("x1"))
+    )
+    w_rect = Window.partitionBy("x0", "x1").orderBy("gy")
+    rects = (
+        runs.withColumn("_ck", F.col("gy") - F.row_number().over(w_rect))
+        .groupBy("x0", "x1", "_ck")
+        .agg(F.min("gy").alias("y0"), F.max("gy").alias("y1"))
+    )
+    return rects.select(
+        (F.shiftleft(F.col("x0"), px_res) - LON_OFFSET).alias("min_lon"),
+        (F.shiftleft(F.col("y0"), px_res) - LAT_OFFSET).alias("min_lat"),
+        (F.shiftleft(F.col("x1") + 1, px_res) - LON_OFFSET).alias("max_lon"),
+        (F.shiftleft(F.col("y1") + 1, px_res) - LAT_OFFSET).alias("max_lat"),
+        ((F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)).alias(
+            "n_pixels"
+        ),
+    )

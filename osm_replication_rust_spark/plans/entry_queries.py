@@ -2282,3 +2282,130 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("s_start"), "n", "sum_value")
         .orderBy("user_id", "s_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# raster <-> vector (north-rule index primitive #4; operators/raster.py)
+# ---------------------------------------------------------------------------
+
+_RAS_TILE_RES = 23
+_RAS_PX_RES = 19
+_RAS_NPX = 1 << (_RAS_TILE_RES - _RAS_PX_RES)
+_RAS_PXE = 1 << _RAS_PX_RES
+
+
+def _sql_rasterize_density() -> str:
+    npx, pxe = _RAS_NPX, _RAS_PXE
+    return f"""
+    WITH px AS (
+      SELECT (({_EV_LON}) + {C.LON_OFFSET}) // {pxe} AS gx,
+             (({_EV_LAT}) + {C.LAT_OFFSET}) // {pxe} AS gy
+      FROM events
+    ),
+    sp AS (
+      SELECT (gy // {npx}) * {C.Y_STRIDE} + (gx // {npx}) AS tile,
+             (gy % {npx}) * {npx} + (gx % {npx}) AS idx,
+             count(*) AS n
+      FROM px GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT t.tile, g.i, coalesce(s.n, 0) AS n
+      FROM (SELECT DISTINCT tile FROM sp) t
+      CROSS JOIN range(0, {npx * npx}) g(i)
+      LEFT JOIN sp s ON s.tile = t.tile AND s.idx = g.i
+    )
+    SELECT tile,
+           CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS nnz,
+           CAST(sum(n) AS BIGINT)                        AS total,
+           string_agg(n::VARCHAR, ',' ORDER BY i)        AS raster_sig
+    FROM dense GROUP BY tile ORDER BY tile
+    """
+
+
+@register("rasterize_density", _sql_rasterize_density())
+def rasterize_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster: events burned into dense per-tile density
+    rasters (operators/raster.rasterize_points), emitted as a
+    canonical comma-joined signature per tile so the DuckDB twin (a
+    range() densify + ordered string_agg) compares every pixel,
+    including the zeros."""
+    from ..operators.raster import rasterize_points
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    r = rasterize_points(ev, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
+    return r.select(
+        "tile",
+        F.size(F.filter("raster", lambda x: x > 0)).cast("long").alias("nnz"),
+        F.aggregate("raster", F.lit(0).cast("long"), lambda a, x: a + x).alias("total"),
+        F.array_join("raster", ",").alias("raster_sig"),
+    ).orderBy("tile")
+
+
+def _sql_raster_vectorize() -> str:
+    """Pentagon polygon -> pixel-center raster mask -> maximal
+    rectangles, entirely in SQL (grid from range(), the generated
+    ray-cast predicate, then two gaps-and-islands window passes)."""
+    mp = fixture_regions()[5]
+    px_res = 18
+    pxe = 1 << px_res
+    half = pxe // 2
+    minx, miny, maxx, maxy = mp.bbox
+    x0 = (minx + C.LON_OFFSET) >> px_res
+    x1 = (maxx + C.LON_OFFSET) >> px_res
+    y0 = (miny + C.LAT_OFFSET) >> px_res
+    y1 = (maxy + C.LAT_OFFSET) >> px_res
+    nx = x1 - x0 + 1
+    ny = y1 - y0 + 1
+    ray = sql_raycast(
+        mp,
+        f"(gx * {pxe} + {half} - {C.LON_OFFSET})",
+        f"(gy * {pxe} + {half} - {C.LAT_OFFSET})",
+    )
+    return f"""
+    WITH grid AS (
+      SELECT {x0} + i % {nx} AS gx, {y0} + i // {nx} AS gy
+      FROM range(0, {nx * ny}) t(i)
+    ),
+    inside AS (SELECT gx, gy FROM grid WHERE {ray}),
+    runs AS (
+      SELECT gy, rk, min(gx) AS x0, max(gx) AS x1
+      FROM (SELECT gy, gx,
+                   gx - row_number() OVER (PARTITION BY gy ORDER BY gx) AS rk
+            FROM inside)
+      GROUP BY gy, rk
+    ),
+    rects AS (
+      SELECT x0, x1, ck, min(gy) AS y0, max(gy) AS y1
+      FROM (SELECT gy, x0, x1,
+                   gy - row_number() OVER (PARTITION BY x0, x1 ORDER BY gy) AS ck
+            FROM runs)
+      GROUP BY x0, x1, ck
+    )
+    SELECT x0 * {pxe} - {C.LON_OFFSET}       AS min_lon,
+           y0 * {pxe} - {C.LAT_OFFSET}       AS min_lat,
+           (x1 + 1) * {pxe} - {C.LON_OFFSET} AS max_lon,
+           (y1 + 1) * {pxe} - {C.LAT_OFFSET} AS max_lat,
+           (x1 - x0 + 1) * (y1 - y0 + 1)     AS n_pixels
+    FROM rects ORDER BY min_lon, min_lat
+    """
+
+
+@register("raster_vectorize", _sql_raster_vectorize())
+def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full raster<->vector loop on real polygon geometry: the pentagon
+    fixture is rasterized (pixel-center PIP via the compiled ray-cast
+    expression over a distributed spark.range grid), then vectorized
+    back into maximal pixel-aligned rectangles
+    (operators/raster.vectorize_raster). The oracle recomputes both
+    halves in SQL over the identical grid and edges."""
+    from ..operators.raster import rasterize_polygon, vectorize_raster
+
+    mp = fixture_regions()[5]
+    r = rasterize_polygon(spark, mp, tile_res=_RAS_TILE_RES, px_res=18)
+    return vectorize_raster(r, tile_res=_RAS_TILE_RES, px_res=18).orderBy(
+        "min_lon", "min_lat"
+    )

@@ -1,0 +1,129 @@
+"""Raster <-> vector operator tests (operators/raster.py).
+
+Property checks against driver-side numpy recomputation; the DuckDB
+gate rows rasterize_density / raster_vectorize cover the SQL twins.
+"""
+
+import numpy as np
+import pytest
+
+from osm_replication_rust_spark.functions.coords import LAT_OFFSET, LON_OFFSET, Y_STRIDE
+from osm_replication_rust_spark.functions.geometry import points_in_polygon
+from osm_replication_rust_spark.operators.raster import (
+    rasterize_points,
+    rasterize_polygon,
+    vectorize_raster,
+)
+
+TILE_RES = 23
+PX_RES = 19
+NPX = 1 << (TILE_RES - PX_RES)
+PXE = 1 << PX_RES
+
+
+def test_rasterize_points_exact(spark):
+    # three points: two in the same pixel, one in another tile
+    pts = [
+        (0, 0),  # pixel (gx, gy) = (LON_OFFSET>>19, LAT_OFFSET>>19)
+        (1, 1),  # same pixel (within 2**19 decimicro of the first)
+        (1 << TILE_RES, 0),  # exactly one tile east
+    ]
+    df = spark.createDataFrame([{"lon": a, "lat": b} for a, b in pts])
+    out = {
+        r["tile"]: r["raster"]
+        for r in rasterize_points(df, tile_res=TILE_RES, px_res=PX_RES).collect()
+    }
+    assert len(out) == 2
+    for tile, raster in out.items():
+        assert len(raster) == NPX * NPX
+    gx0, gy0 = (0 + LON_OFFSET) >> PX_RES, (0 + LAT_OFFSET) >> PX_RES
+    t0 = (gy0 >> (TILE_RES - PX_RES)) * Y_STRIDE + (gx0 >> (TILE_RES - PX_RES))
+    idx0 = (gy0 % NPX) * NPX + (gx0 % NPX)
+    assert out[t0][idx0] == 2
+    assert sum(out[t0]) == 2
+    assert sum(sum(r) for r in out.values()) == 3
+
+
+def test_polygon_raster_matches_numpy(spark, regions):
+    mp = regions[5]  # pentagon
+    px_res = 18
+    r = rasterize_polygon(spark, mp, tile_res=TILE_RES, px_res=px_res).collect()
+    npx = 1 << (TILE_RES - px_res)
+    # engine pixels set
+    got = set()
+    for row in r:
+        tx, ty = row["tile"] % Y_STRIDE, row["tile"] // Y_STRIDE
+        for idx, v in enumerate(row["raster"]):
+            if v:
+                got.add(((tx << (TILE_RES - px_res)) + idx % npx,
+                         (ty << (TILE_RES - px_res)) + idx // npx))
+    # numpy oracle over the polygon's own bbox grid
+    minx, miny, maxx, maxy = mp.bbox
+    x0, x1 = (minx + LON_OFFSET) >> px_res, (maxx + LON_OFFSET) >> px_res
+    y0, y1 = (miny + LAT_OFFSET) >> px_res, (maxy + LAT_OFFSET) >> px_res
+    gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+    gx, gy = gx.ravel(), gy.ravel()
+    half = 1 << (px_res - 1)
+    inside = points_in_polygon(
+        (gx << px_res) + half - LON_OFFSET, (gy << px_res) + half - LAT_OFFSET, mp
+    )
+    want = set(zip(gx[inside].tolist(), gy[inside].tolist()))
+    assert got == want
+    assert len(want) > 100  # non-trivial mask
+
+
+def test_vectorize_rects_partition_mask(spark, regions):
+    mp = regions[5]
+    px_res = 18
+    r = rasterize_polygon(spark, mp, tile_res=TILE_RES, px_res=px_res)
+    rects = vectorize_raster(r, tile_res=TILE_RES, px_res=px_res).collect()
+    pxe = 1 << px_res
+    # rectangles are pixel-aligned, disjoint, and their union is the mask
+    covered = set()
+    for row in rects:
+        assert row["min_lon"] % pxe == (-LON_OFFSET) % pxe
+        assert (row["max_lon"] - row["min_lon"]) % pxe == 0
+        nx = (row["max_lon"] - row["min_lon"]) // pxe
+        ny = (row["max_lat"] - row["min_lat"]) // pxe
+        assert nx * ny == row["n_pixels"]
+        gx0 = (row["min_lon"] + LON_OFFSET) >> px_res
+        gy0 = (row["min_lat"] + LAT_OFFSET) >> px_res
+        for dy in range(ny):
+            for dx in range(nx):
+                p = (gx0 + dx, gy0 + dy)
+                assert p not in covered, "overlapping rectangles"
+                covered.add(p)
+    # same mask as the raster itself
+    total = sum(
+        sum(1 for v in row["raster"] if v) for row in r.collect()
+    )
+    assert len(covered) == total
+    # every covered pixel center is inside the polygon
+    xs = np.array([p[0] for p in covered])
+    ys = np.array([p[1] for p in covered])
+    half = 1 << (px_res - 1)
+    assert points_in_polygon(
+        (xs << px_res) + half - LON_OFFSET, (ys << px_res) + half - LAT_OFFSET, mp
+    ).all()
+
+
+def test_vectorize_threshold(spark):
+    rows = [
+        {"lon": 0, "lat": 0},
+        {"lon": 1, "lat": 1},
+        {"lon": 1 << TILE_RES, "lat": 0},
+    ]
+    df = spark.createDataFrame(rows)
+    r = rasterize_points(df, tile_res=TILE_RES, px_res=PX_RES)
+    r1 = vectorize_raster(r, tile_res=TILE_RES, px_res=PX_RES, threshold=1).collect()
+    r2 = vectorize_raster(r, tile_res=TILE_RES, px_res=PX_RES, threshold=2).collect()
+    assert sum(x["n_pixels"] for x in r1) == 2
+    assert sum(x["n_pixels"] for x in r2) == 1  # only the double-hit pixel
+
+
+def test_res_validation(spark):
+    df = spark.createDataFrame([{"lon": 0, "lat": 0}])
+    with pytest.raises(ValueError):
+        rasterize_points(df, tile_res=19, px_res=19)
+    with pytest.raises(ValueError):
+        rasterize_points(df, tile_res=15, px_res=10)
