@@ -196,6 +196,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 7,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    verify: str = "array",
 ) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band bucket become
     candidate pairs; candidates verified with EXACT shingle Jaccard so
@@ -203,15 +204,24 @@ def minhash_lsh_pairs(
 
     Shuffle-lean shape (the whole query is ~6 exchanges):
 
-    1. ONE per-doc aggregate computes the MinHash signature AND carries
-       the doc's distinct shingle set (the shuffle is O(corpus tokens)
-       either way, so carrying the set costs nothing extra);
+    1. ONE per-doc aggregate computes the MinHash signature AND (in the
+       default ``verify='array'`` mode) carries the doc's distinct
+       shingle set (the shuffle is O(corpus tokens) either way, so
+       carrying the set costs no extra shuffle);
     2. banding buckets self-join into candidate pairs (the two sides
        are the same plan — Spark reuses the exchange);
-    3. the exact verify is a candidate-only pair join computing
-       |A ∩ B| via array_intersect on the carried sets — no
-       shingle-level self-join exists anywhere in this query, and only
-       candidate ids pull fat set rows through the final joins."""
+    3. the exact verify is candidate-only. ``verify='array'`` computes
+       |A ∩ B| via array_intersect on the carried sets — fewest jobs,
+       fastest at bench scale — but the per-doc set arrays are the
+       fattest aggregation state in the engine (O(doc tokens) per
+       group, unspillable per-row). ``verify='join'`` is the bounded-
+       state scale tier: no set is ever collected; |A ∩ B| comes from
+       a candidate-restricted (id, shingle) equi-join + count, whose
+       sort-merge state is O(1) per row and spills gracefully. Both
+       modes return the identical pair set (tested); neither contains
+       a shingle-level self-join."""
+    if verify not in ("array", "join"):
+        raise ValueError(f"verify must be 'array' or 'join', got {verify!r}")
     rows = num_hashes // bands
     sh = _drop_hot_shingles(word_shingles(df, text_col, id_col, n), max_shingle_df)
     h = sh.withColumn("h", F.abs(F.xxhash64(F.col("shingle"))))
@@ -221,12 +231,12 @@ def minhash_lsh_pairs(
         F.min((F.lit(ai) * hp + F.lit(bi)) % MINHASH_PRIME).alias(f"sig_{i}")
         for i, (ai, bi) in enumerate(params)
     ]
-    per_doc = (
-        h.groupBy(F.col("id"))
-        .agg(*sig_aggs, F.collect_set("shingle").alias("_shset"))
-        .withColumn("_sz", F.size("_shset"))
-        .persist()
+    carry = (
+        [F.collect_set("shingle").alias("_shset")] if verify == "array" else []
     )
+    per_doc = h.groupBy(F.col("id")).agg(
+        *sig_aggs, *carry, F.count(F.lit(1)).alias("_sz")
+    ).persist()
     band_cols = [
         F.xxhash64(*[F.col(f"sig_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
             f"band_{b}"
@@ -250,6 +260,49 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    if verify == "join":
+        # bounded-state exact verify: restrict shingles to candidate
+        # docs, then count common shingles per pair with a plain
+        # equi-join — no arrays anywhere, everything spillable.
+        cand_ids = cands.select(F.col("id_a").alias("id")).unionByName(
+            cands.select(F.col("id_b").alias("id"))
+        ).distinct()
+        shc = sh.join(cand_ids, "id", "left_semi")
+        n_common = (
+            cands.join(shc.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+            .join(
+                shc.select(F.col("id").alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sizes = per_doc.select("id", "_sz")
+        return (
+            n_common.join(
+                sizes.select(F.col("id").alias("id_a"), F.col("_sz").alias("sz_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("id").alias("id_b"), F.col("_sz").alias("sz_b")),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                "id_a",
+                "id_b",
+                F.col("n_common").cast("long").alias("n_common"),
+                F.col("sz_a").cast("long").alias("sz_a"),
+                F.col("sz_b").cast("long").alias("sz_b"),
+                "jaccard",
+            )
+        )
+
     slim = per_doc.select("id", "_shset", "_sz")
     return (
         cands.join(
@@ -412,14 +465,17 @@ def sql_simhash_pairs(fixture_sql: str, max_hamming: int = 3) -> str:
     """
 
 
-def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+def hamming_near_pairs(
+    df: DataFrame, hash_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, found via the
-    standard block-permutation trick: split the 64-bit hash into
+    """Near-dup pairs by Hamming distance over ANY 64-bit hash column
+    (SimHash, image perceptual hash, ...), found via the standard
+    block-permutation trick: split the 64-bit hash into
     (max_hamming+1) bands — any pair within max_hamming matches exactly
-    on >= 1 band (pigeonhole), so banding is a lossless prefilter."""
-    sh = simhash64(df, text_col, id_col)
+    on >= 1 band (pigeonhole), so banding is a lossless prefilter and
+    the result is EXACTLY the <=max_hamming pair set, never all-pairs.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    sh = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("simhash"))
     nb = max_hamming + 1
     width = 64 // nb
     bands = sh.select(
@@ -447,4 +503,14 @@ def simhash_near_pairs(
     )
     return cands.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    ).filter(F.col("hamming") <= max_hamming)
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance (text instantiation
+    of ``hamming_near_pairs``)."""
+    return hamming_near_pairs(
+        simhash64(df, text_col, id_col), "simhash", "id", max_hamming
+    )

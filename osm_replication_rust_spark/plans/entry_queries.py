@@ -2409,3 +2409,58 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectorize_raster(r, tile_res=_RAS_TILE_RES, px_res=18).orderBy(
         "min_lon", "min_lat"
     )
+
+
+# ---------------------------------------------------------------------------
+# image perceptual-hash near-dup (input-hint phash column; dedup tier)
+# ---------------------------------------------------------------------------
+
+def _sql_phash_near_dup() -> str:
+    ph = (
+        f"(({_EV_LAT}) + {C.LAT_OFFSET}) * {C.PHASH_LON_BASE}"
+        f" + (({_EV_LON}) + {C.LON_OFFSET})"
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_id AS id, {ph} AS phash FROM events WHERE event_id < 2000
+    ),
+    u AS (
+      SELECT id, phash FROM base
+      UNION ALL
+      SELECT id + 1000000 AS id, xor(phash, 34) AS phash
+      FROM base WHERE id % 20 = 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM u a JOIN u b ON a.id < b.id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@register("phash_near_dup", _sql_phash_near_dup())
+def phash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance
+    (the input hint's ``phash:int64`` column) via the generic
+    pigeonhole-banded ``hamming_near_pairs`` — the image-payload
+    sibling of SimHash text dedup. Duplicates are planted as bit-2/
+    bit-5 flips (hamming 2); the banding is a lossless prefilter, so
+    the oracle computes the spec directly (all-pairs at gate scale)."""
+    from ..operators.dedup import hamming_near_pairs
+
+    base = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000).select(
+        F.col("event_id").alias("id"),
+        C.pack_footprint(
+            C.derived_lat(F.col("event_id")), C.derived_lon(F.col("event_id"))
+        ).alias("phash"),
+    )
+    planted = base.filter(F.col("id") % 20 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.col("phash").bitwiseXOR(F.lit(34)).alias("phash"),
+    )
+    u = base.unionByName(planted)
+    return (
+        hamming_near_pairs(u, "phash", "id", max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

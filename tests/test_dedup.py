@@ -124,3 +124,41 @@ def test_dedup_components_chain(spark):
     )
     got = {r.id: r.keeper_id for r in dedup_components(pairs).collect()}
     assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 10, 100: 100, 101: 100}
+
+
+def test_minhash_verify_modes_identical(spark, docs):
+    """verify='join' (bounded-state scale tier) must return the exact
+    same verified rows as verify='array' (default) — same pairs, same
+    n_common/sz/jaccard values."""
+    cols = ["id_a", "id_b", "n_common", "sz_a", "sz_b"]
+    arr = {
+        tuple(r[c] for c in cols): round(r["jaccard"], 12)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", verify="array").collect()
+    }
+    jn = {
+        tuple(r[c] for c in cols): round(r["jaccard"], 12)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", verify="join").collect()
+    }
+    assert arr == jn
+    assert len(arr) > 0
+
+
+def test_hamming_near_pairs_generic(spark):
+    """hamming_near_pairs over a raw int64 column (image phash use):
+    pigeonhole banding finds exactly the <=budget pairs."""
+    from osm_replication_rust_spark.operators.dedup import hamming_near_pairs
+
+    rows = [
+        {"pid": 1, "ph": 0x0F0F0F0F0F0F0F0F},
+        {"pid": 2, "ph": 0x0F0F0F0F0F0F0F0E},  # hamming 1 from pid 1
+        {"pid": 3, "ph": 0x0F0F0F0F0F0F0F0F ^ 0b10110},  # hamming 3
+        {"pid": 4, "ph": -1},  # far from everything
+        {"pid": 5, "ph": -1 ^ 0x11},  # hamming 2 from pid 4 (negative longs)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_pairs(df, "ph", "pid", max_hamming=3).collect()
+    }
+    # (2,3) differs by 0b10111 -> hamming 4 > budget, correctly absent
+    assert got == {(1, 2): 1, (1, 3): 3, (4, 5): 2}
