@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "rollup_revenue",
     "stream_window_stats",
     "merge_upsert",
+    "rasterize_density",
 ]
 
 

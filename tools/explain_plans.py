@@ -144,6 +144,15 @@ def main(sf_dir: str) -> int:
         and "BatchEvalPython" not in p,
     )
 
+    # 5e. raster: vector->raster is two hash aggs (sparse pixel counts,
+    # tile densify) + the output sort — pure codegen, no Python, and
+    # nothing re-shuffles pixel rows beyond those keys
+    ras = entry_queries.queries()["rasterize_density"](spark, sf_dir)
+    p = plan_of(ras)
+    n_ex = count_shuffle_exchanges(p)
+    check("raster.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
+    check("raster.exchange_budget", 0 < n_ex <= 3, f"exchanges={n_ex}")
+
     # 6. the flagship's generated code actually COMPILES. Plan text can
     # show WholeStageCodegen while janino fails at runtime ("Code grows
     # beyond 64 KB") and Spark silently executes interpreted (~2x slower,
