@@ -2464,3 +2464,37 @@ def phash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+def _sql_stream_rasterize() -> str:
+    npx, pxe = _RAS_NPX, _RAS_PXE
+    return f"""
+    WITH px AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+             (({_EV_LON}) + {C.LON_OFFSET}) // {pxe} AS gx,
+             (({_EV_LAT}) + {C.LAT_OFFSET}) // {pxe} AS gy
+      FROM events
+    )
+    SELECT win_start,
+           (gy // {npx}) * {C.Y_STRIDE} + (gx // {npx}) AS tile,
+           (gy % {npx}) * {npx} + (gx % {npx})          AS idx,
+           count(*) AS n
+    FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+@register("stream_rasterize", _sql_stream_rasterize())
+def stream_rasterize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 x raster: watermarked tumbling-window per-tile sparse
+    raster (streaming/incremental.streaming_rasterize — same plan batch
+    and streaming; the streamed variant is pytest-asserted equal)."""
+    from ..streaming.incremental import streaming_rasterize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    return streaming_rasterize(
+        ev, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES
+    ).orderBy("win_start", "tile", "idx")

@@ -183,3 +183,44 @@ def stream_update(
         .outputMode("update")
         .start()
     )
+
+
+def streaming_rasterize(
+    points: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    window: str = "5 minutes",
+    tile_res: int = 23,
+    px_res: int = 19,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window vector->raster over a point stream:
+    (win_start, tile, idx, n) SPARSE pixel counts per window — the
+    streaming face of operators/raster.rasterize_points.
+
+    Streaming state is one counter per (window, tile, pixel) — never a
+    dense array — so state size tracks occupied pixels only and the
+    watermark bounds its lifetime. Densify to per-tile arrays batch-side
+    in the sink (operators/raster._densify) where needed. Works on a
+    batch frame too (identical plan minus the watermark)."""
+    from ..functions.coords import LAT_OFFSET, LON_OFFSET, Y_STRIDE
+    from ..operators.raster import _check_res
+
+    npx = _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    mask = npx - 1
+    src = points.withColumn("_ts", F.col(ts).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("_ts", watermark)
+    gx = F.shiftright(F.col(lon) + LON_OFFSET, px_res)
+    gy = F.shiftright(F.col(lat) + LAT_OFFSET, px_res)
+    return (
+        src.groupBy(
+            F.window("_ts", window).alias("win"),
+            (F.shiftright(gy, shift) * Y_STRIDE + F.shiftright(gx, shift)).alias("tile"),
+            (gy.bitwiseAND(F.lit(mask)) * npx + gx.bitwiseAND(F.lit(mask))).alias("idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "tile", "idx", "n")
+    )

@@ -207,3 +207,38 @@ def test_stateful_sessions_late_events(spark, tmp_path):
     assert got[(1, t0)] == (t0 + 100, 3, 3.5)
     # late event before the carried start extends the session backwards
     assert got[(2, t0 + 20)] == (t0 + 50, 2, 9.0)
+
+
+def test_streaming_rasterize_matches_batch(spark, sf_dir, tmp_path):
+    """stream == batch for the windowed raster aggregation (the
+    streaming face of rasterize_points)."""
+    from osm_replication_rust_spark.functions import coords as C
+    from osm_replication_rust_spark.streaming.incremental import streaming_rasterize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    batch = {
+        (str(r.win_start), r.tile, r.idx): r.n
+        for r in streaming_rasterize(ev).collect()
+    }
+    src_dir = tmp_path / "raster_src"
+    ev.write.parquet(str(src_dir))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src_dir))
+    out = streaming_rasterize(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("raster_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.win_start), r.tile, r.idx): r.n
+        for r in spark.sql("SELECT * FROM raster_stream").collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
