@@ -478,17 +478,19 @@ def hamming_near_pairs(
     sh = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("simhash"))
     nb = max_hamming + 1
     width = 64 // nb
+
+    def band_key(i: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
+        if width == 64:  # max_hamming=0: one band, the full hash (the
+            return shifted  # 2^64-1 mask would overflow a long literal)
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     bands = sh.select(
         "id",
         "simhash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("simhash"), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("key"),
-                )
+                F.struct(F.lit(i).alias("band"), band_key(i).alias("key"))
                 for i in range(nb)
             ])
         ).alias("bk"),

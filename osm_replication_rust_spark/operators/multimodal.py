@@ -218,3 +218,39 @@ def psnr_check(
             )
 
     return j.mapInPandas(stage, f"{id_col} string, psnr_db double, ok boolean")
+
+
+def ahash_stage(df: DataFrame, bytes_col: str = "bytes", out_col: str = "ahash") -> DataFrame:
+    """8x8 average-hash (aHash) per image as a mapInPandas stage:
+    decode (fake codec) -> sample an 8x8 grid (src index
+    ``floor(r*h/8)*w + floor(c*w/8)`` — the same nearest-neighbor
+    formula resize_stage uses, so aHash is EXACTLY invariant under the
+    engine's own resize) -> threshold each sample against the strict
+    integer mean (``64*px > sum``) -> pack 64 sign bits into int64.
+
+    The perceptual-hash producer for the image-dedup chain: feed the
+    output to dedup.hamming_near_pairs for banded near-duplicate pairs.
+    Vectorized per equal-shape group like every stage here; all-integer
+    so the DuckDB oracle reproduces the hash bit-for-bit."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(fields + [f"{out_col} bigint"])
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                px = _decode_stack(list(payloads[ii]), L, w, h)
+                b = np.arange(64)
+                k = ((b // 8) * h) // 8 * w + ((b % 8) * w) // 8
+                smp = px[:, k].astype(np.int64)  # (n, 64)
+                tot = smp.sum(axis=1, keepdims=True)
+                bits = (smp * 64 > tot).astype(np.uint64)
+                packed = (bits << np.arange(64, dtype=np.uint64)).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out[ii] = packed.view(np.int64)
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(stage, out_schema)

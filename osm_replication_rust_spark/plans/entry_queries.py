@@ -2498,3 +2498,56 @@ def stream_rasterize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_rasterize(
         ev, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES
     ).orderBy("win_start", "tile", "idx")
+
+
+def _sql_image_ahash() -> str:
+    """DuckDB twin of multimodal.ahash_stage over the deterministic
+    fake-codec pixels (the same LCG first-principles reconstruction as
+    _multimodal_oracle): 8x8 nearest-neighbor samples, strict integer
+    mean threshold, signed 64-bit pack."""
+    from ..datagen.synth import gen_images
+
+    images = gen_images(500, seed=42)
+    meta = ",\n      ".join(
+        f"('{r.image_id}', {r.w}, {r.h}, {i})"
+        for i, r in enumerate(images.itertuples())
+    )
+    px = "CAST((k * 1103515245 + i * 12345 + 7) % 251 AS BIGINT)"
+    pack = " + ".join(
+        f"(CASE WHEN 64 * s{b} > tot THEN {(1 << b) if b < 63 else -(1 << 63)} ELSE 0 END)"
+        for b in range(64)
+    )
+    sample_cols = ",\n           ".join(
+        f"max(CASE WHEN b = {b} THEN px END) AS s{b}" for b in range(64)
+    )
+    return f"""
+    WITH meta(image_id, w, h, i) AS (VALUES
+      {meta}
+    ),
+    smp AS (
+      SELECT image_id,
+             b,
+             {px.replace('k', '(((b // 8) * h) // 8 * w + ((b % 8) * w) // 8)')} AS px
+      FROM meta, UNNEST(generate_series(0, 63)) AS t(b)
+    ),
+    wide AS (
+      SELECT image_id, sum(px) AS tot,
+           {sample_cols}
+      FROM smp GROUP BY image_id
+    )
+    SELECT image_id, CAST({pack} AS BIGINT) AS ahash
+    FROM wide ORDER BY image_id
+    """
+
+
+@register("image_ahash", _sql_image_ahash())
+def image_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual hash computed FROM PIXELS (decode -> 8x8 aHash,
+    multimodal.ahash_stage) — the producer end of the image-dedup
+    chain (ahash -> hamming_near_pairs). Oracle rebuilds the fake-codec
+    pixels and the full hash bit-for-bit in SQL."""
+    from ..datagen.synth import gen_images
+    from ..operators.multimodal import ahash_stage
+
+    imgs = spark.createDataFrame(gen_images(500, seed=42))
+    return ahash_stage(imgs).select("image_id", "ahash").orderBy("image_id")

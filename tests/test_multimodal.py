@@ -149,3 +149,49 @@ def test_shape_grouped_decode_equals_per_row(spark):
         yi = (np.arange(3) * r["h"] // 3).astype(int)
         xi = (np.arange(3) * r["w"] // 3).astype(int)
         assert bytes(out[r["image_id"]].bytes) == px[np.ix_(yi, xi)].tobytes()
+
+
+def test_ahash_resize_invariant(spark, imgs):
+    """aHash samples with the same nearest-neighbor formula as
+    resize_stage, so hash(resize(img, 16, 16)) == hash(img) exactly."""
+    from osm_replication_rust_spark.operators.multimodal import ahash_stage, resize_stage
+
+    orig = {
+        r.image_id: r.ahash
+        for r in ahash_stage(imgs).select("image_id", "ahash").collect()
+    }
+    resized = {
+        r.image_id: r.ahash
+        for r in ahash_stage(resize_stage(imgs, 16, 16))
+        .select("image_id", "ahash")
+        .collect()
+    }
+    assert orig == resized
+    assert len(orig) > 0
+
+
+def test_image_dedup_chain(spark, imgs):
+    """End-to-end image dedup: decode -> aHash -> banded hamming pairs
+    finds every original<->resized-copy pair at distance 0."""
+    from pyspark.sql import functions as F
+
+    from osm_replication_rust_spark.operators.dedup import hamming_near_pairs
+    from osm_replication_rust_spark.operators.multimodal import ahash_stage, resize_stage
+
+    copies = resize_stage(imgs, 16, 16).withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_copy"))
+    )
+    u = ahash_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "ahash"
+    ).unionByName(
+        ahash_stage(copies.select("image_id", "bytes", "w", "h")).select(
+            "image_id", "ahash"
+        )
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_pairs(u, "ahash", "image_id", max_hamming=0).collect()
+    }
+    ids = [r.image_id for r in imgs.select("image_id").collect()]
+    for i in ids:
+        assert pairs.get((i, f"{i}_copy")) == 0, i
