@@ -127,3 +127,44 @@ def test_res_validation(spark):
         rasterize_points(df, tile_res=19, px_res=19)
     with pytest.raises(ValueError):
         rasterize_points(df, tile_res=15, px_res=10)
+
+
+def test_vectorize_random_masks_reconstruct(spark):
+    """Property: for random sparse rasters, the rectangle set from
+    vectorize_raster reconstructs EXACTLY the thresholded pixel set,
+    with disjoint rectangles (deterministic seeds, several densities)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    npx = NPX
+    for density in (0.05, 0.3, 0.7, 0.95):
+        tiles = {}
+        rows = []
+        for tile in (10_000_000, 10_000_001, 10_100_000):
+            mask = rng.random(npx * npx) < density
+            tiles[tile] = mask
+            rows.append(
+                {"tile": tile, "raster": [int(v) for v in mask]}
+            )
+        df = spark.createDataFrame(rows, "tile long, raster array<long>")
+        rects = vectorize_raster(df, tile_res=TILE_RES, px_res=PX_RES).collect()
+        covered = set()
+        for r in rects:
+            gx0 = (r["min_lon"] + LON_OFFSET) >> PX_RES
+            gy0 = (r["min_lat"] + LAT_OFFSET) >> PX_RES
+            nx = (r["max_lon"] - r["min_lon"]) >> PX_RES
+            ny = (r["max_lat"] - r["min_lat"]) >> PX_RES
+            for dy in range(ny):
+                for dx in range(nx):
+                    p = (gx0 + dx, gy0 + dy)
+                    assert p not in covered
+                    covered.add(p)
+        want = set()
+        shift = TILE_RES - PX_RES
+        for tile, mask in tiles.items():
+            tx, ty = tile % Y_STRIDE, tile // Y_STRIDE
+            for idx in np.nonzero(mask)[0]:
+                want.add(
+                    ((tx << shift) + int(idx) % npx, (ty << shift) + int(idx) // npx)
+                )
+        assert covered == want, f"density {density}"
