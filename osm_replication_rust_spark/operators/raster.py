@@ -195,3 +195,52 @@ def vectorize_raster(
             "n_pixels"
         ),
     )
+
+
+def zonal_stats(
+    raster_df: DataFrame,
+    regions: list["MultiPolygon"],
+    tile_res: int = 23,
+    px_res: int = 19,
+    buffer: int = 0,
+) -> DataFrame:
+    """Raster x vector zonal statistics: per-region aggregates of a
+    density raster — the composition of the two index primitives (the
+    raster grid and the cell-prefilter spatial join).
+
+    Occupied pixels become points at their centers (zero-count pixels
+    never leave the posexplode filter), flow through the standard
+    ``assign_regions`` broadcast cover join + exact refine, and
+    aggregate per region: occupied-pixel count, value total, and the
+    pixel bbox.  One shuffle beyond the spatial join (the final
+    per-region agg, ~|regions| groups).
+    """
+    from .spatial_join import assign_regions
+
+    npx = _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    half = 1 << (px_res - 1)
+
+    px = raster_df.select(
+        "tile", F.posexplode("raster").alias("idx", "v")
+    ).filter(F.col("v") > 0)
+    tx = F.col("tile") % Y_STRIDE
+    ty = F.floor(F.col("tile") / Y_STRIDE).cast("long")
+    gx = F.shiftleft(tx, shift) + F.col("idx") % npx
+    gy = F.shiftleft(ty, shift) + F.floor(F.col("idx") / npx).cast("long")
+    pts = px.select(
+        (F.shiftleft(gx, px_res) + half - LON_OFFSET).alias("lon"),
+        (F.shiftleft(gy, px_res) + half - LAT_OFFSET).alias("lat"),
+        F.col("v").alias("v"),
+    )
+    assigned = assign_regions(
+        pts, regions, keep_cols=["lon", "lat", "v"], buffer=buffer
+    ).filter(F.col("in_poly"))
+    return assigned.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n_pixels"),
+        F.sum("v").alias("total"),
+        F.min("lon").alias("min_lon"),
+        F.min("lat").alias("min_lat"),
+        F.max("lon").alias("max_lon"),
+        F.max("lat").alias("max_lat"),
+    )

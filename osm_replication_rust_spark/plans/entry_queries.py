@@ -2551,3 +2551,54 @@ def image_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = spark.createDataFrame(gen_images(500, seed=42))
     return ahash_stage(imgs).select("image_id", "ahash").orderBy("image_id")
+
+
+def _sql_zonal_stats() -> str:
+    npx, pxe = _RAS_NPX, _RAS_PXE
+    half = pxe // 2
+    arms = []
+    for mp in fixture_regions():
+        ray = sql_raycast(mp, "lon", "lat")
+        arms.append(f"""
+        SELECT '{mp.region_id}' AS region_id,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(sum(v) AS BIGINT)   AS total,
+               min(lon) AS min_lon, min(lat) AS min_lat,
+               max(lon) AS max_lon, max(lat) AS max_lat
+        FROM ctr WHERE {ray}""")
+    body = "\n        UNION ALL\n".join(arms)
+    return f"""
+    WITH px AS (
+      SELECT (({_EV_LON}) + {C.LON_OFFSET}) // {pxe} AS gx,
+             (({_EV_LAT}) + {C.LAT_OFFSET}) // {pxe} AS gy,
+             count(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    ctr AS (
+      SELECT gx * {pxe} + {half} - {C.LON_OFFSET} AS lon,
+             gy * {pxe} + {half} - {C.LAT_OFFSET} AS lat, v
+      FROM px
+    )
+    SELECT * FROM ({body})
+    WHERE n_pixels > 0
+    ORDER BY region_id
+    """
+
+
+@register("zonal_stats", _sql_zonal_stats())
+def zonal_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster x vector zonal statistics: the events density raster fed
+    through the cell-prefilter spatial join, aggregated per fixture
+    region (operators/raster.zonal_stats — composition of the raster
+    grid and the broadcast cover join). Oracle re-bins the pixels and
+    ray-casts every pixel center against every region in SQL."""
+    from ..operators.raster import rasterize_points, zonal_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    r = rasterize_points(ev, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
+    return zonal_stats(
+        r, fixture_regions(), tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES, buffer=0
+    ).orderBy("region_id")

@@ -168,3 +168,40 @@ def test_vectorize_random_masks_reconstruct(spark):
                     ((tx << shift) + int(idx) % npx, (ty << shift) + int(idx) // npx)
                 )
         assert covered == want, f"density {density}"
+
+
+def test_zonal_stats_matches_numpy(spark, regions):
+    """zonal_stats == direct numpy recomputation (bin events-like points,
+    ray-cast every occupied pixel center against every region)."""
+    from osm_replication_rust_spark.operators.raster import zonal_stats
+
+    rng = np.random.default_rng(11)
+    lat = rng.integers(-22_000_000, 22_000_001, size=3000)
+    lon = rng.integers(-22_000_000, 22_000_001, size=3000)
+    df = spark.createDataFrame(
+        [{"lat": int(a), "lon": int(b)} for a, b in zip(lat, lon)]
+    )
+    r = rasterize_points(df, tile_res=TILE_RES, px_res=PX_RES)
+    got = {
+        row["region_id"]: (row["n_pixels"], row["total"])
+        for row in zonal_stats(r, regions, tile_res=TILE_RES, px_res=PX_RES, buffer=0).collect()
+    }
+    # numpy oracle
+    import collections
+
+    bins = collections.Counter(
+        (int((lo + LON_OFFSET) >> PX_RES), int((la + LAT_OFFSET) >> PX_RES))
+        for lo, la in zip(lon, lat)
+    )
+    gx = np.array([g for g, _ in bins])
+    gy = np.array([g for _, g in bins])
+    v = np.array([bins[(a, b)] for a, b in zip(gx.tolist(), gy.tolist())])
+    clon = (gx << PX_RES) + (1 << (PX_RES - 1)) - LON_OFFSET
+    clat = (gy << PX_RES) + (1 << (PX_RES - 1)) - LAT_OFFSET
+    want = {}
+    for mp in regions:
+        inside = points_in_polygon(clon, clat, mp)
+        if inside.any():
+            want[mp.region_id] = (int(inside.sum()), int(v[inside].sum()))
+    assert got == want
+    assert sum(n for n, _ in want.values()) > 50
