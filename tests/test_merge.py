@@ -266,3 +266,45 @@ def test_version_merge_from_parsed_diff(spark):
     }
     # node 1: version 7 > 3 applied; node 2: version 1 <= 3 stale
     assert got == {"1": (10_000_000, 20_000_000, 7), "2": (0, 0, 3)}
+
+
+def test_killed_job_resume_skips_completed_states(spark, regions, images_pdf, tmp_path):
+    """North-rule resume contract: a job killed between diff states
+    resumes from the checkpoint WITHOUT re-tiling completed work — the
+    restart applies only the missing state; the completed state's
+    published tile files are untouched (same paths, same bytes)."""
+    import pathlib
+
+    from osm_replication_rust_spark.datagen.synth import gen_diffs
+    from osm_replication_rust_spark.operators.merge import TableStore
+    from osm_replication_rust_spark.plans.pipeline import run_update
+
+    base = spark.createDataFrame(
+        images_pdf[["image_id", "caption", "phash"]].iloc[:300]
+    )
+    diffs_pdf = gen_diffs(images_pdf.iloc[:300], n_batches=2)
+    store = TableStore(spark, str(tmp_path / "images"))
+    store.init(base)
+    out_dir = str(tmp_path / "out")
+
+    # "killed" first run: only state 1 made it through
+    d1 = spark.createDataFrame(diffs_pdf[diffs_pdf.state == 1])
+    assert run_update(store, d1, regions, out_dir) == [1]
+    s1 = pathlib.Path(out_dir) / "tiles" / "state=1"
+    before = {
+        p.relative_to(s1): (p.stat().st_mtime_ns, p.stat().st_size)
+        for p in s1.rglob("*")
+        if p.is_file()
+    }
+    assert before
+
+    # restart with the FULL diff stream: only state 2 applies
+    full = spark.createDataFrame(diffs_pdf)
+    assert run_update(store, full, regions, out_dir) == [2]
+    after = {
+        p.relative_to(s1): (p.stat().st_mtime_ns, p.stat().st_size)
+        for p in s1.rglob("*")
+        if p.is_file()
+    }
+    assert after == before  # completed state's tiles never re-written
+    assert store.last_state() == 2
