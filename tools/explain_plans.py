@@ -152,6 +152,9 @@ def main(sf_dir: str) -> int:
     n_ex = count_shuffle_exchanges(p)
     check("raster.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
     check("raster.exchange_budget", 0 < n_ex <= 3, f"exchanges={n_ex}")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = m.group(1) if m else ""
+    check("raster.column_pruning", cols.split(":")[0] == "event_id" and "," not in cols, cols)
 
     # 6. the flagship's generated code actually COMPILES. Plan text can
     # show WholeStageCodegen while janino fails at runtime ("Code grows
