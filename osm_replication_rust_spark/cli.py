@@ -1,0 +1,263 @@
+"""Command-line surface mirroring the reference's binaries, so a user
+of the reference can run the same operations against this engine:
+
+- ``import``  <- osmbin --import   (/root/reference/src/bin/osmbin.rs:38-41)
+- ``update``  <- update            (/root/reference/src/bin/update.rs:27-56)
+- ``read``    <- osmbin --read     (/root/reference/src/bin/osmbin.rs:43-71,
+                                    incl. way_full / relation_full closures)
+- ``check``   <- osmbin --check    (/root/reference/src/bin/osmbin.rs:73-79)
+- ``filter``  <- osmxml --filter   (/root/reference/src/bin/osmxml.rs:37-41)
+
+Store layout (one directory):
+  <store>/points/        TableStore (hash-bucketed snapshots + manifest;
+                         footprint packed in phash per FIXTURES.md §1)
+  <store>/groups.parquet ways/relations (group_id, kind, members)
+
+The ``filter`` extract collects the (small) single-region result to
+write one .osc file like the reference does; the distributed many-
+region publish path is sources.osc.write_region_osc_tree (used by
+``update``'s tile publish).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.coords import pack_footprint, unpack_lat, unpack_lon
+
+
+def _store(spark: SparkSession, store_dir: str):
+    from .operators.merge import TableStore
+
+    return TableStore(spark, os.path.join(store_dir, "points"))
+
+
+def _groups_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "groups.parquet")
+
+
+def _read_groups(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    p = _groups_path(store_dir)
+    return spark.read.parquet(p) if os.path.exists(p) else None
+
+
+def _base_points(store) -> DataFrame:
+    return store.current().select(
+        "image_id",
+        unpack_lat(F.col("phash")).alias("lat"),
+        unpack_lon(F.col("phash")).alias("lon"),
+    )
+
+
+def cmd_import(spark: SparkSession, args) -> int:
+    from .sources.pbf import pbf_to_engine
+
+    base, groups = pbf_to_engine(spark, args.pbf)
+    store = _store(spark, args.store)
+    store.init(
+        base.select(
+            "image_id",
+            F.lit(None).cast("string").alias("caption"),
+            pack_footprint(F.col("lat"), F.col("lon")).alias("phash"),
+        )
+    )
+    groups.write.mode("overwrite").parquet(_groups_path(args.store))
+    n = store.current().count()
+    g = _read_groups(spark, args.store).count()
+    print(f"imported {n} points, {g} groups from {args.pbf}")
+    return 0
+
+
+def cmd_update(spark: SparkSession, args) -> int:
+    from .operators.merge import merge_changes
+    from .plans.pipeline import run_update
+    from .sources.osc import elements_to_engine, read_osc_elements_dir
+    from .sources.poly import regions_from_dir
+
+    regions = regions_from_dir(args.polygons)
+    store = _store(spark, args.store)
+    elements = read_osc_elements_dir(spark, args.diffs).persist()
+    points, gch = elements_to_engine(elements, namespace_ids=True)
+    groups = _read_groups(spark, args.store)
+    applied = run_update(
+        store,
+        points,
+        regions,
+        args.out,
+        groups=groups,
+        group_diffs=gch if groups is not None else None,
+    )
+    if groups is not None and applied:
+        new_groups = merge_changes(
+            groups,
+            gch.filter(F.col("state").isin(applied)).withColumnRenamed(
+                "kind", "new_kind"
+            ),
+            key="group_id",
+        )
+        tmp = _groups_path(args.store) + ".tmp"
+        new_groups.write.mode("overwrite").parquet(tmp)
+        final = _groups_path(args.store)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+        __import__("shutil").rmtree(tmp, ignore_errors=True)
+    print(f"applied states: {applied}")
+    return 0
+
+
+def cmd_read(spark: SparkSession, args) -> int:
+    store = _store(spark, args.store)
+    eid = args.element_id
+    if args.what == "node":
+        rows = store.current().filter(F.col("image_id") == eid).collect()
+    elif args.what == "way_full":
+        from .operators.resolve import resolve_way_full
+
+        groups = _read_groups(spark, args.store)
+        rows = (
+            resolve_way_full(
+                groups.filter(F.col("group_id") == eid), _base_points(store)
+            ).collect()
+        )
+    elif args.what == "relation_full":
+        from .operators.resolve import resolve_relation_members
+
+        groups = _read_groups(spark, args.store)
+        rows = (
+            resolve_relation_members(groups, _base_points(store))
+            .filter(F.col("group_id") == eid)
+            .orderBy("depth", "member_id")
+            .collect()
+        )
+    else:  # pragma: no cover - argparse restricts choices
+        raise ValueError(args.what)
+    for r in rows:
+        print(r.asDict())
+    print(f"{len(rows)} row(s)")
+    return 0
+
+
+def cmd_check(spark: SparkSession, args) -> int:
+    from .operators.integrity import dangling_refs
+
+    store = _store(spark, args.store)
+    groups = _read_groups(spark, args.store)
+    dangling = dangling_refs(groups, _base_points(store))
+    n = dangling.count()
+    for r in dangling.limit(args.limit).collect():
+        print(r.asDict())
+    print(f"{n} dangling reference(s)")
+    return 1 if n else 0
+
+
+def cmd_filter(spark: SparkSession, args) -> int:
+    from .operators.filter import classify_diff, classify_group_diff
+    from .sources.osc import (
+        elements_df,
+        elements_to_engine,
+        format_osc_elements,
+        parse_osc_elements,
+    )
+    from .sources.poly import parse_poly
+
+    with open(args.poly) as f:
+        region = parse_poly(
+            f.read(), region_id=os.path.splitext(os.path.basename(args.poly))[0]
+        )
+    opener = __import__("gzip").open if args.input.endswith(".gz") else open
+    with opener(args.input, "rb") as f:
+        rows = parse_osc_elements(f.read(), state=0)
+    elements = elements_df(spark, rows).persist()
+    points, gch = elements_to_engine(elements, namespace_ids=True)
+    store = _store(spark, args.store)
+    base = _base_points(store)
+    kept_pts = classify_diff(points, base, [region], buffer=args.buffer).select(
+        F.col("image_id").alias("nid"), "out_action"
+    )
+    groups = _read_groups(spark, args.store)
+    kept = kept_pts
+    if groups is not None:
+        kept_groups = classify_group_diff(
+            gch.select("group_id", "action", "kind", "new_members"),
+            groups,
+            base,
+            [region],
+            buffer=args.buffer,
+        ).select(F.col("group_id").alias("nid"), "out_action")
+        kept = kept_pts.unionByName(kept_groups)
+    # join classification back to the ORIGINAL element rows (full
+    # metadata/tags fidelity), override the action with out_action
+    prefix = F.when(F.col("kind") == "node", F.lit("n")).when(
+        F.col("kind") == "way", F.lit("w")
+    ).otherwise(F.lit("r"))
+    out_rows = (
+        elements.withColumn("nid", F.concat(prefix, F.col("element_id")))
+        .join(kept, "nid")
+        .withColumn("action", F.col("out_action"))
+        .drop("nid", "out_action")
+        .orderBy("seq")
+        .collect()
+    )
+    xml = format_osc_elements([r.asDict(recursive=True) for r in out_rows])
+    with open(args.output, "w") as f:
+        f.write(xml)
+    print(f"wrote {len(out_rows)} elements to {args.output}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m osm_replication_rust_spark",
+        description="PySpark re-expression of osm-replication-rust's CLI",
+    )
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    imp = sub.add_parser("import", help="bulk-import a .osm.pbf into a store")
+    imp.add_argument("pbf")
+    imp.add_argument("--store", required=True)
+
+    upd = sub.add_parser("update", help="apply a replication diff tree")
+    upd.add_argument("--store", required=True)
+    upd.add_argument("--polygons", required=True, help="region .poly directory")
+    upd.add_argument("--diffs", required=True, help=".osc[.gz] directory")
+    upd.add_argument("--out", required=True, help="tile/bbox/metrics output dir")
+
+    rd = sub.add_parser("read", help="point lookup / closure read")
+    rd.add_argument("what", choices=["node", "way_full", "relation_full"])
+    rd.add_argument("element_id")
+    rd.add_argument("--store", required=True)
+
+    ck = sub.add_parser("check", help="referential integrity (dangling refs)")
+    ck.add_argument("--store", required=True)
+    ck.add_argument("--limit", type=int, default=20)
+
+    fl = sub.add_parser("filter", help="single-region .osc extract")
+    fl.add_argument("input")
+    fl.add_argument("output")
+    fl.add_argument("--poly", required=True)
+    fl.add_argument("--store", required=True)
+    fl.add_argument("--buffer", type=int, default=1_000_000)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .session import get_spark
+
+    args = build_parser().parse_args(argv)
+    spark = get_spark("cli", cpus=args.cpus)
+    return {
+        "import": cmd_import,
+        "update": cmd_update,
+        "read": cmd_read,
+        "check": cmd_check,
+        "filter": cmd_filter,
+    }[args.cmd](spark, args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -86,8 +86,16 @@ def run_update(
         # point artifacts (reference stages b+c for ways/relations)
         gbatch = None
         if groups is not None and group_diffs is not None:
+            # carry (kind, new_members) through when the diff source
+            # provides them: classify_group_diff needs both to classify
+            # CREATEs of groups the store has never seen (and modify
+            # rows override stored members with the diff's list, the
+            # reference's filter.rs:237-299 behavior)
+            extra = [
+                c for c in ("kind", "new_members") if c in group_diffs.columns
+            ]
             gbatch = group_diffs.filter(F.col("state") == state).select(
-                "group_id", "action"
+                "group_id", "action", *extra
             )
             changed_groups = groups.join(
                 gbatch.select("group_id"), "group_id", "left_semi"
@@ -141,7 +149,17 @@ def run_update(
             .partitionBy("region_id")
             .parquet(os.path.join(out_dir, f"tiles/state={state}"))
         )
-        metrics = {k: (v if not hasattr(v, "item") else v.item()) for k, v in obs.get.items()}
+        try:
+            raw = obs.get
+        except Exception:
+            # a batch classifying to ZERO tile rows is legal (a quiet
+            # minutely diff touching no region): AQE's empty-relation
+            # propagation elides the observe node under
+            # repartition(col) + partitionBy, and Observation.get then
+            # raises on the schemaless result row. Zeroed counters are
+            # the true metrics of an empty batch.
+            raw = {"tile_rows": 0, "kept": 0, "forced_delete": 0, "distinct_elements": 0}
+        metrics = {k: (v if not hasattr(v, "item") else v.item()) for k, v in raw.items()}
         mdir = os.path.join(out_dir, "metrics")
         os.makedirs(mdir, exist_ok=True)
         tmp = os.path.join(mdir, f".state={state}.json.tmp")

@@ -32,7 +32,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.coords import coord_to_decimicro_py
+from ..functions.coords import coord_to_decimicro_py, pack_footprint
 
 CHANGE_SCHEMA = (
     "state long, seq long, action string, image_id string, "
@@ -382,7 +382,17 @@ def elements_to_engine(
         "new_lon",
         "version",
         tag_value("tags", "caption").alias("new_caption"),
-        tag_value("tags", "phash").cast("long").alias("new_phash"),
+        # footprint for the packed store column: an explicit phash tag
+        # wins (engine-written diffs); otherwise pack the element's own
+        # coords — real OSM diffs carry only lat/lon, and a create
+        # merged with a NULL footprint would lose its position
+        F.coalesce(
+            tag_value("tags", "phash").cast("long"),
+            F.when(
+                F.col("new_lat").isNotNull() & F.col("new_lon").isNotNull(),
+                pack_footprint(F.col("new_lat"), F.col("new_lon")),
+            ),
+        ).alias("new_phash"),
     )
 
     def member_ref(m):
