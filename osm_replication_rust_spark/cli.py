@@ -92,6 +92,47 @@ def cmd_update(spark: SparkSession, args) -> int:
         groups=groups,
         group_diffs=gch if groups is not None else None,
     )
+    if args.osc_tree and applied:
+        # the reference's interchange artifact (diffs.rs generate_diff):
+        # per-region .osc.gz tree derived from the SAME classification
+        # run_update just published (tiles parquet), joined back to the
+        # original elements for full metadata/tag fidelity, written
+        # distributedly (write_region_osc_tree, no driver collect)
+        from functools import reduce
+
+        from .sources.osc import write_region_osc_tree
+
+        asg = None
+        for kind_dir, idc in (("tiles", "image_id"), ("tiles_groups", "group_id")):
+            frames = []
+            for s in applied:
+                p = os.path.join(args.out, f"{kind_dir}/state={s}")
+                if os.path.isdir(p):
+                    frames.append(
+                        spark.read.parquet(p).select(
+                            F.col(idc).alias("nid"),
+                            F.lit(s).cast("long").alias("state"),
+                            "region_id",
+                            "out_action",
+                        )
+                    )
+            if frames:
+                part = reduce(lambda a, b: a.unionByName(b), frames)
+                asg = part if asg is None else asg.unionByName(part)
+        if asg is not None:
+            prefix = F.when(F.col("kind") == "node", F.lit("n")).when(
+                F.col("kind") == "way", F.lit("w")
+            ).otherwise(F.lit("r"))
+            tagged = (
+                elements.withColumn("nid", F.concat(prefix, F.col("element_id")))
+                .join(asg, ["nid", "state"])
+                .withColumn("action", F.col("out_action"))
+                .withColumn("region", F.col("region_id"))
+                .drop("nid", "out_action", "region_id")
+            )
+            written = write_region_osc_tree(tagged, args.osc_tree)
+            print(f"published {len(written)} region diff file(s) under {args.osc_tree}")
+
     if groups is not None and applied:
         new_groups = merge_changes(
             groups,
@@ -226,6 +267,11 @@ def build_parser() -> argparse.ArgumentParser:
     upd.add_argument("--polygons", required=True, help="region .poly directory")
     upd.add_argument("--diffs", required=True, help=".osc[.gz] directory")
     upd.add_argument("--out", required=True, help="tile/bbox/metrics output dir")
+    upd.add_argument(
+        "--osc-tree",
+        default=None,
+        help="also publish the reference's per-region .osc.gz diff tree here",
+    )
 
     rd = sub.add_parser("read", help="point lookup / closure read")
     rd.add_argument("what", choices=["node", "way_full", "relation_full"])

@@ -116,3 +116,37 @@ def test_cli_filter_extract(spark, store_dir, tmp_path):
     assert len(rows) > 0
     kinds = {r["kind"] for r in rows}
     assert "node" in kinds
+
+
+def test_cli_update_publishes_region_osc_tree(spark, tmp_path):
+    """`update --osc-tree` publishes the reference's per-region .osc.gz
+    interchange tree (diffs.rs layout) from the same classification the
+    tiles came from."""
+    store = str(tmp_path / "store")
+    assert cli.main(["import", PBF, "--store", store]) == 0
+    diffs = tmp_path / "minute" / "000" / "000"
+    diffs.mkdir(parents=True)
+    shutil.copy(f"{REF}/saint_barthelemy.osc.gz", diffs / "002.osc.gz")
+    polys = tmp_path / "polys"
+    polys.mkdir()
+    shutil.copy(f"{REF}/saint_barthelemy.poly", polys / "saint_barthelemy.poly")
+    tree = str(tmp_path / "tree")
+    rc = cli.main([
+        "update",
+        "--store", store,
+        "--polygons", str(polys),
+        "--diffs", str(tmp_path / "minute"),
+        "--out", str(tmp_path / "out"),
+        "--osc-tree", tree,
+    ])
+    assert rc == 0
+    leaf = os.path.join(tree, "saint_barthelemy", "minute", "000", "000", "002.osc.gz")
+    assert os.path.exists(leaf)
+    from osm_replication_rust_spark.sources.osc import parse_osc_elements
+
+    with open(leaf, "rb") as f:
+        rows = parse_osc_elements(f.read(), state=2)
+    assert len(rows) > 0
+    # current-state pointer
+    link = os.path.join(tree, "saint_barthelemy", "minute", "state.txt")
+    assert os.path.exists(link)
