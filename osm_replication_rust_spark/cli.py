@@ -81,6 +81,56 @@ def cmd_update(spark: SparkSession, args) -> int:
 
     regions = regions_from_dir(args.polygons)
     store = _store(spark, args.store)
+
+    if args.follow:
+        # streaming mode: the file-stream source + checkpoint gives
+        # exactly-once file processing across CLI restarts; the
+        # idempotent state-keyed store makes re-delivered batches
+        # no-ops on top of that
+        from .sources.osc import stream_osc_elements
+
+        def per_batch(batch_elements: DataFrame, epoch_id: int) -> None:
+            if batch_elements.isEmpty():
+                return
+            pts, gch_b = elements_to_engine(batch_elements, namespace_ids=True)
+            grp = _read_groups(spark, args.store)
+            applied_b = run_update(
+                store,
+                pts,
+                regions,
+                args.out,
+                groups=grp,
+                group_diffs=gch_b if grp is not None else None,
+            )
+            if grp is not None and applied_b:
+                ng = merge_changes(
+                    grp,
+                    gch_b.filter(F.col("state").isin(applied_b)).withColumnRenamed(
+                        "kind", "new_kind"
+                    ),
+                    key="group_id",
+                )
+                tmp = _groups_path(args.store) + ".tmp"
+                ng.write.mode("overwrite").parquet(tmp)
+                spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                    _groups_path(args.store)
+                )
+                __import__("shutil").rmtree(tmp, ignore_errors=True)
+            print(f"epoch {epoch_id}: applied {applied_b}")
+
+        q = (
+            stream_osc_elements(spark, args.diffs)
+            .writeStream.foreachBatch(per_batch)
+            .option(
+                "checkpointLocation", os.path.join(args.store, "stream_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        print(f"follow pass done; store at state {store.last_state()}")
+        return 0
+
     elements = read_osc_elements_dir(spark, args.diffs).persist()
     points, gch = elements_to_engine(elements, namespace_ids=True)
     groups = _read_groups(spark, args.store)
@@ -271,6 +321,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--osc-tree",
         default=None,
         help="also publish the reference's per-region .osc.gz diff tree here",
+    )
+    upd.add_argument(
+        "--follow",
+        action="store_true",
+        help="streaming mode: process the diff tree via a checkpointed "
+        "file stream (exactly-once across restarts; availableNow pass)",
     )
 
     rd = sub.add_parser("read", help="point lookup / closure read")

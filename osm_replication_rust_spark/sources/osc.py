@@ -211,14 +211,10 @@ def read_osc_dir(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(parse, CHANGE_SCHEMA)
 
 
-def read_osc_elements_dir(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed three-kind scan of a diff directory (ELEMENT_SCHEMA):
-    same binaryFile -> mapInPandas shape as read_osc_dir, but ways and
-    relations come through with their member lists and optional bbox."""
-    files = spark.read.format("binaryFile").option(
-        "pathGlobFilter", "*.osc*"
-    ).option("recursiveFileLookup", "true").load(path)
-
+def _osc_files_to_elements(files: DataFrame) -> DataFrame:
+    """(path, content) binary-file rows -> ELEMENT_SCHEMA elements.
+    Shared by the batch scan and the streaming source — identical
+    parse, identical plan shape (one mapInPandas stage)."""
     cols = [
         "state", "seq", "action", "kind", "element_id",
         "new_lat", "new_lon",
@@ -234,6 +230,38 @@ def read_osc_elements_dir(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return files.select("path", "content").mapInPandas(parse, ELEMENT_SCHEMA)
+
+
+def read_osc_elements_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed three-kind scan of a diff directory (ELEMENT_SCHEMA):
+    same binaryFile -> mapInPandas shape as read_osc_dir, but ways and
+    relations come through with their member lists and optional bbox."""
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.osc*"
+    ).option("recursiveFileLookup", "true").load(path)
+    return _osc_files_to_elements(files)
+
+
+def stream_osc_elements(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING three-kind element source over a replication tree:
+    the binaryFile file-stream source discovers new .osc[.gz] files as
+    they land (checkpointed — each file is processed exactly once
+    across restarts), parsed by the same mapInPandas stage as the
+    batch scan. The streaming face of the reference's minutely
+    download loop (/root/reference/src/update.rs:74-144), minus the
+    HTTP fetch (S12, out of engine scope)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source's fixed schema; file streams require it
+        # spelled out (no inference on streaming sources)
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.osc*")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return _osc_files_to_elements(files)
 
 
 def _xml_escape(v: str) -> str:

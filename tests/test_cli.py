@@ -150,3 +150,34 @@ def test_cli_update_publishes_region_osc_tree(spark, tmp_path):
     # current-state pointer
     link = os.path.join(tree, "saint_barthelemy", "minute", "state.txt")
     assert os.path.exists(link)
+
+
+def test_cli_update_follow_streaming(spark, tmp_path):
+    """`update --follow`: checkpointed file-stream processing — a second
+    CLI invocation resumes from the stream checkpoint and processes
+    ONLY the newly-landed diff file."""
+    store = str(tmp_path / "store")
+    assert cli.main(["import", PBF, "--store", store]) == 0
+    diffs = tmp_path / "minute" / "000" / "000"
+    diffs.mkdir(parents=True)
+    polys = tmp_path / "polys"
+    polys.mkdir()
+    shutil.copy(f"{REF}/saint_barthelemy.poly", polys / "saint_barthelemy.poly")
+    argv = [
+        "update", "--follow",
+        "--store", store,
+        "--polygons", str(polys),
+        "--diffs", str(tmp_path / "minute"),
+        "--out", str(tmp_path / "out"),
+    ]
+    shutil.copy(f"{REF}/saint_barthelemy-boundary.osc.gz", diffs / "001.osc.gz")
+    assert cli.main(argv) == 0
+    st = cli._store(spark, store)
+    assert st.last_state() == 1
+    # second file lands; restart resumes from the checkpoint
+    shutil.copy(f"{REF}/saint_barthelemy.osc.gz", diffs / "002.osc.gz")
+    assert cli.main(argv) == 0
+    assert cli._store(spark, store).last_state() == 2
+    # both states' artifacts exist; state 1 applied once (v1 snapshot dir)
+    assert os.path.isdir(os.path.join(store, "points", "v1"))
+    assert os.path.isdir(os.path.join(store, "points", "v2"))
