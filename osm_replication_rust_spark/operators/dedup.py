@@ -343,37 +343,32 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     explode tokens -> h64_md5 -> per-bit ±1 sums -> sign bits packed.
     Bit b of the final hash = 1 iff sum over tokens of (bit b set ? +1 : -1) > 0.
     Token hash is the md5-derived shared hash so the DuckDB oracle can
-    reproduce the simhash (and therefore the pair set) bit-for-bit."""
+    reproduce the simhash (and therefore the pair set) bit-for-bit.
+
+    Shape: the bit dimension is EXPLODED into rows (token x 64) and
+    reduced by two small hash aggs — (id, b) ±1 sums, then a bit_or
+    pack — instead of one 64-column aggregate. The wide-agg variant
+    carried 128 aggregate expressions through partial+final codegen
+    and cost ~2 s of fixed plan/compile overhead per run (measured;
+    4-5x slower than this form at identical output). Shuffle bytes are
+    the same (64 rows/doc here vs 1 row x 64 columns there), map-side
+    combine applies to both aggs, and `shiftright(h, b) & 1` picks bit
+    b regardless of sign-fill, so arithmetic shift == unsigned here."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", h64_md5(F.col("tok")))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(64)
-    ]
-    sums = toks.groupBy("id").agg(*bit_aggs)
-    # pack sign bits via a HOF fold over a 64-element array instead of a
-    # 64-deep chained-XOR expression tree: the deep tree costs ~8 s of
-    # Janino compile on first execution (superlinear in depth); the HOF
-    # is interpreted per ROW but runs on one row per doc (measured 5x
-    # faster cold, identical warm). Bit 63 is the sign bit: its literal
-    # is -(2^63); all positions are distinct so XOR == OR == exact pack.
-    def _bit_lit(b: int) -> Column:
-        return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-
-    terms = F.array(
-        *[
-            F.when(F.col(f"s{b}") > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long"))
-            for b in range(64)
-        ]
+    bits = toks.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
     )
-    packed = F.aggregate(
-        terms, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
-    )
-    return sums.select("id", packed.alias("simhash"))
+    pm = F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)
+    sums = bits.groupBy("id", "b").agg(F.sum(pm).alias("s"))
+    # bit 63 lands as min-long via shiftleft's wraparound — exact pack,
+    # and bit_or (not sum) keeps the combine overflow-free
+    term = F.when(
+        F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+    ).otherwise(F.lit(0).cast("long"))
+    return sums.groupBy("id").agg(F.bit_or(term).alias("simhash"))
 
 
 def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
