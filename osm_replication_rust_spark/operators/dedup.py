@@ -91,10 +91,15 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+    # per-doc dedup happens MAP-SIDE with array_distinct (each doc's
+    # shingles live in one row), so no (id, shingle) distinct shuffle
+    # exists — doc ids are unique, hence this IS the distinct relation
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles)).alias("shingle"),
+        )
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
 
 
