@@ -129,7 +129,7 @@ def main(sf_dir: str) -> int:
     mh = entry_queries.queries()["minhash_lsh_pairs"](spark, sf_dir)
     p = plan_of(mh)
     n_ex = count_shuffle_exchanges(p)
-    check("minhash.exchange_budget", 0 < n_ex <= 7, f"exchanges={n_ex}")
+    check("minhash.exchange_budget", 0 < n_ex <= 5, f"exchanges={n_ex}")
     check(
         "minhash.no_shingle_self_join",
         not re.search(r"Join.*\[shingle", p),
