@@ -516,3 +516,28 @@ def simhash_near_pairs(
     return hamming_near_pairs(
         simhash64(df, text_col, id_col), "simhash", "id", max_hamming
     )
+
+
+def dedup_keepers_by_score(
+    pairs: DataFrame, scores: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """(id, keeper_id) with keeper = the HIGHEST-SCORE member of the
+    id's near-dup component (ties -> min id) — the quality-weighted
+    keep/drop policy a pretraining pipeline actually wants (keep the
+    best-quality duplicate, not the lowest id).
+
+    Components come from ``dedup_components`` (min-label propagation);
+    keeper selection is ONE window argmax over (component, score) plus
+    a broadcast-size join back — no extra fixpoint. ``scores``:
+    (id, score)."""
+    comp = dedup_components(pairs, max_iters).select(
+        "id", F.col("keeper_id").alias("_comp")
+    )
+    j = comp.join(scores.select("id", "score"), "id")
+    w = Window.partitionBy("_comp").orderBy(F.col("score").desc(), F.col("id"))
+    keepers = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_comp"), F.col("id").alias("keeper_id"))
+    )
+    return comp.join(keepers, "_comp").select("id", "keeper_id")

@@ -2602,3 +2602,54 @@ def zonal_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(
         r, fixture_regions(), tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES, buffer=0
     ).orderBy("region_id")
+
+
+@register(
+    "dedup_keeper_quality",
+    f"""
+    WITH RECURSIVE und AS (
+      SELECT id_a AS a, id_b AS b FROM (
+        {_sql_jaccard_pairs(_sql_doc_union(100), 0.5, "id_a, id_b")}
+      )
+      UNION ALL
+      SELECT id_b, id_a FROM (
+        {_sql_jaccard_pairs(_sql_doc_union(100), 0.5, "id_a, id_b")}
+      )
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.r FROM und u JOIN reach r ON r.id = u.b
+    ),
+    comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+    sc AS (SELECT id, (id * 2654435761) % 1000003 AS score FROM comp),
+    k AS (
+      SELECT comp.c, sc.id,
+             row_number() OVER (PARTITION BY comp.c
+                                ORDER BY sc.score DESC, sc.id) AS rn
+      FROM comp JOIN sc USING (id)
+    )
+    SELECT comp.id, k.id AS keeper_id
+    FROM comp JOIN k ON k.c = comp.c AND k.rn = 1
+    ORDER BY comp.id
+    """,
+)
+def dedup_keeper_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted dedup keeper resolution: components over the
+    exact near-dup graph, keeper = argmax of a deterministic per-doc
+    score (id-derived so both engines compute it bit-identically; a
+    real pipeline passes its quality score column instead)."""
+    from ..operators.dedup import dedup_keepers_by_score, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    u = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    pairs = ngram_jaccard_pairs(u, "text", "doc_id", n=3, threshold=0.5)
+    scores = u.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 2654435761) % 1000003).alias("score"),
+    )
+    return dedup_keepers_by_score(pairs, scores).orderBy("id")

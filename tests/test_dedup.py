@@ -162,3 +162,22 @@ def test_hamming_near_pairs_generic(spark):
     }
     # (2,3) differs by 0b10111 -> hamming 4 > budget, correctly absent
     assert got == {(1, 2): 1, (1, 3): 3, (4, 5): 2}
+
+
+def test_dedup_keepers_by_score(spark):
+    """Quality-weighted keeper: argmax score per component, ties by
+    min id; every member of a component maps to the same keeper."""
+    from osm_replication_rust_spark.operators.dedup import dedup_keepers_by_score
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 0.5)],
+        "id long, score double",
+    )
+    got = {
+        r.id: r.keeper_id for r in dedup_keepers_by_score(pairs, scores).collect()
+    }
+    # comp {1,2,3}: max score 9.0 tie between 2 and 3 -> min id 2
+    assert got == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10}
