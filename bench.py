@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "merge_upsert",
     "rasterize_density",
     "zonal_stats",
+    "stream_rasterize",
 ]
 
 
