@@ -46,6 +46,16 @@ def _read_groups(spark: SparkSession, store_dir: str) -> DataFrame | None:
     return spark.read.parquet(p) if os.path.exists(p) else None
 
 
+def _require_groups(spark: SparkSession, store_dir: str) -> DataFrame:
+    g = _read_groups(spark, store_dir)
+    if g is None:
+        raise SystemExit(
+            f"store at {store_dir} has no groups.parquet (points-only "
+            "store) — run `import` on a .osm.pbf to populate it"
+        )
+    return g
+
+
 def _base_points(store) -> DataFrame:
     return store.current().select(
         "image_id",
@@ -74,11 +84,15 @@ def cmd_import(spark: SparkSession, args) -> int:
 
 
 def cmd_update(spark: SparkSession, args) -> int:
-    from .operators.merge import merge_changes
     from .plans.pipeline import run_update
     from .sources.osc import elements_to_engine, read_osc_elements_dir
     from .sources.poly import regions_from_dir
 
+    if args.follow and args.osc_tree:
+        raise SystemExit(
+            "update: --osc-tree is not supported with --follow yet; "
+            "run a batch `update --osc-tree` pass for the tree publish"
+        )
     regions = regions_from_dir(args.polygons)
     store = _store(spark, args.store)
 
@@ -102,20 +116,12 @@ def cmd_update(spark: SparkSession, args) -> int:
                 groups=grp,
                 group_diffs=gch_b if grp is not None else None,
             )
-            if grp is not None and applied_b:
-                ng = merge_changes(
-                    grp,
-                    gch_b.filter(F.col("state").isin(applied_b)).withColumnRenamed(
-                        "kind", "new_kind"
-                    ),
-                    key="group_id",
-                )
-                tmp = _groups_path(args.store) + ".tmp"
-                ng.write.mode("overwrite").parquet(tmp)
-                spark.read.parquet(tmp).write.mode("overwrite").parquet(
-                    _groups_path(args.store)
-                )
-                __import__("shutil").rmtree(tmp, ignore_errors=True)
+            # group merge runs UNCONDITIONALLY (not gated on applied_b):
+            # upsert/delete re-application is a no-op, so replaying a
+            # batch after a crash between the store commit and this
+            # merge still converges — the gate would skip it forever
+            if grp is not None:
+                _merge_group_store(spark, args.store, grp, gch_b)
             print(f"epoch {epoch_id}: applied {applied_b}")
 
         q = (
@@ -183,21 +189,39 @@ def cmd_update(spark: SparkSession, args) -> int:
             written = write_region_osc_tree(tagged, args.osc_tree)
             print(f"published {len(written)} region diff file(s) under {args.osc_tree}")
 
-    if groups is not None and applied:
-        new_groups = merge_changes(
-            groups,
-            gch.filter(F.col("state").isin(applied)).withColumnRenamed(
-                "kind", "new_kind"
-            ),
-            key="group_id",
-        )
-        tmp = _groups_path(args.store) + ".tmp"
-        new_groups.write.mode("overwrite").parquet(tmp)
-        final = _groups_path(args.store)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
-        __import__("shutil").rmtree(tmp, ignore_errors=True)
+    # unconditional for the same crash-window reason as follow mode:
+    # a previous run may have committed the store but died before the
+    # group rewrite; re-merging the full (idempotent) change set heals it
+    if groups is not None:
+        _merge_group_store(spark, args.store, groups, gch)
     print(f"applied states: {applied}")
     return 0
+
+
+def _merge_group_store(
+    spark: SparkSession, store_dir: str, groups: DataFrame, gch: DataFrame
+) -> None:
+    """Merge way/relation changes into <store>/groups.parquet.
+
+    The winner per group is picked across ALL states in the change set:
+    ``seq`` restarts at 0 in every diff file, so ordering by seq alone
+    would let an older state's change beat a newer one — the order key
+    is (state, seq) packed into one column."""
+    from .operators.merge import merge_changes
+
+    ordered = gch.withColumn(
+        "_ord", F.col("state") * F.lit(1_000_000_000) + F.col("seq")
+    )
+    new_groups = merge_changes(
+        groups,
+        ordered.withColumnRenamed("kind", "new_kind"),
+        key="group_id",
+        order="_ord",
+    )
+    tmp = _groups_path(store_dir) + ".tmp"
+    new_groups.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(_groups_path(store_dir))
+    __import__("shutil").rmtree(tmp, ignore_errors=True)
 
 
 def cmd_read(spark: SparkSession, args) -> int:
@@ -208,7 +232,7 @@ def cmd_read(spark: SparkSession, args) -> int:
     elif args.what == "way_full":
         from .operators.resolve import resolve_way_full
 
-        groups = _read_groups(spark, args.store)
+        groups = _require_groups(spark, args.store)
         rows = (
             resolve_way_full(
                 groups.filter(F.col("group_id") == eid), _base_points(store)
@@ -217,7 +241,7 @@ def cmd_read(spark: SparkSession, args) -> int:
     elif args.what == "relation_full":
         from .operators.resolve import resolve_relation_members
 
-        groups = _read_groups(spark, args.store)
+        groups = _require_groups(spark, args.store)
         rows = (
             resolve_relation_members(groups, _base_points(store))
             .filter(F.col("group_id") == eid)
@@ -236,7 +260,7 @@ def cmd_check(spark: SparkSession, args) -> int:
     from .operators.integrity import dangling_refs
 
     store = _store(spark, args.store)
-    groups = _read_groups(spark, args.store)
+    groups = _require_groups(spark, args.store)
     dangling = dangling_refs(groups, _base_points(store))
     n = dangling.count()
     for r in dangling.limit(args.limit).collect():

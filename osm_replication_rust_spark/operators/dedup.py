@@ -84,7 +84,11 @@ def exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) distinct word n-grams — the unit of Jaccard
-    similarity. Built with JVM array functions (no UDF)."""
+    similarity. Built with JVM array functions (no UDF).
+
+    PRECONDITION: ``id_col`` is unique per row (one text per doc id).
+    Dedup happens map-side per ROW (array_distinct); duplicated id rows
+    would inflate sizes/intersections in every downstream Jaccard."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # shingle i = tokens[i..i+n) joined; slide via transform over indices
     shingles = F.transform(
@@ -533,8 +537,14 @@ def dedup_keepers_by_score(
     comp = dedup_components(pairs, max_iters).select(
         "id", F.col("keeper_id").alias("_comp")
     )
-    j = comp.join(scores.select("id", "score"), "id")
-    w = Window.partitionBy("_comp").orderBy(F.col("score").desc(), F.col("id"))
+    # LEFT join: a member (or a whole component) without a score row
+    # must not vanish from the mapping — unscored members sort last
+    # (desc_nulls_last) and a fully-unscored component falls back to
+    # keeper = min id, matching dedup_components
+    j = comp.join(scores.select("id", "score"), "id", "left")
+    w = Window.partitionBy("_comp").orderBy(
+        F.col("score").desc_nulls_last(), F.col("id")
+    )
     keepers = (
         j.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -285,9 +285,14 @@ def classify_group_diff(
         changed.select("group_id"), "group_id", "left_semi"
     )
     if "new_members" in group_changes.columns:
-        overrides = group_changes.filter(F.col("new_members").isNotNull()).select(
-            "group_id", F.col("new_members").alias("_nm")
-        )
+        # deletes classify from STORED geometry (the reference's delete
+        # branch, filter.rs:250-254): a bare <delete><way id=../></delete>
+        # parses to an EMPTY member list, and letting it override would
+        # strip every member ref and silently drop the delete from the
+        # classification. Only create/modify carry the diff's list.
+        overrides = group_changes.filter(
+            F.col("new_members").isNotNull() & (F.col("action") != "delete")
+        ).select("group_id", F.col("new_members").alias("_nm"))
         eff_groups = (
             eff_groups.join(overrides, "group_id", "left")
             .withColumn("members", F.coalesce(F.col("_nm"), F.col("members")))
@@ -299,7 +304,10 @@ def classify_group_diff(
             # flag computation (and therefore the classification) sees
             # them like any stored group
             created = (
-                group_changes.filter(F.col("new_members").isNotNull())
+                group_changes.filter(
+                    F.col("new_members").isNotNull()
+                    & (F.col("action") != "delete")
+                )
                 .select("group_id", "kind", F.col("new_members").alias("members"))
                 .join(groups.select("group_id"), "group_id", "left_anti")
             )

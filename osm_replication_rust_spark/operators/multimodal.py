@@ -241,6 +241,12 @@ def ahash_stage(df: DataFrame, bytes_col: str = "bytes", out_col: str = "ahash")
             out = np.zeros(n, dtype=np.int64)
             payloads = pdf[bytes_col].to_numpy(dtype=object)
             for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if w * h == 0:
+                    # zero-area metadata: hash 0 instead of indexing a
+                    # 0-column pixel matrix (decode_stats survives the
+                    # same rows; this stage must too)
+                    out[ii] = 0
+                    continue
                 px = _decode_stack(list(payloads[ii]), L, w, h)
                 b = np.arange(64)
                 k = ((b // 8) * h) // 8 * w + ((b % 8) * w) // 8

@@ -35,7 +35,7 @@ rows, never a driver-side bitmap.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.coords import LAT_OFFSET, LON_OFFSET, Y_STRIDE
@@ -51,7 +51,7 @@ def _check_res(tile_res: int, px_res: int) -> int:
     return 1 << (tile_res - px_res)
 
 
-def _densify(sparse: DataFrame, npx: int, value: Column | None = None) -> DataFrame:
+def _densify(sparse: DataFrame, npx: int) -> DataFrame:
     """(tile, idx, n) sparse pixel rows -> (tile, raster array<long>)."""
     m = F.map_from_entries(
         F.collect_list(F.struct(F.col("idx").alias("k"), F.col("n").alias("v")))

@@ -156,8 +156,19 @@ def run_update(
             # minutely diff touching no region): AQE's empty-relation
             # propagation elides the observe node under
             # repartition(col) + partitionBy, and Observation.get then
-            # raises on the schemaless result row. Zeroed counters are
-            # the true metrics of an empty batch.
+            # raises on the schemaless result row. Confirm that is what
+            # happened — if the write actually emitted rows, the
+            # exception is a REAL failure and zeroed metrics would lie.
+            try:
+                empty = diffs.sparkSession.read.parquet(
+                    os.path.join(out_dir, f"tiles/state={state}")
+                ).isEmpty()
+            except Exception:
+                # an empty partitioned write leaves only _SUCCESS — no
+                # footer to infer a schema from: that IS the empty case
+                empty = True
+            if not empty:
+                raise
             raw = {"tile_rows": 0, "kept": 0, "forced_delete": 0, "distinct_elements": 0}
         metrics = {k: (v if not hasattr(v, "item") else v.item()) for k, v in raw.items()}
         mdir = os.path.join(out_dir, "metrics")
