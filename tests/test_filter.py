@@ -291,3 +291,27 @@ def test_groups_in_regions(spark, regions):
     assert ("r1", "A/B/C") in got  # via way
     assert ("r2", "A/B/C") in got  # via relation->relation
     assert not any(g in ("c1", "c2") for g, _ in got)  # pure cycle resolves to nothing
+
+
+def test_classify_group_diff_delete_uses_stored_geometry(spark, regions):
+    """A bare <delete> parses to an EMPTY member list; the reference
+    classifies deletes from STORED geometry (filter.rs:250-254), so the
+    empty diff list must NOT override — the delete still lands in the
+    regions the stored members occupy."""
+    M = 1_000_000
+    base = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["p_in"], "lat": [-6 * M], "lon": [-6 * M]})
+    )
+    groups = spark.createDataFrame([("w1", "way", [_m("p_in")])], GROUP_SCHEMA)
+    changes = spark.createDataFrame(
+        [("w1", "delete", "way", [])],
+        "group_id string, action string, kind string, "
+        "new_members array<struct<ref:string,type:string,role:string>>",
+    )
+    got = {
+        (r.group_id, r.region_id): r.out_action
+        for r in classify_group_diff(changes, groups, base, regions).collect()
+    }
+    # stored member p_in sits deep in A/B/C: delete published there
+    assert ("w1", "A/B/C") in got
+    assert all(a == "delete" for a in got.values())
