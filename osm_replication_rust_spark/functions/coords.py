@@ -197,3 +197,37 @@ def sql_shard_path(id_expr: str) -> str:
         f"printf('%03d/%03d/%03d', (({id_expr}) // 1000000) % 1000, "
         f"(({id_expr}) // 1000) % 1000, ({id_expr}) % 1000)"
     )
+
+
+# ---------------------------------------------------------------------------
+# quadkey: interleaved-bit tile name (the Bing-maps / slippy interop id
+# for a cell — one string per (cx, cy) at a resolution; digit i from the
+# MSB is bit i of cx + 2*bit i of cy, so prefix(k) IS the ancestor tile
+# at k levels, the property tile servers key on)
+# ---------------------------------------------------------------------------
+
+QUADKEY_LEVELS = 12  # 2^12 x 2^12 tiles cover the global grid at res >= 20
+
+
+def quadkey(lon: Column, lat: Column, res: int = DEFAULT_RES, levels: int = QUADKEY_LEVELS) -> Column:
+    cx = F.shiftright(lon + LON_OFFSET, res)
+    cy = F.shiftright(lat + LAT_OFFSET, res)
+    digits = [
+        (
+            F.shiftright(cx, b).bitwiseAND(F.lit(1))
+            + F.shiftright(cy, b).bitwiseAND(F.lit(1)) * 2
+        ).cast("string")
+        for b in range(levels - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def sql_quadkey(lon: str, lat: str, res: int = DEFAULT_RES, levels: int = QUADKEY_LEVELS) -> str:
+    edge = cell_edge(res)
+    cx = f"((({lon}) + {LON_OFFSET}) // {edge})"
+    cy = f"((({lat}) + {LAT_OFFSET}) // {edge})"
+    digits = " || ".join(
+        f"CAST((({cx} >> {b}) & 1) + (({cy} >> {b}) & 1) * 2 AS VARCHAR)"
+        for b in range(levels - 1, -1, -1)
+    )
+    return f"({digits})"

@@ -2653,3 +2653,31 @@ def dedup_keeper_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 2654435761) % 1000003).alias("score"),
     )
     return dedup_keepers_by_score(pairs, scores).orderBy("id")
+
+
+@register(
+    "quadkey_encode",
+    f"""
+    SELECT qk, count(*) AS n_points
+    FROM (
+      SELECT {C.sql_quadkey(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS qk
+      FROM events
+    )
+    GROUP BY qk ORDER BY qk
+    """,
+)
+def quadkey_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey tile naming (functions/coords.quadkey): the interleaved-
+    bit interop id whose string prefix is the ancestor tile — cell ids
+    for map-server consumption. Pure codegen string build; oracle is
+    the same bit arithmetic in SQL."""
+    ev = _t(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    return (
+        ev.select(C.quadkey(F.col("lon"), F.col("lat")).alias("qk"))
+        .groupBy("qk")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("qk")
+    )

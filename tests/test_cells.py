@@ -56,3 +56,43 @@ def test_ring_offsets():
     assert len(cell_ring_offsets(3)) == 24
     assert len(cell_disk_offsets(2)) == 25
     assert set(cell_disk_offsets(1)) == set(cell_ring_offsets(0) + cell_ring_offsets(1))
+
+
+def test_quadkey_properties(spark):
+    """Quadkey: digits decode back to (cx, cy); a parent cell's quadkey
+    is the child's prefix (the property tile pyramids key on)."""
+    from osm_replication_rust_spark.functions.coords import (
+        DEFAULT_RES,
+        LAT_OFFSET,
+        LON_OFFSET,
+        QUADKEY_LEVELS,
+        quadkey,
+    )
+    from pyspark.sql import functions as F
+
+    pts = [(-12_345_678, 9_876_543), (0, 0), (21_999_999, -21_999_999)]
+    df = spark.createDataFrame([{"lon": a, "lat": b} for a, b in pts])
+    rows = df.select(
+        "lon", "lat", quadkey(F.col("lon"), F.col("lat")).alias("qk"),
+        quadkey(F.col("lon"), F.col("lat"), res=DEFAULT_RES + 1).alias("qk_parent"),
+    ).collect()
+    for r in rows:
+        cx = (r.lon + LON_OFFSET) >> DEFAULT_RES
+        cy = (r.lat + LAT_OFFSET) >> DEFAULT_RES
+        # decode digits back
+        dx = dy = 0
+        for ch in r.qk:
+            d = int(ch)
+            dx = dx * 2 + (d & 1)
+            dy = dy * 2 + (d >> 1)
+        assert (dx, dy) == (cx, cy)
+        assert len(r.qk) == QUADKEY_LEVELS
+        # the coarser cell's key is a strict prefix of the finer key
+        # shifted: parent(res+1) digits == qk digits of (cx>>1, cy>>1)
+        px, py = cx >> 1, cy >> 1
+        pdx = pdy = 0
+        for ch in r.qk_parent:
+            d = int(ch)
+            pdx = pdx * 2 + (d & 1)
+            pdy = pdy * 2 + (d >> 1)
+        assert (pdx, pdy) == (px, py)
