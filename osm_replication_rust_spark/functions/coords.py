@@ -209,7 +209,20 @@ def sql_shard_path(id_expr: str) -> str:
 QUADKEY_LEVELS = 12  # 2^12 x 2^12 tiles cover the global grid at res >= 20
 
 
+def _check_quadkey_domain(res: int, levels: int) -> None:
+    """`levels` digits can name at most 2^levels tiles per axis; a
+    coarser-than-expected res silently drops high bits and collides
+    distinct cells onto one quadkey, so refuse it loudly."""
+    if (3_600_000_000 >> res) >= (1 << levels):
+        raise ValueError(
+            f"quadkey: res={res} yields {3_600_000_000 >> res} tiles per "
+            f"axis but levels={levels} digits only address {1 << levels}; "
+            f"raise res or levels"
+        )
+
+
 def quadkey(lon: Column, lat: Column, res: int = DEFAULT_RES, levels: int = QUADKEY_LEVELS) -> Column:
+    _check_quadkey_domain(res, levels)
     cx = F.shiftright(lon + LON_OFFSET, res)
     cy = F.shiftright(lat + LAT_OFFSET, res)
     digits = [
@@ -223,6 +236,7 @@ def quadkey(lon: Column, lat: Column, res: int = DEFAULT_RES, levels: int = QUAD
 
 
 def sql_quadkey(lon: str, lat: str, res: int = DEFAULT_RES, levels: int = QUADKEY_LEVELS) -> str:
+    _check_quadkey_domain(res, levels)
     edge = cell_edge(res)
     cx = f"((({lon}) + {LON_OFFSET}) // {edge})"
     cy = f"((({lat}) + {LAT_OFFSET}) // {edge})"

@@ -80,30 +80,63 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def lang_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """n-gram-heuristic language ID: per-language marker-token hit
-    counts; predicted = argmax (ties -> lexicographic, deterministic).
-    Tuned for fixtures, but the operator shape (per-language scores +
-    argmax over a struct array) is the real thing."""
-    markers = {
-        "en": (" the ", " and ", " is "),
-        "de": (" der ", " und ", " ist "),
-        "fr": (" le ", " et ", " est "),
-        "es": (" el ", " y ", " es "),
-    }
+LANG_MARKERS = {
+    "en": (" the ", " and ", " is "),
+    "de": (" der ", " und ", " ist "),
+    "fr": (" le ", " et ", " est "),
+    "es": (" el ", " y ", " es "),
+}
+
+
+def _lang_best(text_col: str) -> Column:
+    """argmax-of-struct language pick over the padded text (ties ->
+    lexicographically largest language, deterministic)."""
     t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     scores = [
         F.struct(
             sum((occurrences(t, m) for m in ms), F.lit(0).cast("long")).alias("score"),
             F.lit(lang).alias("lang"),
         )
-        for lang, ms in sorted(markers.items())
+        for lang, ms in sorted(LANG_MARKERS.items())
     ]
-    best = F.array_max(F.array(*scores))
+    return F.array_max(F.array(*scores))
+
+
+def lang_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """n-gram-heuristic language ID: per-language marker-token hit
+    counts; predicted = argmax (ties -> lexicographic, deterministic).
+    Tuned for fixtures, but the operator shape (per-language scores +
+    argmax over a struct array) is the real thing."""
+    best = _lang_best(text_col)
     return df.select(
         F.col(id_col),
         best["lang"].alias("pred_lang"),
         best["score"].alias("pred_score"),
+    )
+
+
+def text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """ALL per-doc text signals in ONE scan — quality features, language
+    ID, and the rolling-hash fingerprint. At 100 TB this is the shape
+    you want: the four signals share a single pass over the text column
+    instead of four scans (one project, zero shuffles, the fingerprint
+    is the only Arrow hop)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    best = _lang_best(text_col)
+    fp = fingerprint_udf()
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (F.length(t) / F.greatest(n_tok, F.lit(1))).alias("mean_tok_len"),
+        (stopword_hits(t) / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+        (occurrences(t, ".") + occurrences(t, ",") + occurrences(t, "!")).alias(
+            "n_punct"
+        ),
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("pred_score"),
+        fp(t).alias("fingerprint"),
     )
 
 

@@ -107,27 +107,33 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cell_encode",
     f"""
-    SELECT cell, count(*) AS n_points
+    SELECT cell, qk, count(*) AS n_points
     FROM (
-      SELECT {C.sql_cell_id(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS cell
+      SELECT {C.sql_cell_id(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS cell,
+             {C.sql_quadkey(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS qk
       FROM events
     )
-    GROUP BY cell ORDER BY cell
+    GROUP BY cell, qk ORDER BY cell, qk
     """,
 )
 def cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/J3 prefix: JVM-side cell-id encode (the H3/S2 analog) + count
-    per cell. Pure integer arithmetic, whole-stage codegen."""
+    """F1/F3b/J3 prefix: JVM-side cell-id encode (the H3/S2 analog) AND
+    the quadkey tile name (interleaved-bit interop id; string prefix =
+    ancestor tile) in ONE scan + count per cell. Pure integer
+    arithmetic, whole-stage codegen. (Round 5: absorbed the former
+    `quadkey_encode` query — both codecs over the same points — to keep
+    the catalog within the driver's 50-row gate.)"""
     ev = _t(spark, sf_dir, "events")
+    lon = C.derived_lon(F.col("event_id"))
+    lat = C.derived_lat(F.col("event_id"))
     return (
         ev.select(
-            C.cell_id(
-                C.derived_lon(F.col("event_id")), C.derived_lat(F.col("event_id"))
-            ).alias("cell")
+            C.cell_id(lon, lat).alias("cell"),
+            C.quadkey(lon, lat).alias("qk"),
         )
-        .groupBy("cell")
+        .groupBy("cell", "qk")
         .agg(F.count(F.lit(1)).alias("n_points"))
-        .orderBy("cell")
+        .orderBy("cell", "qk")
     )
 
 
@@ -139,13 +145,18 @@ def cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            {C.sql_derived_lon('event_id')} AS lon,
            ({C.sql_derived_lat('event_id')} + {C.LAT_OFFSET}) * {C.PHASH_LON_BASE}
              + ({C.sql_derived_lon('event_id')} + {C.LON_OFFSET}) AS phash,
-           {C.sql_unpack_lat(f"(({C.sql_derived_lat('event_id')} + {C.LAT_OFFSET}) * {C.PHASH_LON_BASE} + ({C.sql_derived_lon('event_id')} + {C.LON_OFFSET}))")} AS lat2
+           {C.sql_unpack_lat(f"(({C.sql_derived_lat('event_id')} + {C.LAT_OFFSET}) * {C.PHASH_LON_BASE} + ({C.sql_derived_lon('event_id')} + {C.LON_OFFSET}))")} AS lat2,
+           {C.sql_shard_path('event_id')} AS shard
     FROM events ORDER BY event_id
     """,
 )
 def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: decimicro footprint <-> phash pack/unpack round trip (the
-    invertible packing of FIXTURES.md §1)."""
+    """F1 + F3: decimicro footprint <-> phash pack/unpack round trip
+    (the invertible packing of FIXTURES.md §1) plus the reference's
+    9-digit 3/3/3 shard path (/root/reference/src/osmbin.rs:227-245) as
+    a partitioning expression over the same ids. (Round 5: absorbed the
+    former `shard_path` query into this scan to keep the catalog within
+    the driver's 50-row gate.)"""
     ev = _t(spark, sf_dir, "events")
     lat = C.derived_lat(F.col("event_id"))
     lon = C.derived_lon(F.col("event_id"))
@@ -156,22 +167,8 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         lon.alias("lon"),
         ph.alias("phash"),
         C.unpack_lat(ph).alias("lat2"),
+        C.shard_path(F.col("event_id")).alias("shard"),
     ).orderBy("event_id")
-
-
-@register(
-    "shard_path",
-    f"""
-    SELECT o_orderkey, {C.sql_shard_path('o_orderkey')} AS shard
-    FROM orders ORDER BY o_orderkey
-    """,
-)
-def shard_path_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3: the reference's 9-digit 3/3/3 shard path
-    (/root/reference/src/osmbin.rs:227-245) as a partitioning expression."""
-    return _t(spark, sf_dir, "orders").select(
-        "o_orderkey", C.shard_path(F.col("o_orderkey")).alias("shard")
-    ).orderBy("o_orderkey")
 
 
 @register(
@@ -702,68 +699,33 @@ _fill_pipeline_oracle()
 # ---------------------------------------------------------------------------
 
 @register(
-    "token_count",
-    None,  # filled below from the shared sql generator
+    "text_features",
+    None,  # filled below from the shared sql generators
 )
-def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting, JVM expression only."""
-    from ..operators.text import token_count
+def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL per-doc text-analysis signals in one scan: whitespace token
+    count, quality features (pretraining filters), marker-token
+    language ID with deterministic argmax, and the rolling-hash
+    fingerprint (vectorized Arrow kernel; oracle = the identical
+    code-point Horner fold in HUGEINT SQL). (Round 5: consolidation of
+    the former `token_count` / `text_quality` / `lang_id` /
+    `doc_fingerprint` queries — one project over one scan instead of
+    four, and the catalog stays within the driver's 50-row gate.)"""
+    from ..operators.text import text_features
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens")
-    ).orderBy("doc_id")
-
-
-@register(
-    "text_quality",
-    None,
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-signal features (pretraining filters) as expressions."""
-    from ..operators.text import quality_features
-
-    d = _t(spark, sf_dir, "documents")
-    return quality_features(d, "text", "doc_id").orderBy("doc_id")
-
-
-@register(
-    "lang_id",
-    None,
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language-ID heuristic with deterministic argmax."""
-    from ..operators.text import lang_score
-
-    d = _t(spark, sf_dir, "documents")
-    return lang_score(d, "text", "doc_id").orderBy("doc_id")
+    return text_features(d, "text", "doc_id").orderBy("doc_id")
 
 
 def _fill_text_oracles() -> None:
     from ..operators.text import (
-        STOPWORDS,
+        sql_fingerprint,
         sql_occurrences,
         sql_stopword_hits,
         sql_token_count,
     )
 
-    _ORACLES["token_count"] = f"""
-    SELECT doc_id, {sql_token_count('text')} AS n_tokens
-    FROM documents ORDER BY doc_id
-    """
-
     ntok = sql_token_count("text")
-    _ORACLES["text_quality"] = f"""
-    SELECT doc_id,
-           length(text) AS n_chars,
-           {ntok} AS n_tokens,
-           CAST(length(text) AS DOUBLE) / greatest({ntok}, 1) AS mean_tok_len,
-           CAST(({sql_stopword_hits('text')}) AS DOUBLE) / greatest({ntok}, 1) AS stopword_ratio,
-           {sql_occurrences('text', '.')} + {sql_occurrences('text', ',')}
-             + {sql_occurrences('text', '!')} AS n_punct
-    FROM documents ORDER BY doc_id
-    """
-
     markers = {
         "en": (" the ", " and ", " is "),
         "de": (" der ", " und ", " ist "),
@@ -778,21 +740,28 @@ def _fill_text_oracles() -> None:
     # argmax with greatest-struct semantics: ties resolve to the
     # lexicographically largest language (matches F.array_max on
     # struct(score, lang))
-    _ORACLES["lang_id"] = f"""
+    _ORACLES["text_features"] = f"""
     WITH s AS (
-      SELECT doc_id, {score['en']} AS s_en, {score['de']} AS s_de,
+      SELECT doc_id, text, {score['en']} AS s_en, {score['de']} AS s_de,
              {score['fr']} AS s_fr, {score['es']} AS s_es
       FROM documents
     )
     SELECT doc_id,
-      CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-           WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-           WHEN s_en >= s_de THEN 'en'
-           ELSE 'de' END AS pred_lang,
-      CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN s_fr
-           WHEN s_es >= s_en AND s_es >= s_de THEN s_es
-           WHEN s_en >= s_de THEN s_en
-           ELSE s_de END AS pred_score
+           length(text) AS n_chars,
+           {ntok} AS n_tokens,
+           CAST(length(text) AS DOUBLE) / greatest({ntok}, 1) AS mean_tok_len,
+           CAST(({sql_stopword_hits('text')}) AS DOUBLE) / greatest({ntok}, 1) AS stopword_ratio,
+           {sql_occurrences('text', '.')} + {sql_occurrences('text', ',')}
+             + {sql_occurrences('text', '!')} AS n_punct,
+           CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                WHEN s_en >= s_de THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN s_fr
+                WHEN s_es >= s_en AND s_es >= s_de THEN s_es
+                WHEN s_en >= s_de THEN s_en
+                ELSE s_de END AS pred_score,
+           {sql_fingerprint('text')} AS fingerprint
     FROM s ORDER BY doc_id
     """
 
@@ -1292,29 +1261,6 @@ def ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(
         q, emb, k=5, dim=64, n_tables=8, n_bits=8, rank_by="dot_q"
     ).select("query_id", "vec_id", "dot_q", "rank").orderBy("query_id", "rank")
-
-
-@register("doc_fingerprint")
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints (vectorized Arrow kernel);
-    oracle = the identical code-point Horner fold in HUGEINT SQL."""
-    from ..operators.text import fingerprint_udf
-
-    d = _t(spark, sf_dir, "documents")
-    fp = fingerprint_udf()
-    return d.select("doc_id", fp(F.col("text")).alias("fingerprint")).orderBy("doc_id")
-
-
-def _fill_fingerprint_oracle() -> None:
-    from ..operators.text import sql_fingerprint
-
-    _ORACLES["doc_fingerprint"] = f"""
-    SELECT doc_id, {sql_fingerprint('text')} AS fingerprint
-    FROM documents ORDER BY doc_id
-    """
-
-
-_fill_fingerprint_oracle()
 
 
 def _multimodal_oracle() -> str:
@@ -2655,29 +2601,10 @@ def dedup_keeper_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keepers_by_score(pairs, scores).orderBy("id")
 
 
-@register(
-    "quadkey_encode",
-    f"""
-    SELECT qk, count(*) AS n_points
-    FROM (
-      SELECT {C.sql_quadkey(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS qk
-      FROM events
-    )
-    GROUP BY qk ORDER BY qk
-    """,
-)
-def quadkey_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quadkey tile naming (functions/coords.quadkey): the interleaved-
-    bit interop id whose string prefix is the ancestor tile — cell ids
-    for map-server consumption. Pure codegen string build; oracle is
-    the same bit arithmetic in SQL."""
-    ev = _t(spark, sf_dir, "events").select(
-        C.derived_lat(F.col("event_id")).alias("lat"),
-        C.derived_lon(F.col("event_id")).alias("lon"),
-    )
-    return (
-        ev.select(C.quadkey(F.col("lon"), F.col("lat")).alias("qk"))
-        .groupBy("qk")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-        .orderBy("qk")
-    )
+# NOTE (round 5): the former `quadkey_encode` query was folded into
+# `cell_encode` (both codecs over the same event points, one scan) and
+# `shard_path` into `footprint_roundtrip`; `token_count`/`text_quality`/
+# `lang_id`/`doc_fingerprint` into `text_features`. The driver gate
+# records at most 50 catalog rows (r04 captured exactly the first 50 of
+# 53 registered queries), so the catalog must stay <= 50 entries for
+# every operator to keep a driver-verified row.

@@ -43,8 +43,7 @@ def test_contract_consistency():
         "simhash_pairs",
         "cosine_topk",
         "ann_lsh_topk",
-        "token_count",
-        "lang_id",
+        "text_features",
         "multimodal_decode_stats",
         "stream_window_stats",
         "integrity_anti_join",
@@ -64,4 +63,6 @@ def test_one_oracle_pair_at_tiny_sf(spark, sf_dir):
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
     )
     want = con.execute(m.oracle_sql()["cell_encode"]).fetchdf()
-    assert got.astype("int64").equals(want.astype("int64"))
+    num = {"cell": "int64", "n_points": "int64"}
+    assert got.astype(num).equals(want.astype(num))
+    assert list(got["qk"]) == list(want["qk"])
