@@ -2,11 +2,16 @@
 of the reference can run the same operations against this engine:
 
 - ``import``  <- osmbin --import   (/root/reference/src/bin/osmbin.rs:38-41)
-- ``update``  <- update            (/root/reference/src/bin/update.rs:27-56)
+                 and osmxml .osm import (/root/reference/src/bin/osmxml.rs:29-31)
+- ``update``  <- update            (/root/reference/src/bin/update.rs:27-56,
+                                    incl. the update.lock advisory lock)
 - ``read``    <- osmbin --read     (/root/reference/src/bin/osmbin.rs:43-71,
                                     incl. way_full / relation_full closures)
 - ``check``   <- osmbin --check    (/root/reference/src/bin/osmbin.rs:73-79)
 - ``filter``  <- osmxml --filter   (/root/reference/src/bin/osmxml.rs:37-41)
+- ``bbox``    <- osmxml --bbox     (/root/reference/src/bin/osmxml.rs:33-37,
+                                    src/osmxml/bbox.rs: store-resolved
+                                    bbox-annotated copy of a diff)
 
 Store layout (one directory):
   <store>/points/        TableStore (hash-bucketed snapshots + manifest;
@@ -41,7 +46,64 @@ def _groups_path(store_dir: str) -> str:
     return os.path.join(store_dir, "groups.parquet")
 
 
+def _heal_groups_link(store_dir: str) -> None:
+    """If a crash landed between the legacy-dir rename and the symlink
+    swap in _publish_groups, groups.parquet is missing but a versioned
+    sibling exists — re-point the link at the newest version so no
+    merge output is ever silently lost."""
+    import glob
+
+    dst = _groups_path(store_dir)
+    if os.path.lexists(dst):
+        return
+    versions = sorted(
+        (
+            p
+            for p in glob.glob(dst + ".v*")
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ),
+        key=lambda p: int(p.rsplit(".v", 1)[1]),
+    )
+    if versions:
+        tmp = dst + ".lnk-tmp"
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(os.path.basename(versions[-1]), tmp)
+        os.replace(tmp, dst)
+
+
+def _publish_groups(spark: SparkSession, store_dir: str, groups: DataFrame) -> None:
+    """Atomically publish a new groups table: write a fresh versioned
+    directory, then swap a relative symlink over groups.parquet
+    (os.replace of a symlink is atomic). Never overwrites the live
+    directory in place — a crash mid-write leaves the old version
+    intact and readable, same manifest-pointer discipline as
+    TableStore."""
+    import glob
+    import shutil
+
+    dst = _groups_path(store_dir)
+    versions = [int(p.rsplit(".v", 1)[1]) for p in glob.glob(dst + ".v*")]
+    new_dir = f"{dst}.v{max(versions, default=-1) + 1}"
+    groups.write.mode("overwrite").parquet(new_dir)
+    tmp = dst + ".lnk-tmp"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(os.path.basename(new_dir), tmp)
+    if os.path.isdir(dst) and not os.path.islink(dst):
+        # legacy store with a real directory: move it aside under a
+        # versioned name first (atomic rename; _read_groups heals the
+        # brief dst-missing window via _heal_groups_link)
+        os.rename(dst, f"{dst}.v{max(versions, default=-1) + 2}")
+    os.replace(tmp, dst)
+    live = os.readlink(dst)
+    for p in glob.glob(dst + ".v*"):
+        if os.path.basename(p) != live:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _read_groups(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    _heal_groups_link(store_dir)
     p = _groups_path(store_dir)
     return spark.read.parquet(p) if os.path.exists(p) else None
 
@@ -64,23 +126,70 @@ def _base_points(store) -> DataFrame:
     )
 
 
-def cmd_import(spark: SparkSession, args) -> int:
-    from .sources.pbf import pbf_to_engine
+def _osm_xml_to_engine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Plain .osm[.gz] -> the same (init points, groups) shape as
+    pbf_to_engine (reference osmxml import, /root/reference/src/bin/
+    osmxml.rs:29-31): bare elements parse as 'modify', so the change
+    model's new_* columns ARE the element attributes."""
+    from .sources.osc import elements_df, elements_to_engine, parse_osc_elements
 
-    base, groups = pbf_to_engine(spark, args.pbf)
-    store = _store(spark, args.store)
-    store.init(
-        base.select(
+    opener = __import__("gzip").open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        rows = parse_osc_elements(f.read(), state=0)
+    points, gch = elements_to_engine(
+        elements_df(spark, rows), namespace_ids=True
+    )
+    init = points.select(
+        "image_id",
+        F.col("new_caption").alias("caption"),
+        F.col("new_phash").alias("phash"),
+    )
+    groups = gch.select("group_id", "kind", F.col("new_members").alias("members"))
+    return init, groups
+
+
+def cmd_import(spark: SparkSession, args) -> int:
+    if args.pbf.endswith((".osm", ".osm.gz")):
+        init, groups = _osm_xml_to_engine(spark, args.pbf)
+    else:
+        from .sources.pbf import pbf_to_engine
+
+        base, groups = pbf_to_engine(spark, args.pbf)
+        init = base.select(
             "image_id",
             F.lit(None).cast("string").alias("caption"),
             pack_footprint(F.col("lat"), F.col("lon")).alias("phash"),
         )
-    )
-    groups.write.mode("overwrite").parquet(_groups_path(args.store))
+    store = _store(spark, args.store)
+    store.init(init)
+    _publish_groups(spark, args.store, groups)
     n = store.current().count()
     g = _read_groups(spark, args.store).count()
     print(f"imported {n} points, {g} groups from {args.pbf}")
     return 0
+
+
+def _acquire_update_lock(store_dir: str):
+    """Advisory per-store update lock (reference
+    /root/reference/src/bin/update.rs:30-41): a second concurrent
+    update fails fast instead of interleaving manifest/tile writes.
+    Returns the open file object — the flock lives exactly as long as
+    the caller keeps it referenced."""
+    import fcntl
+
+    os.makedirs(store_dir, exist_ok=True)
+    lock = open(os.path.join(store_dir, "update.lock"), "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        lock.close()
+        raise SystemExit(
+            f"update: another update already holds {store_dir}/update.lock; "
+            "aborting"
+        )
+    return lock
 
 
 def cmd_update(spark: SparkSession, args) -> int:
@@ -88,6 +197,7 @@ def cmd_update(spark: SparkSession, args) -> int:
     from .sources.osc import elements_to_engine, read_osc_elements_dir
     from .sources.poly import regions_from_dir
 
+    _update_lock = _acquire_update_lock(args.store)  # noqa: F841 — held for scope
     if args.follow and args.osc_tree:
         raise SystemExit(
             "update: --osc-tree is not supported with --follow yet; "
@@ -218,15 +328,22 @@ def _merge_group_store(
         key="group_id",
         order="_ord",
     )
-    tmp = _groups_path(store_dir) + ".tmp"
-    new_groups.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(_groups_path(store_dir))
-    __import__("shutil").rmtree(tmp, ignore_errors=True)
+    _publish_groups(spark, store_dir, new_groups)
 
 
 def cmd_read(spark: SparkSession, args) -> int:
     store = _store(spark, args.store)
     eid = args.element_id
+    if eid.isdigit():
+        # the reference's osmbin --read takes bare numeric ids; the
+        # store namespaces ids by type, so derive the prefix from the
+        # requested kind (node -> n, way_full -> w, relation_full -> r)
+        eid = {"node": "n", "way_full": "w", "relation_full": "r"}[args.what] + eid
+    elif eid[:1] not in ("n", "w", "r"):
+        raise SystemExit(
+            f"read: element id {eid!r} is neither numeric nor "
+            "type-prefixed (n…/w…/r…)"
+        )
     if args.what == "node":
         rows = store.current().filter(F.col("image_id") == eid).collect()
     elif args.what == "way_full":
@@ -324,6 +441,63 @@ def cmd_filter(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_bbox(spark: SparkSession, args) -> int:
+    """Store-resolved bbox annotation of a diff (reference osmxml
+    --bbox, /root/reference/src/bin/osmxml.rs:33-37 + src/osmxml/
+    bbox.rs): write a copy of the input .osc with a <bbox> child on
+    every element whose old ∪ new geometry resolves through the store.
+    Single-file artifact like the reference's, so the (small) annotated
+    diff collects to the driver for the write — the distributed sibling
+    is operators.bbox.annotate_diff_bboxes itself, which ``update``
+    uses inline."""
+    from .operators.bbox import annotate_diff_bboxes
+    from .sources.osc import (
+        elements_df,
+        format_osc_elements,
+        parse_osc_elements,
+    )
+
+    opener = __import__("gzip").open if args.input.endswith(".gz") else open
+    with opener(args.input, "rb") as f:
+        rows = parse_osc_elements(f.read(), state=0)
+    elements = elements_df(spark, rows).persist()
+    store = _store(spark, args.store)
+    bb = annotate_diff_bboxes(
+        elements,
+        _base_points(store),
+        stored_groups=_read_groups(spark, args.store),
+        namespace_ids=True,
+    )
+    prefix = F.when(F.col("kind") == "node", F.lit("n")).when(
+        F.col("kind") == "way", F.lit("w")
+    ).otherwise(F.lit("r"))
+    out_rows = (
+        elements.withColumn("nid", F.concat(prefix, F.col("element_id")))
+        .join(
+            bb.select(
+                F.col("element_id").alias("nid"),
+                F.struct("minlat", "maxlat", "minlon", "maxlon").alias("new_bbox"),
+            ),
+            "nid",
+            "left",
+        )
+        .withColumn("bbox", F.col("new_bbox"))
+        .drop("nid", "new_bbox")
+        .orderBy("seq")
+        .collect()
+    )
+    xml = format_osc_elements([r.asDict(recursive=True) for r in out_rows])
+    if args.output.endswith(".gz"):
+        with __import__("gzip").open(args.output, "wt") as f:
+            f.write(xml)
+    else:
+        with open(args.output, "w") as f:
+            f.write(xml)
+    n_bb = sum(1 for r in out_rows if r["bbox"] is not None)
+    print(f"wrote {len(out_rows)} elements ({n_bb} bbox-annotated) to {args.output}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m osm_replication_rust_spark",
@@ -368,6 +542,13 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--poly", required=True)
     fl.add_argument("--store", required=True)
     fl.add_argument("--buffer", type=int, default=1_000_000)
+
+    bb = sub.add_parser(
+        "bbox", help="store-resolved bbox-annotated copy of a diff"
+    )
+    bb.add_argument("input")
+    bb.add_argument("output")
+    bb.add_argument("--store", required=True)
     return p
 
 
@@ -382,6 +563,7 @@ def main(argv: list[str] | None = None) -> int:
         "read": cmd_read,
         "check": cmd_check,
         "filter": cmd_filter,
+        "bbox": cmd_bbox,
     }[args.cmd](spark, args)
 
 

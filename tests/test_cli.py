@@ -181,3 +181,140 @@ def test_cli_update_follow_streaming(spark, tmp_path):
     # both states' artifacts exist; state 1 applied once (v1 snapshot dir)
     assert os.path.isdir(os.path.join(store, "points", "v1"))
     assert os.path.isdir(os.path.join(store, "points", "v2"))
+
+
+def test_cli_read_bare_numeric_id(spark, store_dir, capsys):
+    """The reference's osmbin --read takes bare numeric ids
+    (/root/reference/src/bin/osmbin.rs:43-71); the CLI derives the
+    store's type prefix from the requested kind."""
+    assert cli.main(["read", "node", "2619283351", "--store", store_dir]) == 0
+    out = capsys.readouterr().out
+    assert "1 row(s)" in out
+    with pytest.raises(SystemExit):
+        cli.main(["read", "node", "x123", "--store", store_dir])
+
+
+def test_cli_bbox_matches_reference_golden(spark, tmp_path, capsys):
+    """`bbox` subcommand (reference osmxml --bbox): the annotated copy
+    of the diff carries EXACTLY the golden file's <bbox> children,
+    decimicro-exact, through the CLI path."""
+    from osm_replication_rust_spark.sources.osc import parse_osc_elements
+
+    store = str(tmp_path / "store")
+    assert cli.main(["import", PBF, "--store", store]) == 0
+    out = str(tmp_path / "annotated.osc.gz")
+    rc = cli.main(["bbox", f"{REF}/saint_barthelemy.osc.gz", out, "--store", store])
+    assert rc == 0
+
+    with gzip.open(out, "rb") as f:
+        got_rows = parse_osc_elements(f.read(), state=1)
+    with gzip.open(f"{REF}/saint_barthelemy.bbox.osc.gz", "rb") as f:
+        gold_rows = parse_osc_elements(f.read(), state=1)
+
+    key = lambda r: (r["kind"], r["element_id"])  # noqa: E731
+    got = {key(r): r["bbox"] for r in got_rows}
+    gold = {key(r): r["bbox"] for r in gold_rows}
+    assert set(got) == set(gold)
+    n_bb = 0
+    for k, bb in gold.items():
+        assert got[k] == bb, k
+        n_bb += bb is not None
+    assert n_bb == 12  # every annotated element in the golden file
+
+
+def test_cli_update_lock_rejects_concurrent(spark, tmp_path):
+    """Advisory update lock (reference /root/reference/src/bin/
+    update.rs:30-41): while one update holds <store>/update.lock, a
+    second invocation fails fast instead of interleaving writes."""
+    import fcntl
+
+    store = tmp_path / "store"
+    store.mkdir()
+    holder = open(store / "update.lock", "w")
+    fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(SystemExit, match="update.lock"):
+            cli.main([
+                "update",
+                "--store", str(store),
+                "--polygons", str(tmp_path),
+                "--diffs", str(tmp_path),
+                "--out", str(tmp_path / "out"),
+            ])
+    finally:
+        holder.close()
+
+
+def test_cli_import_osm_gz_equals_pbf(spark, tmp_path):
+    """Importing a plain .osm.gz (reference osmxml import,
+    /root/reference/src/bin/osmxml.rs:29-31) yields the same store as
+    importing the equivalent .osm.pbf."""
+    from osm_replication_rust_spark.sources.pbf import write_pbf
+
+    nodes = [(10, 451234567, 23456789), (11, 451234600, 23456800),
+             (12, 451240000, 23460000)]
+    ways = [(100, [10, 11, 12])]
+    rels = [(500, [(100, "way", "outer"), (10, "node", "admin_centre")])]
+
+    pbf = str(tmp_path / "tiny.osm.pbf")
+    write_pbf(pbf, nodes, ways, rels)
+
+    xml = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    for nid, lat, lon in nodes:
+        xml.append(f'<node id="{nid}" lat="{lat / 1e7:.7f}" lon="{lon / 1e7:.7f}"/>')
+    for wid, refs in ways:
+        xml.append(f'<way id="{wid}">' + "".join(f'<nd ref="{r}"/>' for r in refs) + "</way>")
+    for rid, members in rels:
+        xml.append(
+            f'<relation id="{rid}">'
+            + "".join(f'<member type="{t}" ref="{r}" role="{ro}"/>' for r, t, ro in members)
+            + "</relation>"
+        )
+    xml.append("</osm>")
+    osm = str(tmp_path / "tiny.osm.gz")
+    with gzip.open(osm, "wt") as f:
+        f.write("\n".join(xml))
+
+    s1, s2 = str(tmp_path / "from_pbf"), str(tmp_path / "from_osm")
+    assert cli.main(["import", pbf, "--store", s1]) == 0
+    assert cli.main(["import", osm, "--store", s2]) == 0
+
+    def snap(store):
+        st = cli._store(spark, store)
+        pts = {tuple(r) for r in st.current().select("image_id", "phash").collect()}
+        g = cli._read_groups(spark, store)
+        grp = {
+            (r.group_id, r.kind, tuple((m.ref, m.type, m.role) for m in r.members))
+            for r in g.collect()
+        }
+        return pts, grp
+
+    assert snap(s1) == snap(s2)
+
+
+def test_cli_groups_publish_atomic_and_heals(spark, tmp_path):
+    """groups.parquet is published by versioned-dir + symlink swap: the
+    live directory is never deleted before its replacement is complete,
+    and a crash between rename and swap heals on the next read."""
+    store = str(tmp_path / "store")
+    assert cli.main(["import", PBF, "--store", store]) == 0
+    gpath = cli._groups_path(store)
+    assert os.path.islink(gpath)
+    n0 = cli._read_groups(spark, store).count()
+    assert n0 > 0
+
+    # crash window: link removed, versioned dir intact -> read heals
+    live = os.readlink(gpath)
+    os.remove(gpath)
+    assert cli._read_groups(spark, store).count() == n0
+    assert os.path.islink(gpath) and os.readlink(gpath) == live
+
+    # republish: new version becomes live, stale versions pruned
+    g = cli._read_groups(spark, store)
+    cli._publish_groups(spark, store, g.limit(5))
+    assert cli._read_groups(spark, store).count() == 5
+    import glob
+
+    versions = glob.glob(gpath + ".v*")
+    assert len(versions) == 1
+    assert os.readlink(gpath) == os.path.basename(versions[0])
