@@ -42,17 +42,23 @@ def raycast_expr(mp: MultiPolygon, lon: Column, lat: Column) -> Column:
     ex1, ey1, ex2, ey2 = mp.edges()
     for x1, y1, x2, y2 in zip(ex1, ey1, ex2, ey2):
         x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
-        num = (F.lit(x1) - lon) * F.lit(y2 - y1) + (lat - F.lit(y1)) * F.lit(x2 - x1)
-        straddle = (F.lit(y1) > lat) != (F.lit(y2) > lat)
-        crossed = straddle & ((num > 0) if y2 > y1 else (num < 0))
-        c = F.when(crossed, 1).otherwise(0)
-        crossings = c if crossings is None else crossings + c
+        if y1 != y2:
+            # horizontal edges can never straddle the ray — emitting
+            # their (always-false) straddle test would also build a
+            # trivially-equal column comparison that Spark WARNs about
+            num = (F.lit(x1) - lon) * F.lit(y2 - y1) + (lat - F.lit(y1)) * F.lit(x2 - x1)
+            straddle = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+            crossed = straddle & ((num > 0) if y2 > y1 else (num < 0))
+            c = F.when(crossed, 1).otherwise(0)
+            crossings = c if crossings is None else crossings + c
         on_seg = (
             ((F.lit(x2 - x1) * (lat - F.lit(y1)) - F.lit(y2 - y1) * (lon - F.lit(x1))) == 0)
             & lon.between(min(x1, x2), max(x1, x2))
             & lat.between(min(y1, y2), max(y1, y2))
         )
         boundary = on_seg if boundary is None else (boundary | on_seg)
+    if crossings is None:  # degenerate all-horizontal ring
+        return boundary
     return (crossings % 2 == 1) | boundary
 
 

@@ -97,8 +97,12 @@ def knn_cell_ring(
     best: DataFrame | None = None  # carried top-k rows of uncertified queries
     r = 1
     prev_r = -1
+    # remaining-query count carried in Python (like groups_in_regions'
+    # fixpoint): the certification aggregate below is the round's ONE
+    # action — no separate per-round isEmpty() pass over the plan
+    n_remaining = remaining.count()
     for _ in range(max_rounds):
-        if remaining.isEmpty():
+        if n_remaining == 0:
             break
         # NEW cells only: the ring band prev_r < radius <= r (cells in
         # the previous disk were already scanned; their best candidates
@@ -135,16 +139,19 @@ def knn_cell_ring(
             .agg(F.count(F.lit(1)).alias("_n"), F.max("dist2").alias("_worst"))
             .filter((F.col("_n") == k) & (F.col("_worst") <= cert_bound))
             .select(q_id)
+            .persist()
         )
+        n_done = done.count()  # materializes topk; the round's one action
         results.append(
             topk.join(done, q_id, "left_semi").select(q_id, p_id, "dist2", "rank")
         )
         remaining = remaining.join(done, q_id, "left_anti").persist()
         best = topk.join(done, q_id, "left_anti").select(q_id, p_id, "dist2").persist()
+        n_remaining -= n_done
         prev_r = r
         r *= 2
 
-    if not remaining.isEmpty():
+    if n_remaining > 0:
         results.append(
             knn_bruteforce(
                 remaining.select(

@@ -87,3 +87,20 @@ def test_auto_strategy_by_master(spark):
     assert _auto_strategy_for_master("k8s://https://host:6443") == "expr"
     # the test session is local[N]
     assert _auto_strategy(spark) == "udf"
+
+
+def test_assign_regions_expr_strategy_matches_brute_force(spark, regions, images_pdf):
+    """The compiled-expression refine path (the multi-executor default)
+    produces the identical assignment set as the numpy oracle — incl.
+    on the fixtures' rectilinear rings, whose horizontal edges are
+    skipped by raycast_expr's crossing accumulator."""
+    df = spark.createDataFrame(images_pdf[["image_id", "phash"]]).select(
+        "image_id",
+        unpack_lat(F.col("phash")).alias("lat"),
+        unpack_lon(F.col("phash")).alias("lon"),
+    )
+    got_rows = assign_regions(
+        df, regions, keep_cols=["image_id"], buffer=BUF, strategy="expr"
+    ).collect()
+    got = {(r.image_id, r.region_id): (r.in_poly, r.in_buffer) for r in got_rows}
+    assert got == brute_force(images_pdf, regions)
