@@ -244,3 +244,56 @@ def zonal_stats(
         F.max("lon").alias("max_lon"),
         F.max("lat").alias("max_lat"),
     )
+
+
+def tile_pyramid(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    base_res: int = 20,
+    levels: int = 5,
+) -> DataFrame:
+    """Multi-resolution tile-density pyramid: ``(res, cell, n)`` for
+    every non-empty cell at ``base_res .. base_res+levels-1`` — the
+    tile-server zoom pyramid (slippy ``z/x/y``; each quadkey digit
+    dropped is one level climbed) expressed as relational rollup.
+
+    Two hash aggregations, both with map-side combine:
+
+    1. base level — the only shuffle whose width scales with input
+       ROWS (one (cell, count) agg over the fact table);
+    2. ancestor rollup — each base cell row explodes into its
+       ``levels`` ancestors (``cx>>k, cy>>k``; parenthood is pure
+       integer arithmetic on the packed id) and one (res, cell) agg
+       sums the counts.  Its shuffle is ``levels × |distinct base
+       cells|`` rows of three ints — cells, not points, so at 100 TB
+       it is noise next to shuffle #1.  A naive per-level re-scan of
+       the fact table would instead pay shuffle #1 ``levels`` times.
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    if base_res < 16:
+        raise ValueError("base_res < 16 overflows Y_STRIDE cell packing")
+    cx = F.shiftright(F.col(lon) + LON_OFFSET, base_res)
+    cy = F.shiftright(F.col(lat) + LAT_OFFSET, base_res)
+    base = (
+        df.select((cy * Y_STRIDE + cx).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bcx = F.col("cell") % Y_STRIDE
+    bcy = F.floor(F.col("cell") / Y_STRIDE).cast("long")
+    ancestors = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(base_res + k).alias("res"),
+                (F.shiftright(bcy, k) * Y_STRIDE + F.shiftright(bcx, k)).alias("cell"),
+            )
+            for k in range(levels)
+        ])
+    )
+    return (
+        base.select(ancestors.alias("a"), "n")
+        .groupBy(F.col("a.res").alias("res"), F.col("a.cell").alias("cell"))
+        .agg(F.sum("n").alias("n"))
+    )

@@ -2291,6 +2291,45 @@ def rasterize_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tile")
 
 
+_PYR_BASE_RES = 18
+_PYR_LEVELS = 6
+
+
+def _sql_tile_pyramid() -> str:
+    """Per-level direct GROUP BY: grouping the raw points at each
+    coarser res is definitionally equal to rolling up the finer level
+    (ancestor cell of a point == ancestor of its base cell), so the
+    UNION-ALL-of-group-bys twin checks the engine's two-agg rollup
+    exactly."""
+    lvls = []
+    for k in range(_PYR_LEVELS):
+        r = _PYR_BASE_RES + k
+        e = 1 << r
+        lvls.append(f"""
+      SELECT {r} AS res,
+             ((({_EV_LAT}) + {C.LAT_OFFSET}) // {e}) * {C.Y_STRIDE}
+               + ((({_EV_LON}) + {C.LON_OFFSET}) // {e}) AS cell,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2""")
+    return "\nUNION ALL\n".join(lvls) + "\nORDER BY res, cell"
+
+
+@register("tile_pyramid", _sql_tile_pyramid())
+def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-server zoom pyramid (operators/raster.tile_pyramid): event
+    densities at six resolutions, coarser levels rolled up from the
+    base cells (two aggs total), never re-scanning the fact table."""
+    from ..operators.raster import tile_pyramid
+
+    ev = _t(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    return tile_pyramid(
+        ev, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS
+    ).orderBy("res", "cell")
+
+
 def _sql_raster_vectorize() -> str:
     """Pentagon polygon -> pixel-center raster mask -> maximal
     rectangles, entirely in SQL (grid from range(), the generated

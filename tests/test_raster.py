@@ -205,3 +205,50 @@ def test_zonal_stats_matches_numpy(spark, regions):
             want[mp.region_id] = (int(inside.sum()), int(v[inside].sum()))
     assert got == want
     assert sum(n for n, _ in want.values()) > 50
+
+
+def test_tile_pyramid_rollup_properties(spark):
+    """Pyramid invariants on random points: every level's total equals
+    the input row count; each parent's n is the sum of its children;
+    each level equals a direct groupBy at that res."""
+    from osm_replication_rust_spark.operators.raster import tile_pyramid
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    lon = rng.integers(-1_000_000_000, 1_000_000_000, n)
+    lat = rng.integers(-800_000_000, 800_000_000, n)
+    df = spark.createDataFrame(
+        [{"lon": int(a), "lat": int(b)} for a, b in zip(lon, lat)]
+    )
+    base_res, levels = 24, 4
+    rows = tile_pyramid(df, base_res=base_res, levels=levels).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.res, {})[r.cell] = r.n
+    assert set(got) == set(range(base_res, base_res + levels))
+    for res in got:
+        assert sum(got[res].values()) == n
+        # direct numpy group at this res matches the rolled-up level
+        cx = (lon + LON_OFFSET) >> res
+        cy = (lat + LAT_OFFSET) >> res
+        cells, counts = np.unique(cy * Y_STRIDE + cx, return_counts=True)
+        assert got[res] == dict(zip(cells.tolist(), counts.tolist()))
+    # child -> parent sum consistency on the packed ids
+    for res in range(base_res, base_res + levels - 1):
+        up = {}
+        for cell, cnt in got[res].items():
+            ccx, ccy = cell % Y_STRIDE, cell // Y_STRIDE
+            up[(ccy >> 1) * Y_STRIDE + (ccx >> 1)] = (
+                up.get((ccy >> 1) * Y_STRIDE + (ccx >> 1), 0) + cnt
+            )
+        assert up == got[res + 1]
+
+
+def test_tile_pyramid_validation(spark):
+    from osm_replication_rust_spark.operators.raster import tile_pyramid
+
+    df = spark.createDataFrame([{"lon": 0, "lat": 0}])
+    with pytest.raises(ValueError):
+        tile_pyramid(df, levels=0)
+    with pytest.raises(ValueError):
+        tile_pyramid(df, base_res=15)

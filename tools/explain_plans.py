@@ -156,6 +156,20 @@ def main(sf_dir: str) -> int:
     cols = m.group(1) if m else ""
     check("raster.column_pruning", cols.split(":")[0] == "event_id" and "," not in cols, cols)
 
+    # 5f. tile pyramid: exactly two shuffle aggs — the fact-width base
+    # agg and the cells-width ancestor rollup (plus the output sort).
+    # A per-level re-aggregation of the fact table would show `levels`
+    # fact-width exchanges; pin the two-agg shape.
+    pyr = entry_queries.queries()["tile_pyramid"](spark, sf_dir)
+    p = plan_of(pyr)
+    n_ex = count_shuffle_exchanges(p)
+    check("pyramid.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
+    check("pyramid.exchange_budget", 0 < n_ex <= 3, f"exchanges={n_ex}")
+    check(
+        "pyramid.single_scan",
+        len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1,
+    )
+
     # 6. the flagship's generated code actually COMPILES. Plan text can
     # show WholeStageCodegen while janino fails at runtime ("Code grows
     # beyond 64 KB") and Spark silently executes interpreted (~2x slower,
