@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "stream_window_stats",
     "merge_upsert",
     "rasterize_density",
+    "tile_pyramid",
     "zonal_stats",
     "stream_rasterize",
 ]

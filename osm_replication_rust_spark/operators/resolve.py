@@ -116,3 +116,77 @@ def resolve_relation_members(
         .filter(F.col("_rn") == 1)
         .select("group_id", "member_id", "depth")
     )
+
+
+def way_geometry(
+    groups: DataFrame, points: DataFrame, point_id: str = "image_id"
+) -> DataFrame:
+    """Per-way geometry products over the resolved coordinate chain:
+    ``(group_id, n_pts, is_closed, area2, cx, cy, length)``.
+
+    - ``is_closed`` — first vertex == last vertex (the reference's ring
+      test for polygon-forming ways);
+    - ``area2`` — twice the signed shoelace area in decimicro², with
+      the ring implicitly closed; EXACT: vertices are translated to the
+      first vertex (shoelace is translation-invariant) and the terms
+      accumulate in decimal(38,0), so no global-extent polygon can
+      overflow int64 products;
+    - ``cx, cy`` — vertex-mean centroid (doubles);
+    - ``length`` — open polyline length (closing edge NOT added; check
+      ``is_closed`` to decide whether to add it).
+
+    Scale shape: everything below is higher-order array functions on
+    ``resolve_way_full``'s output — the one shuffle is the closure agg
+    itself; geometry is map-side, per-way state stays O(way length),
+    no Python anywhere.
+    """
+    ways = resolve_way_full(groups, points, point_id)
+    c = F.col("coords")
+    n = F.size(c)
+    first = F.element_at(c, 1)
+    last = F.element_at(c, -1)
+    dec = "decimal(38,0)"
+
+    def at(i):
+        return F.element_at(c, i)
+
+    def nxt(i):  # successor index, ring-closed
+        return F.element_at(c, (i % n) + 1)
+
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: (
+            (at(i)["lon"] - first["lon"]).cast(dec)
+            * (nxt(i)["lat"] - first["lat"]).cast(dec)
+            - (nxt(i)["lon"] - first["lon"]).cast(dec)
+            * (at(i)["lat"] - first["lat"]).cast(dec)
+        ).cast(dec),
+    )
+    area2 = F.aggregate(
+        terms, F.lit(0).cast(dec), lambda a, t: (a + t).cast(dec)
+    )
+    def edge_len(i):
+        # square in DOUBLE: a raw decimicro diff can reach 3.6e9 and
+        # its int64 square would overflow; doubles also match the
+        # DuckDB twin's arithmetic exactly (plain products, no pow)
+        dx = (at(i + 1)["lon"] - at(i)["lon"]).cast("double")
+        dy = (at(i + 1)["lat"] - at(i)["lat"]).cast("double")
+        return F.sqrt(dx * dx + dy * dy)
+
+    edges = F.transform(F.sequence(F.lit(1), n - 1), edge_len)
+    length = F.when(n > 1, F.aggregate(edges, F.lit(0.0), lambda a, e: a + e)).otherwise(
+        F.lit(0.0)
+    )
+    s_lat = F.aggregate(c, F.lit(0.0), lambda a, p: a + p["lat"])
+    s_lon = F.aggregate(c, F.lit(0.0), lambda a, p: a + p["lon"])
+    return ways.select(
+        "group_id",
+        n.cast("long").alias("n_pts"),
+        ((first["lat"] == last["lat"]) & (first["lon"] == last["lon"])).alias(
+            "is_closed"
+        ),
+        area2.cast("string").alias("area2"),
+        (s_lon / n).alias("cx"),
+        (s_lat / n).alias("cy"),
+        length.alias("length"),
+    )

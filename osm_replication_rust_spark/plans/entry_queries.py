@@ -1842,6 +1842,76 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_id")
 
 
+def _way_geometry_oracle() -> str:
+    """DuckDB twin of way_geometry: the same shoelace (translated to
+    the first vertex, HUGEINT terms == Spark's decimal(38,0)), vertex-
+    mean centroid, and open polyline length over the window'd chain."""
+    _, groups_pdf, pts = _closure_fixture_pts()
+    rows = []
+    for g in groups_pdf.itertuples():
+        if g.kind != "way":
+            continue
+        for pos, m in enumerate(g.members):
+            if m["type"] == "image":
+                rows.append(f"('{g.group_id}', {pos}, '{m['ref']}')")
+    edges = ",\n      ".join(rows)
+    return f"""
+    WITH pts(ref, lat, lon) AS (VALUES
+      {pts}
+    ),
+    edges(group_id, pos, ref) AS (VALUES
+      {edges}
+    ),
+    j AS (
+      SELECT e.group_id, e.pos, p.lat, p.lon
+      FROM edges e JOIN pts p ON p.ref = e.ref
+    ),
+    w AS (
+      SELECT group_id, pos, lat, lon,
+             first_value(lat) OVER g AS flat,
+             first_value(lon) OVER g AS flon,
+             coalesce(lead(lat) OVER g, first_value(lat) OVER g) AS nlat,
+             coalesce(lead(lon) OVER g, first_value(lon) OVER g) AS nlon,
+             (lead(lat) OVER g IS NULL) AS is_last
+      FROM j
+      WINDOW g AS (PARTITION BY group_id ORDER BY pos)
+    )
+    SELECT group_id,
+           count(*) AS n_pts,
+           bool_or(is_last AND lat = flat AND lon = flon) AS is_closed,
+           CAST(SUM(((lon - flon)::HUGEINT) * (nlat - flat)
+                    - ((nlon - flon)::HUGEINT) * (lat - flat))
+                AS VARCHAR) AS area2,
+           avg(lon) AS cx,
+           avg(lat) AS cy,
+           coalesce(SUM(CASE WHEN NOT is_last THEN
+             sqrt( ((nlon - lon)::DOUBLE) * ((nlon - lon)::DOUBLE)
+                 + ((nlat - lat)::DOUBLE) * ((nlat - lat)::DOUBLE) )
+           END), 0.0) AS length
+    FROM w GROUP BY group_id ORDER BY group_id
+    """
+
+
+@register("way_geometry", _way_geometry_oracle())
+def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-way geometry products (operators/resolve.way_geometry):
+    ring detection, exact signed shoelace area (decimal carry), vertex
+    centroid, polyline length — the geometry the reference derives
+    per-way from its resolved chains (osm.rs way bbox/extent handling),
+    generalized to area/centroid/length."""
+    from ..datagen.synth import gen_groups, gen_images
+    from ..operators.resolve import way_geometry
+
+    images = gen_images(300, seed=42)
+    base = spark.createDataFrame(images[["image_id", "phash"]]).select(
+        "image_id",
+        C.unpack_lat(F.col("phash")).alias("lat"),
+        C.unpack_lon(F.col("phash")).alias("lon"),
+    )
+    groups = spark.createDataFrame(gen_groups(images))
+    return way_geometry(groups, base).orderBy("group_id")
+
+
 def _relation_closure_oracle(max_depth: int = 5) -> str:
     """DuckDB twin of S10 resolve_relation_members: min-depth transitive
     image closure via a bounded recursive CTE (depth in the tuple keeps

@@ -68,3 +68,88 @@ def test_relation_closure(spark, world):
     # cycle pair: c1 has p1 direct; c2 reaches p1 through c1; bounded
     assert {m for m, _ in got["c1"]} == {"p1"}
     assert {m for m, _ in got["c2"]} == {"p1"}
+
+
+@pytest.fixture(scope="module")
+def geo_world(spark):
+    """A closed square ring (CCW), an open chain, and a degenerate
+    1-point way, with global-extent coords that overflow int64 if
+    shoelace terms are multiplied untranslated."""
+    points = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a", "b", "c", "d", "e", "far"],
+                # square of side 1000 at a far-west offset
+                "lat": [0, 0, 1000, 1000, 500, 899_999_000],
+                "lon": [
+                    -1_799_999_000,
+                    -1_799_998_000,
+                    -1_799_998_000,
+                    -1_799_999_000,
+                    -1_799_990_000,
+                    1_799_999_000,
+                ],
+            }
+        )
+    )
+    groups = spark.createDataFrame(
+        [
+            ("ring", "way", [
+                {"ref": "a", "type": "image", "role": ""},
+                {"ref": "b", "type": "image", "role": ""},
+                {"ref": "c", "type": "image", "role": ""},
+                {"ref": "d", "type": "image", "role": ""},
+                {"ref": "a", "type": "image", "role": ""},
+            ]),
+            ("chain", "way", [
+                {"ref": "a", "type": "image", "role": ""},
+                {"ref": "e", "type": "image", "role": ""},
+            ]),
+            ("dot", "way", [{"ref": "e", "type": "image", "role": ""}]),
+            ("span", "way", [
+                # antipodal span: untranslated shoelace term would be
+                # ~1.8e9 * 9e8 * 4 > int64
+                {"ref": "a", "type": "image", "role": ""},
+                {"ref": "far", "type": "image", "role": ""},
+                {"ref": "b", "type": "image", "role": ""},
+                {"ref": "a", "type": "image", "role": ""},
+            ]),
+        ],
+        "group_id string, kind string, members array<struct<ref:string,type:string,role:string>>",
+    )
+    return points, groups
+
+
+def test_way_geometry(spark, geo_world):
+    from osm_replication_rust_spark.operators.resolve import way_geometry
+
+    points, groups = geo_world
+    got = {r.group_id: r for r in way_geometry(groups, points).collect()}
+
+    ring = got["ring"]
+    assert ring.n_pts == 5 and ring.is_closed
+    # CCW square side 1000 -> signed area 1e6, area2 = 2e6
+    assert ring.area2 == "2000000"
+    assert ring.length == pytest.approx(4000.0)
+    assert ring.cx == pytest.approx((-1_799_999_000 * 3 - 1_799_998_000 * 2) / 5)
+
+    chain = got["chain"]
+    assert chain.n_pts == 2 and not chain.is_closed
+    import math
+
+    assert chain.length == pytest.approx(math.hypot(9000, 500))
+
+    dot = got["dot"]
+    assert dot.n_pts == 1 and dot.is_closed and dot.length == 0.0
+    assert dot.area2 == "0"
+
+    # exactness across the antipodal span: translated shoelace in
+    # decimal carry; verify against Python big-int shoelace
+    span = got["span"]
+    vs = [(-1_799_999_000, 0), (1_799_999_000, 899_999_000),
+          (-1_799_998_000, 0), (-1_799_999_000, 0)]
+    a2 = sum(
+        vs[i][0] * vs[(i + 1) % len(vs)][1] - vs[(i + 1) % len(vs)][0] * vs[i][1]
+        for i in range(len(vs))
+    )
+    assert span.is_closed and span.area2 == str(a2)
