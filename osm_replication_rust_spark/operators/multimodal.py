@@ -260,3 +260,43 @@ def ahash_stage(df: DataFrame, bytes_col: str = "bytes", out_col: str = "ahash")
             yield pdf.assign(**{out_col: out})
 
     return df.mapInPandas(stage, out_schema)
+
+
+def dhash_stage(df: DataFrame, bytes_col: str = "bytes", out_col: str = "dhash") -> DataFrame:
+    """9x8 difference-hash (dHash) per image as a mapInPandas stage:
+    decode (fake codec) -> sample a 9-column x 8-row grid (src index
+    ``floor(r*h/8)*w + floor(c*w/9)``, the resize_stage nearest-neighbor
+    formula, so dHash is EXACTLY invariant under the engine's resize to
+    any (9k, 8m) shape) -> bit b = sample(r, c) > sample(r, c+1) with
+    r=b//8, c=b%8 -> pack 64 sign bits into int64.
+
+    dHash keys on horizontal gradients where aHash keys on global
+    brightness; near-dup pipelines band BOTH through
+    dedup.hamming_near_pairs and intersect. All-integer sampling +
+    strict compare, so the DuckDB twin reproduces it bit-for-bit."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(fields + [f"{out_col} bigint"])
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if w * h == 0:
+                    out[ii] = 0
+                    continue
+                px = _decode_stack(list(payloads[ii]), L, w, h)
+                b = np.arange(64)
+                r, c = b // 8, b % 8
+                row0 = (r * h) // 8 * w
+                k1 = row0 + (c * w) // 9
+                k2 = row0 + ((c + 1) * w) // 9
+                bits = (px[:, k1] > px[:, k2]).astype(np.uint64)
+                packed = (bits << np.arange(64, dtype=np.uint64)).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out[ii] = packed.view(np.int64)
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(stage, out_schema)

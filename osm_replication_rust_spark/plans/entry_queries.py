@@ -2556,10 +2556,11 @@ def stream_rasterize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_image_ahash() -> str:
-    """DuckDB twin of multimodal.ahash_stage over the deterministic
-    fake-codec pixels (the same LCG first-principles reconstruction as
-    _multimodal_oracle): 8x8 nearest-neighbor samples, strict integer
-    mean threshold, signed 64-bit pack."""
+    """DuckDB twin of multimodal.ahash_stage + dhash_stage over the
+    deterministic fake-codec pixels (the same LCG first-principles
+    reconstruction as _multimodal_oracle): 8x8 nearest-neighbor samples
+    with a strict integer mean threshold (aHash) and 9x8 samples with
+    adjacent-column compares (dHash), both signed 64-bit packs."""
     from ..datagen.synth import gen_images
 
     images = gen_images(500, seed=42)
@@ -2575,6 +2576,13 @@ def _sql_image_ahash() -> str:
     sample_cols = ",\n           ".join(
         f"max(CASE WHEN b = {b} THEN px END) AS s{b}" for b in range(64)
     )
+    dk1 = "(((b // 8) * h) // 8 * w + ((b % 8) * w) // 9)"
+    dk2 = "(((b // 8) * h) // 8 * w + (((b % 8) + 1) * w) // 9)"
+    dbit = (
+        f"CASE WHEN {px.replace('k', dk1)} > {px.replace('k', dk2)} "
+        f"THEN CASE WHEN b = 63 THEN {-(1 << 63)} ELSE (1::BIGINT << b) END "
+        "ELSE 0 END"
+    )
     return f"""
     WITH meta(image_id, w, h, i) AS (VALUES
       {meta}
@@ -2589,23 +2597,33 @@ def _sql_image_ahash() -> str:
       SELECT image_id, sum(px) AS tot,
            {sample_cols}
       FROM smp GROUP BY image_id
+    ),
+    dh AS (
+      SELECT image_id, CAST(SUM({dbit}) AS BIGINT) AS dhash
+      FROM meta, UNNEST(generate_series(0, 63)) AS t(b)
+      GROUP BY image_id
     )
-    SELECT image_id, CAST({pack} AS BIGINT) AS ahash
-    FROM wide ORDER BY image_id
+    SELECT wide.image_id, CAST({pack} AS BIGINT) AS ahash, dh.dhash AS dhash
+    FROM wide JOIN dh ON dh.image_id = wide.image_id ORDER BY wide.image_id
     """
 
 
 @register("image_ahash", _sql_image_ahash())
 def image_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image perceptual hash computed FROM PIXELS (decode -> 8x8 aHash,
-    multimodal.ahash_stage) — the producer end of the image-dedup
-    chain (ahash -> hamming_near_pairs). Oracle rebuilds the fake-codec
-    pixels and the full hash bit-for-bit in SQL."""
+    """Image perceptual hashes computed FROM PIXELS (decode -> 8x8
+    aHash + 9x8 dHash; multimodal.ahash_stage / dhash_stage) — the
+    producer end of the image-dedup chain (hash ->
+    hamming_near_pairs). Oracle rebuilds the fake-codec pixels and BOTH
+    hashes bit-for-bit in SQL."""
     from ..datagen.synth import gen_images
-    from ..operators.multimodal import ahash_stage
+    from ..operators.multimodal import ahash_stage, dhash_stage
 
     imgs = spark.createDataFrame(gen_images(500, seed=42))
-    return ahash_stage(imgs).select("image_id", "ahash").orderBy("image_id")
+    return (
+        dhash_stage(ahash_stage(imgs))
+        .select("image_id", "ahash", "dhash")
+        .orderBy("image_id")
+    )
 
 
 def _sql_zonal_stats() -> str:

@@ -195,3 +195,40 @@ def test_image_dedup_chain(spark, imgs):
     ids = [r.image_id for r in imgs.select("image_id").collect()]
     for i in ids:
         assert pairs.get((i, f"{i}_copy")) == 0, i
+
+
+def test_dhash_matches_reference_and_resize_invariant(spark, imgs):
+    """dHash == a straight per-image numpy reference, and is exactly
+    invariant under the engine's own resize to (18, 16) (sampling
+    composes: floor(c*18/9)=2c -> floor(2c*w/18)=floor(c*w/9))."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        dhash_stage,
+        fake_decode,
+        resize_stage,
+    )
+
+    rows = {r["image_id"]: r for r in imgs.limit(30).toPandas().to_dict("records")}
+    got = {
+        r.image_id: r.dhash
+        for r in dhash_stage(imgs).select("image_id", "dhash").collect()
+    }
+    for iid, r in rows.items():
+        px = fake_decode(r["bytes"], r["w"], r["h"]).reshape(-1)
+        w, h = r["w"], r["h"]
+        acc = 0
+        for b in range(64):
+            rr, cc = b // 8, b % 8
+            k1 = (rr * h) // 8 * w + (cc * w) // 9
+            k2 = (rr * h) // 8 * w + ((cc + 1) * w) // 9
+            if int(px[k1]) > int(px[k2]):
+                acc |= 1 << b
+        expect = acc - (1 << 64) if acc >= (1 << 63) else acc
+        assert got[iid] == expect, iid
+
+    resized = {
+        r.image_id: r.dhash
+        for r in dhash_stage(resize_stage(imgs, 18, 16))
+        .select("image_id", "dhash")
+        .collect()
+    }
+    assert resized == got and len(got) > 0
