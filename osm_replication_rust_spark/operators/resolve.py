@@ -21,9 +21,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def resolve_way_full(groups: DataFrame, points: DataFrame, point_id: str = "image_id") -> DataFrame:
+def resolve_way_full(
+    groups: DataFrame,
+    points: DataFrame,
+    point_id: str = "image_id",
+    keep_pos: bool = False,
+) -> DataFrame:
     """(group_id, coords) with coords = ordered array<struct<lat,lon>>
-    of resolved member points (ways only). Order = member position."""
+    of resolved member points (ways only). Order = member position.
+    ``keep_pos=True`` keeps the original member position in each
+    element (struct<pos,lat,lon>) so downstream operators can refer
+    back to source members even when missing refs drop out."""
     edges = (
         groups.filter(F.col("kind") == "way")
         .select("group_id", F.posexplode("members").alias("pos", "m"))
@@ -41,10 +49,15 @@ def resolve_way_full(groups: DataFrame, points: DataFrame, point_id: str = "imag
     # one hash-agg instead of two window passes: collect (pos, pt)
     # pairs, sort by position, strip the position — order preserved,
     # one shuffle, map-side partial agg applies
+    elem = (
+        (lambda s: F.struct(s["pos"].alias("pos"), s["pt"]["lat"].alias("lat"), s["pt"]["lon"].alias("lon")))
+        if keep_pos
+        else (lambda s: s["pt"])
+    )
     return joined.groupBy("group_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "pt"))),
-            lambda s: s["pt"],
+            elem,
         ).alias("coords")
     )
 
@@ -120,6 +133,97 @@ def resolve_relation_members(
         .filter(F.col("_rn") == 1)
         .select("group_id", "member_id", "depth")
     )
+
+
+def _dp_keep_mask(x: np.ndarray, y: np.ndarray, eps2: float) -> np.ndarray:
+    """Douglas-Peucker keep mask over one polyline (doubles).
+
+    Segment distance (projection clamped to the segment, degenerate
+    segments fall back to point distance), squared throughout — no
+    sqrt, and every expression is written as plain IEEE mul/add in the
+    SAME order as the SQL twin, so the keep decision is bit-identical
+    across engines. Ties on the max distance break to the LOWEST index
+    (np.argmax first-hit == the twin's ORDER BY d2 DESC, pos ASC)."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        x1, y1, x2, y2 = x[i], y[i], x[j], y[j]
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        px, py = x[i + 1 : j], y[i + 1 : j]
+        if len2 == 0.0:
+            ex, ey = px - x1, py - y1
+            d2 = ex * ex + ey * ey
+        else:
+            t = ((px - x1) * dx + (py - y1) * dy) / len2
+            tc = np.clip(t, 0.0, 1.0)
+            ex, ey = px - (x1 + tc * dx), py - (y1 + tc * dy)
+            d2 = ex * ex + ey * ey
+        k = int(np.argmax(d2))
+        if d2[k] > eps2:
+            kk = i + 1 + k
+            keep[kk] = True
+            stack.append((i, kk))
+            stack.append((kk, j))
+    return keep
+
+
+def simplify_ways(
+    groups: DataFrame,
+    points: DataFrame,
+    eps: float,
+    point_id: str = "image_id",
+) -> DataFrame:
+    """Douglas-Peucker simplification of every way's resolved chain:
+    ``(group_id, pos, lat, lon)`` rows for the KEPT vertices, ``pos`` =
+    the ORIGINAL member position (stable even when missing refs drop
+    out of the chain). Endpoints always survive; an interior vertex
+    survives iff its clamped squared segment distance exceeds
+    ``eps**2`` at some recursion level (classic DP).
+
+    Scale shape: the only shuffle is resolve_way_full's closure agg;
+    the kernel is a mapInPandas stage whose per-row state is O(way
+    length) with the distance math numpy-vectorized per split — the
+    same bounded-way-size argument as the closure itself (OSM caps
+    ways at 2k nodes). Geometry parity with the DuckDB twin is
+    bit-exact (see _dp_keep_mask)."""
+    ways = resolve_way_full(groups, points, point_id, keep_pos=True)
+    eps2 = float(eps) * float(eps)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gs: list[str] = []
+            ps: list[int] = []
+            las: list[int] = []
+            los: list[int] = []
+            for gid, coords in zip(pdf["group_id"], pdf["coords"]):
+                m = len(coords)
+                if m == 0:
+                    continue
+                pos = np.fromiter((c["pos"] for c in coords), np.int64, count=m)
+                lat = np.fromiter((c["lat"] for c in coords), np.int64, count=m)
+                lon = np.fromiter((c["lon"] for c in coords), np.int64, count=m)
+                if m <= 2:
+                    kept = np.arange(m)
+                else:
+                    mask = _dp_keep_mask(
+                        lon.astype(np.float64), lat.astype(np.float64), eps2
+                    )
+                    kept = np.nonzero(mask)[0]
+                gs.extend([gid] * len(kept))
+                ps.extend(int(p) for p in pos[kept])
+                las.extend(int(v) for v in lat[kept])
+                los.extend(int(v) for v in lon[kept])
+            yield pd.DataFrame(
+                {"group_id": gs, "pos": ps, "lat": las, "lon": los}
+            )
+
+    return ways.mapInPandas(kernel, "group_id string, pos int, lat long, lon long")
 
 
 def way_geometry(

@@ -1842,10 +1842,82 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_id")
 
 
+_WAY_SIMPLIFY_EPS = 1e7  # 1 degree in decimicro
+
+
+def _sql_dp_d2(px, py, x1, y1, x2, y2) -> str:
+    """Squared clamped point-to-segment distance, written as the SAME
+    IEEE mul/add tree as resolve._dp_keep_mask so the DP keep decision
+    is bit-identical across engines (all operands exact doubles)."""
+    dx, dy = f"({x2} - {x1})", f"({y2} - {y1})"
+    len2 = f"({dx}*{dx} + {dy}*{dy})"
+    t = f"((({px} - {x1})*{dx} + ({py} - {y1})*{dy}) / {len2})"
+    tc = f"LEAST(GREATEST({t}, 0.0), 1.0)"
+    ex = f"({px} - ({x1} + {tc}*{dx}))"
+    ey = f"({py} - ({y1} + {tc}*{dy}))"
+    return (
+        f"CASE WHEN {len2} = 0.0 THEN "
+        f"(({px} - {x1})*({px} - {x1}) + ({py} - {y1})*({py} - {y1})) "
+        f"ELSE ({ex}*{ex} + {ey}*{ey}) END"
+    )
+
+
+def _sql_dp_levels(levels: int, eps2: float) -> str:
+    """Unrolled Douglas-Peucker as chained plain CTEs over ``dpts``
+    (group_id, pos, x, y): each level splits every pending segment at
+    its farthest interior point (ties -> lowest pos, matching
+    np.argmax) when d2 > eps2. ``levels`` must be >= the max recursion
+    depth = max chain length - 2; fixture chains are <= 7 long."""
+    d2 = _sql_dp_d2(
+        "p.x", "p.y", "pi.x", "pi.y", "pj.x", "pj.y"
+    )
+    parts = [
+        "seg0 AS (SELECT group_id, min(pos) AS si, max(pos) AS sj"
+        " FROM dpts GROUP BY group_id)"
+    ]
+    for k in range(levels):
+        parts.append(f"""seg{k + 1} AS (
+      SELECT b.group_id,
+             CASE WHEN sides.s = 0 THEN b.si ELSE b.k END AS si,
+             CASE WHEN sides.s = 0 THEN b.k ELSE b.sj END AS sj
+      FROM (
+        SELECT group_id, si, sj, pos AS k FROM (
+          SELECT c.*, row_number() OVER (
+                   PARTITION BY c.group_id, c.si, c.sj
+                   ORDER BY c.d2 DESC, c.pos ASC) AS rn
+          FROM (
+            SELECT s.group_id, s.si, s.sj, p.pos, {d2} AS d2
+            FROM seg{k} s
+            JOIN dpts pi ON pi.group_id = s.group_id AND pi.pos = s.si
+            JOIN dpts pj ON pj.group_id = s.group_id AND pj.pos = s.sj
+            JOIN dpts p ON p.group_id = s.group_id
+                       AND p.pos > s.si AND p.pos < s.sj
+          ) c
+        ) r WHERE r.rn = 1 AND r.d2 > {eps2!r}
+      ) b CROSS JOIN (VALUES (0), (1)) AS sides(s)
+    )""")
+    allseg = " UNION ALL ".join(
+        f"SELECT * FROM seg{k}" for k in range(levels + 1)
+    )
+    parts.append(f"allseg AS ({allseg})")
+    parts.append(
+        "keepp AS (SELECT DISTINCT group_id, si AS pos FROM allseg"
+        " UNION SELECT DISTINCT group_id, sj AS pos FROM allseg)"
+    )
+    parts.append(
+        "simp AS (SELECT group_id, count(*) AS n_kept,"
+        " string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS kept_pos"
+        " FROM keepp GROUP BY group_id)"
+    )
+    return ",\n    ".join(parts)
+
+
 def _way_geometry_oracle() -> str:
-    """DuckDB twin of way_geometry: the same shoelace (translated to
-    the first vertex, HUGEINT terms == Spark's decimal(38,0)), vertex-
-    mean centroid, and open polyline length over the window'd chain."""
+    """DuckDB twin of way_geometry + simplify_ways: the same shoelace
+    (translated to the first vertex, HUGEINT terms == Spark's
+    decimal(38,0)), vertex-mean centroid, open polyline length over the
+    window'd chain, and the unrolled-CTE Douglas-Peucker keep set
+    (bit-identical IEEE distance tree; see _sql_dp_d2)."""
     _, groups_pdf, pts = _closure_fixture_pts()
     rows = []
     for g in groups_pdf.itertuples():
@@ -1875,8 +1947,9 @@ def _way_geometry_oracle() -> str:
              (lead(lat) OVER g IS NULL) AS is_last
       FROM j
       WINDOW g AS (PARTITION BY group_id ORDER BY pos)
-    )
-    SELECT group_id,
+    ),
+    geo AS (
+      SELECT group_id,
            count(*) AS n_pts,
            bool_or(is_last AND lat = flat AND lon = flon) AS is_closed,
            CAST(SUM(((lon - flon)::HUGEINT) * (nlat - flat)
@@ -1888,7 +1961,17 @@ def _way_geometry_oracle() -> str:
              sqrt( ((nlon - lon)::DOUBLE) * ((nlon - lon)::DOUBLE)
                  + ((nlat - lat)::DOUBLE) * ((nlat - lat)::DOUBLE) )
            END), 0.0) AS length
-    FROM w GROUP BY group_id ORDER BY group_id
+      FROM w GROUP BY group_id
+    ),
+    dpts AS (
+      SELECT group_id, pos, CAST(lon AS DOUBLE) AS x, CAST(lat AS DOUBLE) AS y
+      FROM j
+    ),
+    {_sql_dp_levels(6, _WAY_SIMPLIFY_EPS * _WAY_SIMPLIFY_EPS)}
+    SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy, length,
+           simp.n_kept AS n_kept, simp.kept_pos AS kept_pos
+    FROM geo JOIN simp ON simp.group_id = geo.group_id
+    ORDER BY geo.group_id
     """
 
 
@@ -1898,9 +1981,11 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ring detection, exact signed shoelace area (decimal carry), vertex
     centroid, polyline length — the geometry the reference derives
     per-way from its resolved chains (osm.rs way bbox/extent handling),
-    generalized to area/centroid/length."""
+    generalized to area/centroid/length — PLUS the Douglas-Peucker
+    keep set (resolve.simplify_ways) summarized per way, both checked
+    by the one oracle."""
     from ..datagen.synth import gen_groups, gen_images
-    from ..operators.resolve import way_geometry
+    from ..operators.resolve import simplify_ways, way_geometry
 
     images = gen_images(300, seed=42)
     base = spark.createDataFrame(images[["image_id", "phash"]]).select(
@@ -1909,7 +1994,25 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.unpack_lon(F.col("phash")).alias("lon"),
     )
     groups = spark.createDataFrame(gen_groups(images))
-    return way_geometry(groups, base).orderBy("group_id")
+    simp = (
+        simplify_ways(groups, base, eps=_WAY_SIMPLIFY_EPS)
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("pos")),
+                    lambda p: p.cast("string"),
+                ),
+            ).alias("kept_pos"),
+        )
+    )
+    return (
+        way_geometry(groups, base)
+        .join(simp, "group_id")
+        .orderBy("group_id")
+    )
 
 
 def _relation_closure_oracle(max_depth: int = 5) -> str:

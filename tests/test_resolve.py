@@ -153,3 +153,71 @@ def test_way_geometry(spark, geo_world):
         for i in range(len(vs))
     )
     assert span.is_closed and span.area2 == str(a2)
+
+
+def test_simplify_ways(spark):
+    from osm_replication_rust_spark.operators.resolve import simplify_ways
+
+    points = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["p0", "p1", "p2", "p3", "s", "beyond", "t1", "t2"],
+                #            base line y=0 ..... spike  far-past-end  tie pair
+                "lat": [0, 1, 0, 0, 5000, 400, 300, -300],
+                "lon": [0, 3000, 6000, 9000, 4500, 20000, 2000, 7000],
+            }
+        )
+    )
+    groups = spark.createDataFrame(
+        [
+            # near-collinear chain: p1 (1 unit off a 9000-long base) drops
+            ("flat", "way", [
+                {"ref": "p0", "type": "image", "role": ""},
+                {"ref": "p1", "type": "image", "role": ""},
+                {"ref": "p2", "type": "image", "role": ""},
+                {"ref": "p3", "type": "image", "role": ""},
+            ]),
+            # spike well above eps survives and re-splits the chain
+            ("spike", "way", [
+                {"ref": "p0", "type": "image", "role": ""},
+                {"ref": "s", "type": "image", "role": ""},
+                {"ref": "p3", "type": "image", "role": ""},
+            ]),
+            # interior point past the segment end: clamped distance is
+            # to the endpoint (11000 away), far over eps -> kept
+            ("clamp", "way", [
+                {"ref": "p0", "type": "image", "role": ""},
+                {"ref": "beyond", "type": "image", "role": ""},
+                {"ref": "p3", "type": "image", "role": ""},
+            ]),
+            # exact-tie distances (+300/-300 around y=0): argmax keeps
+            # the FIRST (lowest pos), then recursion keeps the other too
+            ("tie", "way", [
+                {"ref": "p0", "type": "image", "role": ""},
+                {"ref": "t1", "type": "image", "role": ""},
+                {"ref": "t2", "type": "image", "role": ""},
+                {"ref": "p3", "type": "image", "role": ""},
+            ]),
+            # missing interior ref: kept pos refers to ORIGINAL members
+            ("gap", "way", [
+                {"ref": "p0", "type": "image", "role": ""},
+                {"ref": "nope", "type": "image", "role": ""},
+                {"ref": "s", "type": "image", "role": ""},
+                {"ref": "p3", "type": "image", "role": ""},
+            ]),
+        ],
+        "group_id string, kind string, members array<struct<ref:string,type:string,role:string>>",
+    )
+    out = simplify_ways(groups, points, eps=100.0).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.group_id, []).append(r.pos)
+    kept = {g: sorted(v) for g, v in kept.items()}
+    assert kept["flat"] == [0, 3]
+    assert kept["spike"] == [0, 1, 2]
+    assert kept["clamp"] == [0, 1, 2]
+    assert kept["tie"] == [0, 1, 2, 3]
+    assert kept["gap"] == [0, 2, 3]
+    # coords surface the kept vertex, not an interpolation
+    spike = {r.pos: (r.lat, r.lon) for r in out if r.group_id == "spike"}
+    assert spike[1] == (5000, 4500)
