@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_shipping",
     "spatial_join_tiles",
-    "cell_encode",
+    "footprint_roundtrip",
     "bbox_agg",
     "knn",
     "topk_per_group",

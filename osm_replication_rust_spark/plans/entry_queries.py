@@ -105,39 +105,6 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cell_encode",
-    f"""
-    SELECT cell, qk, count(*) AS n_points
-    FROM (
-      SELECT {C.sql_cell_id(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS cell,
-             {C.sql_quadkey(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS qk
-      FROM events
-    )
-    GROUP BY cell, qk ORDER BY cell, qk
-    """,
-)
-def cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F3b/J3 prefix: JVM-side cell-id encode (the H3/S2 analog) AND
-    the quadkey tile name (interleaved-bit interop id; string prefix =
-    ancestor tile) in ONE scan + count per cell. Pure integer
-    arithmetic, whole-stage codegen. (Round 5: absorbed the former
-    `quadkey_encode` query — both codecs over the same points — to keep
-    the catalog within the driver's 50-row gate.)"""
-    ev = _t(spark, sf_dir, "events")
-    lon = C.derived_lon(F.col("event_id"))
-    lat = C.derived_lat(F.col("event_id"))
-    return (
-        ev.select(
-            C.cell_id(lon, lat).alias("cell"),
-            C.quadkey(lon, lat).alias("qk"),
-        )
-        .groupBy("cell", "qk")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-        .orderBy("cell", "qk")
-    )
-
-
-@register(
     "footprint_roundtrip",
     f"""
     SELECT event_id,
@@ -146,17 +113,23 @@ def cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            ({C.sql_derived_lat('event_id')} + {C.LAT_OFFSET}) * {C.PHASH_LON_BASE}
              + ({C.sql_derived_lon('event_id')} + {C.LON_OFFSET}) AS phash,
            {C.sql_unpack_lat(f"(({C.sql_derived_lat('event_id')} + {C.LAT_OFFSET}) * {C.PHASH_LON_BASE} + ({C.sql_derived_lon('event_id')} + {C.LON_OFFSET}))")} AS lat2,
-           {C.sql_shard_path('event_id')} AS shard
+           {C.sql_shard_path('event_id')} AS shard,
+           {C.sql_cell_id(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS cell,
+           {C.sql_quadkey(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS qk
     FROM events ORDER BY event_id
     """,
 )
 def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 + F3: decimicro footprint <-> phash pack/unpack round trip
-    (the invertible packing of FIXTURES.md §1) plus the reference's
+    """F1 + F3 + F3b: decimicro footprint <-> phash pack/unpack round
+    trip (the invertible packing of FIXTURES.md §1), the reference's
     9-digit 3/3/3 shard path (/root/reference/src/osmbin.rs:227-245) as
-    a partitioning expression over the same ids. (Round 5: absorbed the
-    former `shard_path` query into this scan to keep the catalog within
-    the driver's 50-row gate.)"""
+    a partitioning expression, the cell-id encode (the H3/S2 analog)
+    and the quadkey tile name (interleaved-bit interop id; string
+    prefix = ancestor tile) — every scalar geo codec checked PER ROW in
+    one scan, whole-stage codegen. (Round 5: absorbed the former
+    `shard_path` and `cell_encode`/`quadkey_encode` queries to keep the
+    catalog within the driver's 50-row gate; per-row codec equality is
+    strictly stronger than the retired grouped-count check.)"""
     ev = _t(spark, sf_dir, "events")
     lat = C.derived_lat(F.col("event_id"))
     lon = C.derived_lon(F.col("event_id"))
@@ -168,6 +141,8 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ph.alias("phash"),
         C.unpack_lat(ph).alias("lat2"),
         C.shard_path(F.col("event_id")).alias("shard"),
+        C.cell_id(lon, lat).alias("cell"),
+        C.quadkey(lon, lat).alias("qk"),
     ).orderBy("event_id")
 
 
@@ -2015,6 +1990,117 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLIP_RES = 23  # tile edge 2^23 decimicro ≈ 0.84°: fixture segments span 1-6 tiles
+
+
+def _clip_to_tiles_oracle(res: int = _CLIP_RES) -> str:
+    """DuckDB twin of clip.clip_ways_to_tiles: window-lead segments over
+    the member-ordered chains, unnest(generate_series) tile fan-out,
+    then the SAME IEEE Liang–Barsky tree (least/greatest of the two
+    slab divisions, degenerate axes via CASE) — clipped endpoints are
+    bit-identical doubles across engines."""
+    _, groups_pdf, pts = _closure_fixture_pts()
+    rows = []
+    for g in groups_pdf.itertuples():
+        if g.kind != "way":
+            continue
+        for pos, m in enumerate(g.members):
+            if m["type"] == "image":
+                rows.append(f"('{g.group_id}', {pos}, '{m['ref']}')")
+    edges_v = ",\n      ".join(rows)
+    edge = C.cell_edge(res)
+
+    def axis(d: str, p1: str, lo: str, hi: str) -> tuple[str, str]:
+        t_lo = (
+            f"CASE WHEN {d} <> 0.0 THEN LEAST(({lo} - {p1})/{d}, ({hi} - {p1})/{d})"
+            f" ELSE CASE WHEN {p1} >= {lo} AND {p1} <= {hi} THEN 0.0 ELSE 2.0 END END"
+        )
+        t_hi = (
+            f"CASE WHEN {d} <> 0.0 THEN GREATEST(({lo} - {p1})/{d}, ({hi} - {p1})/{d})"
+            f" ELSE CASE WHEN {p1} >= {lo} AND {p1} <= {hi} THEN 1.0 ELSE -1.0 END END"
+        )
+        return t_lo, t_hi
+
+    tx_lo, tx_hi = axis("dx", "x1d", "xmin", "xmax")
+    ty_lo, ty_hi = axis("dy", "y1d", "ymin", "ymax")
+    return f"""
+    WITH pts(ref, lat, lon) AS (VALUES
+      {pts}
+    ),
+    edges(group_id, pos, ref) AS (VALUES
+      {edges_v}
+    ),
+    j AS (
+      SELECT e.group_id, e.pos,
+             CAST(p.lat AS BIGINT) AS lat, CAST(p.lon AS BIGINT) AS lon
+      FROM edges e JOIN pts p ON p.ref = e.ref
+    ),
+    seg AS (
+      SELECT group_id, pos, lon AS x1, lat AS y1,
+             lead(lon) OVER w AS x2, lead(lat) OVER w AS y2
+      FROM j WINDOW w AS (PARTITION BY group_id ORDER BY pos)
+    ),
+    s AS (SELECT * FROM seg WHERE x2 IS NOT NULL),
+    tiledx AS (
+      SELECT *, unnest(generate_series(
+        (LEAST(x1, x2) + {C.LON_OFFSET}) // {edge},
+        (GREATEST(x1, x2) + {C.LON_OFFSET}) // {edge})) AS tx
+      FROM s
+    ),
+    tiled AS (
+      SELECT *, unnest(generate_series(
+        (LEAST(y1, y2) + {C.LAT_OFFSET}) // {edge},
+        (GREATEST(y1, y2) + {C.LAT_OFFSET}) // {edge})) AS ty
+      FROM tiledx
+    ),
+    prep AS (
+      SELECT group_id, pos, tx, ty,
+             CAST(x1 AS DOUBLE) AS x1d, CAST(y1 AS DOUBLE) AS y1d,
+             CAST(x2 - x1 AS DOUBLE) AS dx, CAST(y2 - y1 AS DOUBLE) AS dy,
+             CAST(tx * {edge} - {C.LON_OFFSET} AS DOUBLE) AS xmin,
+             CAST(tx * {edge} - {C.LON_OFFSET} AS DOUBLE) + {float(edge)!r} AS xmax,
+             CAST(ty * {edge} - {C.LAT_OFFSET} AS DOUBLE) AS ymin,
+             CAST(ty * {edge} - {C.LAT_OFFSET} AS DOUBLE) + {float(edge)!r} AS ymax
+      FROM tiled
+    ),
+    clip0 AS (
+      SELECT group_id, pos, tx, ty, x1d, y1d, dx, dy,
+             GREATEST(0.0, {tx_lo}, {ty_lo}) AS t0,
+             LEAST(1.0, {tx_hi}, {ty_hi}) AS t1
+      FROM prep
+    )
+    SELECT group_id, pos, tx, ty,
+           x1d + t0 * dx AS cx1, y1d + t0 * dy AS cy1,
+           x1d + t1 * dx AS cx2, y1d + t1 * dy AS cy2
+    FROM clip0 WHERE t0 <= t1
+    ORDER BY group_id, pos, tx, ty
+    """
+
+
+@register("clip_to_tiles", _clip_to_tiles_oracle())
+def clip_to_tiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star 'polygon-extract splitting' as a set-based operator:
+    every resolved way chain split into per-tile segment pieces
+    (Liang–Barsky against each covered tile's extent, the reference's
+    geometry ∩ bounding_box_to_polygon, /root/reference/src/osmgeom.rs:
+    65-71) — all arithmetic whole-stage codegen, the only shuffle is
+    the closure agg. Oracle recomputes the identical IEEE clip tree in
+    SQL, so clipped endpoints hash-match bit-for-bit."""
+    from ..datagen.synth import gen_groups, gen_images
+    from ..operators.clip import clip_ways_to_tiles
+
+    images = gen_images(300, seed=42)
+    base = spark.createDataFrame(images[["image_id", "phash"]]).select(
+        "image_id",
+        C.unpack_lat(F.col("phash")).alias("lat"),
+        C.unpack_lon(F.col("phash")).alias("lon"),
+    )
+    groups = spark.createDataFrame(gen_groups(images))
+    return clip_ways_to_tiles(groups, base, res=_CLIP_RES).orderBy(
+        "group_id", "pos", "tx", "ty"
+    )
+
+
 def _relation_closure_oracle(max_depth: int = 5) -> str:
     """DuckDB twin of S10 resolve_relation_members: min-depth transitive
     image closure via a bounded recursive CTE (depth in the tuple keeps
@@ -2831,9 +2917,10 @@ def dedup_keeper_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keepers_by_score(pairs, scores).orderBy("id")
 
 
-# NOTE (round 5): the former `quadkey_encode` query was folded into
-# `cell_encode` (both codecs over the same event points, one scan) and
-# `shard_path` into `footprint_roundtrip`; `token_count`/`text_quality`/
+# NOTE (round 5): the former `quadkey_encode`, `cell_encode` and
+# `shard_path` queries were folded into `footprint_roundtrip` (every
+# scalar geo codec checked per row, one scan — the freed slot registers
+# `clip_to_tiles`); `token_count`/`text_quality`/
 # `lang_id`/`doc_fingerprint` into `text_features`. The driver gate
 # records at most 50 catalog rows (r04 captured exactly the first 50 of
 # 53 registered queries), so the catalog must stay <= 50 entries for

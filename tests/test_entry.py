@@ -57,12 +57,13 @@ def test_one_oracle_pair_at_tiny_sf(spark, sf_dir):
     import duckdb
 
     m = _entry_mod()
-    got = m.queries()["cell_encode"](spark, sf_dir).toPandas()
+    got = m.queries()["footprint_roundtrip"](spark, sf_dir).toPandas()
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
     )
-    want = con.execute(m.oracle_sql()["cell_encode"]).fetchdf()
-    num = {"cell": "int64", "n_points": "int64"}
-    assert got.astype(num).equals(want.astype(num))
+    want = con.execute(m.oracle_sql()["footprint_roundtrip"]).fetchdf()
+    num = {"cell": "int64", "lat": "int64", "lon": "int64", "phash": "int64"}
+    assert got.astype(num)[list(num)].equals(want.astype(num)[list(num)])
     assert list(got["qk"]) == list(want["qk"])
+    assert list(got["shard"]) == list(want["shard"])

@@ -94,12 +94,22 @@ def main(sf_dir: str) -> int:
         "EqualTo(c_mktsegment,BUILDING)" in p.replace(" ", ""),
     )
 
-    # 4. cell_encode: pure codegen, single agg pair
-    ce = entry_queries.queries()["cell_encode"](spark, sf_dir)
+    # 4. footprint_roundtrip (absorbed cell_encode): every scalar geo
+    # codec in one scan — pure codegen, no Python
+    ce = entry_queries.queries()["footprint_roundtrip"](spark, sf_dir)
     p = plan_of(ce)
-    check("cell_encode.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
+    check("codecs.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
     ce.collect()
-    check("cell_encode.codegen", "*(" in simple_plan_of(ce))
+    check("codecs.codegen", "*(" in simple_plan_of(ce))
+
+    # 4b. clip_to_tiles: closure agg is the ONLY shuffle before the
+    # output sort; the segment/tile explode + Liang–Barsky clip are
+    # map-side codegen (no Python anywhere)
+    cl = entry_queries.queries()["clip_to_tiles"](spark, sf_dir)
+    p = plan_of(cl)
+    n_ex = count_shuffle_exchanges(p)
+    check("clip.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
+    check("clip.exchange_budget", 0 < n_ex <= 2, f"exchanges={n_ex}")
 
     # 5a. default (auto=udf) flagship: the refine is ONE Arrow-batched
     # stage on the boundary branch only — never row-at-a-time Python
