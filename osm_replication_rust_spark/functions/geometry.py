@@ -467,3 +467,44 @@ def segments_intersect_rect(
         t0 = np.where(ent, np.maximum(t0, r), t0)
         t1 = np.where(ext, np.minimum(t1, r), t1)
     return ok & (t0 <= t1)
+
+
+# ---------------------------------------------------------------------------
+# geodesic distance (haversine) — twin-form like functions/coords: the
+# PySpark Column and the DuckDB SQL fragment are generated from the SAME
+# IEEE expression tree (explicit pi/180 literal, half-angle sines squared
+# by self-multiplication, sqrt clamped into asin's domain), so both
+# engines agree far below the oracle's 9-significant-digit compare.
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+_DECIMICRO_TO_RAD = 0.017453292519943295e-7  # (pi/180) / 1e7, one multiply
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km between decimicro coordinate Columns.
+
+    d = 2R·asin(min(1, sqrt(sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2))))
+
+    The reference stores decimicro ints and works planar (its 0.1°
+    buffer, src/osmgeom.rs); this is the geodesic refinement a global
+    tiling engine needs for true distance predicates — pure JVM math
+    functions, whole-stage codegen, no Python."""
+    from pyspark.sql import functions as F
+
+    p1 = lat1 * _DECIMICRO_TO_RAD
+    p2 = lat2 * _DECIMICRO_TO_RAD
+    sdp = F.sin((p2 - p1) * 0.5)
+    sdl = F.sin((lon2 - lon1) * _DECIMICRO_TO_RAD * 0.5)
+    a = sdp * sdp + F.cos(p1) * F.cos(p2) * (sdl * sdl)
+    return (2.0 * EARTH_RADIUS_KM) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
+def sql_haversine_km(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """DuckDB twin of haversine_km — identical operation order."""
+    p1 = f"(({lat1}) * {_DECIMICRO_TO_RAD!r})"
+    p2 = f"(({lat2}) * {_DECIMICRO_TO_RAD!r})"
+    sdp = f"sin(({p2} - {p1}) * 0.5)"
+    sdl = f"sin((({lon2}) - ({lon1})) * {_DECIMICRO_TO_RAD!r} * 0.5)"
+    a = f"({sdp} * {sdp} + cos({p1}) * cos({p2}) * ({sdl} * {sdl}))"
+    return f"((2.0 * {EARTH_RADIUS_KM!r}) * asin(LEAST(1.0, sqrt({a}))))"

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import coords as C
+from ..functions import geometry as G
 from ..functions.geometry import MultiPolygon
 from ..datagen.synth import fixture_regions
 from ..operators.spatial_join import assign_regions
@@ -300,7 +301,10 @@ _RECT = (2_000_000, -8_000_000, 14_000_000, 6_000_000)  # lon0, lat0, lon1, lat1
              min({_EV_LON}) AS minlon, max({_EV_LON}) AS maxlon
       FROM events GROUP BY user_id
     )
-    SELECT user_id FROM bb
+    SELECT user_id,
+           {G.sql_haversine_km('(minlat + maxlat) * 0.5', '(minlon + maxlon) * 0.5',
+                               str((_RECT[1] + _RECT[3]) // 2), str((_RECT[0] + _RECT[2]) // 2))} AS hav_km
+    FROM bb
     WHERE NOT (maxlon < {_RECT[0]} OR minlon > {_RECT[2]}
                OR maxlat < {_RECT[1]} OR minlat > {_RECT[3]})
     ORDER BY user_id
@@ -308,7 +312,10 @@ _RECT = (2_000_000, -8_000_000, 14_000_000, 6_000_000)  # lon0, lat0, lon1, lat1
 )
 def bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: cheap bbox-vs-rect prefilter (the reference's gate before
-    per-node tests, /root/reference/src/osmxml/filter.rs:238-244)."""
+    per-node tests, /root/reference/src/osmxml/filter.rs:238-244), plus
+    the geodesic refinement: haversine km from each surviving bbox's
+    center to the query rect's center (geometry.haversine_km — same
+    IEEE tree both engines, round 5)."""
     ev = _t(spark, sf_dir, "events")
     lat = C.derived_lat(F.col("event_id"))
     lon = C.derived_lon(F.col("event_id"))
@@ -332,7 +339,15 @@ def bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("minlat") > lat1)
             )
         )
-        .select("user_id")
+        .select(
+            "user_id",
+            G.haversine_km(
+                (F.col("minlat") + F.col("maxlat")) * 0.5,
+                (F.col("minlon") + F.col("maxlon")) * 0.5,
+                F.lit((lat0 + lat1) // 2),
+                F.lit((lon0 + lon1) // 2),
+            ).alias("hav_km"),
+        )
         .orderBy("user_id")
     )
 

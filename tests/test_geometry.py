@@ -196,3 +196,42 @@ def test_canarias_reference_goldens():
     assert bbi(281876000, 281876000, -166015100, -166015100) is True  # point inside
     assert bbi(281875000, 281876000, -166015100, -166015100) is True  # v-line
     assert bbi(281876000, 281876000, -166015200, -166015100) is True  # h-line
+
+
+def test_haversine_known_distances(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osm_replication_rust_spark.functions.geometry import (
+        EARTH_RADIUS_KM,
+        haversine_km,
+    )
+
+    # (lat1, lon1, lat2, lon2) in degrees -> expected km (analytic)
+    quarter = math.pi / 2 * EARTH_RADIUS_KM
+    cases = [
+        (0.0, 0.0, 0.0, 90.0, quarter),          # equator quarter arc
+        (0.0, 0.0, 90.0, 0.0, quarter),          # pole arc
+        (0.0, 0.0, 0.0, 180.0, 2 * quarter),     # antipodal on equator
+        (0.0, 10.0, 0.0, 10.0, 0.0),             # identical point
+        (48.8566, 2.3522, 40.7128, -74.0060, 5837.2),  # Paris-NYC ~5837 km
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, int(a * 1e7), int(b * 1e7), int(c * 1e7), int(d * 1e7))
+            for i, (a, b, c, d, _) in enumerate(cases)
+        ],
+        "i long, lat1 long, lon1 long, lat2 long, lon2 long",
+    )
+    got = {
+        r.i: r.km
+        for r in df.select(
+            "i",
+            haversine_km(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+            ).alias("km"),
+        ).collect()
+    }
+    for i, (_, _, _, _, want) in enumerate(cases):
+        assert got[i] == pytest.approx(want, abs=1.0), (i, got[i], want)
