@@ -84,17 +84,23 @@ def _publish_groups(spark: SparkSession, store_dir: str, groups: DataFrame) -> N
 
     dst = _groups_path(store_dir)
     versions = [int(p.rsplit(".v", 1)[1]) for p in glob.glob(dst + ".v*")]
-    new_dir = f"{dst}.v{max(versions, default=-1) + 1}"
+    next_v = max(versions, default=-1) + 1
+    legacy_is_dir = os.path.isdir(dst) and not os.path.islink(dst)
+    # The legacy real-directory copy (if any) must be parked under a
+    # LOWER version than the new write: _heal_groups_link resolves a
+    # crash window by picking the HIGHEST complete version, which must
+    # always be the new merge output, never the pre-publish data.
+    new_dir = f"{dst}.v{next_v + 1}" if legacy_is_dir else f"{dst}.v{next_v}"
     groups.write.mode("overwrite").parquet(new_dir)
     tmp = dst + ".lnk-tmp"
     if os.path.lexists(tmp):
         os.remove(tmp)
     os.symlink(os.path.basename(new_dir), tmp)
-    if os.path.isdir(dst) and not os.path.islink(dst):
-        # legacy store with a real directory: move it aside under a
-        # versioned name first (atomic rename; _read_groups heals the
+    if legacy_is_dir:
+        # legacy store with a real directory: move it aside under the
+        # reserved lower version (atomic rename; _read_groups heals the
         # brief dst-missing window via _heal_groups_link)
-        os.rename(dst, f"{dst}.v{max(versions, default=-1) + 2}")
+        os.rename(dst, f"{dst}.v{next_v}")
     os.replace(tmp, dst)
     live = os.readlink(dst)
     for p in glob.glob(dst + ".v*"):

@@ -241,9 +241,11 @@ def minhash_lsh_pairs(
     )
     # band keys computed INSIDE the aggregate (xxhash64 over the row's
     # `rows` min-states): the 32 sig columns never materialize through
-    # a projection, so the post-agg plan is bands-wide, not sigs-wide —
-    # measured ~25% off this query's fixed plan cost vs the sig_0..31
-    # intermediate (same aggregate state either way, identical buckets)
+    # a projection, so the post-agg plan is bands-wide, not sigs-wide.
+    # Identical buckets either way (same aggregate state); interleaved
+    # min-of-3 A/B (tools/ab_minhash_bands.py) measures only ~1.04x at
+    # fixture scale — the win is plan width (8 vs 32 post-agg columns),
+    # which matters at real signature widths, not this query's wall time.
     band_aggs = [
         F.xxhash64(*[sig(b * rows + r) for r in range(rows)], F.lit(b)).alias(
             f"band_{b}"

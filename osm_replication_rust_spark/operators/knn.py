@@ -94,6 +94,7 @@ def knn_cell_ring(
     ).persist()
 
     results: list[DataFrame] = []
+    cached: list[DataFrame] = [p, remaining]  # released before return
     best: DataFrame | None = None  # carried top-k rows of uncertified queries
     r = 1
     prev_r = -1
@@ -147,6 +148,7 @@ def knn_cell_ring(
         )
         remaining = remaining.join(done, q_id, "left_anti").persist()
         best = topk.join(done, q_id, "left_anti").select(q_id, p_id, "dist2").persist()
+        cached.extend((topk, done, remaining, best))
         n_remaining -= n_done
         prev_r = r
         r *= 2
@@ -166,4 +168,11 @@ def knn_cell_ring(
     out = results[0]
     for rdf in results[1:]:
         out = out.unionByName(rdf)
+    # Materialize the (small: <= |queries| x k rows) result eagerly and
+    # cut lineage, then release every per-round cache — a long-lived
+    # session calling knn per batch must not pin block-manager storage
+    # (same discipline as annotate_diff_bboxes).
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
     return out

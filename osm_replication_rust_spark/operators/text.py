@@ -62,14 +62,13 @@ def sql_stopword_hits(text: str) -> str:
     return " + ".join(sql_occurrences(padded, f" {w} ") for w in STOPWORDS)
 
 
-def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-doc quality signals: length, tokens, mean token length,
-    stopword ratio, punctuation count — the standard cheap filters of a
-    pretraining pipeline, all codegen'd expressions."""
+def _quality_cols(text_col: str) -> list[Column]:
+    """The five cheap pretraining quality signals as named Columns —
+    the single definition shared by quality_features and text_features
+    (and, via the sql_* twins, the DuckDB oracles)."""
     t = F.col(text_col)
     n_tok = token_count(t)
-    return df.select(
-        F.col(id_col),
+    return [
         F.length(t).alias("n_chars"),
         n_tok.alias("n_tokens"),
         (F.length(t) / F.greatest(n_tok, F.lit(1))).alias("mean_tok_len"),
@@ -77,7 +76,14 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (occurrences(t, ".") + occurrences(t, ",") + occurrences(t, "!")).alias(
             "n_punct"
         ),
-    )
+    ]
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc quality signals: length, tokens, mean token length,
+    stopword ratio, punctuation count — the standard cheap filters of a
+    pretraining pipeline, all codegen'd expressions."""
+    return df.select(F.col(id_col), *_quality_cols(text_col))
 
 
 LANG_MARKERS = {
@@ -121,22 +127,14 @@ def text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     you want: the four signals share a single pass over the text column
     instead of four scans (one project, zero shuffles, the fingerprint
     is the only Arrow hop)."""
-    t = F.col(text_col)
-    n_tok = token_count(t)
     best = _lang_best(text_col)
     fp = fingerprint_udf()
     return df.select(
         F.col(id_col),
-        F.length(t).alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        (F.length(t) / F.greatest(n_tok, F.lit(1))).alias("mean_tok_len"),
-        (stopword_hits(t) / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
-        (occurrences(t, ".") + occurrences(t, ",") + occurrences(t, "!")).alias(
-            "n_punct"
-        ),
+        *_quality_cols(text_col),
         best["lang"].alias("pred_lang"),
         best["score"].alias("pred_score"),
-        fp(t).alias("fingerprint"),
+        fp(F.col(text_col)).alias("fingerprint"),
     )
 
 

@@ -631,18 +631,15 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fill_pipeline_oracle() -> None:
-    from ..operators.text import sql_stopword_hits, sql_token_count
+    from ..operators.text import (
+        LANG_MARKERS as markers,
+        sql_occurrences,
+        sql_stopword_hits,
+        sql_token_count,
+    )
 
     ntok = sql_token_count("text")
-    markers = {
-        "en": (" the ", " and ", " is "),
-        "de": (" der ", " und ", " ist "),
-        "fr": (" le ", " et ", " est "),
-        "es": (" el ", " y ", " es "),
-    }
     padded = "(' ' || text || ' ')"
-    from ..operators.text import sql_occurrences
-
     score = {
         lang: "(" + " + ".join(sql_occurrences(padded, m) for m in ms) + ")"
         for lang, ms in markers.items()
@@ -709,6 +706,7 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fill_text_oracles() -> None:
     from ..operators.text import (
+        LANG_MARKERS as markers,
         sql_fingerprint,
         sql_occurrences,
         sql_stopword_hits,
@@ -716,12 +714,6 @@ def _fill_text_oracles() -> None:
     )
 
     ntok = sql_token_count("text")
-    markers = {
-        "en": (" the ", " and ", " is "),
-        "de": (" der ", " und ", " ist "),
-        "fr": (" le ", " et ", " est "),
-        "es": (" el ", " y ", " es "),
-    }
     padded = "(' ' || text || ' ')"
     score = {
         lang: "(" + " + ".join(sql_occurrences(padded, m) for m in ms) + ")"

@@ -318,3 +318,47 @@ def test_cli_groups_publish_atomic_and_heals(spark, tmp_path):
     versions = glob.glob(gpath + ".v*")
     assert len(versions) == 1
     assert os.readlink(gpath) == os.path.basename(versions[0])
+
+
+def test_cli_legacy_publish_crash_heals_to_new_data(spark, tmp_path, monkeypatch):
+    """Publishing over a LEGACY store (groups.parquet is a real
+    directory, not a symlink) that crashes between the legacy-dir
+    rename and the symlink swap must heal to the NEW merge output, not
+    resurrect the pre-publish data — the legacy copy is parked under a
+    LOWER version than the new write so pick-highest cannot go stale."""
+    store = str(tmp_path / "store")
+    assert cli.main(["import", PBF, "--store", store]) == 0
+    gpath = cli._groups_path(store)
+    g_old = cli._read_groups(spark, store)
+    n_old = g_old.count()
+    g_new = g_old.limit(5)
+    g_new.count()  # materialize the plan before the dirs move
+
+    # convert to the legacy layout: real directory, no versions
+    import glob
+
+    live = os.path.join(store, os.readlink(gpath))
+    os.remove(gpath)
+    os.rename(live, gpath)
+    for p in glob.glob(gpath + ".v*"):
+        shutil.rmtree(p)
+    assert os.path.isdir(gpath) and not os.path.islink(gpath)
+
+    # inject a crash at the final symlink swap
+    real_replace = os.replace
+
+    def boom(src, dst_, *a, **kw):
+        if dst_ == gpath:
+            raise RuntimeError("injected crash before symlink swap")
+        return real_replace(src, dst_, *a, **kw)
+
+    monkeypatch.setattr(cli.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        cli._publish_groups(spark, store, g_new)
+    monkeypatch.undo()
+
+    # crash window: gpath missing, two versioned dirs on disk
+    assert not os.path.lexists(gpath)
+    healed = cli._read_groups(spark, store)
+    assert healed.count() == 5, "heal must pick the new publish, not the legacy dir"
+    assert n_old > 5  # the stale data was genuinely different

@@ -113,6 +113,10 @@ def main():
         t = time.time()
         nb = dedup.minhash_lsh_pairs(u, "text", "doc_id").count()
         tb.append(time.time() - t)
+        # arm B persists its per_doc internally and never hands it back;
+        # drop ALL cached frames so neither arm accumulates block-manager
+        # storage across passes (keeps the interleaved min-of-N fair)
+        spark.catalog.clearCache()
         rows.add((na, nb))
     print(f"rows (a, b) per pass: {sorted(rows)}")
     print(f"arm A (bands projected post-agg): {[round(x, 2) for x in ta]}  min={min(ta):.2f}")
