@@ -557,3 +557,164 @@ def dedup_keepers_by_score(
         .select(F.col("_comp"), F.col("id").alias("keeper_id"))
     )
     return comp.join(keepers, "_comp").select("id", "keeper_id")
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup: winnowing fingerprints (MOSS scheme)
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms
+# for Document Fingerprinting", SIGMOD 2003; the MOSS selection rule)
+# picks, from every window of `w` consecutive character-k-gram hashes,
+# the RIGHTMOST minimal hash. Any shared substring of length
+# >= w + k - 1 is then guaranteed to share a selected fingerprint —
+# the property that makes it the standard substring-level near-dup
+# detector for training corpora (cf. Lee et al., "Deduplicating
+# Training Data Makes Language Models Better").
+#
+# Everything here is pure whole-stage-codegen HOF expression work (no
+# UDF): the k-gram rolling hash is a Horner fold over ascii code
+# points mod 2^31-1, so every intermediate fits comfortably in int64
+# under BOTH engines' arithmetic (max step value < 2^31 * 257 + 127 <
+# 2^40) — no overflow semantics in play, ANSI-safe, and the DuckDB
+# twin is the bit-identical expression in list_* spelling.
+
+WINNOW_BASE = 257
+WINNOW_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+WINNOW_PACK = 2_147_483_648  # 2^31: packed = pos * PACK + hash, injective
+
+
+def _winnow_horner(text: str, i: str, k: int) -> str:
+    """Engine-neutral Horner fold of the k-gram starting at 1-based
+    position `i`: h = fold((h * B + cp) mod P) over ascii code points.
+    Valid Spark SQL and DuckDB SQL verbatim."""
+    h = f"CAST(ascii(substr({text}, {i}, 1)) AS BIGINT)"
+    for j in range(1, k):
+        h = (
+            f"(({h} * {WINNOW_BASE} + ascii(substr({text}, {i} + {j}, 1)))"
+            f" % {WINNOW_MOD})"
+        )
+    return h
+
+
+def winnow_hashes_sql(text: str, k: int = 5, *, dialect: str = "spark") -> str:
+    """array<bigint> of k-gram rolling hashes over `text` (empty when
+    the text is shorter than k). The Spark spelling guards sequence()
+    against its descending-range behaviour; generate_series is already
+    empty-safe but keeps the same guard for symmetry."""
+    horner = _winnow_horner(text, "i", k)
+    n = f"length({text}) - {k} + 1"
+    if dialect == "spark":
+        empty = "CAST(array() AS ARRAY<BIGINT>)"
+        body = f"transform(sequence(1, {n}), i -> {horner})"
+    else:
+        empty = "CAST([] AS BIGINT[])"
+        body = f"list_transform(generate_series(1, {n}), i -> {horner})"
+    return f"CASE WHEN length({text}) < {k} THEN {empty} ELSE {body} END"
+
+
+def winnow_fps_sql(hashes: str, w: int = 4, *, dialect: str = "spark") -> str:
+    """Distinct packed fingerprints (pos * 2^31 + hash) selected by the
+    MOSS rule from a precomputed hash-array column: per window starting
+    at p, take the rightmost position of the window minimum
+    (p + len - position_in_reversed_slice). A text shorter than w+k-1
+    still yields one fingerprint (the clamped single window) — the
+    SIGMOD-paper guarantee that every document with >= 1 k-gram gets
+    >= 1 fingerprint. Keep `hashes` a real column: inlining the hash
+    array here would recompute it four times per window."""
+    if dialect == "spark":
+        size_ = f"size({hashes})"
+        slice_ = f"slice({hashes}, p, {w})"
+        min_ = f"array_min({slice_})"
+        pos_ = f"array_position(reverse({slice_}), {min_})"
+        distinct, xform, seq = "array_distinct", "transform", "sequence"
+        empty = "CAST(array() AS ARRAY<BIGINT>)"
+    else:
+        size_ = f"len({hashes})"
+        slice_ = f"list_slice({hashes}, p, p + {w} - 1)"
+        min_ = f"list_aggregate({slice_}, 'min')"
+        pos_ = f"list_position(list_reverse({slice_}), {min_})"
+        distinct, xform, seq = "list_distinct", "list_transform", "generate_series"
+        empty = "CAST([] AS BIGINT[])"
+    lenp = f"least({w}, {size_} - p + 1)"
+    packed = f"(CAST(p + {lenp} - {pos_} AS BIGINT) * {WINNOW_PACK} + {min_})"
+    nw = f"greatest({size_} - {w} + 1, 1)"
+    body = f"{distinct}({xform}({seq}(1, {nw}), p -> {packed}))"
+    return f"CASE WHEN {size_} = 0 THEN {empty} ELSE {body} END"
+
+
+def with_winnow_fps(
+    df: DataFrame, text_col: str, out_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Add `out_col` = array<bigint> of packed winnowing fingerprints.
+    Two chained projections (hash array, then selection) that collapse
+    into one codegen stage — the hash array is materialized once per
+    row instead of once per window."""
+    tmp = f"__wh_{out_col}"
+    return (
+        df.withColumn(tmp, F.expr(winnow_hashes_sql(text_col, k)))
+        .withColumn(out_col, F.expr(winnow_fps_sql(tmp, w)))
+        .drop(tmp)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """(id, pos, fp) — the selected fingerprints of each document,
+    exploded. pos is the 1-based k-gram offset the winnow selected;
+    fp the k-gram hash at that offset."""
+    packed = with_winnow_fps(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, "_fps", k, w
+    )
+    return packed.select(
+        "id", F.explode("_fps").alias("_p")
+    ).select(
+        "id",
+        F.expr(f"_p DIV {WINNOW_PACK}").alias("pos"),
+        (F.col("_p") % WINNOW_PACK).alias("fp"),
+    )
+
+
+def winnow_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_common: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_common) — document pairs sharing >= min_common
+    winnowing fingerprint VALUES (position-independent, the MOSS match
+    rule). Same scale shape as the shingle Jaccard join: per-doc
+    distinct happens MAP-SIDE (array_distinct over the hash values
+    before the explode — doc ids are unique), so the only shuffles are
+    the fp-bucket self-join; `max_fp_df` is the stop-fingerprint skew
+    cap (drop fps shared by more than that many docs — boilerplate
+    headers/footers — exactly like `_drop_hot_shingles`)."""
+    packed = with_winnow_fps(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, "_fps", k, w
+    )
+    fps = packed.select(
+        "id",
+        F.explode(
+            F.expr(f"array_distinct(transform(_fps, x -> x % {WINNOW_PACK}))")
+        ).alias("fp"),
+    )
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -123,18 +123,26 @@ def lang_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """ALL per-doc text signals in ONE scan — quality features, language
-    ID, and the rolling-hash fingerprint. At 100 TB this is the shape
-    you want: the four signals share a single pass over the text column
-    instead of four scans (one project, zero shuffles, the fingerprint
-    is the only Arrow hop)."""
+    ID, the rolling-hash fingerprint, and the winnowing-fingerprint
+    summary (count + sum of the MOSS-selected substring fingerprints,
+    pinning the full selection bit-for-bit against the oracle). At
+    100 TB this is the shape you want: all signals share a single pass
+    over the text column instead of five scans (one codegen stage, zero
+    shuffles, the doc fingerprint is the only Arrow hop)."""
+    from .dedup import with_winnow_fps
+
     best = _lang_best(text_col)
     fp = fingerprint_udf()
-    return df.select(
+    return with_winnow_fps(df, text_col, "_wfps").select(
         F.col(id_col),
         *_quality_cols(text_col),
         best["lang"].alias("pred_lang"),
         best["score"].alias("pred_score"),
         fp(F.col(text_col)).alias("fingerprint"),
+        F.size("_wfps").cast("long").alias("n_winnow_fp"),
+        F.expr("aggregate(_wfps, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "winnow_fp_sum"
+        ),
     )
 
 

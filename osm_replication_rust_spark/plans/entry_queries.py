@@ -694,8 +694,12 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, quality features (pretraining filters), marker-token
     language ID with deterministic argmax, and the rolling-hash
     fingerprint (vectorized Arrow kernel; oracle = the identical
-    code-point Horner fold in HUGEINT SQL). (Round 5: consolidation of
-    the former `token_count` / `text_quality` / `lang_id` /
+    code-point Horner fold in HUGEINT SQL), plus the winnowing
+    (MOSS, SIGMOD'03) substring-fingerprint summary — count and sum of
+    the selected (pos, hash) fingerprints, which pins the whole
+    rightmost-min-per-window selection bit-for-bit against the same
+    HOF expression in DuckDB list_* spelling. (Round 5: consolidation
+    of the former `token_count` / `text_quality` / `lang_id` /
     `doc_fingerprint` queries — one project over one scan instead of
     four, and the catalog stays within the driver's 50-row gate.)"""
     from ..operators.text import text_features
@@ -705,6 +709,7 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fill_text_oracles() -> None:
+    from ..operators.dedup import winnow_fps_sql, winnow_hashes_sql
     from ..operators.text import (
         LANG_MARKERS as markers,
         sql_fingerprint,
@@ -722,11 +727,16 @@ def _fill_text_oracles() -> None:
     # argmax with greatest-struct semantics: ties resolve to the
     # lexicographically largest language (matches F.array_max on
     # struct(score, lang))
+    wfps = winnow_fps_sql("wh", dialect="duck")
     _ORACLES["text_features"] = f"""
     WITH s AS (
       SELECT doc_id, text, {score['en']} AS s_en, {score['de']} AS s_de,
-             {score['fr']} AS s_fr, {score['es']} AS s_es
+             {score['fr']} AS s_fr, {score['es']} AS s_es,
+             {winnow_hashes_sql('text', dialect='duck')} AS wh
       FROM documents
+    ),
+    s2 AS (
+      SELECT *, {wfps} AS wfps FROM s
     )
     SELECT doc_id,
            length(text) AS n_chars,
@@ -743,8 +753,10 @@ def _fill_text_oracles() -> None:
                 WHEN s_es >= s_en AND s_es >= s_de THEN s_es
                 WHEN s_en >= s_de THEN s_en
                 ELSE s_de END AS pred_score,
-           {sql_fingerprint('text')} AS fingerprint
-    FROM s ORDER BY doc_id
+           {sql_fingerprint('text')} AS fingerprint,
+           CAST(len(wfps) AS BIGINT) AS n_winnow_fp,
+           CAST(COALESCE(list_sum(wfps), 0) AS BIGINT) AS winnow_fp_sum
+    FROM s2 ORDER BY doc_id
     """
 
 

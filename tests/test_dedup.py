@@ -181,3 +181,111 @@ def test_dedup_keepers_by_score(spark):
     }
     # comp {1,2,3}: max score 9.0 tie between 2 and 3 -> min id 2
     assert got == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10}
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+from osm_replication_rust_spark.operators.dedup import (  # noqa: E402
+    WINNOW_BASE,
+    WINNOW_MOD,
+    WINNOW_PACK,
+    winnow_fingerprints,
+    winnow_near_pairs,
+    with_winnow_fps,
+)
+
+
+def _py_winnow(text, k=5, w=4):
+    """Independent reference: MOSS selection (rightmost window min)."""
+    if len(text) < k:
+        return []
+    hs = []
+    for i in range(len(text) - k + 1):
+        h = ord(text[i])
+        for j in range(1, k):
+            h = (h * WINNOW_BASE + ord(text[i + j])) % WINNOW_MOD
+        hs.append(h)
+    out = set()
+    for p in range(1, max(len(hs) - w + 1, 1) + 1):
+        sl = hs[p - 1 : p - 1 + w]
+        m = min(sl)
+        j = p + len(sl) - 1 - sl[::-1].index(m)
+        out.add(j * WINNOW_PACK + m)
+    return sorted(out)
+
+
+def _winnow_texts():
+    rng = np.random.default_rng(11)
+    alphabet = np.array(list("abcdefghij "))
+    texts = ["", "ab", "abcd", "abcde", "aaaaaaaaaaaa", "hello world"]
+    for n in rng.integers(1, 220, size=30):
+        texts.append("".join(rng.choice(alphabet, size=int(n))))
+    return texts
+
+
+def test_winnow_matches_reference(spark):
+    texts = _winnow_texts()
+    df = spark.createDataFrame(list(enumerate(texts)), "id INT, txt STRING")
+    got = {
+        r["id"]: sorted(r["fps"])
+        for r in with_winnow_fps(df, "txt", "fps").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t), (i, t[:40])
+
+
+def test_winnow_window_coverage(spark):
+    """SIGMOD'03 guarantee: every window of w consecutive k-grams
+    contains a selected position — consecutive selected positions are
+    never more than w apart (the density bound that makes matches of
+    length >= w+k-1 detectable)."""
+    k, w = 5, 4
+    texts = [t for t in _winnow_texts() if len(t) >= k]
+    df = spark.createDataFrame(list(enumerate(texts)), "id INT, txt STRING")
+    rows = winnow_fingerprints(df, "txt", "id", k, w).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r["pos"])
+    for i, t in enumerate(texts):
+        pos = sorted(by_doc[i])
+        assert pos[0] <= w and pos[-1] >= len(t) - k + 2 - w
+        assert all(b - a <= w for a, b in zip(pos, pos[1:]))
+
+
+def test_winnow_near_pairs_guarantee(spark):
+    # shared substring of length w + k - 1 = 8 -> must share >= 1
+    # fingerprint VALUE; unrelated docs from disjoint alphabets share 0
+    docs = [
+        (1, "qqqq SHARED-SEGMENT zzzzzz"),
+        (2, "mmmmmmmm SHARED-SEGMENT pppp"),
+        (3, "uvuvuvuv wxwxwxwxwx yyyy"),
+    ]
+    df = spark.createDataFrame(docs, "id INT, txt STRING")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in winnow_near_pairs(df, "txt", "id", min_common=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_winnow_hot_fp_cap(spark):
+    # a boilerplate footer shared by ALL docs is dropped by the df cap,
+    # so only the pair sharing a rare segment survives
+    footer = " COMMON-FOOTER-BOILERPLATE"
+    docs = [
+        (1, "aaaa RARE-SEGMENT bbbb" + footer),
+        (2, "cccc RARE-SEGMENT dddd" + footer),
+        (3, "eeee ffff gggg hhhh iiii" + footer),
+        (4, "jjjj kkkk llll mmmm nnnn" + footer),
+    ]
+    df = spark.createDataFrame(docs, "id INT, txt STRING")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_near_pairs(
+            df, "txt", "id", min_common=1, max_fp_df=2
+        ).collect()
+    }
+    assert capped == {(1, 2)}
