@@ -62,8 +62,43 @@ def sql_stopword_hits(text: str) -> str:
     return " + ".join(sql_occurrences(padded, f" {w} ") for w in STOPWORDS)
 
 
+def dup_trigram_frac(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of duplicate word
+    trigrams, 1 - distinct/total over the same sliding word-3-grams as
+    ``dedup.word_shingles`` (a doc full of repeated boilerplate scores
+    near 1, clean prose near 0). Pure HOF expressions; the DuckDB twin
+    (sql_dup_trigram_*) is the identical construction."""
+    toks = F.split(F.trim(text), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    frac = (F.size(sh) - F.size(F.array_distinct(sh))) / F.size(sh)
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0.0)).otherwise(frac)
+
+
+def sql_dup_trigrams(text: str) -> str:
+    """DuckDB: the word-trigram list of `text` (same sliding windows,
+    clamped tails, as the Spark construction). Meant to be staged as a
+    CTE column so the ratio references it without recomputation."""
+    toks = f"string_split_regex(trim({text}), '\\s+')"
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"
+    )
+
+
+def sql_dup_trigram_frac(trigrams: str, text: str) -> str:
+    """DuckDB: duplicate fraction over a staged trigram-list column."""
+    return (
+        f"CASE WHEN length(trim({text})) = 0 THEN 0.0 "
+        f"ELSE (len({trigrams}) - len(list_distinct({trigrams})))"
+        f" / len({trigrams}) END"
+    )
+
+
 def _quality_cols(text_col: str) -> list[Column]:
-    """The five cheap pretraining quality signals as named Columns —
+    """The six cheap pretraining quality signals as named Columns —
     the single definition shared by quality_features and text_features
     (and, via the sql_* twins, the DuckDB oracles)."""
     t = F.col(text_col)
@@ -76,6 +111,7 @@ def _quality_cols(text_col: str) -> list[Column]:
         (occurrences(t, ".") + occurrences(t, ",") + occurrences(t, "!")).alias(
             "n_punct"
         ),
+        dup_trigram_frac(t).alias("dup_trigram_frac"),
     ]
 
 

@@ -712,6 +712,8 @@ def _fill_text_oracles() -> None:
     from ..operators.dedup import winnow_fps_sql, winnow_hashes_sql
     from ..operators.text import (
         LANG_MARKERS as markers,
+        sql_dup_trigram_frac,
+        sql_dup_trigrams,
         sql_fingerprint,
         sql_occurrences,
         sql_stopword_hits,
@@ -736,7 +738,7 @@ def _fill_text_oracles() -> None:
       FROM documents
     ),
     s2 AS (
-      SELECT *, {wfps} AS wfps FROM s
+      SELECT *, {wfps} AS wfps, {sql_dup_trigrams('text')} AS tg FROM s
     )
     SELECT doc_id,
            length(text) AS n_chars,
@@ -745,6 +747,7 @@ def _fill_text_oracles() -> None:
            CAST(({sql_stopword_hits('text')}) AS DOUBLE) / greatest({ntok}, 1) AS stopword_ratio,
            {sql_occurrences('text', '.')} + {sql_occurrences('text', ',')}
              + {sql_occurrences('text', '!')} AS n_punct,
+           {sql_dup_trigram_frac('tg', 'text')} AS dup_trigram_frac,
            CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
                 WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
                 WHEN s_en >= s_de THEN 'en'

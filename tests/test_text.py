@@ -57,3 +57,31 @@ def test_fingerprint_deterministic(spark, docs):
     b = {r.doc_id: r.f for r in docs.select("doc_id", fp(F.col("text")).alias("f")).collect()}
     assert a == b
     assert len({v for k, v in a.items() if k != 4}) == 5  # distinct docs -> distinct prints
+
+
+def test_dup_trigram_frac(spark):
+    from osm_replication_rust_spark.operators.text import dup_trigram_frac
+
+    docs = DOCS + [
+        (7, "spam spam spam spam spam spam"),
+        (8, "buy now buy now buy now limited offer buy now"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", dup_trigram_frac(F.col("text")).alias("f")
+        ).collect()
+    }
+
+    def ref(t):
+        toks = t.strip().split()
+        if not t.strip():
+            return 0.0
+        sh = [" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)]
+        return (len(sh) - len(set(sh))) / len(sh)
+
+    for i, t in docs:
+        assert got[i] == pytest.approx(ref(t)), (i, t)
+    assert got[7] == pytest.approx(0.75)  # all trigrams identical
+    assert got[1] == 0.0  # clean prose

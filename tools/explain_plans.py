@@ -180,12 +180,37 @@ def main(sf_dir: str) -> int:
         len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1,
     )
 
+    # 5g. text_features: every text signal (quality, lang-ID, winnow
+    # fingerprint summary) in ONE scan of (doc_id, text); the doc
+    # fingerprint is the single Arrow hop; only exchange = output sort
+    tf = entry_queries.queries()["text_features"](spark, sf_dir)
+    p = plan_of(tf)
+    n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython$", p, re.M))
+    check(
+        "text.single_arrow_stage",
+        n_arrow == 1 and "BatchEvalPython" not in p,
+        f"arrow_nodes={n_arrow}",
+    )
+    n_ex = count_shuffle_exchanges(p)
+    check("text.exchange_budget", n_ex <= 1, f"exchanges={n_ex}")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = m.group(1) if m else ""
+    check(
+        "text.column_pruning",
+        sorted(c.split(":")[0] for c in cols.split(",")) == ["doc_id", "text"],
+        cols,
+    )
+
     # 6. the flagship's generated code actually COMPILES. Plan text can
     # show WholeStageCodegen while janino fails at runtime ("Code grows
     # beyond 64 KB") and Spark silently executes interpreted (~2x slower,
     # measured) — disable the fallback so a compile failure FAILS here.
     spark.conf.set("spark.sql.codegen.fallback", "false")
-    for name, df in (("tiling", tiling), ("tiling_expr", tiling_expr)):
+    for name, df in (
+        ("tiling", tiling),
+        ("tiling_expr", tiling_expr),
+        ("text_features", tf),
+    ):
         try:
             df.limit(1).collect()
             check(f"{name}.codegen_compiles", True)
