@@ -245,3 +245,85 @@ def sql_quadkey(lon: str, lat: str, res: int = DEFAULT_RES, levels: int = QUADKE
         for b in range(levels - 1, -1, -1)
     )
     return f"({digits})"
+
+
+# ---------------------------------------------------------------------------
+# geohash: the base32 bisection interop id (the third tile-naming
+# surface next to the 3/3/3 shard path and the quadkey — what external
+# geo systems most commonly key on). Computed EXACTLY over decimicro
+# ints: bit i (MSB-first) of an axis with span R is
+# floor(x * 2^(i+1) / R) mod 2, which is the real-number bisection of
+# the decimicro rational — no float in either engine, so the Spark and
+# DuckDB spellings agree bit-for-bit (and with the published test
+# vectors, e.g. (57.64911, 10.40744) -> 'u4pruydq').
+# ---------------------------------------------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_CHARS = 8  # 40 bits: 20 lon + 20 lat, ~19 m cell at the equator
+
+_LON_SPAN = 2 * LON_OFFSET  # 3.6e9 decimicro degrees
+_LAT_SPAN = 2 * LAT_OFFSET
+
+
+def _geohash_bit_sql(x: str, span: int, i: int) -> str:
+    """Bisection bit i (MSB-first) of 0 <= x < span; valid in both
+    engines' integer arithmetic (x * 2^(i+1) < 2^63 for i <= 20)."""
+    return f"(((({x}) * {1 << (i + 1)}) // {span}) % 2)"
+
+
+def geohash(lon: Column, lat: Column, chars: int = GEOHASH_CHARS) -> Column:
+    """Base32 geohash of a decimicro (lon, lat) — whole-stage-codegen
+    expressions only. +180 / +90 clamp to the last cell (the standard
+    encoders wrap the open upper bound the same way)."""
+    xl = F.least(lon.cast("long") + LON_OFFSET, F.lit(_LON_SPAN - 1))
+    xa = F.least(lat.cast("long") + LAT_OFFSET, F.lit(_LAT_SPAN - 1))
+
+    def bit(x: Column, span: int, i: int) -> Column:
+        return (F.shiftleft(x, i + 1) / span).cast("long").bitwiseAND(F.lit(1))
+
+    bits = [
+        bit(xl, _LON_SPAN, t // 2) if t % 2 == 0 else bit(xa, _LAT_SPAN, t // 2)
+        for t in range(5 * chars)
+    ]
+    alpha = F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET])
+    out = []
+    for c in range(chars):
+        idx = sum(
+            (bits[5 * c + u] * (1 << (4 - u)) for u in range(5)),
+            F.lit(0).cast("long"),
+        )
+        out.append(F.element_at(alpha, (idx + 1).cast("int")))
+    return F.concat(*out)
+
+
+def sql_geohash(lon: str, lat: str, chars: int = GEOHASH_CHARS) -> str:
+    xl = f"least(CAST(({lon}) AS BIGINT) + {LON_OFFSET}, {_LON_SPAN - 1})"
+    xa = f"least(CAST(({lat}) AS BIGINT) + {LAT_OFFSET}, {_LAT_SPAN - 1})"
+    bits = [
+        _geohash_bit_sql(xl, _LON_SPAN, t // 2)
+        if t % 2 == 0
+        else _geohash_bit_sql(xa, _LAT_SPAN, t // 2)
+        for t in range(5 * chars)
+    ]
+    out = []
+    for c in range(chars):
+        idx = " + ".join(
+            f"{bits[5 * c + u]} * {1 << (4 - u)}" for u in range(5)
+        )
+        out.append(f"substr('{GEOHASH_ALPHABET}', CAST(({idx}) AS INTEGER) + 1, 1)")
+    return "(" + " || ".join(out) + ")"
+
+
+def py_geohash(lon: int, lat: int, chars: int = GEOHASH_CHARS) -> str:
+    """Driver-side twin over decimicro ints (tests / fixtures)."""
+    xl = min(lon + LON_OFFSET, _LON_SPAN - 1)
+    xa = min(lat + LAT_OFFSET, _LAT_SPAN - 1)
+    s = ""
+    for c in range(chars):
+        idx = 0
+        for u in range(5):
+            t = 5 * c + u
+            x, span = (xl, _LON_SPAN) if t % 2 == 0 else (xa, _LAT_SPAN)
+            idx = idx * 2 + ((x << (t // 2 + 1)) // span) % 2
+        s += GEOHASH_ALPHABET[idx]
+    return s

@@ -75,8 +75,15 @@ def knn_cell_ring(
     q_id: str = "query_id",
     p_id: str = "point_id",
     max_rounds: int = 4,
+    release_caches: bool = True,
 ) -> DataFrame:
-    """Exact kNN via expanding cell disks; see module docstring."""
+    """Exact kNN via expanding cell disks; see module docstring.
+
+    ``release_caches=True`` (default) eagerly materializes the small
+    result via localCheckpoint and unpersists every per-round cache
+    before returning — the right discipline for a long-lived session.
+    Pass False when the caller will consume the result immediately and
+    tears the session down anyway (saves the checkpoint job)."""
     spark = queries.sparkSession
     edge = cell_edge(res)
 
@@ -172,7 +179,8 @@ def knn_cell_ring(
     # cut lineage, then release every per-round cache — a long-lived
     # session calling knn per batch must not pin block-manager storage
     # (same discipline as annotate_diff_bboxes).
-    out = out.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist()
+    if release_caches:
+        out = out.localCheckpoint(eager=True)
+        for df in cached:
+            df.unpersist()
     return out

@@ -116,7 +116,8 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
            {C.sql_unpack_lat(f"(({C.sql_derived_lat('event_id')} + {C.LAT_OFFSET}) * {C.PHASH_LON_BASE} + ({C.sql_derived_lon('event_id')} + {C.LON_OFFSET}))")} AS lat2,
            {C.sql_shard_path('event_id')} AS shard,
            {C.sql_cell_id(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS cell,
-           {C.sql_quadkey(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS qk
+           {C.sql_quadkey(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS qk,
+           {C.sql_geohash(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS gh
     FROM events ORDER BY event_id
     """,
 )
@@ -124,10 +125,11 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 + F3 + F3b: decimicro footprint <-> phash pack/unpack round
     trip (the invertible packing of FIXTURES.md §1), the reference's
     9-digit 3/3/3 shard path (/root/reference/src/osmbin.rs:227-245) as
-    a partitioning expression, the cell-id encode (the H3/S2 analog)
-    and the quadkey tile name (interleaved-bit interop id; string
-    prefix = ancestor tile) — every scalar geo codec checked PER ROW in
-    one scan, whole-stage codegen. (Round 5: absorbed the former
+    a partitioning expression, the cell-id encode (the H3/S2 analog),
+    the quadkey tile name (interleaved-bit interop id; string
+    prefix = ancestor tile) and the base32 geohash (exact integer
+    bisection; matches the published test vectors) — every scalar geo
+    codec checked PER ROW in one scan, whole-stage codegen. (Round 5: absorbed the former
     `shard_path` and `cell_encode`/`quadkey_encode` queries to keep the
     catalog within the driver's 50-row gate; per-row codec equality is
     strictly stronger than the retired grouped-count check.)"""
@@ -144,6 +146,7 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.shard_path(F.col("event_id")).alias("shard"),
         C.cell_id(lon, lat).alias("cell"),
         C.quadkey(lon, lat).alias("qk"),
+        C.geohash(lon, lat).alias("gh"),
     ).orderBy("event_id")
 
 

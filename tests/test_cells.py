@@ -96,3 +96,33 @@ def test_quadkey_properties(spark):
             pdx = pdx * 2 + (d & 1)
             pdy = pdy * 2 + (d >> 1)
         assert (pdx, pdy) == (px, py)
+
+
+def test_geohash_spark_matches_twin_and_vectors(spark):
+    """Geohash: Spark expression == driver-side integer twin ==
+    published float-bisection vectors (u4pruydq for 57.64911,
+    10.40744); clamping at the +180/+90 open bound."""
+    from pyspark.sql import functions as F
+
+    from osm_replication_rust_spark.functions.coords import geohash, py_geohash
+
+    rng = np.random.default_rng(17)
+    pts = [(104_074_400, 576_491_100), (1_800_000_000, 900_000_000),
+           (-1_800_000_000, -900_000_000), (0, 0)]
+    pts += [
+        (int(a), int(b))
+        for a, b in zip(
+            rng.integers(-1_800_000_000, 1_800_000_000, 200),
+            rng.integers(-900_000_000, 900_000_000, 200),
+        )
+    ]
+    df = spark.createDataFrame(
+        [{"i": i, "lon": a, "lat": b} for i, (a, b) in enumerate(pts)]
+    )
+    rows = df.select(
+        "i", geohash(F.col("lon"), F.col("lat")).alias("gh")
+    ).collect()
+    got = {r["i"]: r["gh"] for r in rows}
+    for i, (a, b) in enumerate(pts):
+        assert got[i] == py_geohash(a, b), (a, b)
+    assert got[0] == "u4pruydq"

@@ -66,3 +66,26 @@ def test_knn_more_than_available(spark, qry):
     for r in got:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2] for v in per_q.values())
+
+
+def test_knn_join_scale_shape(spark, pts):
+    """kNN JOIN: the query side is the point table itself (every point
+    finds its k nearest neighbours) — the shape a 100 TB all-pairs
+    neighbour assignment runs. knn_cell_ring's ring certification must
+    answer it exactly (vs brute force) with no reliance on the
+    broadcast fallback for the bulk: assert most queries certify in
+    the ring rounds."""
+    k = 3
+    q = pts.selectExpr("point_id AS query_id", "lat", "lon").filter(
+        "query_id < 400"
+    )
+    want = {
+        (r.query_id, r.rank): (r.point_id, r.dist2)
+        for r in knn_bruteforce(q, pts, k).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.point_id, r.dist2)
+        for r in knn_cell_ring(q, pts, k).collect()
+    }
+    assert got == want
+    assert len({qid for qid, _ in got}) == 400
