@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "rasterize_density",
     "tile_pyramid",
     "zonal_stats",
+    "text_features",
+    "clip_to_tiles",
     "stream_rasterize",
 ]
 

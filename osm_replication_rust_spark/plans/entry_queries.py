@@ -44,6 +44,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before EXPENSIVE per-row
+    map work (string expressions, Arrow kernels). The testdata parquet
+    is one row group per file, so Spark's split planner yields ONE scan
+    partition and a map-heavy projection serializes on a single core
+    (measured: 12 s single-task vs sub-second spread for
+    text_features). At 100 TB a scan arrives in thousands of splits and
+    this is a no-op (partitions >= parallelism); the round-robin
+    exchange only fires when the scan under-parallelizes, and moves
+    just the input columns, never the computed ones."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 # ---------------------------------------------------------------------------
 # flagship: spatial join / tiling (S4+S5, P2, P3, J3, O1)
 # ---------------------------------------------------------------------------
@@ -133,7 +149,7 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     `shard_path` and `cell_encode`/`quadkey_encode` queries to keep the
     catalog within the driver's 50-row gate; per-row codec equality is
     strictly stronger than the retired grouped-count check.)"""
-    ev = _t(spark, sf_dir, "events")
+    ev = _rebalance(spark, _t(spark, sf_dir, "events"))
     lat = C.derived_lat(F.col("event_id"))
     lon = C.derived_lon(F.col("event_id"))
     ph = C.pack_footprint(lat, lon)

@@ -289,3 +289,22 @@ def test_winnow_hot_fp_cap(spark):
         ).collect()
     }
     assert capped == {(1, 2)}
+
+
+def test_winnow_kernel_equals_hof(spark):
+    """The Arrow-batched numpy kernel and the HOF-expression spelling
+    (the DuckDB-oracle-grade form) select identical fingerprints."""
+    from osm_replication_rust_spark.operators.dedup import winnow_fps_udf
+
+    texts = _winnow_texts()
+    df = spark.createDataFrame(list(enumerate(texts)), "id INT, txt STRING")
+    hof = {
+        r["id"]: sorted(r["fps"])
+        for r in with_winnow_fps(df, "txt", "fps").collect()
+    }
+    udf = winnow_fps_udf()
+    kern = {
+        r["id"]: sorted(r["f"])
+        for r in df.select("id", udf(F.col("txt")).alias("f")).collect()
+    }
+    assert kern == hof

@@ -85,3 +85,29 @@ def test_dup_trigram_frac(spark):
         assert got[i] == pytest.approx(ref(t)), (i, t)
     assert got[7] == pytest.approx(0.75)  # all trigrams identical
     assert got[1] == 0.0  # clean prose
+
+
+def test_dup_trigram_udf_equals_hof(spark):
+    from osm_replication_rust_spark.operators.text import (
+        dup_trigram_frac,
+        dup_trigram_frac_udf,
+    )
+
+    docs = DOCS + [
+        (7, "spam spam spam spam spam spam"),
+        (8, "buy now buy now buy now limited offer buy now"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    hof = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", dup_trigram_frac(F.col("text")).alias("f")
+        ).collect()
+    }
+    udf = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", dup_trigram_frac_udf()(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert udf == pytest.approx(hof)

@@ -191,8 +191,10 @@ def main(sf_dir: str) -> int:
         n_arrow == 1 and "BatchEvalPython" not in p,
         f"arrow_nodes={n_arrow}",
     )
+    # budget 2: the small-file rebalance (map-heavy projection must not
+    # serialize on a one-row-group scan) + the output sort
     n_ex = count_shuffle_exchanges(p)
-    check("text.exchange_budget", n_ex <= 1, f"exchanges={n_ex}")
+    check("text.exchange_budget", n_ex <= 2, f"exchanges={n_ex}")
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = m.group(1) if m else ""
     check(
