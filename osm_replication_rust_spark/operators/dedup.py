@@ -85,6 +85,20 @@ def exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def word_shingle_array(text: Column, n: int = 3) -> Column:
+    """array<string> of sliding word n-grams (clamped tails) — THE
+    single definition of the shingle window shared by word_shingles
+    (Jaccard/MinHash) and text.dup_trigram_frac (repetition signal);
+    extracting it keeps the three spellings (this, the Python-UDF hot
+    path, the DuckDB sql_dup_trigrams twin) from drifting."""
+    toks = F.split(F.trim(text), r"\s+")
+    # shingle i = tokens[i..i+n) joined; slide via transform over indices
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) distinct word n-grams — the unit of Jaccard
     similarity. Built with JVM array functions (no UDF).
@@ -92,12 +106,7 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     PRECONDITION: ``id_col`` is unique per row (one text per doc id).
     Dedup happens map-side per ROW (array_distinct); duplicated id rows
     would inflate sizes/intersections in every downstream Jaccard."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # shingle i = tokens[i..i+n) joined; slide via transform over indices
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    shingles = word_shingle_array(F.col(text_col), n)
     # per-doc dedup happens MAP-SIDE with array_distinct (each doc's
     # shingles live in one row), so no (id, shingle) distinct shuffle
     # exists — doc ids are unique, hence this IS the distinct relation
@@ -746,17 +755,42 @@ def winnow_near_pairs(
 
 _W_BIG = 1 << 62  # sentinel > any packed fingerprint
 
+#: per-matrix element budget for one kernel chunk (int64 cells). The
+#: kernel pads every row to the chunk's longest document, so an
+#: unbucketed 10k-row Arrow batch containing one multi-MB document
+#: would allocate rows x maxlen cells across ~7 matrices -> executor
+#: OOM. Chunking by SORTED length keeps padding waste and peak memory
+#: bounded (~16 MB/matrix here) while preserving full vectorization —
+#: a single huge document simply forms its own small chunk.
+_W_CHUNK_BUDGET = 2_000_000
 
-def _winnow_packed_matrix(texts, k: int, w: int):
-    """(sorted_packed, keep): per-row sorted packed fingerprints and a
-    distinct+valid mask, vectorized across the batch. utf-32 decode
-    gives the code-point matrix without a per-char Python loop (the
-    ascii() twin semantics: one lane per code point)."""
+
+def _winnow_chunks(texts, k: int, w: int):
+    """Yield (orig_indices, sorted_packed, keep) over length-bucketed
+    chunks of the batch; consumers scatter results back by index."""
     n = len(texts)
     if n == 0:
-        return np.empty((0, 0), np.int64), np.empty((0, 0), bool)
+        return
     enc = [(t or "").encode("utf-32-le") for t in texts]
     lens = np.fromiter((len(e) // 4 for e in enc), np.int64, n)
+    order = np.argsort(lens, kind="stable")
+    start = 0
+    while start < n:
+        end = start + 1
+        while end < n and (end - start + 1) * max(int(lens[order[end]]), 1) <= _W_CHUNK_BUDGET:
+            end += 1
+        idx = order[start:end]
+        S, keep = _winnow_matrix([enc[i] for i in idx], lens[idx], k, w)
+        yield idx, S, keep
+        start = end
+
+
+def _winnow_matrix(enc, lens, k: int, w: int):
+    """(sorted_packed, keep): per-row sorted packed fingerprints and a
+    distinct+valid mask, vectorized across the chunk. utf-32 decode
+    gives the code-point matrix without a per-char Python loop (the
+    ascii() twin semantics: one lane per code point)."""
+    n = len(enc)
     maxlen = int(lens.max())
     if maxlen < k:
         return np.empty((n, 0), np.int64), np.empty((n, 0), bool)
@@ -800,16 +834,13 @@ def winnow_stats_udf(k: int = 5, w: int = 4):
 
     @F.pandas_udf("n_winnow_fp bigint, winnow_fp_sum bigint")
     def stats(texts: pd.Series) -> pd.DataFrame:
-        S, keep = _winnow_packed_matrix(texts, k, w)
-        if S.shape[1] == 0:
-            z = np.zeros(len(texts), np.int64)
-            return pd.DataFrame({"n_winnow_fp": z, "winnow_fp_sum": z})
-        return pd.DataFrame(
-            {
-                "n_winnow_fp": keep.sum(axis=1).astype(np.int64),
-                "winnow_fp_sum": np.where(keep, S, 0).sum(axis=1),
-            }
-        )
+        n_fp = np.zeros(len(texts), np.int64)
+        fp_sum = np.zeros(len(texts), np.int64)
+        for idx, S, keep in _winnow_chunks(texts, k, w):
+            if S.shape[1]:
+                n_fp[idx] = keep.sum(axis=1)
+                fp_sum[idx] = np.where(keep, S, 0).sum(axis=1)
+        return pd.DataFrame({"n_winnow_fp": n_fp, "winnow_fp_sum": fp_sum})
 
     return stats
 
@@ -821,7 +852,10 @@ def winnow_fps_udf(k: int = 5, w: int = 4):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def fps(texts: pd.Series) -> pd.Series:
-        S, keep = _winnow_packed_matrix(texts, k, w)
-        return pd.Series([S[i, keep[i]].tolist() for i in range(len(texts))])
+        out: list = [[]] * len(texts)
+        for idx, S, keep in _winnow_chunks(texts, k, w):
+            for r, i in enumerate(idx):
+                out[i] = S[r, keep[r]].tolist()
+        return pd.Series(out)
 
     return fps

@@ -1,14 +1,18 @@
 """Text-analysis operators for training-data pipelines: token counting,
 quality scoring, language-ID heuristics, document fingerprinting.
 
-Everything except the rolling fingerprint is pure JVM expression work
-(whole-stage codegen; also ANSI-SQL-expressible for the oracle). The
-fingerprint is an Arrow-batched numpy kernel (a polynomial rolling hash
-has inherently sequential structure per document, but vectorizes across
-the batch dimension).
+Counting/ratio signals are pure JVM expression work (whole-stage
+codegen; also ANSI-SQL-expressible for the oracle). The rolling
+fingerprint, the duplicate-trigram fraction and the winnowing summary
+run as Arrow-batched kernels that COALESCE into a single
+ArrowEvalPython stage (audit-pinned); each has an expression twin
+(sql_* / HOF) that defines the oracle-grade semantics and is asserted
+equal in tests.
 """
 
 from __future__ import annotations
+
+import re
 
 import numpy as np
 import pandas as pd
@@ -64,19 +68,21 @@ def sql_stopword_hits(text: str) -> str:
 
 def dup_trigram_frac(text: Column) -> Column:
     """Gopher-style repetition signal: fraction of duplicate word
-    trigrams, 1 - distinct/total over the same sliding word-3-grams as
-    ``dedup.word_shingles`` (a doc full of repeated boilerplate scores
-    near 1, clean prose near 0). HOF-expression spelling — the
-    oracle-grade twin of sql_dup_trigram_*; Spark runs HOF lambdas
-    interpreted (~1.7 ms/row measured), so the hot path is
-    :func:`dup_trigram_frac_udf` (asserted equal in tests)."""
-    toks = F.split(F.trim(text), r"\s+")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-    )
+    trigrams, 1 - distinct/total over the SAME sliding word-3-grams as
+    ``dedup.word_shingles`` (shared via word_shingle_array; a doc full
+    of repeated boilerplate scores near 1, clean prose near 0).
+    HOF-expression spelling — the oracle-grade twin of
+    sql_dup_trigram_*; Spark runs HOF lambdas interpreted (~1.7 ms/row
+    measured), so the hot path is :func:`dup_trigram_frac_udf`
+    (asserted equal in tests). NULL and empty text -> 0.0 in all three
+    spellings."""
+    from .dedup import word_shingle_array
+
+    sh = word_shingle_array(text, 3)
     frac = (F.size(sh) - F.size(F.array_distinct(sh))) / F.size(sh)
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0.0)).otherwise(frac)
+    return F.when(
+        text.isNull() | (F.length(F.trim(text)) == 0), F.lit(0.0)
+    ).otherwise(frac)
 
 
 def sql_dup_trigrams(text: str) -> str:
@@ -91,29 +97,42 @@ def sql_dup_trigrams(text: str) -> str:
 
 
 def sql_dup_trigram_frac(trigrams: str, text: str) -> str:
-    """DuckDB: duplicate fraction over a staged trigram-list column."""
+    """DuckDB: duplicate fraction over a staged trigram-list column.
+    NULL text -> 0.0 (matching the Column and UDF spellings; without
+    the IS NULL arm, tg would be [NULL] and list_distinct's NULL drop
+    would yield 1.0)."""
     return (
-        f"CASE WHEN length(trim({text})) = 0 THEN 0.0 "
+        f"CASE WHEN {text} IS NULL OR length(trim({text})) = 0 THEN 0.0 "
         f"ELSE (len({trigrams}) - len(list_distinct({trigrams})))"
         f" / len({trigrams}) END"
     )
 
 
+#: Java-regex \s charset (what Spark's split('\\s+') matches). Python's
+#: re.ASCII \s is the identical set [ \t\n\r\f\v], so re.split with
+#: re.A reproduces Spark tokenization exactly — str.split() would NOT
+#: (it also splits on Unicode whitespace and drops leading empties).
+_JAVA_WS = re.compile(r"\s+", re.ASCII)
+
+
 def dup_trigram_frac_udf():
     """Hot-path twin of :func:`dup_trigram_frac`: trigram tuples per
-    doc (tokens carry no whitespace, so tuple identity == the joined
-    string the HOF/oracle spelling builds), duplicate fraction from a
-    set — ~40x the interpreted-HOF throughput, coalesced into the same
-    single ArrowEvalPython stage as the other text UDFs."""
+    doc (tokens carry no \\s characters, so tuple identity == the
+    joined string the HOF/oracle spelling builds), duplicate fraction
+    from a set — ~40x the interpreted-HOF throughput, coalesced into
+    the same single ArrowEvalPython stage as the other text UDFs.
+    Tokenization mirrors Spark exactly: trim() strips ASCII SPACE only,
+    split uses the Java \\s charset (re.ASCII), and leading empty
+    tokens are kept."""
 
     @F.pandas_udf("double")
     def frac(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), np.float64)
         for i, t in enumerate(texts):
-            t = (t or "").strip()
+            t = (t or "").strip(" ")
             if not t:
                 continue
-            toks = t.split()
+            toks = _JAVA_WS.split(t)
             n = max(len(toks) - 3, 0) + 1
             out[i] = (n - len({tuple(toks[j : j + 3]) for j in range(n)})) / n
         return pd.Series(out)
@@ -141,8 +160,11 @@ def _quality_cols(text_col: str) -> list[Column]:
 
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-doc quality signals: length, tokens, mean token length,
-    stopword ratio, punctuation count — the standard cheap filters of a
-    pretraining pipeline, all codegen'd expressions."""
+    stopword ratio, punctuation count, duplicate-trigram fraction — the
+    standard cheap filters of a pretraining pipeline. All codegen'd
+    expressions EXCEPT dup_trigram_frac, which is an Arrow-batched
+    pandas UDF (one ArrowEvalPython stage when consumed; Catalyst
+    prunes it when a downstream select drops the column)."""
     return df.select(F.col(id_col), *_quality_cols(text_col))
 
 
@@ -187,8 +209,9 @@ def text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     summary (count + sum of the MOSS-selected substring fingerprints,
     pinning the full selection bit-for-bit against the oracle). At
     100 TB this is the shape you want: all signals share a single pass
-    over the text column instead of five scans (one codegen stage, zero
-    shuffles, the doc fingerprint is the only Arrow hop)."""
+    over the text column instead of five scans — zero shuffles, and the
+    three Python kernels (fingerprint, trigram fraction, winnow stats)
+    coalesce into ONE ArrowEvalPython stage."""
     from .dedup import winnow_stats_udf
 
     best = _lang_best(text_col)

@@ -111,3 +111,76 @@ def test_dup_trigram_udf_equals_hof(spark):
         ).collect()
     }
     assert udf == pytest.approx(hof)
+
+
+def test_dup_trigram_whitespace_and_null_parity(spark):
+    """Review regressions: (a) Java-\\s tokenization — a tab-leading doc
+    keeps its leading empty token in ALL spellings; (b) NULL text is
+    0.0 in ALL spellings (UDF, HOF Column, DuckDB oracle)."""
+    import duckdb
+
+    from osm_replication_rust_spark.operators.text import (
+        dup_trigram_frac,
+        dup_trigram_frac_udf,
+        sql_dup_trigram_frac,
+        sql_dup_trigrams,
+    )
+
+    docs = [
+        (1, "\tx x x x x x"),
+        (2, " \t spaced\ttabs \n mixed x x x "),
+        (3, None),
+        (4, "plain old text with no tricks at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    hof = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", dup_trigram_frac(F.col("text")).alias("f")
+        ).collect()
+    }
+    udf = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", dup_trigram_frac_udf()(F.col("text")).alias("f")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(doc_id INT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    oracle = dict(
+        con.sql(
+            f"SELECT doc_id, {sql_dup_trigram_frac(sql_dup_trigrams('text'), 'text')} FROM t"
+        ).fetchall()
+    )
+    for i, _ in docs:
+        assert udf[i] == pytest.approx(hof[i]), (i, udf[i], hof[i])
+        assert udf[i] == pytest.approx(oracle[i]), (i, udf[i], oracle[i])
+    assert hof[3] == 0.0
+
+
+def test_winnow_chunking_with_outlier_doc(spark, monkeypatch):
+    """Review regression: one huge document must not blow up the whole
+    batch matrix — the kernel chunks by sorted length. Force tiny
+    chunks and assert results still match the HOF spelling."""
+    from osm_replication_rust_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "_W_CHUNK_BUDGET", 500)
+    texts = ["short one", "tiny", "x" * 2000, "medium sized text here", ""]
+    df = spark.createDataFrame(list(enumerate(texts)), "id INT, txt STRING")
+    hof = {
+        r["id"]: sorted(r["fps"])
+        for r in D.with_winnow_fps(df, "txt", "fps").collect()
+    }
+    # run the chunked kernel driver-side (monkeypatching doesn't reach
+    # executor pickles reliably; the kernel is pure-python here)
+    import pandas as pd
+
+    got = {}
+    for idx, S, keep in D._winnow_chunks(pd.Series(texts), 5, 4):
+        for r, i in enumerate(idx):
+            got[int(i)] = sorted(S[r, keep[r]].tolist()) if S.shape[1] else []
+    for i in range(len(texts)):
+        assert got.get(i, []) == hof[i], i
