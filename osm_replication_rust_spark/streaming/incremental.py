@@ -224,3 +224,42 @@ def streaming_rasterize(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("win_start"), "tile", "idx", "n")
     )
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    content_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for an ingest pipeline: keep the FIRST
+    arrival of each content hash, drop re-deliveries and duplicates
+    within the watermark horizon. Built on
+    ``dropDuplicatesWithinWatermark`` so state is BOUNDED — a key is
+    held only until the watermark passes it, which is the property
+    that lets a 100 TB/day ingest run forever (a plain dropDuplicates
+    on an unbounded stream accumulates state without limit). Batch
+    frames dedup exactly (same first-wins semantics, no horizon).
+
+    The dedup key is xxhash64(content) — the same key
+    ``operators.dedup.exact_duplicates`` groups on, so the streaming
+    survivor set matches the batch keeper set on replay (modulo ties
+    within an identical timestamp, which first-arrival breaks by
+    delivery order while batch breaks by min id)."""
+    hashed = docs.withColumn("content_hash", F.xxhash64(F.col(content_col)))
+    if not hashed.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("content_hash").orderBy(
+            F.col(ts_col), F.col("content_hash")
+        )
+        return (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return (
+        hashed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

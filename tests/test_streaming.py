@@ -278,3 +278,59 @@ def test_streaming_spatial_join_matches_batch(spark, sf_dir, tmp_path, regions):
     }
     assert got == batch
     assert len(batch) > 0
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Streaming first-wins dedup drops duplicate content within the
+    watermark horizon; survivor KEY SET matches the batch dedup."""
+    import shutil
+
+    import pandas as pd
+
+    from osm_replication_rust_spark.streaming.incremental import (
+        streaming_dedup_exact,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": [
+                "alpha", "beta", "alpha", "gamma", "beta", "delta",
+                "alpha", "epsilon", "zeta", "gamma", "zeta", "eta",
+            ],
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:0{i % 10}:00" for i in range(12)]
+            ),
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    src.write.parquet(str(stream_dir / "p"))
+    for f in (stream_dir / "p").glob("*.parquet"):
+        shutil.move(str(f), stream_dir / f.name)
+    shutil.rmtree(stream_dir / "p")
+
+    stream = spark.readStream.schema(src.schema).parquet(str(stream_dir))
+    q = (
+        streaming_dedup_exact(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM dedup_stream").collect()
+    finally:
+        q.stop()
+    texts = [r.text for r in got]
+    assert sorted(texts) == sorted(set(pdf["text"]))  # one survivor each
+
+    # batch twin: same survivor key set (first-wins by ts)
+    batch = streaming_dedup_exact(src).collect()
+    assert sorted(r.text for r in batch) == sorted(texts)
+    # batch keeps the EARLIEST ts per content
+    first_ts = pdf.groupby("text")["ts"].min()
+    for r in batch:
+        assert pd.Timestamp(r.ts) == first_ts[r.text]
