@@ -253,6 +253,24 @@ def cmd_update(spark: SparkSession, args) -> int:
         print(f"follow pass done; store at state {store.last_state()}")
         return 0
 
+    if getattr(args, "diffs_url", None):
+        # S12: fetch the replication window (store state -> remote
+        # head, optionally clamped) into the diffs dir before the
+        # normal pipeline consumes it. Driver-side tiny-file I/O;
+        # re-fetch after a crash is harmless (idempotent apply), so
+        # the walk needs no durable fetch cursor beyond the store.
+        from .sources.replication import fetch_new_diffs
+
+        cur = store.last_state() or 0
+        fetch_state = os.path.join(args.store, "fetch_state.txt")
+        with open(fetch_state, "w", encoding="utf-8") as f:
+            f.write(f"sequenceNumber={cur}\n")
+        fetched = fetch_new_diffs(
+            fetch_state, args.diffs_url, args.diffs,
+            max_state=getattr(args, "max_state", None),
+        )
+        print(f"fetched {len(fetched)} diff(s) from {args.diffs_url}")
+
     elements = read_osc_elements_dir(spark, args.diffs).persist()
     points, gch = elements_to_engine(elements, namespace_ids=True)
     groups = _read_groups(spark, args.store)
@@ -531,6 +549,19 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="streaming mode: process the diff tree via a checkpointed "
         "file stream (exactly-once across restarts; availableNow pass)",
+    )
+    upd.add_argument(
+        "--diffs-url",
+        default=None,
+        help="replication base URL (file:// or http[s]://) to fetch "
+        "state.txt + NNN/NNN/NNN.osc.gz diffs from into --diffs "
+        "before applying (the reference's update.rs download walk)",
+    )
+    upd.add_argument(
+        "--max-state",
+        type=int,
+        default=None,
+        help="clamp the fetched replication head (update.rs max_state)",
     )
 
     rd = sub.add_parser("read", help="point lookup / closure read")

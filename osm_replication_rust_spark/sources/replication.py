@@ -1,0 +1,142 @@
+"""Replication-diff fetch: the reference's `Update::download` protocol
+(/root/reference/src/update.rs:40-246) re-expressed with stdlib only.
+
+Protocol (observable behavior parity):
+- state files are `key=value` lines; the sequence is `sequenceNumber=N`
+  (a malformed file is an error, a missing one a distinct error);
+- the remote head state lives at `<url_base>state.txt` and may be
+  clamped by `max_state`;
+- diffs N+1..head are fetched as `<url_base>NNN/NNN/NNN.osc.gz` (the
+  same 3/3/3 shard split as the osmbin store paths —
+  functions.coords.seq_split) plus the sibling `.state.txt`, into a
+  `planet/minute/` tree;
+- `file://` URLs (and bare paths) are local copies; http(s) downloads
+  retry up to 5 attempts with a 1 s pause and preserve the server's
+  Last-Modified as the file mtime.
+
+This is DRIVER-side I/O (a handful of small files per polling cycle),
+deliberately not distributed: the heavy lifting — parsing and applying
+the fetched diffs — happens in the Spark pipeline that consumes the
+downloaded tree (cli.py update / --follow streaming).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import urllib.error
+import urllib.request
+from email.utils import parsedate_to_datetime
+from urllib.parse import urlparse
+
+USER_AGENT = "osm-replication-rust-spark"
+DOWNLOAD_ATTEMPTS = 5
+RETRY_WAIT_S = 1.0
+
+
+class StateNotFound(FileNotFoundError):
+    """Local/remote state file missing."""
+
+
+class StateIncorrect(ValueError):
+    """State file exists but carries no sequenceNumber= line."""
+
+
+def seq_split(n: int) -> str:
+    """3/3/3 shard path of a sequence number (update.rs:75-81) — the
+    same split the osmbin store uses for element ids."""
+    return f"{(n // 1_000_000) % 1000:03d}/{(n // 1_000) % 1000:03d}/{n % 1000:03d}"
+
+
+def read_state(content: str, source: str = "<string>") -> int:
+    for line in content.splitlines():
+        if line.startswith("sequenceNumber="):
+            return int(line.split("=", 1)[1])
+    raise StateIncorrect(f"no sequenceNumber= line in {source}")
+
+
+def _local_path(url: str) -> str | None:
+    """Return a filesystem path for bare paths and file:// URLs, else
+    None (the reference treats scheme-less URIs as files too)."""
+    p = urlparse(url)
+    if p.scheme in ("", "file"):
+        return (p.netloc or "") + p.path if p.scheme == "file" else url
+    return None
+
+
+def read_state_from_url(url: str) -> int:
+    path = _local_path(url)
+    if path is not None:
+        try:
+            with open(path, encoding="utf-8") as f:
+                return read_state(f.read(), path)
+        except FileNotFoundError as e:
+            raise StateNotFound(str(e)) from e
+    req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
+    with urllib.request.urlopen(req) as resp:
+        return read_state(resp.read().decode("utf-8"), url)
+
+
+def download(url: str, dest: str, attempts: int = DOWNLOAD_ATTEMPTS,
+             retry_wait: float = RETRY_WAIT_S) -> None:
+    """Fetch one file. Local source: plain copy (mtime preserved).
+    Remote: up to `attempts` tries, `retry_wait` seconds apart; on
+    success the Last-Modified header becomes the file mtime (the
+    reference keys diff timestamps off it)."""
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    path = _local_path(url)
+    if path is not None:
+        shutil.copy2(path, dest)
+        return
+    req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
+    last_err: Exception | None = None
+    for i in range(attempts):
+        try:
+            with urllib.request.urlopen(req) as resp:
+                tmp = dest + ".part"
+                with open(tmp, "wb") as out:
+                    shutil.copyfileobj(resp, out)
+                os.replace(tmp, dest)
+                lm = resp.headers.get("Last-Modified")
+                if lm:
+                    ts = parsedate_to_datetime(lm).timestamp()
+                    os.utime(dest, (ts, ts))
+                return
+        except urllib.error.URLError as e:  # includes HTTPError
+            last_err = e
+            if i < attempts - 1:
+                print(f"Error when fetching {url} - will retry again")
+                time.sleep(retry_wait)
+    raise last_err  # type: ignore[misc]
+
+
+def fetch_new_diffs(
+    state_file: str,
+    url_base: str,
+    dest_dir: str,
+    max_state: int | None = None,
+) -> list[tuple[int, str, str]]:
+    """The reference's sequence walk: local state -> remote head ->
+    download every (diff, state) pair in between into
+    `<dest_dir>/planet/minute/NNN/NNN/NNN.{osc.gz,state.txt}`.
+    Returns [(seq, osc_path, state_path)] in order (empty = up to
+    date). The caller applies them through the Spark pipeline and
+    advances its own state symlink per applied diff (cli.py), so a
+    crash mid-walk re-fetches only unapplied sequences."""
+    if not url_base.endswith("/"):
+        url_base += "/"
+    with open(state_file, encoding="utf-8") as f:
+        cur = read_state(f.read(), state_file)
+    head = read_state_from_url(url_base + "state.txt")
+    if max_state is not None:
+        head = min(head, max_state)
+    out: list[tuple[int, str, str]] = []
+    for n in range(cur + 1, head + 1):
+        split = seq_split(n)
+        osc = os.path.join(dest_dir, "planet", "minute", split + ".osc.gz")
+        st = os.path.join(dest_dir, "planet", "minute", split + ".state.txt")
+        download(url_base + split + ".osc.gz", osc)
+        download(url_base + split + ".state.txt", st)
+        out.append((n, osc, st))
+    return out

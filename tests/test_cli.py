@@ -362,3 +362,51 @@ def test_cli_legacy_publish_crash_heals_to_new_data(spark, tmp_path, monkeypatch
     healed = cli._read_groups(spark, store)
     assert healed.count() == 5, "heal must pick the new publish, not the legacy dir"
     assert n_old > 5  # the stale data was genuinely different
+
+
+def test_cli_update_diffs_url_fetch(spark, tmp_path):
+    """S12 e2e: a file:// replication tree (state.txt head + 3/3/3
+    diff/state pairs) is fetched by `update --diffs-url` and applied —
+    same store outcome as pointing --diffs at a local tree."""
+    from osm_replication_rust_spark.sources.replication import seq_split
+
+    # fresh store from the reference PBF
+    store = str(tmp_path / "store")
+    assert cli.main(["import", PBF, "--store", store]) == 0
+
+    # remote replication tree at head=1
+    remote = tmp_path / "remote"
+    d = remote / "000" / "000"
+    d.mkdir(parents=True)
+    shutil.copy(f"{REF}/saint_barthelemy-boundary.osc.gz", d / "001.osc.gz")
+    (d / "001.state.txt").write_text("sequenceNumber=1\n")
+    (remote / "state.txt").write_text("sequenceNumber=1\n")
+    assert seq_split(1) == "000/000/001"
+
+    polys = tmp_path / "polys"
+    polys.mkdir()
+    shutil.copy(f"{REF}/saint_barthelemy.poly", polys / "saint_barthelemy.poly")
+
+    diffs = str(tmp_path / "fetched")
+    rc = cli.main([
+        "update",
+        "--store", store,
+        "--polygons", str(polys),
+        "--diffs", diffs,
+        "--out", str(tmp_path / "out"),
+        "--diffs-url", f"file://{remote}/",
+    ])
+    assert rc == 0
+    # the walk landed the diff in the planet/minute layout
+    assert os.path.exists(
+        os.path.join(diffs, "planet", "minute", "000/000/001.osc.gz")
+    )
+    st = cli._store(spark, store)
+    assert st.last_state() == 1
+    # the same post-update pin as the local-diffs path
+    cur = st.current().select("image_id", unpack_lat(F.col("phash")).alias("lat"))
+    got = {
+        r.image_id: r.lat
+        for r in cur.filter(F.col("image_id") == "n2619283348").collect()
+    }
+    assert got.get("n2619283348") == 181085101
