@@ -212,6 +212,22 @@ def cmd_update(spark: SparkSession, args) -> int:
     regions = regions_from_dir(args.polygons)
     store = _store(spark, args.store)
 
+    if getattr(args, "diffs_url", None):
+        # S12: fetch the replication window (store state -> remote
+        # head, optionally clamped) into the diffs dir BEFORE either
+        # consumption path — the batch scan below or the --follow
+        # stream (which picks the new files up as an availableNow
+        # pass). Driver-side tiny-file I/O; re-fetch after a crash is
+        # harmless (idempotent apply), so the walk needs no durable
+        # fetch cursor beyond the store's own applied state.
+        from .sources.replication import fetch_new_diffs
+
+        fetched = fetch_new_diffs(
+            store.last_state() or 0, args.diffs_url, args.diffs,
+            max_state=getattr(args, "max_state", None),
+        )
+        print(f"fetched {len(fetched)} diff(s) from {args.diffs_url}")
+
     if args.follow:
         # streaming mode: the file-stream source + checkpoint gives
         # exactly-once file processing across CLI restarts; the
@@ -252,24 +268,6 @@ def cmd_update(spark: SparkSession, args) -> int:
         q.awaitTermination()
         print(f"follow pass done; store at state {store.last_state()}")
         return 0
-
-    if getattr(args, "diffs_url", None):
-        # S12: fetch the replication window (store state -> remote
-        # head, optionally clamped) into the diffs dir before the
-        # normal pipeline consumes it. Driver-side tiny-file I/O;
-        # re-fetch after a crash is harmless (idempotent apply), so
-        # the walk needs no durable fetch cursor beyond the store.
-        from .sources.replication import fetch_new_diffs
-
-        cur = store.last_state() or 0
-        fetch_state = os.path.join(args.store, "fetch_state.txt")
-        with open(fetch_state, "w", encoding="utf-8") as f:
-            f.write(f"sequenceNumber={cur}\n")
-        fetched = fetch_new_diffs(
-            fetch_state, args.diffs_url, args.diffs,
-            max_state=getattr(args, "max_state", None),
-        )
-        print(f"fetched {len(fetched)} diff(s) from {args.diffs_url}")
 
     elements = read_osc_elements_dir(spark, args.diffs).persist()
     points, gch = elements_to_engine(elements, namespace_ids=True)

@@ -473,7 +473,7 @@ def sql_simhash_pairs(fixture_sql: str, max_hamming: int = 3) -> str:
     return f"""
     WITH fx AS ({fixture_sql}),
     toks AS (
-      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
       FROM fx
     ),
     th AS (SELECT id, {u} AS h FROM toks),

@@ -22,6 +22,12 @@ from pyspark.sql import types as T
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
+#: RE2 (DuckDB) spelling of Java's \s charset. RE2's own \s is
+#: [\t\n\f\r ] — it MISSES \x0b (vertical tab), which Java and
+#: Python-re.ASCII include, so every DuckDB twin must use this
+#: explicit class or \v-containing text tokenizes differently.
+SQL_WS = "[ \\t\\n\\x0b\\f\\r]+"
+
 
 def token_count(text: Column) -> Column:
     """Whitespace token count (empty string -> 0)."""
@@ -32,7 +38,7 @@ def token_count(text: Column) -> Column:
 def sql_token_count(text: str) -> str:
     return (
         f"CASE WHEN length(trim({text})) = 0 THEN 0 "
-        f"ELSE len(string_split_regex(trim({text}), '\\s+')) END"
+        f"ELSE len(string_split_regex(trim({text}), '{SQL_WS}')) END"
     )
 
 
@@ -89,7 +95,7 @@ def sql_dup_trigrams(text: str) -> str:
     """DuckDB: the word-trigram list of `text` (same sliding windows,
     clamped tails, as the Spark construction). Meant to be staged as a
     CTE column so the ratio references it without recomputation."""
-    toks = f"string_split_regex(trim({text}), '\\s+')"
+    toks = f"string_split_regex(trim({text}), '{SQL_WS}')"
     return (
         f"list_transform(generate_series(1, greatest(len({toks}) - 2, 1)), "
         f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"

@@ -479,7 +479,7 @@ def _sql_jaccard_pairs(fixture_sql: str, threshold: float, out_cols: str) -> str
     the DuckDB twin of dedup.jaccard_from_shingles."""
     return f"""
     WITH u AS ({fixture_sql}),
-    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM u),
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS w FROM u),
     sh AS (
       SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle
       FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)

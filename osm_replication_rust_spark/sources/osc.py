@@ -488,10 +488,10 @@ def write_osc_tree(changes_pdf: pd.DataFrame, root: str, gz: bool = True) -> lis
     """Write per-state diffs into the reference's 3/3/3 sharded tree."""
     paths = []
     for state, grp in changes_pdf.groupby("state"):
-        a, b, c = state // 1_000_000 % 1000, state // 1_000 % 1000, state % 1000
-        d = os.path.join(root, f"{a:03d}", f"{b:03d}")
+        split = _shard(state)
+        d = os.path.join(root, os.path.dirname(split))
         os.makedirs(d, exist_ok=True)
-        p = os.path.join(d, f"{c:03d}.osc" + (".gz" if gz else ""))
+        p = os.path.join(root, split + ".osc" + (".gz" if gz else ""))
         payload = format_osc(grp.to_dict("records")).encode()
         if gz:
             payload = gzip.compress(payload, mtime=0)  # deterministic bytes

@@ -22,6 +22,7 @@ downloaded tree (cli.py update / --follow streaming).
 
 from __future__ import annotations
 
+import http.client
 import os
 import shutil
 import time
@@ -30,9 +31,18 @@ import urllib.request
 from email.utils import parsedate_to_datetime
 from urllib.parse import urlparse
 
+from .osc import _shard
+
 USER_AGENT = "osm-replication-rust-spark"
 DOWNLOAD_ATTEMPTS = 5
 RETRY_WAIT_S = 1.0
+HTTP_TIMEOUT_S = 30.0
+
+#: transient failures the retry loop must absorb: URLError covers
+#: connect/DNS errors, but a connection dropped MID-BODY surfaces as
+#: IncompleteRead / ConnectionResetError / socket.timeout (OSError),
+#: which are not URLError subclasses.
+_RETRYABLE = (urllib.error.URLError, http.client.HTTPException, OSError)
 
 
 class StateNotFound(FileNotFoundError):
@@ -45,8 +55,10 @@ class StateIncorrect(ValueError):
 
 def seq_split(n: int) -> str:
     """3/3/3 shard path of a sequence number (update.rs:75-81) — the
-    same split the osmbin store uses for element ids."""
-    return f"{(n // 1_000_000) % 1000:03d}/{(n // 1_000) % 1000:03d}/{n % 1000:03d}"
+    single definition lives in sources.osc._shard (the publish side of
+    the same tree layout; fetch and publish paths must stay
+    bit-identical for the round trip)."""
+    return _shard(n)
 
 
 def read_state(content: str, source: str = "<string>") -> int:
@@ -74,7 +86,7 @@ def read_state_from_url(url: str) -> int:
         except FileNotFoundError as e:
             raise StateNotFound(str(e)) from e
     req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
-    with urllib.request.urlopen(req) as resp:
+    with urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_S) as resp:
         return read_state(resp.read().decode("utf-8"), url)
 
 
@@ -90,11 +102,15 @@ def download(url: str, dest: str, attempts: int = DOWNLOAD_ATTEMPTS,
         shutil.copy2(path, dest)
         return
     req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
+    # dot-prefixed temp name: Spark file sources ignore hidden files,
+    # so a crash mid-download cannot poison a later `*.osc*` glob scan
+    tmp = os.path.join(
+        os.path.dirname(dest) or ".", "." + os.path.basename(dest) + ".part"
+    )
     last_err: Exception | None = None
     for i in range(attempts):
         try:
-            with urllib.request.urlopen(req) as resp:
-                tmp = dest + ".part"
+            with urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_S) as resp:
                 with open(tmp, "wb") as out:
                     shutil.copyfileobj(resp, out)
                 os.replace(tmp, dest)
@@ -103,7 +119,7 @@ def download(url: str, dest: str, attempts: int = DOWNLOAD_ATTEMPTS,
                     ts = parsedate_to_datetime(lm).timestamp()
                     os.utime(dest, (ts, ts))
                 return
-        except urllib.error.URLError as e:  # includes HTTPError
+        except _RETRYABLE as e:  # mid-body drops + connect failures
             last_err = e
             if i < attempts - 1:
                 print(f"Error when fetching {url} - will retry again")
@@ -112,7 +128,7 @@ def download(url: str, dest: str, attempts: int = DOWNLOAD_ATTEMPTS,
 
 
 def fetch_new_diffs(
-    state_file: str,
+    state: str | int,
     url_base: str,
     dest_dir: str,
     max_state: int | None = None,
@@ -120,14 +136,22 @@ def fetch_new_diffs(
     """The reference's sequence walk: local state -> remote head ->
     download every (diff, state) pair in between into
     `<dest_dir>/planet/minute/NNN/NNN/NNN.{osc.gz,state.txt}`.
-    Returns [(seq, osc_path, state_path)] in order (empty = up to
-    date). The caller applies them through the Spark pipeline and
-    advances its own state symlink per applied diff (cli.py), so a
-    crash mid-walk re-fetches only unapplied sequences."""
+    ``state`` is either the current sequence number (int) or a path to
+    a state file to parse. Returns [(seq, osc_path, state_path)] in
+    order (empty = up to date). The caller applies them through the
+    Spark pipeline and advances its own state per applied diff
+    (cli.py), so a crash mid-walk re-fetches only unapplied
+    sequences."""
     if not url_base.endswith("/"):
         url_base += "/"
-    with open(state_file, encoding="utf-8") as f:
-        cur = read_state(f.read(), state_file)
+    if isinstance(state, int):
+        cur = state
+    else:
+        with open(state, encoding="utf-8") as f:
+            cur = read_state(f.read(), state)
+    # the tree root exists even on an up-to-date poll, so downstream
+    # directory scans are clean no-ops instead of path-not-found errors
+    os.makedirs(os.path.join(dest_dir, "planet", "minute"), exist_ok=True)
     head = read_state_from_url(url_base + "state.txt")
     if max_state is not None:
         head = min(head, max_state)

@@ -243,23 +243,27 @@ def streaming_dedup_exact(
 
     The dedup key is xxhash64(content) — the same key
     ``operators.dedup.exact_duplicates`` groups on, so the streaming
-    survivor set matches the batch keeper set on replay (modulo ties
-    within an identical timestamp, which first-arrival breaks by
-    delivery order while batch breaks by min id)."""
-    hashed = docs.withColumn("content_hash", F.xxhash64(F.col(content_col)))
+    survivor KEY SET matches the batch twin on replay. Which duplicate
+    ROW survives differs in kind: streaming keeps the first ARRIVAL
+    (delivery order); the batch twin keeps the earliest ts, breaking
+    exact-ts ties deterministically by full-row hash (NOT min id — the
+    content is identical either way). Both paths cast ts to timestamp
+    so a string ts column cannot silently order lexicographically."""
+    hashed = docs.withColumn(
+        "content_hash", F.xxhash64(F.col(content_col))
+    ).withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if not hashed.isStreaming:
         from pyspark.sql import Window
 
         w = Window.partitionBy("content_hash").orderBy(
-            F.col(ts_col), F.col("content_hash")
+            F.col(ts_col),
+            F.xxhash64(F.struct(*[F.col(c) for c in hashed.columns])),
         )
         return (
             hashed.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    return (
-        hashed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["content_hash"])
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
     )

@@ -79,7 +79,7 @@ def test_http_retry_then_success(tmp_path, monkeypatch):
         def __exit__(self, *a):
             return False
 
-    def fake_urlopen(req):
+    def fake_urlopen(req, timeout=None):
         calls["n"] += 1
         if calls["n"] <= 2:
             raise urllib.error.URLError("flaky")
@@ -97,10 +97,80 @@ def test_http_retry_then_success(tmp_path, monkeypatch):
 
 
 def test_http_retry_exhaustion(tmp_path, monkeypatch):
-    def always_fail(req):
+    def always_fail(req, timeout=None):
         raise urllib.error.URLError("down")
 
     monkeypatch.setattr(R.urllib.request, "urlopen", always_fail)
     with pytest.raises(urllib.error.URLError):
         R.download("http://replication.example/state.txt",
                    str(tmp_path / "y"), retry_wait=0.0)
+
+
+def test_fetch_int_cursor_and_empty_poll(tmp_path):
+    """fetch_new_diffs accepts the sequence number directly, and an
+    up-to-date poll still creates the tree root so downstream directory
+    scans are clean no-ops (review regression)."""
+    remote = tmp_path / "remote"
+    _mk_tree(str(remote), head=4)
+    dest = str(tmp_path / "d")
+    got = R.fetch_new_diffs(3, str(remote) + "/", dest)
+    assert [n for n, _, _ in got] == [4]
+    # up to date: nothing fetched, tree root exists
+    dest2 = str(tmp_path / "d2")
+    assert R.fetch_new_diffs(4, str(remote) + "/", dest2) == []
+    assert os.path.isdir(os.path.join(dest2, "planet", "minute"))
+
+
+def test_http_retry_covers_mid_body_failures(tmp_path, monkeypatch):
+    """A connection dropped while the BODY streams (not a URLError)
+    must still be retried, and the partial temp file must be hidden
+    from Spark's *.osc* glob (dot-prefixed)."""
+    import http.client
+
+    calls = {"n": 0}
+    seen_tmp = {}
+
+    class DropResp:
+        headers = {}
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self, *a):
+            raise http.client.IncompleteRead(b"partial")
+
+    class GoodResp(io.BytesIO):
+        headers = {}
+
+        def __init__(self):
+            super().__init__(b"ok-bytes")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        calls["n"] += 1
+        return DropResp() if calls["n"] == 1 else GoodResp()
+
+    monkeypatch.setattr(R.urllib.request, "urlopen", fake_urlopen)
+    dest = str(tmp_path / "t" / "001.osc.gz")
+
+    real_open = open
+
+    def spy_open(path, *a, **k):
+        p = str(path)
+        if p.endswith(".part"):
+            seen_tmp["name"] = os.path.basename(p)
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", spy_open)
+    R.download("http://replication.example/001.osc.gz", dest, retry_wait=0.0)
+    assert calls["n"] == 2
+    assert real_open(dest, "rb").read() == b"ok-bytes"
+    assert seen_tmp["name"].startswith(".")  # hidden from *.osc* globs
