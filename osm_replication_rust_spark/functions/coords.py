@@ -340,3 +340,153 @@ def py_geohash(lon: int, lat: int, chars: int = GEOHASH_CHARS) -> str:
             idx = idx * 2 + ((x << (t // 2 + 1)) // span) % 2
         s += GEOHASH_ALPHABET[idx]
     return s
+
+
+# ---------------------------------------------------------------------------
+# hilbert: the space-filling-curve cell index (the curve S2 keys on —
+# our fourth tile-naming surface next to shard path / quadkey /
+# geohash). Unlike the quadkey's Z-order, consecutive Hilbert ids are
+# ALWAYS 4-adjacent cells, so range-partitioning a 100 TB table on this
+# id gives each executor a spatially compact patch: a k-ring probe (kNN,
+# spatial join) touches O(1) partitions instead of the O(k) stripes
+# Z-order jumps across. Computed by the standard MSB-first automaton:
+# the per-level rotation group of the Hilbert construction is the Klein
+# four-group {identity, swap, complement, swap+complement}, so the whole
+# carried state is two 0/1 flags composed by XOR. XOR on {0,1} is
+# spelled a + b - 2ab — plain integer arithmetic that Spark codegen and
+# the DuckDB oracle evaluate identically (no engine-specific bitwise-xor
+# semantics in play). The Spark form chains one small Project per level
+# (withColumns); each level's aliases are non-trivial expressions
+# consumed several times, which Catalyst's CollapseProject refuses to
+# inline, keeping the optimized plan LINEAR in `levels` (a single
+# nested Column expression would blow up ~3^levels at optimization
+# time). Verified equal to the classic xy2d rotate/swap loop on
+# arbitrary inputs by property test (tests/test_codec_property.py).
+# ---------------------------------------------------------------------------
+
+HILBERT_LEVELS = 12  # 2^12 x 2^12 curve covers the global grid at res >= 20
+
+
+def _check_hilbert_domain(res: int, levels: int) -> None:
+    """A 2^levels-per-axis curve addresses cells only up to 2^levels; a
+    coarser-than-expected res would silently alias distinct cells onto
+    one id, so refuse it loudly (same contract as the quadkey)."""
+    if (3_600_000_000 >> res) >= (1 << levels):
+        raise ValueError(
+            f"hilbert: res={res} yields {3_600_000_000 >> res} cells per "
+            f"axis but levels={levels} addresses only {1 << levels}; "
+            f"raise res or levels"
+        )
+
+
+def py_hilbert(lon: int, lat: int, res: int = DEFAULT_RES, levels: int = HILBERT_LEVELS) -> int:
+    """Driver-side twin over decimicro ints (tests / fixtures) — the
+    IDENTICAL automaton arithmetic as the Spark and SQL spellings."""
+    _check_hilbert_domain(res, levels)
+    cx, cy = cell_xy(lon, lat, res)
+    sw = cp = 0
+    d = 0
+    for b in range(levels - 1, -1, -1):
+        bx = (cx >> b) & 1
+        by = (cy >> b) & 1
+        tx = bx + sw * (by - bx)  # swap axes iff sw
+        ty = by + sw * (bx - by)
+        rx = tx + cp - 2 * tx * cp  # complement iff cp (xor)
+        ry = ty + cp - 2 * ty * cp
+        d = d * 4 + 3 * rx + ry - 2 * rx * ry  # digit = (3*rx) xor ry
+        nry = 1 - ry
+        sw = sw + nry - 2 * sw * nry  # sw ^= (ry == 0)
+        t = nry * rx
+        cp = cp + t - 2 * cp * t  # cp ^= (ry == 0 and rx == 1)
+    return d
+
+
+_H_COLS = ("__h_cx", "__h_cy", "__h_sw", "__h_cp", "__h_d", "__h_rx", "__h_ry")
+
+
+def with_hilbert(
+    df,
+    lon: Column,
+    lat: Column,
+    out: str = "hil",
+    res: int = DEFAULT_RES,
+    levels: int = HILBERT_LEVELS,
+):
+    """Append a Hilbert-curve cell id column computed from decimicro
+    (lon, lat) Columns. Pure JVM integer arithmetic, whole-stage
+    codegen; adds 2*levels narrow chained Projects (see module comment
+    on why a chain, not one nested expression)."""
+    _check_hilbert_domain(res, levels)
+    cxn, cyn, swn, cpn, dn, rxn, ryn = _H_COLS
+    df = df.withColumns(
+        {
+            cxn: F.shiftright(lon + LON_OFFSET, res),
+            cyn: F.shiftright(lat + LAT_OFFSET, res),
+            swn: F.lit(0).cast("long"),
+            cpn: F.lit(0).cast("long"),
+            dn: F.lit(0).cast("long"),
+        }
+    )
+    for b in range(levels - 1, -1, -1):
+        bx = F.shiftright(F.col(cxn), b).bitwiseAND(F.lit(1))
+        by = F.shiftright(F.col(cyn), b).bitwiseAND(F.lit(1))
+        sw, cp = F.col(swn), F.col(cpn)
+        tx = bx + sw * (by - bx)
+        ty = by + sw * (bx - by)
+        df = df.withColumns(
+            {
+                rxn: tx + cp - F.lit(2) * tx * cp,
+                ryn: ty + cp - F.lit(2) * ty * cp,
+            }
+        )
+        rx, ry = F.col(rxn), F.col(ryn)
+        nry = F.lit(1) - ry
+        df = df.withColumns(
+            {
+                dn: F.col(dn) * 4 + F.lit(3) * rx + ry - F.lit(2) * rx * ry,
+                swn: sw + nry - F.lit(2) * sw * nry,
+                cpn: cp + nry * rx - F.lit(2) * cp * nry * rx,
+            }
+        )
+    return df.withColumn(out, F.col(dn)).drop(*_H_COLS)
+
+
+def sql_hilbert_wrap(
+    inner_sql: str,
+    passthrough: list[str],
+    lon: str,
+    lat: str,
+    out: str = "hil",
+    res: int = DEFAULT_RES,
+    levels: int = HILBERT_LEVELS,
+) -> str:
+    """DuckDB twin: wrap ``inner_sql`` (a SELECT producing the
+    ``passthrough`` columns plus decimicro columns named ``lon``/
+    ``lat``) in one nested subquery pair per level — the same linear
+    plan shape as the Spark Project chain, the same arithmetic."""
+    _check_hilbert_domain(res, levels)
+    cols = ", ".join(passthrough)
+    edge = 1 << res
+    q = (
+        f"SELECT {cols}, (({lon}) + {LON_OFFSET}) // {edge} AS h_cx, "
+        f"(({lat}) + {LAT_OFFSET}) // {edge} AS h_cy, "
+        f"0 AS h_sw, 0 AS h_cp, CAST(0 AS BIGINT) AS h_d FROM ({inner_sql})"
+    )
+    for b in range(levels - 1, -1, -1):
+        bx = f"((h_cx >> {b}) & 1)"
+        by = f"((h_cy >> {b}) & 1)"
+        tx = f"({bx} + h_sw * ({by} - {bx}))"
+        ty = f"({by} + h_sw * ({bx} - {by}))"
+        rx = f"({tx} + h_cp - 2 * {tx} * h_cp)"
+        ry = f"({ty} + h_cp - 2 * {ty} * h_cp)"
+        q = (
+            f"SELECT {cols}, h_cx, h_cy, h_sw, h_cp, h_d, "
+            f"{rx} AS h_rx, {ry} AS h_ry FROM ({q})"
+        )
+        q = (
+            f"SELECT {cols}, h_cx, h_cy, "
+            f"h_sw + (1 - h_ry) - 2 * h_sw * (1 - h_ry) AS h_sw, "
+            f"h_cp + (1 - h_ry) * h_rx - 2 * h_cp * (1 - h_ry) * h_rx AS h_cp, "
+            f"h_d * 4 + 3 * h_rx + h_ry - 2 * h_rx * h_ry AS h_d FROM ({q})"
+        )
+    return f"SELECT {cols}, h_d AS {out} FROM ({q})"

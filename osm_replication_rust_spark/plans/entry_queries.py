@@ -123,7 +123,8 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "footprint_roundtrip",
-    f"""
+    C.sql_hilbert_wrap(
+        f"""
     SELECT event_id,
            {C.sql_derived_lat('event_id')} AS lat,
            {C.sql_derived_lon('event_id')} AS lon,
@@ -134,8 +135,16 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
            {C.sql_cell_id(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS cell,
            {C.sql_quadkey(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS qk,
            {C.sql_geohash(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'))} AS gh
-    FROM events ORDER BY event_id
+    FROM events
     """,
+        passthrough=[
+            "event_id", "lat", "lon", "phash", "lat2", "shard", "cell", "qk", "gh",
+        ],
+        lon="lon",
+        lat="lat",
+        out="hil",
+    )
+    + " ORDER BY event_id",
 )
 def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 + F3 + F3b: decimicro footprint <-> phash pack/unpack round
@@ -143,9 +152,12 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-digit 3/3/3 shard path (/root/reference/src/osmbin.rs:227-245) as
     a partitioning expression, the cell-id encode (the H3/S2 analog),
     the quadkey tile name (interleaved-bit interop id; string
-    prefix = ancestor tile) and the base32 geohash (exact integer
-    bisection; matches the published test vectors) — every scalar geo
-    codec checked PER ROW in one scan, whole-stage codegen. (Round 5: absorbed the former
+    prefix = ancestor tile), the base32 geohash (exact integer
+    bisection; matches the published test vectors) and the Hilbert
+    curve cell id (the S2 ordering — consecutive ids are 4-adjacent
+    cells, the locality property range-partitioning keys on) — every
+    scalar geo codec checked PER ROW in one scan, whole-stage codegen.
+    (Round 5: absorbed the former
     `shard_path` and `cell_encode`/`quadkey_encode` queries to keep the
     catalog within the driver's 50-row gate; per-row codec equality is
     strictly stronger than the retired grouped-count check.)"""
@@ -153,7 +165,7 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = C.derived_lat(F.col("event_id"))
     lon = C.derived_lon(F.col("event_id"))
     ph = C.pack_footprint(lat, lon)
-    return ev.select(
+    base = ev.select(
         "event_id",
         lat.alias("lat"),
         lon.alias("lon"),
@@ -163,7 +175,10 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.cell_id(lon, lat).alias("cell"),
         C.quadkey(lon, lat).alias("qk"),
         C.geohash(lon, lat).alias("gh"),
-    ).orderBy("event_id")
+    )
+    return C.with_hilbert(base, F.col("lon"), F.col("lat"), out="hil").orderBy(
+        "event_id"
+    )
 
 
 @register(

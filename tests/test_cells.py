@@ -126,3 +126,48 @@ def test_geohash_spark_matches_twin_and_vectors(spark):
     for i, (a, b) in enumerate(pts):
         assert got[i] == py_geohash(a, b), (a, b)
     assert got[0] == "u4pruydq"
+
+
+def test_hilbert_spark_matches_twin_and_adjacency(spark):
+    """Hilbert: the chained-Project Spark form == driver-side automaton
+    twin on random decimicro points, and sorting a small cell patch by
+    the id walks 4-adjacent cells (the locality property the
+    range-partitioning story rests on)."""
+    from pyspark.sql import functions as F
+
+    from osm_replication_rust_spark.functions.coords import (
+        DEFAULT_RES,
+        cell_xy,
+        py_hilbert,
+        with_hilbert,
+    )
+
+    rng = np.random.default_rng(23)
+    pts = [(1_800_000_000, 900_000_000), (-1_800_000_000, -900_000_000), (0, 0)]
+    pts += [
+        (int(a), int(b))
+        for a, b in zip(
+            rng.integers(-1_800_000_000, 1_800_000_000, 200),
+            rng.integers(-900_000_000, 900_000_000, 200),
+        )
+    ]
+    df = spark.createDataFrame(
+        [{"i": i, "lon": a, "lat": b} for i, (a, b) in enumerate(pts)]
+    )
+    rows = with_hilbert(df, F.col("lon"), F.col("lat")).collect()
+    got = {r["i"]: r["hil"] for r in rows}
+    for i, (a, b) in enumerate(pts):
+        assert got[i] == py_hilbert(a, b), (a, b)
+
+    # adjacency: all 16 cells of a 4x4 decimicro patch, ordered by id,
+    # step to a Chebyshev/Manhattan neighbor every time
+    edge = 1 << DEFAULT_RES
+    patch = [
+        (100_000_000 + dx * edge, 200_000_000 + dy * edge)
+        for dx in range(4)
+        for dy in range(4)
+    ]
+    byd = sorted((py_hilbert(a, b), cell_xy(a, b)) for a, b in patch)
+    for (d1, (x1, y1)), (d2, (x2, y2)) in zip(byd[:-1], byd[1:]):
+        if d2 == d1 + 1:  # consecutive on the curve -> grid neighbors
+            assert abs(x1 - x2) + abs(y1 - y2) == 1

@@ -102,3 +102,83 @@ def test_geohash_matches_float_bisection(lon, lat):
     assert py_geohash(lon, lat) == _float_bisect_geohash(
         lon / 1e7, lat / 1e7
     )
+
+
+# ---------------------------------------------------------------------------
+# hilbert: the automaton spelling (Klein-group swap/complement flags,
+# arithmetic xor — what the Spark Project chain and the DuckDB nested
+# subqueries evaluate) must agree with the CLASSIC xy2d rotate/swap loop
+# (the textbook algorithm, an independent spelling that mutates the
+# coordinates instead of accumulating a transform), and consecutive ids
+# must be 4-adjacent cells — the property that defines the curve.
+# ---------------------------------------------------------------------------
+
+
+def _classic_xy2d(x, y, levels):
+    d = 0
+    s = 1 << (levels - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _classic_d2xy(d, levels):
+    n = 1 << levels
+    x = y = 0
+    t = d
+    s = 1
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def _auto_xy(cx, cy, levels):
+    """py_hilbert's automaton on raw cell coords (py_hilbert itself
+    takes decimicro lon/lat; this isolates the curve math)."""
+    from osm_replication_rust_spark.functions.coords import (
+        DEFAULT_RES,
+        py_hilbert,
+    )
+
+    # build a decimicro point that lands exactly in cell (cx, cy)
+    lon = (cx << DEFAULT_RES) - 1_800_000_000
+    lat = (cy << DEFAULT_RES) - 900_000_000
+    return py_hilbert(lon, lat, DEFAULT_RES, levels)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=(1 << 12) - 1),
+    st.integers(min_value=0, max_value=(1 << 12) - 1),
+)
+def test_hilbert_automaton_matches_classic_loop(cx, cy):
+    assert _auto_xy(cx, cy, 12) == _classic_xy2d(cx, cy, 12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 24) - 2))
+def test_hilbert_consecutive_ids_are_adjacent_cells(d):
+    x1, y1 = _classic_d2xy(d, 12)
+    x2, y2 = _classic_d2xy(d + 1, 12)
+    assert abs(x1 - x2) + abs(y1 - y2) == 1
+    # and the automaton round-trips both endpoints
+    assert _auto_xy(x1, y1, 12) == d
+    assert _auto_xy(x2, y2, 12) == d + 1
