@@ -487,3 +487,91 @@ def sql_hilbert_wrap(
             f"(h_d << 2) + h_rx * 2 + xor(h_rx, h_ry) AS h_d FROM ({q})"
         )
     return f"SELECT {cols}, h_d AS {out} FROM ({q})"
+
+
+def hilbert_ranges(
+    minlon: int,
+    minlat: int,
+    maxlon: int,
+    maxlat: int,
+    res: int = DEFAULT_RES,
+    levels: int = HILBERT_LEVELS,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """S2-style range cover: the sorted, merged list of [lo, hi]
+    (inclusive) Hilbert-id intervals whose cells exactly cover the
+    decimicro bbox. Recursive quadtree descent running the SAME
+    automaton inverse as the encoder: a node fully inside the bbox
+    emits its whole 4^k id block, a disjoint node is dropped, a
+    straddling node recurses into its four children IN CURVE ORDER
+    (digit q -> child bits via the inverted swap/complement state).
+    ``max_ranges`` bounds the predicate size the way S2 coverings do:
+    when exceeded, adjacent ranges with the smallest gaps are merged —
+    the cover stays a superset (false-positive cells, never missed
+    ones), callers re-verify with the exact bbox test. Driver-side,
+    O(perimeter) nodes; the output is a pushdown-able OR-of-BETWEENs."""
+    _check_hilbert_domain(res, levels)
+    # bbox corners -> cell coords (inclusive)
+    x0, y0 = cell_xy(minlon, minlat, res)
+    x1, y1 = cell_xy(maxlon, maxlat, res)
+    out: list[tuple[int, int]] = []
+
+    def rec(cx0: int, cy0: int, size: int, sw: int, cp: int, d0: int) -> None:
+        # node square [cx0, cx0+size) x [cy0, cy0+size)
+        if cx0 > x1 or cy0 > y1 or cx0 + size - 1 < x0 or cy0 + size - 1 < y0:
+            return
+        if cx0 >= x0 and cy0 >= y0 and cx0 + size - 1 <= x1 and cy0 + size - 1 <= y1:
+            out.append((d0, d0 + size * size - 1))
+            return
+        half = size // 2
+        for q in range(4):
+            rx, ry = (0, 0) if q == 0 else (0, 1) if q == 1 else (1, 1) if q == 2 else (1, 0)
+            tx, ty = rx ^ cp, ry ^ cp
+            bx, by = (ty, tx) if sw else (tx, ty)
+            nry = ry ^ 1
+            rec(
+                cx0 + bx * half,
+                cy0 + by * half,
+                half,
+                sw ^ nry,
+                cp ^ (nry & rx),
+                d0 + q * half * half,
+            )
+
+    rec(0, 0, 1 << levels, 0, 0, 0)
+    out.sort()
+    # merge adjacent/overlapping
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    # S2-style budget: close the smallest gaps until under max_ranges
+    while len(merged) > max_ranges:
+        gaps = [
+            (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
+        ]
+        _, i = min(gaps)
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def hilbert_range_predicate(col: Column, ranges: list[tuple[int, int]]) -> Column:
+    """OR-of-BETWEENs over a Hilbert id column — plain comparisons, so
+    Catalyst pushes the whole disjunction into the parquet scan
+    (row-group min/max pruning on a hilbert-sorted table)."""
+    pred = None
+    for lo, hi in ranges:
+        term = col.between(F.lit(lo), F.lit(hi))
+        pred = term if pred is None else pred | term
+    return pred if pred is not None else F.lit(False)
+
+
+def sql_hilbert_range_predicate(expr: str, ranges: list[tuple[int, int]]) -> str:
+    if not ranges:
+        return "FALSE"
+    return "(" + " OR ".join(
+        f"({expr} BETWEEN {lo} AND {hi})" for lo, hi in ranges
+    ) + ")"

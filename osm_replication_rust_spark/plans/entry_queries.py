@@ -121,9 +121,25 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed probe bbox for the gated Hilbert range-cover columns: sits
+# inside the derived ±2.2° footprint band so both branches of the
+# cover predicate are exercised (rows in cells fully inside, in
+# boundary cells, and outside). The ranges are computed ONCE at module
+# import by the driver-side quadtree descent; both engines then
+# evaluate the identical OR-of-BETWEENs literals per row.
+_COVER_BBOX = (-9_000_000, -6_000_000, 14_000_000, 11_000_000)
+_COVER_RANGES = C.hilbert_ranges(*_COVER_BBOX, max_ranges=32)
+
+
 @register(
     "footprint_roundtrip",
-    C.sql_hilbert_wrap(
+    "SELECT *, "
+    + C.sql_hilbert_range_predicate("hil", _COVER_RANGES)
+    + " AS in_cover, "
+    + f"(lon BETWEEN {_COVER_BBOX[0]} AND {_COVER_BBOX[2]}"
+    + f" AND lat BETWEEN {_COVER_BBOX[1]} AND {_COVER_BBOX[3]}) AS in_bbox"
+    + " FROM ("
+    + C.sql_hilbert_wrap(
         f"""
     SELECT event_id,
            {C.sql_derived_lat('event_id')} AS lat,
@@ -144,7 +160,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         lat="lat",
         out="hil",
     )
-    + " ORDER BY event_id",
+    + ") ORDER BY event_id",
 )
 def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 + F3 + F3b: decimicro footprint <-> phash pack/unpack round
@@ -153,9 +169,13 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partitioning expression, the cell-id encode (the H3/S2 analog),
     the quadkey tile name (interleaved-bit interop id; string
     prefix = ancestor tile), the base32 geohash (exact integer
-    bisection; matches the published test vectors) and the Hilbert
+    bisection; matches the published test vectors), the Hilbert
     curve cell id (the S2 ordering — consecutive ids are 4-adjacent
-    cells, the locality property range-partitioning keys on) — every
+    cells, the locality property range-partitioning keys on) and the
+    S2-style RANGE COVER of a probe bbox (in_cover = the pushdown-able
+    OR-of-BETWEENs over the id; in_bbox = the exact test; the cover's
+    superset/completeness invariants are property-tested, this row
+    pins both engines' per-row evaluation) — every
     scalar geo codec checked PER ROW in one scan, whole-stage codegen.
     (Round 5: absorbed the former
     `shard_path` and `cell_encode`/`quadkey_encode` queries to keep the
@@ -184,6 +204,11 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.quadkey(lon2, lat2).alias("qk"),
         C.geohash(lon2, lat2).alias("gh"),
         "hil",
+        C.hilbert_range_predicate(F.col("hil"), _COVER_RANGES).alias("in_cover"),
+        (
+            F.col("lon").between(_COVER_BBOX[0], _COVER_BBOX[2])
+            & F.col("lat").between(_COVER_BBOX[1], _COVER_BBOX[3])
+        ).alias("in_bbox"),
     ).orderBy("event_id")
 
 

@@ -171,3 +171,54 @@ def test_hilbert_spark_matches_twin_and_adjacency(spark):
     for (d1, (x1, y1)), (d2, (x2, y2)) in zip(byd[:-1], byd[1:]):
         if d2 == d1 + 1:  # consecutive on the curve -> grid neighbors
             assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_range_predicate_pushes_down(spark, tmp_path):
+    """The cover's OR-of-BETWEENs is plain comparisons on one long
+    column, so it reaches the parquet scan as PushedFilters — the
+    row-group pruning a hilbert-sorted 100 TB table is laid out for."""
+    from pyspark.sql import functions as F
+
+    from osm_replication_rust_spark.functions.coords import (
+        hilbert_range_predicate,
+        hilbert_ranges,
+        with_hilbert,
+    )
+
+    rng = np.random.default_rng(31)
+    df = spark.createDataFrame(
+        [
+            {"i": i, "lon": int(a), "lat": int(b)}
+            for i, (a, b) in enumerate(
+                zip(
+                    rng.integers(-30_000_000, 30_000_000, 500),
+                    rng.integers(-30_000_000, 30_000_000, 500),
+                )
+            )
+        ]
+    )
+    path = str(tmp_path / "hsorted")
+    with_hilbert(df, F.col("lon"), F.col("lat")).repartitionByRange(
+        4, "hil"
+    ).sortWithinPartitions("hil").write.parquet(path)
+
+    bbox = (-9_000_000, -6_000_000, 14_000_000, 11_000_000)
+    ranges = hilbert_ranges(*bbox, max_ranges=8)
+    back = spark.read.parquet(path)
+    got = back.filter(hilbert_range_predicate(F.col("hil"), ranges))
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "PushedFilters: [" in plan and "hil" in plan.split("PushedFilters")[1][:200]
+
+    # semantics: cover-filter AND exact == exact
+    exact = back.filter(
+        F.col("lon").between(bbox[0], bbox[2]) & F.col("lat").between(bbox[1], bbox[3])
+    )
+    refined = got.filter(
+        F.col("lon").between(bbox[0], bbox[2]) & F.col("lat").between(bbox[1], bbox[3])
+    )
+    assert sorted(r["i"] for r in refined.collect()) == sorted(
+        r["i"] for r in exact.collect()
+    )
+    assert got.count() >= exact.count()

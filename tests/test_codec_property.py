@@ -182,3 +182,45 @@ def test_hilbert_consecutive_ids_are_adjacent_cells(d):
     # and the automaton round-trips both endpoints
     assert _auto_xy(x1, y1, 12) == d
     assert _auto_xy(x2, y2, 12) == d + 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=-1_700_000_000, max_value=1_600_000_000),
+    st.integers(min_value=-800_000_000, max_value=700_000_000),
+    st.integers(min_value=0, max_value=10),
+    st.integers(min_value=0, max_value=10),
+)
+def test_hilbert_ranges_cover_exactly(lon0, lat0, w_cells, h_cells):
+    """Unbudgeted cover == brute-force enumeration of every cell id in
+    the bbox; budgeted cover stays a superset within the range cap."""
+    from osm_replication_rust_spark.functions.coords import (
+        DEFAULT_RES,
+        cell_xy,
+        hilbert_ranges,
+        py_hilbert,
+    )
+
+    edge = 1 << DEFAULT_RES
+    bbox = (lon0, lat0, lon0 + w_cells * edge, lat0 + h_cells * edge)
+    ranges = hilbert_ranges(*bbox, max_ranges=10**9)
+    x0, y0 = cell_xy(bbox[0], bbox[1])
+    x1, y1 = cell_xy(bbox[2], bbox[3])
+    want = {
+        py_hilbert(cx * edge - 1_800_000_000, cy * edge - 900_000_000)
+        for cx in range(x0, x1 + 1)
+        for cy in range(y0, y1 + 1)
+    }
+    got = set()
+    for lo, hi in ranges:
+        got.update(range(lo, hi + 1))
+    assert got == want
+    # ranges are sorted, disjoint, non-adjacent (fully merged)
+    for (l1, h1), (l2, h2) in zip(ranges[:-1], ranges[1:]):
+        assert h1 + 1 < l2
+    budgeted = hilbert_ranges(*bbox, max_ranges=4)
+    assert len(budgeted) <= 4
+    got_b = set()
+    for lo, hi in budgeted:
+        got_b.update(range(lo, hi + 1))
+    assert got_b >= want
