@@ -247,3 +247,71 @@ def assign_regions(
             )
         )
     return full.unionByName(partial)
+
+
+def hilbert_region_ranges(
+    regions: list[MultiPolygon],
+    res: int = DEFAULT_RES,
+    buffer: int = 0,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Union of every region's (buffer-expanded) bbox Hilbert range
+    cover, merged and budget-capped once globally — the scan-prune
+    companion to ``assign_regions``. Superset by construction: every
+    cell the cover join can match lies inside some region's buffered
+    bbox, whose cover these ranges contain."""
+    from ..functions.coords import hilbert_ranges
+
+    raw: list[tuple[int, int]] = []
+    for mp in regions:
+        mnx, mny, mxx, mxy = mp.bbox
+        raw.extend(
+            hilbert_ranges(
+                mnx - buffer,
+                mny - buffer,
+                mxx + buffer,
+                mxy + buffer,
+                res=res,
+                max_ranges=max_ranges,
+            )
+        )
+    raw.sort()
+    merged: list[list[int]] = []
+    for lo, hi in raw:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        gaps = [(merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)]
+        _, i = min(gaps)
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def hilbert_prefilter(
+    points: DataFrame,
+    regions: list[MultiPolygon],
+    hil_col: str,
+    res: int = DEFAULT_RES,
+    buffer: int = BUFFER_DECIMICRO,
+    max_ranges: int = 64,
+) -> DataFrame:
+    """Scan-level spatial prune for a table that PERSISTS a Hilbert id
+    column (the layout ``functions/coords.with_hilbert`` +
+    ``repartitionByRange(hil).sortWithinPartitions(hil)`` writes): keep
+    only rows whose id falls in some region's cover range. The
+    predicate is an OR-of-BETWEENs on one long column, so Catalyst
+    pushes it into the parquet scan and min/max row-group pruning skips
+    the data no region can match BEFORE any decode, join or Python —
+    on a hilbert-clustered 100 TB table this is the difference between
+    scanning the planet and scanning the neighborhoods under the
+    regions. Strict superset of the cover join's matches (see
+    hilbert_region_ranges), so
+    ``assign_regions(hilbert_prefilter(df), ...)`` returns EXACTLY
+    ``assign_regions(df, ...)`` — asserted in test_spatial_join."""
+    from ..functions.coords import hilbert_range_predicate
+
+    ranges = hilbert_region_ranges(regions, res=res, buffer=buffer, max_ranges=max_ranges)
+    return points.filter(hilbert_range_predicate(F.col(hil_col), ranges))

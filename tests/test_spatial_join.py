@@ -104,3 +104,33 @@ def test_assign_regions_expr_strategy_matches_brute_force(spark, regions, images
     ).collect()
     got = {(r.image_id, r.region_id): (r.in_poly, r.in_buffer) for r in got_rows}
     assert got == brute_force(images_pdf, regions)
+
+
+def test_hilbert_prefilter_is_lossless_and_prunes(spark, regions, images_pdf):
+    """assign_regions(hilbert_prefilter(df)) == assign_regions(df): the
+    range cover is a strict superset of the cover join's matches, and
+    on this fixture it actually drops rows (the prune is real)."""
+    from osm_replication_rust_spark.functions.coords import with_hilbert
+    from osm_replication_rust_spark.operators.spatial_join import (
+        hilbert_prefilter,
+    )
+
+    df = spark.createDataFrame(images_pdf[["image_id", "phash"]]).select(
+        "image_id",
+        unpack_lat(F.col("phash")).alias("lat"),
+        unpack_lon(F.col("phash")).alias("lon"),
+    )
+    df = with_hilbert(df, F.col("lon"), F.col("lat"), out="hil").localCheckpoint()
+
+    pruned = hilbert_prefilter(df, regions, hil_col="hil", buffer=BUF)
+    n_all, n_kept = df.count(), pruned.count()
+    assert n_kept < n_all  # the prune removed far-away rows
+
+    def key(rows):
+        return {(r.image_id, r.region_id): (r.in_poly, r.in_buffer) for r in rows}
+
+    a = key(assign_regions(df, regions, keep_cols=["image_id"], buffer=BUF).collect())
+    b = key(
+        assign_regions(pruned, regions, keep_cols=["image_id"], buffer=BUF).collect()
+    )
+    assert a == b and len(a) > 0
