@@ -520,6 +520,54 @@ def cmd_bbox(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_cluster(spark: SparkSession, args) -> int:
+    """Rewrite a parquet table Hilbert-clustered: persist the curve id
+    and lay files out as disjoint, sorted id ranges
+    (repartitionByRange + sortWithinPartitions), the storage layout
+    ``operators/spatial_join.hilbert_prefilter`` prunes against. The
+    reference has no analog — its osmbin store is id-keyed
+    (/root/reference/src/osmbin.rs); this is the spatial-access-path
+    sibling a 100 TB tiling table needs: after clustering, a region
+    query's OR-of-BETWEENs skips whole files/row-groups by parquet
+    min/max before any decode or join."""
+    from .functions.coords import unpack_lat, unpack_lon, with_hilbert
+
+    df = spark.read.parquet(args.input)
+    if args.phash_col:
+        lon = unpack_lon(F.col(args.phash_col))
+        lat = unpack_lat(F.col(args.phash_col))
+    else:
+        lon, lat = F.col(args.lon_col), F.col(args.lat_col)
+    out = with_hilbert(df, lon, lat, out=args.hil_col)
+    (
+        out.repartitionByRange(args.files, F.col(args.hil_col))
+        .sortWithinPartitions(args.hil_col)
+        .write.mode("overwrite")
+        .parquet(args.output)
+    )
+    # clustering-quality report: per-file [min,max] id ranges must be
+    # disjoint (RangePartitioner keeps equal keys together), else the
+    # layout would not prune
+    back = spark.read.parquet(args.output)
+    stats = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min(args.hil_col).alias("lo"),
+            F.max(args.hil_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("lo")
+        .collect()
+    )
+    overlaps = sum(1 for a, b in zip(stats[:-1], stats[1:]) if b["lo"] <= a["hi"])
+    n_rows = sum(r["n"] for r in stats)
+    print(
+        f"clustered {n_rows} rows into {len(stats)} files "
+        f"({overlaps} overlapping id ranges)"
+    )
+    return 0 if overlaps == 0 else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m osm_replication_rust_spark",
@@ -584,6 +632,23 @@ def build_parser() -> argparse.ArgumentParser:
     bb.add_argument("input")
     bb.add_argument("output")
     bb.add_argument("--store", required=True)
+
+    cl = sub.add_parser(
+        "cluster",
+        help="rewrite a parquet table hilbert-clustered (disjoint sorted "
+        "curve-id file ranges for scan pruning)",
+    )
+    cl.add_argument("input")
+    cl.add_argument("output")
+    cl.add_argument("--lon-col", default="lon")
+    cl.add_argument("--lat-col", default="lat")
+    cl.add_argument(
+        "--phash-col",
+        default=None,
+        help="unpack lon/lat from this packed footprint column instead",
+    )
+    cl.add_argument("--hil-col", default="hil")
+    cl.add_argument("--files", type=int, default=32)
     return p
 
 
@@ -599,6 +664,7 @@ def main(argv: list[str] | None = None) -> int:
         "check": cmd_check,
         "filter": cmd_filter,
         "bbox": cmd_bbox,
+        "cluster": cmd_cluster,
     }[args.cmd](spark, args)
 
 

@@ -410,3 +410,55 @@ def test_cli_update_diffs_url_fetch(spark, tmp_path):
         for r in cur.filter(F.col("image_id") == "n2619283348").collect()
     }
     assert got.get("n2619283348") == 181085101
+
+
+def test_cli_cluster_hilbert_layout(spark, tmp_path, capsys):
+    """`cluster` rewrites a table hilbert-clustered: the persisted
+    curve id is bit-identical to the driver-side twin, per-file id
+    ranges are disjoint (the command's own report, rc 0), and the
+    packed-footprint unpack path produces the same ids as raw
+    lon/lat columns."""
+    from osm_replication_rust_spark.functions.coords import (
+        LAT_OFFSET,
+        LON_OFFSET,
+        PHASH_LON_BASE,
+        py_hilbert,
+    )
+
+    rows = [
+        (
+            i,
+            (i * 2654435761) % 3_600_000_000 - 1_800_000_000,
+            (i * 40503) % 1_800_000_000 - 900_000_000,
+        )
+        for i in range(2000)
+    ]
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(rows, "id long, lon long, lat long").coalesce(
+        4
+    ).write.parquet(src)
+
+    dst = str(tmp_path / "clustered.parquet")
+    assert cli.main(["cluster", src, dst, "--files", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "0 overlapping id ranges" in out
+
+    back = spark.read.parquet(dst)
+    got = {r.id: r.hil for r in back.collect()}
+    assert len(got) == len(rows)
+    for i, lon, lat in rows[:200]:
+        assert got[i] == py_hilbert(lon, lat), (i, lon, lat)
+
+    # packed-footprint input path: same ids from a phash column
+    packed = [
+        (i, (lat + LAT_OFFSET) * PHASH_LON_BASE + (lon + LON_OFFSET))
+        for i, lon, lat in rows
+    ]
+    src2 = str(tmp_path / "src2.parquet")
+    spark.createDataFrame(packed, "id long, phash long").write.parquet(src2)
+    dst2 = str(tmp_path / "clustered2.parquet")
+    assert cli.main(
+        ["cluster", src2, dst2, "--phash-col", "phash", "--files", "8"]
+    ) == 0
+    got2 = {r.id: r.hil for r in spark.read.parquet(dst2).collect()}
+    assert got2 == got
