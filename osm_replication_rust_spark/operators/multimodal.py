@@ -300,3 +300,80 @@ def dhash_stage(df: DataFrame, bytes_col: str = "bytes", out_col: str = "dhash")
             yield pdf.assign(**{out_col: out})
 
     return df.mapInPandas(stage, out_schema)
+
+
+def patchify_stage(
+    df: DataFrame,
+    patch: int = 8,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """ViT-style non-overlapping patch extraction: one output row per
+    ``patch x patch`` pixel tile of every image — (id, patch_row,
+    patch_col, patch_bytes, p_sum, p_min, p_max). Images are cropped to
+    the largest multiple of ``patch`` on each axis (the standard
+    patchify contract; resize_stage first if you need cover-all).
+
+    Map-only (no shuffle): each Arrow batch explodes in place, so a
+    1000-executor run patchifies 100 TB with zero data movement and the
+    output is already partitioned like the input. Only ``id_col`` is
+    carried through — a patch row that duplicated the caption and
+    metadata of its parent would multiply the corpus by the patch
+    count; join back on the id when a downstream stage needs them.
+    Per equal-shape group the whole batch reshapes as ONE numpy
+    (n, rows, cols, patch, patch) view — no per-pixel Python; the
+    integer stats travel with each patch so downstream filters (blank /
+    saturated tile drops) run JVM-side without re-decoding."""
+    if patch <= 0:
+        raise ValueError(f"patch must be positive, got {patch}")
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, patch_row int, patch_col int, "
+        "patch_bytes binary, p_sum bigint, p_min int, p_max int"
+    )
+    p = patch
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=object)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            parts: list[pd.DataFrame] = []
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                rows, cols = h // p, w // p
+                if rows == 0 or cols == 0:
+                    continue  # image smaller than one patch: no tiles
+                px = _decode_stack(list(payloads[ii]), L, w, h)
+                n = len(ii)
+                # crop to (rows*p, cols*p), then tile: the reshape/
+                # transpose pair is the standard ViT patchify einop
+                tiles = (
+                    px.reshape(n, h, w)[:, : rows * p, : cols * p]
+                    .reshape(n, rows, p, cols, p)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(n, rows * cols, p * p)
+                )
+                s = tiles.sum(axis=2, dtype=np.int64)
+                lo = tiles.min(axis=2)
+                hi = tiles.max(axis=2)
+                flat = tiles.reshape(n * rows * cols, p * p)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(ids[ii], rows * cols),
+                            "patch_row": np.tile(
+                                np.repeat(np.arange(rows, dtype=np.int32), cols), n
+                            ),
+                            "patch_col": np.tile(
+                                np.arange(cols, dtype=np.int32), rows * n
+                            ),
+                            "patch_bytes": [r.tobytes() for r in flat],
+                            "p_sum": s.reshape(-1),
+                            "p_min": lo.reshape(-1).astype(np.int32),
+                            "p_max": hi.reshape(-1).astype(np.int32),
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return df.mapInPandas(stage, out_schema)

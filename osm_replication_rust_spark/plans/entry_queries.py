@@ -1326,11 +1326,16 @@ def ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_oracle() -> str:
-    """DuckDB twin of decode_stats over the deterministic fake codec:
-    pixel k of image i is (k*1103515245 + i*12345 + 7) % 251 (the LCG
-    datagen.synth.gen_images writes into the binary payload), so the
-    per-image stats are computable from first principles — only
-    (image_id, w, h, i) metadata is emitted as literals."""
+    """DuckDB twin of decode_stats + patchify_stage over the
+    deterministic fake codec: pixel k of image i is
+    (k*1103515245 + i*12345 + 7) % 251 (the LCG datagen.synth.gen_images
+    writes into the binary payload), so both the per-image stats and the
+    per-patch (8x8 tile) aggregates are computable from first principles
+    — only (image_id, w, h, i) metadata is emitted as literals. The
+    patch checksums weight every tile's sum/min by its grid position
+    (pr*1024 + pc + 1), so a patch landing at the wrong (row, col) —
+    a transpose bug, an off-by-one crop — breaks the hash even when the
+    pixel multiset is right."""
     from ..datagen.synth import gen_images
 
     images = gen_images(500, seed=42)
@@ -1338,34 +1343,68 @@ def _multimodal_oracle() -> str:
         f"('{r.image_id}', {r.w}, {r.h}, {i})"
         for i, r in enumerate(images.itertuples())
     )
-    px = "CAST((k * 1103515245 + i * 12345 + 7) % 251 AS BIGINT)"
+    pxv = "CAST((k * 1103515245 + i * 12345 + 7) % 251 AS BIGINT)"
     return f"""
     WITH meta(image_id, w, h, i) AS (VALUES
       {meta}
+    ),
+    px AS (
+      SELECT image_id, w, h, k // w AS r, k % w AS c, {pxv} AS v
+      FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
+    ),
+    stats AS (
+      SELECT image_id,
+             avg(CAST(v AS DOUBLE)) AS pix_mean,
+             max(v) AS pix_max,
+             min(v) AS pix_min
+      FROM px
+      GROUP BY image_id
+    ),
+    patches AS (
+      SELECT image_id, r // 8 AS pr, c // 8 AS pc,
+             SUM(v) AS p_sum, MIN(v) AS p_min
+      FROM px
+      WHERE r < (h // 8) * 8 AND c < (w // 8) * 8
+      GROUP BY image_id, r // 8, c // 8
+    ),
+    pagg AS (
+      SELECT image_id,
+             CAST(COUNT(*) AS BIGINT) AS n_patches,
+             CAST(SUM((pr * 1024 + pc + 1) * p_sum) AS BIGINT) AS patch_sum_check,
+             CAST(SUM((pr * 1024 + pc + 1) * p_min) AS BIGINT) AS patch_min_check
+      FROM patches
+      GROUP BY image_id
     )
-    SELECT image_id,
-           avg(CAST({px} AS DOUBLE)) AS pix_mean,
-           max({px}) AS pix_max,
-           min({px}) AS pix_min
-    FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
-    GROUP BY image_id
-    ORDER BY image_id
+    SELECT s.image_id, s.pix_mean, s.pix_max, s.pix_min,
+           p.n_patches, p.patch_sum_check, p.patch_min_check
+    FROM stats s JOIN pagg p USING (image_id)
+    ORDER BY s.image_id
     """
 
 
 @register("multimodal_decode_stats", _multimodal_oracle())
 def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + per-image stats through mapInPandas (codec
-    stubbed; plumbing and batch shape real). Input synthesized
-    deterministically (the driver star schema has no binary column);
-    the oracle recomputes the fake-codec pixels in SQL."""
+    stubbed; plumbing and batch shape real) joined with ViT-style 8x8
+    patch extraction: patchify_stage explodes each image into
+    position-keyed tiles map-side, and the gate aggregates them back to
+    position-weighted checksums per image so every tile's placement and
+    content is oracle-verified. Input synthesized deterministically (the
+    driver star schema has no binary column); the oracle recomputes the
+    fake-codec pixels AND the patch grid in SQL."""
     from ..datagen.synth import gen_images
-    from ..operators.multimodal import decode_stats
+    from ..operators.multimodal import decode_stats, patchify_stage
 
     imgs = spark.createDataFrame(gen_images(500, seed=42))
-    return decode_stats(imgs).select(
-        "image_id", "pix_mean", "pix_max", "pix_min"
-    ).orderBy("image_id")
+    stats = decode_stats(imgs).select("image_id", "pix_mean", "pix_max", "pix_min")
+    pat = patchify_stage(imgs.select("image_id", "bytes", "w", "h"), patch=8)
+    wgt = F.col("patch_row").cast("long") * 1024 + F.col("patch_col") + 1
+    pagg = pat.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_patches"),
+        F.sum(wgt * F.col("p_sum")).alias("patch_sum_check"),
+        F.sum(wgt * F.col("p_min").cast("long")).alias("patch_min_check"),
+    )
+    return stats.join(pagg, "image_id").orderBy("image_id")
 
 
 def _group_bbox_oracle() -> str:

@@ -232,3 +232,66 @@ def test_dhash_matches_reference_and_resize_invariant(spark, imgs):
         .collect()
     }
     assert resized == got and len(got) > 0
+
+
+def test_patchify_matches_numpy_reference(spark, imgs):
+    """Every patch row's bytes, position and stats equal the direct
+    numpy tiling of the fake-decoded image."""
+    from osm_replication_rust_spark.operators.multimodal import patchify_stage
+
+    sample = imgs.select("image_id", "bytes", "w", "h").limit(40)
+    meta = {r.image_id: (bytes(r.bytes), r.w, r.h) for r in sample.collect()}
+    got = {}
+    for r in patchify_stage(sample, patch=8).collect():
+        got[(r.image_id, r.patch_row, r.patch_col)] = (
+            bytes(r.patch_bytes),
+            r.p_sum,
+            r.p_min,
+            r.p_max,
+        )
+
+    p = 8
+    expect_keys = set()
+    for iid, (payload, w, h) in meta.items():
+        px = fake_decode(payload, w, h)
+        for pr in range(h // p):
+            for pc in range(w // p):
+                tile = px[pr * p : (pr + 1) * p, pc * p : (pc + 1) * p]
+                expect_keys.add((iid, pr, pc))
+                b, s, lo, hi = got[(iid, pr, pc)]
+                assert b == tile.tobytes(), (iid, pr, pc)
+                assert s == int(tile.sum(dtype=np.int64))
+                assert lo == int(tile.min()) and hi == int(tile.max())
+    assert set(got) == expect_keys
+
+
+def test_patchify_crops_and_reassembles(spark):
+    """Non-divisible dims crop to the largest patch multiple; stitching
+    the patches back in (patch_row, patch_col) order reproduces exactly
+    the cropped image. Images smaller than one patch emit no rows."""
+    from osm_replication_rust_spark.operators.multimodal import patchify_stage
+
+    rows = [
+        ("a", bytes(range(11 * 7)), 11, 7),   # crops to 8x4 with p=4
+        ("b", bytes(range(4 * 4)), 4, 4),     # exactly one patch
+        ("c", bytes(range(3 * 3)), 3, 3),     # smaller than a patch: none
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    out = patchify_stage(df, patch=4).collect()
+    by_img = {}
+    for r in out:
+        by_img.setdefault(r.image_id, {})[(r.patch_row, r.patch_col)] = bytes(
+            r.patch_bytes
+        )
+    assert "c" not in by_img
+    assert set(by_img["b"]) == {(0, 0)}
+    assert by_img["b"][(0, 0)] == bytes(range(16))
+
+    px = fake_decode(bytes(range(11 * 7)), 11, 7)
+    assert set(by_img["a"]) == {(0, 0), (0, 1)}
+    stitched = np.zeros((4, 8), dtype=np.uint8)
+    for (pr, pc), b in by_img["a"].items():
+        stitched[pr * 4 : (pr + 1) * 4, pc * 4 : (pc + 1) * 4] = np.frombuffer(
+            b, dtype=np.uint8
+        ).reshape(4, 4)
+    assert (stitched == px[:4, :8]).all()
