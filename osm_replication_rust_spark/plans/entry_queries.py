@@ -835,27 +835,47 @@ _fill_text_oracles()
 # windows / top-k / set ops over the star schema
 # ---------------------------------------------------------------------------
 
-@register(
-    "topk_per_group",
-    """
-    SELECT user_id, event_id, value, rnk FROM (
+def _topk_oracle() -> str:
+    from ..operators.sketch import sql_cms_estimate
+
+    est = sql_cms_estimate(
+        "events", "user_id", depth=4, width=1024,
+        est_col="user_cnt_est", key_alias="user_id",
+    )
+    return f"""
+    WITH est AS ({est})
+    SELECT t.user_id, t.event_id, t.value, t.rnk, e.user_cnt_est FROM (
       SELECT user_id, event_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
       FROM events
-    ) WHERE rnk <= 3
-    ORDER BY user_id, rnk
-    """,
-)
+    ) t JOIN est e USING (user_id)
+    WHERE t.rnk <= 3
+    ORDER BY t.user_id, t.rnk
+    """
+
+
+@register("topk_per_group", _topk_oracle())
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window top-k (§2.6): top-3 events by value per user."""
+    """Window top-k (§2.6): top-3 events by value per user, annotated
+    with the count-min-sketch estimate of the user's event count
+    (operators/sketch.py — bounded d*w aggregation state however
+    skewed user_id is; md5-shared slot hashes, so the oracle rebuilds
+    every counter and estimate bit-for-bit)."""
+    from ..operators.sketch import cms_build, cms_estimate
+
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
-    return (
+    top = (
         ev.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("user_id", "event_id", "value", "rnk")
-        .orderBy("user_id", "rnk")
     )
+    sk = cms_build(ev, "user_id", depth=4, width=1024)
+    est = cms_estimate(
+        ev.select("user_id").distinct(), sk, "user_id",
+        depth=4, width=1024, out_col="user_cnt_est",
+    )
+    return top.join(est, "user_id").orderBy("user_id", "rnk")
 
 
 @register(
