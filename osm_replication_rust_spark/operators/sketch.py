@@ -158,3 +158,161 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
     return exact.filter(F.col("exact_cnt") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (same cross-engine determinism rules:
+# md5-shared hash, exact-integer register arithmetic, one final IEEE
+# division spelled identically in both engines)
+# ---------------------------------------------------------------------------
+
+
+def _check_hll_p(p: int) -> None:
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll precision p must be in [4, 16], got {p}")
+
+
+def _hll_scale_bits(p: int) -> int:
+    """2^-M_j is carried as the exact integer 2^s >> M_j. s = 62 - p
+    keeps the worst-case denominator (every one of the 2^p buckets
+    contributing the full 2^s) at 2^62 — inside int64 for BOTH engines,
+    no decimal/hugeint divergence to reconcile. Registers above s
+    truncate to 0 identically in both engines (a register > 54 needs
+    ~2^-54-probability hash prefixes; the estimate deviation is below
+    double resolution)."""
+    return 62 - p
+
+
+def hll_alpha_numerator(p: int) -> float:
+    """alpha_m * m^2 * 2^s as ONE double literal, precomputed driver-
+    side and injected into BOTH engines, so the estimate is a single
+    identical IEEE division of this constant by the exact-integer
+    scaled denominator."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m * float(1 << _hll_scale_bits(p))
+
+
+def hll_rank_cols(key: Column, p: int) -> tuple[Column, Column]:
+    """(bucket, rank) for a key: bucket = low p bits of the shared md5
+    hash; rank = leading-zero count of the remaining (64-p)-bit window
+    plus one. The bit length comes from a shift-smear + bit_count —
+    exact integer ops both engines share — never floor(log2(x)), whose
+    FP misrounding at powers of two would desynchronize the engines."""
+    _check_hll_p(p)
+    h = h64_md5(key.cast("string"))
+    bucket = h.bitwiseAND(F.lit((1 << p) - 1))
+    s = F.shiftrightunsigned(h, p)
+    for b in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftrightunsigned(s, b))
+    rank = F.lit(64 - p + 1) - F.bit_count(s)
+    return bucket, rank
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, p: int = 8, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-(group, bucket) max-rank registers: at most 2^p rows per
+    group, whatever the key cardinality — the distributed-distinct
+    state bound. max() re-aggregates, so rollup levels, merged
+    partitions and unioned corpora combine registers with another max
+    (the sketch-union property): count day+day by unioning register
+    tables, never re-reading rows."""
+    bucket, rank = hll_rank_cols(F.col(key_col), p)
+    gb = list(group_cols or [])
+    return (
+        df.select(*gb, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*gb, "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    p: int = 8,
+    group_cols: list[str] | None = None,
+    out_col: str = "hll_est",
+) -> DataFrame:
+    """Raw HLL estimate per group from register rows: denominator
+    SUM(2^s >> reg) + (m - buckets_present) * 2^s is exact int64; the
+    estimate is one double division by the precomputed alpha numerator.
+    (Raw estimate only — the linear-counting small-range correction
+    needs ln(), whose last-ulp behavior the engines don't contract on;
+    callers counting < 2.5*m distincts should read the zero-bucket
+    count from the registers and correct driver-side.)"""
+    _check_hll_p(p)
+    m = 1 << p
+    scale = 1 << _hll_scale_bits(p)
+    gb = list(group_cols or [])
+    # python-API shiftrightunsigned takes a literal count; the SQL form
+    # shifts by a column
+    denom = F.sum(F.expr(f"shiftrightunsigned({scale}L, reg)")) + (
+        F.lit(m) - F.count(F.lit(1))
+    ) * F.lit(scale)
+    return regs.groupBy(*gb).agg(
+        (F.lit(hll_alpha_numerator(p)) / denom.cast("double")).alias(out_col)
+    )
+
+
+def sql_hll_registers(
+    table: str,
+    key_expr: str,
+    p: int = 8,
+    group_exprs: list[str] | None = None,
+) -> str:
+    """DuckDB twin of hll_registers: a SELECT of
+    (group..., bucket, reg) — composable, so callers can re-aggregate
+    registers across levels (MAX per bucket) exactly like the Spark
+    side before estimating."""
+    _check_hll_p(p)
+    m = 1 << p
+    gb = list(group_exprs or [])
+    u = f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 16))::UBIGINT)"
+    smear = f"CAST(({u} // {1 << p}) AS BIGINT)"
+    for b in (1, 2, 4, 8, 16, 32):
+        smear = f"({smear} | ({smear} >> {b}))"
+    gsel = "".join(f"{g}, " for g in gb)
+    gby = "GROUP BY " + ", ".join([*gb, "bucket"])
+    return f"""
+      SELECT {gsel}bucket, MAX(reg0) AS reg
+      FROM (
+        SELECT {gsel}CAST({u} % {m} AS BIGINT) AS bucket,
+               {64 - p + 1} - bit_count({smear}) AS reg0
+        FROM {table}
+      ) ranks
+      {gby}
+    """
+
+
+def sql_hll_est_expr(p: int = 8) -> str:
+    """The estimate as an aggregate expression over (bucket, reg) rows
+    — SUM/COUNT denominator + the one shared division."""
+    _check_hll_p(p)
+    m = 1 << p
+    sb = _hll_scale_bits(p)
+    return (
+        f"CAST({hll_alpha_numerator(p)!r} AS DOUBLE) / "
+        f"CAST(SUM({1 << sb} >> reg) + ({m} - COUNT(*)) * {1 << sb} AS DOUBLE)"
+    )
+
+
+def sql_hll_estimate(
+    table: str,
+    key_expr: str,
+    p: int = 8,
+    group_exprs: list[str] | None = None,
+    est_col: str = "hll_est",
+) -> str:
+    """DuckDB twin of hll_registers |> hll_estimate over ``table``:
+    identical hash, smear, integer denominator and single division.
+    Returns a SELECT of (group..., est_col)."""
+    gb = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in gb)
+    outer_gby = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    return f"""
+    SELECT {gsel}{sql_hll_est_expr(p)} AS {est_col}
+    FROM (
+      {sql_hll_registers(table, key_expr, p, gb)}
+    ) regs
+    {outer_gby}
+    """

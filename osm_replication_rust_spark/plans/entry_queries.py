@@ -2414,23 +2414,56 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "session_id").orderBy("user_id", "event_id")
 
 
-@register(
-    "rollup_revenue",
+def _rollup_oracle() -> str:
+    from ..operators.sketch import sql_hll_est_expr, sql_hll_registers
+
+    regs0 = sql_hll_registers(
+        "lineitem", "l_orderkey", p=8, group_exprs=["l_returnflag", "l_linestatus"]
+    )
+    est = sql_hll_est_expr(p=8)
+    return f"""
+    WITH regs0 AS (
+      {regs0}
+    ),
+    regs AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls, bucket, reg FROM regs0
+      UNION ALL
+      SELECT l_returnflag, 'ALL', bucket, MAX(reg)
+      FROM regs0 GROUP BY l_returnflag, bucket
+      UNION ALL
+      SELECT 'ALL', 'ALL', bucket, MAX(reg) FROM regs0 GROUP BY bucket
+    ),
+    est AS (
+      SELECT rf, ls, {est} AS orders_hll_est FROM regs GROUP BY rf, ls
+    )
+    SELECT r.rf, r.ls, r.revenue, r.n, r.lvl, e.orders_hll_est FROM (
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue,
+             count(*) AS n,
+             grouping(l_returnflag) + grouping(l_linestatus) AS lvl
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ) r
+    JOIN est e USING (rf, ls)
+    ORDER BY r.lvl, r.rf, r.ls
     """
-    SELECT coalesce(l_returnflag, 'ALL') AS rf,
-           coalesce(l_linestatus, 'ALL') AS ls,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
-           count(*) AS n,
-           grouping(l_returnflag) + grouping(l_linestatus) AS lvl
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY lvl, rf, ls
-    """,
-)
+
+
+@register("rollup_revenue", _rollup_oracle())
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-set rollup with grouping() level markers."""
+    """Grouping-set rollup with grouping() level markers, annotated
+    with the HyperLogLog distinct-orderkey estimate per rollup group
+    (operators/sketch.py): registers build ONCE at the finest level
+    and every coarser level re-aggregates them with MAX — the
+    sketch-union property, computed the way a 100 TB cube would
+    (2^p-bounded state per group, never re-reading rows per level).
+    md5-shared hashing + exact-integer denominators make the estimate
+    bit-identical in the DuckDB oracle."""
+    from ..operators.sketch import hll_estimate, hll_registers
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    roll = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -2444,8 +2477,38 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "lvl",
         )
-        .orderBy("lvl", "rf", "ls")
     )
+    fine = hll_registers(
+        li, "l_orderkey", p=8, group_cols=["l_returnflag", "l_linestatus"]
+    )
+    lvl0 = fine.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        "bucket",
+        "reg",
+    )
+    lvl1 = (
+        fine.groupBy("l_returnflag", "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.lit("ALL").alias("ls"),
+            "bucket",
+            "reg",
+        )
+    )
+    lvl2 = (
+        fine.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("ALL").alias("rf"), F.lit("ALL").alias("ls"), "bucket", "reg")
+    )
+    est = hll_estimate(
+        lvl0.unionByName(lvl1).unionByName(lvl2),
+        p=8,
+        group_cols=["rf", "ls"],
+        out_col="orders_hll_est",
+    )
+    return roll.join(est, ["rf", "ls"]).orderBy("lvl", "rf", "ls")
 
 
 #: centroid vec_ids for the oracle-checked IVF entry: data vectors

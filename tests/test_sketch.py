@@ -101,3 +101,91 @@ def test_estimate_parity_with_duckdb_twin(spark, keyed):
         for r in cms_estimate(keyed.select("k").distinct(), sk, "k", 4, 256).collect()
     }
     assert got == duck
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hll_df(spark):
+    # 3 groups with distinct-key counts 2500 / 1250 / 834
+    rows = [(i, f"g{i % 3}") for i in range(2500)] + [
+        (i, "g0") for i in range(2500)  # g0 keys repeated: distincts unchanged
+    ]
+    return spark.createDataFrame(rows, "k long, g string").repartition(8).persist()
+
+
+def test_hll_estimate_accuracy_and_state_bound(spark, hll_df):
+    from osm_replication_rust_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    regs = hll_registers(hll_df, "k", p=8, group_cols=["g"]).persist()
+    # state bound: <= 2^p register rows per group
+    per_g = {r.g: r.c for r in regs.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert all(c <= 256 for c in per_g.values())
+
+    est = {r.g: r.hll_est for r in hll_estimate(regs, p=8, group_cols=["g"]).collect()}
+    true = {
+        r.g: r.c
+        for r in hll_df.groupBy("g")
+        .agg(F.countDistinct("k").alias("c"))
+        .collect()
+    }
+    for g, t in true.items():
+        assert abs(est[g] - t) / t < 0.25, (g, est[g], t)  # ~4 sigma at p=8
+
+
+def test_hll_register_union_property(spark, hll_df):
+    """Registers of a union == MAX-merge of the parts' registers —
+    the property that lets a cube (or day+day) reuse fine registers."""
+    from osm_replication_rust_spark.operators.sketch import hll_registers
+
+    fine = hll_registers(hll_df, "k", p=8, group_cols=["g"])
+    merged = {
+        r.bucket: r.reg
+        for r in fine.groupBy("bucket").agg(F.max("reg").alias("reg")).collect()
+    }
+    direct = {
+        r.bucket: r.reg for r in hll_registers(hll_df, "k", p=8).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_parity_with_duckdb(spark, hll_df):
+    from osm_replication_rust_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+        sql_hll_estimate,
+    )
+
+    con = duckdb.connect()
+    con.register("t", hll_df.toPandas())
+    duck = {
+        g: e
+        for g, e in con.execute(
+            sql_hll_estimate("t", "k", p=8, group_exprs=["g"])
+        ).fetchall()
+    }
+    got = {
+        r.g: r.hll_est
+        for r in hll_estimate(
+            hll_registers(hll_df, "k", p=8, group_cols=["g"]), p=8, group_cols=["g"]
+        ).collect()
+    }
+    assert got == duck  # bit-identical doubles, not approximately equal
+
+
+def test_hll_p_validation(spark, hll_df):
+    from osm_replication_rust_spark.operators.sketch import (
+        hll_registers,
+        sql_hll_estimate,
+    )
+
+    with pytest.raises(ValueError, match=r"\[4, 16\]"):
+        hll_registers(hll_df, "k", p=2)
+    with pytest.raises(ValueError, match=r"\[4, 16\]"):
+        sql_hll_estimate("t", "k", p=20)
