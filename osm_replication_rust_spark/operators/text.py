@@ -297,3 +297,105 @@ def sql_fingerprint(text: str) -> str:
         f"WHEN {fold} >= {_U64 // 2} THEN ({fold} - {_U64})::BIGINT "
         f"ELSE ({fold})::BIGINT END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval scoring (Okapi BM25)
+# ---------------------------------------------------------------------------
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed bag of
+    query terms — the relevance-weighted selection step of a training-
+    data pipeline (and the scoring core of retrieval over the corpus).
+
+    Scale shape: the tokenize+explode is map-side and the filter keeps
+    ONLY query-term hits, so the one per-(doc, term) shuffle carries
+    |Q|-bounded rows per doc, not the corpus vocabulary; document
+    frequencies and corpus stats (N, avgdl) are tiny aggregates that
+    broadcast back. Docs with no query-term hit produce no row —
+    callers left-join + coalesce(0.0).
+
+    Tokenization is the engine-shared whitespace split (lowercased);
+    ln() may differ from DuckDB's by an ulp, which the oracle's
+    9-significant-digit compare absorbs (unlike the sketch operators,
+    which contract bit-equality via integer arithmetic)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("__bm_id"),
+        token_count(F.col(text_col)).alias("dl"),
+        toks.alias("toks"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    hits = base.select("__bm_id", "dl", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(list(query_terms))
+    )
+    tf = hits.groupBy("__bm_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    # tf has one row per (doc, term), so counting rows per term IS the
+    # document frequency
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    sc = tf.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        sc.groupBy("__bm_id")
+        .agg(F.sum(score).alias("bm25"))
+        .select(F.col("__bm_id").alias(id_col), "bm25")
+    )
+
+
+def sql_bm25(
+    id_out: str = "doc_id",
+    query_terms: tuple[str, ...] = (),
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of bm25_scores over the ``documents`` view: same
+    tokenization (shared \\s charset), same formula spelling. Returns a
+    SELECT of (id_out, bm25)."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    ntok = sql_token_count("text")
+    return f"""
+      WITH bm_toks AS (
+        SELECT doc_id, {ntok} AS dl,
+               unnest(string_split_regex(trim(lower(text)), '{SQL_WS}')) AS term
+        FROM documents
+      ),
+      bm_stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(CAST({ntok} AS DOUBLE)) AS avgdl
+        FROM documents
+      ),
+      bm_tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+        FROM bm_toks WHERE term IN ({terms})
+        GROUP BY doc_id, term
+      ),
+      bm_dfs AS (SELECT term, COUNT(*) AS dft FROM bm_tf GROUP BY term)
+      SELECT t.doc_id AS {id_out},
+             SUM(
+               ln((s.n_docs - d.dft + 0.5) / (d.dft + 0.5) + 1.0)
+               * (t.tf * {k1 + 1!r})
+               / (t.tf + {k1!r} * ({1 - b!r} + {b!r} * t.dl / s.avgdl))
+             ) AS bm25
+      FROM bm_tf t
+      JOIN bm_dfs d USING (term)
+      CROSS JOIN bm_stats s
+      GROUP BY t.doc_id
+    """

@@ -658,18 +658,24 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the fixed relevance query for the pipeline's BM25 selection column
+_BM25_QUERY = ("fast", "vector", "scan", "merge")
+
+
 @register(
     "pretrain_filter_pipeline",
     None,  # filled below: composed from the shared text-op SQL generators
 )
 def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone training-data pipeline: quality-filter + language gate +
-    exact-dedup keeper selection composed into ONE declarative plan —
-    what a pretraining ingestion job actually runs. Survivors = docs
-    with enough tokens, sane mean token length, some stopword mass,
-    predicted 'en', and that are their duplicate group's keeper."""
+    exact-dedup keeper selection + BM25 relevance scoring composed into
+    ONE declarative plan — what a pretraining ingestion job actually
+    runs. Survivors = docs with enough tokens, sane mean token length,
+    some stopword mass, predicted 'en', and that are their duplicate
+    group's keeper; each carries its Okapi BM25 score against the fixed
+    seed query (relevance-weighted sampling weight; 0.0 = no hit)."""
     from ..operators.dedup import exact_duplicates
-    from ..operators.text import lang_score, quality_features
+    from ..operators.text import bm25_scores, lang_score, quality_features
 
     d = _t(spark, sf_dir, "documents")
     q = quality_features(d, "text", "doc_id")
@@ -688,9 +694,14 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("keeper_id"))
         .select("doc_id")
     )
+    bm = bm25_scores(d, "text", "doc_id", _BM25_QUERY)
     return (
         keep_q.join(keep_lang, "doc_id", "left_semi")
         .join(losers, "doc_id", "left_anti")
+        .join(bm, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", F.coalesce("bm25", F.lit(0.0)).alias("bm25_q")
+        )
         .orderBy("doc_id")
     )
 
@@ -698,10 +709,13 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fill_pipeline_oracle() -> None:
     from ..operators.text import (
         LANG_MARKERS as markers,
+        sql_bm25,
         sql_occurrences,
         sql_stopword_hits,
         sql_token_count,
     )
+
+    bm25 = sql_bm25(id_out="doc_id", query_terms=_BM25_QUERY)
 
     ntok = sql_token_count("text")
     padded = "(' ' || text || ' ')"
@@ -734,8 +748,11 @@ def _fill_pipeline_oracle() -> None:
       SELECT d.doc_id FROM documents d
       JOIN keepers k ON k.text = d.text
       WHERE k.n > 1 AND d.doc_id <> k.keeper_id
+    ),
+    bm AS ({bm25}
     )
-    SELECT q.doc_id, q.n_tokens FROM q
+    SELECT q.doc_id, q.n_tokens, COALESCE(bm.bm25, 0.0) AS bm25_q FROM q
+    LEFT JOIN bm ON bm.doc_id = q.doc_id
     WHERE q.n_tokens >= 10 AND q.mean_tok_len BETWEEN 3 AND 12 AND q.swr > 0
       AND q.doc_id IN (SELECT doc_id FROM lang)
       AND q.doc_id NOT IN (SELECT doc_id FROM losers)

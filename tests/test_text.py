@@ -184,3 +184,39 @@ def test_winnow_chunking_with_outlier_doc(spark, monkeypatch):
             got[int(i)] = sorted(S[r, keep[r]].tolist()) if S.shape[1] else []
     for i in range(len(texts)):
         assert got.get(i, []) == hof[i], i
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_scores equals a from-scratch python BM25 on a toy corpus;
+    docs without any query term produce no row."""
+    import math
+
+    from osm_replication_rust_spark.operators.text import bm25_scores
+
+    corpus = [
+        (0, "fast scan fast merge table"),
+        (1, "slow seq join"),
+        (2, "fast fast fast fast"),
+        (3, "merge sort merge sort scan"),
+        (4, ""),
+    ]
+    q = ("fast", "merge")
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, "text", "doc_id", q).collect()}
+    assert set(got) == {0, 2, 3}  # 1 and 4 have no query-term hits
+
+    k1, b = 1.2, 0.75
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dft = {t: sum(1 for d in docs.values() if t in d) for t in q}
+    for i, toks in docs.items():
+        s = 0.0
+        for t in q:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log((n - dft[t] + 0.5) / (dft[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if i in got:
+            assert abs(got[i] - s) < 1e-12, (i, got[i], s)
