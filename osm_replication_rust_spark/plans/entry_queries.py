@@ -887,12 +887,13 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("user_id", "event_id", "value", "rnk")
     )
-    sk = cms_build(ev, "user_id", depth=4, width=1024)
+    evk = ev.select("user_id")
+    sk = cms_build(evk, "user_id", depth=4, width=1024)
     est = cms_estimate(
-        ev.select("user_id").distinct(), sk, "user_id",
+        evk.distinct(), sk, "user_id",
         depth=4, width=1024, out_col="user_cnt_est",
     )
-    return top.join(est, "user_id").orderBy("user_id", "rnk")
+    return top.join(F.broadcast(est), "user_id").orderBy("user_id", "rnk")
 
 
 @register(
@@ -2496,7 +2497,10 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fine = hll_registers(
-        li, "l_orderkey", p=8, group_cols=["l_returnflag", "l_linestatus"]
+        li.select("l_orderkey", "l_returnflag", "l_linestatus"),
+        "l_orderkey",
+        p=8,
+        group_cols=["l_returnflag", "l_linestatus"],
     )
     lvl0 = fine.select(
         F.col("l_returnflag").alias("rf"),
@@ -2525,7 +2529,9 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["rf", "ls"],
         out_col="orders_hll_est",
     )
-    return roll.join(est, ["rf", "ls"]).orderBy("lvl", "rf", "ls")
+    # est is <= |groups| rows — broadcast so the final join adds no
+    # exchange on either tiny side
+    return roll.join(F.broadcast(est), ["rf", "ls"]).orderBy("lvl", "rf", "ls")
 
 
 #: centroid vec_ids for the oracle-checked IVF entry: data vectors

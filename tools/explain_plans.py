@@ -203,6 +203,28 @@ def main(sf_dir: str) -> int:
         cols,
     )
 
+    # 5d. sketch-annotated rows: count-min probes and the HLL estimate
+    # must BROADCAST their few-KB sketch/stat sides (a shuffled probe
+    # would defeat the bounded-state design), and stay Python-free
+    tk = entry_queries.queries()["topk_per_group"](spark, sf_dir)
+    p = plan_of(tk)
+    check("cms.broadcast_probe", "BroadcastHashJoin" in p)
+    check("cms.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
+    rr = entry_queries.queries()["rollup_revenue"](spark, sf_dir)
+    p = plan_of(rr)
+    n_ex = count_shuffle_exchanges(p)
+    check("hll.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
+    # registers agg + 3 level re-aggs + rollup agg + est agg + final
+    # join: generous cap that still catches an accidental vocab-wide
+    # or per-row exchange
+    check("hll.exchange_budget", 0 < n_ex <= 8, f"exchanges={n_ex}")
+
+    # 5e. BM25 inside the pipeline row: corpus stats and document
+    # frequencies come back as broadcasts, never a shuffled join
+    pf = entry_queries.queries()["pretrain_filter_pipeline"](spark, sf_dir)
+    p = plan_of(pf)
+    check("bm25.broadcast_stats", p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2)
+
     # 6. the flagship's generated code actually COMPILES. Plan text can
     # show WholeStageCodegen while janino fails at runtime ("Code grows
     # beyond 64 KB") and Spark silently executes interpreted (~2x slower,
