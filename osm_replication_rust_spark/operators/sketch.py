@@ -316,3 +316,123 @@ def sql_hll_estimate(
     ) regs
     {outer_gby}
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: bounded-state set MEMBERSHIP (the third sketch, beside
+# count-min's frequencies and HLL's cardinalities). The 100 TB use is
+# incremental dedup: "was this content hash kept in any previous crawl?"
+# is a membership probe against a corpus too large to broadcast as
+# exact keys — the bloom compresses it to m_bits (16 bits/key gives
+# ~0.05% false positives) with NO false negatives, so a negative probe
+# skips the exact-verify join entirely and a positive one is rechecked
+# exactly. Same cross-engine determinism rules as CMS/HLL: md5-derived
+# slots, power-of-two masks, and 32-bit word packing (bit 31 shifted
+# into a BIGINT stays positive, so DuckDB's overflow-checked `<<`
+# accepts every index and both engines agree bit-for-bit).
+# ---------------------------------------------------------------------------
+
+#: bits packed per int64 word. 32, not 64: DuckDB raises on
+#: ``1::BIGINT << 63`` (checked overflow), and the sign bit would
+#: need two's-complement special-casing; 32 keeps every mask positive.
+BLOOM_WORD_BITS = 32
+
+
+def _check_bloom(m_bits: int, k: int) -> None:
+    if m_bits < BLOOM_WORD_BITS or m_bits & (m_bits - 1):
+        raise ValueError(
+            f"bloom m_bits must be a power of two >= {BLOOM_WORD_BITS}, got {m_bits}"
+        )
+    if not 1 <= k <= 16:
+        raise ValueError(f"bloom k must be in [1, 16], got {k}")
+
+
+def _bloom_word_bit(slot: Column) -> tuple[Column, Column]:
+    return F.shiftright(slot, 5), slot.bitwiseAND(F.lit(31))
+
+
+def bloom_words(df: DataFrame, key_col: str, m_bits: int = 4096, k: int = 3) -> DataFrame:
+    """Build the filter as (word, bits) rows — at most m_bits/32 of
+    them, whatever the input cardinality. ONE aggregation whose
+    map-side combine (bit_or is associative) bounds each partition's
+    shuffle contribution at m_bits/32 rows; the result is a few KB and
+    broadcasts."""
+    _check_bloom(m_bits, k)
+    key = F.col(key_col)
+    slots = F.array(*[_slot(key, d, m_bits) for d in range(k)])
+    ex = df.select(F.explode(slots).alias("slot"))
+    word, bit = _bloom_word_bit(F.col("slot"))
+    return (
+        ex.select(word.alias("word"), bit.alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias("bits"))
+    )
+
+
+def bloom_pack(words: DataFrame) -> DataFrame:
+    """Collapse the (word, bits) rows to ONE map-typed row so probes
+    are a broadcast nested-loop join against a single row followed by
+    pure map-side expressions — the fact side never shuffles, never
+    even hash-partitions. sort_array only for plan determinism."""
+    return words.groupBy().agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word", "bits")))
+        ).alias("_bf")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    packed: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Append ``out_col`` (boolean, true = maybe-member, false =
+    DEFINITELY not a member) to ``df``. try_element_at so a word the
+    build never touched reads as 0 under ANSI sessions too."""
+    _check_bloom(m_bits, k)
+    key = F.col(key_col)
+    out = df.join(F.broadcast(packed))
+    hit = F.lit(True)
+    slot_cols = []
+    for d in range(k):
+        sc = f"_bloom_s{d}"
+        slot_cols.append(sc)
+        out = out.withColumn(sc, _slot(key, d, m_bits))
+        word, _ = _bloom_word_bit(F.col(sc))
+        w = F.coalesce(F.try_element_at(F.col("_bf"), word), F.lit(0).cast("long"))
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({sc} & 31) AS INT))")
+        hit = hit & (w.bitwiseAND(mask) != 0)
+    return out.withColumn(out_col, hit).drop("_bf", *slot_cols)
+
+
+def sql_bloom_words(table: str, key_expr: str, m_bits: int = 4096, k: int = 3) -> str:
+    """DuckDB twin of bloom_words over ``table`` — rebuilds every word
+    bit-for-bit."""
+    _check_bloom(m_bits, k)
+    probes = "\n      UNION ALL\n      ".join(
+        f"SELECT {sql_slot(key_expr, d, m_bits)} AS slot FROM {table}"
+        for d in range(k)
+    )
+    return (
+        f"SELECT slot // {BLOOM_WORD_BITS} AS word, "
+        f"bit_or(CAST(1 AS BIGINT) << CAST(slot % {BLOOM_WORD_BITS} AS INT)) AS bits "
+        f"FROM (\n      {probes}\n    ) sl GROUP BY 1"
+    )
+
+
+def sql_bloom_hit_expr(words_cte: str, key_expr: str, m_bits: int = 4096, k: int = 3) -> str:
+    """Boolean probe expression against a (word, bits) CTE named
+    ``words_cte`` — correlated scalar lookups, one per hash."""
+    _check_bloom(m_bits, k)
+    terms = []
+    for d in range(k):
+        slot = sql_slot(key_expr, d, m_bits)
+        terms.append(
+            f"(coalesce((SELECT bits FROM {words_cte} bw WHERE bw.word = "
+            f"({slot}) // {BLOOM_WORD_BITS}), 0) & "
+            f"(CAST(1 AS BIGINT) << CAST(({slot}) % {BLOOM_WORD_BITS} AS INT))) <> 0"
+        )
+    return "(" + " AND ".join(terms) + ")"

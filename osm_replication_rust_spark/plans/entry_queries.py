@@ -479,33 +479,84 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_exact",
-    """
-    WITH u AS (
-      SELECT doc_id, text FROM documents
+#: bloom sizing for the incremental-dedup gate: 4096 bits / 3 hashes over
+#: the 500-doc historical fixture gives a measurable-but-small false
+#: positive rate (13/500 novel probes, deterministic — md5 slots), so the
+#: driver hash covers real TRUE/FALSE variation in every output column.
+#: At scale m_bits grows with the corpus (16 bits/key ~ 0.05% fp).
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def _sql_dedup_incremental() -> str:
+    from ..operators.sketch import sql_bloom_hit_expr, sql_bloom_words
+
+    return f"""
+    WITH hist AS (SELECT doc_id, text FROM documents),
+    newb AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
-      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
-    )
-    SELECT text, count(*) AS n_dups, min(doc_id) AS keeper_id
-    FROM u GROUP BY text HAVING count(*) > 1
-    ORDER BY keeper_id
-    """,
-)
+      SELECT doc_id + 2000000 AS doc_id,
+             text || ' <novel:' || CAST(doc_id + 2000000 AS VARCHAR) || '>' AS text
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    bw AS ({sql_bloom_words('hist', 'text', _BLOOM_M, _BLOOM_K)}),
+    kp AS (SELECT text, min(doc_id) AS keeper_id FROM hist GROUP BY text)
+    SELECT n.doc_id,
+           {sql_bloom_hit_expr('bw', 'n.text', _BLOOM_M, _BLOOM_K)} AS bloom_hit,
+           kp.keeper_id IS NOT NULL AS is_dup,
+           kp.keeper_id
+    FROM newb n LEFT JOIN kp ON kp.text = n.text
+    ORDER BY n.doc_id
+    """
+
+
+@register("dedup_exact", _sql_dedup_incremental())
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on content; duplicates synthesized by a
-    deterministic union so the fixture has real dup groups."""
+    """Incremental exact dedup with a bloom prefilter — the 100 TB shape
+    of "dedupe this crawl against everything previously kept": the
+    historical corpus is summarized by a bounded bloom filter
+    (sketch.bloom_words — m_bits state whatever the corpus size, a few
+    KB broadcast), each new-batch doc probes it MAP-SIDE, bloom-negative
+    docs are DEFINITELY novel and bypass the exact-verify join entirely,
+    and only bloom-positives enter the content-keyed shuffle join
+    against the keeper map (hash-groupBy min — the classic exact-dedup
+    agg). False positives surface as bloom_hit=true/is_dup=false rows;
+    false negatives cannot occur (pytest pins the guarantee and the
+    split-plan == plain-left-join equivalence the oracle SQL relies on).
+
+    Fixture: every %3==0 doc re-arrives as an exact copy (id+1e6), every
+    %3==1 doc re-arrives with novel text (id+2e6)."""
+    from ..operators.sketch import bloom_pack, bloom_probe, bloom_words
+
     d = _t(spark, sf_dir, "documents")
-    u = d.select("doc_id", "text").unionByName(
-        d.filter(F.col("doc_id") % 3 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    hist = d.select("doc_id", "text")
+    nid = (F.col("doc_id") + 2_000_000).cast("long")
+    newb = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        d.filter(F.col("doc_id") % 3 == 1).select(
+            nid.alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" <novel:"), nid.cast("string"), F.lit(">")
+            ).alias("text"),
         )
     )
+    packed = bloom_pack(bloom_words(hist, "text", _BLOOM_M, _BLOOM_K))
+    probed = bloom_probe(newb, packed, "text", _BLOOM_M, _BLOOM_K)
+    keepers = hist.groupBy("text").agg(F.min("doc_id").alias("keeper_id"))
+    pos = probed.filter(F.col("bloom_hit")).join(keepers, "text", "left")
+    neg = probed.filter(~F.col("bloom_hit")).withColumn(
+        "keeper_id", F.lit(None).cast("long")
+    )
     return (
-        u.groupBy("text")
-        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_id"))
-        .filter(F.col("n_dups") > 1)
-        .orderBy("keeper_id")
+        pos.unionByName(neg)
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("keeper_id").isNotNull().alias("is_dup"),
+            "keeper_id",
+        )
+        .orderBy("doc_id")
     )
 
 

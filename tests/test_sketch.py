@@ -189,3 +189,128 @@ def test_hll_p_validation(spark, hll_df):
         hll_registers(hll_df, "k", p=2)
     with pytest.raises(ValueError, match=r"\[4, 16\]"):
         sql_hll_estimate("t", "k", p=20)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bloom_corpus(spark):
+    # 300 member strings + 200 non-members, disjoint by construction
+    members = [(i, f"doc body {i} lorem") for i in range(300)]
+    others = [(1000 + i, f"absent {i} ipsum") for i in range(200)]
+    mem = spark.createDataFrame(members, "id long, key string")
+    non = spark.createDataFrame(others, "id long, key string")
+    return mem.persist(), non.persist()
+
+
+def test_bloom_state_bounded_and_no_false_negatives(spark, bloom_corpus):
+    from osm_replication_rust_spark.operators.sketch import (
+        bloom_pack,
+        bloom_probe,
+        bloom_words,
+    )
+
+    mem, non = bloom_corpus
+    m, k = 2048, 3
+    words = bloom_words(mem, "key", m, k)
+    assert words.count() <= m // 32
+    packed = bloom_pack(words)
+    # THE guarantee: every member probes true, whatever the fp rate
+    hits = bloom_probe(mem, packed, "key", m, k).collect()
+    assert all(r.bloom_hit for r in hits)
+    # non-members: false positives allowed (small m makes some certain),
+    # but a sane filter at 2048/300 must reject the majority
+    miss = bloom_probe(non, packed, "key", m, k).collect()
+    rejected = sum(1 for r in miss if not r.bloom_hit)
+    assert rejected > len(miss) * 0.5
+
+
+def test_bloom_cross_engine_bit_parity(spark, bloom_corpus):
+    from osm_replication_rust_spark.operators.sketch import (
+        bloom_pack,
+        bloom_probe,
+        bloom_words,
+        sql_bloom_hit_expr,
+        sql_bloom_words,
+    )
+
+    mem, non = bloom_corpus
+    m, k = 1024, 4
+    con = duckdb.connect()
+    con.register("mem", mem.toPandas())
+    con.register("non", non.toPandas())
+    got_w = {r.word: r.bits for r in bloom_words(mem, "key", m, k).collect()}
+    duck_w = dict(con.execute(sql_bloom_words("mem", "key", m, k)).fetchall())
+    assert got_w == duck_w  # every packed word bit-identical
+    packed = bloom_pack(bloom_words(mem, "key", m, k))
+    both = mem.unionByName(non)
+    got_p = {r.id: r.bloom_hit for r in bloom_probe(both, packed, "key", m, k).collect()}
+    duck_p = dict(
+        con.execute(
+            f"WITH bw AS ({sql_bloom_words('mem', 'key', m, k)}), "
+            f"pro AS (SELECT * FROM mem UNION ALL SELECT * FROM non) "
+            f"SELECT id, {sql_bloom_hit_expr('bw', 'key', m, k)} FROM pro"
+        ).fetchall()
+    )
+    assert got_p == duck_p
+
+
+def test_bloom_split_plan_equals_plain_left_join(spark):
+    """The scale plan (negatives bypass the exact join) must equal the
+    plain left join the DuckDB oracle runs — which holds iff the filter
+    has no false negatives. This is the equivalence dedup_exact's
+    oracle SQL relies on."""
+    from osm_replication_rust_spark.plans import entry_queries
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = entry_queries.queries()["dedup_exact"](spark, sf)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    from osm_replication_rust_spark.operators.sketch import (
+        bloom_pack,
+        bloom_probe,
+        bloom_words,
+    )
+
+    hist = d.select("doc_id", "text")
+    nid = (F.col("doc_id") + 2_000_000).cast("long")
+    newb = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        d.filter(F.col("doc_id") % 3 == 1).select(
+            nid.alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" <novel:"), nid.cast("string"), F.lit(">")).alias("text"),
+        )
+    )
+    packed = bloom_pack(bloom_words(hist, "text", 4096, 3))
+    plain = (
+        bloom_probe(newb, packed, "text", 4096, 3)
+        .join(hist.groupBy("text").agg(F.min("doc_id").alias("keeper_id")), "text", "left")
+        .select(
+            "doc_id", "bloom_hit", F.col("keeper_id").isNotNull().alias("is_dup"), "keeper_id"
+        )
+    )
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+    # one-sided guarantee as seen through the gated row
+    for doc_id, bloom_hit, is_dup, keeper in a:
+        if is_dup:
+            assert bloom_hit, doc_id
+        if not bloom_hit:
+            assert not is_dup and keeper is None, doc_id
+
+
+def test_bloom_validation(spark, bloom_corpus):
+    from osm_replication_rust_spark.operators.sketch import bloom_words, sql_bloom_words
+
+    mem, _ = bloom_corpus
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_words(mem, "key", m_bits=3000, k=3)
+    with pytest.raises(ValueError, match="power of two"):
+        sql_bloom_words("mem", "key", m_bits=16, k=3)
+    with pytest.raises(ValueError, match=r"\[1, 16\]"):
+        bloom_words(mem, "key", m_bits=1024, k=0)

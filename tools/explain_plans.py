@@ -225,6 +225,15 @@ def main(sf_dir: str) -> int:
     p = plan_of(pf)
     check("bm25.broadcast_stats", p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2)
 
+    # 5f. bloom prefilter (incremental dedup): the packed filter is ONE
+    # map-typed row cross-joined by broadcast — probes are pure
+    # map-side expressions, the new-batch side never shuffles for the
+    # membership test, and no Python anywhere
+    de = entry_queries.queries()["dedup_exact"](spark, sf_dir)
+    p = plan_of(de)
+    check("bloom.broadcast_packed", "BroadcastNestedLoopJoin" in p)
+    check("bloom.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
+
     # 6. the flagship's generated code actually COMPILES. Plan text can
     # show WholeStageCodegen while janino fails at runtime ("Code grows
     # beyond 64 KB") and Spark silently executes interpreted (~2x slower,
