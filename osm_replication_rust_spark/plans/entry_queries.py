@@ -834,15 +834,44 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOF expression in DuckDB list_* spelling. (Round 5: consolidation
     of the former `token_count` / `text_quality` / `lang_id` /
     `doc_fingerprint` queries — one project over one scan instead of
-    four, and the catalog stays within the driver's 50-row gate.)"""
+    four, and the catalog stays within the driver's 50-row gate.)
+
+    Plus the two deterministic sampling decisions a balanced-corpus job
+    makes on these signals (operators/sampling.py): ``sample_keep`` —
+    per-language Bernoulli rates (downsample the dominant 'en', keep
+    the tail whole) via exact integer hash-ticket thresholds, map-side,
+    reproducible under retries/resumes/engines; and ``lang_head`` —
+    exactly N docs per language uniform-without-replacement (rank by
+    ticket inside the stratum; the one narrow shuffle this plan has
+    besides the display sort)."""
+    from ..operators.sampling import stratified_fixed_n, stratified_rate_sample
     from ..operators.text import text_features
 
     d = _t(spark, sf_dir, "documents")
-    return text_features(d, "text", "doc_id").orderBy("doc_id")
+    tf = text_features(d, "text", "doc_id")
+    tf = stratified_rate_sample(
+        tf, "pred_lang", _LANG_SAMPLE_RATES, "doc_id", out_col="sample_keep"
+    )
+    tf = stratified_fixed_n(
+        tf, "pred_lang", _LANG_HEAD_N, "doc_id", salt="head", out_col="lang_head"
+    )
+    return tf.orderBy("doc_id")
+
+
+#: stratified sampling knobs for the text_features gate: the fixture
+#: corpus is en-dominant, so 'en' downsamples hard, 'de' lightly, and
+#: unlisted languages (fr/es) keep everything — all three CASE branches
+#: of the threshold expression carry driver-verified variation.
+_LANG_SAMPLE_RATES = {"en": 0.35, "de": 0.75}
+_LANG_HEAD_N = 25
 
 
 def _fill_text_oracles() -> None:
     from ..operators.dedup import winnow_fps_sql, winnow_hashes_sql
+    from ..operators.sampling import (
+        sql_stratified_fixed_n_expr,
+        sql_stratified_keep_expr,
+    )
     from ..operators.text import (
         LANG_MARKERS as markers,
         sql_dup_trigram_frac,
@@ -872,7 +901,8 @@ def _fill_text_oracles() -> None:
     ),
     s2 AS (
       SELECT *, {wfps} AS wfps, {sql_dup_trigrams('text')} AS tg FROM s
-    )
+    ),
+    tfo AS (
     SELECT doc_id,
            length(text) AS n_chars,
            {ntok} AS n_tokens,
@@ -892,7 +922,12 @@ def _fill_text_oracles() -> None:
            {sql_fingerprint('text')} AS fingerprint,
            CAST(len(wfps) AS BIGINT) AS n_winnow_fp,
            CAST(COALESCE(list_sum(wfps), 0) AS BIGINT) AS winnow_fp_sum
-    FROM s2 ORDER BY doc_id
+    FROM s2
+    )
+    SELECT tfo.*,
+           {sql_stratified_keep_expr('pred_lang', _LANG_SAMPLE_RATES, 'doc_id')} AS sample_keep,
+           {sql_stratified_fixed_n_expr('pred_lang', _LANG_HEAD_N, 'doc_id', salt='head')} AS lang_head
+    FROM tfo ORDER BY doc_id
     """
 
 

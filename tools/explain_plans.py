@@ -192,7 +192,9 @@ def main(sf_dir: str) -> int:
         f"arrow_nodes={n_arrow}",
     )
     # budget 2: the small-file rebalance (map-heavy projection must not
-    # serialize on a one-row-group scan) + the output sort
+    # serialize on a one-row-group scan) / the stratified-head window's
+    # partition-by-lang exchange, + the output sort. The per-language
+    # rate sample must stay map-side (no exchange of its own).
     n_ex = count_shuffle_exchanges(p)
     check("text.exchange_budget", n_ex <= 2, f"exchanges={n_ex}")
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
