@@ -377,3 +377,51 @@ def patchify_stage(
                 yield pd.concat(parts, ignore_index=True)
 
     return df.mapInPandas(stage, out_schema)
+
+
+def sharpness_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Variance-of-Laplacian sharpness — the classic blur filter a
+    pretraining image pipeline runs (blurry crawl images score near 0;
+    OpenCV's cv2.Laplacian(...).var() is this same statistic). The
+    4-neighbor Laplacian L = 4v - up - down - left - right is computed
+    over INTERIOR pixels on the equal-shape numpy stacks (same
+    map-only batch shape as decode_stats), and the stage emits EXACT
+    integer moments (n_interior, lap_sum, lap_sq_sum) — the variance
+    itself, (n*Σx² - (Σx)²)/n², is left to ONE shared IEEE division in
+    the gate so Spark and the DuckDB oracle produce bit-identical
+    doubles (the HLL estimator rule). Images thinner than 3px have no
+    interior: moments 0, variance NULL downstream."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields + ["n_interior bigint", "lap_sum bigint", "lap_sq_sum bigint"]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ni = np.zeros(n, dtype=np.int64)
+            ls = np.zeros(n, dtype=np.int64)
+            lq = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 3 or w < 3:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                c = px[:, 1:-1, 1:-1]
+                lap = (
+                    4 * c
+                    - px[:, :-2, 1:-1]
+                    - px[:, 2:, 1:-1]
+                    - px[:, 1:-1, :-2]
+                    - px[:, 1:-1, 2:]
+                )
+                ni[ii] = (h - 2) * (w - 2)
+                ls[ii] = lap.sum(axis=(1, 2))
+                lq[ii] = (lap * lap).sum(axis=(1, 2))
+            yield pdf.assign(n_interior=ni, lap_sum=ls, lap_sq_sum=lq)
+
+    return df.mapInPandas(stage, out_schema)

@@ -1449,6 +1449,13 @@ def ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "dot_q", "rank").orderBy("query_id", "rank")
 
 
+def _sql_lcg_px(kexpr: str) -> str:
+    """Pixel value of the deterministic LCG fake codec at linear index
+    ``kexpr`` of image i — the formula datagen.synth.gen_images writes
+    into the binary payload, so the oracle reads no bytes at all."""
+    return f"CAST(((({kexpr}) * 1103515245 + i * 12345 + 7) % 251) AS BIGINT)"
+
+
 def _multimodal_oracle() -> str:
     """DuckDB twin of decode_stats + patchify_stage over the
     deterministic fake codec: pixel k of image i is
@@ -1498,10 +1505,33 @@ def _multimodal_oracle() -> str:
              CAST(SUM((pr * 1024 + pc + 1) * p_min) AS BIGINT) AS patch_min_check
       FROM patches
       GROUP BY image_id
+    ),
+    lap AS (
+      SELECT image_id,
+             (4 * ({_sql_lcg_px('k')}) - ({_sql_lcg_px('k - w')})
+              - ({_sql_lcg_px('k + w')}) - ({_sql_lcg_px('k - 1')})
+              - ({_sql_lcg_px('k + 1')})) AS lp
+      FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
+      WHERE (k // w) BETWEEN 1 AND h - 2 AND (k % w) BETWEEN 1 AND w - 2
+    ),
+    lagg AS (
+      SELECT image_id,
+             CAST(COUNT(*) AS BIGINT) AS n_interior,
+             CAST(SUM(lp) AS BIGINT) AS lap_sum,
+             CAST(SUM(lp * lp) AS BIGINT) AS lap_sq_sum
+      FROM lap
+      GROUP BY image_id
     )
     SELECT s.image_id, s.pix_mean, s.pix_max, s.pix_min,
-           p.n_patches, p.patch_sum_check, p.patch_min_check
-    FROM stats s JOIN pagg p USING (image_id)
+           p.n_patches, p.patch_sum_check, p.patch_min_check,
+           COALESCE(l.n_interior, 0) AS n_interior,
+           COALESCE(l.lap_sum, 0) AS lap_sum,
+           COALESCE(l.lap_sq_sum, 0) AS lap_sq_sum,
+           CASE WHEN COALESCE(l.n_interior, 0) > 0 THEN
+             CAST(l.n_interior * l.lap_sq_sum - l.lap_sum * l.lap_sum AS DOUBLE)
+               / CAST(l.n_interior * l.n_interior AS DOUBLE)
+           END AS lap_var
+    FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -1513,11 +1543,15 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     patch extraction: patchify_stage explodes each image into
     position-keyed tiles map-side, and the gate aggregates them back to
     position-weighted checksums per image so every tile's placement and
-    content is oracle-verified. Input synthesized deterministically (the
-    driver star schema has no binary column); the oracle recomputes the
-    fake-codec pixels AND the patch grid in SQL."""
+    content is oracle-verified. Plus variance-of-Laplacian sharpness
+    (the classic blur filter): the stage emits exact integer moments
+    and the variance is ONE shared IEEE division here, so the doubles
+    are bit-identical across engines. Input synthesized
+    deterministically (the driver star schema has no binary column);
+    the oracle recomputes the fake-codec pixels, the patch grid, AND
+    the interior Laplacian in SQL."""
     from ..datagen.synth import gen_images
-    from ..operators.multimodal import decode_stats, patchify_stage
+    from ..operators.multimodal import decode_stats, patchify_stage, sharpness_stage
 
     imgs = spark.createDataFrame(gen_images(500, seed=42))
     stats = decode_stats(imgs).select("image_id", "pix_mean", "pix_max", "pix_min")
@@ -1528,7 +1562,18 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(wgt * F.col("p_sum")).alias("patch_sum_check"),
         F.sum(wgt * F.col("p_min").cast("long")).alias("patch_min_check"),
     )
-    return stats.join(pagg, "image_id").orderBy("image_id")
+    ni, lsum, lsq = F.col("n_interior"), F.col("lap_sum"), F.col("lap_sq_sum")
+    sharp = sharpness_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id",
+        "n_interior",
+        "lap_sum",
+        "lap_sq_sum",
+        F.when(
+            ni > 0,
+            (ni * lsq - lsum * lsum).cast("double") / (ni * ni).cast("double"),
+        ).alias("lap_var"),
+    )
+    return stats.join(pagg, "image_id").join(sharp, "image_id").orderBy("image_id")
 
 
 def _group_bbox_oracle() -> str:

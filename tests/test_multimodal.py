@@ -295,3 +295,64 @@ def test_patchify_crops_and_reassembles(spark):
             b, dtype=np.uint8
         ).reshape(4, 4)
     assert (stitched == px[:4, :8]).all()
+
+
+def test_sharpness_matches_numpy_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        sharpness_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),       # constant: lap == 0
+        ("c", bytes(range(2 * 9)), 2, 9),          # no interior (w < 3)
+        ("d", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in sharpness_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        px = fake_decode(payload, w, h).astype(np.int64)
+        if w < 3 or h < 3:
+            ref_n, ref_s, ref_q = 0, 0, 0
+        else:
+            lap = (
+                4 * px[1:-1, 1:-1]
+                - px[:-2, 1:-1]
+                - px[2:, 1:-1]
+                - px[1:-1, :-2]
+                - px[1:-1, 2:]
+            )
+            ref_n, ref_s, ref_q = lap.size, int(lap.sum()), int((lap * lap).sum())
+        r = got[image_id]
+        assert (r.n_interior, r.lap_sum, r.lap_sq_sum) == (ref_n, ref_s, ref_q), image_id
+    # constant image: zero Laplacian everywhere
+    assert got["b"].lap_sum == 0 and got["b"].lap_sq_sum == 0
+
+
+def test_sharpness_detects_blur(spark):
+    """The statistic must DISCRIMINATE: a box-blurred copy of a noisy
+    image scores strictly lower variance-of-Laplacian — the property a
+    pipeline's blur filter relies on."""
+    from osm_replication_rust_spark.operators.multimodal import sharpness_stage
+
+    rng = np.random.default_rng(3)
+    sharp_px = rng.integers(0, 251, size=(24, 24)).astype(np.float64)
+    k = np.ones((5, 5)) / 25.0
+    blurred = sharp_px.copy()
+    # separable box blur via cumulative sums would be overkill: direct conv
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(np.pad(sharp_px, 2, mode="edge"), (5, 5))
+    blurred = (win * k).sum(axis=(2, 3))
+    rows = [
+        ("sharp", sharp_px.astype(np.uint8).tobytes(), 24, 24),
+        ("blur", blurred.astype(np.uint8).tobytes(), 24, 24),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    out = {r.image_id: r for r in sharpness_stage(df).collect()}
+
+    def var_of(r):
+        return (r.n_interior * r.lap_sq_sum - r.lap_sum**2) / r.n_interior**2
+
+    assert var_of(out["blur"]) < var_of(out["sharp"]) * 0.25
