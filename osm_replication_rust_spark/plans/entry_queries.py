@@ -481,8 +481,8 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: bloom sizing for the incremental-dedup gate: 4096 bits / 3 hashes over
 #: the 500-doc historical fixture gives a measurable-but-small false
-#: positive rate (13/500 novel probes, deterministic — md5 slots), so the
-#: driver hash covers real TRUE/FALSE variation in every output column.
+#: positive rate (2/167 novel probes, deterministic — md5-KM slots), so
+#: the driver hash covers real TRUE/FALSE variation in every output column.
 #: At scale m_bits grows with the corpus (16 bits/key ~ 0.05% fp).
 _BLOOM_M, _BLOOM_K = 4096, 3
 
@@ -964,7 +964,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sketch.py — bounded d*w aggregation state however
     skewed user_id is; md5-shared slot hashes, so the oracle rebuilds
     every counter and estimate bit-for-bit)."""
-    from ..operators.sketch import cms_build, cms_estimate
+    from ..operators.sketch import cms_build, cms_pack, cms_probe
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
@@ -973,13 +973,15 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("user_id", "event_id", "value", "rnk")
     )
-    evk = ev.select("user_id")
-    sk = cms_build(evk, "user_id", depth=4, width=1024)
-    est = cms_estimate(
-        evk.distinct(), sk, "user_id",
+    sk = cms_build(ev.select("user_id"), "user_id", depth=4, width=1024)
+    # the sketch packs into ONE broadcast map row, so every top-k row is
+    # annotated MAP-SIDE (md5 + d lookups + least) — no probe distinct,
+    # no rejoin, no second shuffle of the window output
+    out = cms_probe(
+        top, cms_pack(sk, width=1024), "user_id",
         depth=4, width=1024, out_col="user_cnt_est",
     )
-    return top.join(F.broadcast(est), "user_id").orderBy("user_id", "rnk")
+    return out.orderBy("user_id", "rnk")
 
 
 @register(

@@ -314,3 +314,28 @@ def test_bloom_validation(spark, bloom_corpus):
         sql_bloom_words("mem", "key", m_bits=16, k=3)
     with pytest.raises(ValueError, match=r"\[1, 16\]"):
         bloom_words(mem, "key", m_bits=1024, k=0)
+
+
+def test_cms_probe_equals_estimate(spark, keyed):
+    """The map-side packed probe must give the SAME estimates as the
+    aggregating estimate path for every key (same min-over-depth, same
+    unseen-is-zero)."""
+    from osm_replication_rust_spark.operators.sketch import cms_pack, cms_probe
+
+    depth, width = 4, 256
+    sk = cms_build(keyed, "k", depth, width)
+    est = {
+        r.k: r.cms_est
+        for r in cms_estimate(
+            keyed.select("k").distinct(), sk, "k", depth, width
+        ).collect()
+    }
+    probe_in = keyed.select("k").distinct().union(
+        spark.createDataFrame([(77_000_000,)], "k long")  # unseen key
+    )
+    got = {
+        r.k: r.cms_est
+        for r in cms_probe(probe_in, cms_pack(sk, width), "k", depth, width).collect()
+    }
+    assert {k: v for k, v in got.items() if k in est} == est
+    assert got[77_000_000] >= 0  # unseen: 0 unless all slots collide

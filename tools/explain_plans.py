@@ -210,7 +210,9 @@ def main(sf_dir: str) -> int:
     # would defeat the bounded-state design), and stay Python-free
     tk = entry_queries.queries()["topk_per_group"](spark, sf_dir)
     p = plan_of(tk)
-    check("cms.broadcast_probe", "BroadcastHashJoin" in p)
+    # the packed sketch is ONE map row cross-joined by broadcast; the
+    # estimate is pure map-side expressions on the top-k rows
+    check("cms.broadcast_probe", "BroadcastNestedLoopJoin" in p)
     check("cms.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
     rr = entry_queries.queries()["rollup_revenue"](spark, sf_dir)
     p = plan_of(rr)
