@@ -319,6 +319,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 17,
     centroids: np.ndarray | None = None,
+    centroids_q: np.ndarray | None = None,
     rank_by: str = "cosine",
 ) -> DataFrame:
     """IVF ANN: items partitioned into centroid lists once; each query
@@ -328,14 +329,19 @@ def ivf_topk(
     ``centroids``: pass a (K, D) float matrix to skip training (the
     oracle-checked catalog entry selects data vectors as centroids so
     DuckDB can reproduce the quantizer exactly); default trains k-means
-    on a random sample. Assignment and nprobe use EXACT integer L2 on
-    quantized vectors either way."""
+    on a random sample. ``centroids_q``: a (K, D) int64 matrix ALREADY
+    in quantized space (e.g. lloyd_refine_centroids output) — used as
+    the quantizer verbatim. Assignment and nprobe use EXACT integer L2
+    on quantized vectors in every mode."""
     if rank_by not in ("cosine", "dot_q"):
         raise ValueError(f"rank_by must be cosine|dot_q, got {rank_by!r}")
     spark = queries.sparkSession
-    if centroids is None:
-        centroids = train_centroids(items, dim, n_centroids, vec, seed=seed)
-    cq = _quantize(np.asarray(centroids, dtype=np.float64))
+    if centroids_q is not None:
+        cq = centroids_q.astype(np.int64)
+    else:
+        if centroids is None:
+            centroids = train_centroids(items, dim, n_centroids, vec, seed=seed)
+        cq = _quantize(np.asarray(centroids, dtype=np.float64))
     assign = _argmin_centroid_udf(spark, cq)
     probes = _nprobe_centroids_udf(spark, cq, nprobe)
 
@@ -407,3 +413,124 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _assign_quantize_udf(spark, centroids_q: np.ndarray):
+    """struct(cid, vq) per row: nearest-centroid index (exact integer
+    squared L2, ties -> lowest index) plus the quantized vector — ONE
+    Arrow stage feeding the Lloyd update's JVM-side integer sums."""
+    cb = spark.sparkContext.broadcast(centroids_q.astype(np.int64))
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("vq", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def aq(emb: pd.Series) -> pd.DataFrame:
+        c = cb.value
+        mat = _emb_matrix(emb)
+        vq = _quantize(mat)
+        d = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame(
+            {"cid": np.argmin(d, axis=1).astype(np.int32), "vq": list(map(list, vq))}
+        )
+
+    return aq.asNondeterministic()  # see _argmin_centroid_udf
+
+
+def lloyd_refine_centroids(
+    items: DataFrame,
+    centroids_q: np.ndarray,
+    vec: str = "embedding",
+    iters: int = 1,
+) -> np.ndarray:
+    """Distributed Lloyd iterations over the FULL table in EXACT integer
+    arithmetic — the cluster-scale k-means step (train_centroids is the
+    driver-side sample variant for cold starts). Per iteration:
+
+    - assignment: one Arrow stage emits (nearest centroid, quantized
+      vector) per row — exact int L2, bit-reproducible in SQL;
+    - update: posexplode to (cid, pos, q) and ONE hash agg of integer
+      sums/counts — the shuffle carries at most K*D partial rows per
+      partition (map-side combine), never vectors;
+    - mean: the elementwise FLOOR-divided integer mean
+      (s - ((s % n + n) % n)) div n — exact int64 in both engines, no
+      FP summation-order divergence, Euclidean-floor on negatives;
+    - the K x D result is a bounded query parameter (collected like the
+      16-row centroid fetch); empty clusters keep their previous
+      centroid, so K never shrinks.
+
+    Returns the refined (K, D) int64 centroid matrix in quantized
+    space — feed it to ivf_topk(centroids_q=...)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = items.sparkSession
+    cq = centroids_q.astype(np.int64)
+    k, dim = cq.shape
+    for _ in range(iters):
+        aq = _assign_quantize_udf(spark, cq)
+        t = (
+            items.select(F.col(vec).alias("_v"))
+            .withColumn("_aq", aq(F.col("_v")))
+            .select(F.col("_aq.cid").alias("cid"), F.col("_aq.vq").alias("vq"))
+        )
+        sums = (
+            t.select("cid", F.posexplode("vq").alias("pos", "q"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        mean = sums.withColumn(
+            "c",
+            F.expr("CAST((s - (((s % n) + n) % n)) DIV n AS BIGINT)"),
+        )
+        rows = mean.select("cid", "pos", "c").collect()
+        nxt = cq.copy()  # empty clusters keep their centroid
+        for r in rows:
+            nxt[r.cid, r.pos] = r.c
+        cq = nxt
+    return cq
+
+
+def sql_lloyd_refined_cents(
+    iv_cte: str,
+    cent_cte: str,
+    dim: int,
+) -> str:
+    """DuckDB twin of ONE lloyd_refine_centroids iteration: given a
+    (vec_id, v) quantized-vector CTE and a (cid, cv) centroid CTE,
+    returns a SELECT of (cid, cv) with every non-empty cluster's
+    centroid replaced by the floor-divided integer mean — identical
+    ints to the Spark update. Empty clusters keep their seed via the
+    left join."""
+    dist = (
+        f"(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv)"
+        f" + list_dot_product(c.cv, c.cv))"
+    )
+    return f"""
+      SELECT c0.cid,
+             COALESCE(u.cv, c0.cv) AS cv
+      FROM {cent_cte} c0
+      LEFT JOIN (
+        SELECT cid,
+               list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                    ORDER BY pos) AS cv
+        FROM (
+          SELECT asg.cid, t.pos,
+                 SUM(a2.v[t.pos]) AS s, COUNT(*) AS n
+          FROM (
+            SELECT vec_id, cid FROM (
+              SELECT a.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY a.vec_id
+                                        ORDER BY {dist}, c.cid) AS rn
+              FROM {iv_cte} a, {cent_cte} c
+            ) WHERE rn = 1
+          ) asg
+          JOIN {iv_cte} a2 ON a2.vec_id = asg.vec_id,
+          UNNEST(generate_series(1, {dim})) AS t(pos)
+          GROUP BY asg.cid, t.pos
+        ) ssum
+        GROUP BY cid
+      ) u ON u.cid = c0.cid
+    """

@@ -2677,7 +2677,7 @@ _IVF_CENT_CACHE: dict = {}
 
 
 def _ivf_oracle() -> str:
-    from ..operators.similarity import sql_quantized
+    from ..operators.similarity import sql_lloyd_refined_cents, sql_quantized
 
     ids = ", ".join(str(i) for i in _IVF_CENT_IDS)
     # exact integer L2 via dot products (all values < 2^53: exact doubles)
@@ -2687,9 +2687,11 @@ def _ivf_oracle() -> str:
     )
     return f"""
     WITH iv AS (SELECT vec_id, {sql_quantized('embedding')} AS v FROM embeddings),
-    cent AS (
+    cent0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
       FROM iv WHERE vec_id IN ({ids})
+    ),
+    cent AS ({sql_lloyd_refined_cents('iv', 'cent0', 64)}
     ),
     d AS (
       SELECT iv.vec_id, cent.cid,
@@ -2720,33 +2722,41 @@ def _ivf_oracle() -> str:
 
 @register("ivf_topk", _ivf_oracle())
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (coarse quantizer + nprobe list scan + exact rerank).
-    This entry uses data vectors as centroids so the oracle reproduces
-    the quantizer exactly; assignment is exact integer L2 on quantized
-    vectors in both engines. The trained-k-means path (random-sample
-    Lloyd's) is covered by tests/test_ivf.py recall tests."""
+    """IVF ANN with a DISTRIBUTED-trained coarse quantizer: seed
+    centroids are data vectors (literal ids, so both engines start from
+    the same quantizer), then ONE full-table Lloyd iteration refines
+    them — assignment as an Arrow stage of exact integer L2, update as
+    one K*D-bounded integer-sum agg, means as exact floor division
+    (similarity.lloyd_refine_centroids; the oracle unrolls the same
+    iteration in SQL and lands on identical integer centroids). The
+    query then runs the nprobe list scan + exact rerank against the
+    refined quantizer. Driver-side sample training (train_centroids)
+    remains the cold-start path, covered by tests/test_ivf.py."""
     import numpy as np
 
-    from ..operators.similarity import ivf_topk
+    from ..operators.similarity import _quantize, ivf_topk, lloyd_refine_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
-    # the centroid matrix is a fixed 16-row query PARAMETER (literal ids);
-    # memoize per sf_dir so repeated runs don't pay the fetch job again
-    centroids = _IVF_CENT_CACHE.get(sf_dir)
-    if centroids is None:
+    # the refined centroid matrix is a bounded K x D query PARAMETER;
+    # memoize per sf_dir so repeated runs don't pay the training job again
+    refined = _IVF_CENT_CACHE.get(sf_dir)
+    if refined is None:
         cent_pdf = (
             emb.filter(F.col("vec_id").isin(_IVF_CENT_IDS))
             .orderBy("vec_id")
             .select("embedding")
             .toPandas()
         )
-        centroids = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in cent_pdf["embedding"]]
+        seeds = _quantize(
+            np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in cent_pdf["embedding"]]
+            )
         )
-        _IVF_CENT_CACHE[sf_dir] = centroids
+        refined = lloyd_refine_centroids(emb, seeds, iters=1)
+        _IVF_CENT_CACHE[sf_dir] = refined
     q = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
     return ivf_topk(
-        q, emb, k=5, dim=64, nprobe=4, centroids=centroids, rank_by="dot_q"
+        q, emb, k=5, dim=64, nprobe=4, centroids_q=refined, rank_by="dot_q"
     ).select("query_id", "vec_id", "dot_q", "rank").orderBy("query_id", "rank")
 
 

@@ -81,3 +81,52 @@ def test_time_travel(spark, tmp_path):
     assert store.as_of(99).collect()[0].caption == "c1"
     with pytest.raises(ValueError):
         store.as_of(-1)
+
+
+def test_lloyd_refine_matches_numpy_and_improves_cost(spark, clustered_items):
+    """Distributed exact-integer Lloyd: must equal a from-scratch numpy
+    reference (assignment by exact int L2, floor-divided integer means,
+    empty clusters keep their seed), and must not increase quantization
+    cost on the clustered fixture (Lloyd's monotonicity)."""
+    from osm_replication_rust_spark.operators.similarity import (
+        _emb_matrix,
+        _quantize,
+        lloyd_refine_centroids,
+    )
+
+    pdf = clustered_items.orderBy("vec_id").toPandas()
+    mat = _emb_matrix(pdf["embedding"])
+    vq = _quantize(mat)
+    seeds = vq[:6].copy()
+    # plant an empty cluster: a far-away centroid nothing assigns to
+    seeds[5] = 10_000_000
+
+    got = lloyd_refine_centroids(clustered_items, seeds, iters=1)
+
+    # numpy reference
+    d = ((vq[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d, axis=1)
+    ref = seeds.copy()
+    for j in range(6):
+        m = a == j
+        if m.any():
+            s = vq[m].sum(axis=0)
+            n = int(m.sum())
+            ref[j] = np.floor_divide(s, n)
+    assert (got == ref).all()
+    assert (got[5] == seeds[5]).all()  # empty cluster untouched
+
+    def cost(cents):
+        dd = ((vq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return dd.min(axis=1).sum()
+
+    assert cost(got) <= cost(seeds)
+
+    # a second iteration keeps improving (or plateaus), and the loop
+    # form produces the same result as two chained single iterations
+    two = lloyd_refine_centroids(clustered_items, seeds, iters=2)
+    chained = lloyd_refine_centroids(clustered_items, got, iters=1)
+    assert (two == chained).all()
+    assert cost(two) <= cost(got)
+    with pytest.raises(ValueError, match=">= 1"):
+        lloyd_refine_centroids(clustered_items, seeds, iters=0)
