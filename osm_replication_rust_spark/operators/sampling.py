@@ -43,8 +43,9 @@ _TICKET_MOD = 1 << TICKET_BITS
 def sample_ticket(key: Column, salt: str = "sample") -> Column:
     """Uniform deterministic ticket in [0, 2^32): low 32 bits of the
     shared md5-derived 64-bit hash of 'key:salt'. The salt decorrelates
-    independent sampling decisions over the same key space (and keeps
-    tickets independent of the sketch slots, which hash 'key:d')."""
+    independent sampling decisions over the same key space (and, since
+    the sketches hash the bare key with no suffix, keeps tickets
+    independent of the CMS/bloom/HLL slots)."""
     return h64_md5(F.concat(key.cast("string"), F.lit(f":{salt}"))).bitwiseAND(
         F.lit(_TICKET_MOD - 1)
     )

@@ -93,7 +93,11 @@ def cms_build(
     hash agg's map-side combine bounds every partition's shuffle
     contribution at depth*width rows whatever the input size or skew."""
     _check_width(width)
-    hashed = df.select(h64_md5(F.col(key_col).cast("string")).alias("_h"))
+    # NULL keys contribute nothing (md5(NULL) is NULL and would poison
+    # pack's map keys / the twin's counters) — same rule as countDistinct
+    hashed = df.where(F.col(key_col).isNotNull()).select(
+        h64_md5(F.col(key_col).cast("string")).alias("_h")
+    )
     slots = F.array(*[_km_slot(F.col("_h"), d, width) for d in range(depth)])
     return (
         hashed.select(F.posexplode(slots).alias("d", "slot"))
@@ -190,7 +194,8 @@ def sql_cms_estimate(
     _check_width(width)
     counters = "\n      UNION ALL\n      ".join(
         f"SELECT {d} AS d, {sql_slot(key_expr, d, width)} AS slot, "
-        f"COUNT(*) AS cnt FROM {table} GROUP BY 2"
+        f"COUNT(*) AS cnt FROM {table} "
+        f"WHERE {key_expr} IS NOT NULL GROUP BY 2"  # cms_build's NULL rule
         for d in range(depth)
     )
     probes = "\n      UNION ALL\n      ".join(
@@ -303,7 +308,11 @@ def hll_registers(
     tables, never re-reading rows."""
     _check_hll_p(p)
     gb = list(group_cols or [])
-    hashed = df.select(*gb, h64_md5(F.col(key_col).cast("string")).alias("_h"))
+    # NULLs don't count as a distinct value (countDistinct's rule; a
+    # NULL hash would otherwise add a phantom NULL-bucket register)
+    hashed = df.where(F.col(key_col).isNotNull()).select(
+        *gb, h64_md5(F.col(key_col).cast("string")).alias("_h")
+    )
     bucket, rank = _hll_bucket_rank_from(F.col("_h"), p)
     return (
         hashed.select(*gb, bucket.alias("bucket"), rank.alias("rank"))
@@ -364,6 +373,7 @@ def sql_hll_registers(
         SELECT {gsel}CAST({u} % {m} AS BIGINT) AS bucket,
                {64 - p + 1} - bit_count({smear}) AS reg0
         FROM {table}
+        WHERE {key_expr} IS NOT NULL
       ) ranks
       {gby}
     """
@@ -432,8 +442,17 @@ def _check_bloom(m_bits: int, k: int) -> None:
         raise ValueError(f"bloom k must be in [1, 16], got {k}")
 
 
+#: derived from BLOOM_WORD_BITS so every word/bit split (Spark helper,
+#: probe mask, SQL twins) moves together if the packing ever changes
+_BLOOM_WORD_SHIFT = BLOOM_WORD_BITS.bit_length() - 1
+_BLOOM_BIT_MASK = BLOOM_WORD_BITS - 1
+
+
 def _bloom_word_bit(slot: Column) -> tuple[Column, Column]:
-    return F.shiftright(slot, 5), slot.bitwiseAND(F.lit(31))
+    return (
+        F.shiftright(slot, _BLOOM_WORD_SHIFT),
+        slot.bitwiseAND(F.lit(_BLOOM_BIT_MASK)),
+    )
 
 
 def bloom_words(df: DataFrame, key_col: str, m_bits: int = 4096, k: int = 3) -> DataFrame:
@@ -443,7 +462,11 @@ def bloom_words(df: DataFrame, key_col: str, m_bits: int = 4096, k: int = 3) -> 
     shuffle contribution at m_bits/32 rows; the result is a few KB and
     broadcasts."""
     _check_bloom(m_bits, k)
-    hashed = df.select(h64_md5(F.col(key_col).cast("string")).alias("_h"))
+    # NULL keys set no bits (a NULL md5 would poison the packed map);
+    # probes of NULL keys return NULL, which callers keep or gate
+    hashed = df.where(F.col(key_col).isNotNull()).select(
+        h64_md5(F.col(key_col).cast("string")).alias("_h")
+    )
     slots = F.array(*[_km_slot(F.col("_h"), d, m_bits) for d in range(k)])
     ex = hashed.select(F.explode(slots).alias("slot"))
     word, bit = _bloom_word_bit(F.col("slot"))
@@ -489,7 +512,9 @@ def bloom_probe(
         out = out.withColumn(sc, _km_slot(F.col("_bloom_h"), d, m_bits))
         word, _ = _bloom_word_bit(F.col(sc))
         w = F.coalesce(F.try_element_at(F.col("_bf"), word), F.lit(0).cast("long"))
-        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({sc} & 31) AS INT))")
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(({sc} & {_BLOOM_BIT_MASK}) AS INT))"
+        )
         hit = hit & (w.bitwiseAND(mask) != 0)
     return out.withColumn(out_col, hit).drop("_bf", *slot_cols)
 
@@ -499,7 +524,8 @@ def sql_bloom_words(table: str, key_expr: str, m_bits: int = 4096, k: int = 3) -
     bit-for-bit."""
     _check_bloom(m_bits, k)
     probes = "\n      UNION ALL\n      ".join(
-        f"SELECT {sql_slot(key_expr, d, m_bits)} AS slot FROM {table}"
+        f"SELECT {sql_slot(key_expr, d, m_bits)} AS slot FROM {table} "
+        f"WHERE {key_expr} IS NOT NULL"  # bloom_words' NULL rule
         for d in range(k)
     )
     return (

@@ -518,11 +518,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketch.bloom_words — m_bits state whatever the corpus size, a few
     KB broadcast), each new-batch doc probes it MAP-SIDE, bloom-negative
     docs are DEFINITELY novel and bypass the exact-verify join entirely,
-    and only bloom-positives enter the content-keyed shuffle join
-    against the keeper map (hash-groupBy min — the classic exact-dedup
-    agg). False positives surface as bloom_hit=true/is_dup=false rows;
-    false negatives cannot occur (pytest pins the guarantee and the
-    split-plan == plain-left-join equivalence the oracle SQL relies on).
+    and in a materialized pipeline bloom-negatives skip the
+    content-keyed verify join entirely — no false negatives means the
+    split form equals the plain left join (pytest pins both the
+    guarantee and the equivalence). This single-query gate runs the
+    ONE-PASS form (plain left join against the keeper map — hash-groupBy
+    min, the classic exact-dedup agg) so the new batch is scanned and
+    hashed once and NULL-text rows survive with bloom_hit NULL, exactly
+    as the oracle SQL emits them; the negatives-bypass split belongs in
+    pipelines that persist the probe output between stages
+    (test_bloom_split_plan_equals_plain_left_join keeps that plan
+    honest). False positives surface as bloom_hit=true/is_dup=false
+    rows.
 
     Fixture: every %3==0 doc re-arrives as an exact copy (id+1e6), every
     %3==1 doc re-arrives with novel text (id+2e6)."""
@@ -544,12 +551,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = bloom_pack(bloom_words(hist, "text", _BLOOM_M, _BLOOM_K))
     probed = bloom_probe(newb, packed, "text", _BLOOM_M, _BLOOM_K)
     keepers = hist.groupBy("text").agg(F.min("doc_id").alias("keeper_id"))
-    pos = probed.filter(F.col("bloom_hit")).join(keepers, "text", "left")
-    neg = probed.filter(~F.col("bloom_hit")).withColumn(
-        "keeper_id", F.lit(None).cast("long")
-    )
     return (
-        pos.unionByName(neg)
+        probed.join(keepers, "text", "left")
         .select(
             "doc_id",
             "bloom_hit",
@@ -1476,7 +1479,7 @@ def _multimodal_oracle() -> str:
         f"('{r.image_id}', {r.w}, {r.h}, {i})"
         for i, r in enumerate(images.itertuples())
     )
-    pxv = "CAST((k * 1103515245 + i * 12345 + 7) % 251 AS BIGINT)"
+    pxv = _sql_lcg_px("k")  # ONE definition of the codec formula
     return f"""
     WITH meta(image_id, w, h, i) AS (VALUES
       {meta}
@@ -1530,8 +1533,9 @@ def _multimodal_oracle() -> str:
            COALESCE(l.lap_sum, 0) AS lap_sum,
            COALESCE(l.lap_sq_sum, 0) AS lap_sq_sum,
            CASE WHEN COALESCE(l.n_interior, 0) > 0 THEN
-             CAST(l.n_interior * l.lap_sq_sum - l.lap_sum * l.lap_sum AS DOUBLE)
-               / CAST(l.n_interior * l.n_interior AS DOUBLE)
+             (CAST(l.n_interior AS DOUBLE) * CAST(l.lap_sq_sum AS DOUBLE)
+              - CAST(l.lap_sum AS DOUBLE) * CAST(l.lap_sum AS DOUBLE))
+               / (CAST(l.n_interior AS DOUBLE) * CAST(l.n_interior AS DOUBLE))
            END AS lap_var
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     ORDER BY s.image_id
@@ -1564,15 +1568,19 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(wgt * F.col("p_sum")).alias("patch_sum_check"),
         F.sum(wgt * F.col("p_min").cast("long")).alias("patch_min_check"),
     )
-    ni, lsum, lsq = F.col("n_interior"), F.col("lap_sum"), F.col("lap_sq_sum")
+    # moments combine as DOUBLES: n*Σx² can pass 2^63 for big noisy
+    # images, where int64 would wrap in Spark but raise in DuckDB —
+    # identical IEEE multiplies keep the engines bit-equal at any size
+    ni = F.col("n_interior").cast("double")
+    lsum = F.col("lap_sum").cast("double")
+    lsq = F.col("lap_sq_sum").cast("double")
     sharp = sharpness_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id",
         "n_interior",
         "lap_sum",
         "lap_sq_sum",
         F.when(
-            ni > 0,
-            (ni * lsq - lsum * lsum).cast("double") / (ni * ni).cast("double"),
+            F.col("n_interior") > 0, (ni * lsq - lsum * lsum) / (ni * ni)
         ).alias("lap_var"),
     )
     return stats.join(pagg, "image_id").join(sharp, "image_id").orderBy("image_id")

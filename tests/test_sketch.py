@@ -258,17 +258,16 @@ def test_bloom_cross_engine_bit_parity(spark, bloom_corpus):
     assert got_p == duck_p
 
 
-def test_bloom_split_plan_equals_plain_left_join(spark):
-    """The scale plan (negatives bypass the exact join) must equal the
-    plain left join the DuckDB oracle runs — which holds iff the filter
-    has no false negatives. This is the equivalence dedup_exact's
-    oracle SQL relies on."""
+def test_bloom_split_plan_equals_plain_left_join(spark, sf_dir):
+    """The materialized-pipeline plan (bloom-negatives BYPASS the exact
+    join, only positives shuffle) must equal the plain left join the
+    gated dedup_exact row and its DuckDB oracle run — which holds iff
+    the filter has no false negatives."""
     from osm_replication_rust_spark.plans import entry_queries
     from pyspark.sql import functions as F
 
-    sf = "/root/testdata/sf0.001"
-    out = entry_queries.queries()["dedup_exact"](spark, sf)
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    out = entry_queries.queries()["dedup_exact"](spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from osm_replication_rust_spark.operators.sketch import (
         bloom_pack,
         bloom_probe,
@@ -286,15 +285,17 @@ def test_bloom_split_plan_equals_plain_left_join(spark):
         )
     )
     packed = bloom_pack(bloom_words(hist, "text", 4096, 3))
-    plain = (
-        bloom_probe(newb, packed, "text", 4096, 3)
-        .join(hist.groupBy("text").agg(F.min("doc_id").alias("keeper_id")), "text", "left")
-        .select(
-            "doc_id", "bloom_hit", F.col("keeper_id").isNotNull().alias("is_dup"), "keeper_id"
-        )
+    probed = bloom_probe(newb, packed, "text", 4096, 3)
+    keepers = hist.groupBy("text").agg(F.min("doc_id").alias("keeper_id"))
+    pos = probed.filter(F.col("bloom_hit")).join(keepers, "text", "left")
+    neg = probed.filter(~F.col("bloom_hit")).withColumn(
+        "keeper_id", F.lit(None).cast("long")
+    )
+    split = pos.unionByName(neg).select(
+        "doc_id", "bloom_hit", F.col("keeper_id").isNotNull().alias("is_dup"), "keeper_id"
     )
     a = sorted(map(tuple, out.collect()))
-    b = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, split.collect()))
     assert a == b
     # one-sided guarantee as seen through the gated row
     for doc_id, bloom_hit, is_dup, keeper in a:
@@ -339,3 +340,37 @@ def test_cms_probe_equals_estimate(spark, keyed):
     }
     assert {k: v for k, v in got.items() if k in est} == est
     assert got[77_000_000] >= 0  # unseen: 0 unless all slots collide
+
+
+def test_null_keys_build_and_probe(spark):
+    """NULL keys must not crash the packed forms (md5(NULL) would be a
+    NULL map key) and must not count: builds filter them (the
+    countDistinct rule, mirrored in every SQL twin); probes of NULL
+    keys give est=0 (CMS, coalesced lookups) / bloom_hit NULL (kept by
+    callers, as dedup_exact's plain-join shape does)."""
+    from osm_replication_rust_spark.operators.sketch import (
+        bloom_pack,
+        bloom_probe,
+        bloom_words,
+        cms_pack,
+        cms_probe,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a"), (5, None)], "id long, key string"
+    )
+    sk = cms_build(df, "key", 2, 64)
+    assert sk.selectExpr("sum(cnt)").collect()[0][0] == 2 * 3  # NULLs excluded
+    probed = cms_probe(df, cms_pack(sk, 64), "key", 2, 64).collect()  # no crash
+    est = {r.id: r.cms_est for r in probed}
+    assert est[2] == 0 and est[5] == 0
+
+    bw = bloom_words(df, "key", 64, 2)
+    hits = {r.id: r.bloom_hit for r in bloom_probe(df, bloom_pack(bw), "key", 64, 2).collect()}
+    assert hits[1] and hits[3] and hits[4]
+    assert hits[2] is None and hits[5] is None
+
+    regs = hll_registers(df, "key", p=4)
+    assert regs.where("bucket IS NULL").count() == 0
+    assert regs.count() <= 2  # at most one register per distinct non-null key
