@@ -29,7 +29,7 @@ frequencies, per-source document counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import h64_md5, sql_h64_md5
@@ -548,3 +548,144 @@ def sql_bloom_hit_expr(words_cte: str, key_expr: str, m_bits: int = 4096, k: int
             f"(CAST(1 AS BIGINT) << CAST(({slot}) % {BLOOM_WORD_BITS} AS INT))) <> 0"
         )
     return "(" + " AND ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Bounded-bin histogram quantiles (the fourth sketch: approximate
+# percentiles). exact percentile_disc/percentile_cont over 100 TB means
+# a full sort or a giant QuantileSummaries state per group; a fixed
+# [lo, hi) equi-width histogram caps per-group aggregation state at
+# n_bins counters, merges by addition (partial agg / AQE friendly), and
+# answers any quantile to within one bin width. Integer bin widths +
+# exact integer cumulative counts + ONE shared interpolation spelling
+# keep Spark and DuckDB bit-identical (the HLL estimator rule).
+# The training-pipeline use: corpus-level quality thresholds ("drop the
+# bottom quartile by token count") computed without sorting anything.
+# ---------------------------------------------------------------------------
+
+
+def _check_hist(lo: int, hi: int, n_bins: int) -> None:
+    if not (isinstance(lo, int) and isinstance(hi, int)) or hi <= lo:
+        raise ValueError(f"hist range must be integers with hi > lo, got [{lo}, {hi})")
+    if n_bins < 1 or (hi - lo) % n_bins:
+        raise ValueError(
+            f"n_bins must divide (hi - lo) exactly so the bin width is an "
+            f"integer (shared FP-free constant), got ({hi} - {lo}) / {n_bins}"
+        )
+
+
+def hist_bins(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., bin, cnt) — at most n_bins rows per group whatever the
+    row count; out-of-range values clamp into the edge bins (the sketch
+    stays total). NULL values don't count (the aggregate-function
+    rule)."""
+    _check_hist(lo, hi, n_bins)
+    w = (hi - lo) // n_bins
+    gb = list(group_cols or [])
+    v = F.col(value_col)
+    b = F.floor((v.cast("double") - F.lit(float(lo))) / F.lit(float(w))).cast("long")
+    b = F.greatest(F.lit(0).cast("long"), F.least(b, F.lit(n_bins - 1).cast("long")))
+    return (
+        df.where(v.isNotNull())
+        .select(*gb, b.alias("bin"))
+        .groupBy(*gb, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantile(
+    bins: DataFrame,
+    q: float,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+    out_col: str = "q_est",
+) -> DataFrame:
+    """Interpolated quantile (q in (0, 1]) per group from histogram
+    rows: find the bin where the exact integer cumulative count crosses
+    ceil(q*N), then place the estimate target-th-value-deep into that
+    bin. All counts are exact ints; the interpolation is the one shared
+    double expression, so both engines emit identical doubles. Accuracy
+    is one bin width by construction (tested)."""
+    _check_hist(lo, hi, n_bins)
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    w = (hi - lo) // n_bins
+    gb = list(group_cols or [])
+    cumw = (
+        Window.partitionBy(*gb).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totw = Window.partitionBy(*gb)
+    cum = F.sum("cnt").over(cumw)
+    n = F.sum("cnt").over(totw)
+    target = F.ceil(F.lit(float(q)) * n.cast("double")).cast("long")
+    t = (
+        bins.withColumn("_cum", cum)
+        .withColumn("_target", target)
+        .withColumn("_before", F.col("_cum") - F.col("cnt"))
+    )
+    frac = (F.col("_target") - F.col("_before")).cast("double") / F.col("cnt").cast(
+        "double"
+    )
+    est = F.lit(float(lo)) + F.lit(float(w)) * (F.col("bin").cast("double") + frac)
+    return (
+        t.filter((F.col("_cum") >= F.col("_target")) & (F.col("_before") < F.col("_target")))
+        .select(*gb, est.alias(out_col))
+    )
+
+
+def sql_hist_quantile(
+    table: str,
+    value_expr: str,
+    q: float,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    group_exprs: list[str] | None = None,
+    est_col: str = "q_est",
+    where: str | None = None,
+) -> str:
+    """DuckDB twin of hist_bins |> hist_quantile over ``table`` —
+    identical bins, identical exact cumulative counts, the identical
+    interpolation spelling. Returns a SELECT of (group..., est_col)."""
+    _check_hist(lo, hi, n_bins)
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    w = (hi - lo) // n_bins
+    gb = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in gb)
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    gby = "GROUP BY " + ", ".join([*gb, "bin"])
+    wh = f"WHERE ({value_expr}) IS NOT NULL" + (f" AND ({where})" if where else "")
+    return f"""
+    SELECT {gsel}
+           CAST({lo} AS DOUBLE) + CAST({w} AS DOUBLE) *
+             (CAST(bin AS DOUBLE)
+              + CAST(trg - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) AS {est_col}
+    FROM (
+      SELECT {gsel}bin, cnt,
+             SUM(cnt) OVER ({part} ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             CAST(CEIL({q!r} * CAST(SUM(cnt) OVER ({part}) AS DOUBLE)) AS BIGINT) AS trg
+      FROM (
+        SELECT {gsel}
+               GREATEST(CAST(0 AS BIGINT), LEAST(
+                 CAST(FLOOR((CAST({value_expr} AS DOUBLE) - CAST({lo} AS DOUBLE))
+                            / CAST({w} AS DOUBLE)) AS BIGINT),
+                 CAST({n_bins - 1} AS BIGINT))) AS bin,
+               COUNT(*) AS cnt
+        FROM {table} {wh}
+        {gby}
+      ) hb
+    ) c
+    WHERE cum >= trg AND (cum - cnt) < trg
+    """

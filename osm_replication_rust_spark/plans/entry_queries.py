@@ -83,28 +83,67 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through its streaming passes; expressed over the driver star schema)
 # ---------------------------------------------------------------------------
 
+#: histogram sketch range for the q01 median column: l_extendedprice at
+#: any SF stays well under 110592 = 432 * 256 (TPC-H price formula tops
+#: out ~104k); 256 integer-width bins -> median within 432 of exact
+_Q01_HIST = (0, 110592, 256)
+
+
+def _fill_q01_oracle() -> None:
+    from ..operators.sketch import sql_hist_quantile
+
+    med = sql_hist_quantile(
+        "lineitem",
+        "l_extendedprice",
+        0.5,
+        *_Q01_HIST,
+        group_exprs=["l_returnflag", "l_linestatus"],
+        est_col="price_p50_est",
+        where="l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'",
+    )
+    _ORACLES["q01_pricing_summary"] = f"""
+    WITH med AS ({med}
+    )
+    SELECT a.l_returnflag, a.l_linestatus,
+           a.sum_qty, a.sum_base, a.sum_disc, a.sum_charge, a.avg_qty, a.n,
+           med.price_p50_est
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity)                                       AS sum_qty,
+             sum(l_extendedprice)                                  AS sum_base,
+             sum(l_extendedprice * (1 - l_discount))               AS sum_disc,
+             sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+             avg(l_quantity)                                       AS avg_qty,
+             count(*)                                              AS n
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+    ) a
+    JOIN med USING (l_returnflag, l_linestatus)
+    ORDER BY a.l_returnflag, a.l_linestatus
+    """
+
+
 @register(
     "q01_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                       AS sum_qty,
-           sum(l_extendedprice)                                  AS sum_base,
-           sum(l_extendedprice * (1 - l_discount))               AS sum_disc,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)                                       AS avg_qty,
-           count(*)                                              AS n
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-    """,
+    None,  # filled below (_fill_q01_oracle — shares the histogram twin)
 )
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1-style multi-agg (hash agg, partial+final) with pushdown filter."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+    """A1-style multi-agg (hash agg, partial+final) with pushdown
+    filter, plus the bounded-bin histogram-quantile sketch: each
+    pricing-summary group carries the approximate MEDIAN extended price
+    (price_p50_est) from a 256-bin equi-width histogram — per-group agg
+    state capped at n_bins counters however many rows, exact integer
+    cumulative counts, one shared interpolation so the DuckDB twin
+    emits bit-identical doubles. The exact percentile alternative sorts
+    (or carries QuantileSummaries state for) every group member."""
+    from ..operators.sketch import hist_bins, hist_quantile
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.sum("l_extendedprice").alias("sum_base"),
@@ -117,8 +156,22 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_quantity").alias("avg_qty"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+    bins = hist_bins(
+        li, "l_extendedprice", *_Q01_HIST, group_cols=["l_returnflag", "l_linestatus"]
+    )
+    med = hist_quantile(
+        bins, 0.5, *_Q01_HIST,
+        group_cols=["l_returnflag", "l_linestatus"],
+        out_col="price_p50_est",
+    )
+    return (
+        agg.join(F.broadcast(med), ["l_returnflag", "l_linestatus"])
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_fill_q01_oracle()
 
 
 # fixed probe bbox for the gated Hilbert range-cover columns: sits

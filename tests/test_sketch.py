@@ -374,3 +374,86 @@ def test_null_keys_build_and_probe(spark):
     regs = hll_registers(df, "key", p=4)
     assert regs.where("bucket IS NULL").count() == 0
     assert regs.count() <= 2  # at most one register per distinct non-null key
+
+
+# ---------------------------------------------------------------------------
+# histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hist_df(spark):
+    # two groups with different shapes: g0 uniform-ish, g1 skewed low,
+    # plus out-of-range values that must clamp into the edge bins
+    rows = [(float(i % 997) * 10.03, "g0") for i in range(4000)]
+    rows += [(float((i * i) % 500), "g1") for i in range(2500)]
+    rows += [(-50.0, "g1"), (1e9, "g0")]
+    return spark.createDataFrame(rows, "v double, g string").repartition(8).persist()
+
+
+def test_hist_quantile_accuracy_and_state_bound(spark, hist_df):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.sketch import hist_bins, hist_quantile
+
+    lo, hi, nb = 0, 10240, 256  # width 40
+    bins = hist_bins(hist_df, "v", lo, hi, nb, group_cols=["g"]).persist()
+    per_g = {r.g: r.c for r in bins.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert all(c <= nb for c in per_g.values())
+
+    pdf = hist_df.toPandas()
+    w = (hi - lo) // nb
+    for q in (0.1, 0.5, 0.9, 1.0):
+        est = {
+            r.g: r.q_est
+            for r in hist_quantile(bins, q, lo, hi, nb, group_cols=["g"]).collect()
+        }
+        for g in ("g0", "g1"):
+            vals = np.clip(pdf[pdf.g == g].v.to_numpy(), lo, hi)  # clamp = bins' view
+            exact = np.quantile(vals, q)
+            assert abs(est[g] - exact) <= w + 1e-9, (g, q, est[g], exact)
+
+
+def test_hist_quantile_parity_with_duckdb(spark, hist_df):
+    from osm_replication_rust_spark.operators.sketch import (
+        hist_bins,
+        hist_quantile,
+        sql_hist_quantile,
+    )
+
+    con = duckdb.connect()
+    con.register("t", hist_df.toPandas())
+    for q in (0.25, 0.5, 0.99):
+        duck = dict(
+            con.execute(
+                sql_hist_quantile("t", "v", q, 0, 10240, 256, group_exprs=["g"])
+            ).fetchall()
+        )
+        got = {
+            r.g: r.q_est
+            for r in hist_quantile(
+                hist_bins(hist_df, "v", 0, 10240, 256, group_cols=["g"]),
+                q, 0, 10240, 256, group_cols=["g"],
+            ).collect()
+        }
+        assert got == duck  # bit-identical doubles
+
+
+def test_hist_validation(spark, hist_df):
+    from osm_replication_rust_spark.operators.sketch import (
+        hist_bins,
+        hist_quantile,
+        sql_hist_quantile,
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        hist_bins(hist_df, "v", 0, 1000, 256, group_cols=["g"])
+    with pytest.raises(ValueError, match="hi > lo"):
+        hist_bins(hist_df, "v", 10, 10, 4)
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        hist_quantile(
+            hist_bins(hist_df, "v", 0, 1024, 256, group_cols=["g"]),
+            0.0, 0, 1024, 256, group_cols=["g"],
+        )
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        sql_hist_quantile("t", "v", 1.5, 0, 1024, 256)
