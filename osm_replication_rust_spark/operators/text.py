@@ -209,7 +209,12 @@ def lang_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def text_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra_cols: list[Column] | None = None,
+) -> DataFrame:
     """ALL per-doc text signals in ONE scan — quality features, language
     ID, the rolling-hash fingerprint, and the winnowing-fingerprint
     summary (count + sum of the MOSS-selected substring fingerprints,
@@ -230,6 +235,7 @@ def text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         best["score"].alias("pred_score"),
         fp(F.col(text_col)).alias("fingerprint"),
         wstats(F.col(text_col)).alias("_ws"),
+        *(extra_cols or []),
     ).select(
         "*",
         F.col("_ws.n_winnow_fp").alias("n_winnow_fp"),
@@ -399,3 +405,62 @@ def sql_bm25(
       CROSS JOIN bm_stats s
       GROUP BY t.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (pretraining scrub pass). Patterns are
+# chosen to evaluate IDENTICALLY under Java regex (Spark) and RE2
+# (DuckDB): explicit character classes only — no lookaround (RE2 has
+# none), no alternation whose leftmost-first (Java) vs leftmost-longest
+# (RE2) semantics could diverge, no \s (dialect-dependent class).
+# Counts are per-pattern over the RAW text (an email inside a URL
+# counts as both); redaction applies URL -> EMAIL -> PHONE so a URL's
+# userinfo@host never leaves a half-redacted fragment.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^ \t\r\n\x0b\f]+"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+#: redaction order is load-bearing (see module comment)
+PII_REDACTION = (
+    (PII_URL, "[URL]"),
+    (PII_EMAIL, "[EMAIL]"),
+    (PII_PHONE, "[PHONE]"),
+)
+
+
+def pii_count_cols(text: Column) -> list[Column]:
+    """n_pii_email / n_pii_url / n_pii_phone — JVM-side regexp_count,
+    whole-stage codegen, no Python."""
+    return [
+        F.regexp_count(text, F.lit(PII_EMAIL)).alias("n_pii_email"),
+        F.regexp_count(text, F.lit(PII_URL)).alias("n_pii_url"),
+        F.regexp_count(text, F.lit(PII_PHONE)).alias("n_pii_phone"),
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """The text with every PII span replaced by its tag — what a scrub
+    pass writes back before training."""
+    out = text
+    for pat, tag in PII_REDACTION:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def sql_pii_counts(text: str) -> list[str]:
+    """DuckDB twins of pii_count_cols (len(regexp_extract_all))."""
+    return [
+        f"CAST(len(regexp_extract_all({text}, '{PII_EMAIL}')) AS INT) AS n_pii_email",
+        f"CAST(len(regexp_extract_all({text}, '{PII_URL}')) AS INT) AS n_pii_url",
+        f"CAST(len(regexp_extract_all({text}, '{PII_PHONE}')) AS INT) AS n_pii_phone",
+    ]
+
+
+def sql_redact_pii(text: str) -> str:
+    """DuckDB twin of redact_pii ('g' = replace all, like Spark)."""
+    out = text
+    for pat, tag in PII_REDACTION:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out

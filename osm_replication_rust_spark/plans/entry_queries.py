@@ -899,12 +899,34 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible under retries/resumes/engines; and ``lang_head`` —
     exactly N docs per language uniform-without-replacement (rank by
     ticket inside the stratum; the one narrow shuffle this plan has
-    besides the display sort)."""
+    besides the display sort).
+
+    And the PII scrub pass (operators/text.py PII block): every 5th doc
+    gets a deterministic email+URL+phone injection, and the gate carries
+    the per-pattern counts plus the 64-bit hash of the REDACTED text —
+    so both detection and the rewrite are driver-verified byte-for-byte
+    against RE2 (regex dialect parity is the whole risk of a scrub pass;
+    the patterns are chosen lookaround-free for exactly that)."""
+    from ..operators.dedup import h64_md5
     from ..operators.sampling import stratified_fixed_n, stratified_rate_sample
-    from ..operators.text import text_features
+    from ..operators.text import pii_count_cols, redact_pii, text_features
 
     d = _t(spark, sf_dir, "documents")
-    tf = text_features(d, "text", "doc_id")
+    inj = F.concat(
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.ample/u/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or +1 (555) 010-4242."),
+    )
+    ptxt = F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), inj)).otherwise(
+        F.col("text")
+    )
+    pii_cols = [
+        *pii_count_cols(ptxt),
+        h64_md5(redact_pii(ptxt)).alias("pii_redacted_h64"),
+    ]
+    tf = text_features(d, "text", "doc_id", extra_cols=pii_cols)
     tf = stratified_rate_sample(
         tf, "pred_lang", _LANG_SAMPLE_RATES, "doc_id", out_col="sample_keep"
     )
@@ -923,11 +945,12 @@ _LANG_HEAD_N = 25
 
 
 def _fill_text_oracles() -> None:
-    from ..operators.dedup import winnow_fps_sql, winnow_hashes_sql
+    from ..operators.dedup import sql_h64_md5, winnow_fps_sql, winnow_hashes_sql
     from ..operators.sampling import (
         sql_stratified_fixed_n_expr,
         sql_stratified_keep_expr,
     )
+    from ..operators.text import sql_pii_counts, sql_redact_pii
     from ..operators.text import (
         LANG_MARKERS as markers,
         sql_dup_trigram_frac,
@@ -948,6 +971,14 @@ def _fill_text_oracles() -> None:
     # lexicographically largest language (matches F.array_max on
     # struct(score, lang))
     wfps = winnow_fps_sql("wh", dialect="duck")
+    inj_sql = (
+        "' Contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com via https://ex.ample/u/' || CAST(doc_id AS VARCHAR) || "
+        "' or +1 (555) 010-4242.'"
+    )
+    ptxt_sql = f"(CASE WHEN doc_id % 5 = 0 THEN text || {inj_sql} ELSE text END)"
+    pii_sql = ",\n           ".join(sql_pii_counts(ptxt_sql))
+    red_sql = f"{sql_h64_md5(sql_redact_pii(ptxt_sql))} AS pii_redacted_h64"
     _ORACLES["text_features"] = f"""
     WITH s AS (
       SELECT doc_id, text, {score['en']} AS s_en, {score['de']} AS s_de,
@@ -977,7 +1008,9 @@ def _fill_text_oracles() -> None:
                 ELSE s_de END AS pred_score,
            {sql_fingerprint('text')} AS fingerprint,
            CAST(len(wfps) AS BIGINT) AS n_winnow_fp,
-           CAST(COALESCE(list_sum(wfps), 0) AS BIGINT) AS winnow_fp_sum
+           CAST(COALESCE(list_sum(wfps), 0) AS BIGINT) AS winnow_fp_sum,
+           {pii_sql},
+           {red_sql}
     FROM s2
     )
     SELECT tfo.*,

@@ -220,3 +220,64 @@ def test_bm25_matches_python_reference(spark):
             s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
         if i in got:
             assert abs(got[i] - s) < 1e-12, (i, got[i], s)
+
+
+def test_pii_counts_and_redaction_three_way_parity(spark):
+    """The scrub pass's entire risk is regex-dialect divergence: Spark
+    (Java regex), DuckDB (RE2) and the python-re reference must agree
+    on counts AND on the redacted bytes for adversarial inputs —
+    multiple matches, URL userinfo, unicode neighbors, parens/dashes in
+    phones, and clean text."""
+    import re
+
+    import duckdb
+
+    from osm_replication_rust_spark.operators.text import (
+        PII_REDACTION,
+        PII_EMAIL,
+        PII_PHONE,
+        PII_URL,
+        pii_count_cols,
+        redact_pii,
+        sql_pii_counts,
+        sql_redact_pii,
+    )
+
+    samples = [
+        (0, "mail a.b-c_d%x+1@sub-2.example.co.uk and other@ex.io now"),
+        (1, "https://user:pw@host.example/path?q=a@b.cd#frag plus http://x.y"),
+        (2, "call +44 (0) 20-7946 0958 or (555) 010 4242 done"),
+        (3, "unicode café naïve @ not-an-email http:// notaurl 12345"),
+        (4, "edge: a@b.cd. end, tel 00000042, url https://e.f/g,h"),
+        (5, "completely clean text with no contact details at all"),
+    ]
+    df = spark.createDataFrame(samples, "id long, t string")
+    got = {
+        r.id: (r.n_pii_email, r.n_pii_url, r.n_pii_phone, r.red)
+        for r in df.select(
+            "id", *pii_count_cols(F.col("t")), redact_pii(F.col("t")).alias("red")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("s", pd.DataFrame(samples, columns=["id", "t"]))
+    duck = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"SELECT id, {', '.join(sql_pii_counts('t'))}, "
+            f"{sql_redact_pii('t')} AS red FROM s"
+        ).fetchall()
+    }
+    assert got == duck
+    for i, s in samples:
+        red = s
+        for pat, tag in PII_REDACTION:
+            red = re.sub(pat, tag, red)
+        counts = (
+            len(re.findall(PII_EMAIL, s)),
+            len(re.findall(PII_URL, s)),
+            len(re.findall(PII_PHONE, s)),
+        )
+        assert got[i] == (*counts, red), (i, got[i], counts, red)
+    # clean text is untouched; injected text carries no raw address
+    assert got[5][3] == samples[5][1]
+    assert "@" not in got[0][3].replace("[EMAIL]", "")
