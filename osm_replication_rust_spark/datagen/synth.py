@@ -306,3 +306,37 @@ def gen_groups(images: pd.DataFrame, n_ways: int = 20, n_relations: int = 8, see
         }
     )
     return pd.DataFrame(rows)
+
+
+#: per-frame pixel shifts for the deterministic video fixture: frame j's
+#: pixel k of video i is (k*1103515245 + i*12345 + 7 + VIDEO_SHIFTS[j]) % 251.
+#: Consecutive shifts 0->2 and 91->93 are small (mean |diff| ~ 4), the
+#: 2->91 transition is a SCENE CUT (mean |diff| ~ 115) — every video has
+#: exactly one cut at a mean-abs-diff >= 20 threshold, with per-video
+#: SAD variation from the pixel-dependent mod-251 wraps.
+VIDEO_SHIFTS = (0, 2, 91, 93)
+
+
+def gen_videos(n: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic videos: gen_images' frames stacked with per-frame
+    shifts (codec stubbed as everywhere; payload = n_frames concatenated
+    w*h raw frames, the frame_sample/scene_cut contract). The oracle
+    recomputes every frame's pixels from the formula above — no byte
+    reads."""
+    imgs = gen_images(n, seed=seed)
+    payloads = []
+    for i, w, h in zip(range(n), imgs.w, imgs.h):
+        size = int(w) * int(h)
+        base = (
+            np.arange(size, dtype=np.uint64) * 1103515245 + np.uint64(i) * 12345 + 7
+        )
+        frames = [((base + s) % 251).astype(np.uint8).tobytes() for s in VIDEO_SHIFTS]
+        payloads.append(b"".join(frames))
+    return pd.DataFrame(
+        {
+            "image_id": imgs.image_id,
+            "bytes": payloads,
+            "w": imgs.w,
+            "h": imgs.h,
+        }
+    )

@@ -425,3 +425,64 @@ def sharpness_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             yield pdf.assign(n_interior=ni, lap_sum=ls, lap_sq_sum=lq)
 
     return df.mapInPandas(stage, out_schema)
+
+
+def scene_cut_stage(
+    df: DataFrame,
+    threshold_millis: int = 20_000,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Video scene-cut detection — the transition screen a video
+    training pipeline runs before frame sampling (sample per SHOT, not
+    per uniform offset, or a 2-scene clip yields near-duplicate frames
+    from the long scene). The payload is n_frames concatenated w*h raw
+    frames (the frame_sample contract); per consecutive-frame pair the
+    stage emits the EXACT integer sum of absolute pixel differences
+    (sad) and flags a cut via the integer comparison
+    sad * 1000 >= threshold_millis * n_px (mean-abs-diff threshold with
+    no FP anywhere, so the DuckDB oracle reproduces every flag).
+    One output row per transition: (id, frame_idx of the LATER frame,
+    n_px, sad, is_cut); single-frame payloads emit nothing. Vectorized
+    per equal-shape batch group; map-only."""
+    out_schema = (
+        f"{id_col} string, frame_idx int, n_px int, sad bigint, is_cut boolean"
+    )
+    thr = int(threshold_millis)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, npx, sads, cuts = [], [], [], [], []
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                fsize = w * h
+                if fsize == 0 or L < 2 * fsize:
+                    continue
+                n_frames = L // fsize
+                usable = n_frames * fsize
+                buf = (
+                    np.frombuffer(b"".join(payloads[k] for k in ii), dtype=np.uint8)
+                    .reshape(len(ii), L)[:, :usable]
+                    .astype(np.int64)
+                    .reshape(len(ii), n_frames, fsize)
+                )
+                sad = np.abs(buf[:, 1:, :] - buf[:, :-1, :]).sum(axis=2)  # (n, f-1)
+                for row, vid in enumerate(pdf[id_col].to_numpy(dtype=object)[ii]):
+                    for j in range(n_frames - 1):
+                        s = int(sad[row, j])
+                        ids.append(vid)
+                        fidx.append(j + 1)
+                        npx.append(fsize)
+                        sads.append(s)
+                        cuts.append(s * 1000 >= thr * fsize)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": fidx,
+                    "n_px": npx,
+                    "sad": sads,
+                    "is_cut": cuts,
+                }
+            )
+
+    return df.mapInPandas(stage, out_schema)

@@ -1540,6 +1540,11 @@ def ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "dot_q", "rank").orderBy("query_id", "rank")
 
 
+#: scene-cut mean-abs-diff threshold in millis (20.0/pixel): separates
+#: the fixture's in-scene transitions (~4/px) from its cut (~115/px)
+_SCENE_THR = 20_000
+
+
 def _sql_lcg_px(kexpr: str) -> str:
     """Pixel value of the deterministic LCG fake codec at linear index
     ``kexpr`` of image i — the formula datagen.synth.gen_images writes
@@ -1612,6 +1617,28 @@ def _multimodal_oracle() -> str:
              CAST(SUM(lp * lp) AS BIGINT) AS lap_sq_sum
       FROM lap
       GROUP BY image_id
+    ),
+    vtrans AS (
+      SELECT image_id, j AS frame_idx, w * h AS n_px,
+             SUM(ABS(
+               ((k * 1103515245 + i * 12345 + 7 + ([0,2,91,93])[j + 1]) % 251)
+               - ((k * 1103515245 + i * 12345 + 7 + ([0,2,91,93])[j]) % 251)
+             )) AS sad
+      FROM meta,
+           UNNEST(generate_series(0, w * h - 1)) AS t(k),
+           UNNEST([1, 2, 3]) AS jt(j)
+      GROUP BY image_id, j, w * h
+    ),
+    vagg AS (
+      SELECT image_id,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions,
+             CAST(SUM(CASE WHEN sad * 1000 >= {_SCENE_THR} * n_px
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             CAST(SUM(sad) AS BIGINT) AS sad_total,
+             CAST(MIN(CASE WHEN sad * 1000 >= {_SCENE_THR} * n_px
+                           THEN frame_idx END) AS INT) AS cut_frame
+      FROM vtrans
+      GROUP BY image_id
     )
     SELECT s.image_id, s.pix_mean, s.pix_max, s.pix_min,
            p.n_patches, p.patch_sum_check, p.patch_min_check,
@@ -1622,8 +1649,10 @@ def _multimodal_oracle() -> str:
              (CAST(l.n_interior AS DOUBLE) * CAST(l.lap_sq_sum AS DOUBLE)
               - CAST(l.lap_sum AS DOUBLE) * CAST(l.lap_sum AS DOUBLE))
                / (CAST(l.n_interior AS DOUBLE) * CAST(l.n_interior AS DOUBLE))
-           END AS lap_var
+           END AS lap_var,
+           v.n_transitions, v.n_cuts, v.sad_total, v.cut_frame
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
+    JOIN vagg v USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -1641,11 +1670,24 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-identical across engines. Input synthesized
     deterministically (the driver star schema has no binary column);
     the oracle recomputes the fake-codec pixels, the patch grid, AND
-    the interior Laplacian in SQL."""
-    from ..datagen.synth import gen_images
-    from ..operators.multimodal import decode_stats, patchify_stage, sharpness_stage
+    the interior Laplacian in SQL.
+
+    Plus video scene-cut detection (scene_cut_stage): a 4-frame video
+    sibling of every image (gen_videos — per-frame pixel shifts with
+    one planted scene change) yields per-transition exact integer SAD
+    and a no-FP threshold flag; the gate carries per-video transition
+    count, cut count, SAD total and the first cut's frame index, all
+    recomputed by the oracle from the shift formula."""
+    from ..datagen.synth import gen_images, gen_videos
+    from ..operators.multimodal import (
+        decode_stats,
+        patchify_stage,
+        scene_cut_stage,
+        sharpness_stage,
+    )
 
     imgs = spark.createDataFrame(gen_images(500, seed=42))
+    vids = spark.createDataFrame(gen_videos(500, seed=42))
     stats = decode_stats(imgs).select("image_id", "pix_mean", "pix_max", "pix_min")
     pat = patchify_stage(imgs.select("image_id", "bytes", "w", "h"), patch=8)
     wgt = F.col("patch_row").cast("long") * 1024 + F.col("patch_col") + 1
@@ -1669,7 +1711,19 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_interior") > 0, (ni * lsq - lsum * lsum) / (ni * ni)
         ).alias("lap_var"),
     )
-    return stats.join(pagg, "image_id").join(sharp, "image_id").orderBy("image_id")
+    cuts = scene_cut_stage(vids, threshold_millis=_SCENE_THR)
+    vagg = cuts.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.col("is_cut").cast("long")).alias("n_cuts"),
+        F.sum("sad").alias("sad_total"),
+        F.min(F.when(F.col("is_cut"), F.col("frame_idx"))).alias("cut_frame"),
+    )
+    return (
+        stats.join(pagg, "image_id")
+        .join(sharp, "image_id")
+        .join(vagg, "image_id")
+        .orderBy("image_id")
+    )
 
 
 def _group_bbox_oracle() -> str:

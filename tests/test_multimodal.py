@@ -356,3 +356,48 @@ def test_sharpness_detects_blur(spark):
         return (r.n_interior * r.lap_sq_sum - r.lap_sum**2) / r.n_interior**2
 
     assert var_of(out["blur"]) < var_of(out["sharp"]) * 0.25
+
+
+def test_scene_cut_matches_numpy_and_contract(spark):
+    from osm_replication_rust_spark.operators.multimodal import scene_cut_stage
+
+    rng = np.random.default_rng(7)
+    w, h = 6, 4
+    fs = w * h
+    f0 = rng.integers(0, 251, fs).astype(np.uint8)
+    f1 = (f0 + rng.integers(0, 3, fs)).astype(np.uint8)       # tiny drift
+    f2 = rng.integers(0, 251, fs).astype(np.uint8)            # hard cut
+    trailing = bytes([9] * 5)                                 # partial frame: ignored
+    rows = [
+        ("v0", f0.tobytes() + f1.tobytes() + f2.tobytes() + trailing, w, h),
+        ("v1", f0.tobytes(), w, h),                           # single frame: no rows
+        ("v2", f0.tobytes() + f0.tobytes(), w, h),            # identical: sad 0
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    out = scene_cut_stage(df, threshold_millis=20_000).collect()
+    got = {(r.image_id, r.frame_idx): (r.sad, r.is_cut, r.n_px) for r in out}
+    assert not any(k[0] == "v1" for k in got)
+    s01 = int(np.abs(f1.astype(np.int64) - f0.astype(np.int64)).sum())
+    s12 = int(np.abs(f2.astype(np.int64) - f1.astype(np.int64)).sum())
+    assert got[("v0", 1)] == (s01, s01 * 1000 >= 20_000 * fs, fs)
+    assert got[("v0", 2)] == (s12, s12 * 1000 >= 20_000 * fs, fs)
+    assert got[("v0", 2)][1] and not got[("v0", 1)][1]  # the cut is the cut
+    assert got[("v2", 1)] == (0, False, fs)
+
+
+def test_gen_videos_have_exactly_one_cut_at_frame_two(spark):
+    """The fixture's planted scene change: shifts (0,2,91,93) -> every
+    video's only cut is the 2->91 transition (frame_idx 2)."""
+    from osm_replication_rust_spark.datagen.synth import gen_videos
+    from osm_replication_rust_spark.operators.multimodal import scene_cut_stage
+
+    vids = spark.createDataFrame(gen_videos(60, seed=42))
+    out = scene_cut_stage(vids, threshold_millis=20_000)
+    agg = out.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_tr"),
+        F.sum(F.col("is_cut").cast("int")).alias("n_cuts"),
+        F.min(F.when(F.col("is_cut"), F.col("frame_idx"))).alias("cut_at"),
+    )
+    rows = agg.collect()
+    assert len(rows) == 60
+    assert all(r.n_tr == 3 and r.n_cuts == 1 and r.cut_at == 2 for r in rows)
