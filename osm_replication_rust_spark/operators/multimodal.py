@@ -486,3 +486,65 @@ def scene_cut_stage(
             )
 
     return df.mapInPandas(stage, out_schema)
+
+
+def audio_stats_stage(
+    df: DataFrame,
+    silence_amp: int = 16,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Audio energy + silence-trim analysis — the pre-training pass that
+    drops dead air before tokenizing/segmenting a clip. The payload is
+    unsigned-8-bit PCM centered at 128 (codec stubbed like every other
+    modality: same opaque binary column, different decode contract).
+    Per row, all EXACT integers:
+
+    - n_samples, peak = max |s - 128|,
+    - energy = sum (s - 128)^2  (rms = sqrt(energy/n) is ONE shared
+      sqrt spelling in the gate — IEEE-754 sqrt is correctly rounded,
+      so both engines emit the identical double),
+    - trim_start / trim_end: first and last sample index with
+      |s - 128| >= silence_amp (NULL when the whole clip is silent) —
+      the slice [trim_start, trim_end] is the silence-trimmed clip.
+
+    Vectorized over equal-shape batch groups; map-only."""
+    out_schema = (
+        f"{id_col} string, n_samples int, peak int, energy bigint, "
+        f"trim_start int, trim_end int"
+    )
+    amp = int(silence_amp)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ns = np.zeros(n, dtype=np.int64)
+            peak = np.zeros(n, dtype=np.int64)
+            energy = np.zeros(n, dtype=np.int64)
+            t0 = np.full(n, -1, dtype=np.int64)
+            t1 = np.full(n, -1, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, _, _ in _shape_groups(pdf, bytes_col):
+                if L == 0:
+                    continue
+                buf = np.frombuffer(
+                    b"".join(payloads[k] for k in ii), dtype=np.uint8
+                ).reshape(len(ii), L)
+                a = np.abs(buf.astype(np.int64) - 128)
+                ns[ii] = L
+                peak[ii] = a.max(axis=1)
+                energy[ii] = (a * a).sum(axis=1)
+                loud = a >= amp
+                any_loud = loud.any(axis=1)
+                first = np.argmax(loud, axis=1)
+                last = L - 1 - np.argmax(loud[:, ::-1], axis=1)
+                t0[ii] = np.where(any_loud, first, -1)
+                t1[ii] = np.where(any_loud, last, -1)
+            out = pdf[[id_col]].assign(
+                n_samples=ns, peak=peak, energy=energy, trim_start=t0, trim_end=t1
+            )
+            out["trim_start"] = out["trim_start"].astype("object").where(out["trim_start"] >= 0, None)
+            out["trim_end"] = out["trim_end"].astype("object").where(out["trim_end"] >= 0, None)
+            yield out
+
+    return df.mapInPandas(stage, out_schema)

@@ -1544,6 +1544,9 @@ def ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the fixture's in-scene transitions (~4/px) from its cut (~115/px)
 _SCENE_THR = 20_000
 
+#: audio silence amplitude (|sample - 128| below this is silence)
+_AUDIO_AMP = 16
+
 
 def _sql_lcg_px(kexpr: str) -> str:
     """Pixel value of the deterministic LCG fake codec at linear index
@@ -1639,6 +1642,19 @@ def _multimodal_oracle() -> str:
                            THEN frame_idx END) AS INT) AS cut_frame
       FROM vtrans
       GROUP BY image_id
+    ),
+    aud AS (
+      SELECT image_id,
+             CAST(w * h AS INT) AS n_samples,
+             CAST(MAX(ABS(({_sql_lcg_px('k')}) - 128)) AS INT) AS peak,
+             CAST(SUM(ABS(({_sql_lcg_px('k')}) - 128)
+                      * ABS(({_sql_lcg_px('k')}) - 128)) AS BIGINT) AS energy,
+             CAST(MIN(CASE WHEN ABS(({_sql_lcg_px('k')}) - 128) >= {_AUDIO_AMP}
+                           THEN k END) AS INT) AS trim_start,
+             CAST(MAX(CASE WHEN ABS(({_sql_lcg_px('k')}) - 128) >= {_AUDIO_AMP}
+                           THEN k END) AS INT) AS trim_end
+      FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
+      GROUP BY image_id, w * h
     )
     SELECT s.image_id, s.pix_mean, s.pix_max, s.pix_min,
            p.n_patches, p.patch_sum_check, p.patch_min_check,
@@ -1650,9 +1666,12 @@ def _multimodal_oracle() -> str:
               - CAST(l.lap_sum AS DOUBLE) * CAST(l.lap_sum AS DOUBLE))
                / (CAST(l.n_interior AS DOUBLE) * CAST(l.n_interior AS DOUBLE))
            END AS lap_var,
-           v.n_transitions, v.n_cuts, v.sad_total, v.cut_frame
+           v.n_transitions, v.n_cuts, v.sad_total, v.cut_frame,
+           aud.n_samples, aud.peak, aud.energy,
+           SQRT(CAST(aud.energy AS DOUBLE) / CAST(aud.n_samples AS DOUBLE)) AS rms,
+           aud.trim_start, aud.trim_end
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
-    JOIN vagg v USING (image_id)
+    JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -1677,9 +1696,16 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     one planted scene change) yields per-transition exact integer SAD
     and a no-FP threshold flag; the gate carries per-video transition
     count, cut count, SAD total and the first cut's frame index, all
-    recomputed by the oracle from the shift formula."""
+    recomputed by the oracle from the shift formula.
+
+    Plus the audio pass (audio_stats_stage): the same opaque binary
+    column read under the unsigned-8-bit-PCM contract — exact integer
+    peak/energy, rms as ONE shared sqrt (IEEE sqrt is correctly
+    rounded, so the doubles match bit-for-bit), and the silence-trim
+    [trim_start, trim_end] slice a speech pipeline cuts to."""
     from ..datagen.synth import gen_images, gen_videos
     from ..operators.multimodal import (
+        audio_stats_stage,
         decode_stats,
         patchify_stage,
         scene_cut_stage,
@@ -1718,10 +1744,24 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sad").alias("sad_total"),
         F.min(F.when(F.col("is_cut"), F.col("frame_idx"))).alias("cut_frame"),
     )
+    aud = audio_stats_stage(
+        imgs.select("image_id", "bytes", "w", "h"), silence_amp=_AUDIO_AMP
+    ).select(
+        "image_id",
+        "n_samples",
+        "peak",
+        "energy",
+        F.sqrt(
+            F.col("energy").cast("double") / F.col("n_samples").cast("double")
+        ).alias("rms"),
+        "trim_start",
+        "trim_end",
+    )
     return (
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
         .join(vagg, "image_id")
+        .join(aud, "image_id")
         .orderBy("image_id")
     )
 

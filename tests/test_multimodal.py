@@ -401,3 +401,29 @@ def test_gen_videos_have_exactly_one_cut_at_frame_two(spark):
     rows = agg.collect()
     assert len(rows) == 60
     assert all(r.n_tr == 3 and r.n_cuts == 1 and r.cut_at == 2 for r in rows)
+
+
+def test_audio_stats_matches_numpy_and_silence_trim(spark):
+    from osm_replication_rust_spark.operators.multimodal import audio_stats_stage
+
+    loud = bytes([128, 129, 200, 128, 50, 128, 127, 130])  # loud at 2 and 4
+    silent = bytes([128, 127, 129, 120, 136, 128])          # all |s-128| < 16
+    empty = b""
+    rows = [
+        ("a", loud, 8, 1),
+        ("b", silent, 6, 1),
+        ("c", empty, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in audio_stats_stage(df, silence_amp=16).collect()}
+    a = got["a"]
+    samples = np.frombuffer(loud, np.uint8).astype(np.int64) - 128
+    assert a.n_samples == 8
+    assert a.peak == int(np.abs(samples).max())
+    assert a.energy == int((samples * samples).sum())
+    assert (a.trim_start, a.trim_end) == (2, 4)  # the slice with dead air cut
+    b = got["b"]
+    assert (b.trim_start, b.trim_end) == (None, None)  # wholly silent clip
+    assert b.peak == 8 and b.n_samples == 6
+    c = got["c"]
+    assert (c.n_samples, c.peak, c.energy) == (0, 0, 0)
