@@ -2378,7 +2378,10 @@ def _way_geometry_oracle() -> str:
     decimal(38,0)), vertex-mean centroid, open polyline length over the
     window'd chain, and the unrolled-CTE Douglas-Peucker keep set
     (bit-identical IEEE distance tree; see _sql_dp_d2)."""
+    from ..operators.snap import sql_snap_d2_expr
+
     _, groups_pdf, pts = _closure_fixture_pts()
+    snap_d2 = sql_snap_d2_expr("p.lon", "p.lat", "s.x1", "s.y1", "s.x2", "s.y2")
     rows = []
     for g in groups_pdf.itertuples():
         if g.kind != "way":
@@ -2427,10 +2430,34 @@ def _way_geometry_oracle() -> str:
       SELECT group_id, pos, CAST(lon AS DOUBLE) AS x, CAST(lat AS DOUBLE) AS y
       FROM j
     ),
-    {_sql_dp_levels(6, _WAY_SIMPLIFY_EPS * _WAY_SIMPLIFY_EPS)}
+    {_sql_dp_levels(6, _WAY_SIMPLIFY_EPS * _WAY_SIMPLIFY_EPS)},
+    segs AS (
+      SELECT group_id, pos, lon AS x1, lat AS y1, nlon AS x2, nlat AS y2
+      FROM w WHERE NOT is_last
+    ),
+    cand AS (
+      SELECT p.ref AS pid, s.group_id, s.pos,
+             {snap_d2} AS d2
+      FROM pts p, segs s
+    ),
+    near AS (
+      SELECT pid, group_id, pos, d2,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY d2, group_id, pos) AS rn
+      FROM cand
+    ),
+    snap AS (
+      SELECT group_id,
+             CAST(count(*) AS BIGINT) AS n_snapped,
+             MIN(d2) AS snap_min_d2
+      FROM near WHERE rn = 1 GROUP BY group_id
+    )
     SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy, length,
-           simp.n_kept AS n_kept, simp.kept_pos AS kept_pos
+           simp.n_kept AS n_kept, simp.kept_pos AS kept_pos,
+           COALESCE(snap.n_snapped, 0) AS n_snapped,
+           snap.snap_min_d2
     FROM geo JOIN simp ON simp.group_id = geo.group_id
+    LEFT JOIN snap ON snap.group_id = geo.group_id
     ORDER BY geo.group_id
     """
 
@@ -2442,10 +2469,16 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid, polyline length — the geometry the reference derives
     per-way from its resolved chains (osm.rs way bbox/extent handling),
     generalized to area/centroid/length — PLUS the Douglas-Peucker
-    keep set (resolve.simplify_ways) summarized per way, both checked
-    by the one oracle."""
+    keep set (resolve.simplify_ways) summarized per way, PLUS the
+    snap-to-nearest-segment assignment (operators/snap.py, map
+    matching's core): every fixture point snaps to its closest way
+    segment with exact-integer clamped point-segment distance, and the
+    gate carries each way's snapped-point count and closest approach —
+    all checked by the one oracle."""
     from ..datagen.synth import gen_groups, gen_images
+    from ..operators.clip import way_segments
     from ..operators.resolve import simplify_ways, way_geometry
+    from ..operators.snap import snap_points_to_segments
 
     images = gen_images(300, seed=42)
     base = spark.createDataFrame(images[["image_id", "phash"]]).select(
@@ -2468,9 +2501,20 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_pos"),
         )
     )
+    snapped = snap_points_to_segments(
+        base.select(F.col("image_id").alias("pid"), "lon", "lat"),
+        way_segments(groups, base),
+        point_id="pid",
+    )
+    per_way = snapped.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_snapped"),
+        F.min("d2").alias("snap_min_d2"),
+    )
     return (
         way_geometry(groups, base)
         .join(simp, "group_id")
+        .join(per_way, "group_id", "left")
+        .withColumn("n_snapped", F.coalesce("n_snapped", F.lit(0).cast("long")))
         .orderBy("group_id")
     )
 
