@@ -2730,11 +2730,28 @@ def group_bbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "asof_join",
     """
+    WITH iv AS (
+      SELECT event_id, user_id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + (event_id % 5 + 1) * 86400 AS e
+      FROM events
+    ), ov AS (
+      SELECT a.event_id,
+             count(*) AS n_overlap,
+             CAST(sum(b.event_id) AS BIGINT) AS overlap_idsum
+      FROM iv a JOIN iv b
+        ON a.user_id = b.user_id AND a.event_id <> b.event_id
+       AND a.s <= b.e AND b.s <= a.e
+      GROUP BY a.event_id
+    )
     SELECT e.event_id, e.user_id, e.ts,
-           o.o_orderkey AS right_o_orderkey, o.o_totalprice AS right_o_totalprice
+           o.o_orderkey AS right_o_orderkey, o.o_totalprice AS right_o_totalprice,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           COALESCE(ov.overlap_idsum, 0) AS overlap_idsum
     FROM events e
     ASOF LEFT JOIN orders o
       ON e.user_id % 150 + 1 = o.o_custkey AND o.o_orderdate <= e.ts
+    LEFT JOIN ov ON ov.event_id = e.event_id
     ORDER BY e.event_id
     """,
 )
@@ -2746,8 +2763,17 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ASOF tie rule differs on exact timestamp ties and on
     duplicate right timestamps (it picks one arbitrary max row), so the
     fixture keys avoid both: o_orderdate values are unique per customer
-    in the driver schema and never equal event ts exactly."""
-    from ..operators.relational import asof_join
+    in the driver schema and never equal event ts exactly.
+
+    Folded range-join columns (round 5): each event carries an activity
+    interval [ts, ts + (event_id%5+1) days] in floor-epoch-seconds
+    (Spark's cast-to-long == DuckDB's epoch_us // 1e6, exact int64);
+    ``n_overlap``/``overlap_idsum`` count and fingerprint the OTHER
+    same-user events whose intervals overlap — computed by the
+    bucketized exactly-once ``range_join`` (one equi-join, no cartesian,
+    no distinct), while the oracle recomputes the pair set with a plain
+    quadratic overlap join."""
+    from ..operators.relational import asof_join, range_join
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
@@ -2760,9 +2786,35 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     out = asof_join(ev, orders, key="cust", ts="ts", value_cols=["o_orderkey", "o_totalprice"])
-    return out.select(
-        "event_id", "user_id", "ts", "right_o_orderkey", "right_o_totalprice"
-    ).orderBy("event_id")
+
+    s = F.col("ts").cast("long")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        s.alias("s"),
+        (s + (F.col("event_id") % 5 + 1) * 86400).alias("e"),
+    )
+    pairs = range_join(
+        iv, iv, "s", "e", "s", "e",
+        bucket_width=3 * 86400, key="user_id", right_cols=["event_id"],
+    )
+    ov = (
+        pairs.filter(F.col("event_id") != F.col("right_event_id"))
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.sum("right_event_id").alias("overlap_idsum"),
+        )
+    )
+    return (
+        out.join(ov, on="event_id", how="left")
+        .select(
+            "event_id", "user_id", "ts", "right_o_orderkey", "right_o_totalprice",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.coalesce(F.col("overlap_idsum"), F.lit(0)).alias("overlap_idsum"),
+        )
+        .orderBy("event_id")
+    )
 
 
 @register(

@@ -43,3 +43,100 @@ def test_sessionize(spark):
     out = {r.eid: r.session_id for r in sessionize(ev, "k", "ts", gap_seconds=1800).collect()}
     assert [out[i] for i in range(5)] == [1, 1, 2, 2, 3]
     assert out[5] == 1 and out[6] == 2  # 59-min gap for key 2
+
+
+# ---------------------------------------------------------------------------
+# range_join (bucketized interval-overlap join)
+# ---------------------------------------------------------------------------
+
+
+def _brute_pairs(ldf, rdf, key=None):
+    """Reference: cross-join + overlap filter, as (l_id, r_id) set."""
+    pairs = set()
+    lrows = ldf if isinstance(ldf, list) else ldf
+    for a in lrows:
+        for b in rdf:
+            if key is not None and a[key] != b[key]:
+                continue
+            if a["s"] <= b["e"] and b["s"] <= a["e"]:
+                pairs.add((a["id"], b["id"]))
+    return pairs
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_range_join_matches_bruteforce(spark):
+    import random
+
+    from osm_replication_rust_spark.operators.relational import range_join
+
+    rng = random.Random(7)
+    lrows = [
+        {"id": i, "k": rng.randrange(3), "s": rng.randrange(-50, 200)}
+        for i in range(60)
+    ]
+    for r in lrows:
+        r["e"] = r["s"] + rng.randrange(0, 40)  # incl. zero-length points
+    rrows = [
+        {"id": 1000 + i, "k": rng.randrange(3), "s": rng.randrange(-50, 200)}
+        for i in range(50)
+    ]
+    for r in rrows:
+        r["e"] = r["s"] + rng.randrange(0, 90)  # some spans >> bucket width
+    for width in (1, 7, 64, 1000):  # width << spans, ~spans, >> spans
+        got = range_join(
+            _mk(spark, lrows), _mk(spark, rrows),
+            "s", "e", "s", "e", bucket_width=width, key="k",
+            right_cols=["id"],
+        ).collect()
+        gotpairs = [(r.id, r.right_id) for r in got]
+        # exactly-once: no duplicates even when a pair shares many buckets
+        assert len(gotpairs) == len(set(gotpairs))
+        assert set(gotpairs) == _brute_pairs(lrows, rrows, key="k")
+
+
+def test_range_join_boundary_and_keyless(spark):
+    from osm_replication_rust_spark.operators.relational import range_join
+
+    l = [{"id": 0, "s": 0, "e": 10}, {"id": 1, "s": 20, "e": 20}]
+    r = [
+        {"id": 10, "s": 10, "e": 15},   # touches l0 at exactly 10
+        {"id": 11, "s": -5, "e": -1},   # just misses l0
+        {"id": 12, "s": 20, "e": 20},   # point-point exact match with l1
+        {"id": 13, "s": 11, "e": 19},   # strictly between: no match
+    ]
+    got = {
+        (row.id, row.right_id)
+        for row in range_join(
+            _mk(spark, l), _mk(spark, r), "s", "e", "s", "e",
+            bucket_width=4, right_cols=["id"],
+        ).collect()
+    }
+    assert got == {(0, 10), (1, 12)}
+    assert got == _brute_pairs(l, r)
+
+
+def test_range_join_validation(spark):
+    from osm_replication_rust_spark.operators.relational import range_join
+
+    with pytest.raises(ValueError):
+        range_join(
+            spark.range(1), spark.range(1), "id", "id", "id", "id",
+            bucket_width=0,
+        )
+
+
+def test_range_join_plan_no_cartesian(spark):
+    """The physical plan must be ONE equi-join (hash/sort-merge), never
+    BroadcastNestedLoop/Cartesian — the whole point of the bucket
+    fan-out."""
+    from osm_replication_rust_spark.operators.relational import range_join
+
+    l = _mk(spark, [{"id": 0, "k": 0, "s": 0, "e": 10}])
+    r = _mk(spark, [{"id": 1, "k": 0, "s": 5, "e": 6}])
+    plan = range_join(
+        l, r, "s", "e", "s", "e", bucket_width=8, key="k", right_cols=["id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
