@@ -1,0 +1,180 @@
+"""Ring / polyline validity: proper self-intersection detection.
+
+The reference treats its region polygons as trusted input (parsed
+`.poly` rings, /root/reference/src/osmgeom.rs:15-62) and its way chains
+as whatever the planet file says — a consumer that builds extracts or
+runs point-in-polygon against user-drawn ways needs the standard
+validity screen first (ST_IsSimple's core): does the chain cross
+itself?  Re-expressed Spark-first over the resolved segment table
+(clip.way_segments shape).
+
+Semantics — PROPER crossings only.  Segments A=(a1,a2), B=(b1,b2)
+properly cross iff a1/a2 are strictly on opposite sides of line B AND
+b1/b2 strictly on opposite sides of line A:
+
+    o1 = orient(a1, a2, b1)   o2 = orient(a1, a2, b2)
+    o3 = orient(b1, b2, a1)   o4 = orient(b1, b2, a2)
+    proper  :=  sign(o1)*sign(o2) == -1  AND  sign(o3)*sign(o4) == -1
+
+with orient(p, q, r) = (qx-px)(ry-py) - (qy-py)(rx-px).  Exact-integer
+discipline: coordinate differences stay int64 (< 2^33 decimicro
+globally), the cross products run in decimal(38,0) on Spark and
+HUGEINT in the DuckDB twin — no epsilon, no robustness heuristics.
+The strict (< 0) test makes shared endpoints (consecutive chain
+segments, closed-ring first/last) orientation-zero, so adjacency never
+needs special-casing, and collinear overlaps / T-touches are reported
+as touches, not crossings — the ST_IsSimple convention for rings.
+
+Scale shape (100 TB): the naive test is all segment pairs per way —
+quadratic in way length, which is exactly what the DuckDB oracle runs
+at fixture scale.  The engine instead fans each segment out to the
+grid tiles of its bbox rectangle (same arithmetic tiling as
+clip_ways_to_tiles — tiles are index arithmetic, never a joined
+dimension) and hash-joins pairs on (group_id, tx, ty): only segments
+whose bboxes share a tile are ever tested.  Exactly-once WITHOUT a
+distinct, via the 2-D canonical-tile rule: a pair is accepted only in
+tile (max(txlo_a, txlo_b), max(tylo_a, tylo_b)) — the tile every
+bbox-overlapping pair covers (the bucketized-range-join rule, one
+axis per dimension).  Long chains therefore cost O(pairs that are
+bbox-close), not O(n^2), and the fan-out is bounded by each segment's
+own tile span at the chosen resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import coords as C
+
+_DEC = "decimal(38,0)"
+
+
+def _sign(col):
+    return F.when(col > 0, F.lit(1)).when(col < 0, F.lit(-1)).otherwise(F.lit(0))
+
+
+def _orient(px, py, qx, qy, rx, ry):
+    """Exact sign-carrying cross product (q-p) x (r-p) in decimal(38,0).
+    int64 differences, decimal products — overflow-free for decimicro
+    coordinates (|diff| < 2^33, |product| < 2^66 < 10^38)."""
+    return (qx - px).cast(_DEC) * (ry - py).cast(_DEC) - (qy - py).cast(_DEC) * (
+        rx - px
+    ).cast(_DEC)
+
+
+def _proper_cross():
+    """Boolean Column: rows are joined pairs with a-side (ax1, ay1, ax2,
+    ay2) and b-side (bx1, by1, bx2, by2) int columns."""
+    ax1, ay1 = F.col("ax1"), F.col("ay1")
+    ax2, ay2 = F.col("ax2"), F.col("ay2")
+    bx1, by1 = F.col("bx1"), F.col("by1")
+    bx2, by2 = F.col("bx2"), F.col("by2")
+    s1 = _sign(_orient(ax1, ay1, ax2, ay2, bx1, by1))
+    s2 = _sign(_orient(ax1, ay1, ax2, ay2, bx2, by2))
+    s3 = _sign(_orient(bx1, by1, bx2, by2, ax1, ay1))
+    s4 = _sign(_orient(bx1, by1, bx2, by2, ax2, ay2))
+    return (s1 * s2 == -1) & (s3 * s4 == -1)
+
+
+def _sides(segs: DataFrame, tag: str, res: int | None) -> DataFrame:
+    cols = [
+        F.col("group_id"),
+        F.col("pos").alias(f"{tag}pos"),
+        F.col("x1").alias(f"{tag}x1"),
+        F.col("y1").alias(f"{tag}y1"),
+        F.col("x2").alias(f"{tag}x2"),
+        F.col("y2").alias(f"{tag}y2"),
+    ]
+    if res is None:
+        return segs.select(*cols)
+    out = segs.select(
+        *cols,
+        F.shiftright(F.least("x1", "x2") + C.LON_OFFSET, res).alias(f"{tag}txlo"),
+        F.shiftright(F.greatest("x1", "x2") + C.LON_OFFSET, res).alias(f"{tag}txhi"),
+        F.shiftright(F.least("y1", "y2") + C.LAT_OFFSET, res).alias(f"{tag}tylo"),
+        F.shiftright(F.greatest("y1", "y2") + C.LAT_OFFSET, res).alias(f"{tag}tyhi"),
+    )
+    return (
+        out.withColumn(
+            "tx", F.explode(F.sequence(F.col(f"{tag}txlo"), F.col(f"{tag}txhi")))
+        )
+        .withColumn(
+            "ty", F.explode(F.sequence(F.col(f"{tag}tylo"), F.col(f"{tag}tyhi")))
+        )
+        .drop(f"{tag}txhi", f"{tag}tyhi")
+    )
+
+
+def self_intersection_pairs(
+    segs: DataFrame, res: int | None = C.DEFAULT_RES
+) -> DataFrame:
+    """(group_id, apos, bpos) — every properly-crossing non-identical
+    segment pair (apos < bpos) of each way chain, exactly once.
+
+    ``segs`` is the clip.way_segments shape (group_id, pos, x1, y1,
+    x2, y2).  ``res`` picks the bucketing grid; ``res=None`` runs the
+    brute-force all-pairs join (the oracle shape — for tests and tiny
+    inputs only)."""
+    a = _sides(segs, "a", res)
+    b = _sides(segs, "b", res)
+    if res is None:
+        j = a.join(b, ["group_id"]).filter(F.col("apos") < F.col("bpos"))
+    else:
+        j = (
+            a.join(b, ["group_id", "tx", "ty"])
+            .filter(F.col("apos") < F.col("bpos"))
+            # canonical tile: the one tile EVERY bbox-overlapping pair
+            # shares — counts each pair exactly once, no distinct
+            .filter(
+                (F.col("tx") == F.greatest("atxlo", "btxlo"))
+                & (F.col("ty") == F.greatest("atylo", "btylo"))
+            )
+        )
+    return j.filter(_proper_cross()).select("group_id", "apos", "bpos")
+
+
+def self_intersection_counts(
+    segs: DataFrame, res: int | None = C.DEFAULT_RES
+) -> DataFrame:
+    """(group_id, n_self_x, is_simple) for every group present in
+    ``segs`` — groups with no proper crossing report (0, true)."""
+    counts = (
+        self_intersection_pairs(segs, res)
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_self_x"))
+    )
+    return (
+        segs.select("group_id")
+        .distinct()
+        .join(counts, "group_id", "left")
+        .withColumn("n_self_x", F.coalesce("n_self_x", F.lit(0).cast("long")))
+        .withColumn("is_simple", F.col("n_self_x") == 0)
+    )
+
+
+def sql_proper_cross_expr(
+    ax1: str, ay1: str, ax2: str, ay2: str, bx1: str, by1: str, bx2: str, by2: str
+) -> str:
+    """DuckDB twin of the proper-crossing predicate (HUGEINT products ==
+    Spark's decimal(38,0); strict opposite-side signs)."""
+
+    def d(a: str, b: str) -> str:
+        # explicit BIGINT before subtracting: VALUES-sourced ints arrive
+        # as INT32 in DuckDB and whole-globe differences overflow 32 bits
+        return f"(CAST({a} AS BIGINT) - CAST({b} AS BIGINT))"
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (
+            f"(CAST({d(qx, px)} AS HUGEINT) * CAST({d(ry, py)} AS HUGEINT)"
+            f" - CAST({d(qy, py)} AS HUGEINT) * CAST({d(rx, px)} AS HUGEINT))"
+        )
+
+    o1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    return (
+        f"((({o1} > 0 AND {o2} < 0) OR ({o1} < 0 AND {o2} > 0))"
+        f" AND (({o3} > 0 AND {o4} < 0) OR ({o3} < 0 AND {o4} > 0)))"
+    )

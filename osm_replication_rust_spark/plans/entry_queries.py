@@ -2379,9 +2379,13 @@ def _way_geometry_oracle() -> str:
     window'd chain, and the unrolled-CTE Douglas-Peucker keep set
     (bit-identical IEEE distance tree; see _sql_dp_d2)."""
     from ..operators.snap import sql_snap_d2_expr
+    from ..operators.validity import sql_proper_cross_expr
 
     _, groups_pdf, pts = _closure_fixture_pts()
     snap_d2 = sql_snap_d2_expr("p.lon", "p.lat", "s.x1", "s.y1", "s.x2", "s.y2")
+    cross = sql_proper_cross_expr(
+        "a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"
+    )
     rows = []
     for g in groups_pdf.itertuples():
         if g.kind != "way":
@@ -2451,13 +2455,23 @@ def _way_geometry_oracle() -> str:
              CAST(count(*) AS BIGINT) AS n_snapped,
              MIN(d2) AS snap_min_d2
       FROM near WHERE rn = 1 GROUP BY group_id
+    ),
+    xsel AS (
+      SELECT a.group_id, CAST(count(*) AS BIGINT) AS n_self_x
+      FROM segs a JOIN segs b
+        ON b.group_id = a.group_id AND a.pos < b.pos
+      WHERE {cross}
+      GROUP BY a.group_id
     )
     SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy, length,
            simp.n_kept AS n_kept, simp.kept_pos AS kept_pos,
            COALESCE(snap.n_snapped, 0) AS n_snapped,
-           snap.snap_min_d2
+           snap.snap_min_d2,
+           COALESCE(xsel.n_self_x, 0) AS n_self_x,
+           COALESCE(xsel.n_self_x, 0) = 0 AS is_simple
     FROM geo JOIN simp ON simp.group_id = geo.group_id
     LEFT JOIN snap ON snap.group_id = geo.group_id
+    LEFT JOIN xsel ON xsel.group_id = geo.group_id
     ORDER BY geo.group_id
     """
 
@@ -2474,11 +2488,15 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching's core): every fixture point snaps to its closest way
     segment with exact-integer clamped point-segment distance, and the
     gate carries each way's snapped-point count and closest approach —
-    all checked by the one oracle."""
+    PLUS the validity screen (operators/validity.py): per-way proper
+    self-intersection count via the tile-bucketed canonical-tile pair
+    join, checked against the oracle's quadratic all-pairs twin — all
+    by the one oracle."""
     from ..datagen.synth import gen_groups, gen_images
     from ..operators.clip import way_segments
     from ..operators.resolve import simplify_ways, way_geometry
     from ..operators.snap import snap_points_to_segments
+    from ..operators.validity import self_intersection_counts
 
     images = gen_images(300, seed=42)
     base = spark.createDataFrame(images[["image_id", "phash"]]).select(
@@ -2501,20 +2519,27 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_pos"),
         )
     )
+    segs = way_segments(groups, base)
     snapped = snap_points_to_segments(
         base.select(F.col("image_id").alias("pid"), "lon", "lat"),
-        way_segments(groups, base),
+        segs,
         point_id="pid",
     )
     per_way = snapped.groupBy("group_id").agg(
         F.count(F.lit(1)).alias("n_snapped"),
         F.min("d2").alias("snap_min_d2"),
     )
+    # res=27 (~13.4 deg tiles): whole-globe fixture chains stay a few
+    # tiles wide, so the canonical-tile dedup path is truly exercised
+    selfx = self_intersection_counts(segs, res=27)
     return (
         way_geometry(groups, base)
         .join(simp, "group_id")
         .join(per_way, "group_id", "left")
         .withColumn("n_snapped", F.coalesce("n_snapped", F.lit(0).cast("long")))
+        .join(selfx, "group_id", "left")
+        .withColumn("n_self_x", F.coalesce("n_self_x", F.lit(0).cast("long")))
+        .withColumn("is_simple", F.coalesce("is_simple", F.lit(True)))
         .orderBy("group_id")
     )
 

@@ -1,0 +1,150 @@
+"""Proper self-intersection detection (operators/validity.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from osm_replication_rust_spark.operators.validity import (
+    self_intersection_counts,
+    self_intersection_pairs,
+    sql_proper_cross_expr,
+)
+
+
+def _segs(spark, chains):
+    """chains: {group_id: [(x, y), ...]} -> way_segments shape."""
+    rows = []
+    for gid, pts in chains.items():
+        for pos, (a, b) in enumerate(zip(pts, pts[1:])):
+            rows.append(
+                Row(
+                    group_id=gid,
+                    pos=pos,
+                    x1=int(a[0]),
+                    y1=int(a[1]),
+                    x2=int(b[0]),
+                    y2=int(b[1]),
+                )
+            )
+    return spark.createDataFrame(rows)
+
+
+def _counts(df):
+    return {
+        r["group_id"]: (r["n_self_x"], r["is_simple"])
+        for r in df.collect()
+    }
+
+
+M = 1_000_000
+
+
+def test_bowtie_and_square(spark):
+    # bowtie: square corners visited in the crossing order -> 1 proper X
+    bow = [(0, 0), (M, M), (M, 0), (0, M), (0, 0)]
+    # simple closed square -> 0
+    sq = [(0, 0), (M, 0), (M, M), (0, M), (0, 0)]
+    segs = _segs(spark, {"bow": bow, "sq": sq})
+    got = _counts(self_intersection_counts(segs, res=18))
+    assert got == {"bow": (1, False), "sq": (0, True)}
+
+
+def test_touch_collinear_shared_are_not_proper(spark):
+    chains = {
+        # T-touch: second segment ends ON the first (interior) -> 0
+        "t": [(0, 0), (2 * M, 0), (M, M), (M, 0)],
+        # collinear overlap retrace -> 0 (touch, not crossing)
+        "col": [(0, 0), (2 * M, 0), (M, 0), (3 * M, 0)],
+        # plain open zigzag sharing endpoints -> 0
+        "zig": [(0, 0), (M, M), (2 * M, 0), (3 * M, M)],
+    }
+    got = _counts(self_intersection_counts(_segs(spark, chains), res=18))
+    assert got == {"t": (0, True), "col": (0, True), "zig": (0, True)}
+
+
+def test_global_magnitude_exactness(spark):
+    # hemisphere-scale bowtie: cross products ~ 1.3e19 > int64 — the
+    # decimal(38,0) carry must stay exact (float or wrapped int64
+    # arithmetic misclassifies near-parallel giants)
+    G = 1_790_000_000
+    bow = [(-G, -880_000_000), (G, 880_000_000), (G, -880_000_000),
+           (-G, 880_000_000), (-G, -880_000_000)]
+    got = _counts(self_intersection_counts(_segs(spark, {"g": bow}), res=28))
+    assert got == {"g": (1, False)}
+    # near-parallel long segments that DON'T cross: exact sign must say 0
+    near = [(-G, 0), (G, 3), (G, -1_000_000), (-G, -999_997)]
+    got = _counts(self_intersection_counts(_segs(spark, {"n": near}), res=28))
+    assert got == {"n": (0, True)}
+
+
+def test_tiled_equals_brute_across_resolutions(spark):
+    import random
+
+    rng = random.Random(7)
+    chains = {}
+    for g in range(12):
+        n = rng.randint(2, 14)
+        chains[f"w{g}"] = [
+            (rng.randint(-50 * M, 50 * M), rng.randint(-25 * M, 25 * M))
+            for _ in range(n)
+        ]
+    segs = _segs(spark, chains).cache()
+    try:
+        brute = sorted(
+            tuple(r) for r in self_intersection_pairs(segs, res=None).collect()
+        )
+        assert brute, "fixture should contain real crossings"
+        for res in (20, 23, 26):
+            tiled = sorted(
+                tuple(r) for r in self_intersection_pairs(segs, res=res).collect()
+            )
+            assert tiled == brute, f"res={res}"
+    finally:
+        segs.unpersist()
+
+
+def test_no_cartesian_in_tiled_plan(spark):
+    segs = _segs(spark, {"a": [(0, 0), (M, M), (2 * M, 0)]})
+    plan = self_intersection_pairs(segs, res=20)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_twin_matches_spark(spark):
+    import random
+
+    rng = random.Random(13)
+    chains = {}
+    for g in range(8):
+        chains[f"w{g}"] = [
+            (rng.randint(-10 * M, 10 * M), rng.randint(-10 * M, 10 * M))
+            for _ in range(rng.randint(3, 10))
+        ]
+    segs = _segs(spark, chains)
+    got = _counts(self_intersection_counts(segs, res=22))
+
+    vals = ",".join(
+        f"('{r['group_id']}', {r['pos']}, {r['x1']}, {r['y1']}, {r['x2']}, {r['y2']})"
+        for r in segs.collect()
+    )
+    cross = sql_proper_cross_expr(
+        "a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"
+    )
+    oracle = duckdb.sql(
+        f"""
+        WITH segs(group_id, pos, x1, y1, x2, y2) AS (VALUES {vals}),
+        x AS (
+          SELECT a.group_id, count(*) AS n
+          FROM segs a JOIN segs b
+            ON b.group_id = a.group_id AND a.pos < b.pos
+          WHERE {cross}
+          GROUP BY a.group_id
+        )
+        SELECT s.group_id, coalesce(x.n, 0) AS n
+        FROM (SELECT DISTINCT group_id FROM segs) s
+        LEFT JOIN x USING (group_id)
+        """
+    ).fetchall()
+    want = {gid: (int(n), n == 0) for gid, n in oracle}
+    assert got == want
