@@ -238,6 +238,18 @@ def main(sf_dir: str) -> int:
     check("bloom.broadcast_packed", "BroadcastNestedLoopJoin" in p)
     check("bloom.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
 
+    # 5g2. validity (self-intersection) inside way_geometry: the pair
+    # search must be the bucketed hash equi-join — a CartesianProduct
+    # or nested-loop pair join is the quadratic shape the operator
+    # exists to avoid (the oracle runs that; the engine must not)
+    wg = entry_queries.queries()["way_geometry"](spark, sf_dir)
+    p = plan_of(wg)
+    check("validity.no_cartesian", "CartesianProduct" not in p)
+    check(
+        "validity.no_rowwise_python",
+        "BatchEvalPython" not in p,
+    )
+
     # 6. the flagship's generated code actually COMPILES. Plan text can
     # show WholeStageCodegen while janino fails at runtime ("Code grows
     # beyond 64 KB") and Spark silently executes interpreted (~2x slower,
