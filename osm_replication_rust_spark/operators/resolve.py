@@ -298,3 +298,39 @@ def way_geometry(
         (s_lat / n).alias("cy"),
         length.alias("length"),
     )
+
+
+def way_geom_signature(
+    groups: DataFrame, points: DataFrame, point_id: str = "image_id"
+) -> DataFrame:
+    """(group_id, geom_sig) — a direction-invariant signature of each
+    way's resolved coordinate chain: md5 of the lexicographically
+    smaller of the forward and reversed serializations.  Two ways trace
+    the same polyline (the classic OSM duplicate-way QA case — same
+    nodes entered in opposite directions) iff their signatures match;
+    rotation of closed rings is deliberately NOT normalized (a rotated
+    ring is a different edit history, and full rotation canonicalization
+    is O(n) candidates — out of contract, documented).
+
+    Scale shape: pure higher-order array expressions on the closure
+    output — serialization, reversal, least() and md5 are all map-side
+    JVM; grouping duplicates afterwards is one hash shuffle on the
+    16-byte signature, which is uniform by construction."""
+    ways = resolve_way_full(groups, points, point_id)
+
+    def ser(col):
+        return F.concat_ws(
+            ";",
+            F.transform(
+                col,
+                lambda p: F.concat_ws(
+                    ",", p["lon"].cast("string"), p["lat"].cast("string")
+                ),
+            ),
+        )
+
+    fwd = ser(F.col("coords"))
+    rev = ser(F.reverse(F.col("coords")))
+    return ways.select(
+        "group_id", F.md5(F.least(fwd, rev)).alias("geom_sig")
+    )

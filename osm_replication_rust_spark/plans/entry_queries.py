@@ -2372,6 +2372,20 @@ def _sql_dp_levels(levels: int, eps2: float) -> str:
     return ",\n    ".join(parts)
 
 
+def _planted_rev_ways(groups_pdf):
+    """Reversed-member clones of every 4th way (sorted by group_id),
+    appended as ``<id>_rev`` — planted duplicate geometries so the
+    direction-invariant signature gate is non-trivial.  Shared by the
+    Spark query and the oracle so both engines see the same fixture."""
+    import pandas as pd
+
+    ways = groups_pdf[groups_pdf["kind"] == "way"].sort_values("group_id")
+    clones = ways.iloc[::4].copy()
+    clones["group_id"] = clones["group_id"] + "_rev"
+    clones["members"] = clones["members"].apply(lambda ms: list(reversed(ms)))
+    return pd.concat([groups_pdf, clones], ignore_index=True)
+
+
 def _way_geometry_oracle() -> str:
     """DuckDB twin of way_geometry + simplify_ways: the same shoelace
     (translated to the first vertex, HUGEINT terms == Spark's
@@ -2382,6 +2396,7 @@ def _way_geometry_oracle() -> str:
     from ..operators.validity import sql_proper_cross_expr
 
     _, groups_pdf, pts = _closure_fixture_pts()
+    groups_pdf = _planted_rev_ways(groups_pdf)
     snap_d2 = sql_snap_d2_expr("p.lon", "p.lat", "s.x1", "s.y1", "s.x2", "s.y2")
     cross = sql_proper_cross_expr(
         "a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"
@@ -2462,16 +2477,33 @@ def _way_geometry_oracle() -> str:
         ON b.group_id = a.group_id AND a.pos < b.pos
       WHERE {cross}
       GROUP BY a.group_id
+    ),
+    sigser AS (
+      SELECT group_id,
+             string_agg(lon || ',' || lat, ';' ORDER BY pos) AS fwd,
+             string_agg(lon || ',' || lat, ';' ORDER BY pos DESC) AS rev
+      FROM j GROUP BY group_id
+    ),
+    sigs AS (
+      SELECT group_id, md5(LEAST(fwd, rev)) AS geom_sig FROM sigser
+    ),
+    dupc AS (
+      SELECT geom_sig, CAST(count(*) AS BIGINT) AS n_geom_dups
+      FROM sigs GROUP BY geom_sig
     )
     SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy, length,
            simp.n_kept AS n_kept, simp.kept_pos AS kept_pos,
            COALESCE(snap.n_snapped, 0) AS n_snapped,
            snap.snap_min_d2,
            COALESCE(xsel.n_self_x, 0) AS n_self_x,
-           COALESCE(xsel.n_self_x, 0) = 0 AS is_simple
+           COALESCE(xsel.n_self_x, 0) = 0 AS is_simple,
+           sigs.geom_sig AS geom_sig,
+           dupc.n_geom_dups AS n_geom_dups
     FROM geo JOIN simp ON simp.group_id = geo.group_id
     LEFT JOIN snap ON snap.group_id = geo.group_id
     LEFT JOIN xsel ON xsel.group_id = geo.group_id
+    JOIN sigs ON sigs.group_id = geo.group_id
+    JOIN dupc ON dupc.geom_sig = sigs.geom_sig
     ORDER BY geo.group_id
     """
 
@@ -2494,7 +2526,7 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the one oracle."""
     from ..datagen.synth import gen_groups, gen_images
     from ..operators.clip import way_segments
-    from ..operators.resolve import simplify_ways, way_geometry
+    from ..operators.resolve import simplify_ways, way_geom_signature, way_geometry
     from ..operators.snap import snap_points_to_segments
     from ..operators.validity import self_intersection_counts
 
@@ -2504,7 +2536,7 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.unpack_lat(F.col("phash")).alias("lat"),
         C.unpack_lon(F.col("phash")).alias("lon"),
     )
-    groups = spark.createDataFrame(gen_groups(images))
+    groups = spark.createDataFrame(_planted_rev_ways(gen_groups(images)))
     simp = (
         simplify_ways(groups, base, eps=_WAY_SIMPLIFY_EPS)
         .groupBy("group_id")
@@ -2532,6 +2564,10 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # res=27 (~13.4 deg tiles): whole-globe fixture chains stay a few
     # tiles wide, so the canonical-tile dedup path is truly exercised
     selfx = self_intersection_counts(segs, res=27)
+    sigs = way_geom_signature(groups, base).withColumn(
+        "n_geom_dups",
+        F.count(F.lit(1)).over(Window.partitionBy("geom_sig")).cast("long"),
+    )
     return (
         way_geometry(groups, base)
         .join(simp, "group_id")
@@ -2540,6 +2576,7 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(selfx, "group_id", "left")
         .withColumn("n_self_x", F.coalesce("n_self_x", F.lit(0).cast("long")))
         .withColumn("is_simple", F.coalesce("is_simple", F.lit(True)))
+        .join(sigs, "group_id")
         .orderBy("group_id")
     )
 

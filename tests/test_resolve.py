@@ -221,3 +221,40 @@ def test_simplify_ways(spark):
     # coords surface the kept vertex, not an interpolation
     spike = {r.pos: (r.lat, r.lon) for r in out if r.group_id == "spike"}
     assert spike[1] == (5000, 4500)
+
+
+def test_way_geom_signature(spark):
+    from osm_replication_rust_spark.operators.resolve import way_geom_signature
+
+    points = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a", "b", "c", "d"],
+                "lat": [0, 5, 9, 5],
+                "lon": [0, 5, 0, -5],
+            }
+        )
+    )
+
+    def way(gid, refs):
+        return (gid, "way", [{"ref": r, "type": "image", "role": ""} for r in refs])
+
+    groups = spark.createDataFrame(
+        [
+            way("fwd", ["a", "b", "c"]),
+            way("rev", ["c", "b", "a"]),          # same chain reversed -> dup
+            way("rot", ["b", "c", "a"]),          # rotation -> NOT a dup
+            way("other", ["a", "d", "c"]),        # different vertices
+            way("drop", ["a", "missing", "b", "c"]),  # missing ref drops out -> dup of fwd
+        ],
+        "group_id string, kind string, members array<struct<ref:string,type:string,role:string>>",
+    )
+    sigs = {r["group_id"]: r["geom_sig"] for r in way_geom_signature(groups, points).collect()}
+    assert sigs["fwd"] == sigs["rev"] == sigs["drop"]
+    assert len({sigs["fwd"], sigs["rot"], sigs["other"]}) == 3
+    # signature is the md5 of the canonical serialization (engine-shared hash)
+    import hashlib
+
+    fwd = "0,0;5,5;0,9"
+    rev = "0,9;5,5;0,0"
+    assert sigs["fwd"] == hashlib.md5(min(fwd, rev).encode()).hexdigest()
