@@ -147,3 +147,47 @@ def clip_ways_to_tiles(
             (y1 + F.col("t1") * dy).alias("cy2"),
         )
     )
+
+
+def densify_segments(segs: DataFrame, max_gap: int) -> DataFrame:
+    """ST_Segmentize's core: per segment, the evenly spaced intermediate
+    vertices that keep every gap <= ``max_gap`` (coordinate units).
+    Returns (group_id, pos, j, px, py) — j = 1..n_sub-1 with
+    n_sub = max(ceil(len / max_gap), 1); original vertices are NOT
+    re-emitted (callers union them if they want the densified chain).
+
+    Cross-engine determinism WITHOUT exact integers: each segment is
+    subdivided independently — no cumulative arc-length state — so the
+    only floats are one correctly-rounded sqrt/division per segment and
+    the shared interpolation spelling x1 + (dx*j)/n_sub.  Identical
+    IEEE inputs -> identical doubles in Spark and the DuckDB twin (the
+    same reasoning as the Liang–Barsky clip tree above; a cumulative
+    resampling would instead hit engine-specific summation orders).
+
+    Scale shape: pure map-side codegen on the segment table — explode
+    fan-out is output-proportional (the inserted points), no shuffle,
+    no Python."""
+    dx = (F.col("x2") - F.col("x1")).cast("double")
+    dy = (F.col("y2") - F.col("y1")).cast("double")
+    n_sub = F.greatest(
+        F.ceil(F.sqrt(dx * dx + dy * dy) / F.lit(float(max_gap))), F.lit(1)
+    )
+    js = F.when(n_sub > 1, F.sequence(F.lit(1).cast("long"), n_sub - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    out = (
+        segs.withColumn("_dx", dx)
+        .withColumn("_dy", dy)
+        .withColumn("_n_sub", n_sub)
+        .select("group_id", "pos", "x1", "y1", "_dx", "_dy", "_n_sub",
+                F.explode(js).alias("j"))
+    )
+    nd = F.col("_n_sub").cast("double")
+    jd = F.col("j").cast("double")
+    return out.select(
+        "group_id",
+        "pos",
+        "j",
+        (F.col("x1").cast("double") + (F.col("_dx") * jd) / nd).alias("px"),
+        (F.col("y1").cast("double") + (F.col("_dy") * jd) / nd).alias("py"),
+    )

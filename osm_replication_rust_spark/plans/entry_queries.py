@@ -2303,6 +2303,7 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WAY_SIMPLIFY_EPS = 1e7  # 1 degree in decimicro
+_DENSIFY_GAP = 100_000_000  # 10 deg in decimicro: fixture segments densify to <= ~50 points
 
 
 def _sql_dp_d2(px, py, x1, y1, x2, y2) -> str:
@@ -2490,6 +2491,32 @@ def _way_geometry_oracle() -> str:
     dupc AS (
       SELECT geom_sig, CAST(count(*) AS BIGINT) AS n_geom_dups
       FROM sigs GROUP BY geom_sig
+    ),
+    dens1 AS (
+      SELECT group_id,
+             CAST(x1 AS DOUBLE) AS x1d, CAST(y1 AS DOUBLE) AS y1d,
+             CAST(x2 - x1 AS DOUBLE) AS dx, CAST(y2 - y1 AS DOUBLE) AS dy,
+             GREATEST(CAST(ceil(sqrt(CAST(x2 - x1 AS DOUBLE) * CAST(x2 - x1 AS DOUBLE)
+                                   + CAST(y2 - y1 AS DOUBLE) * CAST(y2 - y1 AS DOUBLE))
+                                / {float(_DENSIFY_GAP)!r}) AS BIGINT),
+                      CAST(1 AS BIGINT)) AS n_sub
+      FROM segs
+    ),
+    densp AS (
+      SELECT group_id,
+             x1d + (dx * CAST(j AS DOUBLE)) / CAST(n_sub AS DOUBLE) AS px,
+             y1d + (dy * CAST(j AS DOUBLE)) / CAST(n_sub AS DOUBLE) AS py
+      FROM (SELECT *, unnest(generate_series(1, n_sub - 1)) AS j
+            FROM dens1 WHERE n_sub > 1)
+    ),
+    dens AS (
+      SELECT group_id,
+             CAST(count(*) AS BIGINT) AS n_densified,
+             CAST(SUM(CAST(floor(px) AS BIGINT)) AS BIGINT) AS dens_fx_sum,
+             CAST(SUM(CAST(floor(py) AS BIGINT)) AS BIGINT) AS dens_fy_sum,
+             MIN(px) AS dens_px_min,
+             MAX(py) AS dens_py_max
+      FROM densp GROUP BY group_id
     )
     SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy, length,
            simp.n_kept AS n_kept, simp.kept_pos AS kept_pos,
@@ -2498,12 +2525,18 @@ def _way_geometry_oracle() -> str:
            COALESCE(xsel.n_self_x, 0) AS n_self_x,
            COALESCE(xsel.n_self_x, 0) = 0 AS is_simple,
            sigs.geom_sig AS geom_sig,
-           dupc.n_geom_dups AS n_geom_dups
+           dupc.n_geom_dups AS n_geom_dups,
+           COALESCE(dens.n_densified, 0) AS n_densified,
+           COALESCE(dens.dens_fx_sum, 0) AS dens_fx_sum,
+           COALESCE(dens.dens_fy_sum, 0) AS dens_fy_sum,
+           dens.dens_px_min AS dens_px_min,
+           dens.dens_py_max AS dens_py_max
     FROM geo JOIN simp ON simp.group_id = geo.group_id
     LEFT JOIN snap ON snap.group_id = geo.group_id
     LEFT JOIN xsel ON xsel.group_id = geo.group_id
     JOIN sigs ON sigs.group_id = geo.group_id
     JOIN dupc ON dupc.geom_sig = sigs.geom_sig
+    LEFT JOIN dens ON dens.group_id = geo.group_id
     ORDER BY geo.group_id
     """
 
@@ -2522,10 +2555,14 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate carries each way's snapped-point count and closest approach —
     PLUS the validity screen (operators/validity.py): per-way proper
     self-intersection count via the tile-bucketed canonical-tile pair
-    join, checked against the oracle's quadratic all-pairs twin — all
+    join, checked against the oracle's quadratic all-pairs twin — PLUS
+    the ST_Segmentize core (operators/clip.densify_segments): per-way
+    inserted-vertex count, exact floor-sums, and min/max interpolated
+    coordinates, every float produced by the one shared IEEE
+    interpolation spelling so the doubles hash-match bit-for-bit — all
     by the one oracle."""
     from ..datagen.synth import gen_groups, gen_images
-    from ..operators.clip import way_segments
+    from ..operators.clip import densify_segments, way_segments
     from ..operators.resolve import simplify_ways, way_geom_signature, way_geometry
     from ..operators.snap import snap_points_to_segments
     from ..operators.validity import self_intersection_counts
@@ -2568,6 +2605,19 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_geom_dups",
         F.count(F.lit(1)).over(Window.partitionBy("geom_sig")).cast("long"),
     )
+    dens = (
+        densify_segments(segs, max_gap=_DENSIFY_GAP)
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_densified"),
+            # exact-int / order-free checksums over every inserted
+            # point (FP sums would hit engine summation orders)
+            F.sum(F.floor("px")).cast("long").alias("dens_fx_sum"),
+            F.sum(F.floor("py")).cast("long").alias("dens_fy_sum"),
+            F.min("px").alias("dens_px_min"),
+            F.max("py").alias("dens_py_max"),
+        )
+    )
     return (
         way_geometry(groups, base)
         .join(simp, "group_id")
@@ -2577,6 +2627,10 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_self_x", F.coalesce("n_self_x", F.lit(0).cast("long")))
         .withColumn("is_simple", F.coalesce("is_simple", F.lit(True)))
         .join(sigs, "group_id")
+        .join(dens, "group_id", "left")
+        .withColumn("n_densified", F.coalesce("n_densified", F.lit(0).cast("long")))
+        .withColumn("dens_fx_sum", F.coalesce("dens_fx_sum", F.lit(0).cast("long")))
+        .withColumn("dens_fy_sum", F.coalesce("dens_fy_sum", F.lit(0).cast("long")))
         .orderBy("group_id")
     )
 

@@ -1,11 +1,18 @@
-"""clip_ways_to_tiles: Liang–Barsky per-tile way splitting."""
+"""clip_ways_to_tiles: Liang–Barsky per-tile way splitting;
+densify_segments: ST_Segmentize's evenly-spaced vertex insertion."""
+
+import math
 
 import numpy as np
 import pandas as pd
 import pytest
 
 from osm_replication_rust_spark.functions import coords as C
-from osm_replication_rust_spark.operators.clip import clip_ways_to_tiles, way_segments
+from osm_replication_rust_spark.operators.clip import (
+    clip_ways_to_tiles,
+    densify_segments,
+    way_segments,
+)
 
 RES = 23
 EDGE = C.cell_edge(RES)
@@ -134,6 +141,84 @@ def test_clip_degenerate_segments(spark, a, b):
     for r in out:
         ref = _ref_clip(a[0], a[1], b[0], b[1], r.tx, r.ty)
         assert ref == (r.cx1, r.cy1, r.cx2, r.cy2)
+
+
+def _segs_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["group_id", "pos", "x1", "y1", "x2", "y2"])
+    )
+
+
+def _ref_densify(x1, y1, x2, y2, gap):
+    """Plain-python reference: the same IEEE tree as the operator."""
+    dx, dy = float(x2 - x1), float(y2 - y1)
+    n = max(math.ceil(math.sqrt(dx * dx + dy * dy) / float(gap)), 1)
+    return {
+        j: (float(x1) + (dx * float(j)) / float(n), float(y1) + (dy * float(j)) / float(n))
+        for j in range(1, n)
+    }
+
+
+def test_densify_matches_reference_bitwise(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (
+            f"g{i}",
+            0,
+            int(rng.integers(-1_800_000_000, 1_800_000_000)),
+            int(rng.integers(-900_000_000, 900_000_000)),
+            int(rng.integers(-1_800_000_000, 1_800_000_000)),
+            int(rng.integers(-900_000_000, 900_000_000)),
+        )
+        for i in range(30)
+    ]
+    gap = 100_000_000
+    out = densify_segments(_segs_df(spark, rows), max_gap=gap).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.group_id, {})[r.j] = (r.px, r.py)
+    for gid, pos, x1, y1, x2, y2 in rows:
+        ref = _ref_densify(x1, y1, x2, y2, gap)
+        assert got.get(gid, {}) == ref, gid  # exact float equality
+
+
+def test_densify_gap_bound_with_endpoints(spark):
+    rows = [("g", 0, -300_000_000, -100_000_000, 355_000_001, 200_000_003)]
+    gap = 50_000_000
+    out = densify_segments(_segs_df(spark, rows), max_gap=gap).collect()
+    pts = (
+        [(float(rows[0][2]), float(rows[0][3]))]
+        + [(r.px, r.py) for r in sorted(out, key=lambda r: r.j)]
+        + [(float(rows[0][4]), float(rows[0][5]))]
+    )
+    assert len(pts) > 3, "long segment must densify"
+    for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+        assert math.hypot(bx - ax, by - ay) <= gap * (1 + 1e-12)
+
+
+def test_densify_short_and_degenerate_emit_nothing(spark):
+    rows = [
+        ("short", 0, 0, 0, 10, 10),           # len << gap -> n_sub = 1
+        ("point", 1, 5, 5, 5, 5),             # zero-length
+        ("exact", 2, 0, 0, 100_000_000, 0),   # len == gap exactly -> n_sub = 1
+    ]
+    out = densify_segments(_segs_df(spark, rows), max_gap=100_000_000).collect()
+    assert out == []
+
+
+def test_densify_reversed_segment_same_point_set(spark):
+    # the inserted j-points of a reversed segment are the same chain
+    # positions (j <-> n-j); values may differ by rounding, never by
+    # placement — counts and integer-resolution positions agree
+    fwd = [("f", 0, 0, 0, 777_000_000, 333_000_000)]
+    rev = [("r", 0, 777_000_000, 333_000_000, 0, 0)]
+    gap = 100_000_000
+    a = densify_segments(_segs_df(spark, fwd), max_gap=gap).collect()
+    b = densify_segments(_segs_df(spark, rev), max_gap=gap).collect()
+    assert len(a) == len(b) > 0
+    fa = sorted((round(r.px), round(r.py)) for r in a)
+    fb = sorted((round(r.px), round(r.py)) for r in b)
+    assert fa == fb
 
 
 def test_clip_missing_ref_skips_vertex(spark):
