@@ -767,6 +767,9 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: the fixed relevance query for the pipeline's BM25 selection column
 _BM25_QUERY = ("fast", "vector", "scan", "merge")
+#: decontamination flag threshold (fraction of distinct trigrams shared
+#: with the benchmark slice)
+_CONTAM_THR = 0.2
 
 
 @register(
@@ -780,7 +783,12 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs. Survivors = docs with enough tokens, sane mean token length,
     some stopword mass, predicted 'en', and that are their duplicate
     group's keeper; each carries its Okapi BM25 score against the fixed
-    seed query (relevance-weighted sampling weight; 0.0 = no hit)."""
+    seed query (relevance-weighted sampling weight; 0.0 = no hit) PLUS
+    the benchmark-decontamination screen (operators/contamination.py):
+    distinct word-trigram overlap against the planted benchmark slice
+    (doc_id % 37 == 0), exact integer counts and the one-division
+    fraction so the doubles hash-match bit-for-bit."""
+    from ..operators.contamination import contamination_scores
     from ..operators.dedup import exact_duplicates
     from ..operators.text import bm25_scores, lang_score, quality_features
 
@@ -802,18 +810,27 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     bm = bm25_scores(d, "text", "doc_id", _BM25_QUERY)
+    cont = contamination_scores(
+        d, d.filter(F.col("doc_id") % 37 == 0), "text", "doc_id",
+        n=3, threshold=_CONTAM_THR,
+    )
     return (
         keep_q.join(keep_lang, "doc_id", "left_semi")
         .join(losers, "doc_id", "left_anti")
         .join(bm, "doc_id", "left")
+        .join(cont, "doc_id", "left")
         .select(
-            "doc_id", "n_tokens", F.coalesce("bm25", F.lit(0.0)).alias("bm25_q")
+            "doc_id", "n_tokens", F.coalesce("bm25", F.lit(0.0)).alias("bm25_q"),
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce("n_contam", F.lit(0).cast("long")).alias("n_contam"),
+            "contam_frac", "is_contaminated",
         )
         .orderBy("doc_id")
     )
 
 
 def _fill_pipeline_oracle() -> None:
+    from ..operators.contamination import sql_contamination_ctes
     from ..operators.text import (
         LANG_MARKERS as markers,
         sql_bm25,
@@ -823,6 +840,7 @@ def _fill_pipeline_oracle() -> None:
     )
 
     bm25 = sql_bm25(id_out="doc_id", query_terms=_BM25_QUERY)
+    cont = sql_contamination_ctes("doc_id % 37 = 0", n=3)
 
     ntok = sql_token_count("text")
     padded = "(' ' || text || ' ')"
@@ -857,9 +875,15 @@ def _fill_pipeline_oracle() -> None:
       WHERE k.n > 1 AND d.doc_id <> k.keeper_id
     ),
     bm AS ({bm25}
-    )
-    SELECT q.doc_id, q.n_tokens, COALESCE(bm.bm25, 0.0) AS bm25_q FROM q
+    ),{cont}
+    SELECT q.doc_id, q.n_tokens, COALESCE(bm.bm25, 0.0) AS bm25_q,
+           COALESCE(cont.n_shingles, 0) AS n_shingles,
+           COALESCE(cont.n_contam, 0) AS n_contam,
+           cont.contam_frac AS contam_frac,
+           cont.contam_frac >= {_CONTAM_THR!r} AS is_contaminated
+    FROM q
     LEFT JOIN bm ON bm.doc_id = q.doc_id
+    LEFT JOIN cont ON cont.doc_id = q.doc_id
     WHERE q.n_tokens >= 10 AND q.mean_tok_len BETWEEN 3 AND 12 AND q.swr > 0
       AND q.doc_id IN (SELECT doc_id FROM lang)
       AND q.doc_id NOT IN (SELECT doc_id FROM losers)

@@ -228,6 +228,14 @@ def main(sf_dir: str) -> int:
     pf = entry_queries.queries()["pretrain_filter_pipeline"](spark, sf_dir)
     p = plan_of(pf)
     check("bm25.broadcast_stats", p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2)
+    # 5e2. contamination screen inside the same row: the benchmark
+    # shingle set is a broadcast dimension (membership test never
+    # shuffles the corpus side) and the whole row stays Python-free
+    check(
+        "contamination.broadcast_membership",
+        p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 3,
+    )
+    check("pretrain.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
 
     # 5f. bloom prefilter (incremental dedup): the packed filter is ONE
     # map-typed row cross-joined by broadcast — probes are pure
