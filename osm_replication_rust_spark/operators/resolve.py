@@ -240,6 +240,16 @@ def way_geometry(
       accumulate in decimal(38,0), so no global-extent polygon can
       overflow int64 products;
     - ``cx, cy`` — vertex-mean centroid (doubles);
+    - ``acx, acy`` — AREA-WEIGHTED centroid (ST_Centroid for the
+      implicitly-closed ring): Σ(x'ᵢ + x'ᵢ₊₁)·crossᵢ / (3·Σcrossᵢ) in
+      first-vertex-translated coordinates, numerators exact in
+      decimal(38,0) (|terms| ≤ ~1.4e10·1e20 per vertex — no overflow
+      for any global-extent way), then ONE shared division; NULL when
+      the signed area is zero (degenerate/collinear rings, where the
+      formula is undefined). The big-decimal→double casts feeding the
+      division are correctly rounded to ≤1 ulp in both engines, which
+      the gate's 9-significant-digit float compare absorbs (the exact
+      invariant is carried by ``area2``'s decimal string next to it);
     - ``length`` — open polyline length (closing edge NOT added; check
       ``is_closed`` to decide whether to add it).
 
@@ -273,6 +283,34 @@ def way_geometry(
     area2 = F.aggregate(
         terms, F.lit(0).cast(dec), lambda a, t: (a + t).cast(dec)
     )
+
+    def cross(i):
+        return (
+            (at(i)["lon"] - first["lon"]).cast(dec)
+            * (nxt(i)["lat"] - first["lat"]).cast(dec)
+            - (nxt(i)["lon"] - first["lon"]).cast(dec)
+            * (at(i)["lat"] - first["lat"]).cast(dec)
+        ).cast(dec)
+
+    def wsum(axis):
+        ts = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: (
+                (
+                    (at(i)[axis] - first[axis]) + (nxt(i)[axis] - first[axis])
+                ).cast(dec)
+                * cross(i)
+            ).cast(dec),
+        )
+        return F.aggregate(ts, F.lit(0).cast(dec), lambda a, t: (a + t).cast(dec))
+
+    den = (F.lit(3).cast(dec) * area2).cast(dec).cast("double")
+
+    def acent(axis):
+        return F.when(
+            area2 != F.lit(0).cast(dec),
+            first[axis].cast("double") + wsum(axis).cast("double") / den,
+        )
     def edge_len(i):
         # square in DOUBLE: a raw decimicro diff can reach 3.6e9 and
         # its int64 square would overflow; doubles also match the
@@ -296,6 +334,8 @@ def way_geometry(
         area2.cast("string").alias("area2"),
         (s_lon / n).alias("cx"),
         (s_lat / n).alias("cy"),
+        acent("lon").alias("acx"),
+        acent("lat").alias("acy"),
         length.alias("length"),
     )
 

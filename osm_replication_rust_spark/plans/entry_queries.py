@@ -2462,6 +2462,16 @@ def _way_geometry_oracle() -> str:
            CAST(SUM(((lon - flon)::HUGEINT) * (nlat - flat)
                     - ((nlon - flon)::HUGEINT) * (lat - flat))
                 AS VARCHAR) AS area2,
+           SUM(((lon - flon)::HUGEINT) * (nlat - flat)
+               - ((nlon - flon)::HUGEINT) * (lat - flat)) AS a2h,
+           SUM((((lon - flon) + (nlon - flon))::HUGEINT)
+               * (((lon - flon)::HUGEINT) * (nlat - flat)
+                  - ((nlon - flon)::HUGEINT) * (lat - flat))) AS swx,
+           SUM((((lat - flat) + (nlat - flat))::HUGEINT)
+               * (((lon - flon)::HUGEINT) * (nlat - flat)
+                  - ((nlon - flon)::HUGEINT) * (lat - flat))) AS swy,
+           MIN(flon) AS flon0,
+           MIN(flat) AS flat0,
            avg(lon) AS cx,
            avg(lat) AS cy,
            coalesce(SUM(CASE WHEN NOT is_last THEN
@@ -2542,7 +2552,14 @@ def _way_geometry_oracle() -> str:
              MAX(py) AS dens_py_max
       FROM densp GROUP BY group_id
     )
-    SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy, length,
+    SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy,
+           CASE WHEN a2h <> 0 THEN
+             CAST(flon0 AS DOUBLE) + CAST(swx AS DOUBLE) / CAST(3 * a2h AS DOUBLE)
+           END AS acx,
+           CASE WHEN a2h <> 0 THEN
+             CAST(flat0 AS DOUBLE) + CAST(swy AS DOUBLE) / CAST(3 * a2h AS DOUBLE)
+           END AS acy,
+           length,
            simp.n_kept AS n_kept, simp.kept_pos AS kept_pos,
            COALESCE(snap.n_snapped, 0) AS n_snapped,
            snap.snap_min_d2,

@@ -155,6 +155,42 @@ def test_way_geometry(spark, geo_world):
     assert span.is_closed and span.area2 == str(a2)
 
 
+def test_way_area_centroid(spark, geo_world):
+    from fractions import Fraction
+
+    from osm_replication_rust_spark.operators.resolve import way_geometry
+
+    points, groups = geo_world
+    got = {r.group_id: r for r in way_geometry(groups, points).collect()}
+
+    # square ring: area centroid is the exact center (small ints ->
+    # every double op exact -> equality, not approx)
+    assert got["ring"].acx == -1_799_998_500.0
+    assert got["ring"].acy == 500.0
+
+    # degenerate signed area (2-point chain, 1-point dot): undefined -> NULL
+    assert got["chain"].acx is None and got["chain"].acy is None
+    assert got["dot"].acx is None and got["dot"].acy is None
+
+    # antipodal-span triangle: exact-rational python reference; the
+    # HUGEINT/decimal -> double casts are <= 1 ulp each, so compare at
+    # 1e-12 relative
+    vs = [(-1_799_999_000, 0), (1_799_999_000, 899_999_000),
+          (-1_799_998_000, 0)]
+    x1, y1 = vs[0]
+    tx = [x - x1 for x, _ in vs]
+    ty = [y - y1 for _, y in vs]
+    m = len(vs)
+    cr = [
+        tx[i] * ty[(i + 1) % m] - tx[(i + 1) % m] * ty[i] for i in range(m)
+    ]
+    a2 = sum(cr)
+    refx = x1 + Fraction(sum((tx[i] + tx[(i + 1) % m]) * cr[i] for i in range(m)), 3 * a2)
+    refy = y1 + Fraction(sum((ty[i] + ty[(i + 1) % m]) * cr[i] for i in range(m)), 3 * a2)
+    assert got["span"].acx == pytest.approx(float(refx), rel=1e-12)
+    assert got["span"].acy == pytest.approx(float(refy), rel=1e-12)
+
+
 def test_simplify_ways(spark):
     from osm_replication_rust_spark.operators.resolve import simplify_ways
 
