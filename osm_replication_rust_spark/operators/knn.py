@@ -67,6 +67,70 @@ def knn_bruteforce(
     )
 
 
+def eps_neighbor_counts(
+    queries: DataFrame,
+    points: DataFrame,
+    eps: int,
+    res: int = DEFAULT_RES,
+    q_id: str = "query_id",
+) -> DataFrame:
+    """Fixed-radius near-neighbor counts — DBSCAN's |N_eps(q)| core-point
+    primitive / the density half of a fixed-radius join: for every query
+    row, how many points lie within exact squared decimicro distance
+    ``eps**2`` (inclusive; a co-located point — including the query
+    itself when queries ⊆ points — counts).
+
+    Plan: points bucketed once by grid cell; each query explodes to the
+    (2s+1)² cell offsets that cover its eps-disk (s = ceil(eps/edge),
+    a literal array — pure JVM), ONE hash equi-join on the cell id, and
+    ONE aggregation back to the query key. Distances are exact int64
+    (joined pairs are cell-bounded, so the squares never overflow).
+    Queries with an empty disk survive via the left join (count 0).
+
+    Scale: the only shuffles are the cell equi-join and the per-query
+    agg (partial combine collapses each partition to one counter per
+    query). Fan-out is the fixed offset list, not data-dependent; a
+    mega-cell is an AQE skew-join split, same as the kNN ring join.
+    Pick ``res`` so the disk spans a handful of cells — the guard below
+    rejects a fan-out over 1024 cells."""
+    if eps <= 0:
+        raise ValueError("eps must be a positive decimicro radius")
+    edge = cell_edge(res)
+    s = -(-eps // edge)  # ceil(eps/edge)
+    if (2 * s + 1) ** 2 > 1024:
+        raise ValueError(
+            f"eps={eps} spans {(2 * s + 1) ** 2} cells at res={res}; "
+            "use a coarser res (larger cell edge)"
+        )
+    offs = [
+        dy * Y_STRIDE + dx
+        for dy in range(-s, s + 1)
+        for dx in range(-s, s + 1)
+    ]
+    p = points.select(
+        F.col("lat").alias("_plat"),
+        F.col("lon").alias("_plon"),
+        cell_id(F.col("lon"), F.col("lat"), res).alias("_pcell"),
+    )
+    q = queries.select(
+        F.col(q_id),
+        F.col("lat").alias("_qlat"),
+        F.col("lon").alias("_qlon"),
+        cell_id(F.col("lon"), F.col("lat"), res).alias("_qcell"),
+    )
+    cand = (
+        q.withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
+        .withColumn("_cell", F.col("_qcell") + F.col("_off"))
+        .join(p, F.col("_cell") == F.col("_pcell"), "left")
+    )
+    hit = _dist2(
+        F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")
+    ) <= F.lit(int(eps) * int(eps))
+    return cand.groupBy(q_id).agg(
+        F.coalesce(F.sum(F.when(hit, 1)), F.lit(0)).cast("long").alias("n_eps")
+    )
+
+
 def knn_cell_ring(
     queries: DataFrame,
     points: DataFrame,

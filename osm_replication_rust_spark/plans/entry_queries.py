@@ -470,6 +470,12 @@ def bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed-radius count parameters for the knn row's n_eps column:
+#: 0.5 deg radius, counted at res 23 (cell edge 2^23 >= eps -> 3x3 disk)
+_KNN_EPS = 5_000_000
+_KNN_EPS_RES = 23
+
+
 @register(
     "knn",
     f"""
@@ -483,18 +489,29 @@ def bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
              + (q.lon - p.lon) * (q.lon - p.lon) AS dist2
       FROM q, pts p
     ),
+    e AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN dist2 <= CAST({_KNN_EPS} AS BIGINT) * {_KNN_EPS}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_eps
+      FROM d GROUP BY query_id
+    ),
     r AS (
       SELECT query_id, point_id, dist2,
              row_number() OVER (PARTITION BY query_id ORDER BY dist2, point_id) AS rank
       FROM d
     )
-    SELECT query_id, point_id, dist2, rank FROM r WHERE rank <= 5
-    ORDER BY query_id, rank
+    SELECT r.query_id, r.point_id, r.dist2, r.rank, e.n_eps
+    FROM r JOIN e ON e.query_id = r.query_id WHERE rank <= 5
+    ORDER BY r.query_id, r.rank
     """,
 )
 def knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: kNN via cell-ring expansion; oracle = windowed cross join."""
-    from ..operators.knn import knn_cell_ring
+    """J6: kNN via cell-ring expansion (oracle = windowed cross join)
+    PLUS the fixed-radius sibling (operators/knn.eps_neighbor_counts,
+    DBSCAN's |N_eps| core-point primitive): each query row also carries
+    its exact eps-disk point count — one cell equi-join + one agg,
+    checked against the oracle's quadratic conditional count."""
+    from ..operators.knn import eps_neighbor_counts, knn_cell_ring
 
     pts = _t(spark, sf_dir, "events").select(
         F.col("event_id"),
@@ -504,9 +521,12 @@ def knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = pts.filter(F.col("event_id") <= 20).select(
         F.col("event_id").alias("query_id"), "lat", "lon"
     )
-    return knn_cell_ring(
-        q, pts.withColumnRenamed("event_id", "point_id"), k=5
-    ).orderBy("query_id", "rank")
+    ne = eps_neighbor_counts(q, pts, eps=_KNN_EPS, res=_KNN_EPS_RES)
+    return (
+        knn_cell_ring(q, pts.withColumnRenamed("event_id", "point_id"), k=5)
+        .join(ne, "query_id")
+        .orderBy("query_id", "rank")
+    )
 
 
 @register(
@@ -933,9 +953,25 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the patterns are chosen lookaround-free for exactly that)."""
     from ..operators.dedup import h64_md5
     from ..operators.sampling import stratified_fixed_n, stratified_rate_sample
-    from ..operators.text import pii_count_cols, redact_pii, text_features
+    from ..operators.text import (
+        dup_line_frac,
+        pii_count_cols,
+        redact_pii,
+        text_features,
+    )
 
     d = _t(spark, sf_dir, "documents")
+    # planted line-structured boilerplate (the fixture corpus has no
+    # newlines): every 3rd doc gets a duplicated error line + footer,
+    # every 6th an extra copy — dup_line_frac carries 0 / 0.25 / 0.4
+    eline = F.lit("\nError 404: page not found")
+    footer = F.concat(F.lit("\nCopyright "), (F.col("doc_id") % 7).cast("string"))
+    ltxt = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(F.col("text"), eline, eline, eline, footer),
+    ).when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), eline, eline, footer)
+    ).otherwise(F.col("text"))
     inj = F.concat(
         F.lit(" Contact user"),
         F.col("doc_id").cast("string"),
@@ -949,6 +985,7 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pii_cols = [
         *pii_count_cols(ptxt),
         h64_md5(redact_pii(ptxt)).alias("pii_redacted_h64"),
+        dup_line_frac(ltxt).alias("dup_line_frac"),
     ]
     tf = text_features(d, "text", "doc_id", extra_cols=pii_cols)
     tf = stratified_rate_sample(
@@ -977,6 +1014,7 @@ def _fill_text_oracles() -> None:
     from ..operators.text import sql_pii_counts, sql_redact_pii
     from ..operators.text import (
         LANG_MARKERS as markers,
+        sql_dup_line_frac,
         sql_dup_trigram_frac,
         sql_dup_trigrams,
         sql_fingerprint,
@@ -1003,6 +1041,15 @@ def _fill_text_oracles() -> None:
     ptxt_sql = f"(CASE WHEN doc_id % 5 = 0 THEN text || {inj_sql} ELSE text END)"
     pii_sql = ",\n           ".join(sql_pii_counts(ptxt_sql))
     red_sql = f"{sql_h64_md5(sql_redact_pii(ptxt_sql))} AS pii_redacted_h64"
+    eline_sql = "chr(10) || 'Error 404: page not found'"
+    footer_sql = "chr(10) || 'Copyright ' || CAST(doc_id % 7 AS VARCHAR)"
+    ltxt_sql = (
+        f"(CASE WHEN doc_id % 6 = 0 THEN text || {eline_sql} || {eline_sql} "
+        f"|| {eline_sql} || {footer_sql} "
+        f"WHEN doc_id % 3 = 0 THEN text || {eline_sql} || {eline_sql} "
+        f"|| {footer_sql} ELSE text END)"
+    )
+    dlf_sql = f"{sql_dup_line_frac(ltxt_sql)} AS dup_line_frac"
     _ORACLES["text_features"] = f"""
     WITH s AS (
       SELECT doc_id, text, {score['en']} AS s_en, {score['de']} AS s_de,
@@ -1034,7 +1081,8 @@ def _fill_text_oracles() -> None:
            CAST(len(wfps) AS BIGINT) AS n_winnow_fp,
            CAST(COALESCE(list_sum(wfps), 0) AS BIGINT) AS winnow_fp_sum,
            {pii_sql},
-           {red_sql}
+           {red_sql},
+           {dlf_sql}
     FROM s2
     )
     SELECT tfo.*,

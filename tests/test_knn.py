@@ -89,3 +89,54 @@ def test_knn_join_scale_shape(spark, pts):
     }
     assert got == want
     assert len({qid for qid, _ in got}) == 400
+
+
+def _brute_counts(qdf, pdf, eps):
+    q = qdf.toPandas()
+    p = pdf.toPandas()
+    out = {}
+    for _, r in q.iterrows():
+        d2 = (p.lat - r.lat) ** 2 + (p.lon - r.lon) ** 2
+        out[int(r.query_id)] = int((d2 <= eps * eps).sum())
+    return out
+
+
+@pytest.mark.parametrize("eps,res", [
+    (500_000, 20),    # eps < edge: 3x3 disk
+    (3_000_000, 20),  # eps ~ 3 edges: 7x7 disk, multi-cell cover
+    (3_000_000, 23),  # same eps, coarser grid: 3x3 disk
+])
+def test_eps_counts_match_bruteforce(spark, pts, qry, eps, res):
+    from osm_replication_rust_spark.operators.knn import eps_neighbor_counts
+
+    got = {
+        int(r.query_id): r.n_eps
+        for r in eps_neighbor_counts(qry, pts, eps=eps, res=res).collect()
+    }
+    assert got == _brute_counts(qry, pts, eps)
+
+
+def test_eps_counts_zero_and_boundary(spark):
+    from osm_replication_rust_spark.operators.knn import eps_neighbor_counts
+
+    p = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 1000), (3, 700, 700)],
+        "point_id long, lat long, lon long",
+    )
+    q = spark.createDataFrame(
+        [(10, 0, 0), (11, 50 * M, 50 * M)], "query_id long, lat long, lon long"
+    )
+    got = {r.query_id: r.n_eps for r in
+           eps_neighbor_counts(q, p, eps=1000, res=20).collect()}
+    # boundary inclusive: point 2 is at EXACTLY eps; diagonal point 3 is
+    # at sqrt(2)*700 ~ 990 < eps; isolated query counts 0 (left join)
+    assert got == {10: 3, 11: 0}
+
+
+def test_eps_counts_fanout_guard(spark, pts, qry):
+    from osm_replication_rust_spark.operators.knn import eps_neighbor_counts
+
+    with pytest.raises(ValueError):
+        eps_neighbor_counts(qry, pts, eps=100 * M, res=10)
+    with pytest.raises(ValueError):
+        eps_neighbor_counts(qry, pts, eps=0)
