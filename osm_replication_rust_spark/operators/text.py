@@ -91,6 +91,29 @@ def dup_trigram_frac(text: Column) -> Column:
     ).otherwise(frac)
 
 
+def dup_line_frac(text: Column) -> Column:
+    """Gopher repetition rule: fraction of duplicate LINES,
+    1 - distinct/total over the newline split (boilerplate footers,
+    scraped nav menus and error pages score high; prose scores 0).
+    Pure codegen exprs — split keeps trailing empties in BOTH engines
+    (Java split with negative limit == DuckDB string_split), and the
+    int/int division promotes to double identically. NULL text -> 0.0
+    (matching dup_trigram_frac's contract)."""
+    lines = F.split(text, "\n")
+    frac = (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+    return F.when(text.isNull(), F.lit(0.0)).otherwise(frac)
+
+
+def sql_dup_line_frac(text: str) -> str:
+    """DuckDB twin of dup_line_frac (string_split on chr(10),
+    list_distinct, same int->double division)."""
+    lines = f"string_split({text}, chr(10))"
+    return (
+        f"CASE WHEN {text} IS NULL THEN 0.0 ELSE "
+        f"(len({lines}) - len(list_distinct({lines}))) / len({lines}) END"
+    )
+
+
 def sql_dup_trigrams(text: str) -> str:
     """DuckDB: the word-trigram list of `text` (same sliding windows,
     clamped tails, as the Spark construction). Meant to be staged as a

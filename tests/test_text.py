@@ -281,3 +281,51 @@ def test_pii_counts_and_redaction_three_way_parity(spark):
     # clean text is untouched; injected text carries no raw address
     assert got[5][3] == samples[5][1]
     assert "@" not in got[0][3].replace("[EMAIL]", "")
+
+
+def test_dup_line_frac_three_way_parity(spark):
+    import duckdb
+
+    from osm_replication_rust_spark.operators.text import (
+        dup_line_frac,
+        sql_dup_line_frac,
+    )
+
+    docs = [
+        (1, "single line no newline"),
+        (2, "a\nb\nc"),                       # all distinct -> 0.0
+        (3, "x\nx\nx\nx"),                    # 4 lines, 1 distinct -> 0.75
+        (4, "head\nboiler\nboiler\ntail"),    # 4 lines, 3 distinct -> 0.25
+        (5, ""),                              # [''] -> 0.0
+        (6, "a\n\n\nb"),                      # duplicate EMPTY lines count
+        (7, "trail\n"),                       # trailing empty kept -> 0.0
+        (8, None),                            # NULL contract -> 0.0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.f
+        for r in df.select("doc_id", dup_line_frac(F.col("text")).alias("f")).collect()
+    }
+
+    def ref(t):
+        if t is None:
+            return 0.0
+        lines = t.split("\n")
+        return (len(lines) - len(set(lines))) / len(lines)
+
+    for i, t in docs:
+        assert got[i] == pytest.approx(ref(t)), (i, t)
+    assert got[3] == 0.75 and got[4] == 0.25 and got[6] == 0.25
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, {'NULL' if t is None else repr(t)})" for i, t in docs
+    ).replace("\\n", "' || chr(10) || '")
+    duck = {
+        i: f
+        for i, f in con.execute(
+            f"SELECT doc_id, {sql_dup_line_frac('text')} AS f "
+            f"FROM (VALUES {vals}) AS t(doc_id, text)"
+        ).fetchall()
+    }
+    assert duck == got
