@@ -374,3 +374,78 @@ def way_geom_signature(
     return ways.select(
         "group_id", F.md5(F.least(fwd, rev)).alias("geom_sig")
     )
+
+
+def line_interpolate(
+    groups: DataFrame,
+    points: DataFrame,
+    t: float,
+    point_id: str = "image_id",
+) -> DataFrame:
+    """ST_LineInterpolatePoint's core (linear referencing): the point at
+    arc-length fraction ``t`` (0..1) along each resolved way chain —
+    ``(group_id, ix, iy)``; NULL for chains with fewer than 2 vertices.
+
+    Cross-engine determinism with floats: every edge length is one
+    correctly-rounded sqrt, the total and every prefix length are
+    STRICT LEFT-TO-RIGHT folds (``F.aggregate`` over the ordered edge
+    array — never a windowed SUM, whose segment-tree addition order is
+    engine-specific), and the target ``d = t*L``, the in-segment
+    parameter ``u = (d - cum[k-1]) / e[k]`` and the interpolation
+    ``x_k + u*(x_{k+1} - x_k)`` are shared single-rounding spellings.
+    The DuckDB twin recomputes each prefix as a fresh left-to-right
+    ``list_sum(list_slice(...))`` — the same additions in the same
+    order, so the doubles agree bit-for-bit.
+
+    The segment pick is the FIRST k with ``cum[k] >= d`` (k always
+    exists: t <= 1 keeps d <= L under round-to-nearest); a zero-length
+    picked edge degenerates to u = 0 (its start vertex) instead of
+    dividing 0/0.
+
+    Scale shape: pure higher-order array expressions on the closure
+    output — map-side, no shuffle beyond the closure agg, O(len²)
+    arithmetic per way from the prefix recomputation (ways are short;
+    a cumulative spelling would be O(len) but engine-divergent).
+    """
+    if not (0.0 <= t <= 1.0):
+        raise ValueError(f"t must be in [0, 1], got {t}")
+    ways = resolve_way_full(groups, points, point_id)
+    c = F.col("coords")
+    n = F.size(c)
+
+    def at(i):
+        return F.element_at(c, i)
+
+    def edge_len(i):
+        dx = (at(i + 1)["lon"] - at(i)["lon"]).cast("double")
+        dy = (at(i + 1)["lat"] - at(i)["lat"]).cast("double")
+        return F.sqrt(dx * dx + dy * dy)
+
+    edges = F.transform(F.sequence(F.lit(1), n - 1), edge_len)
+
+    def prefix(i):
+        # fresh left-to-right fold of edges[1..i] — the determinism
+        # contract shared with the SQL twin (see docstring)
+        return F.aggregate(
+            F.slice(edges, 1, i), F.lit(0.0), lambda a, e: a + e
+        )
+
+    total = prefix(n - 1)
+    d = F.lit(float(t)) * total
+    ks = F.filter(
+        F.sequence(F.lit(1), n - 1), lambda i: prefix(i) >= d
+    )
+    k = F.coalesce(F.element_at(ks, 1), n - 1)
+    e_k = F.element_at(edges, k)
+    u = F.when(e_k > 0.0, (d - prefix(k - 1)) / e_k).otherwise(F.lit(0.0))
+    ix = at(k)["lon"].cast("double") + u * (
+        at(k + 1)["lon"] - at(k)["lon"]
+    ).cast("double")
+    iy = at(k)["lat"].cast("double") + u * (
+        at(k + 1)["lat"] - at(k)["lat"]
+    ).cast("double")
+    return ways.select(
+        "group_id",
+        F.when(n >= 2, ix).alias("ix"),
+        F.when(n >= 2, iy).alias("iy"),
+    )

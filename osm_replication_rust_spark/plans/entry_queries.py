@@ -2376,6 +2376,7 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WAY_SIMPLIFY_EPS = 1e7  # 1 degree in decimicro
 _DENSIFY_GAP = 100_000_000  # 10 deg in decimicro: fixture segments densify to <= ~50 points
+_INTERP_T = 0.37  # arc-length fraction for the line_interpolate gate columns
 
 
 def _sql_dp_d2(px, py, x1, y1, x2, y2) -> str:
@@ -2599,6 +2600,50 @@ def _way_geometry_oracle() -> str:
              MIN(px) AS dens_px_min,
              MAX(py) AS dens_py_max
       FROM densp GROUP BY group_id
+    ),
+    lin0 AS (
+      SELECT group_id,
+             list(CAST(lon AS BIGINT) ORDER BY pos) AS xs,
+             list(CAST(lat AS BIGINT) ORDER BY pos) AS ys
+      FROM j GROUP BY group_id
+    ),
+    lin1 AS (
+      SELECT group_id, xs, ys,
+             list_transform(generate_series(1, len(xs) - 1), i ->
+               sqrt(CAST(xs[i + 1] - xs[i] AS DOUBLE) * CAST(xs[i + 1] - xs[i] AS DOUBLE)
+                  + CAST(ys[i + 1] - ys[i] AS DOUBLE) * CAST(ys[i + 1] - ys[i] AS DOUBLE))
+             ) AS le
+      FROM lin0
+    ),
+    lin2 AS (
+      SELECT group_id, xs, ys, le,
+             {_INTERP_T!r} * COALESCE(list_sum(le), 0.0) AS d
+      FROM lin1
+    ),
+    lin3 AS (
+      SELECT group_id, xs, ys, le, d,
+             COALESCE(list_filter(generate_series(1, len(le)), i ->
+               COALESCE(list_sum(list_slice(le, 1, i)), 0.0) >= d)[1],
+               len(le)) AS k
+      FROM lin2
+    ),
+    lin AS (
+      SELECT group_id,
+             CASE WHEN len(xs) >= 2 THEN
+               CAST(xs[k] AS DOUBLE)
+               + (CASE WHEN le[k] > 0.0
+                  THEN (d - COALESCE(list_sum(list_slice(le, 1, k - 1)), 0.0)) / le[k]
+                  ELSE 0.0 END)
+                 * CAST(xs[k + 1] - xs[k] AS DOUBLE)
+             END AS ix,
+             CASE WHEN len(xs) >= 2 THEN
+               CAST(ys[k] AS DOUBLE)
+               + (CASE WHEN le[k] > 0.0
+                  THEN (d - COALESCE(list_sum(list_slice(le, 1, k - 1)), 0.0)) / le[k]
+                  ELSE 0.0 END)
+                 * CAST(ys[k + 1] - ys[k] AS DOUBLE)
+             END AS iy
+      FROM lin3
     )
     SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy,
            CASE WHEN a2h <> 0 THEN
@@ -2607,6 +2652,7 @@ def _way_geometry_oracle() -> str:
            CASE WHEN a2h <> 0 THEN
              CAST(flat0 AS DOUBLE) + CAST(swy AS DOUBLE) / CAST(3 * a2h AS DOUBLE)
            END AS acy,
+           lin.ix AS ix, lin.iy AS iy,
            length,
            simp.n_kept AS n_kept, simp.kept_pos AS kept_pos,
            COALESCE(snap.n_snapped, 0) AS n_snapped,
@@ -2626,6 +2672,7 @@ def _way_geometry_oracle() -> str:
     JOIN sigs ON sigs.group_id = geo.group_id
     JOIN dupc ON dupc.geom_sig = sigs.geom_sig
     LEFT JOIN dens ON dens.group_id = geo.group_id
+    JOIN lin ON lin.group_id = geo.group_id
     ORDER BY geo.group_id
     """
 
@@ -2648,11 +2695,20 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ST_Segmentize core (operators/clip.densify_segments): per-way
     inserted-vertex count, exact floor-sums, and min/max interpolated
     coordinates, every float produced by the one shared IEEE
-    interpolation spelling so the doubles hash-match bit-for-bit — all
-    by the one oracle."""
+    interpolation spelling so the doubles hash-match bit-for-bit — PLUS
+    linear referencing (resolve.line_interpolate,
+    ST_LineInterpolatePoint): the point at arc-length fraction t along
+    each chain, prefix lengths as strict left-to-right folds in BOTH
+    engines (never a windowed SUM, whose segment-tree addition order
+    diverges) — all by the one oracle."""
     from ..datagen.synth import gen_groups, gen_images
     from ..operators.clip import densify_segments, way_segments
-    from ..operators.resolve import simplify_ways, way_geom_signature, way_geometry
+    from ..operators.resolve import (
+        line_interpolate,
+        simplify_ways,
+        way_geom_signature,
+        way_geometry,
+    )
     from ..operators.snap import snap_points_to_segments
     from ..operators.validity import self_intersection_counts
 
@@ -2707,9 +2763,11 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("py").alias("dens_py_max"),
         )
     )
+    lin = line_interpolate(groups, base, t=_INTERP_T)
     return (
         way_geometry(groups, base)
         .join(simp, "group_id")
+        .join(lin, "group_id")
         .join(per_way, "group_id", "left")
         .withColumn("n_snapped", F.coalesce("n_snapped", F.lit(0).cast("long")))
         .join(selfx, "group_id", "left")

@@ -294,3 +294,76 @@ def test_way_geom_signature(spark):
     fwd = "0,0;5,5;0,9"
     rev = "0,9;5,5;0,0"
     assert sigs["fwd"] == hashlib.md5(min(fwd, rev).encode()).hexdigest()
+
+
+def test_line_interpolate(spark):
+    import math
+
+    from osm_replication_rust_spark.operators.resolve import line_interpolate
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a", "b", "c", "d"],
+                "lat": [0, 0, 3000, 3000],
+                "lon": [0, 4000, 4000, 4000],
+            }
+        )
+    )
+
+    def mk(ways):
+        return spark.createDataFrame(
+            [
+                (gid, "way", [{"ref": r, "type": "image", "role": ""} for r in refs])
+                for gid, refs in ways.items()
+            ],
+            "group_id string, kind string, "
+            "members array<struct<ref:string,type:string,role:string>>",
+        )
+
+    # L-chain a->b->c: lengths 4000 + 3000 = 7000
+    ways = {
+        "L": ["a", "b", "c"],
+        "seg": ["a", "b"],
+        "dot": ["a"],                 # < 2 vertices -> NULL
+        "dupe": ["a", "b", "b", "c"],  # zero-length middle edge
+    }
+
+    def ref(chain, t):
+        le = [math.hypot(x2 - x1, y2 - y1)
+              for (x1, y1), (x2, y2) in zip(chain, chain[1:])]
+        cum = []
+        s = 0.0
+        for e in le:  # same left-to-right fold
+            s += e
+            cum.append(s)
+        d = t * s
+        k = next((i for i, cv in enumerate(cum) if cv >= d), len(le) - 1)
+        prev = 0.0
+        for e in le[:k]:
+            prev += e
+        u = (d - prev) / le[k] if le[k] > 0.0 else 0.0
+        (x1, y1), (x2, y2) = chain[k], chain[k + 1]
+        return (x1 + u * (x2 - x1), y1 + u * (y2 - y1))
+
+    coords = {"a": (0, 0), "b": (4000, 0), "c": (4000, 3000)}
+    chains = {
+        "L": [coords[r] for r in ways["L"]],
+        "seg": [coords[r] for r in ways["seg"]],
+        "dupe": [coords[r] for r in ["a", "b", "b", "c"]],
+    }
+    for t in (0.0, 0.25, 0.5, 4000 / 7000, 0.75, 1.0):
+        got = {r.group_id: (r.ix, r.iy)
+               for r in line_interpolate(mk(ways), pts, t=t).collect()}
+        assert got["dot"] == (None, None)
+        for gid, chain in chains.items():
+            assert got[gid] == ref(chain, t), (gid, t)  # exact float equality
+
+    # t = 0.5 of the L-chain: 3500 along, still on the 4000-long first
+    # edge -> (3500, 0)
+    got = {r.group_id: (r.ix, r.iy)
+           for r in line_interpolate(mk(ways), pts, t=0.5).collect()}
+    assert got["L"] == (3500.0, 0.0)
+
+    with pytest.raises(ValueError):
+        line_interpolate(mk(ways), pts, t=1.5)
