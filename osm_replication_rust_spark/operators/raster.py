@@ -297,3 +297,58 @@ def tile_pyramid(
         .groupBy(F.col("a.res").alias("res"), F.col("a.cell").alias("cell"))
         .agg(F.sum("n").alias("n"))
     )
+
+
+def focal_sum(
+    pixels: DataFrame,
+    radius: int = 1,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+) -> DataFrame:
+    """Focal (moving-window) statistics over a SPARSE raster — the GIS
+    convolution primitive (focal sum / density smoothing) and, via
+    ``n_nbrs``, binary morphology: a pixel with a fully-occupied
+    (2r+1)² window is an erosion survivor; dilation is the scatter set
+    itself. Input: occupied pixels ``(x, y, v)`` in global pixel
+    coordinates; output: every occupied pixel with ``focal`` = Σ v over
+    its (2r+1)² neighborhood (absent pixels contribute 0) and
+    ``n_nbrs`` = occupied cells in the window (self included).
+
+    Plan: each occupied pixel SCATTERS its value to the (2r+1)² target
+    pixels it contributes to (map-side literal-offset explode, the
+    adjoint of a gather — no dense grid ever materializes), ONE hash
+    agg on the target pixel key, then a semi-filtering inner join back
+    to the occupied set, which reuses the agg's partitioning on one
+    side. Exact integer sums throughout — order-free, engine-identical.
+
+    Scale: shuffle volume is (2r+1)² × nnz narrow rows — proportional
+    to OCCUPIED pixels only, never the grid; skewed dense areas spread
+    over distinct target keys by construction (no hot reducer)."""
+    if radius < 1 or (2 * radius + 1) ** 2 > 1024:
+        raise ValueError(f"radius must be in [1, 15], got {radius}")
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+        ]
+    )
+    scat = (
+        pixels.select(F.col(x), F.col(y), F.col(v), F.explode(offs).alias("_o"))
+        .select(
+            (F.col(x) + F.col("_o.dx")).alias("_tx"),
+            (F.col(y) + F.col("_o.dy")).alias("_ty"),
+            F.col(v),
+        )
+        .groupBy("_tx", "_ty")
+        .agg(
+            F.sum(v).cast("long").alias("focal"),
+            F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+        )
+    )
+    return pixels.join(
+        scat,
+        (F.col(x) == F.col("_tx")) & (F.col(y) == F.col("_ty")),
+        "inner",
+    ).select(x, y, v, "focal", "n_nbrs")

@@ -42,6 +42,48 @@ def sql_token_count(text: str) -> str:
     )
 
 
+#: BPE-ish pre-tokenizer segmentation (the GPT-2 pattern reduced to a
+#: lookaround-free, explicit-ASCII-class form so Java regex (Spark),
+#: RE2 (DuckDB) and python re agree match-for-match): contraction
+#: suffixes, optional-space-prefixed letter / digit / "other" runs,
+#: residual whitespace runs. The original's `\s+(?!\S)` trailing-space
+#: lookahead is dropped (RE2 has no lookaround) — a whitespace run
+#: before a token is absorbed by the token's optional leading space,
+#: longer runs count as their own segment, exactly alike in all three
+#: dialects (disjoint leading character classes keep alternation-order
+#: semantics out of play; non-ASCII codepoints land in the "other"
+#: run, and run COUNTS agree even where char counts differ, e.g. Java
+#: surrogate pairs).
+BPE_SEGMENT_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]+"
+    "|[ \\t\\n\\x0b\\f\\r]+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: how many BPE_SEGMENT_RE segments the text
+    splits into — the standard 'how many tokens will the tokenizer
+    see' estimate a pretraining budget uses (whitespace token_count
+    undercounts punctuation-heavy and contraction-heavy text).
+    JVM-side regexp_count; NULL/empty -> 0."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(BPE_SEGMENT_RE)), F.lit(0)
+    ).cast("long")
+
+
+def sql_bpe_token_count(text: str) -> str:
+    """DuckDB twin: len(regexp_extract_all(...)) over the same RE2-safe
+    pattern."""
+    esc = BPE_SEGMENT_RE.replace("'", "''")
+    return (
+        f"CAST(CASE WHEN {text} IS NULL THEN 0 "
+        f"ELSE len(regexp_extract_all({text}, '{esc}')) END AS BIGINT)"
+    )
+
+
 def occurrences(text: Column, needle: str) -> Column:
     """Occurrence count via length arithmetic — identical semantics in
     Spark and ANSI SQL (no regex dialect differences)."""

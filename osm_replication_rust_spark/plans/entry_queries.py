@@ -954,6 +954,7 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import h64_md5
     from ..operators.sampling import stratified_fixed_n, stratified_rate_sample
     from ..operators.text import (
+        bpe_token_count,
         dup_line_frac,
         pii_count_cols,
         redact_pii,
@@ -986,6 +987,7 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         *pii_count_cols(ptxt),
         h64_md5(redact_pii(ptxt)).alias("pii_redacted_h64"),
         dup_line_frac(ltxt).alias("dup_line_frac"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
     ]
     tf = text_features(d, "text", "doc_id", extra_cols=pii_cols)
     tf = stratified_rate_sample(
@@ -1014,6 +1016,7 @@ def _fill_text_oracles() -> None:
     from ..operators.text import sql_pii_counts, sql_redact_pii
     from ..operators.text import (
         LANG_MARKERS as markers,
+        sql_bpe_token_count,
         sql_dup_line_frac,
         sql_dup_trigram_frac,
         sql_dup_trigrams,
@@ -1082,7 +1085,8 @@ def _fill_text_oracles() -> None:
            CAST(COALESCE(list_sum(wfps), 0) AS BIGINT) AS winnow_fp_sum,
            {pii_sql},
            {red_sql},
-           {dlf_sql}
+           {dlf_sql},
+           {sql_bpe_token_count('text')} AS bpe_tokens
     FROM s2
     )
     SELECT tfo.*,
@@ -3440,12 +3444,40 @@ def _sql_rasterize_density() -> str:
       FROM (SELECT DISTINCT tile FROM sp) t
       CROSS JOIN range(0, {npx * npx}) g(i)
       LEFT JOIN sp s ON s.tile = t.tile AND s.idx = g.i
+    ),
+    gpx AS (
+      SELECT gx, gy, count(*) AS n FROM px GROUP BY 1, 2
+    ),
+    foc AS (
+      SELECT a.gx, a.gy,
+             CAST(SUM(b.n) AS BIGINT) AS focal,
+             CAST(COUNT(*) AS BIGINT) AS n_nbrs
+      FROM gpx a JOIN gpx b
+        ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+       AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+      GROUP BY a.gx, a.gy
+    ),
+    ftile AS (
+      SELECT (gy // {npx}) * {C.Y_STRIDE} + (gx // {npx}) AS tile,
+             CAST(SUM(focal) AS BIGINT) AS focal_total,
+             CAST(MAX(focal) AS BIGINT) AS focal_max,
+             CAST(COALESCE(SUM(CASE WHEN n_nbrs = 9 THEN 1 END), 0) AS BIGINT)
+               AS n_core
+      FROM foc GROUP BY 1
+    ),
+    agg AS (
+      SELECT tile,
+             CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS nnz,
+             CAST(sum(n) AS BIGINT)                        AS total,
+             string_agg(n::VARCHAR, ',' ORDER BY i)        AS raster_sig
+      FROM dense GROUP BY tile
     )
-    SELECT tile,
-           CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS nnz,
-           CAST(sum(n) AS BIGINT)                        AS total,
-           string_agg(n::VARCHAR, ',' ORDER BY i)        AS raster_sig
-    FROM dense GROUP BY tile ORDER BY tile
+    SELECT agg.tile AS tile, nnz, total, raster_sig,
+           ftile.focal_total AS focal_total,
+           ftile.focal_max AS focal_max,
+           ftile.n_core AS n_core
+    FROM agg JOIN ftile ON ftile.tile = agg.tile
+    ORDER BY agg.tile
     """
 
 
@@ -3455,8 +3487,12 @@ def rasterize_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rasters (operators/raster.rasterize_points), emitted as a
     canonical comma-joined signature per tile so the DuckDB twin (a
     range() densify + ordered string_agg) compares every pixel,
-    including the zeros."""
-    from ..operators.raster import rasterize_points
+    including the zeros. PLUS focal statistics (raster.focal_sum, the
+    GIS moving-window convolution / morphology primitive): per-tile
+    sum and max of every occupied pixel's 3x3 focal sum and the count
+    of erosion survivors (fully-occupied windows), all exact integers
+    vs the oracle's sparse self-join twin."""
+    from ..operators.raster import focal_sum, rasterize_points
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -3464,12 +3500,42 @@ def rasterize_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.derived_lon(F.col("event_id")).alias("lon"),
     )
     r = rasterize_points(ev, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
-    return r.select(
-        "tile",
-        F.size(F.filter("raster", lambda x: x > 0)).cast("long").alias("nnz"),
-        F.aggregate("raster", F.lit(0).cast("long"), lambda a, x: a + x).alias("total"),
-        F.array_join("raster", ",").alias("raster_sig"),
-    ).orderBy("tile")
+    shift = _RAS_TILE_RES - _RAS_PX_RES
+    pix = (
+        ev.select(
+            F.shiftright(F.col("lon") + C.LON_OFFSET, _RAS_PX_RES).alias("gx"),
+            F.shiftright(F.col("lat") + C.LAT_OFFSET, _RAS_PX_RES).alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ftile = (
+        focal_sum(pix)
+        .groupBy(
+            (
+                F.shiftright("gy", shift) * C.Y_STRIDE + F.shiftright("gx", shift)
+            ).alias("tile")
+        )
+        .agg(
+            F.sum("focal").cast("long").alias("focal_total"),
+            F.max("focal").cast("long").alias("focal_max"),
+            F.coalesce(F.sum(F.when(F.col("n_nbrs") == 9, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_core"),
+        )
+    )
+    return (
+        r.select(
+            "tile",
+            F.size(F.filter("raster", lambda x: x > 0)).cast("long").alias("nnz"),
+            F.aggregate(
+                "raster", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("total"),
+            F.array_join("raster", ",").alias("raster_sig"),
+        )
+        .join(ftile, "tile")
+        .orderBy("tile")
+    )
 
 
 _PYR_BASE_RES = 18

@@ -252,3 +252,58 @@ def test_tile_pyramid_validation(spark):
         tile_pyramid(df, levels=0)
     with pytest.raises(ValueError):
         tile_pyramid(df, base_res=15)
+
+
+def test_focal_sum_matches_numpy(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.raster import focal_sum
+
+    rng = np.random.default_rng(9)
+    W = 12
+    mask = rng.random((W, W)) < 0.45
+    vals = rng.integers(1, 9, (W, W))
+    rows = [
+        (int(x), int(y), int(vals[y, x]))
+        for y in range(W)
+        for x in range(W)
+        if mask[y, x]
+    ]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    got = {(r.gx, r.gy): (r.n, r.focal, r.n_nbrs)
+           for r in focal_sum(pix).collect()}
+
+    dense = np.where(mask, vals, 0)
+    occ = mask.astype(int)
+    assert set(got) == {(x, y) for y in range(W) for x in range(W) if mask[y, x]}
+    for (x, y), (v, focal, nn) in got.items():
+        y0, y1 = max(y - 1, 0), min(y + 2, W)
+        x0, x1 = max(x - 1, 0), min(x + 2, W)
+        assert v == vals[y, x]
+        assert focal == dense[y0:y1, x0:x1].sum()
+        assert nn == occ[y0:y1, x0:x1].sum()
+
+
+def test_focal_sum_radius2_and_morphology(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.raster import focal_sum
+
+    # solid 5x5 block: interior pixel of the 3x3 erosion is only (2,2);
+    # radius=2 erosion survivor count is also exactly the center
+    rows = [(x, y, 1) for y in range(5) for x in range(5)]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    r1 = {(r.gx, r.gy): r.n_nbrs for r in focal_sum(pix, radius=1).collect()}
+    assert sum(1 for v in r1.values() if v == 9) == 9      # 3x3 interior
+    r2 = {(r.gx, r.gy): r.n_nbrs for r in focal_sum(pix, radius=2).collect()}
+    assert [k for k, v in r2.items() if v == 25] == [(2, 2)]
+    # negative-coordinate pixels work (global grid, no offset assumptions)
+    neg = spark.createDataFrame([(-5, -5, 3), (-4, -5, 4)], "gx long, gy long, n long")
+    got = {(r.gx, r.gy): r.focal for r in focal_sum(neg).collect()}
+    assert got == {(-5, -5): 7, (-4, -5): 7}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        focal_sum(pix, radius=0)
+    with _pytest.raises(ValueError):
+        focal_sum(pix, radius=16)

@@ -329,3 +329,63 @@ def test_dup_line_frac_three_way_parity(spark):
         ).fetchall()
     }
     assert duck == got
+
+
+def test_bpe_token_count_three_way_parity(spark):
+    import re as _re
+
+    import duckdb
+
+    from osm_replication_rust_spark.operators.text import (
+        BPE_SEGMENT_RE,
+        bpe_token_count,
+        sql_bpe_token_count,
+    )
+
+    docs = [
+        (1, "Hello world"),
+        (2, "it's Bob's, isn't it? they're we've I'm you'll I'd"),
+        (3, "price: $1,234.56 (20% off!!) -- order #42"),
+        (4, "  leading and   multiple    spaces\tand\ttabs\n\nnewlines  "),
+        (5, "CamelCaseRuns and snake_case_mixed123abc"),
+        (6, "unicode: café naïve — em-dash … ellipsis 😀 emoji"),
+        (7, ""),
+        (8, None),
+        (9, "'s's's"),           # contraction alternation stress
+        (10, "a'x b'11 c'"),     # apostrophe NOT followed by a suffix
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+
+    # python reference: same pattern string, same semantics
+    pat = _re.compile(BPE_SEGMENT_RE)
+    for i, t in docs:
+        expect = 0 if t is None else len(pat.findall(t))
+        assert got[i] == expect, (i, t)
+
+    con = duckdb.connect()
+
+    def lit(t):
+        if t is None:
+            return "NULL"
+        body = t.replace("'", "''").replace("\t", "' || chr(9) || '").replace(
+            "\n", "' || chr(10) || '"
+        )
+        return f"'{body}'"
+
+    vals = ", ".join(f"({i}, {lit(t)})" for i, t in docs)
+    duck = {
+        i: n
+        for i, n in con.execute(
+            f"SELECT doc_id, {sql_bpe_token_count('text')} AS n "
+            f"FROM (VALUES {vals}) AS t(doc_id, text)"
+        ).fetchall()
+    }
+    assert duck == got
+    # sanity anchors: counts include whitespace-run segments
+    assert got[1] == 2 and got[7] == 0 and got[8] == 0

@@ -155,13 +155,16 @@ def main(sf_dir: str) -> int:
     )
 
     # 5e. raster: vector->raster is two hash aggs (sparse pixel counts,
-    # tile densify) + the output sort — pure codegen, no Python, and
-    # nothing re-shuffles pixel rows beyond those keys
+    # tile densify) + the output sort; the focal_sum fold adds its own
+    # minimal chain (pixel pre-agg, scatter agg, occupied-side join
+    # shuffle, tile agg — the scatter agg reuses its partitioning for
+    # the join's other side). 7 total measured; budget 7 so any NEW
+    # exchange (e.g. a lost partitioning reuse) still fails.
     ras = entry_queries.queries()["rasterize_density"](spark, sf_dir)
     p = plan_of(ras)
     n_ex = count_shuffle_exchanges(p)
     check("raster.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
-    check("raster.exchange_budget", 0 < n_ex <= 3, f"exchanges={n_ex}")
+    check("raster.exchange_budget", 0 < n_ex <= 7, f"exchanges={n_ex}")
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = m.group(1) if m else ""
     check("raster.column_pruning", cols.split(":")[0] == "event_id" and "," not in cols, cols)
