@@ -2317,12 +2317,60 @@ def _closure_fixture_pts() -> tuple:
     return images, gen_groups(images), pts
 
 
+_WAY_BFS_MAX_HOPS = 15  # fixture giant component spans 12 hops; 15 converges
+
+
+def _way_graph_seed() -> str:
+    """Deterministic BFS seed for the way-graph reachability gate: the
+    lexicographically smallest node of the LARGEST connected component
+    of the fixture way graph (the naive global-min ref sits on a
+    3-node island). Shared by the Spark query and the oracle."""
+    from collections import deque
+
+    images, groups_pdf, _ = _closure_fixture_pts()
+    ids = set(images.image_id)
+    adj: dict = {}
+    for g in groups_pdf.itertuples():
+        if g.kind != "way":
+            continue
+        refs = [
+            m["ref"] for m in g.members
+            if m["type"] == "image" and m["ref"] in ids
+        ]
+        for a, b in zip(refs, refs[1:]):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    seen: set = set()
+    best: list = []
+    for s in sorted(adj):
+        if s in seen:
+            continue
+        q = deque([s])
+        seen.add(s)
+        comp = [s]
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    comp.append(v)
+                    q.append(v)
+        if len(comp) > len(best):
+            best = comp
+    return min(best)
+
+
 def _way_full_oracle() -> str:
     """DuckDB twin of S9 resolve_way_full: member-position-ordered
     coordinate chains, canonicalized to a string so nested-array output
     is hash-comparable (string_agg ORDER BY pos == collect_list over the
     pos-ordered window). Missing refs drop out of the chain (inner
-    join), preserving the order of the resolved remainder."""
+    join), preserving the order of the resolved remainder. PLUS the
+    way-graph reachability twin: BFS hop distances from the shared
+    seed via a bounded recursive CTE ((node, d) tuples keep cycles
+    finite under UNION dedup; min(d) == the BFS layer, the
+    relation_closure argument), rolled up per way as reached-member
+    count and closest hop."""
     _, groups_pdf, pts = _closure_fixture_pts()
     rows = []
     for g in groups_pdf.itertuples():
@@ -2332,22 +2380,40 @@ def _way_full_oracle() -> str:
             if m["type"] == "image":
                 rows.append(f"('{g.group_id}', {pos}, '{m['ref']}')")
     edges = ",\n      ".join(rows)
+    seed = _way_graph_seed()
     return f"""
-    WITH pts(ref, lat, lon) AS (VALUES
+    WITH RECURSIVE pts(ref, lat, lon) AS (VALUES
       {pts}
     ),
     edges(group_id, pos, ref) AS (VALUES
       {edges}
     ),
     j AS (
-      SELECT e.group_id, e.pos, p.lat, p.lon
+      SELECT e.group_id, e.pos, e.ref, p.lat, p.lon
       FROM edges e JOIN pts p ON p.ref = e.ref
-    )
-    SELECT group_id,
-           string_agg(CAST(lat AS VARCHAR) || ':' || CAST(lon AS VARCHAR),
-                      '|' ORDER BY pos) AS coords_str,
-           count(*) AS n_pts
-    FROM j GROUP BY group_id ORDER BY group_id
+    ),
+    eg AS (
+      SELECT ref AS a, nref AS b FROM (
+        SELECT ref, lead(ref) OVER (PARTITION BY group_id ORDER BY pos) AS nref
+        FROM j
+      ) WHERE nref IS NOT NULL
+    ),
+    und AS (SELECT a, b FROM eg UNION ALL SELECT b AS a, a AS b FROM eg),
+    bfs(node, d) AS (
+      SELECT '{seed}', 0
+      UNION
+      SELECT u.b, bfs.d + 1 FROM bfs JOIN und u ON u.a = bfs.node
+      WHERE bfs.d < {_WAY_BFS_MAX_HOPS}
+    ),
+    dist AS (SELECT node, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY node)
+    SELECT j.group_id AS group_id,
+           string_agg(CAST(j.lat AS VARCHAR) || ':' || CAST(j.lon AS VARCHAR),
+                      '|' ORDER BY j.pos) AS coords_str,
+           count(*) AS n_pts,
+           CAST(count(dist.hops) AS BIGINT) AS way_reach,
+           CAST(min(dist.hops) AS BIGINT) AS way_min_hops
+    FROM j LEFT JOIN dist ON dist.node = j.ref
+    GROUP BY j.group_id ORDER BY j.group_id
     """
 
 
@@ -2356,8 +2422,14 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9: way_full closure (ordered member coords,
     /root/reference/src/osm.rs:203-214) through the real operator; the
     nested array is canonicalized with array_join so DuckDB can
-    hash-compare it."""
+    hash-compare it. PLUS way-graph reachability (operators/graph.py
+    hop_distances): BFS layers over the undirected node graph the way
+    chains induce, from the shared largest-component seed — each way
+    carries how many of its resolved members the seed reaches and the
+    closest hop (NULL for detached-island ways), vs the oracle's
+    bounded recursive-CTE BFS."""
     from ..datagen.synth import gen_groups, gen_images
+    from ..operators.graph import hop_distances
     from ..operators.resolve import resolve_way_full
 
     images = gen_images(300, seed=42)
@@ -2368,14 +2440,42 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     groups = spark.createDataFrame(gen_groups(images))
     out = resolve_way_full(groups, base)
-    return out.select(
-        "group_id",
-        F.array_join(
-            F.transform("coords", lambda c: F.concat_ws(":", c["lat"], c["lon"])),
-            "|",
-        ).alias("coords_str"),
-        F.size("coords").cast("long").alias("n_pts"),
-    ).orderBy("group_id")
+
+    mem = (
+        groups.filter(F.col("kind") == "way")
+        .select("group_id", F.posexplode("members").alias("pos", "m"))
+        .filter(F.col("m.type") == "image")
+        .select("group_id", "pos", F.col("m.ref").alias("ref"))
+        .join(base.select(F.col("image_id").alias("ref")), "ref", "left_semi")
+    )
+    w = Window.partitionBy("group_id").orderBy("pos")
+    eg = (
+        mem.withColumn("nref", F.lead("ref").over(w))
+        .filter(F.col("nref").isNotNull())
+        .select(F.col("ref").alias("a"), F.col("nref").alias("b"))
+    )
+    seeds = spark.createDataFrame([(_way_graph_seed(),)], "node_id string")
+    dist = hop_distances(eg, seeds, max_hops=_WAY_BFS_MAX_HOPS)
+    reach = (
+        mem.join(dist, mem["ref"] == dist["node_id"], "left")
+        .groupBy("group_id")
+        .agg(
+            F.count("hops").cast("long").alias("way_reach"),
+            F.min("hops").cast("long").alias("way_min_hops"),
+        )
+    )
+    return (
+        out.select(
+            "group_id",
+            F.array_join(
+                F.transform("coords", lambda c: F.concat_ws(":", c["lat"], c["lon"])),
+                "|",
+            ).alias("coords_str"),
+            F.size("coords").cast("long").alias("n_pts"),
+        )
+        .join(reach, "group_id")
+        .orderBy("group_id")
+    )
 
 
 _WAY_SIMPLIFY_EPS = 1e7  # 1 degree in decimicro

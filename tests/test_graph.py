@@ -1,0 +1,92 @@
+"""hop_distances: BFS layers over an undirected edge list."""
+
+from collections import deque
+
+import numpy as np
+import pytest
+
+from osm_replication_rust_spark.operators.graph import hop_distances
+
+
+def _dfs(spark, edges, sources):
+    e = spark.createDataFrame(edges, "a string, b string")
+    s = spark.createDataFrame([(x,) for x in sources], "node_id string")
+    return e, s
+
+
+def _ref(edges, sources, max_hops):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_path_star_cycle_shapes(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    e, s = _dfs(spark, edges, ["a"])
+    got = {r.node_id: r.hops for r in hop_distances(e, s).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    star = [("hub", f"s{i}") for i in range(6)]
+    e, s = _dfs(spark, star, ["hub"])
+    got = {r.node_id: r.hops for r in hop_distances(e, s).collect()}
+    assert got == {"hub": 0, **{f"s{i}": 1 for i in range(6)}}
+
+    # 6-cycle from one seed: distances wrap both ways, max 3
+    cyc = [(f"c{i}", f"c{(i + 1) % 6}") for i in range(6)]
+    e, s = _dfs(spark, cyc, ["c0"])
+    got = {r.node_id: r.hops for r in hop_distances(e, s).collect()}
+    assert got == {"c0": 0, "c1": 1, "c5": 1, "c2": 2, "c4": 2, "c3": 3}
+
+
+def test_disconnected_duplicates_selfloops_multisource(spark):
+    edges = [
+        ("a", "b"), ("a", "b"), ("b", "a"),       # duplicates, both dirs
+        ("b", "b"),                               # self loop
+        ("x", "y"),                               # island (unreached)
+        ("b", "c"),
+    ]
+    e, s = _dfs(spark, edges, ["a"])
+    got = {r.node_id: r.hops for r in hop_distances(e, s).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+    # multi-source: min over sources; island now reached from y
+    e, s = _dfs(spark, edges, ["c", "y"])
+    got = {r.node_id: r.hops for r in hop_distances(e, s).collect()}
+    assert got == {"c": 0, "y": 0, "b": 1, "x": 1, "a": 2}
+
+
+def test_max_hops_cut_and_guard(spark):
+    edges = [(f"n{i}", f"n{i + 1}") for i in range(8)]
+    e, s = _dfs(spark, edges, ["n0"])
+    got = {r.node_id: r.hops for r in hop_distances(e, s, max_hops=3).collect()}
+    assert got == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}
+    got0 = {r.node_id: r.hops for r in hop_distances(e, s, max_hops=0).collect()}
+    assert got0 == {"n0": 0}
+    with pytest.raises(ValueError):
+        hop_distances(e, s, max_hops=-1)
+
+
+def test_random_graph_matches_python_bfs(spark):
+    rng = np.random.default_rng(13)
+    n, m = 60, 140
+    edges = [
+        (f"v{int(a)}", f"v{int(b)}")
+        for a, b in rng.integers(0, n, (m, 2))
+    ]
+    sources = ["v0", "v7"]
+    for mh in (2, 6, 10):
+        e, s = _dfs(spark, edges, sources)
+        got = {r.node_id: r.hops for r in hop_distances(e, s, max_hops=mh).collect()}
+        assert got == _ref(edges, sources, mh), mh
