@@ -167,6 +167,8 @@ def densify_segments(segs: DataFrame, max_gap: int) -> DataFrame:
     Scale shape: pure map-side codegen on the segment table — explode
     fan-out is output-proportional (the inserted points), no shuffle,
     no Python."""
+    if max_gap < 1:
+        raise ValueError(f"max_gap must be >= 1 coordinate unit, got {max_gap}")
     dx = (F.col("x2") - F.col("x1")).cast("double")
     dy = (F.col("y2") - F.col("y1")).cast("double")
     n_sub = F.greatest(

@@ -91,8 +91,12 @@ def eps_neighbor_counts(
     agg (partial combine collapses each partition to one counter per
     query). Fan-out is the fixed offset list, not data-dependent; a
     mega-cell is an AQE skew-join split, same as the kNN ring join.
-    Pick ``res`` so the disk spans a handful of cells — the guard below
-    rejects a fan-out over 1024 cells."""
+    Pick ``res`` so the disk spans a handful of cells — the guards
+    below reject a fan-out over 1024 cells AND any (eps, res) whose
+    joined pairs could overflow the exact int64 distance: a joined
+    pair is at most (s+1) cells apart per axis, so the overflow bound
+    is 2·((s+1)·edge)² < 2⁶³ (a coarse grid with a huge eps fails
+    loudly instead of wrapping dist² negative and over-counting)."""
     if eps <= 0:
         raise ValueError("eps must be a positive decimicro radius")
     edge = cell_edge(res)
@@ -101,6 +105,13 @@ def eps_neighbor_counts(
         raise ValueError(
             f"eps={eps} spans {(2 * s + 1) ** 2} cells at res={res}; "
             "use a coarser res (larger cell edge)"
+        )
+    max_delta = (s + 1) * edge  # per-axis bound for any joined pair
+    if 2 * max_delta * max_delta >= 1 << 63:
+        raise ValueError(
+            f"(eps={eps}, res={res}) admits per-axis deltas up to "
+            f"{max_delta}, whose squared distance overflows int64; "
+            "use a finer res (smaller cell edge)"
         )
     offs = [
         dy * Y_STRIDE + dx

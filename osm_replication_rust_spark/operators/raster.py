@@ -69,6 +69,43 @@ def _densify(sparse: DataFrame, npx: int) -> DataFrame:
     )
 
 
+def point_pixel_counts(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    px_res: int = 19,
+) -> DataFrame:
+    """(gx, gy, n) sparse global pixel counts of a point table — the
+    ONE heavy aggregation (map-side combine) every raster consumer
+    shares: rasterize_points tiles it, focal_sum convolves it."""
+    gx = F.shiftright(F.col(lon) + LON_OFFSET, px_res)
+    gy = F.shiftright(F.col(lat) + LAT_OFFSET, px_res)
+    return (
+        df.select(gx.alias("gx"), gy.alias("gy"))
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def pixels_to_tiles(
+    pix: DataFrame, tile_res: int = 23, px_res: int = 19
+) -> DataFrame:
+    """Sparse global pixels (gx, gy, n) -> dense per-tile rasters
+    ``(tile, raster)``. The (tile, idx) key is a bijection of (gx, gy),
+    so this is a map-side re-key + the densify agg — no extra pixel
+    aggregation."""
+    npx = _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    mask = npx - 1
+    gx, gy = F.col("gx"), F.col("gy")
+    sparse = pix.select(
+        (F.shiftright(gy, shift) * Y_STRIDE + F.shiftright(gx, shift)).alias("tile"),
+        (gy.bitwiseAND(F.lit(mask)) * npx + gx.bitwiseAND(F.lit(mask))).alias("idx"),
+        "n",
+    )
+    return _densify(sparse, npx)
+
+
 def rasterize_points(
     df: DataFrame,
     lon: str = "lon",
@@ -80,22 +117,11 @@ def rasterize_points(
 
     Returns ``(tile, raster)`` where ``raster[py*npx+px]`` counts the
     input points falling in that pixel.  Pure integer arithmetic into
-    two hash aggs; the heavy first agg combines map-side.
-    """
-    npx = _check_res(tile_res, px_res)
-    shift = tile_res - px_res
-    mask = npx - 1
-    gx = F.shiftright(F.col(lon) + LON_OFFSET, px_res)
-    gy = F.shiftright(F.col(lat) + LAT_OFFSET, px_res)
-    sparse = (
-        df.select(
-            (F.shiftright(gy, shift) * Y_STRIDE + F.shiftright(gx, shift)).alias("tile"),
-            (gy.bitwiseAND(F.lit(mask)) * npx + gx.bitwiseAND(F.lit(mask))).alias("idx"),
-        )
-        .groupBy("tile", "idx")
-        .agg(F.count(F.lit(1)).alias("n"))
+    two hash aggs; the heavy first agg combines map-side."""
+    _check_res(tile_res, px_res)
+    return pixels_to_tiles(
+        point_pixel_counts(df, lon, lat, px_res), tile_res, px_res
     )
-    return _densify(sparse, npx)
 
 
 def rasterize_polygon(

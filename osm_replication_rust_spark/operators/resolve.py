@@ -271,26 +271,20 @@ def way_geometry(
     def nxt(i):  # successor index, ring-closed
         return F.element_at(c, (i % n) + 1)
 
-    terms = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: (
-            (at(i)["lon"] - first["lon"]).cast(dec)
-            * (nxt(i)["lat"] - first["lat"]).cast(dec)
-            - (nxt(i)["lon"] - first["lon"]).cast(dec)
-            * (at(i)["lat"] - first["lat"]).cast(dec)
-        ).cast(dec),
-    )
-    area2 = F.aggregate(
-        terms, F.lit(0).cast(dec), lambda a, t: (a + t).cast(dec)
-    )
-
     def cross(i):
+        # THE shoelace cross product (single definition: area2 and the
+        # area-weighted centroid must never diverge on a spelling fix)
         return (
             (at(i)["lon"] - first["lon"]).cast(dec)
             * (nxt(i)["lat"] - first["lat"]).cast(dec)
             - (nxt(i)["lon"] - first["lon"]).cast(dec)
             * (at(i)["lat"] - first["lat"]).cast(dec)
         ).cast(dec)
+
+    terms = F.transform(F.sequence(F.lit(1), n), cross)
+    area2 = F.aggregate(
+        terms, F.lit(0).cast(dec), lambda a, t: (a + t).cast(dec)
+    )
 
     def wsum(axis):
         ts = F.transform(

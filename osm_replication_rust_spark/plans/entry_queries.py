@@ -7,6 +7,7 @@ Query keys map to SURVEY.md §2 operator ids in each docstring.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2320,11 +2321,13 @@ def _closure_fixture_pts() -> tuple:
 _WAY_BFS_MAX_HOPS = 15  # fixture giant component spans 12 hops; 15 converges
 
 
+@functools.lru_cache(maxsize=1)
 def _way_graph_seed() -> str:
     """Deterministic BFS seed for the way-graph reachability gate: the
     lexicographically smallest node of the LARGEST connected component
     of the fixture way graph (the naive global-min ref sits on a
-    3-node island). Shared by the Spark query and the oracle."""
+    3-node island). Shared by the Spark query and the oracle; cached —
+    it re-derives the seed-42 fixture and runs a python BFS."""
     from collections import deque
 
     images, groups_pdf, _ = _closure_fixture_pts()
@@ -3592,23 +3595,19 @@ def rasterize_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum and max of every occupied pixel's 3x3 focal sum and the count
     of erosion survivors (fully-occupied windows), all exact integers
     vs the oracle's sparse self-join twin."""
-    from ..operators.raster import focal_sum, rasterize_points
+    from ..operators.raster import focal_sum, pixels_to_tiles, point_pixel_counts
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         C.derived_lat(F.col("event_id")).alias("lat"),
         C.derived_lon(F.col("event_id")).alias("lon"),
     )
-    r = rasterize_points(ev, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
+    # ONE scan + ONE pixel aggregation feed both the tile rasters and
+    # the focal convolution (identical subplans also let ReuseExchange
+    # collapse the physical agg)
+    pix = point_pixel_counts(ev, px_res=_RAS_PX_RES)
+    r = pixels_to_tiles(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
     shift = _RAS_TILE_RES - _RAS_PX_RES
-    pix = (
-        ev.select(
-            F.shiftright(F.col("lon") + C.LON_OFFSET, _RAS_PX_RES).alias("gx"),
-            F.shiftright(F.col("lat") + C.LAT_OFFSET, _RAS_PX_RES).alias("gy"),
-        )
-        .groupBy("gx", "gy")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     ftile = (
         focal_sum(pix)
         .groupBy(

@@ -229,3 +229,10 @@ def test_clip_missing_ref_skips_vertex(spark):
     assert {r.pos for r in out} == {0}
     assert {(r.cx1, r.cy1) for r in out if r.tx == (0 + C.LON_OFFSET) >> RES} \
         .issubset({(0.0, 0.0), (float((0 + C.LON_OFFSET >> RES) * EDGE - C.LON_OFFSET), 0.0)})
+
+
+def test_densify_rejects_nonpositive_gap(spark):
+    rows = [("g", 0, 0, 0, 10, 10)]
+    for bad in (0, -5):
+        with pytest.raises(ValueError):
+            densify_segments(_segs_df(spark, rows), max_gap=bad)

@@ -140,3 +140,12 @@ def test_eps_counts_fanout_guard(spark, pts, qry):
         eps_neighbor_counts(qry, pts, eps=100 * M, res=10)
     with pytest.raises(ValueError):
         eps_neighbor_counts(qry, pts, eps=0)
+
+
+def test_eps_counts_overflow_guard(spark, pts, qry):
+    from osm_replication_rust_spark.operators.knn import eps_neighbor_counts
+
+    # passes the fan-out guard (s=6 -> 169 cells) but a joined pair can
+    # be 7 cells ~ 3.7e9 apart per axis: dist2 would wrap int64
+    with pytest.raises(ValueError, match="overflow"):
+        eps_neighbor_counts(qry, pts, eps=3_000_000_000, res=29)

@@ -231,13 +231,23 @@ def main(sf_dir: str) -> int:
     pf = entry_queries.queries()["pretrain_filter_pipeline"](spark, sf_dir)
     p = plan_of(pf)
     check("bm25.broadcast_stats", p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2)
-    # 5e2. contamination screen inside the same row: the benchmark
-    # shingle set is a broadcast dimension (membership test never
-    # shuffles the corpus side) and the whole row stays Python-free
-    check(
-        "contamination.broadcast_membership",
-        p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 3,
+    # 5e2. contamination screen: pin the membership join on the
+    # operator's OWN subplan (counting broadcasts across the whole
+    # pipeline row would let a demoted shingle join hide behind the
+    # bm25 broadcasts) — the benchmark shingle set must broadcast and
+    # the corpus side must never sort-merge for the membership test
+    from osm_replication_rust_spark.operators.contamination import (
+        contamination_scores,
     )
+
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cp = plan_of(
+        contamination_scores(
+            docs_t, docs_t.filter("doc_id % 37 = 0"), "text", "doc_id"
+        )
+    )
+    check("contamination.broadcast_membership", "BroadcastHashJoin" in cp)
+    check("contamination.no_sortmerge", "SortMergeJoin" not in cp)
     check("pretrain.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
 
     # 5f. bloom prefilter (incremental dedup): the packed filter is ONE
