@@ -534,3 +534,105 @@ def sql_lloyd_refined_cents(
         GROUP BY cid
       ) u ON u.cid = c0.cid
     """
+
+
+def _pq_check(dim: int, codebooks: np.ndarray) -> tuple[int, int, int]:
+    cb = np.asarray(codebooks)
+    if cb.ndim != 3:
+        raise ValueError(f"codebooks must be (m, ksub, dsub), got {cb.shape}")
+    m, ksub, dsub = cb.shape
+    if m * dsub != dim:
+        raise ValueError(f"m*dsub = {m}*{dsub} != dim = {dim}")
+    return m, ksub, dsub
+
+
+def _pq_encode_udf(spark, codebooks_q: np.ndarray):
+    """array<int> of m codes per row: per contiguous subspace, the
+    nearest codeword by EXACT integer squared L2 over the quantized
+    vector (ties -> lowest code) — bit-reproducible in SQL."""
+    cb = spark.sparkContext.broadcast(codebooks_q.astype(np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(emb: pd.Series) -> pd.Series:
+        c = cb.value  # (m, ksub, dsub)
+        m, ksub, dsub = c.shape
+        vq = _quantize(_emb_matrix(emb))  # (n, dim)
+        sub = vq.reshape(len(vq), m, dsub)  # (n, m, dsub)
+        # (n, m, ksub) exact integer distances
+        d = ((sub[:, :, None, :] - c[None, :, :, :]) ** 2).sum(axis=3)
+        codes = np.argmin(d, axis=2).astype(np.int32)  # ties -> first
+        return pd.Series(list(map(list, codes)))
+
+    return enc.asNondeterministic()  # see _argmin_centroid_udf
+
+
+def _pq_qtab_udf(spark, codebooks_q: np.ndarray):
+    """flattened array<long> of m*ksub ADC table entries per query:
+    entry j*ksub + c = exact int L2 between the query's j-th quantized
+    subvector and codeword (j, c)."""
+    cb = spark.sparkContext.broadcast(codebooks_q.astype(np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def qt(emb: pd.Series) -> pd.Series:
+        c = cb.value
+        m, ksub, dsub = c.shape
+        vq = _quantize(_emb_matrix(emb))
+        sub = vq.reshape(len(vq), m, dsub)
+        d = ((sub[:, :, None, :] - c[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(list(map(list, d.reshape(len(vq), m * ksub))))
+
+    return qt.asNondeterministic()
+
+
+def pq_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    codebooks_q: np.ndarray,
+    k: int,
+    dim: int,
+    q_id: str = "query_id",
+    i_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (ADC): the canonical billion-scale
+    memory layout — items compress to m small codes (here m ints; m
+    BYTES in a packed deployment), queries carry an m×ksub asymmetric
+    distance table, and the scan never touches a raw item vector.
+
+    Returns (q_id, i_id, pq_d2, rank): rank by the EXACT-integer ADC
+    distance Σ_j table[j, code_j] (ties -> lowest item id), pure ADC —
+    callers wanting exact ordering rerank the top candidates with the
+    true metric (the IVF row's pattern). All arithmetic is integer, so
+    the DuckDB twin reproduces codes, tables and ranking bit-for-bit.
+
+    Scale shape: ONE Arrow encode stage over items (at 10^12 items the
+    codes are the stored index — encode once, not per query); queries
+    (with their flattened tables) BROADCAST so the item side never
+    exchanges; the per-pair ADC sum is an m-term fold over broadcast
+    arrays; the only shuffle is the per-query top-k window on (q, m
+    ints) candidate rows."""
+    m, ksub, dsub = _pq_check(dim, codebooks_q)
+    spark = queries.sparkSession
+    enc = _pq_encode_udf(spark, codebooks_q)
+    qt = _pq_qtab_udf(spark, codebooks_q)
+    coded = items.select(F.col(i_id), enc(F.col(vec)).alias("_codes"))
+    qtab = queries.select(F.col(q_id), qt(F.col(vec)).alias("_qtab"))
+    pairs = coded.join(F.broadcast(qtab))
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.col("_qtab"),
+                j * ksub + F.element_at(F.col("_codes"), j + 1) + 1,
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, d: a + d,
+    )
+    w = Window.partitionBy(q_id).orderBy("pq_d2", i_id)
+    return (
+        pairs.withColumn("pq_d2", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, i_id, "pq_d2", "rank")
+    )

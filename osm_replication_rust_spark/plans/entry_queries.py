@@ -737,9 +737,72 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs).orderBy("id")
 
 
+#: PQ gate parameters: codebooks = quantized subvectors of data vectors
+#: 100..115 (ksub=16), m=4 contiguous subspaces of dsub=16 over dim=64
+_PQ_CB_ID_LO, _PQ_CB_ID_HI = 100, 115
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 4, 16, 16
+_PQ_CB_CACHE: dict = {}
+
+
+def _pq_sql_ctes() -> str:
+    """ADC twin CTE block over the existing qv/iv quantized-list CTEs:
+    same codebook ordering (row_number over vec_id == the numpy stack
+    order), same exact-integer subspace L2 (dot(a,a) - 2dot(a,b) +
+    dot(b,b)), same ties-to-lowest-code argmin, same table-lookup sum
+    and (pq_d2, vec_id) ranking."""
+    m, ksub, dsub = _PQ_M, _PQ_KSUB, _PQ_DSUB
+    l2 = (
+        "list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})"
+    )
+    return f"""
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+      FROM iv WHERE vec_id BETWEEN {_PQ_CB_ID_LO} AND {_PQ_CB_ID_HI}
+    ),
+    cbs AS (
+      SELECT tj.j, c, list_slice(v, tj.j * {dsub} + 1, tj.j * {dsub} + {dsub}) AS cv
+      FROM cb, UNNEST(generate_series(0, {m - 1})) AS tj(j)
+    ),
+    isub AS (
+      SELECT vec_id, tj.j,
+             list_slice(v, tj.j * {dsub} + 1, tj.j * {dsub} + {dsub}) AS sv
+      FROM iv, UNNEST(generate_series(0, {m - 1})) AS tj(j)
+    ),
+    qsub AS (
+      SELECT query_id, tj.j,
+             list_slice(q, tj.j * {dsub} + 1, tj.j * {dsub} + {dsub}) AS sv
+      FROM qv, UNNEST(generate_series(0, {m - 1})) AS tj(j)
+    ),
+    icodes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT i.vec_id, i.j, s.c,
+               row_number() OVER (PARTITION BY i.vec_id, i.j
+                 ORDER BY {l2.format(a='i.sv', b='s.cv')}, s.c) AS rn
+        FROM isub i JOIN cbs s ON s.j = i.j
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT qs.query_id, qs.j, s.c,
+             CAST({l2.format(a='qs.sv', b='s.cv')} AS BIGINT) AS d
+      FROM qsub qs JOIN cbs s ON s.j = qs.j
+    ),
+    adc AS (
+      SELECT t.query_id, ic.vec_id, CAST(SUM(t.d) AS BIGINT) AS pq_d2
+      FROM icodes ic JOIN qtab t ON t.j = ic.j AND t.c = ic.c
+      GROUP BY t.query_id, ic.vec_id
+    ),
+    pqr AS (
+      SELECT query_id, vec_id AS pq_vec_id, pq_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY pq_d2, vec_id) AS rank
+      FROM adc
+    )"""
+
+
 @register(
     "cosine_topk",
-    """
+    f"""
     WITH qv AS (
       SELECT vec_id AS query_id,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
@@ -758,18 +821,40 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, vec_id, dot_q,
              row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rank
       FROM d
-    )
-    SELECT query_id, vec_id, dot_q, rank FROM r WHERE rank <= 3
-    ORDER BY query_id, rank
+    ),{_pq_sql_ctes()}
+    SELECT r.query_id, r.vec_id, r.dot_q, r.rank,
+           pqr.pq_vec_id AS pq_vec_id, pqr.pq_d2 AS pq_d2
+    FROM r JOIN pqr ON pqr.query_id = r.query_id AND pqr.rank = r.rank
+    WHERE r.rank <= 3
+    ORDER BY r.query_id, r.rank
     """,
 )
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search baseline on quantized integer dot products
     (bit-reproducible across engines; the float cosine path is covered
-    by pytest against numpy)."""
-    from ..operators.similarity import dot_q_expr
+    by pytest against numpy). PLUS product quantization
+    (similarity.pq_topk, the billion-scale ANN memory layout): the
+    same queries ranked by the exact-integer ADC distance over m=4
+    codebooks of data subvectors — codes, tables and ranking
+    reproduced bit-for-bit by the oracle's subspace-L2 twin."""
+    import numpy as np
+
+    from ..operators.similarity import _emb_matrix, _quantize, dot_q_expr, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    cb = _PQ_CB_CACHE.get(sf_dir)
+    if cb is None:
+        pdf = (
+            emb.filter(F.col("vec_id").between(_PQ_CB_ID_LO, _PQ_CB_ID_HI))
+            .orderBy("vec_id")
+            .select("embedding")
+            .toPandas()
+        )
+        vq = _quantize(_emb_matrix(pdf["embedding"]))  # (ksub, dim)
+        cb = np.stack(
+            [vq[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for j in range(_PQ_M)]
+        )  # (m, ksub, dsub)
+        _PQ_CB_CACHE[sf_dir] = cb
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
     )
@@ -778,10 +863,22 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dot_q", dot_q_expr(F.col("_qv"), F.col("_iv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.col("vec_id"))
+    pq = pq_topk(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        emb,
+        cb,
+        k=3,
+        dim=64,
+    ).select(
+        "query_id", F.col("vec_id").alias("pq_vec_id"), "pq_d2", "rank"
+    )
     return (
         d.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("query_id", "vec_id", "dot_q", "rank")
+        .join(pq, ["query_id", "rank"])
         .orderBy("query_id", "rank")
     )
 

@@ -75,3 +75,67 @@ def test_ann_recall(spark, items, queries):
     }
     hit = sum(1 for q, v in top1_exact.items() if v in approx.get(q, set()))
     assert hit >= 8
+
+
+def _pq_ref(items_v, queries_v, cb):
+    """numpy reference of pq_topk's encode + ADC ranking."""
+    m, ksub, dsub = cb.shape
+    iq = np.round(np.asarray(items_v, dtype=np.float64) * 1000).astype(np.int64)
+    qq = np.round(np.asarray(queries_v, dtype=np.float64) * 1000).astype(np.int64)
+    isub = iq.reshape(len(iq), m, dsub)
+    codes = np.argmin(
+        ((isub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3), axis=2
+    )
+    qsub = qq.reshape(len(qq), m, dsub)
+    qtab = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    out = {}
+    for qi in range(len(qq)):
+        d2 = np.array(
+            [sum(qtab[qi, j, codes[ii, j]] for j in range(m)) for ii in range(len(iq))]
+        )
+        order = sorted(range(len(iq)), key=lambda ii: (d2[ii], ii))
+        out[qi] = [(ii, int(d2[ii])) for ii in order]
+    return out
+
+
+def test_pq_topk_matches_numpy_and_self_zero(spark):
+    from osm_replication_rust_spark.operators.similarity import pq_topk
+
+    m, ksub, dsub = 4, 8, 4
+    dim = m * dsub
+    rng = np.random.default_rng(21)
+    iv = rng.standard_normal((120, dim)).astype(np.float32)
+    cb_src = np.round(iv[:ksub].astype(np.float64) * 1000).astype(np.int64)
+    cb = np.stack([cb_src[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+    qv = iv[:6]  # queries include codebook source vectors
+
+    items = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(120), "embedding": list(map(list, iv))})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(6), "embedding": list(map(list, qv))})
+    )
+    k = 5
+    got = {}
+    for r in pq_topk(queries, items, cb, k=k, dim=dim).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.pq_d2))
+    ref = _pq_ref(iv, qv, cb)
+    for qi in range(6):
+        exp = [(rk + 1, ii, d2) for rk, (ii, d2) in enumerate(ref[qi][:k])]
+        assert sorted(got[qi]) == exp, qi
+    # a codebook-source vector quantizes losslessly: its own ADC
+    # distance is exactly 0 and it ranks first (ties -> lowest id)
+    for qi in range(6):
+        rk1 = min(got[qi])
+        assert rk1[2] == 0 and rk1[1] == qi
+
+
+def test_pq_codebook_validation(spark):
+    from osm_replication_rust_spark.operators.similarity import pq_topk
+
+    items = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[0.0] * 16]})
+    )
+    bad = np.zeros((4, 8, 5), dtype=np.int64)  # 4*5 != 16
+    with pytest.raises(ValueError):
+        pq_topk(items, items.withColumnRenamed("vec_id", "query_id"), bad, k=1, dim=16)
