@@ -278,6 +278,7 @@ def tile_pyramid(
     lat: str = "lat",
     base_res: int = 20,
     levels: int = 5,
+    weight: str | None = None,
 ) -> DataFrame:
     """Multi-resolution tile-density pyramid: ``(res, cell, n)`` for
     every non-empty cell at ``base_res .. base_res+levels-1`` — the
@@ -295,6 +296,10 @@ def tile_pyramid(
        cells|`` rows of three ints — cells, not points, so at 100 TB
        it is noise next to shuffle #1.  A naive per-level re-scan of
        the fact table would instead pay shuffle #1 ``levels`` times.
+    ``weight``: optional signed per-row weight column — the DELTA form
+    (inserts +1, deletes -1) for incremental maintenance; ``n`` becomes
+    the weight sum and zero-sum cells are KEPT (merge_pyramids drops
+    them after the combine, where zero means "cancelled out").
     """
     if levels < 1:
         raise ValueError(f"levels must be >= 1, got {levels}")
@@ -302,11 +307,13 @@ def tile_pyramid(
         raise ValueError("base_res < 16 overflows Y_STRIDE cell packing")
     cx = F.shiftright(F.col(lon) + LON_OFFSET, base_res)
     cy = F.shiftright(F.col(lat) + LAT_OFFSET, base_res)
-    base = (
-        df.select((cy * Y_STRIDE + cx).alias("cell"))
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    measure = (
+        F.count(F.lit(1)) if weight is None else F.sum(F.col(weight))
+    ).cast("long").alias("n")
+    cols = [(cy * Y_STRIDE + cx).alias("cell")]
+    if weight is not None:
+        cols.append(F.col(weight))
+    base = df.select(*cols).groupBy("cell").agg(measure)
     bcx = F.col("cell") % Y_STRIDE
     bcy = F.floor(F.col("cell") / Y_STRIDE).cast("long")
     ancestors = F.explode(
@@ -378,3 +385,27 @@ def focal_sum(
         (F.col(x) == F.col("_tx")) & (F.col(y) == F.col("_ty")),
         "inner",
     ).select(x, y, v, "focal", "n_nbrs")
+
+
+def merge_pyramids(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two (res, cell, n) pyramids additively, dropping
+    cancelled (zero-sum) cells — the APPLY half of incremental view
+    maintenance: ``merge_pyramids(pyramid(base), pyramid(diff,
+    weight='w'))`` equals ``pyramid(base with the diff applied)`` at
+    delta-proportional cost (the diff rollup touches diff rows only;
+    the merge is one (res, cell)-keyed outer join of CELL rows, never
+    facts)."""
+    an = a.select("res", "cell", F.col("n").alias("_na"))
+    bn = b.select("res", "cell", F.col("n").alias("_nb"))
+    return (
+        an.join(bn, ["res", "cell"], "full_outer")
+        .select(
+            "res",
+            "cell",
+            (
+                F.coalesce("_na", F.lit(0).cast("long"))
+                + F.coalesce("_nb", F.lit(0).cast("long"))
+            ).alias("n"),
+        )
+        .filter(F.col("n") != 0)
+    )

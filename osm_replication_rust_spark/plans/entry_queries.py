@@ -3738,12 +3738,21 @@ _PYR_BASE_RES = 18
 _PYR_LEVELS = 6
 
 
+#: IVM fixture split for the tile_pyramid gate: base = events not
+#: divisible by 17; the diff DELETES base events divisible by 13 and
+#: INSERTS the %17 ones — "effective" is what both engines pyramid.
+_PYR_EFF = "(event_id % 17 = 0 OR event_id % 13 <> 0)"
+
+
 def _sql_tile_pyramid() -> str:
-    """Per-level direct GROUP BY: grouping the raw points at each
-    coarser res is definitionally equal to rolling up the finer level
-    (ancestor cell of a point == ancestor of its base cell), so the
+    """Per-level direct GROUP BY over the EFFECTIVE event set (base
+    with the diff applied): grouping the raw points at each coarser res
+    is definitionally equal to rolling up the finer level (ancestor
+    cell of a point == ancestor of its base cell), so the
     UNION-ALL-of-group-bys twin checks the engine's two-agg rollup
-    exactly."""
+    exactly — and since it recomputes from scratch, emitting the same
+    count as BOTH n and n_ivm makes the gate assert that the engine's
+    incremental path (delta rollup + merge) equals a full recompute."""
     lvls = []
     for k in range(_PYR_LEVELS):
         r = _PYR_BASE_RES + k
@@ -3752,8 +3761,9 @@ def _sql_tile_pyramid() -> str:
       SELECT {r} AS res,
              ((({_EV_LAT}) + {C.LAT_OFFSET}) // {e}) * {C.Y_STRIDE}
                + ((({_EV_LON}) + {C.LON_OFFSET}) // {e}) AS cell,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2""")
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_ivm
+      FROM events WHERE {_PYR_EFF} GROUP BY 1, 2""")
     return "\nUNION ALL\n".join(lvls) + "\nORDER BY res, cell"
 
 
@@ -3761,16 +3771,48 @@ def _sql_tile_pyramid() -> str:
 def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-server zoom pyramid (operators/raster.tile_pyramid): event
     densities at six resolutions, coarser levels rolled up from the
-    base cells (two aggs total), never re-scanning the fact table."""
-    from ..operators.raster import tile_pyramid
+    base cells (two aggs total), never re-scanning the fact table.
+    PLUS incremental view maintenance (raster.merge_pyramids): ``n``
+    is the direct pyramid of the effective event set, ``n_ivm`` the
+    base pyramid plus a SIGNED delta rollup (deletes -1 / inserts +1)
+    merged at delta-proportional cost — the full-outer join surfaces
+    any IVM divergence (phantom or missing cells) as a row mismatch
+    against the recompute-from-scratch oracle."""
+    from ..operators.raster import merge_pyramids, tile_pyramid
 
     ev = _t(spark, sf_dir, "events").select(
+        "event_id",
         C.derived_lat(F.col("event_id")).alias("lat"),
         C.derived_lon(F.col("event_id")).alias("lon"),
     )
-    return tile_pyramid(
-        ev, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS
-    ).orderBy("res", "cell")
+    eff = ev.filter(F.expr(_PYR_EFF))
+    base = ev.filter(F.col("event_id") % 17 != 0)
+    diff = base.filter(F.col("event_id") % 13 == 0).withColumn(
+        "w", F.lit(-1)
+    ).unionByName(
+        ev.filter(F.col("event_id") % 17 == 0).withColumn("w", F.lit(1))
+    )
+    direct = tile_pyramid(eff, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS)
+    ivm = merge_pyramids(
+        tile_pyramid(base, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS),
+        tile_pyramid(
+            diff, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS, weight="w"
+        ),
+    )
+    return (
+        direct.join(
+            ivm.select("res", "cell", F.col("n").alias("n_ivm")),
+            ["res", "cell"],
+            "full_outer",
+        )
+        .select(
+            "res",
+            "cell",
+            F.coalesce("n", F.lit(-1).cast("long")).alias("n"),
+            F.coalesce("n_ivm", F.lit(-1).cast("long")).alias("n_ivm"),
+        )
+        .orderBy("res", "cell")
+    )
 
 
 def _sql_raster_vectorize() -> str:

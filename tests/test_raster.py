@@ -307,3 +307,58 @@ def test_focal_sum_radius2_and_morphology(spark):
         focal_sum(pix, radius=0)
     with _pytest.raises(ValueError):
         focal_sum(pix, radius=16)
+
+
+def test_pyramid_ivm_equals_recompute(spark):
+    import numpy as np
+    import pandas as pd
+
+    from osm_replication_rust_spark.operators.raster import (
+        merge_pyramids,
+        tile_pyramid,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lon": rng.integers(-50_000_000, 50_000_000, n),
+            "lat": rng.integers(-50_000_000, 50_000_000, n),
+        }
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pts)
+    base = df.filter("pid % 3 != 0")
+    # deletes include ENTIRE duplicated clusters so some cells cancel to
+    # zero; inserts are the held-out third
+    dels = base.filter("pid % 5 == 0").withColumn("w", F.lit(-1))
+    ins = df.filter("pid % 3 == 0").withColumn("w", F.lit(1))
+    eff = df.filter("pid % 3 == 0 OR pid % 5 != 0")
+
+    kw = dict(base_res=20, levels=4)
+    direct = {
+        (r.res, r.cell): r.n for r in tile_pyramid(eff, **kw).collect()
+    }
+    ivm = {
+        (r.res, r.cell): r.n
+        for r in merge_pyramids(
+            tile_pyramid(base, **kw),
+            tile_pyramid(dels.unionByName(ins), weight="w", **kw),
+        ).collect()
+    }
+    assert ivm == direct  # identical cells, identical counts, no zeros
+
+
+def test_merge_pyramids_drops_cancelled_cells(spark):
+    from osm_replication_rust_spark.operators.raster import merge_pyramids
+
+    a = spark.createDataFrame(
+        [(20, 100, 3), (20, 101, 1), (21, 50, 2)], "res int, cell long, n long"
+    )
+    b = spark.createDataFrame(
+        [(20, 100, -3), (20, 102, 4), (21, 50, -1)], "res int, cell long, n long"
+    )
+    got = {(r.res, r.cell): r.n for r in merge_pyramids(a, b).collect()}
+    assert got == {(20, 101): 1, (20, 102): 4, (21, 50): 1}
