@@ -169,19 +169,35 @@ def main(sf_dir: str) -> int:
     cols = m.group(1) if m else ""
     check("raster.column_pruning", cols.split(":")[0] == "event_id" and "," not in cols, cols)
 
-    # 5f. tile pyramid: exactly two shuffle aggs — the fact-width base
-    # agg and the cells-width ancestor rollup (plus the output sort).
-    # A per-level re-aggregation of the fact table would show `levels`
-    # fact-width exchanges; pin the two-agg shape.
-    pyr = entry_queries.queries()["tile_pyramid"](spark, sf_dir)
-    p = plan_of(pyr)
+    # 5f. tile pyramid — OPERATOR-level shape pinned on tile_pyramid
+    # alone (the gate row now also runs the IVM twin, which legitimately
+    # adds the base + delta branches): exactly two shuffle aggs — the
+    # fact-width base agg and the cells-width ancestor rollup. A
+    # per-level re-aggregation of the fact table would show `levels`
+    # fact-width exchanges.
+    from osm_replication_rust_spark.functions import coords as _C
+    from osm_replication_rust_spark.operators.raster import tile_pyramid
+
+    ev_t = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        _C.derived_lat(F.col("event_id")).alias("lat"),
+        _C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    p = plan_of(tile_pyramid(ev_t, base_res=18, levels=6))
     n_ex = count_shuffle_exchanges(p)
     check("pyramid.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
-    check("pyramid.exchange_budget", 0 < n_ex <= 3, f"exchanges={n_ex}")
+    check("pyramid.exchange_budget", 0 < n_ex <= 2, f"exchanges={n_ex}")
     check(
         "pyramid.single_scan",
         len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1,
     )
+    # the composed gate row (direct + base + delta + merge + sort):
+    # three pyramid legs and one cells-width outer join — budget the
+    # whole composition so a NEW fact-width exchange still fails
+    pyr = entry_queries.queries()["tile_pyramid"](spark, sf_dir)
+    p = plan_of(pyr)
+    n_ex = count_shuffle_exchanges(p)
+    check("pyramid_ivm.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
+    check("pyramid_ivm.exchange_budget", 0 < n_ex <= 9, f"exchanges={n_ex}")
 
     # 5g. text_features: every text signal (quality, lang-ID, winnow
     # fingerprint summary) in ONE scan of (doc_id, text); the doc
