@@ -387,14 +387,32 @@ def focal_sum(
     ).select(x, y, v, "focal", "n_nbrs")
 
 
-def merge_pyramids(a: DataFrame, b: DataFrame) -> DataFrame:
+def merge_pyramids(a: DataFrame, b: DataFrame, check_levels: bool = True) -> DataFrame:
     """Combine two (res, cell, n) pyramids additively, dropping
     cancelled (zero-sum) cells — the APPLY half of incremental view
     maintenance: ``merge_pyramids(pyramid(base), pyramid(diff,
     weight='w'))`` equals ``pyramid(base with the diff applied)`` at
     delta-proportional cost (the diff rollup touches diff rows only;
     the merge is one (res, cell)-keyed outer join of CELL rows, never
-    facts)."""
+    facts).
+
+    ``check_levels`` (default True) verifies the two sides cover the
+    same resolution set — pyramids built with different base_res /
+    levels would otherwise join cells computed on DIFFERENT grids
+    (colliding packed ids) and pass non-overlapping levels through
+    untouched, silently. The check is two level-width aggregates (at
+    most ``levels`` rows each); pass False only when the caller
+    guarantees matching parameters and must avoid the extra action
+    (a delta batch with empty levels is legitimate: the delta's res
+    set may be a SUBSET of the base's)."""
+    if check_levels:
+        ra = {r.res for r in a.select("res").distinct().collect()}
+        rb = {r.res for r in b.select("res").distinct().collect()}
+        if not (rb <= ra or ra <= rb):
+            raise ValueError(
+                f"pyramid level sets are incompatible: {sorted(ra)} vs "
+                f"{sorted(rb)} (different base_res/levels?)"
+            )
     an = a.select("res", "cell", F.col("n").alias("_na"))
     bn = b.select("res", "cell", F.col("n").alias("_nb"))
     return (

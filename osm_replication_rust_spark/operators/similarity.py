@@ -541,9 +541,27 @@ def _pq_check(dim: int, codebooks: np.ndarray) -> tuple[int, int, int]:
     if cb.ndim != 3:
         raise ValueError(f"codebooks must be (m, ksub, dsub), got {cb.shape}")
     m, ksub, dsub = cb.shape
+    if ksub < 1:
+        raise ValueError(f"ksub must be >= 1, got {ksub}")
     if m * dsub != dim:
         raise ValueError(f"m*dsub = {m}*{dsub} != dim = {dim}")
     return m, ksub, dsub
+
+
+def _pq_dists(emb: pd.Series, cb: np.ndarray) -> np.ndarray:
+    """(n, m, ksub) EXACT integer subspace distance tensor — the ONE
+    bit-parity-critical expression shared by encode and table build
+    (the DuckDB twin reproduces exactly this arithmetic); validates the
+    actual array length against the codebook so a dim mismatch fails
+    with a legible error instead of an opaque reshape trace."""
+    m, ksub, dsub = cb.shape
+    vq = _quantize(_emb_matrix(emb))  # (n, dim)
+    if vq.shape[1] != m * dsub:
+        raise ValueError(
+            f"embedding length {vq.shape[1]} != codebook dim {m}*{dsub}"
+        )
+    sub = vq.reshape(len(vq), m, dsub)
+    return ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
 
 
 def _pq_encode_udf(spark, codebooks_q: np.ndarray):
@@ -554,12 +572,7 @@ def _pq_encode_udf(spark, codebooks_q: np.ndarray):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def enc(emb: pd.Series) -> pd.Series:
-        c = cb.value  # (m, ksub, dsub)
-        m, ksub, dsub = c.shape
-        vq = _quantize(_emb_matrix(emb))  # (n, dim)
-        sub = vq.reshape(len(vq), m, dsub)  # (n, m, dsub)
-        # (n, m, ksub) exact integer distances
-        d = ((sub[:, :, None, :] - c[None, :, :, :]) ** 2).sum(axis=3)
+        d = _pq_dists(emb, cb.value)
         codes = np.argmin(d, axis=2).astype(np.int32)  # ties -> first
         return pd.Series(list(map(list, codes)))
 
@@ -574,12 +587,9 @@ def _pq_qtab_udf(spark, codebooks_q: np.ndarray):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def qt(emb: pd.Series) -> pd.Series:
-        c = cb.value
-        m, ksub, dsub = c.shape
-        vq = _quantize(_emb_matrix(emb))
-        sub = vq.reshape(len(vq), m, dsub)
-        d = ((sub[:, :, None, :] - c[None, :, :, :]) ** 2).sum(axis=3)
-        return pd.Series(list(map(list, d.reshape(len(vq), m * ksub))))
+        d = _pq_dists(emb, cb.value)
+        n, m, ksub = d.shape
+        return pd.Series(list(map(list, d.reshape(n, m * ksub))))
 
     return qt.asNondeterministic()
 

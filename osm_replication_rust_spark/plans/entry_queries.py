@@ -3793,11 +3793,15 @@ def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 17 == 0).withColumn("w", F.lit(1))
     )
     direct = tile_pyramid(eff, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS)
+    # check_levels=False: both sides are built RIGHT HERE with the same
+    # base_res/levels, and the guard's distinct-res probes would re-run
+    # the full upstream pyramid aggs as two extra driver actions
     ivm = merge_pyramids(
         tile_pyramid(base, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS),
         tile_pyramid(
             diff, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS, weight="w"
         ),
+        check_levels=False,
     )
     return (
         direct.join(

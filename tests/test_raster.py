@@ -362,3 +362,20 @@ def test_merge_pyramids_drops_cancelled_cells(spark):
     )
     got = {(r.res, r.cell): r.n for r in merge_pyramids(a, b).collect()}
     assert got == {(20, 101): 1, (20, 102): 4, (21, 50): 1}
+
+
+def test_merge_pyramids_rejects_incompatible_levels(spark):
+    from osm_replication_rust_spark.operators.raster import merge_pyramids
+
+    a = spark.createDataFrame(
+        [(20, 1, 1), (21, 1, 1), (22, 1, 1)], "res int, cell long, n long"
+    )
+    b = spark.createDataFrame(
+        [(18, 1, 1), (19, 1, 1), (20, 1, 1)], "res int, cell long, n long"
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        merge_pyramids(a, b).collect()
+    # a SUBSET res set is legitimate (a delta batch with empty levels)
+    sub = spark.createDataFrame([(21, 1, 2)], "res int, cell long, n long")
+    got = {(r.res, r.cell): r.n for r in merge_pyramids(a, sub).collect()}
+    assert got == {(20, 1): 1, (21, 1): 3, (22, 1): 1}

@@ -197,7 +197,18 @@ def main(sf_dir: str) -> int:
     p = plan_of(pyr)
     n_ex = count_shuffle_exchanges(p)
     check("pyramid_ivm.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
-    check("pyramid_ivm.exchange_budget", 0 < n_ex <= 9, f"exchanges={n_ex}")
+    # 8 measured — budget exactly 8 so even ONE new exchange (e.g. the
+    # merge join losing the rollup aggs' partitioning reuse) fails
+    check("pyramid_ivm.exchange_budget", 0 < n_ex <= 8, f"exchanges={n_ex}")
+
+    # 5f2. pq_topk (inside the cosine_topk row): the per-query top-k is
+    # a rank<=k FILTER directly over row_number, so Spark 3.5+ plans
+    # WindowGroupLimit — the map-side trim that caps each upstream
+    # partition's contribution at k rows per query (without it, every
+    # query's reducer would sort the full candidate set)
+    ct = entry_queries.queries()["cosine_topk"](spark, sf_dir)
+    p = plan_of(ct)
+    check("pq.window_group_limit", "WindowGroupLimit" in p)
 
     # 5g. text_features: every text signal (quality, lang-ID, winnow
     # fingerprint summary) in ONE scan of (doc_id, text); the doc
