@@ -427,6 +427,152 @@ def sharpness_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.mapInPandas(stage, out_schema)
 
 
+def sobel_stage(df: DataFrame, edge_sq_min: int = 200_000, bytes_col: str = "bytes") -> DataFrame:
+    """Sobel gradient statistics — the edge-energy screen an image
+    pretraining pipeline runs next to variance-of-Laplacian (flat or
+    synthetically-uniform images carry no edges; OpenCV's
+    cv2.Sobel + magnitude reduction is this statistic). Per interior
+    pixel the 3x3 Sobel pair
+
+        gx = (p[r-1,c+1] + 2 p[r,c+1] + p[r+1,c+1])
+           - (p[r-1,c-1] + 2 p[r,c-1] + p[r+1,c-1])
+        gy = (p[r+1,c-1] + 2 p[r+1,c] + p[r+1,c+1])
+           - (p[r-1,c-1] + 2 p[r-1,c] + p[r-1,c+1])
+
+    is EXACT int64 (|g| <= 4*255; the squared-magnitude sum over even a
+    4-megapixel image stays < 2^63), and the stage emits only exact
+    integers — gx_abs_sum, gy_abs_sum, g_sq_sum and n_edge (count of
+    interior pixels with gx^2 + gy^2 >= edge_sq_min) — so the DuckDB
+    oracle recomputes every column from the fake-codec pixel formula
+    with no FP anywhere. Images thinner than 3px have no interior:
+    all zeros. Vectorized per equal-shape Arrow group; map-only."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields
+        + ["gx_abs_sum bigint", "gy_abs_sum bigint", "g_sq_sum bigint", "n_edge bigint"]
+    )
+    thr = int(edge_sq_min)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            gxs = np.zeros(n, dtype=np.int64)
+            gys = np.zeros(n, dtype=np.int64)
+            gsq = np.zeros(n, dtype=np.int64)
+            ne = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 3 or w < 3:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                tl, tc, tr = px[:, :-2, :-2], px[:, :-2, 1:-1], px[:, :-2, 2:]
+                ml, mr = px[:, 1:-1, :-2], px[:, 1:-1, 2:]
+                bl, bc, br = px[:, 2:, :-2], px[:, 2:, 1:-1], px[:, 2:, 2:]
+                gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+                gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+                sq = gx * gx + gy * gy
+                gxs[ii] = np.abs(gx).sum(axis=(1, 2))
+                gys[ii] = np.abs(gy).sum(axis=(1, 2))
+                gsq[ii] = sq.sum(axis=(1, 2))
+                ne[ii] = (sq >= thr).sum(axis=(1, 2))
+            yield pdf.assign(
+                gx_abs_sum=gxs, gy_abs_sum=gys, g_sq_sum=gsq, n_edge=ne
+            )
+
+    return df.mapInPandas(stage, out_schema)
+
+
+#: Otsu float-exactness bound: the between-class numerator
+#: cw*S - N*cs is bounded by 255*N^2, which must stay exactly
+#: representable in a double (< 2^53) so Spark's numpy kernel and the
+#: DuckDB twin square and divide IDENTICAL inputs -> identical doubles.
+OTSU_MAX_PIXELS = 1 << 22  # 255 * (2^22)^2 = 4.5e15 < 2^53
+
+
+def otsu_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Otsu's global threshold — the classic binarization/document-vs-
+    photo screen (scanned-text detection, foreground masking before
+    OCR-quality scoring). Per image the 256-bin histogram reduces the
+    O(pixels) work to one vectorized bincount; each candidate threshold
+    t (class 0 = pixels <= t) scores the between-class variance
+
+        sigma_b(t) = (cw*S - N*cs)^2 / (cw * (N - cw))   [* 1/N^2, a
+                     shared positive factor dropped from the argmax]
+
+    with cw/cs the cumulative count/weighted sum, all EXACT int64. The
+    only floats are ONE squaring and ONE division of exactly-
+    representable doubles (numerator <= 255*N^2 < 2^53, guarded by
+    OTSU_MAX_PIXELS), the same two IEEE ops the DuckDB twin spells —
+    so sigma and therefore the argmax agree bit-for-bit cross-engine.
+    Ties break to the LOWEST t; thresholds with an empty class
+    (den = 0) are invalid; a constant image has no valid threshold ->
+    otsu_t NULL. Emits otsu_t, otsu_fg (count of pixels > t — the
+    foreground mass a downstream filter keys on) and otsu_sigma.
+    Vectorized per equal-shape Arrow group; map-only."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(fields + ["otsu_t int", "otsu_fg bigint", "otsu_sigma double"])
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ts = np.full(n, -1, dtype=np.int64)
+            fg = np.zeros(n, dtype=np.int64)
+            sig = np.full(n, np.nan, dtype=np.float64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                npx = w * h
+                if npx == 0:
+                    continue
+                if npx > OTSU_MAX_PIXELS:
+                    raise ValueError(
+                        f"otsu_stage: image has {npx} pixels > OTSU_MAX_PIXELS="
+                        f"{OTSU_MAX_PIXELS}; the between-class numerator would "
+                        "pass 2^53 and the shared-double contract with the SQL "
+                        "twin breaks — downsample (resize_stage) first"
+                    )
+                px = _decode_stack(list(payloads[ii]), L, w, h)
+                m = len(ii)
+                # one bincount for the whole stack: offset row k's values
+                # by k*256 so the flat counts reshape to (m, 256)
+                offs = (np.arange(m, dtype=np.int64) * 256)[:, None]
+                hist = np.bincount(
+                    (px.astype(np.int64) + offs).ravel(), minlength=m * 256
+                ).reshape(m, 256)
+                cw = hist.cumsum(axis=1)  # (m, 256); cw[:, 255] == npx
+                cs = (hist * np.arange(256, dtype=np.int64)).cumsum(axis=1)
+                N = np.int64(npx)
+                S = cs[:, 255:256]
+                num = cw[:, :255] * S - N * cs[:, :255]  # exact int64
+                den = cw[:, :255] * (N - cw[:, :255])  # exact int64
+                valid = den > 0
+                numf = num.astype(np.float64)  # exact: |num| <= 255*N^2 < 2^53
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sigma = np.where(
+                        valid, (numf * numf) / den.astype(np.float64), -1.0
+                    )
+                any_valid = valid.any(axis=1)
+                best = sigma.argmax(axis=1)  # first max -> lowest t
+                rows = np.arange(m)
+                ts[ii] = np.where(any_valid, best, -1)
+                fg[ii] = np.where(any_valid, N - cw[rows, best], 0)
+                sig[ii] = np.where(any_valid, sigma[rows, best], np.nan)
+            out = pdf.assign(otsu_t=ts, otsu_fg=fg, otsu_sigma=sig)
+            # invalid (constant / empty) images: all three columns NULL,
+            # via object dtype so Arrow emits genuine nulls (the
+            # trim_start/trim_end pattern)
+            bad = out["otsu_t"] < 0
+            out["otsu_t"] = out["otsu_t"].astype("object").where(~bad, None)
+            out["otsu_fg"] = out["otsu_fg"].astype("object").where(~bad, None)
+            out["otsu_sigma"] = out["otsu_sigma"].astype("object").where(~bad, None)
+            yield out
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def scene_cut_stage(
     df: DataFrame,
     threshold_millis: int = 20_000,

@@ -1721,6 +1721,11 @@ _SCENE_THR = 20_000
 #: audio silence amplitude (|sample - 128| below this is silence)
 _AUDIO_AMP = 16
 
+#: Sobel edge-pixel squared-magnitude threshold: splits the LCG
+#: fixture's interior pixels ~28% above / 72% below, so the n_edge
+#: column is a non-trivial discriminator
+_EDGE_SQ_MIN = 200_000
+
 
 def _sql_lcg_px(kexpr: str) -> str:
     """Pixel value of the deterministic LCG fake codec at linear index
@@ -1817,6 +1822,62 @@ def _multimodal_oracle() -> str:
       FROM vtrans
       GROUP BY image_id
     ),
+    sob AS (
+      SELECT image_id,
+             (({_sql_lcg_px('k - w + 1')}) + 2 * ({_sql_lcg_px('k + 1')})
+              + ({_sql_lcg_px('k + w + 1')}) - ({_sql_lcg_px('k - w - 1')})
+              - 2 * ({_sql_lcg_px('k - 1')}) - ({_sql_lcg_px('k + w - 1')})) AS gx,
+             (({_sql_lcg_px('k + w - 1')}) + 2 * ({_sql_lcg_px('k + w')})
+              + ({_sql_lcg_px('k + w + 1')}) - ({_sql_lcg_px('k - w - 1')})
+              - 2 * ({_sql_lcg_px('k - w')}) - ({_sql_lcg_px('k - w + 1')})) AS gy
+      FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
+      WHERE (k // w) BETWEEN 1 AND h - 2 AND (k % w) BETWEEN 1 AND w - 2
+    ),
+    sagg AS (
+      SELECT image_id,
+             CAST(SUM(ABS(gx)) AS BIGINT) AS gx_abs_sum,
+             CAST(SUM(ABS(gy)) AS BIGINT) AS gy_abs_sum,
+             CAST(SUM(gx * gx + gy * gy) AS BIGINT) AS g_sq_sum,
+             CAST(SUM(CASE WHEN gx * gx + gy * gy >= {_EDGE_SQ_MIN}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_edge
+      FROM sob
+      GROUP BY image_id
+    ),
+    ohist AS (
+      SELECT image_id, v, COUNT(*) AS c
+      FROM px
+      GROUP BY image_id, v
+    ),
+    ocum AS (
+      SELECT image_id, v,
+             SUM(c) OVER (PARTITION BY image_id ORDER BY v) AS cw,
+             SUM(v * c) OVER (PARTITION BY image_id ORDER BY v) AS cs,
+             SUM(c) OVER (PARTITION BY image_id) AS n_px,
+             SUM(v * c) OVER (PARTITION BY image_id) AS s_tot
+      FROM ohist
+    ),
+    osig AS (
+      -- sigma_b at each plateau start (present value with both classes
+      -- non-empty); numerator/denominator exact ints < 2^53, ONE
+      -- squaring + ONE division of identical doubles = the kernel's
+      SELECT image_id, CAST(v AS INT) AS otsu_t,
+             CAST(n_px - cw AS BIGINT) AS otsu_fg,
+             (CAST(cw * s_tot - n_px * cs AS DOUBLE)
+              * CAST(cw * s_tot - n_px * cs AS DOUBLE))
+               / CAST(cw * (n_px - cw) AS DOUBLE) AS otsu_sigma
+      FROM ocum
+      WHERE cw * (n_px - cw) > 0
+    ),
+    obest AS (
+      SELECT image_id, otsu_t, otsu_fg, otsu_sigma
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY image_id ORDER BY otsu_sigma DESC, otsu_t ASC
+        ) AS rn
+        FROM osig
+      )
+      WHERE rn = 1
+    ),
     aud AS (
       SELECT image_id,
              CAST(w * h AS INT) AS n_samples,
@@ -1843,9 +1904,15 @@ def _multimodal_oracle() -> str:
            v.n_transitions, v.n_cuts, v.sad_total, v.cut_frame,
            aud.n_samples, aud.peak, aud.energy,
            SQRT(CAST(aud.energy AS DOUBLE) / CAST(aud.n_samples AS DOUBLE)) AS rms,
-           aud.trim_start, aud.trim_end
+           aud.trim_start, aud.trim_end,
+           COALESCE(sg.gx_abs_sum, 0) AS gx_abs_sum,
+           COALESCE(sg.gy_abs_sum, 0) AS gy_abs_sum,
+           COALESCE(sg.g_sq_sum, 0) AS g_sq_sum,
+           COALESCE(sg.n_edge, 0) AS n_edge,
+           ob.otsu_t, ob.otsu_fg, ob.otsu_sigma
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
+    LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -1876,14 +1943,24 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     column read under the unsigned-8-bit-PCM contract — exact integer
     peak/energy, rms as ONE shared sqrt (IEEE sqrt is correctly
     rounded, so the doubles match bit-for-bit), and the silence-trim
-    [trim_start, trim_end] slice a speech pipeline cuts to."""
+    [trim_start, trim_end] slice a speech pipeline cuts to.
+
+    Plus Sobel gradient stats (sobel_stage — exact-integer edge energy
+    and the n_edge threshold count, all recomputed by the oracle from
+    the LCG formula at the six neighbor offsets) and Otsu's threshold
+    (otsu_stage — the between-class-variance argmax over the 256-bin
+    histogram; exact int64 numerator/denominator with ONE shared
+    squaring + division, ties to the lowest t, so the picked threshold,
+    foreground mass and sigma are bit-identical cross-engine)."""
     from ..datagen.synth import gen_images, gen_videos
     from ..operators.multimodal import (
         audio_stats_stage,
         decode_stats,
+        otsu_stage,
         patchify_stage,
         scene_cut_stage,
         sharpness_stage,
+        sobel_stage,
     )
 
     imgs = spark.createDataFrame(gen_images(500, seed=42))
@@ -1931,11 +2008,19 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trim_start",
         "trim_end",
     )
+    sob = sobel_stage(
+        imgs.select("image_id", "bytes", "w", "h"), edge_sq_min=_EDGE_SQ_MIN
+    ).select("image_id", "gx_abs_sum", "gy_abs_sum", "g_sq_sum", "n_edge")
+    ots = otsu_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "otsu_t", "otsu_fg", "otsu_sigma"
+    )
     return (
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
         .join(vagg, "image_id")
         .join(aud, "image_id")
+        .join(sob, "image_id")
+        .join(ots, "image_id")
         .orderBy("image_id")
     )
 
@@ -2638,9 +2723,16 @@ def _sql_dp_levels(levels: int, eps2: float) -> str:
         f"SELECT * FROM seg{k}" for k in range(levels + 1)
     )
     parts.append(f"allseg AS ({allseg})")
+    # NOT a top-level `A UNION B` CTE body: the way_geometry oracle runs
+    # under WITH RECURSIVE (the hull's gift-wrapping walk), and DuckDB
+    # reinterprets ANY `base UNION step` CTE as a recursive CTE there —
+    # dropping the cross-leg dedup (measured: WITH RECURSIVE t AS
+    # (SELECT 1 UNION SELECT 1) yields 2 rows). Outer DISTINCT over a
+    # UNION ALL subquery keeps the body a plain SELECT.
     parts.append(
-        "keepp AS (SELECT DISTINCT group_id, si AS pos FROM allseg"
-        " UNION SELECT DISTINCT group_id, sj AS pos FROM allseg)"
+        "keepp AS (SELECT DISTINCT group_id, pos FROM ("
+        "SELECT group_id, si AS pos FROM allseg"
+        " UNION ALL SELECT group_id, sj AS pos FROM allseg))"
     )
     parts.append(
         "simp AS (SELECT group_id, count(*) AS n_kept,"
@@ -2679,6 +2771,8 @@ def _way_geometry_oracle() -> str:
     cross = sql_proper_cross_expr(
         "a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"
     )
+    # gift-wrapping orientation tests, shared by the two hull witnesses
+    hx = "(q.x - w.x)::HUGEINT * (r.y - w.y) - (q.y - w.y)::HUGEINT * (r.x - w.x)"
     rows = []
     for g in groups_pdf.itertuples():
         if g.kind != "way":
@@ -2688,7 +2782,7 @@ def _way_geometry_oracle() -> str:
                 rows.append(f"('{g.group_id}', {pos}, '{m['ref']}')")
     edges = ",\n      ".join(rows)
     return f"""
-    WITH pts(ref, lat, lon) AS (VALUES
+    WITH RECURSIVE pts(ref, lat, lon) AS (VALUES
       {pts}
     ),
     edges(group_id, pos, ref) AS (VALUES
@@ -2848,6 +2942,57 @@ def _way_geometry_oracle() -> str:
                  * CAST(ys[k + 1] - ys[k] AS DOUBLE)
              END AS iy
       FROM lin3
+    ),
+    hpts AS (
+      -- convex hull input: DISTINCT vertices per way
+      SELECT DISTINCT group_id, CAST(lon AS BIGINT) AS x, CAST(lat AS BIGINT) AS y
+      FROM j
+    ),
+    hstart AS (
+      SELECT group_id, x, y FROM (
+        SELECT group_id, x, y,
+               ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY x, y) AS rn
+        FROM hpts
+      ) WHERE rn = 1
+    ),
+    hwalk(group_id, step, x, y, sx, sy) AS (
+      -- gift wrapping (Jarvis march) from the lexicographic min, CCW:
+      -- next vertex q has NO point strictly right of cur->q and NO
+      -- collinear point beyond q (minimal hull) — exact HUGEINT cross/
+      -- dot products; provably the monotone chain's canonical order
+      SELECT group_id, 0, x, y, x, y FROM hstart
+      UNION ALL
+      SELECT w.group_id, w.step + 1, q.x, q.y, w.sx, w.sy
+      FROM hwalk w
+      JOIN hpts q ON q.group_id = w.group_id AND (q.x <> w.x OR q.y <> w.y)
+      WHERE (q.x <> w.sx OR q.y <> w.sy)
+        AND NOT EXISTS (
+          SELECT 1 FROM hpts r
+          WHERE r.group_id = w.group_id
+            AND (r.x <> w.x OR r.y <> w.y) AND (r.x <> q.x OR r.y <> q.y)
+            AND (
+              {hx} < 0
+              OR ({hx} = 0
+                  AND (q.x - w.x)::HUGEINT * (r.x - w.x)
+                      + (q.y - w.y)::HUGEINT * (r.y - w.y)
+                    > (q.x - w.x)::HUGEINT * (q.x - w.x)
+                      + (q.y - w.y)::HUGEINT * (q.y - w.y))
+            )
+        )
+    ),
+    hpair AS (
+      SELECT group_id, step, x, y,
+             x::HUGEINT * COALESCE(lead(y) OVER hg, first_value(y) OVER hg)
+               - COALESCE(lead(x) OVER hg, first_value(x) OVER hg)::HUGEINT * y
+               AS t
+      FROM hwalk WINDOW hg AS (PARTITION BY group_id ORDER BY step)
+    ),
+    hagg AS (
+      SELECT group_id,
+             CAST(COUNT(*) AS INT) AS n_hull,
+             CAST(SUM(t) AS VARCHAR) AS hull_area2,
+             md5(string_agg(x || ',' || y, ';' ORDER BY step)) AS hull_sig
+      FROM hpair GROUP BY group_id
     )
     SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy,
            CASE WHEN a2h <> 0 THEN
@@ -2869,7 +3014,10 @@ def _way_geometry_oracle() -> str:
            COALESCE(dens.dens_fx_sum, 0) AS dens_fx_sum,
            COALESCE(dens.dens_fy_sum, 0) AS dens_fy_sum,
            dens.dens_px_min AS dens_px_min,
-           dens.dens_py_max AS dens_py_max
+           dens.dens_py_max AS dens_py_max,
+           hagg.n_hull AS n_hull,
+           hagg.hull_area2 AS hull_area2,
+           hagg.hull_sig AS hull_sig
     FROM geo JOIN simp ON simp.group_id = geo.group_id
     LEFT JOIN snap ON snap.group_id = geo.group_id
     LEFT JOIN xsel ON xsel.group_id = geo.group_id
@@ -2877,6 +3025,7 @@ def _way_geometry_oracle() -> str:
     JOIN dupc ON dupc.geom_sig = sigs.geom_sig
     LEFT JOIN dens ON dens.group_id = geo.group_id
     JOIN lin ON lin.group_id = geo.group_id
+    JOIN hagg ON hagg.group_id = geo.group_id
     ORDER BY geo.group_id
     """
 
@@ -2904,9 +3053,15 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ST_LineInterpolatePoint): the point at arc-length fraction t along
     each chain, prefix lengths as strict left-to-right folds in BOTH
     engines (never a windowed SUM, whose segment-tree addition order
-    diverges) — all by the one oracle."""
+    diverges) — PLUS the convex hull (operators/hull.py,
+    ST_ConvexHull): minimal hull in canonical CCW-from-lexicographic-
+    min order, exact-integer monotone chain checked bit-for-bit
+    (vertex count, exact shoelace area string, canonical-order md5)
+    against the oracle's gift-wrapping recursive CTE — all by the one
+    oracle."""
     from ..datagen.synth import gen_groups, gen_images
     from ..operators.clip import densify_segments, way_segments
+    from ..operators.hull import convex_hull_stats
     from ..operators.resolve import (
         line_interpolate,
         simplify_ways,
@@ -2968,10 +3123,12 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lin = line_interpolate(groups, base, t=_INTERP_T)
+    hull = convex_hull_stats(groups, base)
     return (
         way_geometry(groups, base)
         .join(simp, "group_id")
         .join(lin, "group_id")
+        .join(hull, "group_id")
         .join(per_way, "group_id", "left")
         .withColumn("n_snapped", F.coalesce("n_snapped", F.lit(0).cast("long")))
         .join(selfx, "group_id", "left")

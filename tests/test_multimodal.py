@@ -427,3 +427,132 @@ def test_audio_stats_matches_numpy_and_silence_trim(spark):
     assert b.peak == 8 and b.n_samples == 6
     c = got["c"]
     assert (c.n_samples, c.peak, c.energy) == (0, 0, 0)
+
+
+def test_sobel_matches_numpy_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        sobel_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),   # constant: all gradients 0
+        ("c", bytes(range(2 * 9)), 2, 9),      # no interior (w < 3)
+        ("d", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    thr = 50_000
+    got = {r.image_id: r for r in sobel_stage(df, edge_sq_min=thr).collect()}
+    for image_id, payload, w, h in rows:
+        px = fake_decode(payload, w, h).astype(np.int64)
+        if w < 3 or h < 3:
+            ref = (0, 0, 0, 0)
+        else:
+            gx = np.zeros((h - 2, w - 2), dtype=np.int64)
+            gy = np.zeros((h - 2, w - 2), dtype=np.int64)
+            for r_ in range(1, h - 1):
+                for c_ in range(1, w - 1):
+                    gx[r_ - 1, c_ - 1] = (
+                        px[r_ - 1, c_ + 1] + 2 * px[r_, c_ + 1] + px[r_ + 1, c_ + 1]
+                        - px[r_ - 1, c_ - 1] - 2 * px[r_, c_ - 1] - px[r_ + 1, c_ - 1]
+                    )
+                    gy[r_ - 1, c_ - 1] = (
+                        px[r_ + 1, c_ - 1] + 2 * px[r_ + 1, c_] + px[r_ + 1, c_ + 1]
+                        - px[r_ - 1, c_ - 1] - 2 * px[r_ - 1, c_] - px[r_ - 1, c_ + 1]
+                    )
+            sq = gx * gx + gy * gy
+            ref = (
+                int(np.abs(gx).sum()),
+                int(np.abs(gy).sum()),
+                int(sq.sum()),
+                int((sq >= thr).sum()),
+            )
+        r = got[image_id]
+        assert (r.gx_abs_sum, r.gy_abs_sum, r.g_sq_sum, r.n_edge) == ref, image_id
+    assert got["b"].g_sq_sum == 0 and got["b"].n_edge == 0
+
+
+def test_sobel_detects_edge_orientation(spark):
+    """A pure horizontal step edge must be all-gy (gx == 0), a vertical
+    step all-gx — the axis separation the two kernels exist for."""
+    from osm_replication_rust_spark.operators.multimodal import sobel_stage
+
+    horiz = np.zeros((16, 16), dtype=np.uint8)
+    horiz[8:, :] = 200  # step across rows -> vertical gradient (gy)
+    vert = np.zeros((16, 16), dtype=np.uint8)
+    vert[:, 8:] = 200   # step across cols -> horizontal gradient (gx)
+    df = spark.createDataFrame(
+        [("h", horiz.tobytes(), 16, 16), ("v", vert.tobytes(), 16, 16)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    got = {r.image_id: r for r in sobel_stage(df).collect()}
+    assert got["h"].gx_abs_sum == 0 and got["h"].gy_abs_sum > 0
+    assert got["v"].gy_abs_sum == 0 and got["v"].gx_abs_sum > 0
+
+
+def test_otsu_matches_reference_and_contract(spark):
+    """Kernel == brute-force shared-double reference on mixed shapes;
+    constant image -> NULL triple; bimodal image separates exactly."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        otsu_stage,
+    )
+
+    bimodal = np.zeros((16, 16), dtype=np.uint8)
+    bimodal[8:, :] = 200
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),  # constant: no valid threshold
+        ("c", bimodal.tobytes(), 16, 16),
+        ("d", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in otsu_stage(df).collect()}
+
+    def ref(px):
+        N = px.size
+        hist = np.bincount(px.ravel(), minlength=256).astype(np.int64)
+        cw = hist.cumsum()
+        cs = (hist * np.arange(256, dtype=np.int64)).cumsum()
+        S = int(cs[255])
+        best = None
+        for t in range(255):
+            den = int(cw[t]) * (N - int(cw[t]))
+            if den <= 0:
+                continue
+            numf = float(int(cw[t]) * S - N * int(cs[t]))
+            sigma = (numf * numf) / float(den)
+            if best is None or sigma > best[2]:
+                best = (t, N - int(cw[t]), sigma)
+        return best
+
+    for image_id, payload, w, h in rows:
+        px = fake_decode(payload, w, h)
+        expect = ref(px)
+        r = got[image_id]
+        if expect is None:
+            assert r.otsu_t is None and r.otsu_fg is None and r.otsu_sigma is None
+        else:
+            assert (r.otsu_t, r.otsu_fg) == expect[:2], image_id
+            assert r.otsu_sigma == expect[2], image_id  # bit-exact, same IEEE ops
+    # bimodal: threshold separates the two modes exactly (plateau start 0)
+    assert got["c"].otsu_t == 0 and got["c"].otsu_fg == 128
+
+
+def test_otsu_pixel_guard(spark):
+    """Images past the float-exactness bound must raise, not silently
+    break the shared-double contract."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        OTSU_MAX_PIXELS,
+        otsu_stage,
+    )
+
+    assert 255 * OTSU_MAX_PIXELS * OTSU_MAX_PIXELS < 2**53
+    side = 2049  # 2049^2 = 4_198_401 > 2^22
+    big = spark.createDataFrame(
+        [("x", bytes(64), side, side)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    with pytest.raises(Exception, match="OTSU_MAX_PIXELS"):
+        otsu_stage(big).collect()
