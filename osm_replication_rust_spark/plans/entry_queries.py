@@ -3977,9 +3977,18 @@ def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_raster_vectorize() -> str:
-    """Pentagon polygon -> pixel-center raster mask -> maximal
-    rectangles, entirely in SQL (grid from range(), the generated
-    ray-cast predicate, then two gaps-and-islands window passes)."""
+    """Two legs: (1) pentagon polygon -> pixel-center raster mask ->
+    maximal rectangles, entirely in SQL (grid from range(), the
+    generated ray-cast predicate, then two gaps-and-islands window
+    passes); (2) the events density mask vectorized the same way, with
+    each rectangle annotated by its connected component (blob) — the
+    component label is the min pixel key under 4-adjacency, recomputed
+    by a recursive-CTE reachability closure (the dedup_components
+    oracle pattern; O(blob size²) tuples, affordable at oracle scale).
+
+    NOTE: the final UNION ALL lives in the outer SELECT, not a CTE
+    body — under WITH RECURSIVE DuckDB reinterprets any `A UNION B`
+    CTE body as a recursive CTE (see the convex-hull row's trap)."""
     mp = fixture_regions()[5]
     px_res = 18
     pxe = 1 << px_res
@@ -3996,8 +4005,10 @@ def _sql_raster_vectorize() -> str:
         f"(gx * {pxe} + {half} - {C.LON_OFFSET})",
         f"(gy * {pxe} + {half} - {C.LAT_OFFSET})",
     )
+    epxe = _RAS_PXE
+    ys = C.Y_STRIDE
     return f"""
-    WITH grid AS (
+    WITH RECURSIVE grid AS (
       SELECT {x0} + i % {nx} AS gx, {y0} + i // {nx} AS gy
       FROM range(0, {nx * ny}) t(i)
     ),
@@ -4015,31 +4026,131 @@ def _sql_raster_vectorize() -> str:
                    gy - row_number() OVER (PARTITION BY x0, x1 ORDER BY gy) AS ck
             FROM runs)
       GROUP BY x0, x1, ck
+    ),
+    epx AS (
+      SELECT DISTINCT (({_EV_LON}) + {C.LON_OFFSET}) // {epxe} AS gx,
+                      (({_EV_LAT}) + {C.LAT_OFFSET}) // {epxe} AS gy
+      FROM events
+    ),
+    eruns AS (
+      SELECT gy, rk, min(gx) AS x0, max(gx) AS x1
+      FROM (SELECT gy, gx,
+                   gx - row_number() OVER (PARTITION BY gy ORDER BY gx) AS rk
+            FROM epx)
+      GROUP BY gy, rk
+    ),
+    erects AS (
+      SELECT x0, x1, ck, min(gy) AS y0, max(gy) AS y1
+      FROM (SELECT gy, x0, x1,
+                   gy - row_number() OVER (PARTITION BY x0, x1 ORDER BY gy) AS ck
+            FROM eruns)
+      GROUP BY x0, x1, ck
+    ),
+    und AS (
+      SELECT a.gy * {ys} + a.gx AS ka, b.gy * {ys} + b.gx AS kb
+      FROM epx a JOIN epx b
+        ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+       AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+       AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+    ),
+    reach(id, r) AS (
+      SELECT ka, ka FROM und
+      UNION
+      SELECT u.ka, r.r FROM und u JOIN reach r ON r.id = u.kb
+    ),
+    comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+    lab AS (
+      SELECT gx, gy, coalesce(c, gy * {ys} + gx) AS blob
+      FROM epx LEFT JOIN comp ON gy * {ys} + gx = comp.id
+    ),
+    bsz AS (SELECT blob, CAST(count(*) AS BIGINT) AS blob_px FROM lab GROUP BY blob)
+    SELECT * FROM (
+      SELECT 'poly' AS leg,
+             x0 * {pxe} - {C.LON_OFFSET}       AS min_lon,
+             y0 * {pxe} - {C.LAT_OFFSET}       AS min_lat,
+             (x1 + 1) * {pxe} - {C.LON_OFFSET} AS max_lon,
+             (y1 + 1) * {pxe} - {C.LAT_OFFSET} AS max_lat,
+             (x1 - x0 + 1) * (y1 - y0 + 1)     AS n_pixels,
+             CAST(NULL AS BIGINT) AS blob, CAST(NULL AS BIGINT) AS blob_px
+      FROM rects
+      UNION ALL
+      SELECT 'events' AS leg,
+             e.x0 * {epxe} - {C.LON_OFFSET}       AS min_lon,
+             e.y0 * {epxe} - {C.LAT_OFFSET}       AS min_lat,
+             (e.x1 + 1) * {epxe} - {C.LON_OFFSET} AS max_lon,
+             (e.y1 + 1) * {epxe} - {C.LAT_OFFSET} AS max_lat,
+             (e.x1 - e.x0 + 1) * (e.y1 - e.y0 + 1) AS n_pixels,
+             l.blob AS blob, b.blob_px AS blob_px
+      FROM erects e
+      JOIN lab l ON l.gx = e.x0 AND l.gy = e.y0
+      JOIN bsz b USING (blob)
     )
-    SELECT x0 * {pxe} - {C.LON_OFFSET}       AS min_lon,
-           y0 * {pxe} - {C.LAT_OFFSET}       AS min_lat,
-           (x1 + 1) * {pxe} - {C.LON_OFFSET} AS max_lon,
-           (y1 + 1) * {pxe} - {C.LAT_OFFSET} AS max_lat,
-           (x1 - x0 + 1) * (y1 - y0 + 1)     AS n_pixels
-    FROM rects ORDER BY min_lon, min_lat
+    ORDER BY leg, min_lon, min_lat
     """
 
 
 @register("raster_vectorize", _sql_raster_vectorize())
 def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full raster<->vector loop on real polygon geometry: the pentagon
+    """Full raster<->vector loop, two legs. 'poly': the pentagon
     fixture is rasterized (pixel-center PIP via the compiled ray-cast
     expression over a distributed spark.range grid), then vectorized
     back into maximal pixel-aligned rectangles
-    (operators/raster.vectorize_raster). The oracle recomputes both
-    halves in SQL over the identical grid and edges."""
-    from ..operators.raster import rasterize_polygon, vectorize_raster
+    (operators/raster.vectorize_raster); the oracle recomputes both
+    halves in SQL over the identical grid and edges. 'events': the
+    events density mask vectorized the same way, each rectangle
+    annotated with its 4-adjacency connected component
+    (raster.blob_labels over graph.components_pointer_jump — O(log
+    blob-diameter) rounds, the Shiloach-Vishkin shape; a rectangle is
+    connected, so its SW pixel's label IS its label) plus the GLOBAL
+    blob pixel count, vs the oracle's recursive-CTE reachability
+    closure (min reachable pixel key == the component min)."""
+    from ..operators.raster import (
+        blob_labels,
+        pixels_to_tiles,
+        point_pixel_counts,
+        rasterize_polygon,
+        vectorize_raster,
+    )
 
     mp = fixture_regions()[5]
     r = rasterize_polygon(spark, mp, tile_res=_RAS_TILE_RES, px_res=18)
-    return vectorize_raster(r, tile_res=_RAS_TILE_RES, px_res=18).orderBy(
-        "min_lon", "min_lat"
+    poly = vectorize_raster(r, tile_res=_RAS_TILE_RES, px_res=18).select(
+        F.lit("poly").alias("leg"),
+        "min_lon",
+        "min_lat",
+        "max_lon",
+        "max_lat",
+        "n_pixels",
+        F.lit(None).cast("long").alias("blob"),
+        F.lit(None).cast("long").alias("blob_px"),
     )
+
+    ev = _t(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    pix = point_pixel_counts(ev, px_res=_RAS_PX_RES)
+    er = pixels_to_tiles(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
+    erects = vectorize_raster(er, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
+    lab = blob_labels(pix)
+    sizes = lab.groupBy("blob").agg(F.count(F.lit(1)).alias("blob_px"))
+    corner = lab.join(sizes, "blob").select(
+        (F.shiftleft("gx", _RAS_PX_RES) - C.LON_OFFSET).alias("min_lon"),
+        (F.shiftleft("gy", _RAS_PX_RES) - C.LAT_OFFSET).alias("min_lat"),
+        "blob",
+        "blob_px",
+    )
+    events_leg = erects.join(corner, ["min_lon", "min_lat"], "inner").select(
+        F.lit("events").alias("leg"),
+        "min_lon",
+        "min_lat",
+        "max_lon",
+        "max_lat",
+        "n_pixels",
+        "blob",
+        "blob_px",
+    )
+    return poly.unionByName(events_leg).orderBy("leg", "min_lon", "min_lat")
 
 
 # ---------------------------------------------------------------------------

@@ -90,3 +90,69 @@ def test_random_graph_matches_python_bfs(spark):
         e, s = _dfs(spark, edges, sources)
         got = {r.node_id: r.hops for r in hop_distances(e, s, max_hops=mh).collect()}
         assert got == _ref(edges, sources, mh), mh
+
+
+# ---------------------------------------------------------------------------
+# components_pointer_jump
+# ---------------------------------------------------------------------------
+
+
+def _cc_ref(edges, nodes):
+    """Union-find reference: node -> min id of its component."""
+    parent = {n: n for n in nodes}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_pointer_jump_matches_dedup_components_random(spark):
+    from osm_replication_rust_spark.operators.dedup import dedup_components
+    from osm_replication_rust_spark.operators.graph import components_pointer_jump
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(80, 2))
+        ]
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.id: r.label
+            for r in components_pointer_jump(e).collect()
+        }
+        base = {
+            r.id: r.keeper_id for r in dedup_components(e).collect()
+        }
+        assert got == base
+        nodes = {x for ab in edges for x in ab}
+        assert got == _cc_ref(edges, nodes)
+
+
+def test_pointer_jump_long_path_log_rounds(spark):
+    """A 200-node path has diameter 199: plain propagation needs ~200
+    rounds, pointer jumping must finish well inside 16."""
+    from osm_replication_rust_spark.operators.graph import components_pointer_jump
+
+    edges = [(i, i + 1) for i in range(200)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.label for r in components_pointer_jump(e, max_iters=16).collect()}
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_pointer_jump_nonconvergence_raises(spark):
+    from osm_replication_rust_spark.operators.graph import components_pointer_jump
+
+    edges = [(i, i + 1) for i in range(40)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components_pointer_jump(e, max_iters=2)

@@ -379,3 +379,59 @@ def test_merge_pyramids_rejects_incompatible_levels(spark):
     sub = spark.createDataFrame([(21, 1, 2)], "res int, cell long, n long")
     got = {(r.res, r.cell): r.n for r in merge_pyramids(a, sub).collect()}
     assert got == {(20, 1): 1, (21, 1): 3, (22, 1): 1}
+
+
+def test_blob_labels_match_python_bfs(spark):
+    import numpy as np
+    from collections import deque
+
+    from osm_replication_rust_spark.functions.coords import Y_STRIDE
+    from osm_replication_rust_spark.operators.raster import blob_labels
+
+    rng = np.random.default_rng(21)
+    W = 16
+    mask = rng.random((W, W)) < 0.42  # subcritical + snakes both appear
+    pts = [(int(x), int(y)) for y in range(W) for x in range(W) if mask[y, x]]
+    # plant an isolated far-away pixel (no neighbours at all)
+    pts.append((1000, 1000))
+    pix = spark.createDataFrame([(x, y, 1) for x, y in pts], "gx long, gy long, n long")
+    got = {(r.gx, r.gy): r.blob for r in blob_labels(pix).collect()}
+
+    s = set(pts)
+    seen, ref = set(), {}
+    for p in sorted(pts):
+        if p in seen:
+            continue
+        comp, q = [], deque([p])
+        seen.add(p)
+        while q:
+            x, y = q.popleft()
+            comp.append((x, y))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                np_ = (x + dx, y + dy)
+                if np_ in s and np_ not in seen:
+                    seen.add(np_)
+                    q.append(np_)
+        lbl = min(yy * Y_STRIDE + xx for xx, yy in comp)
+        for c in comp:
+            ref[c] = lbl
+    assert got == ref
+    # the isolated pixel is its own blob
+    assert got[(1000, 1000)] == 1000 * Y_STRIDE + 1000
+
+
+def test_blob_labels_snake_diameter(spark):
+    """A boustrophedon snake: one component with diameter ~ size —
+    exactly the shape plain propagation is too slow for."""
+    from osm_replication_rust_spark.functions.coords import Y_STRIDE
+    from osm_replication_rust_spark.operators.raster import blob_labels
+
+    pts = []
+    for y in range(8):
+        xs = range(8) if y % 2 == 0 else [7 if y % 4 == 1 else 0]
+        pts.extend((x, y) for x in xs)
+    pix = spark.createDataFrame([(x, y, 1) for x, y in pts], "gx long, gy long, n long")
+    out = blob_labels(pix, max_iters=16).collect()
+    labels = {r.blob for r in out}
+    assert labels == {0 * Y_STRIDE + 0}
+    assert len(out) == len(pts)
