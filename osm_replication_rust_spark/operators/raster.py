@@ -429,6 +429,166 @@ def merge_pyramids(a: DataFrame, b: DataFrame, check_levels: bool = True) -> Dat
     )
 
 
+def morans_i(
+    pixels: DataFrame,
+    tile_res: int = 23,
+    px_res: int = 19,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+) -> DataFrame:
+    """Per-tile global Moran's I — THE spatial-autocorrelation
+    statistic (is density clustered, dispersed, or random inside each
+    tile?) — over a sparse raster, with rook (4-neighbour) binary
+    weights restricted to WITHIN-tile pairs (each tile is its own
+    study area; the tile grid is the engine's partition unit, so the
+    statistic needs no cross-partition adjacency).
+
+    I = (n/W) * Σ_ij w_ij (x_i-x̄)(x_j-x̄) / Σ_i (x_i-x̄)², computed
+    in the exact-integer discipline: with S=Σx, Q=Σx², and over
+    ordered adjacent pairs W=count, P=Σ x_i·x_j, R=Σ(x_i+x_j),
+
+        n²·num = n²P − n·S·R + W·S²      n²·den = n²Q − n·S²
+        I = (n·n²num) / (W·n²den)
+
+    — every term accumulates in decimal(38,0) (HUGEINT in the oracle;
+    global-scale counts cannot overflow), then ONE shared division of
+    the two big integers, so both engines emit the same double to
+    ≤1 ulp (absorbed by the gate's 9-significant-digit compare).
+    Tiles with W=0 (no adjacent occupied pair) or den=0 (constant
+    values) return NULL.
+
+    Plan: one map-side 4-offset scatter + one hash equi-join on the
+    neighbour coordinate (pairs ~ 4·nnz narrow rows) + two per-tile
+    aggregates joined on tile — no dense grid, no Python."""
+    _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    dec = "decimal(38,0)"
+
+    def _tile(cx, cy):
+        return F.shiftright(cy, shift) * Y_STRIDE + F.shiftright(cx, shift)
+
+    base = pixels.select(
+        _tile(F.col(x), F.col(y)).alias("tile"),
+        F.col(x).alias("_px"),
+        F.col(y).alias("_py"),
+        F.col(v).cast("long").alias("_pv"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        ]
+    )
+    scat = base.select(
+        "tile",
+        F.col("_pv").alias("_va"),
+        F.explode(offs).alias("_o"),
+        "_px",
+        "_py",
+    ).select(
+        "tile",
+        "_va",
+        (F.col("_px") + F.col("_o.dx")).alias("_tx"),
+        (F.col("_py") + F.col("_o.dy")).alias("_ty"),
+    )
+    pairs = scat.join(
+        base.select(
+            F.col("tile").alias("_tb"),
+            F.col("_px").alias("_tx"),
+            F.col("_py").alias("_ty"),
+            F.col("_pv").alias("_vb"),
+        ),
+        ["_tx", "_ty"],
+        "inner",
+    ).filter(F.col("tile") == F.col("_tb"))
+    pagg = pairs.groupBy("tile").agg(
+        F.count(F.lit(1)).cast(dec).alias("_W"),
+        F.sum(F.col("_va").cast(dec) * F.col("_vb").cast(dec)).alias("_P"),
+        F.sum(F.col("_va").cast(dec) + F.col("_vb").cast(dec)).alias("_R"),
+    )
+    xagg = base.groupBy("tile").agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("_pv").cast(dec)).alias("_S"),
+        F.sum(F.col("_pv").cast(dec) * F.col("_pv").cast(dec)).alias("_Q"),
+    )
+    n, S, Q = F.col("_n"), F.col("_S"), F.col("_Q")
+    W, P, R = F.col("_W"), F.col("_P"), F.col("_R")
+    num = n * n * P - n * S * R + W * S * S
+    den = n * n * Q - n * S * S
+    return (
+        xagg.join(pagg, "tile", "left")
+        .select(
+            "tile",
+            F.col("_n").cast("long").alias("mi_n"),
+            F.coalesce(F.col("_W").cast("long"), F.lit(0).cast("long")).alias(
+                "mi_w"
+            ),
+            F.when(
+                W.isNotNull() & (W != 0) & (den != 0),
+                (n * num).cast("double") / (W * den).cast("double"),
+            ).alias("moran_i"),
+        )
+    )
+
+
+def gi_star(
+    pixels: DataFrame,
+    radius: int = 1,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+    foc: DataFrame | None = None,
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-score per occupied pixel — the standard
+    GIS hotspot-detection statistic over the engine's sparse raster,
+    with binary weights over the (2r+1)² window restricted to OCCUPIED
+    pixels (the same neighbourhood ``focal_sum`` computes; zero pixels
+    are not part of the occupied-cell population).
+
+    Gi* = (Σ_j w_ij x_j − x̄ W_i) / (s·sqrt((n·W_i − W_i²)/(n−1)))
+    with W_i = occupied window cells (self included), n/x̄/s GLOBAL
+    over occupied pixels. Multiplying through by n gives the
+    exact-integer form used here (decimal(38,0) / HUGEINT):
+
+        num = n·focal_i − S·W_i
+        A   = n·Q − S²           B = n·W_i − W_i²
+        z   = num / sqrt((A/(n−1)) · B)
+
+    where every integer is exact and the float tree (two casts, one
+    divide, one multiply, one sqrt, one divide) is spelled identically
+    in the SQL twin — bit-identical to ≤1 ulp from the decimal casts.
+    NULL when n < 2, A = 0 (constant raster) or B = 0 (W_i = n).
+
+    Plan: one ``focal_sum`` (scatter + agg + join) plus a broadcast of
+    the 1-row global aggregate — O(nnz·(2r+1)²) narrow rows, no dense
+    grid, no Python. Pass ``foc`` (a ``focal_sum(pixels, radius)``
+    frame) to share an already-built focal subplan instead of
+    recomputing it."""
+    dec = "decimal(38,0)"
+    if foc is None:
+        foc = focal_sum(pixels, radius=radius, x=x, y=y, v=v)
+    glob = pixels.agg(
+        F.count(F.lit(1)).cast(dec).alias("_gn"),
+        F.sum(F.col(v).cast(dec)).alias("_gs"),
+        F.sum(F.col(v).cast(dec) * F.col(v).cast(dec)).alias("_gq"),
+    )
+    j = foc.crossJoin(F.broadcast(glob))
+    n, S, Q = F.col("_gn"), F.col("_gs"), F.col("_gq")
+    w = F.col("n_nbrs").cast(dec)
+    num = n * F.col("focal").cast(dec) - S * w
+    A = n * Q - S * S
+    B = n * w - w * w
+    z = F.when(
+        (n > 1) & (A != 0) & (B != 0),
+        num.cast("double")
+        / F.sqrt(
+            (A.cast("double") / (n - 1).cast("double")) * B.cast("double")
+        ),
+    )
+    return j.select(x, y, v, "focal", "n_nbrs", z.alias("gi_z"))
+
+
 def blob_labels(
     pixels: DataFrame,
     x: str = "gx",

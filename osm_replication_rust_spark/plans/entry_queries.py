@@ -3814,13 +3814,75 @@ def _sql_rasterize_density() -> str:
        AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
       GROUP BY a.gx, a.gy
     ),
+    gstat AS (
+      SELECT CAST(count(*) AS HUGEINT) AS gn,
+             SUM(CAST(n AS HUGEINT)) AS gs,
+             SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS gq
+      FROM gpx
+    ),
+    gz AS (
+      SELECT gx, gy,
+             (gy // {npx}) * {C.Y_STRIDE} + (gx // {npx}) AS tile,
+             focal, n_nbrs,
+             CASE WHEN gn > 1
+                   AND gn * gq - gs * gs != 0
+                   AND gn * CAST(n_nbrs AS HUGEINT)
+                       - CAST(n_nbrs AS HUGEINT) * CAST(n_nbrs AS HUGEINT) != 0
+               THEN CAST(gn * CAST(focal AS HUGEINT)
+                         - gs * CAST(n_nbrs AS HUGEINT) AS DOUBLE)
+                    / sqrt((CAST(gn * gq - gs * gs AS DOUBLE)
+                            / CAST(gn - 1 AS DOUBLE))
+                           * CAST(gn * CAST(n_nbrs AS HUGEINT)
+                                  - CAST(n_nbrs AS HUGEINT)
+                                    * CAST(n_nbrs AS HUGEINT) AS DOUBLE))
+             END AS gi_z
+      FROM foc CROSS JOIN gstat
+    ),
     ftile AS (
-      SELECT (gy // {npx}) * {C.Y_STRIDE} + (gx // {npx}) AS tile,
+      SELECT tile,
              CAST(SUM(focal) AS BIGINT) AS focal_total,
              CAST(MAX(focal) AS BIGINT) AS focal_max,
              CAST(COALESCE(SUM(CASE WHEN n_nbrs = 9 THEN 1 END), 0) AS BIGINT)
-               AS n_core
-      FROM foc GROUP BY 1
+               AS n_core,
+             CAST(COALESCE(SUM(CASE WHEN gi_z > 2.576 THEN 1 END), 0) AS BIGINT)
+               AS n_hot,
+             MAX(gi_z) AS z_max
+      FROM gz GROUP BY 1
+    ),
+    mpair AS (
+      SELECT (a.gy // {npx}) * {C.Y_STRIDE} + (a.gx // {npx}) AS tile,
+             a.n AS va, b.n AS vb
+      FROM gpx a JOIN gpx b
+        ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+       AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+       AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+       AND a.gx // {npx} = b.gx // {npx}
+       AND a.gy // {npx} = b.gy // {npx}
+    ),
+    mp AS (
+      SELECT tile,
+             CAST(count(*) AS HUGEINT) AS mw,
+             SUM(CAST(va AS HUGEINT) * CAST(vb AS HUGEINT)) AS mpp,
+             SUM(CAST(va AS HUGEINT) + CAST(vb AS HUGEINT)) AS mr
+      FROM mpair GROUP BY tile
+    ),
+    mx AS (
+      SELECT (gy // {npx}) * {C.Y_STRIDE} + (gx // {npx}) AS tile,
+             CAST(count(*) AS HUGEINT) AS mn,
+             SUM(CAST(n AS HUGEINT)) AS ms,
+             SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS mq
+      FROM gpx GROUP BY 1
+    ),
+    mi AS (
+      SELECT mx.tile,
+             CAST(COALESCE(mp.mw, 0) AS BIGINT) AS mi_w,
+             CASE WHEN mp.mw IS NOT NULL AND mp.mw != 0
+                   AND mn * mn * mq - mn * ms * ms != 0
+               THEN CAST(mn * (mn * mn * mpp - mn * ms * mr + mw * ms * ms)
+                         AS DOUBLE)
+                    / CAST(mw * (mn * mn * mq - mn * ms * ms) AS DOUBLE)
+             END AS moran_i
+      FROM mx LEFT JOIN mp ON mp.tile = mx.tile
     ),
     agg AS (
       SELECT tile,
@@ -3832,8 +3894,14 @@ def _sql_rasterize_density() -> str:
     SELECT agg.tile AS tile, nnz, total, raster_sig,
            ftile.focal_total AS focal_total,
            ftile.focal_max AS focal_max,
-           ftile.n_core AS n_core
-    FROM agg JOIN ftile ON ftile.tile = agg.tile
+           ftile.n_core AS n_core,
+           ftile.n_hot AS n_hot,
+           ftile.z_max AS z_max,
+           mi.mi_w AS mi_w,
+           mi.moran_i AS moran_i
+    FROM agg
+    JOIN ftile ON ftile.tile = agg.tile
+    JOIN mi ON mi.tile = agg.tile
     ORDER BY agg.tile
     """
 
@@ -3848,23 +3916,36 @@ def rasterize_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GIS moving-window convolution / morphology primitive): per-tile
     sum and max of every occupied pixel's 3x3 focal sum and the count
     of erosion survivors (fully-occupied windows), all exact integers
-    vs the oracle's sparse self-join twin."""
-    from ..operators.raster import focal_sum, pixels_to_tiles, point_pixel_counts
+    vs the oracle's sparse self-join twin. PLUS the two spatial
+    statistics (new): per-tile Moran's I with within-tile rook weights
+    (raster.morans_i — exact decimal(38,0)/HUGEINT moments, ONE shared
+    division) and Getis-Ord Gi* hotspot z-scores per occupied pixel
+    (raster.gi_star over the SAME focal frame), aggregated per tile as
+    the hot-pixel count (z > 2.576, the 99% Gaussian tail) and max z —
+    the float trees are spelled identically in the SQL twin."""
+    from ..operators.raster import (
+        focal_sum,
+        gi_star,
+        morans_i,
+        pixels_to_tiles,
+        point_pixel_counts,
+    )
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         C.derived_lat(F.col("event_id")).alias("lat"),
         C.derived_lon(F.col("event_id")).alias("lon"),
     )
-    # ONE scan + ONE pixel aggregation feed both the tile rasters and
-    # the focal convolution (identical subplans also let ReuseExchange
+    # ONE scan + ONE pixel aggregation feed the tile rasters, the focal
+    # convolution, Gi* (which reuses the focal frame via foc=) and the
+    # Moran pair join (identical subplans also let ReuseExchange
     # collapse the physical agg)
     pix = point_pixel_counts(ev, px_res=_RAS_PX_RES)
     r = pixels_to_tiles(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
     shift = _RAS_TILE_RES - _RAS_PX_RES
+    g = gi_star(pix, foc=focal_sum(pix))
     ftile = (
-        focal_sum(pix)
-        .groupBy(
+        g.groupBy(
             (
                 F.shiftright("gy", shift) * C.Y_STRIDE + F.shiftright("gx", shift)
             ).alias("tile")
@@ -3875,7 +3956,14 @@ def rasterize_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.when(F.col("n_nbrs") == 9, 1)), F.lit(0))
             .cast("long")
             .alias("n_core"),
+            F.coalesce(F.sum(F.when(F.col("gi_z") > 2.576, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_hot"),
+            F.max("gi_z").alias("z_max"),
         )
+    )
+    mi = morans_i(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES).select(
+        "tile", "mi_w", "moran_i"
     )
     return (
         r.select(
@@ -3887,6 +3975,7 @@ def rasterize_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("raster", ",").alias("raster_sig"),
         )
         .join(ftile, "tile")
+        .join(mi, "tile")
         .orderBy("tile")
     )
 

@@ -435,3 +435,112 @@ def test_blob_labels_snake_diameter(spark):
     labels = {r.blob for r in out}
     assert labels == {0 * Y_STRIDE + 0}
     assert len(out) == len(pts)
+
+
+def test_morans_i_matches_fraction_reference(spark):
+    import numpy as np
+    from fractions import Fraction
+
+    from osm_replication_rust_spark.operators.raster import morans_i
+
+    rng = np.random.default_rng(33)
+    # one tile at tile_res=20/px_res=16 -> npx=16; keep all pixels in
+    # the tile at [0,16)^2 so the within-tile contract covers all pairs
+    W = 16
+    mask = rng.random((W, W)) < 0.5
+    vals = rng.integers(1, 7, (W, W))
+    rows = [
+        (int(x), int(y), int(vals[y, x]))
+        for y in range(W)
+        for x in range(W)
+        if mask[y, x]
+    ]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    out = morans_i(pix, tile_res=20, px_res=16).collect()
+    assert len(out) == 1
+    got = out[0]
+
+    pts = {(x, y): v for x, y, v in rows}
+    n = len(pts)
+    xbar = Fraction(sum(pts.values()), n)
+    pairs = [
+        (pts[p], pts[(p[0] + dx, p[1] + dy)])
+        for p in pts
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        if (p[0] + dx, p[1] + dy) in pts
+    ]
+    W_ = len(pairs)
+    num = sum((Fraction(a) - xbar) * (Fraction(b) - xbar) for a, b in pairs)
+    den = sum((Fraction(v) - xbar) ** 2 for v in pts.values())
+    ref = float(Fraction(n, W_) * num / den)
+    assert got.mi_n == n and got.mi_w == W_
+    assert abs(got.moran_i - ref) < 1e-9 * max(1.0, abs(ref))
+
+
+def test_morans_i_null_and_multi_tile(spark):
+    from osm_replication_rust_spark.operators.raster import morans_i
+
+    # tile A: constant values (den=0 -> NULL); tile B: an isolated
+    # pixel pair in separate tiles (W=0 -> NULL); cross-tile adjacency
+    # at the boundary must NOT count (within-tile contract)
+    rows = [
+        (0, 0, 5), (1, 0, 5),          # tile (0,0): constant -> NULL
+        (15, 21, 1), (16, 21, 9),      # adjacent but straddling tiles -> W=0
+    ]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    out = {r.tile: r for r in morans_i(pix, tile_res=20, px_res=16).collect()}
+    assert all(r.moran_i is None for r in out.values())
+    ws = sorted(r.mi_w for r in out.values())
+    assert ws == [0, 0, 2]  # only the constant tile has its in-tile pair
+
+
+def test_gi_star_matches_float_reference(spark):
+    import math
+
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.raster import gi_star
+
+    rng = np.random.default_rng(41)
+    W = 10
+    mask = rng.random((W, W)) < 0.55
+    vals = rng.integers(1, 20, (W, W))
+    rows = [
+        (int(x), int(y), int(vals[y, x]))
+        for y in range(W)
+        for x in range(W)
+        if mask[y, x]
+    ]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    got = {(r.gx, r.gy): r.gi_z for r in gi_star(pix).collect()}
+
+    pts = {(x, y): v for x, y, v in rows}
+    n = len(pts)
+    S = sum(pts.values())
+    Q = sum(v * v for v in pts.values())
+    for (x, y), v in pts.items():
+        focal = sum(
+            pts.get((x + dx, y + dy), 0)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        )
+        w = sum(
+            1
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (x + dx, y + dy) in pts
+        )
+        num = n * focal - S * w
+        A = n * Q - S * S
+        B = n * w - w * w
+        ref = num / math.sqrt((A / (n - 1)) * B)
+        assert abs(got[(x, y)] - ref) < 1e-9 * max(1.0, abs(ref))
+
+
+def test_gi_star_constant_raster_null(spark):
+    from osm_replication_rust_spark.operators.raster import gi_star
+
+    pix = spark.createDataFrame(
+        [(x, 0, 3) for x in range(5)], "gx long, gy long, n long"
+    )
+    assert all(r.gi_z is None for r in gi_star(pix).collect())
