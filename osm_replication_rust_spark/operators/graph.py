@@ -88,6 +88,94 @@ def hop_distances(
     return out
 
 
+def weighted_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 40,
+    src: str = "a",
+    dst: str = "b",
+    w: str = "w",
+    node_col: str = "node_id",
+) -> DataFrame:
+    """(node_id, dist) — single/multi-source shortest WEIGHTED
+    distances over the UNDIRECTED edge list ``edges(a, b, w)`` with
+    non-negative integer weights: the routing substrate on top of
+    ``hop_distances``' reachability (hops answer "how many edges",
+    this answers "how far"). Sources are dist = 0; unreached nodes are
+    absent. Exact int64 arithmetic — no float accumulation order to
+    reconcile across engines.
+
+    Frontier Bellman-Ford: only nodes IMPROVED last round relax their
+    edges (the delta between Dijkstra's priority queue — inherently
+    sequential — and textbook all-edges-every-round Bellman-Ford).
+    Each round is ONE plan: frontier ⋈ edges → per-target min →
+    full-outer merge with the running distance table, eagerly
+    localCheckpoint-ed (the hop_distances discipline: persist() caches
+    data, not plans; an untruncated self-referencing loop plan doubles
+    per round). The new frontier and the improvement count both read
+    the already-checkpointed merge — one action per round.
+
+    Rounds to converge = max edge count over any weighted-shortest
+    path (<= component diameter on metric-ish weights); raises past
+    ``max_rounds`` rather than returning partially-relaxed distances.
+    Negative weights raise (frontier BF would still terminate without
+    negative cycles, but the bound above no longer holds).
+
+    Scale: each round shuffles (frontier x mean-degree) narrow rows +
+    the distance-table merge; state is one row per REACHED node."""
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"), F.col(w).alias("_w"))
+    und = e.unionByName(
+        e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"), "_w")
+    ).persist()
+    if und.filter(F.col("_w") < 0).limit(1).count() > 0:
+        und.unpersist()
+        raise ValueError("weighted_distances requires non-negative weights")
+    dist = (
+        sources.select(F.col(node_col).alias("node_id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    converged = False
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(und, frontier["node_id"] == und["_a"], "inner")
+            .groupBy(F.col("_b").alias("node_id"))
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("_nd"))
+        )
+        merged = (
+            dist.join(cand, "node_id", "full_outer")
+            .select(
+                "node_id",
+                F.least(
+                    F.coalesce("dist", F.col("_nd")),
+                    F.coalesce("_nd", F.col("dist")),
+                ).alias("dist"),
+                (
+                    F.col("_nd").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("_nd") < F.col("dist")))
+                ).alias("_imp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(F.col("_imp")).select("node_id", "dist")
+        n_improved = frontier.count()  # cheap: scans checkpointed blocks
+        dist = merged.select("node_id", "dist")
+        if n_improved == 0:
+            converged = True
+            break
+    und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"weighted_distances did not converge in {max_rounds} rounds; "
+            "raise max_rounds — a partial answer under-relaxes distances"
+        )
+    return dist
+
+
 def components_pointer_jump(
     pairs: DataFrame,
     max_iters: int = 40,

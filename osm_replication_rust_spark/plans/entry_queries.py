@@ -2504,6 +2504,51 @@ _WAY_BFS_MAX_HOPS = 15  # fixture giant component spans 12 hops; 15 converges
 
 
 @functools.lru_cache(maxsize=1)
+def _way_graph_opt_hop_bound() -> int:
+    """Max edge count over any WEIGHTED-shortest path from the shared
+    seed (Dijkstra with hop tracking) — proves the weighted oracle
+    CTE's hop bound is a pure finiteness device, not a semantic cut:
+    every optimal path fits under _WAY_BFS_MAX_HOPS, so the bounded
+    enumeration finds the true minimum the (unbounded) Spark operator
+    converges to. Measured 12 on the seed-42 fixture; the oracle
+    builder asserts it stays < the bound if the fixture ever changes."""
+    import heapq
+
+    images, groups_pdf, _ = _closure_fixture_pts()
+    lat = (images.phash // C.PHASH_LON_BASE) - C.LAT_OFFSET
+    lon = (images.phash % C.PHASH_LON_BASE) - C.LON_OFFSET
+    coord = {
+        i: (int(la), int(lo))
+        for i, la, lo in zip(images.image_id, lat, lon)
+    }
+    adj: dict = {}
+    for g in groups_pdf.itertuples():
+        if g.kind != "way":
+            continue
+        refs = [
+            m["ref"] for m in g.members
+            if m["type"] == "image" and m["ref"] in coord
+        ]
+        for a, b in zip(refs, refs[1:]):
+            w = abs(coord[a][0] - coord[b][0]) + abs(coord[a][1] - coord[b][1])
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+    seed = _way_graph_seed()
+    dist: dict = {seed: (0, 0)}
+    pq = [(0, 0, seed)]
+    while pq:
+        d, h, u = heapq.heappop(pq)
+        if (d, h) > dist.get(u, (1 << 62, 0)):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, (1 << 62,))[0]:
+                dist[v] = (nd, h + 1)
+                heapq.heappush(pq, (nd, h + 1, v))
+    return max(h for _, h in dist.values())
+
+
+@functools.lru_cache(maxsize=1)
 def _way_graph_seed() -> str:
     """Deterministic BFS seed for the way-graph reachability gate: the
     lexicographically smallest node of the LARGEST connected component
@@ -2555,7 +2600,12 @@ def _way_full_oracle() -> str:
     seed via a bounded recursive CTE ((node, d) tuples keep cycles
     finite under UNION dedup; min(d) == the BFS layer, the
     relation_closure argument), rolled up per way as reached-member
-    count and closest hop."""
+    count and closest hop. PLUS the weighted twin (graph.py
+    weighted_distances): exact-integer Manhattan edge weights, a
+    bounded (node, d, h) enumeration whose hop bound is PROVEN a pure
+    finiteness device by _way_graph_opt_hop_bound (every weighted-
+    shortest path uses fewer edges than the bound — asserted here), so
+    min(d) == the converged Bellman-Ford distance."""
     _, groups_pdf, pts = _closure_fixture_pts()
     rows = []
     for g in groups_pdf.itertuples():
@@ -2566,6 +2616,9 @@ def _way_full_oracle() -> str:
                 rows.append(f"('{g.group_id}', {pos}, '{m['ref']}')")
     edges = ",\n      ".join(rows)
     seed = _way_graph_seed()
+    assert _way_graph_opt_hop_bound() < _WAY_BFS_MAX_HOPS, (
+        "weighted oracle hop bound no longer covers all optimal paths"
+    )
     return f"""
     WITH RECURSIVE pts(ref, lat, lon) AS (VALUES
       {pts}
@@ -2578,26 +2631,40 @@ def _way_full_oracle() -> str:
       FROM edges e JOIN pts p ON p.ref = e.ref
     ),
     eg AS (
-      SELECT ref AS a, nref AS b FROM (
-        SELECT ref, lead(ref) OVER (PARTITION BY group_id ORDER BY pos) AS nref
+      SELECT ref AS a, nref AS b, abs(lat - nlat) + abs(lon - nlon) AS w
+      FROM (
+        SELECT ref, lat, lon,
+               lead(ref) OVER (PARTITION BY group_id ORDER BY pos) AS nref,
+               lead(lat) OVER (PARTITION BY group_id ORDER BY pos) AS nlat,
+               lead(lon) OVER (PARTITION BY group_id ORDER BY pos) AS nlon
         FROM j
       ) WHERE nref IS NOT NULL
     ),
-    und AS (SELECT a, b FROM eg UNION ALL SELECT b AS a, a AS b FROM eg),
+    und AS (SELECT a, b, w FROM eg UNION ALL SELECT b AS a, a AS b, w FROM eg),
     bfs(node, d) AS (
       SELECT '{seed}', 0
       UNION
       SELECT u.b, bfs.d + 1 FROM bfs JOIN und u ON u.a = bfs.node
       WHERE bfs.d < {_WAY_BFS_MAX_HOPS}
     ),
-    dist AS (SELECT node, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY node)
+    dist AS (SELECT node, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY node),
+    wbf(node, d, h) AS (
+      SELECT '{seed}', CAST(0 AS BIGINT), 0
+      UNION
+      SELECT u.b, wbf.d + u.w, wbf.h + 1 FROM wbf JOIN und u ON u.a = wbf.node
+      WHERE wbf.h < {_WAY_BFS_MAX_HOPS}
+    ),
+    wdist AS (SELECT node, CAST(min(d) AS BIGINT) AS wd FROM wbf GROUP BY node)
     SELECT j.group_id AS group_id,
            string_agg(CAST(j.lat AS VARCHAR) || ':' || CAST(j.lon AS VARCHAR),
                       '|' ORDER BY j.pos) AS coords_str,
            count(*) AS n_pts,
            CAST(count(dist.hops) AS BIGINT) AS way_reach,
-           CAST(min(dist.hops) AS BIGINT) AS way_min_hops
-    FROM j LEFT JOIN dist ON dist.node = j.ref
+           CAST(min(dist.hops) AS BIGINT) AS way_min_hops,
+           CAST(min(wdist.wd) AS BIGINT) AS way_min_wdist
+    FROM j
+    LEFT JOIN dist ON dist.node = j.ref
+    LEFT JOIN wdist ON wdist.node = j.ref
     GROUP BY j.group_id ORDER BY j.group_id
     """
 
@@ -2612,9 +2679,15 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains induce, from the shared largest-component seed — each way
     carries how many of its resolved members the seed reaches and the
     closest hop (NULL for detached-island ways), vs the oracle's
-    bounded recursive-CTE BFS."""
+    bounded recursive-CTE BFS. PLUS weighted shortest distances
+    (graph.py weighted_distances, frontier Bellman-Ford, exact int64):
+    edge weight = Manhattan distance in decimicro between the chain's
+    consecutive member coordinates; each way carries the closest
+    WEIGHTED distance from the same seed, vs the oracle's bounded
+    (node, d, h) enumeration (bound proven non-semantic by the
+    Dijkstra hop audit in _way_graph_opt_hop_bound)."""
     from ..datagen.synth import gen_groups, gen_images
-    from ..operators.graph import hop_distances
+    from ..operators.graph import hop_distances, weighted_distances
     from ..operators.resolve import resolve_way_full
 
     images = gen_images(300, seed=42)
@@ -2634,19 +2707,45 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(base.select(F.col("image_id").alias("ref")), "ref", "left_semi")
     )
     w = Window.partitionBy("group_id").orderBy("pos")
-    eg = (
-        mem.withColumn("nref", F.lead("ref").over(w))
+    memc = mem.join(
+        base.select(F.col("image_id").alias("ref"), "lat", "lon"), "ref"
+    )
+    egw = (
+        memc.select(
+            "group_id",
+            "pos",
+            "ref",
+            "lat",
+            "lon",
+            F.lead("ref").over(w).alias("nref"),
+            F.lead("lat").over(w).alias("nlat"),
+            F.lead("lon").over(w).alias("nlon"),
+        )
         .filter(F.col("nref").isNotNull())
-        .select(F.col("ref").alias("a"), F.col("nref").alias("b"))
+        .select(
+            F.col("ref").alias("a"),
+            F.col("nref").alias("b"),
+            (
+                F.abs(F.col("lat") - F.col("nlat"))
+                + F.abs(F.col("lon") - F.col("nlon"))
+            ).alias("w"),
+        )
     )
     seeds = spark.createDataFrame([(_way_graph_seed(),)], "node_id string")
-    dist = hop_distances(eg, seeds, max_hops=_WAY_BFS_MAX_HOPS)
+    dist = hop_distances(
+        egw.select("a", "b"), seeds, max_hops=_WAY_BFS_MAX_HOPS
+    )
+    wdist = weighted_distances(egw, seeds).withColumnRenamed(
+        "node_id", "wnode"
+    )
     reach = (
         mem.join(dist, mem["ref"] == dist["node_id"], "left")
+        .join(wdist, mem["ref"] == wdist["wnode"], "left")
         .groupBy("group_id")
         .agg(
             F.count("hops").cast("long").alias("way_reach"),
             F.min("hops").cast("long").alias("way_min_hops"),
+            F.min("dist").cast("long").alias("way_min_wdist"),
         )
     )
     return (

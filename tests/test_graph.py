@@ -156,3 +156,85 @@ def test_pointer_jump_nonconvergence_raises(spark):
     e = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         components_pointer_jump(e, max_iters=2)
+
+
+# ---------------------------------------------------------------------------
+# weighted_distances
+# ---------------------------------------------------------------------------
+
+
+def _dijkstra(edges, sources):
+    import heapq
+
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {s: 0 for s in sources}
+    pq = [(0, s) for s in sources]
+    heapq.heapify(pq)
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_weighted_distances_shapes(spark):
+    from osm_replication_rust_spark.operators.graph import weighted_distances
+
+    # weighted shortcut: a-b-c each weight 1 beats the direct a-c of 5
+    edges = [("a", "b", 1), ("b", "c", 1), ("a", "c", 5)]
+    e = spark.createDataFrame(edges, "a string, b string, w long")
+    s = spark.createDataFrame([("a",)], "node_id string")
+    got = {r.node_id: r.dist for r in weighted_distances(e, s).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+    # multi-source takes the min over sources; islands stay absent
+    edges = [("a", "b", 3), ("b", "c", 3), ("x", "y", 1)]
+    e = spark.createDataFrame(edges, "a string, b string, w long")
+    s = spark.createDataFrame([("a",), ("c",)], "node_id string")
+    got = {r.node_id: r.dist for r in weighted_distances(e, s).collect()}
+    assert got == {"a": 0, "c": 0, "b": 3}
+
+
+def test_weighted_distances_random_dijkstra_parity(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.graph import weighted_distances
+
+    rng = np.random.default_rng(11)
+    n = 40
+    edges = [
+        (f"n{int(a)}", f"n{int(b)}", int(w))
+        for a, b, w in zip(
+            rng.integers(0, n, 70),
+            rng.integers(0, n, 70),
+            rng.integers(0, 50, 70),  # includes zero-weight edges
+        )
+    ]
+    e = spark.createDataFrame(edges, "a string, b string, w long")
+    s = spark.createDataFrame([("n0",)], "node_id string")
+    got = {r.node_id: r.dist for r in weighted_distances(e, s).collect()}
+    assert got == _dijkstra(edges, ["n0"])
+
+
+def test_weighted_distances_guards(spark):
+    from osm_replication_rust_spark.operators.graph import weighted_distances
+
+    e = spark.createDataFrame([("a", "b", -1)], "a string, b string, w long")
+    s = spark.createDataFrame([("a",)], "node_id string")
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_distances(e, s)
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 1) for i in range(10)], "a string, b string, w long"
+    )
+    s = spark.createDataFrame([("n0",)], "node_id string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        weighted_distances(e, s, max_rounds=3)
