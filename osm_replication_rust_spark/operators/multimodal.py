@@ -573,6 +573,69 @@ def otsu_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.mapInPandas(stage, out_schema)
 
 
+def hist_eq_stage(df: DataFrame, dark_below: int = 64, bytes_col: str = "bytes") -> DataFrame:
+    """Histogram equalization — the classic contrast-normalization pass
+    an image pipeline applies before feature extraction (and the
+    companion of Otsu: both are per-image 256-bin histogram reductions).
+    The standard mapping,
+
+        eq(v) = ((cdf(v) − cdf_min) · 255) // (n − cdf_min)
+
+    with cdf_min the cdf at the lowest OCCUPIED value, is pure integer
+    arithmetic (floor division of non-negative int64), so the equalized
+    pixel for every grey level reproduces bit-for-bit in SQL with no
+    float anywhere. Emits per image:
+
+    - ``eq_sum``  = Σ eq(v) over all pixels (≤ 255·n, exact int64) —
+      pins the full cdf and mapping, weighted by the histogram;
+    - ``eq_dark`` = pixels with eq(v) < ``dark_below`` (post-
+      equalization shadow mass — a constant fraction ~dark_below/256
+      for well-spread histograms; a large value flags banding/clipping).
+
+    Constant (single-grey-level) and empty images have no valid mapping
+    (n == cdf_min): both columns NULL. Vectorized per equal-shape Arrow
+    group (one offset bincount per stack, the otsu_stage kernel);
+    map-only."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(fields + ["eq_sum bigint", "eq_dark bigint"])
+    dark = int(dark_below)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            esum = np.full(n_rows, -1, dtype=np.int64)
+            edark = np.zeros(n_rows, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                npx = w * h
+                if npx == 0:
+                    continue
+                px = _decode_stack(list(payloads[ii]), L, w, h)
+                m = len(ii)
+                offs = (np.arange(m, dtype=np.int64) * 256)[:, None]
+                hist = np.bincount(
+                    (px.astype(np.int64) + offs).ravel(), minlength=m * 256
+                ).reshape(m, 256)
+                cw = hist.cumsum(axis=1)
+                big = np.int64(1) << 62
+                cmin = np.where(hist > 0, cw, big).min(axis=1)  # (m,)
+                N = np.int64(npx)
+                valid = cmin != N
+                den = np.where(valid, N - cmin, 1)
+                ev = ((cw - cmin[:, None]) * 255) // den[:, None]
+                s = (hist * ev).sum(axis=1)
+                d = (hist * (ev < dark)).sum(axis=1)
+                esum[ii] = np.where(valid, s, -1)
+                edark[ii] = np.where(valid, d, 0)
+            out = pdf.assign(eq_sum=esum, eq_dark=edark)
+            bad = out["eq_sum"] < 0
+            out["eq_sum"] = out["eq_sum"].astype("object").where(~bad, None)
+            out["eq_dark"] = out["eq_dark"].astype("object").where(~bad, None)
+            yield out
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def scene_cut_stage(
     df: DataFrame,
     threshold_millis: int = 20_000,

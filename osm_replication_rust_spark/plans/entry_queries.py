@@ -1878,6 +1878,29 @@ def _multimodal_oracle() -> str:
       )
       WHERE rn = 1
     ),
+    ecum AS (
+      SELECT image_id, v, c,
+             SUM(c) OVER (PARTITION BY image_id ORDER BY v) AS cw,
+             SUM(c) OVER (PARTITION BY image_id) AS n_px
+      FROM ohist
+    ),
+    ecc AS (
+      SELECT *, MIN(cw) OVER (PARTITION BY image_id) AS cmin FROM ecum
+    ),
+    eagg AS (
+      -- histogram equalization: eq(v) = ((cw - cmin) * 255) // (n - cmin),
+      -- pure non-negative integer floor division (multimodal.hist_eq_stage)
+      SELECT image_id,
+             CASE WHEN n_px = cmin THEN NULL ELSE
+               CAST(SUM((((cw - cmin) * 255) // (n_px - cmin)) * c) AS BIGINT)
+             END AS eq_sum,
+             CASE WHEN n_px = cmin THEN NULL ELSE
+               CAST(COALESCE(SUM(CASE WHEN ((cw - cmin) * 255) // (n_px - cmin) < 64
+                                      THEN c END), 0) AS BIGINT)
+             END AS eq_dark
+      FROM ecc
+      GROUP BY image_id, n_px, cmin
+    ),
     aud AS (
       SELECT image_id,
              CAST(w * h AS INT) AS n_samples,
@@ -1909,10 +1932,12 @@ def _multimodal_oracle() -> str:
            COALESCE(sg.gy_abs_sum, 0) AS gy_abs_sum,
            COALESCE(sg.g_sq_sum, 0) AS g_sq_sum,
            COALESCE(sg.n_edge, 0) AS n_edge,
-           ob.otsu_t, ob.otsu_fg, ob.otsu_sigma
+           ob.otsu_t, ob.otsu_fg, ob.otsu_sigma,
+           e.eq_sum, e.eq_dark
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
+    JOIN eagg e USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -1951,11 +1976,19 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (otsu_stage — the between-class-variance argmax over the 256-bin
     histogram; exact int64 numerator/denominator with ONE shared
     squaring + division, ties to the lowest t, so the picked threshold,
-    foreground mass and sigma are bit-identical cross-engine)."""
+    foreground mass and sigma are bit-identical cross-engine).
+
+    Plus histogram equalization (hist_eq_stage): the standard
+    contrast-normalization mapping eq(v) = ((cdf(v)−cdf_min)·255) //
+    (n−cdf_min) is pure non-negative integer floor division, so the
+    per-image equalized sum and post-equalization shadow mass
+    (eq_sum/eq_dark) reproduce bit-for-bit from the oracle's histogram
+    CTE; constant images NULL."""
     from ..datagen.synth import gen_images, gen_videos
     from ..operators.multimodal import (
         audio_stats_stage,
         decode_stats,
+        hist_eq_stage,
         otsu_stage,
         patchify_stage,
         scene_cut_stage,
@@ -2014,6 +2047,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ots = otsu_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "otsu_t", "otsu_fg", "otsu_sigma"
     )
+    heq = hist_eq_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "eq_sum", "eq_dark"
+    )
     return (
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
@@ -2021,6 +2057,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(aud, "image_id")
         .join(sob, "image_id")
         .join(ots, "image_id")
+        .join(heq, "image_id")
         .orderBy("image_id")
     )
 

@@ -556,3 +556,40 @@ def test_otsu_pixel_guard(spark):
     )
     with pytest.raises(Exception, match="OTSU_MAX_PIXELS"):
         otsu_stage(big).collect()
+
+
+def test_hist_eq_matches_reference_and_contract(spark):
+    """Kernel == per-image integer reference on mixed shapes; constant
+    and empty images NULL; uniform ramp equalizes to ~identity."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        hist_eq_stage,
+    )
+
+    skewed = bytes([min(50 + (k % 30), 255) for k in range(16 * 16)])
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),       # constant -> NULL
+        ("c", skewed, 16, 16),                      # narrow dynamic range
+        ("d", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+        ("e", bytes(range(256)), 16, 16),           # exact ramp
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: (r.eq_sum, r.eq_dark) for r in hist_eq_stage(df).collect()}
+
+    def ref(px):
+        n = px.size
+        hist = np.bincount(px.ravel(), minlength=256).astype(np.int64)
+        cw = hist.cumsum()
+        cmin = int(cw[np.nonzero(hist)[0][0]])
+        if cmin == n:
+            return (None, None)
+        ev = ((cw - cmin) * 255) // (n - cmin)
+        return (int((hist * ev).sum()), int((hist * (ev < 64)).sum()))
+
+    for rid, payload, w, h in rows:
+        px = fake_decode(payload, w, h)
+        assert got[rid] == ref(px), rid
+    assert got["b"] == (None, None)
+    # exact ramp: eq(v) == v up to floor, so dark mass == 64 pixels
+    assert got["e"][1] == 64
