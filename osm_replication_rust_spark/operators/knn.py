@@ -67,6 +67,64 @@ def knn_bruteforce(
     )
 
 
+def _eps_disk_candidates(
+    queries: DataFrame,
+    points: DataFrame,
+    eps: int,
+    res: int,
+    q_id: str,
+    p_cols: list | None = None,
+):
+    """Shared eps-disk candidate join (the eps_neighbor_counts /
+    idw_interpolate common core): validates the (eps, res) guards,
+    buckets points by grid cell, explodes each query to the literal
+    offsets covering its disk, and returns (cand, hit) where ``cand``
+    is the left-joined candidate frame (carrying ``p_cols`` from the
+    point side) and ``hit`` the exact int64 in-disk predicate."""
+    if eps <= 0:
+        raise ValueError("eps must be a positive decimicro radius")
+    edge = cell_edge(res)
+    s = -(-eps // edge)  # ceil(eps/edge)
+    if (2 * s + 1) ** 2 > 1024:
+        raise ValueError(
+            f"eps={eps} spans {(2 * s + 1) ** 2} cells at res={res}; "
+            "use a coarser res (larger cell edge)"
+        )
+    max_delta = (s + 1) * edge  # per-axis bound for any joined pair
+    if 2 * max_delta * max_delta >= 1 << 63:
+        raise ValueError(
+            f"(eps={eps}, res={res}) admits per-axis deltas up to "
+            f"{max_delta}, whose squared distance overflows int64; "
+            "use a finer res (smaller cell edge)"
+        )
+    offs = [
+        dy * Y_STRIDE + dx
+        for dy in range(-s, s + 1)
+        for dx in range(-s, s + 1)
+    ]
+    p = points.select(
+        F.col("lat").alias("_plat"),
+        F.col("lon").alias("_plon"),
+        cell_id(F.col("lon"), F.col("lat"), res).alias("_pcell"),
+        *(p_cols or []),
+    )
+    q = queries.select(
+        F.col(q_id),
+        F.col("lat").alias("_qlat"),
+        F.col("lon").alias("_qlon"),
+        cell_id(F.col("lon"), F.col("lat"), res).alias("_qcell"),
+    )
+    cand = (
+        q.withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
+        .withColumn("_cell", F.col("_qcell") + F.col("_off"))
+        .join(p, F.col("_cell") == F.col("_pcell"), "left")
+    )
+    hit = _dist2(
+        F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")
+    ) <= F.lit(int(eps) * int(eps))
+    return cand, hit
+
+
 def eps_neighbor_counts(
     queries: DataFrame,
     points: DataFrame,
@@ -97,48 +155,85 @@ def eps_neighbor_counts(
     pair is at most (s+1) cells apart per axis, so the overflow bound
     is 2·((s+1)·edge)² < 2⁶³ (a coarse grid with a huge eps fails
     loudly instead of wrapping dist² negative and over-counting)."""
-    if eps <= 0:
-        raise ValueError("eps must be a positive decimicro radius")
-    edge = cell_edge(res)
-    s = -(-eps // edge)  # ceil(eps/edge)
-    if (2 * s + 1) ** 2 > 1024:
-        raise ValueError(
-            f"eps={eps} spans {(2 * s + 1) ** 2} cells at res={res}; "
-            "use a coarser res (larger cell edge)"
-        )
-    max_delta = (s + 1) * edge  # per-axis bound for any joined pair
-    if 2 * max_delta * max_delta >= 1 << 63:
-        raise ValueError(
-            f"(eps={eps}, res={res}) admits per-axis deltas up to "
-            f"{max_delta}, whose squared distance overflows int64; "
-            "use a finer res (smaller cell edge)"
-        )
-    offs = [
-        dy * Y_STRIDE + dx
-        for dy in range(-s, s + 1)
-        for dx in range(-s, s + 1)
-    ]
-    p = points.select(
-        F.col("lat").alias("_plat"),
-        F.col("lon").alias("_plon"),
-        cell_id(F.col("lon"), F.col("lat"), res).alias("_pcell"),
-    )
-    q = queries.select(
-        F.col(q_id),
-        F.col("lat").alias("_qlat"),
-        F.col("lon").alias("_qlon"),
-        cell_id(F.col("lon"), F.col("lat"), res).alias("_qcell"),
-    )
-    cand = (
-        q.withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
-        .withColumn("_cell", F.col("_qcell") + F.col("_off"))
-        .join(p, F.col("_cell") == F.col("_pcell"), "left")
-    )
-    hit = _dist2(
-        F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")
-    ) <= F.lit(int(eps) * int(eps))
+    cand, hit = _eps_disk_candidates(queries, points, eps, res, q_id)
     return cand.groupBy(q_id).agg(
         F.coalesce(F.sum(F.when(hit, 1)), F.lit(0)).cast("long").alias("n_eps")
+    )
+
+
+#: IDW weight quantization: wq = IDW_SCALE_K div max(dist², 1). 2^52
+#: keeps single terms v·wq below 2^63 for values up to ~2000 while
+#: resolving weights down to dist ≈ 0.67 · 10⁻¹ degree (wq >= 1 for
+#: dist² <= 2^52).
+IDW_SCALE_K = 1 << 52
+
+
+def idw_interpolate(
+    queries: DataFrame,
+    points: DataFrame,
+    eps: int,
+    res: int = DEFAULT_RES,
+    v: str = "v",
+    q_id: str = "query_id",
+    scale_k: int = IDW_SCALE_K,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation (IDW, power p = 2) of a
+    sample surface at each query point — the classic scattered-data
+    gridding step (sensor fields, elevation, density smoothing), with
+    the neighborhood bounded by the same eps-disk the DBSCAN primitive
+    uses.
+
+    Cross-engine exactness: true IDW sums floats whose ADDITION ORDER
+    is engine-dependent, so weights are QUANTIZED to exact integers —
+    wq = scale_k div max(dist², 1) (the max handles a query sitting
+    exactly on a sample; dist² is already exact int64) — and the
+    estimate is ONE shared division of two decimal(38,0) sums:
+
+        idw = Σ v·wq / Σ wq      over in-disk samples
+
+    Σwq = 0 (no in-disk sample, or all weights quantize to zero) is
+    NULL. The quantization error is bounded by 1/scale_k per weight —
+    far below any physical meaning in the samples — and in exchange
+    the result is bit-reproducible everywhere (ordering, retries,
+    engines). Emits idw (double), n_idw (in-disk sample count) and
+    idw_den_str (the exact Σwq as digits — the integer pin behind the
+    9-digit float compare).
+
+    Plan: identical to eps_neighbor_counts — one cell equi-join + one
+    per-query aggregate; decimal sums make per-query weight mass
+    unbounded-safe at any density."""
+    if scale_k <= 0:
+        raise ValueError("scale_k must be positive")
+    dec = "decimal(38,0)"
+    cand, hit = _eps_disk_candidates(
+        queries, points, eps, res, q_id, p_cols=[F.col(v).alias("_pv")]
+    )
+    d2 = _dist2(
+        F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")
+    )
+    cand = cand.withColumn("_d2", d2).withColumn(
+        "_wq",
+        F.expr(
+            f"CAST({int(scale_k)} AS BIGINT) DIV greatest(_d2, CAST(1 AS BIGINT))"
+        ),
+    )
+    num = F.sum(
+        F.when(hit, F.col("_pv").cast(dec) * F.col("_wq").cast(dec))
+    )
+    den = F.sum(F.when(hit, F.col("_wq").cast(dec)))
+    n = F.coalesce(F.sum(F.when(hit, 1)), F.lit(0)).cast("long")
+    return cand.groupBy(q_id).agg(
+        num.alias("_num"), den.alias("_den"), n.alias("n_idw")
+    ).select(
+        q_id,
+        F.when(
+            F.col("_den").isNotNull() & (F.col("_den") != 0),
+            F.col("_num").cast("double") / F.col("_den").cast("double"),
+        ).alias("idw"),
+        "n_idw",
+        F.coalesce(F.col("_den"), F.lit(0).cast(dec))
+        .cast("string")
+        .alias("idw_den_str"),
     )
 
 

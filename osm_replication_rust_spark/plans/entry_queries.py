@@ -17,6 +17,7 @@ from ..functions import coords as C
 from ..functions import geometry as G
 from ..functions.geometry import MultiPolygon
 from ..datagen.synth import fixture_regions
+from ..operators.knn import IDW_SCALE_K
 from ..operators.spatial_join import assign_regions
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -486,6 +487,7 @@ _KNN_EPS_RES = 23
     q AS (SELECT event_id AS query_id, lat, lon FROM pts WHERE event_id <= 20),
     d AS (
       SELECT q.query_id, p.event_id AS point_id,
+             p.event_id % 97 + 1 AS pv,
              (q.lat - p.lat) * (q.lat - p.lat)
              + (q.lon - p.lon) * (q.lon - p.lon) AS dist2
       FROM q, pts p
@@ -496,13 +498,36 @@ _KNN_EPS_RES = 23
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_eps
       FROM d GROUP BY query_id
     ),
+    i AS (
+      -- IDW with quantized integer weights wq = K // max(dist2, 1)
+      -- (operators/knn.idw_interpolate): exact HUGEINT sums, ONE
+      -- shared division
+      SELECT query_id,
+             CAST(COALESCE(SUM(CASE WHEN dist2 <= CAST({_KNN_EPS} AS BIGINT)
+                                         * {_KNN_EPS} THEN 1 END), 0)
+                  AS BIGINT) AS n_idw,
+             SUM(CASE WHEN dist2 <= CAST({_KNN_EPS} AS BIGINT) * {_KNN_EPS}
+                 THEN CAST(pv * ({IDW_SCALE_K} // greatest(dist2, 1))
+                           AS HUGEINT) END) AS idw_num,
+             SUM(CASE WHEN dist2 <= CAST({_KNN_EPS} AS BIGINT) * {_KNN_EPS}
+                 THEN CAST({IDW_SCALE_K} // greatest(dist2, 1)
+                           AS HUGEINT) END) AS idw_den
+      FROM d GROUP BY query_id
+    ),
     r AS (
       SELECT query_id, point_id, dist2,
              row_number() OVER (PARTITION BY query_id ORDER BY dist2, point_id) AS rank
       FROM d
     )
-    SELECT r.query_id, r.point_id, r.dist2, r.rank, e.n_eps
-    FROM r JOIN e ON e.query_id = r.query_id WHERE rank <= 5
+    SELECT r.query_id, r.point_id, r.dist2, r.rank, e.n_eps,
+           CASE WHEN i.idw_den IS NOT NULL AND i.idw_den != 0
+                THEN CAST(i.idw_num AS DOUBLE) / CAST(i.idw_den AS DOUBLE)
+           END AS idw,
+           i.n_idw AS n_idw,
+           CAST(COALESCE(i.idw_den, 0) AS VARCHAR) AS idw_den_str
+    FROM r JOIN e ON e.query_id = r.query_id
+    JOIN i ON i.query_id = r.query_id
+    WHERE rank <= 5
     ORDER BY r.query_id, r.rank
     """,
 )
@@ -511,8 +536,18 @@ def knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLUS the fixed-radius sibling (operators/knn.eps_neighbor_counts,
     DBSCAN's |N_eps| core-point primitive): each query row also carries
     its exact eps-disk point count — one cell equi-join + one agg,
-    checked against the oracle's quadratic conditional count."""
-    from ..operators.knn import eps_neighbor_counts, knn_cell_ring
+    checked against the oracle's quadratic conditional count. PLUS IDW
+    interpolation (operators/knn.idw_interpolate) of a deterministic
+    sample surface (v = event_id % 97 + 1) over the same disk:
+    quantized integer weights wq = K div max(dist², 1) make the
+    estimate ONE shared division of two exact decimal(38,0)/HUGEINT
+    sums — bit-reproducible across engines and orderings — with the
+    exact Σwq carried as digits (idw_den_str) behind the float."""
+    from ..operators.knn import (
+        eps_neighbor_counts,
+        idw_interpolate,
+        knn_cell_ring,
+    )
 
     pts = _t(spark, sf_dir, "events").select(
         F.col("event_id"),
@@ -523,9 +558,14 @@ def knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("query_id"), "lat", "lon"
     )
     ne = eps_neighbor_counts(q, pts, eps=_KNN_EPS, res=_KNN_EPS_RES)
+    samples = pts.select(
+        "lat", "lon", (F.col("event_id") % 97 + 1).alias("v")
+    )
+    iw = idw_interpolate(q, samples, eps=_KNN_EPS, res=_KNN_EPS_RES, v="v")
     return (
         knn_cell_ring(q, pts.withColumnRenamed("event_id", "point_id"), k=5)
         .join(ne, "query_id")
+        .join(iw, "query_id")
         .orderBy("query_id", "rank")
     )
 

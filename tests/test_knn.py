@@ -149,3 +149,62 @@ def test_eps_counts_overflow_guard(spark, pts, qry):
     # be 7 cells ~ 3.7e9 apart per axis: dist2 would wrap int64
     with pytest.raises(ValueError, match="overflow"):
         eps_neighbor_counts(qry, pts, eps=3_000_000_000, res=29)
+
+
+def test_idw_matches_integer_reference(spark):
+    """IDW == the quantized-weight reference (exact integer recompute);
+    exact-hit queries dominated by the co-located sample."""
+    import numpy as np
+    from fractions import Fraction
+
+    from osm_replication_rust_spark.operators.knn import IDW_SCALE_K, idw_interpolate
+
+    rng = np.random.default_rng(5)
+    pts = [
+        (int(la), int(lo), int(v))
+        for la, lo, v in zip(
+            rng.integers(-2_000_000, 2_000_000, 60),
+            rng.integers(-2_000_000, 2_000_000, 60),
+            rng.integers(1, 98, 60),
+        )
+    ]
+    qs = [(i, int(la), int(lo)) for i, (la, lo) in enumerate(
+        zip(rng.integers(-2_000_000, 2_000_000, 8),
+            rng.integers(-2_000_000, 2_000_000, 8)))]
+    qs.append((99, pts[0][0], pts[0][1]))  # exact hit on a sample
+    p = spark.createDataFrame(pts, "lat long, lon long, v long")
+    q = spark.createDataFrame(qs, "query_id long, lat long, lon long")
+    eps = 3_000_000
+    out = {r.query_id: r for r in
+           idw_interpolate(q, p, eps=eps, res=21, v="v").collect()}
+
+    for qid, qla, qlo in qs:
+        num = den = 0
+        n = 0
+        for la, lo, v in pts:
+            d2 = (qla - la) ** 2 + (qlo - lo) ** 2
+            if d2 <= eps * eps:
+                n += 1
+                wq = IDW_SCALE_K // max(d2, 1)
+                num += v * wq
+                den += wq
+        r = out[qid]
+        assert r.n_idw == n, qid
+        assert r.idw_den_str == str(den), qid
+        if den == 0:
+            assert r.idw is None
+        else:
+            ref = float(Fraction(num, den))
+            assert abs(r.idw - ref) < 1e-9 * max(1.0, abs(ref)), qid
+    # the exact-hit query is dominated by its co-located sample
+    assert abs(out[99].idw - pts[0][2]) < 1e-6
+
+
+def test_idw_empty_disk_null(spark):
+    from osm_replication_rust_spark.operators.knn import idw_interpolate
+
+    p = spark.createDataFrame([(0, 0, 7)], "lat long, lon long, v long")
+    q = spark.createDataFrame([(1, 40_000_000, 40_000_000)],
+                              "query_id long, lat long, lon long")
+    r = idw_interpolate(q, p, eps=1_000_000, res=21, v="v").collect()[0]
+    assert r.idw is None and r.n_idw == 0 and r.idw_den_str == "0"
