@@ -237,6 +237,85 @@ def idw_interpolate(
     )
 
 
+def dbscan(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    res: int = DEFAULT_RES,
+    id_col: str = "point_id",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Distributed DBSCAN — density-based clustering with noise, built
+    entirely from the engine's own primitives: the eps-disk candidate
+    join (one cell equi-join, exact int64 distances) and pointer-
+    doubling connected components (O(log diameter) rounds). Every rule
+    is deterministic so the labeling reproduces bit-for-bit in SQL:
+
+    - core(p): |N_eps(p)| >= min_pts (inclusive boundary, self counts —
+      the eps_neighbor_counts contract);
+    - clusters: connected components over core-core pairs within eps;
+      cluster label = MIN core id of the component;
+    - border (non-core with >= 1 core neighbor): joins the cluster of
+      its MINIMUM-LABELED core neighbor (the textbook "any reachable
+      cluster" ambiguity resolved to a total order);
+    - noise: cluster NULL, is_core false.
+
+    Returns ``points`` + (is_core boolean, cluster long|NULL).
+
+    Scale: the pair list is |N_eps|-bounded per point (never O(n²) —
+    a mega-dense region is an AQE skew split like the kNN ring join),
+    the component loop is O(log cluster-diameter) rounds, and the
+    border/noise resolution is one more aggregate + left join. The
+    pair list is eagerly localCheckpoint-ed once and feeds the count,
+    component and border legs from executor storage."""
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    q = points.select(
+        F.col(id_col).alias("query_id"), F.col("lat"), F.col("lon")
+    )
+    cand, hit = _eps_disk_candidates(
+        q, points, eps, res, "query_id", p_cols=[F.col(id_col).alias("_pid")]
+    )
+    pairs = (
+        cand.filter(hit)
+        .select(F.col("query_id").alias("_a"), F.col("_pid").alias("_b"))
+        .localCheckpoint(eager=True)
+    )
+    counts = pairs.groupBy("_a").agg(F.count(F.lit(1)).alias("_n"))
+    core = counts.filter(F.col("_n") >= min_pts).select("_a")
+    core_pairs = (
+        pairs.join(core, "_a", "left_semi")
+        .join(core.select(F.col("_a").alias("_b")), "_b", "left_semi")
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
+    )
+    from .graph import components_pointer_jump
+
+    comp = components_pointer_jump(core_pairs, max_iters=max_iters)
+    core_lab = comp.select(
+        F.col("id").alias(id_col),
+        F.lit(True).alias("is_core"),
+        F.col("label").alias("cluster"),
+    )
+    border_lab = (
+        pairs.join(core.select(F.col("_a").alias("_skip")),
+                   pairs["_a"] == F.col("_skip"), "left_anti")
+        .join(
+            comp.select(F.col("id").alias("_b"), F.col("label").alias("_bl")),
+            "_b",
+            "inner",
+        )
+        .groupBy(F.col("_a").alias(id_col))
+        .agg(F.min("_bl").alias("cluster"))
+        .select(id_col, F.lit(False).alias("is_core"), "cluster")
+    )
+    lab = core_lab.unionByName(border_lab)
+    return points.join(lab, id_col, "left").select(
+        *points.columns,
+        F.coalesce(F.col("is_core"), F.lit(False)).alias("is_core"),
+        "cluster",
+    )
+
+
 def knn_cell_ring(
     queries: DataFrame,
     points: DataFrame,

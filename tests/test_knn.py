@@ -208,3 +208,93 @@ def test_idw_empty_disk_null(spark):
                               "query_id long, lat long, lon long")
     r = idw_interpolate(q, p, eps=1_000_000, res=21, v="v").collect()[0]
     assert r.idw is None and r.n_idw == 0 and r.idw_den_str == "0"
+
+
+def _ref_dbscan(pts, eps, min_pts):
+    """Reference DBSCAN with the operator's deterministic rules."""
+    import itertools
+
+    ids = sorted(pts)
+    e2 = eps * eps
+    nbrs = {i: {i} for i in ids}  # self included (operator contract)
+    for i, j in itertools.combinations(ids, 2):
+        (a1, o1), (a2, o2) = pts[i], pts[j]
+        if (a1 - a2) ** 2 + (o1 - o2) ** 2 <= e2:
+            nbrs[i].add(j)
+            nbrs[j].add(i)
+    core = {i for i in ids if len(nbrs[i]) >= min_pts}
+    parent = {i: i for i in core}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core and j != i:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    roots = {}
+    for i in core:
+        roots.setdefault(find(i), []).append(i)
+    lab = {}
+    for members in roots.values():
+        m = min(members)
+        for i in members:
+            lab[i] = m
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = (True, lab[i])
+        else:
+            cn = [lab[j] for j in nbrs[i] if j in core and j != i]
+            out[i] = (False, min(cn) if cn else None)
+    return out
+
+
+def test_dbscan_matches_reference_across_regimes(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.knn import dbscan
+
+    rng = np.random.default_rng(17)
+    # clustered blobs + scattered noise
+    pts = {}
+    k = 0
+    for cx, cy in ((0, 0), (3_000_000, 500_000), (-2_500_000, -2_000_000)):
+        for _ in range(25):
+            pts[k] = (cy + int(rng.integers(-300_000, 300_000)),
+                      cx + int(rng.integers(-300_000, 300_000)))
+            k += 1
+    for _ in range(30):
+        pts[k] = (int(rng.integers(-20_000_000, 20_000_000)),
+                  int(rng.integers(-20_000_000, 20_000_000)))
+        k += 1
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in pts.items()],
+        "point_id long, lat long, lon long",
+    )
+    for eps, mp in ((700_000, 3), (1_500_000, 5), (300_000, 2)):
+        got = {
+            r.point_id: (r.is_core, r.cluster)
+            for r in dbscan(df, eps=eps, min_pts=mp, res=21).collect()
+        }
+        assert got == _ref_dbscan(pts, eps, mp), (eps, mp)
+
+
+def test_dbscan_all_noise_and_validation(spark):
+    from osm_replication_rust_spark.operators.knn import dbscan
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 20_000_000, 20_000_000)],
+        "point_id long, lat long, lon long",
+    )
+    got = {r.point_id: (r.is_core, r.cluster)
+           for r in dbscan(df, eps=1_000_000, min_pts=2, res=21).collect()}
+    assert got == {1: (False, None), 2: (False, None)}
+
+    with pytest.raises(ValueError, match="min_pts"):
+        dbscan(df, eps=1_000_000, min_pts=0)
