@@ -353,6 +353,83 @@ def sql_buffer_dist(mp: MultiPolygon, lon: str, lat: str, buffer: int) -> str:
     return "(" + " OR ".join(terms) + ")"
 
 
+#: DBSCAN gate fixture: 1000 points on quadratic/cubic mixed keys (the
+#: standard derived_lat/lon(event_id) pair is a 1-D lattice — every
+#: point has many near neighbors and DBSCAN degenerates to one giant
+#: cluster; the nonlinear keys scatter points ~uniformly). At eps =
+#: 1.5e6 decimicro / min_pts 3 the labeling is genuinely mixed:
+#: 873 cores / 49 clusters / 67 border / 60 noise, max cluster 134
+#: (closure ~50k tuples — affordable for the oracle's reachability CTE)
+_DBSCAN_EPS = 1_500_000
+_DBSCAN_MIN_PTS = 3
+_DBSCAN_RES = 21
+_DBSCAN_N = 1000
+_DBSCAN_KLAT = "(point_id * point_id) % 999983"
+_DBSCAN_KLON = "(point_id * point_id * point_id + 5) % 999979"
+
+
+def _sql_dbscan_ctes() -> str:
+    """The DBSCAN oracle twin as a reusable CTE block (requires WITH
+    RECURSIVE in the enclosing query): quadratic eps-disk pair set
+    (incl. the self pair — self counts, the eps_neighbor_counts
+    contract), core detection, reachability closure over core-core
+    pairs (min reachable core id == the component label), the
+    deterministic min-labeled-core border rule, and the global
+    counts + full-labeling md5 signature."""
+    return f"""
+    dp AS (
+      SELECT i AS point_id,
+             {C.sql_derived_lat('(i * i) % 999983')} AS lat,
+             {C.sql_derived_lon('(i * i * i + 5) % 999979')} AS lon
+      FROM range(0, {_DBSCAN_N}) t(i)
+    ),
+    dd AS (
+      SELECT a.point_id AS pa, b.point_id AS pb
+      FROM dp a JOIN dp b
+        ON (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon)
+           <= CAST({_DBSCAN_EPS} AS BIGINT) * {_DBSCAN_EPS}
+    ),
+    dcore AS (
+      SELECT pa FROM dd GROUP BY pa HAVING count(*) >= {_DBSCAN_MIN_PTS}
+    ),
+    dcp AS (
+      SELECT pa, pb FROM dd
+      WHERE pa IN (SELECT pa FROM dcore) AND pb IN (SELECT pa FROM dcore)
+    ),
+    dreach(id, rt) AS (
+      SELECT pa, pa FROM dcp
+      UNION
+      SELECT c.pa, dreach.rt FROM dcp c JOIN dreach ON dreach.id = c.pb
+    ),
+    dlab AS (SELECT id, min(rt) AS cluster FROM dreach GROUP BY id),
+    dbord AS (
+      SELECT dd.pa AS id, min(l.cluster) AS cluster
+      FROM dd JOIN dlab l ON l.id = dd.pb
+      WHERE dd.pa NOT IN (SELECT pa FROM dcore)
+      GROUP BY dd.pa
+    ),
+    dall AS (
+      SELECT dp.point_id,
+             dl.id IS NOT NULL AS is_core,
+             COALESCE(dl.cluster, db2.cluster) AS cluster
+      FROM dp
+      LEFT JOIN dlab dl ON dl.id = dp.point_id
+      LEFT JOIN dbord db2 ON db2.id = dp.point_id
+    ),
+    dglob AS (
+      SELECT CAST(SUM(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT)
+               AS dbscan_n_core,
+             CAST(COUNT(DISTINCT cluster) AS BIGINT) AS dbscan_n_clusters,
+             CAST(SUM(CASE WHEN cluster IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS dbscan_n_noise,
+             md5(string_agg(
+               point_id || ':' || COALESCE(CAST(cluster AS VARCHAR), 'n'),
+               ',' ORDER BY point_id)) AS dbscan_sig
+      FROM dall
+    )"""
+
+
 _EV_LAT = C.sql_derived_lat("event_id")
 _EV_LON = C.sql_derived_lon("event_id")
 
@@ -360,15 +437,40 @@ _EV_LON = C.sql_derived_lon("event_id")
 @register(
     "pip_polygon",
     f"""
-    SELECT event_id FROM events
-    WHERE {sql_raycast(fixture_regions()[5], _EV_LON, _EV_LAT)}
-    ORDER BY event_id
+    WITH RECURSIVE
+    {_sql_dbscan_ctes()},
+    pip AS (
+      SELECT event_id FROM events
+      WHERE {sql_raycast(fixture_regions()[5], _EV_LON, _EV_LAT)}
+    )
+    SELECT pip.event_id AS event_id,
+           CAST(da.is_core AS BIGINT) AS dbscan_core,
+           da.cluster AS dbscan_cluster,
+           dg.dbscan_n_core, dg.dbscan_n_clusters, dg.dbscan_n_noise,
+           dg.dbscan_sig
+    FROM pip
+    LEFT JOIN dall da ON da.point_id = pip.event_id
+    CROSS JOIN dglob dg
+    ORDER BY pip.event_id
     """,
 )
 def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: exact point-in-polygon (pentagon fixture: non-rectilinear
     edges) through the engine's Arrow kernel; oracle = generated
-    ray-cast SQL over the same edges."""
+    ray-cast SQL over the same edges. PLUS distributed DBSCAN
+    (operators/knn.dbscan — eps-disk pair join + pointer-doubling
+    components + deterministic border/noise rules) over the 1000-point
+    mixed-key fixture (the spatial-clustering sibling of this row's
+    spatial predicate): each pip row carries its event's is_core /
+    cluster label where the fixture covers it (NULL outside — both
+    engines identically), the global core/cluster/noise counts, and an
+    md5 signature of the ENTIRE sorted labeling — one string pinning
+    all 1000 assignments vs the oracle's quadratic pair set +
+    reachability-closure twin. (Folded here, not on the benched knn
+    row: the component loop's per-round driver actions are gate-only
+    cost.)"""
+    from ..operators.knn import dbscan
+
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         C.derived_lat(F.col("event_id")).alias("lat"),
@@ -376,10 +478,61 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pentagon = fixture_regions()[5]
     assert pentagon.region_id == "E"
-    return (
+    pip = (
         assign_regions(ev, [pentagon], keep_cols=["event_id"], buffer=0)
         .filter(F.col("in_poly"))
         .select("event_id")
+    )
+
+    pid = F.col("event_id")
+    dpts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < _DBSCAN_N)
+        .select(
+            pid.alias("point_id"),
+            C.derived_lat((pid * pid) % 999983).alias("lat"),
+            C.derived_lon((pid * pid * pid + 5) % 999979).alias("lon"),
+        )
+    )
+    db = dbscan(
+        dpts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MIN_PTS, res=_DBSCAN_RES
+    )
+    lab_str = F.concat_ws(
+        ":",
+        F.col("point_id"),
+        F.coalesce(F.col("cluster").cast("string"), F.lit("n")),
+    )
+    dglob = db.agg(
+        F.sum(F.when(F.col("is_core"), 1).otherwise(0))
+        .cast("long")
+        .alias("dbscan_n_core"),
+        F.countDistinct("cluster").cast("long").alias("dbscan_n_clusters"),
+        F.sum(F.when(F.col("cluster").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("dbscan_n_noise"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("point_id"), lab_str.alias("s")))
+                    ),
+                    lambda x: x["s"],
+                ),
+            )
+        ).alias("dbscan_sig"),
+    )
+    dlabels = db.select(
+        F.col("point_id").alias("event_id"),
+        # BIGINT, not BOOLEAN: a nullable boolean converts to pandas'
+        # BooleanDtype on one engine and object on the other — the
+        # driver's dtype-sensitive compare sees them as different
+        F.col("is_core").cast("long").alias("dbscan_core"),
+        F.col("cluster").alias("dbscan_cluster"),
+    )
+    return (
+        pip.join(dlabels, "event_id", "left")
+        .crossJoin(F.broadcast(dglob))
         .orderBy("event_id")
     )
 
@@ -477,25 +630,12 @@ def bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_EPS = 5_000_000
 _KNN_EPS_RES = 23
 
-#: DBSCAN gate fixture: 1000 points on quadratic/cubic mixed keys (the
-#: standard derived_lat/lon(event_id) pair is a 1-D lattice — every
-#: point has many near neighbors and DBSCAN degenerates to one giant
-#: cluster; the nonlinear keys scatter points ~uniformly). At eps =
-#: 1.5e6 decimicro / min_pts 3 the labeling is genuinely mixed:
-#: 873 cores / 49 clusters / 67 border / 60 noise, max cluster 134
-#: (closure ~50k tuples — affordable for the oracle's reachability CTE)
-_DBSCAN_EPS = 1_500_000
-_DBSCAN_MIN_PTS = 3
-_DBSCAN_RES = 21
-_DBSCAN_N = 1000
-_DBSCAN_KLAT = "(point_id * point_id) % 999983"
-_DBSCAN_KLON = "(point_id * point_id * point_id + 5) % 999979"
 
 
 @register(
     "knn",
     f"""
-    WITH RECURSIVE pts AS (
+    WITH pts AS (
       SELECT event_id, {_EV_LAT} AS lat, {_EV_LON} AS lon FROM events
     ),
     q AS (SELECT event_id AS query_id, lat, lon FROM pts WHERE event_id <= 20),
@@ -528,59 +668,6 @@ _DBSCAN_KLON = "(point_id * point_id * point_id + 5) % 999979"
                            AS HUGEINT) END) AS idw_den
       FROM d GROUP BY query_id
     ),
-    dp AS (
-      SELECT i AS point_id,
-             {C.sql_derived_lat('(i * i) % 999983')} AS lat,
-             {C.sql_derived_lon('(i * i * i + 5) % 999979')} AS lon
-      FROM range(0, {_DBSCAN_N}) t(i)
-    ),
-    dd AS (
-      -- eps-disk pairs incl. the self pair (self counts, the
-      -- eps_neighbor_counts contract)
-      SELECT a.point_id AS pa, b.point_id AS pb
-      FROM dp a JOIN dp b
-        ON (a.lat - b.lat) * (a.lat - b.lat)
-           + (a.lon - b.lon) * (a.lon - b.lon)
-           <= CAST({_DBSCAN_EPS} AS BIGINT) * {_DBSCAN_EPS}
-    ),
-    dcore AS (
-      SELECT pa FROM dd GROUP BY pa HAVING count(*) >= {_DBSCAN_MIN_PTS}
-    ),
-    dcp AS (
-      SELECT pa, pb FROM dd
-      WHERE pa IN (SELECT pa FROM dcore) AND pb IN (SELECT pa FROM dcore)
-    ),
-    dreach(id, rt) AS (
-      SELECT pa, pa FROM dcp
-      UNION
-      SELECT c.pa, dreach.rt FROM dcp c JOIN dreach ON dreach.id = c.pb
-    ),
-    dlab AS (SELECT id, min(rt) AS cluster FROM dreach GROUP BY id),
-    dbord AS (
-      SELECT dd.pa AS id, min(l.cluster) AS cluster
-      FROM dd JOIN dlab l ON l.id = dd.pb
-      WHERE dd.pa NOT IN (SELECT pa FROM dcore)
-      GROUP BY dd.pa
-    ),
-    dall AS (
-      SELECT dp.point_id,
-             dl.id IS NOT NULL AS is_core,
-             COALESCE(dl.cluster, db2.cluster) AS cluster
-      FROM dp
-      LEFT JOIN dlab dl ON dl.id = dp.point_id
-      LEFT JOIN dbord db2 ON db2.id = dp.point_id
-    ),
-    dglob AS (
-      SELECT CAST(SUM(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT)
-               AS dbscan_n_core,
-             CAST(COUNT(DISTINCT cluster) AS BIGINT) AS dbscan_n_clusters,
-             CAST(SUM(CASE WHEN cluster IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS dbscan_n_noise,
-             md5(string_agg(
-               point_id || ':' || COALESCE(CAST(cluster AS VARCHAR), 'n'),
-               ',' ORDER BY point_id)) AS dbscan_sig
-      FROM dall
-    ),
     r AS (
       SELECT query_id, point_id, dist2,
              row_number() OVER (PARTITION BY query_id ORDER BY dist2, point_id) AS rank
@@ -591,15 +678,9 @@ _DBSCAN_KLON = "(point_id * point_id * point_id + 5) % 999979"
                 THEN CAST(i.idw_num AS DOUBLE) / CAST(i.idw_den AS DOUBLE)
            END AS idw,
            i.n_idw AS n_idw,
-           CAST(COALESCE(i.idw_den, 0) AS VARCHAR) AS idw_den_str,
-           da.is_core AS dbscan_core,
-           da.cluster AS dbscan_cluster,
-           dg.dbscan_n_core, dg.dbscan_n_clusters, dg.dbscan_n_noise,
-           dg.dbscan_sig
+           CAST(COALESCE(i.idw_den, 0) AS VARCHAR) AS idw_den_str
     FROM r JOIN e ON e.query_id = r.query_id
     JOIN i ON i.query_id = r.query_id
-    JOIN dall da ON da.point_id = r.query_id
-    CROSS JOIN dglob dg
     WHERE rank <= 5
     ORDER BY r.query_id, r.rank
     """,
@@ -615,16 +696,8 @@ def knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized integer weights wq = K div max(dist², 1) make the
     estimate ONE shared division of two exact decimal(38,0)/HUGEINT
     sums — bit-reproducible across engines and orderings — with the
-    exact Σwq carried as digits (idw_den_str) behind the float. PLUS
-    distributed DBSCAN (operators/knn.dbscan — eps-disk pair join +
-    pointer-doubling components + deterministic border/noise rules)
-    over the 1000-point mixed-key fixture: each query row carries its
-    point's is_core / cluster label, the global core/cluster/noise
-    counts, and an md5 signature of the ENTIRE sorted labeling — one
-    string pinning all 1000 assignments against the oracle's
-    quadratic pair set + reachability-closure twin."""
+    exact Σwq carried as digits (idw_den_str) behind the float."""
     from ..operators.knn import (
-        dbscan,
         eps_neighbor_counts,
         idw_interpolate,
         knn_cell_ring,
@@ -643,56 +716,10 @@ def knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lat", "lon", (F.col("event_id") % 97 + 1).alias("v")
     )
     iw = idw_interpolate(q, samples, eps=_KNN_EPS, res=_KNN_EPS_RES, v="v")
-
-    pid = F.col("event_id")
-    dpts = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_id") < _DBSCAN_N)
-        .select(
-            pid.alias("point_id"),
-            C.derived_lat((pid * pid) % 999983).alias("lat"),
-            C.derived_lon((pid * pid * pid + 5) % 999979).alias("lon"),
-        )
-    )
-    db = dbscan(
-        dpts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MIN_PTS, res=_DBSCAN_RES
-    )
-    lab_str = F.concat_ws(
-        ":",
-        F.col("point_id"),
-        F.coalesce(F.col("cluster").cast("string"), F.lit("n")),
-    )
-    dglob = db.agg(
-        F.sum(F.when(F.col("is_core"), 1).otherwise(0))
-        .cast("long")
-        .alias("dbscan_n_core"),
-        F.countDistinct("cluster").cast("long").alias("dbscan_n_clusters"),
-        F.sum(F.when(F.col("cluster").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("dbscan_n_noise"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("point_id"), lab_str.alias("s")))
-                    ),
-                    lambda x: x["s"],
-                ),
-            )
-        ).alias("dbscan_sig"),
-    )
-    dq = db.filter(F.col("point_id") <= 20).select(
-        F.col("point_id").alias("query_id"),
-        F.col("is_core").alias("dbscan_core"),
-        F.col("cluster").alias("dbscan_cluster"),
-    )
     return (
         knn_cell_ring(q, pts.withColumnRenamed("event_id", "point_id"), k=5)
         .join(ne, "query_id")
         .join(iw, "query_id")
-        .join(dq, "query_id")
-        .crossJoin(F.broadcast(dglob))
         .orderBy("query_id", "rank")
     )
 
