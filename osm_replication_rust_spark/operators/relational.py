@@ -182,3 +182,105 @@ def range_join(
     out_cols = [F.col("_lrow." + c).alias(c) for c in left.columns]
     out_cols += [F.col(f"_r_{c}").alias(f"right_{c}") for c in right_cols]
     return matched.select(*out_cols)
+
+
+def group_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Per-group OLS linear trend — the "is this metric rising?" step of
+    any monitoring/rollup pipeline (density per tile over time, volume
+    per event type per window), as ONE aggregation in the exact-integer
+    discipline:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    x and y must be integer columns; every moment accumulates in
+    decimal(38,0) (HUGEINT in the oracle) with casts BEFORE the
+    products, and each statistic is ONE shared division of two exact
+    integers — so both engines emit the same doubles to ≤ 1 ulp.
+    Groups with a degenerate design (n < 2 or constant x: den = 0) get
+    NULL slope/intercept. Emits group_cols + n_obs, slope, intercept
+    and trend_den_str (the exact denominator as digits — the integer
+    pin behind the floats).
+
+    Scale: one hash aggregation with map-side combine; state is five
+    decimals per group."""
+    dec = "decimal(38,0)"
+    xd = F.col(x).cast(dec)
+    yd = F.col(y).cast(dec)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(xd * yd).alias("_sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("_n", "_sx", "_sy", "_sxx", "_sxy"))
+    den = n * sxx - sx * sx
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n_obs"),
+        F.when(den != 0, (n * sxy - sx * sy).cast("double") / den.cast("double"))
+        .alias("slope"),
+        F.when(den != 0, (sy * sxx - sx * sxy).cast("double") / den.cast("double"))
+        .alias("intercept"),
+        den.cast("string").alias("trend_den_str"),
+    )
+
+
+def trajectory_segments(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    step_eps: int = 1_000_000,
+    min_stay_s: int = 0,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Spatial trajectory segmentation — the stay-region / movement-leg
+    split a mobility pipeline runs before map matching: within each
+    key's time-ordered point sequence, a NEW segment starts whenever
+    the step to the previous point exceeds ``step_eps`` (exact int64
+    squared-distance compare — no floats, no haversine drift). Returns
+    the input plus ``seg_id`` (1-based per key), ``seg_n`` (segment
+    size), ``seg_duration_s`` and ``seg_stay`` (1 when the segment
+    lasted >= ``min_stay_s`` — the classic stay-point criterion, as
+    BIGINT for gate-dtype stability).
+
+    Deterministic given the ordering: pass ``order_cols`` (defaults to
+    [ts]) including a tiebreaker if timestamps can collide.
+
+    Scale: two windows over the same (key, order) partitioning — one
+    shuffle — plus a segment-keyed window for the stats; state per
+    group is O(1). The lag/cumsum shape is sessionize's with a spatial
+    predicate, so batch == streaming semantics carry over the same
+    way."""
+    order = order_cols or [ts]
+    w = Window.partitionBy(key).orderBy(*order)
+    d2 = (F.col(lat) - F.lag(lat).over(w)) * (
+        F.col(lat) - F.lag(lat).over(w)
+    ) + (F.col(lon) - F.lag(lon).over(w)) * (F.col(lon) - F.lag(lon).over(w))
+    new_seg = F.when(
+        d2.isNull() | (d2 > F.lit(int(step_eps) * int(step_eps))), 1
+    ).otherwise(0)
+    with_seg = events.withColumn(
+        "seg_id",
+        F.sum(new_seg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy(key, "seg_id")
+    dur = F.max(F.col(ts).cast("long")).over(ws) - F.min(
+        F.col(ts).cast("long")
+    ).over(ws)
+    return (
+        with_seg.withColumn("seg_n", F.count(F.lit(1)).over(ws))
+        .withColumn("seg_duration_s", dur)
+        .withColumn(
+            "seg_stay",
+            F.when(dur >= min_stay_s, 1).otherwise(0).cast("long"),
+        )
+    )

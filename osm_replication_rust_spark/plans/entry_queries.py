@@ -1780,18 +1780,73 @@ def merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_window_stats",
     """
-    SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
-           count(*) AS n, sum(value) AS sum_value
-    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+             count(*) AS n, sum(value) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS tn,
+             SUM(CAST(epoch_us(win_start) // 1000000 AS HUGEINT)) AS sx,
+             SUM(CAST(n AS HUGEINT)) AS sy,
+             SUM(CAST(epoch_us(win_start) // 1000000 AS HUGEINT)
+                 * CAST(epoch_us(win_start) // 1000000 AS HUGEINT)) AS sxx,
+             SUM(CAST(epoch_us(win_start) // 1000000 AS HUGEINT)
+                 * CAST(n AS HUGEINT)) AS sxy
+      FROM w GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(tn AS BIGINT) AS n_obs,
+             CASE WHEN tn * sxx - sx * sx != 0
+               THEN CAST(tn * sxy - sx * sy AS DOUBLE)
+                    / CAST(tn * sxx - sx * sx AS DOUBLE) END AS slope,
+             CASE WHEN tn * sxx - sx * sx != 0
+               THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                    / CAST(tn * sxx - sx * sx AS DOUBLE) END AS intercept,
+             CAST(tn * sxx - sx * sx AS VARCHAR) AS trend_den_str
+      FROM m
+    )
+    SELECT w.win_start, w.event_type, w.n, w.sum_value,
+           t.n_obs, t.slope, t.intercept, t.trend_den_str
+    FROM w JOIN t USING (event_type)
+    ORDER BY 1, 2
     """,
 )
 def stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: the windowed change-stats aggregation (same plan batch and
-    streaming; streamed variant exercised in tests)."""
+    streaming; streamed variant exercised in tests) PLUS the per-type
+    OLS volume trend (operators/relational.group_trend — "is this
+    event type's windowed volume rising?"): x = the window's epoch
+    second, y = the window's count, every moment exact
+    decimal(38,0)/HUGEINT with ONE shared division per statistic and
+    the exact denominator carried as digits."""
+    from ..operators.relational import group_trend
     from ..streaming.incremental import windowed_change_stats
 
     ev = _t(spark, sf_dir, "events")
-    return windowed_change_stats(ev).orderBy("win_start", "event_type")
+    base = windowed_change_stats(ev)
+    tr = group_trend(
+        base.select(
+            "event_type",
+            F.col("win_start").cast("long").alias("x"),
+            F.col("n").alias("y"),
+        ),
+        ["event_type"],
+        "x",
+        "y",
+    )
+    return base.join(tr, "event_type").select(
+        "win_start",
+        "event_type",
+        "n",
+        "sum_value",
+        "n_obs",
+        "slope",
+        "intercept",
+        "trend_den_str",
+    ).orderBy("win_start", "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -3771,36 +3826,103 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: trajectory segmentation gate params: 8e6 decimicro step threshold
+#: (~median consecutive-step distance at sf0.01, so segments mix) and a
+#: 10-minute stay criterion
+_TRAJ_EPS = 8_000_000
+_TRAJ_MIN_STAY_S = 600
+
+
 @register(
     "sessionize",
-    """
+    f"""
     WITH g AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
-                  ELSE 0 END AS new_s
-      FROM events
+                  ELSE 0 END AS new_s,
+             CASE WHEN lag(lat) OVER w IS NULL
+                       OR (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)
+                          + (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+                          > CAST({_TRAJ_EPS} AS BIGINT) * {_TRAJ_EPS} THEN 1
+                  ELSE 0 END AS new_g
+      FROM (
+        SELECT user_id, event_id, ts,
+               {_EV_LAT} AS lat, {_EV_LON} AS lon
+        FROM events
+      )
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sg AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(new_s) OVER cum AS BIGINT) AS session_id,
+             CAST(sum(new_g) OVER cum AS BIGINT) AS seg_id
+      FROM g
+      WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
     )
-    SELECT user_id, event_id,
-           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-    FROM g ORDER BY user_id, event_id
+    SELECT user_id, event_id, session_id, seg_id,
+           CAST(count(*) OVER ws AS BIGINT) AS seg_n,
+           CAST(max(epoch_us(ts) // 1000000) OVER ws
+                - min(epoch_us(ts) // 1000000) OVER ws AS BIGINT)
+             AS seg_duration_s,
+           CAST(CASE WHEN max(epoch_us(ts) // 1000000) OVER ws
+                          - min(epoch_us(ts) // 1000000) OVER ws
+                          >= {_TRAJ_MIN_STAY_S} THEN 1 ELSE 0 END AS BIGINT)
+             AS seg_stay
+    FROM sg
+    WINDOW ws AS (PARTITION BY user_id, seg_id)
+    ORDER BY user_id, event_id
     """,
 )
 def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min gap) per user."""
+    """Gap-based sessionization (30-min gap) per user PLUS spatial
+    trajectory segmentation (operators/relational.trajectory_segments
+    — the stay-region / movement-leg split): a new segment starts when
+    the step to the previous point exceeds {_TRAJ_EPS} decimicro
+    (exact int64 squared compare; the 8e6 threshold sits near the
+    median consecutive-step distance, so segments genuinely mix), each
+    point carrying its segment id, size, duration and the stay flag
+    (duration >= {_TRAJ_MIN_STAY_S}s, BIGINT per the gate dtype rule).
+    Same (user, ts, event_id) window partitioning as the session id —
+    one shuffle serves both."""
+    from ..operators.relational import trajectory_segments
     from pyspark.sql import Window as W
 
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    return ev.withColumn(
-        "session_id", F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0))
-    ).select("user_id", "event_id", "session_id").orderBy("user_id", "event_id")
+    seg = trajectory_segments(
+        ev,
+        key="user_id",
+        ts="ts",
+        step_eps=_TRAJ_EPS,
+        min_stay_s=_TRAJ_MIN_STAY_S,
+        order_cols=["ts", "event_id"],
+    )
+    return (
+        seg.withColumn(
+            "session_id",
+            F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "session_id",
+            "seg_id",
+            F.col("seg_n").cast("long").alias("seg_n"),
+            "seg_duration_s",
+            "seg_stay",
+        )
+        .orderBy("user_id", "event_id")
+    )
 
 
 def _rollup_oracle() -> str:

@@ -140,3 +140,63 @@ def test_range_join_plan_no_cartesian(spark):
         l, r, "s", "e", "s", "e", bucket_width=8, key="k", right_cols=["id"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_group_trend_matches_fraction_reference(spark):
+    from fractions import Fraction
+
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.relational import group_trend
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in ("a", "b"):
+        for x in range(20):
+            rows.append((g, x, int(3 * x + 7 + rng.integers(-4, 5))))
+    rows.append(("const_x", 5, 10))
+    rows.append(("const_x", 5, 20))  # constant x -> den 0 -> NULL
+    rows.append(("single", 1, 1))    # n=1 -> NULL
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in group_trend(df, ["g"], "x", "y").collect()}
+
+    for g in ("a", "b"):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+        den = n * sxx - sx * sx
+        slope = float(Fraction(n * sxy - sx * sy, den))
+        intercept = float(Fraction(sy * sxx - sx * sxy, den))
+        r = got[g]
+        assert abs(r.slope - slope) < 1e-9 * max(1, abs(slope))
+        assert abs(r.intercept - intercept) < 1e-9 * max(1, abs(intercept))
+        assert r.trend_den_str == str(den) and r.n_obs == n
+    assert got["const_x"].slope is None and got["single"].slope is None
+
+
+def test_trajectory_segments_reference(spark):
+    from osm_replication_rust_spark.operators.relational import trajectory_segments
+
+    # user u: 3 tight points (stay), jump, 2 tight points; user v: 1 point
+    rows = [
+        ("u", 100, 0, 0, 1),
+        ("u", 200, 50, 50, 2),
+        ("u", 300, -50, 20, 3),
+        ("u", 400, 10_000_000, 0, 4),     # jump > eps -> new segment
+        ("u", 500, 10_000_100, 100, 5),
+        ("v", 100, 0, 0, 6),
+    ]
+    df = spark.createDataFrame(rows, "u string, t long, lat long, lon long, eid long")
+    out = trajectory_segments(
+        df.withColumn("ts", F.col("t").cast("timestamp")),
+        key="u", ts="ts", step_eps=1000, min_stay_s=150,
+        order_cols=["ts", "eid"],
+    ).collect()
+    got = {r.eid: (r.seg_id, r.seg_n, r.seg_duration_s, r.seg_stay) for r in out}
+    assert got[1] == (1, 3, 200, 1)
+    assert got[2] == (1, 3, 200, 1)
+    assert got[3] == (1, 3, 200, 1)
+    assert got[4] == (2, 2, 100, 0)   # 100 s < min_stay 150
+    assert got[5] == (2, 2, 100, 0)
+    assert got[6] == (1, 1, 0, 0)
