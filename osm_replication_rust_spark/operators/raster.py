@@ -589,6 +589,90 @@ def gi_star(
     return j.select(x, y, v, "focal", "n_nbrs", z.alias("gi_z"))
 
 
+def quadtree_leaves(
+    pyr: DataFrame,
+    cap: int,
+    base_res: int,
+    levels: int,
+) -> DataFrame:
+    """Adaptive quadtree tiling — the explicit mega-cell split the
+    north rule calls for: from a ``tile_pyramid`` output, mark the
+    unique LEAF tiling in which every tile holds at most ``cap``
+    points (descending from the coarsest level, a cell splits while
+    its count exceeds ``cap``; base-level cells are forced leaves).
+    The leaf set partitions the occupied space: every base cell has
+    exactly ONE leaf among itself and its ancestors — counts are
+    non-increasing down the chain, so the first (coarsest) cell with
+    n <= cap is it (the base is the fallback). Writing extracts by
+    leaf id yields balanced partitions whatever the skew.
+
+    Fully declarative — NO iteration: a cell is a leaf iff
+
+        (res == coarsest  OR  min over strict ancestors' n > cap)
+        AND (n <= cap  OR  res == base_res)
+
+    computed as one variable-length ancestor explode (pure integer
+    parenthood arithmetic on the packed id), one hash join back to the
+    pyramid, and one min-aggregate. Returns ``pyr`` + ``qt_leaf``
+    (BIGINT 0/1 — the gate dtype rule).
+
+    Scale: everything here is cells-width (never facts); the explode
+    fans each cell to < ``levels`` rows of two ints."""
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    res_max = base_res + levels - 1
+    bcx = F.col("cell") % Y_STRIDE
+    bcy = F.floor(F.col("cell") / Y_STRIDE).cast("long")
+    # sequence(1, 0) would yield [1, 0] (negative step), so guard the
+    # coarsest level with an empty array; explode_outer keeps its rows
+    ks = F.when(
+        F.col("res") < res_max,
+        F.sequence(F.lit(1), F.lit(res_max) - F.col("res")),
+    ).otherwise(F.array().cast("array<int>"))
+    anc = pyr.select(
+        "res",
+        "cell",
+        F.explode_outer(ks).alias("_k"),
+        bcx.alias("_cx"),
+        bcy.alias("_cy"),
+    ).select(
+        "res",
+        "cell",
+        (F.col("res") + F.col("_k")).alias("_ares"),
+        # shiftright() in the DSL takes a literal shift; the per-row
+        # ancestor distance needs the SQL form
+        F.expr(
+            f"shiftright(_cy, _k) * CAST({Y_STRIDE} AS BIGINT)"
+            " + shiftright(_cx, _k)"
+        ).alias("_acell"),
+    )
+    amin = (
+        anc.join(
+            pyr.select(
+                F.col("res").alias("_ares"),
+                F.col("cell").alias("_acell"),
+                F.col("n").alias("_an"),
+            ),
+            ["_ares", "_acell"],
+            "left",
+        )
+        .groupBy("res", "cell")
+        .agg(F.min("_an").alias("_amin"))
+    )
+    leaf = (
+        (F.col("res") == res_max) | (F.col("_amin") > cap)
+    ) & ((F.col("n") <= cap) | (F.col("res") == base_res))
+    return (
+        pyr.join(amin, ["res", "cell"])
+        .select(
+            *pyr.columns,
+            F.when(leaf, 1).otherwise(0).cast("long").alias("qt_leaf"),
+        )
+    )
+
+
 def blob_labels(
     pixels: DataFrame,
     x: str = "gx",

@@ -4434,6 +4434,11 @@ def rasterize_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PYR_BASE_RES = 18
 _PYR_LEVELS = 6
+#: quadtree leaf cap for the adaptive-tiling gate column: at sf0.01 the
+#: effective pyramid has max cell counts 394/127/56/24/8/4 from the
+#: coarsest level down, so cap 30 forces splits at the top two levels
+#: and freezes leaves across at least three levels
+_QT_CAP = 30
 
 
 #: IVM fixture split for the tile_pyramid gate: base = events not
@@ -4462,7 +4467,28 @@ def _sql_tile_pyramid() -> str:
              CAST(count(*) AS BIGINT) AS n,
              CAST(count(*) AS BIGINT) AS n_ivm
       FROM events WHERE {_PYR_EFF} GROUP BY 1, 2""")
-    return "\nUNION ALL\n".join(lvls) + "\nORDER BY res, cell"
+    ys = C.Y_STRIDE
+    res_max = _PYR_BASE_RES + _PYR_LEVELS - 1
+    body = "\nUNION ALL\n".join(lvls)
+    return f"""
+    WITH p AS (
+      {body}
+    ),
+    anc AS (
+      SELECT c.res, c.cell, MIN(a.n) AS amin
+      FROM p c JOIN p a
+        ON a.res > c.res
+       AND a.cell = ((c.cell // {ys}) >> (a.res - c.res)) * {ys}
+                    + ((c.cell % {ys}) >> (a.res - c.res))
+      GROUP BY c.res, c.cell
+    )
+    SELECT p.res, p.cell, p.n, p.n_ivm,
+           CAST(CASE WHEN (p.res = {res_max} OR anc.amin > {_QT_CAP})
+                      AND (p.n <= {_QT_CAP} OR p.res = {_PYR_BASE_RES})
+                THEN 1 ELSE 0 END AS BIGINT) AS qt_leaf
+    FROM p LEFT JOIN anc ON anc.res = p.res AND anc.cell = p.cell
+    ORDER BY p.res, p.cell
+    """
 
 
 @register("tile_pyramid", _sql_tile_pyramid())
@@ -4475,8 +4501,13 @@ def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base pyramid plus a SIGNED delta rollup (deletes -1 / inserts +1)
     merged at delta-proportional cost — the full-outer join surfaces
     any IVM divergence (phantom or missing cells) as a row mismatch
-    against the recompute-from-scratch oracle."""
-    from ..operators.raster import merge_pyramids, tile_pyramid
+    against the recompute-from-scratch oracle. PLUS adaptive quadtree
+    tiling (raster.quadtree_leaves — the explicit mega-cell split):
+    qt_leaf marks the unique cap-bounded leaf tiling derived
+    declaratively from the pyramid itself (one ancestor explode + one
+    join + one min-agg, no iteration), vs the oracle's non-equi
+    ancestor self-join twin."""
+    from ..operators.raster import merge_pyramids, quadtree_leaves, tile_pyramid
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -4501,17 +4532,25 @@ def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         check_levels=False,
     )
+    qt = quadtree_leaves(
+        direct, cap=_QT_CAP, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS
+    ).select("res", "cell", "qt_leaf")
     return (
         direct.join(
             ivm.select("res", "cell", F.col("n").alias("n_ivm")),
             ["res", "cell"],
             "full_outer",
         )
+        .join(qt, ["res", "cell"], "left")
         .select(
             "res",
             "cell",
             F.coalesce("n", F.lit(-1).cast("long")).alias("n"),
             F.coalesce("n_ivm", F.lit(-1).cast("long")).alias("n_ivm"),
+            # a diverging IVM could produce cells absent from the
+            # direct pyramid (and thus from the leaf set): keep them
+            # visible as -1, never silently 0
+            F.coalesce("qt_leaf", F.lit(-1).cast("long")).alias("qt_leaf"),
         )
         .orderBy("res", "cell")
     )

@@ -544,3 +544,68 @@ def test_gi_star_constant_raster_null(spark):
         [(x, 0, 3) for x in range(5)], "gx long, gy long, n long"
     )
     assert all(r.gi_z is None for r in gi_star(pix).collect())
+
+
+def test_quadtree_leaves_partition_property(spark):
+    """Every base cell has exactly ONE leaf among itself and its
+    ancestors; leaves respect the cap except forced base leaves."""
+    import numpy as np
+
+    from osm_replication_rust_spark.functions.coords import Y_STRIDE
+    from osm_replication_rust_spark.operators.raster import (
+        quadtree_leaves,
+        tile_pyramid,
+    )
+
+    rng = np.random.default_rng(8)
+    # skewed points: a dense hotspot + sparse background
+    lats = np.concatenate([
+        rng.integers(0, 1 << 18, 400),                  # hotspot cellfull
+        rng.integers(-(1 << 22), 1 << 22, 100),
+    ])
+    lons = np.concatenate([
+        rng.integers(0, 1 << 18, 400),
+        rng.integers(-(1 << 22), 1 << 22, 100),
+    ])
+    df = spark.createDataFrame(
+        [(int(a), int(o)) for a, o in zip(lats, lons)], "lat long, lon long"
+    )
+    base_res, levels, cap = 18, 5, 25
+    pyr = tile_pyramid(df, base_res=base_res, levels=levels).persist()
+    out = quadtree_leaves(pyr, cap=cap, base_res=base_res, levels=levels)
+    rows = out.collect()
+    leaves = {(r.res, r.cell) for r in rows if r.qt_leaf == 1}
+    byres = {(r.res, r.cell): r.n for r in rows}
+
+    for (r, c), n in byres.items():
+        if r != base_res:
+            continue
+        cx, cy = c % Y_STRIDE, c // Y_STRIDE
+        chain = [
+            (r + k, (cy >> k) * Y_STRIDE + (cx >> k))
+            for k in range(levels)
+        ]
+        hits = [rc for rc in chain if rc in leaves]
+        assert len(hits) == 1, (r, c, hits)
+    for (r, c) in leaves:
+        assert byres[(r, c)] <= cap or r == base_res
+    # the skewed fixture must actually exercise multiple levels
+    assert len({r for r, _ in leaves}) >= 3
+    pyr.unpersist()
+
+
+def test_quadtree_leaves_validation(spark):
+    from osm_replication_rust_spark.operators.raster import (
+        quadtree_leaves,
+        tile_pyramid,
+    )
+
+    df = spark.createDataFrame([(0, 0)], "lat long, lon long")
+    pyr = tile_pyramid(df, base_res=18, levels=2)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="cap"):
+        quadtree_leaves(pyr, cap=0, base_res=18, levels=2)
+    # levels=1: the single level is both coarsest and base -> all leaves
+    p1 = tile_pyramid(df, base_res=18, levels=1)
+    got = quadtree_leaves(p1, cap=1, base_res=18, levels=1).collect()
+    assert all(r.qt_leaf == 1 for r in got)
