@@ -129,9 +129,12 @@ def weighted_distances(
     und = e.unionByName(
         e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"), "_w")
     ).persist()
-    if und.filter(F.col("_w") < 0).limit(1).count() > 0:
+    if und.filter(F.col("_w").isNull() | (F.col("_w") < 0)).limit(1).count() > 0:
         und.unpersist()
-        raise ValueError("weighted_distances requires non-negative weights")
+        raise ValueError(
+            "weighted_distances requires non-negative, non-NULL weights "
+            "(a NULL weight would silently behave as a deleted edge)"
+        )
     dist = (
         sources.select(F.col(node_col).alias("node_id"))
         .distinct()

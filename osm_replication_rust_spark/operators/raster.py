@@ -594,6 +594,7 @@ def quadtree_leaves(
     cap: int,
     base_res: int,
     levels: int,
+    check_levels: bool = True,
 ) -> DataFrame:
     """Adaptive quadtree tiling — the explicit mega-cell split the
     north rule calls for: from a ``tile_pyramid`` output, mark the
@@ -617,12 +618,30 @@ def quadtree_leaves(
     (BIGINT 0/1 — the gate dtype rule).
 
     Scale: everything here is cells-width (never facts); the explode
-    fans each cell to < ``levels`` rows of two ints."""
+    fans each cell to < ``levels`` rows of two ints.
+
+    ``check_levels`` (default True, the merge_pyramids precedent)
+    verifies the pyramid's resolution set is covered by
+    ``base_res .. base_res+levels-1``: a pyramid built with MORE
+    levels would make the declared coarsest level wrong, and cells
+    above it would fail the leaf rule as plain 0s — a silently broken
+    one-leaf-per-chain partition instead of an error. Pass False only
+    when the caller built the pyramid with these exact parameters and
+    must avoid the extra action."""
     if levels < 1:
         raise ValueError(f"levels must be >= 1, got {levels}")
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     res_max = base_res + levels - 1
+    if check_levels:
+        got = {r.res for r in pyr.select("res").distinct().collect()}
+        want = set(range(base_res, res_max + 1))
+        if not got <= want:
+            raise ValueError(
+                f"pyramid level set {sorted(got)} is not covered by "
+                f"base_res={base_res}, levels={levels} "
+                "(built with different parameters?)"
+            )
     bcx = F.col("cell") % Y_STRIDE
     bcy = F.floor(F.col("cell") / Y_STRIDE).cast("long")
     # sequence(1, 0) would yield [1, 0] (negative step), so guard the
@@ -696,7 +715,23 @@ def blob_labels(
     final left join.
 
     Scale: the edge list is <= 2 x nnz narrow rows; every round
-    shuffles O(nnz); nothing depends on the grid extent."""
+    shuffles O(nnz); nothing depends on the grid extent.
+
+    The pixel key packs as ``gy * Y_STRIDE + gx``, which is injective
+    only for 0 <= gx < Y_STRIDE (global pixels at px_res >= 16 — the
+    same bound the tile packing guards with ``tile_res < 16``). A
+    finer grid would silently collide keys and merge blobs, so the
+    range is CHECKED (one extra cells-width aggregate before the
+    loop's many actions) rather than documented away."""
+    rng = pixels.agg(
+        F.min(F.col(x)).alias("_lo"), F.max(F.col(x)).alias("_hi")
+    ).collect()[0]
+    if rng["_lo"] is not None and (rng["_lo"] < 0 or rng["_hi"] >= Y_STRIDE):
+        raise ValueError(
+            f"blob_labels: gx range [{rng['_lo']}, {rng['_hi']}] breaks the "
+            f"gy*{Y_STRIDE}+gx key packing (needs 0 <= gx < {Y_STRIDE}; "
+            "use px_res >= 16)"
+        )
     key = (F.col(y) * Y_STRIDE + F.col(x)).alias("k")
     pix = pixels.select(F.col(x), F.col(y), key)
     offs = F.array(

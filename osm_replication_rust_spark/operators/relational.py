@@ -262,11 +262,16 @@ def trajectory_segments(
     way."""
     order = order_cols or [ts]
     w = Window.partitionBy(key).orderBy(*order)
-    d2 = (F.col(lat) - F.lag(lat).over(w)) * (
-        F.col(lat) - F.lag(lat).over(w)
-    ) + (F.col(lon) - F.lag(lon).over(w)) * (F.col(lon) - F.lag(lon).over(w))
+    # squared deltas in decimal(38,0): raw antipodal decimicro steps
+    # (dlon ~ 3.6e9) square past 2^63, where int64 would silently wrap
+    # in Spark but raise in DuckDB — decimal keeps the exact compare
+    # engine-identical at any coordinate range
+    dec = "decimal(38,0)"
+    dla = (F.col(lat) - F.lag(lat).over(w)).cast(dec)
+    dlo = (F.col(lon) - F.lag(lon).over(w)).cast(dec)
+    d2 = dla * dla + dlo * dlo
     new_seg = F.when(
-        d2.isNull() | (d2 > F.lit(int(step_eps) * int(step_eps))), 1
+        d2.isNull() | (d2 > F.lit(int(step_eps) * int(step_eps)).cast(dec)), 1
     ).otherwise(0)
     with_seg = events.withColumn(
         "seg_id",

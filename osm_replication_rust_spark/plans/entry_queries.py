@@ -376,11 +376,13 @@ def _sql_dbscan_ctes() -> str:
     pairs (min reachable core id == the component label), the
     deterministic min-labeled-core border rule, and the global
     counts + full-labeling md5 signature."""
+    klat = _DBSCAN_KLAT.replace("point_id", "i")
+    klon = _DBSCAN_KLON.replace("point_id", "i")
     return f"""
     dp AS (
       SELECT i AS point_id,
-             {C.sql_derived_lat('(i * i) % 999983')} AS lat,
-             {C.sql_derived_lon('(i * i * i + 5) % 999979')} AS lon
+             {C.sql_derived_lat(klat)} AS lat,
+             {C.sql_derived_lon(klon)} AS lon
       FROM range(0, {_DBSCAN_N}) t(i)
     ),
     dd AS (
@@ -484,14 +486,15 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id")
     )
 
-    pid = F.col("event_id")
     dpts = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_id") < _DBSCAN_N)
+        .select(F.col("event_id").alias("point_id"))
         .select(
-            pid.alias("point_id"),
-            C.derived_lat((pid * pid) % 999983).alias("lat"),
-            C.derived_lon((pid * pid * pid + 5) % 999979).alias("lon"),
+            "point_id",
+            # the SAME spelling as the oracle's dp CTE — single-sourced
+            C.derived_lat(F.expr(_DBSCAN_KLAT)).alias("lat"),
+            C.derived_lon(F.expr(_DBSCAN_KLON)).alias("lon"),
         )
     )
     db = dbscan(
@@ -2098,7 +2101,9 @@ def _multimodal_oracle() -> str:
       GROUP BY image_id, v
     ),
     ocum AS (
-      SELECT image_id, v,
+      -- ONE cumulative-histogram source for BOTH the Otsu and the
+      -- hist-eq twins (c carried through for the equalization weights)
+      SELECT image_id, v, c,
              SUM(c) OVER (PARTITION BY image_id ORDER BY v) AS cw,
              SUM(v * c) OVER (PARTITION BY image_id ORDER BY v) AS cs,
              SUM(c) OVER (PARTITION BY image_id) AS n_px,
@@ -2127,14 +2132,10 @@ def _multimodal_oracle() -> str:
       )
       WHERE rn = 1
     ),
-    ecum AS (
-      SELECT image_id, v, c,
-             SUM(c) OVER (PARTITION BY image_id ORDER BY v) AS cw,
-             SUM(c) OVER (PARTITION BY image_id) AS n_px
-      FROM ohist
-    ),
     ecc AS (
-      SELECT *, MIN(cw) OVER (PARTITION BY image_id) AS cmin FROM ecum
+      SELECT image_id, v, c, cw, n_px,
+             MIN(cw) OVER (PARTITION BY image_id) AS cmin
+      FROM ocum
     ),
     eagg AS (
       -- histogram equalization: eq(v) = ((cw - cmin) * 255) // (n - cmin),
@@ -4532,8 +4533,15 @@ def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         check_levels=False,
     )
+    # check_levels=False: `direct` is built right here with the same
+    # base_res/levels, and the probe would re-run the pyramid agg as an
+    # extra driver action (the merge_pyramids opt-out precedent)
     qt = quadtree_leaves(
-        direct, cap=_QT_CAP, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS
+        direct,
+        cap=_QT_CAP,
+        base_res=_PYR_BASE_RES,
+        levels=_PYR_LEVELS,
+        check_levels=False,
     ).select("res", "cell", "qt_leaf")
     return (
         direct.join(

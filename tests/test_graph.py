@@ -238,3 +238,14 @@ def test_weighted_distances_guards(spark):
     s = spark.createDataFrame([("n0",)], "node_id string")
     with pytest.raises(RuntimeError, match="did not converge"):
         weighted_distances(e, s, max_rounds=3)
+
+
+def test_weighted_distances_null_weight_raises(spark):
+    from osm_replication_rust_spark.operators.graph import weighted_distances
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", None)], "a string, b string, w long"
+    )
+    s = spark.createDataFrame([("a",)], "node_id string")
+    with pytest.raises(ValueError, match="non-NULL"):
+        weighted_distances(e, s)

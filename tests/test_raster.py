@@ -609,3 +609,26 @@ def test_quadtree_leaves_validation(spark):
     p1 = tile_pyramid(df, base_res=18, levels=1)
     got = quadtree_leaves(p1, cap=1, base_res=18, levels=1).collect()
     assert all(r.qt_leaf == 1 for r in got)
+
+
+def test_blob_labels_packing_range_guard(spark):
+    from osm_replication_rust_spark.functions.coords import Y_STRIDE
+    from osm_replication_rust_spark.operators.raster import blob_labels
+
+    pix = spark.createDataFrame(
+        [(Y_STRIDE, 5, 1)], "gx long, gy long, n long"
+    )
+    with pytest.raises(ValueError, match="key packing"):
+        blob_labels(pix)
+
+
+def test_quadtree_level_mismatch_raises(spark):
+    from osm_replication_rust_spark.operators.raster import (
+        quadtree_leaves,
+        tile_pyramid,
+    )
+
+    df = spark.createDataFrame([(0, 0)], "lat long, lon long")
+    pyr = tile_pyramid(df, base_res=18, levels=6)
+    with pytest.raises(ValueError, match="level set"):
+        quadtree_leaves(pyr, cap=10, base_res=18, levels=5)
