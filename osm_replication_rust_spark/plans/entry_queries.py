@@ -2151,6 +2151,34 @@ def _multimodal_oracle() -> str:
       FROM ecc
       GROUP BY image_id, n_px, cmin
     ),
+    blc AS (
+      SELECT image_id, w, h, i, j,
+             least(greatest((2 * (j // 8) + 1) * h - 8, 0), (h - 1) * 16) AS ny,
+             least(greatest((2 * (j % 8) + 1) * w - 8, 0), (w - 1) * 16) AS nx
+      FROM meta, UNNEST(generate_series(0, 63)) AS bt(j)
+    ),
+    bld AS (
+      SELECT image_id, w, h, i, j,
+             ny // 16 AS y0, ny % 16 AS fy, least(ny // 16 + 1, h - 1) AS y1,
+             nx // 16 AS x0, nx % 16 AS fx, least(nx // 16 + 1, w - 1) AS x1
+      FROM blc
+    ),
+    ble AS (
+      -- exact fixed-point bilinear (multimodal.bilinear_resize_stage):
+      -- floor division of non-negative ints, Dx = Dy = 16
+      SELECT image_id, j,
+             ((CAST((((y0 * w + x0) * 1103515245 + i * 12345 + 7) % 251) AS BIGINT)) * (16 - fx) * (16 - fy)
+            + (CAST((((y0 * w + x1) * 1103515245 + i * 12345 + 7) % 251) AS BIGINT)) * fx * (16 - fy)
+            + (CAST((((y1 * w + x0) * 1103515245 + i * 12345 + 7) % 251) AS BIGINT)) * (16 - fx) * fy
+            + (CAST((((y1 * w + x1) * 1103515245 + i * 12345 + 7) % 251) AS BIGINT)) * fx * fy) // 256 AS ov
+      FROM bld
+    ),
+    blagg AS (
+      SELECT image_id,
+             CAST(SUM(ov) AS BIGINT) AS bl_sum,
+             CAST(SUM((j + 1) * ov) AS BIGINT) AS bl_wsum
+      FROM ble GROUP BY image_id
+    ),
     aud AS (
       SELECT image_id,
              CAST(w * h AS INT) AS n_samples,
@@ -2183,11 +2211,13 @@ def _multimodal_oracle() -> str:
            COALESCE(sg.g_sq_sum, 0) AS g_sq_sum,
            COALESCE(sg.n_edge, 0) AS n_edge,
            ob.otsu_t, ob.otsu_fg, ob.otsu_sigma,
-           e.eq_sum, e.eq_dark
+           e.eq_sum, e.eq_dark,
+           bl.bl_sum, bl.bl_wsum
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     JOIN eagg e USING (image_id)
+    JOIN blagg bl USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -2233,10 +2263,18 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n−cdf_min) is pure non-negative integer floor division, so the
     per-image equalized sum and post-equalization shadow mass
     (eq_sum/eq_dark) reproduce bit-for-bit from the oracle's histogram
-    CTE; constant images NULL."""
+    CTE; constant images NULL.
+
+    Plus exact fixed-point bilinear resize (bilinear_resize_stage, the
+    real-world interpolation default): every 8x8 output pixel is a
+    floor-division combination of the four LCG neighbors with the
+    half-pixel fixed-point fractions, pinned per image by the output
+    sum and the position-weighted checksum (a transpose or shift
+    breaks it even when the pixel multiset is right)."""
     from ..datagen.synth import gen_images, gen_videos
     from ..operators.multimodal import (
         audio_stats_stage,
+        bilinear_resize_stage,
         decode_stats,
         hist_eq_stage,
         otsu_stage,
@@ -2300,6 +2338,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     heq = hist_eq_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "eq_sum", "eq_dark"
     )
+    blr = bilinear_resize_stage(
+        imgs.select("image_id", "bytes", "w", "h"), 8, 8, with_checksums=True
+    ).select("image_id", "bl_sum", "bl_wsum")
     return (
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
@@ -2308,6 +2349,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sob, "image_id")
         .join(ots, "image_id")
         .join(heq, "image_id")
+        .join(blr, "image_id")
         .orderBy("image_id")
     )
 

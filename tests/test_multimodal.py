@@ -593,3 +593,57 @@ def test_hist_eq_matches_reference_and_contract(spark):
     assert got["b"] == (None, None)
     # exact ramp: eq(v) == v up to floor, so dark mass == 64 pixels
     assert got["e"][1] == 64
+
+
+def test_bilinear_resize_exact_reference_and_identity(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        bilinear_resize_stage,
+        fake_decode,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 12)]), 16, 12),
+        ("b", bytes([(k * k) % 251 for k in range(7 * 9)]), 7, 9),  # up+down mix
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    out_w, out_h = 8, 8
+    got = {
+        r.image_id: (np.frombuffer(bytes(r.bytes), dtype=np.uint8), r.bl_sum, r.bl_wsum)
+        for r in bilinear_resize_stage(
+            df, out_w, out_h, with_checksums=True
+        ).collect()
+    }
+
+    def ref(px, w, h):
+        dx, dy = 2 * out_w, 2 * out_h
+        out = np.zeros((out_h, out_w), dtype=np.int64)
+        for j in range(out_h):
+            ny = min(max((2 * j + 1) * h - out_h, 0), (h - 1) * dy)
+            y0, fy = ny // dy, ny % dy
+            y1 = min(y0 + 1, h - 1)
+            for i in range(out_w):
+                nx = min(max((2 * i + 1) * w - out_w, 0), (w - 1) * dx)
+                x0, fx = nx // dx, nx % dx
+                x1 = min(x0 + 1, w - 1)
+                out[j, i] = (
+                    int(px[y0, x0]) * (dx - fx) * (dy - fy)
+                    + int(px[y0, x1]) * fx * (dy - fy)
+                    + int(px[y1, x0]) * (dx - fx) * fy
+                    + int(px[y1, x1]) * fx * fy
+                ) // (dx * dy)
+        return out
+
+    for rid, payload, w, h in rows:
+        px = fake_decode(payload, w, h).astype(np.int64)
+        want = ref(px, w, h).ravel()
+        gb, gs, gw = got[rid]
+        assert np.array_equal(gb.astype(np.int64), want), rid
+        assert gs == int(want.sum())
+        assert gw == int((want * (np.arange(want.size) + 1)).sum())
+
+    # same-size bilinear resize is the exact identity
+    ident = bilinear_resize_stage(
+        spark.createDataFrame(rows[:1], "image_id string, bytes binary, w int, h int"),
+        16, 12,
+    ).collect()[0]
+    assert bytes(ident.bytes) == rows[0][1]
