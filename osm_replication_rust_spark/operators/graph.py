@@ -179,6 +179,112 @@ def weighted_distances(
     return dist
 
 
+def minimum_spanning_forest(
+    edges: DataFrame,
+    max_rounds: int = 20,
+    src: str = "a",
+    dst: str = "b",
+    w: str = "w",
+) -> DataFrame:
+    """Borůvka's minimum spanning forest — the fourth distributed-graph
+    primitive next to BFS reachability, Bellman-Ford distances and
+    pointer-jump components (network backbone extraction / clustering
+    by tree-edge cuts). Returns the forest edges ``(a, b, w)`` with
+    a < b canonical orientation; for a disconnected input this is the
+    per-component MST.
+
+    Determinism: edges are totally ordered by ``(w, a, b)`` after
+    canonicalization, which makes all weights distinct and therefore
+    the MSF UNIQUE — so a sequential Kruskal under the same order
+    (the test reference, and the oracle's embedded literals) lands on
+    the exact same edge set, not just the same total weight.
+
+    Borůvka rounds: every component picks its minimum incident
+    crossing edge (one aggregate over the doubly-oriented crossing
+    set), chosen edges join the forest, and components merge by
+    running pointer-jump on the CONTRACTED label graph (component
+    labels as nodes — shrinks geometrically, so the inner loop is a
+    few rounds on a tiny frame). Component count at least halves per
+    round: O(log V) rounds; raises past ``max_rounds`` rather than
+    returning a partial forest. Self-loops drop; duplicate edges are
+    harmless under the total order.
+
+    Scale: the heavy step is the per-round relabel join + min
+    aggregate over crossing edges — O(E) narrow rows, halving rounds;
+    forest accumulation is a union of flat checkpointed legs."""
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(w).alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    forest = None
+    converged = False
+    for _ in range(max_rounds):
+        la = labels.select(F.col("id").alias("a"), F.col("label").alias("_la"))
+        lb = labels.select(F.col("id").alias("b"), F.col("label").alias("_lb"))
+        cross = (
+            canon.join(la, "a").join(lb, "b")
+            .filter(F.col("_la") != F.col("_lb"))
+        )
+        # both endpoint components bid for the edge; min of the total
+        # order (w, a, b) per component
+        e = F.struct(F.col("w"), F.col("a"), F.col("b"))
+        bids = cross.select(F.col("_la").alias("_c"), e.alias("_e")).unionByName(
+            cross.select(F.col("_lb").alias("_c"), e.alias("_e"))
+        )
+        chosen = (
+            bids.groupBy("_c")
+            .agg(F.min("_e").alias("_e"))
+            .select("_e.a", "_e.b", "_e.w")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if chosen.limit(1).count() == 0:
+            converged = True
+            break
+        forest = chosen if forest is None else forest.unionByName(chosen)
+        # contract: components over the label graph the chosen edges
+        # induce (labels as nodes — geometrically shrinking)
+        lg = (
+            chosen.join(la, "a").join(lb, "b")
+            .select(F.col("_la").alias("id_a"), F.col("_lb").alias("id_b"))
+        )
+        comp = components_pointer_jump(lg, max_iters=max_rounds + 10)
+        newmap = comp.select(
+            F.col("id").alias("_old"), F.col("label").alias("_new")
+        )
+        labels = (
+            labels.join(newmap, labels["label"] == F.col("_old"), "left")
+            .select(
+                "id", F.coalesce(F.col("_new"), F.col("label")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    canon.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"minimum_spanning_forest did not converge in {max_rounds} "
+            "rounds; raise max_rounds — a partial forest is not spanning"
+        )
+    if forest is None:
+        return canon.limit(0).select("a", "b", "w")
+    return forest.select("a", "b", "w")
+
+
 def components_pointer_jump(
     pairs: DataFrame,
     max_iters: int = 40,
@@ -203,10 +309,11 @@ def components_pointer_jump(
     (tested equal on random graphs). Invariants that make the jump a
     plain self-join: labels start as node ids and every update picks an
     existing node's id (a neighbour's label or a label's label), so
-    ``label`` is always a valid join key into the label table; labels
-    only decrease, so an unchanged sum(label) signature IS the
-    fixpoint (summed as decimal(38,0): arbitrary int64 ids cannot wrap
-    the signature into a false fixpoint).
+    ``label`` is always a valid join key into the label table.
+    Convergence is the EXACT per-round changed-label count (carried as
+    a flag inside the round's checkpointed frame — no extra join, no
+    numeric-signature assumption, so ids may be strings, as the MSF's
+    contracted label graphs are).
 
     Scale: each round is two hash joins + one aggregate over (node,
     label) rows — O(E) shuffle per round, O(log d) rounds, per-round
@@ -224,7 +331,6 @@ def components_pointer_jump(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
     converged = False
     for _ in range(max_iters):
         nbr_min = (
@@ -238,7 +344,7 @@ def components_pointer_jump(
         jump = labels.select(
             F.col("id").alias("label"), F.col("label").alias("_jl")
         )
-        labels = (
+        upd = (
             labels.join(nbr_min, "id", "left")
             .join(jump, "label", "left")
             .select(
@@ -247,16 +353,20 @@ def components_pointer_jump(
                     F.col("label"),
                     F.coalesce(F.col("_nl"), F.col("label")),
                     F.coalesce(F.col("_jl"), F.col("label")),
-                ).alias("label"),
+                ).alias("_new"),
+                F.col("label").alias("_old"),
+            )
+            .select(
+                "id",
+                F.col("_new").alias("label"),
+                (F.col("_new") != F.col("_old")).alias("_chg"),
             )
         ).localCheckpoint(eager=True)
-        sig = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        if sig == prev_sig:
+        n_changed = upd.filter(F.col("_chg")).count()
+        labels = upd.select("id", "label")
+        if n_changed == 0:
             converged = True
             break
-        prev_sig = sig
     und.unpersist()
     if not converged:
         raise RuntimeError(

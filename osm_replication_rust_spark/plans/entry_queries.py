@@ -2919,6 +2919,62 @@ def _way_graph_seed() -> str:
     return min(best)
 
 
+@functools.lru_cache(maxsize=1)
+def _way_graph_mst_literals() -> tuple:
+    """(n_edges, total_weight, md5_sig) of the fixture way graph's
+    minimum spanning forest under the (w, a, b) canonical total order,
+    computed by a SEQUENTIAL KRUSKAL here — the oracle embeds these as
+    literals, so the gate cross-checks the engine's distributed
+    Borůvka against an INDEPENDENT algorithm (the _way_graph_seed
+    embedding precedent). The total order makes weights distinct and
+    the forest unique, hence the md5 of the sorted edge list is
+    well-defined on both sides."""
+    import hashlib
+
+    images, groups_pdf, _ = _closure_fixture_pts()
+    lat = (images.phash // C.PHASH_LON_BASE) - C.LAT_OFFSET
+    lon = (images.phash % C.PHASH_LON_BASE) - C.LON_OFFSET
+    coord = {
+        i: (int(la), int(lo))
+        for i, la, lo in zip(images.image_id, lat, lon)
+    }
+    raw = []
+    for g in groups_pdf.itertuples():
+        if g.kind != "way":
+            continue
+        refs = [
+            m["ref"] for m in g.members
+            if m["type"] == "image" and m["ref"] in coord
+        ]
+        for a, b in zip(refs, refs[1:]):
+            w = abs(coord[a][0] - coord[b][0]) + abs(coord[a][1] - coord[b][1])
+            raw.append((a, b, w))
+    canon = sorted(
+        {(min(a, b), max(a, b), w) for a, b, w in raw if a != b},
+        key=lambda e: (e[2], e[0], e[1]),
+    )
+    parent: dict = {}
+
+    def find(u):
+        parent.setdefault(u, u)
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    forest = []
+    for a, b, w in canon:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            forest.append((a, b, w))
+    forest.sort()
+    sig = hashlib.md5(
+        ",".join(f"{a}:{b}:{w}" for a, b, w in forest).encode()
+    ).hexdigest()
+    return len(forest), sum(w for _, _, w in forest), sig
+
+
 def _way_full_oracle() -> str:
     """DuckDB twin of S9 resolve_way_full: member-position-ordered
     coordinate chains, canonicalized to a string so nested-array output
@@ -2948,6 +3004,7 @@ def _way_full_oracle() -> str:
     assert _way_graph_opt_hop_bound() < _WAY_BFS_MAX_HOPS, (
         "weighted oracle hop bound no longer covers all optimal paths"
     )
+    mst_n, mst_w, mst_sig = _way_graph_mst_literals()
     return f"""
     WITH RECURSIVE pts(ref, lat, lon) AS (VALUES
       {pts}
@@ -2990,7 +3047,10 @@ def _way_full_oracle() -> str:
            count(*) AS n_pts,
            CAST(count(dist.hops) AS BIGINT) AS way_reach,
            CAST(min(dist.hops) AS BIGINT) AS way_min_hops,
-           CAST(min(wdist.wd) AS BIGINT) AS way_min_wdist
+           CAST(min(wdist.wd) AS BIGINT) AS way_min_wdist,
+           CAST({mst_n} AS BIGINT) AS mst_n,
+           CAST({mst_w} AS BIGINT) AS mst_w_total,
+           '{mst_sig}' AS mst_sig
     FROM j
     LEFT JOIN dist ON dist.node = j.ref
     LEFT JOIN wdist ON wdist.node = j.ref
@@ -3014,9 +3074,18 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive member coordinates; each way carries the closest
     WEIGHTED distance from the same seed, vs the oracle's bounded
     (node, d, h) enumeration (bound proven non-semantic by the
-    Dijkstra hop audit in _way_graph_opt_hop_bound)."""
+    Dijkstra hop audit in _way_graph_opt_hop_bound). PLUS the minimum
+    spanning forest (graph.py minimum_spanning_forest, distributed
+    Borůvka — unique under the (w, a, b) total order): the forest's
+    edge count, total weight and sorted-edge md5 ride every row as
+    constants, cross-checked against an INDEPENDENT sequential Kruskal
+    embedded in the oracle as literals (_way_graph_mst_literals)."""
     from ..datagen.synth import gen_groups, gen_images
-    from ..operators.graph import hop_distances, weighted_distances
+    from ..operators.graph import (
+        hop_distances,
+        minimum_spanning_forest,
+        weighted_distances,
+    )
     from ..operators.resolve import resolve_way_full
 
     images = gen_images(300, seed=42)
@@ -3067,6 +3136,31 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdist = weighted_distances(egw, seeds).withColumnRenamed(
         "node_id", "wnode"
     )
+    forest = minimum_spanning_forest(egw)
+    fsig = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "a",
+                            "b",
+                            F.concat_ws(
+                                ":", F.col("a"), F.col("b"), F.col("w")
+                            ).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+        )
+    )
+    mst = forest.agg(
+        F.count(F.lit(1)).cast("long").alias("mst_n"),
+        F.sum("w").cast("long").alias("mst_w_total"),
+        fsig.alias("mst_sig"),
+    )
     reach = (
         mem.join(dist, mem["ref"] == dist["node_id"], "left")
         .join(wdist, mem["ref"] == wdist["wnode"], "left")
@@ -3087,6 +3181,7 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("coords").cast("long").alias("n_pts"),
         )
         .join(reach, "group_id")
+        .crossJoin(F.broadcast(mst))
         .orderBy("group_id")
     )
 

@@ -249,3 +249,67 @@ def test_weighted_distances_null_weight_raises(spark):
     s = spark.createDataFrame([("a",)], "node_id string")
     with pytest.raises(ValueError, match="non-NULL"):
         weighted_distances(e, s)
+
+
+# ---------------------------------------------------------------------------
+# minimum_spanning_forest
+# ---------------------------------------------------------------------------
+
+
+def _kruskal(edges):
+    """Sequential Kruskal under the (w, a, b) canonical total order —
+    the independent reference the Borůvka result must equal exactly."""
+    canon = sorted(
+        {(min(a, b), max(a, b), w) for a, b, w in edges if a != b},
+        key=lambda e: (e[2], e[0], e[1]),
+    )
+    parent = {}
+
+    def find(u):
+        parent.setdefault(u, u)
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    out = set()
+    for a, b, w in canon:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.add((a, b, w))
+    return out
+
+
+def test_msf_matches_kruskal_random(spark):
+    from osm_replication_rust_spark.operators.graph import minimum_spanning_forest
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 30
+        edges = [
+            (f"n{int(a)}", f"n{int(b)}", int(w))
+            for a, b, w in zip(
+                rng.integers(0, n, 60),
+                rng.integers(0, n, 60),
+                rng.integers(1, 8, 60),  # small weight range: many ties
+            )
+        ]
+        e = spark.createDataFrame(edges, "a string, b string, w long")
+        got = {(r.a, r.b, r.w) for r in minimum_spanning_forest(e).collect()}
+        assert got == _kruskal(edges), trial
+
+
+def test_msf_shapes_and_disconnected(spark):
+    from osm_replication_rust_spark.operators.graph import minimum_spanning_forest
+
+    # triangle with a heavy edge + an island pair + self loop + dup edge
+    edges = [
+        ("a", "b", 1), ("b", "c", 2), ("a", "c", 9),
+        ("a", "c", 9),                      # duplicate
+        ("x", "y", 4), ("z", "z", 1),       # island + self loop
+    ]
+    e = spark.createDataFrame(edges, "a string, b string, w long")
+    got = {(r.a, r.b, r.w) for r in minimum_spanning_forest(e).collect()}
+    assert got == {("a", "b", 1), ("b", "c", 2), ("x", "y", 4)}
+    assert got == _kruskal(edges)
