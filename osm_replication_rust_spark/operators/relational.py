@@ -241,6 +241,7 @@ def trajectory_segments(
     step_eps: int = 1_000_000,
     min_stay_s: int = 0,
     order_cols: list[str] | None = None,
+    gap_seconds: int | None = None,
 ) -> DataFrame:
     """Spatial trajectory segmentation — the stay-region / movement-leg
     split a mobility pipeline runs before map matching: within each
@@ -254,6 +255,11 @@ def trajectory_segments(
 
     Deterministic given the ordering: pass ``order_cols`` (defaults to
     [ts]) including a tiebreaker if timestamps can collide.
+    ``gap_seconds`` (optional) adds the sessionize time rule: a step
+    ALSO breaks when the time gap exceeds it — the combined contract
+    the streaming sibling (``streaming.incremental.
+    stateful_trajectory_segments``) needs so idle trajectories
+    finalize; None (default) keeps the purely spatial split.
 
     Scale: two windows over the same (key, order) partitioning — one
     shuffle — plus a segment-keyed window for the stats; state per
@@ -270,9 +276,11 @@ def trajectory_segments(
     dla = (F.col(lat) - F.lag(lat).over(w)).cast(dec)
     dlo = (F.col(lon) - F.lag(lon).over(w)).cast(dec)
     d2 = dla * dla + dlo * dlo
-    new_seg = F.when(
-        d2.isNull() | (d2 > F.lit(int(step_eps) * int(step_eps)).cast(dec)), 1
-    ).otherwise(0)
+    brk = d2.isNull() | (d2 > F.lit(int(step_eps) * int(step_eps)).cast(dec))
+    if gap_seconds is not None:
+        tgap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+        brk = brk | (tgap > int(gap_seconds))
+    new_seg = F.when(brk, 1).otherwise(0)
     with_seg = events.withColumn(
         "seg_id",
         F.sum(new_seg).over(w.rowsBetween(Window.unboundedPreceding, 0)),

@@ -267,3 +267,131 @@ def streaming_dedup_exact(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def stateful_trajectory_segments(
+    events: DataFrame,
+    step_eps: int,
+    gap_sec: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user SPATIAL trajectory segmentation — the streaming sibling of
+    ``operators.relational.trajectory_segments(gap_seconds=gap_sec)``.
+    A segment breaks when the step to the next point exceeds
+    ``step_eps`` (exact integer squared compare) OR the time gap
+    exceeds ``gap_sec`` (the finalization rule an unbounded stream
+    needs: a purely spatial split could keep one segment open forever).
+
+    Emits each segment ONCE, when it is provably final under the
+    watermark discipline:
+
+    - in-stream: segment i (not the buffer's last) is closed as soon
+      as the watermark passes the NEXT segment's start — any
+      still-admissible late event has ts > watermark, so nothing can
+      land before that break and re-bridge it (a late point BETWEEN
+      two segments could otherwise merge them);
+    - timeout: the event-time timeout fires when the watermark passes
+      last_ts + gap_sec, at which point every future event is
+      time-gapped from the buffer — the remaining segments are final.
+
+    State per user is the buffer of points not yet in a closed segment
+    — bounded by the watermark horizon (late events re-order inside
+    it), never the stream. Output rows: (user_id, seg_start, seg_end,
+    n_pts) per closed segment; stream == batch asserted in
+    tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    eps2 = int(step_eps) * int(step_eps)
+    gap = int(gap_sec)
+
+    src = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("lat").cast("long").alias("lat"),
+        F.col("lon").cast("long").alias("lon"),
+    ).withWatermark("ts", watermark)
+
+    def _segments(pts):
+        """Split the sorted (ts, lat, lon) buffer at spatial/time breaks
+        -> list of [first_idx, last_idx] inclusive ranges."""
+        segs = [[0, 0]]
+        for k in range(1, len(pts)):
+            t0, la0, lo0 = pts[k - 1]
+            t1, la1, lo1 = pts[k]
+            d2 = (la1 - la0) ** 2 + (lo1 - lo0) ** 2
+            if d2 > eps2 or (t1 - t0) > gap:
+                segs.append([k, k])
+            else:
+                segs[-1][1] = k
+        return segs
+
+    def _emit(uid, pts, segs):
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(segs),
+                "seg_start": [pd.Timestamp(pts[a][0], unit="s") for a, _ in segs],
+                "seg_end": [pd.Timestamp(pts[b][0], unit="s") for _, b in segs],
+                "n_pts": [b - a + 1 for a, b in segs],
+            }
+        )
+
+    def fold(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            ts_l, la_l, lo_l = state.get
+            state.remove()
+            pts = sorted(zip(ts_l, la_l, lo_l))
+            if pts:
+                yield _emit(uid, pts, _segments(pts))
+            return
+
+        pdf = pd.concat(list(pdfs))
+        ts = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        la = pdf["lat"].tolist()
+        lo = pdf["lon"].tolist()
+        if state.exists:
+            ots, ola, olo = state.get
+            ts += list(ots)
+            la += list(ola)
+            lo += list(olo)
+        pts = sorted(zip(ts, la, lo))
+        if not pts:
+            return
+        segs = _segments(pts)
+
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        if wm_sec >= pts[-1][0] + gap:
+            # the watermark already passed last + gap (a far-future
+            # event in this very batch): every segment is final NOW,
+            # and a timeout timestamp would be invalid (<= watermark)
+            state.remove()
+            yield _emit(uid, pts, segs)
+            return
+        closed = []
+        while len(segs) > 1 and wm_sec >= pts[segs[1][0]][0]:
+            closed.append(segs.pop(0))
+        if closed:
+            yield _emit(uid, pts, closed)
+        keep_from = segs[0][0]
+        rem = pts[keep_from:]
+        state.update((
+            [p[0] for p in rem],
+            [p[1] for p in rem],
+            [p[2] for p in rem],
+        ))
+        # finalize when the watermark passes the last point + gap: any
+        # later event is then time-gapped from the whole buffer (and
+        # this timestamp is > watermark by the close-all guard above)
+        state.setTimeoutTimestamp((rem[-1][0] + gap) * 1000)
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id long, seg_start timestamp, seg_end timestamp, n_pts long"
+        ),
+        stateStructType="ts array<long>, lat array<long>, lon array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -334,3 +334,100 @@ def test_streaming_dedup_exact(spark, tmp_path):
     first_ts = pdf.groupby("text")["ts"].min()
     for r in batch:
         assert pd.Timestamp(r.ts) == first_ts[r.text]
+
+
+def test_stateful_trajectory_segments_stream_equals_batch(spark, tmp_path):
+    """Spatial trajectory segmentation as a custom stateful operator:
+    closed segments (in-stream break, late out-of-order point inside
+    the horizon, and timeout close) equal the batch twin
+    (relational.trajectory_segments with the same eps + gap rules)."""
+    import pandas as pd
+    from osm_replication_rust_spark.operators.relational import (
+        trajectory_segments,
+    )
+    from osm_replication_rust_spark.streaming.incremental import (
+        stateful_trajectory_segments,
+    )
+
+    t0 = 1_600_000_000
+    eps, gap = 1000, 1800
+    # user 1: tight pair, then a spatial jump (same times), then idle;
+    # user 2: one point, times out. batch2 adds an out-of-order point
+    # for user 1 INSIDE the watermark horizon that extends segment A.
+    batch1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime([t0, t0 + 100, t0 + 200, t0 + 50], unit="s"),
+            "lat": [0, 50, 9_000_000, 0],
+            "lon": [0, 50, 0, 0],
+        }
+    )
+    batch2 = pd.DataFrame(
+        {
+            "user_id": [1, 3],
+            "ts": pd.to_datetime([t0 + 150, t0 + 10_000_000], unit="s"),
+            "lat": [70, 0],
+            "lon": [70, 0],
+        }
+    )
+    batch3 = pd.DataFrame(
+        {
+            "user_id": [3],
+            "ts": pd.to_datetime([t0 + 20_000_000], unit="s"),
+            "lat": [0],
+            "lon": [0],
+        }
+    )
+    src_dir = str(tmp_path / "traj_src")
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, lat long, lon long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = stateful_trajectory_segments(
+        stream, step_eps=eps, gap_sec=gap, watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("traj_segs")
+        .option("checkpointLocation", str(tmp_path / "traj_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    spark.createDataFrame(batch3).coalesce(1).write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, int(r.seg_start.timestamp()), int(r.seg_end.timestamp()), r.n_pts)
+        for r in spark.sql("SELECT * FROM traj_segs").collect()
+    }
+
+    # batch twin over the SAME delivered rows; user 3 is only the
+    # watermark driver — its trailing segments are legitimately still
+    # open when the query stops
+    got = {r for r in got if r[0] != 3}
+    all_rows = pd.concat([batch1, batch2])
+    bdf = spark.createDataFrame(all_rows[all_rows.user_id != 3])
+    seg = trajectory_segments(
+        bdf, key="user_id", ts="ts", step_eps=eps, gap_seconds=gap,
+        order_cols=["ts"],
+    )
+    import pyspark.sql.functions as F
+
+    want = {
+        (r.user_id, int(r.s.timestamp()), int(r.e.timestamp()), r.n)
+        for r in seg.groupBy("user_id", "seg_id")
+        .agg(
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the out-of-order point landed inside segment A: 3 points
+    assert (1, t0, t0 + 150, 3) in got
