@@ -2167,10 +2167,10 @@ def _multimodal_oracle() -> str:
       -- exact fixed-point bilinear (multimodal.bilinear_resize_stage):
       -- floor division of non-negative ints, Dx = Dy = 16
       SELECT image_id, j,
-             ((CAST((((y0 * w + x0) * 1103515245 + i * 12345 + 7) % 251) AS BIGINT)) * (16 - fx) * (16 - fy)
-            + (CAST((((y0 * w + x1) * 1103515245 + i * 12345 + 7) % 251) AS BIGINT)) * fx * (16 - fy)
-            + (CAST((((y1 * w + x0) * 1103515245 + i * 12345 + 7) % 251) AS BIGINT)) * (16 - fx) * fy
-            + (CAST((((y1 * w + x1) * 1103515245 + i * 12345 + 7) % 251) AS BIGINT)) * fx * fy) // 256 AS ov
+             (({_sql_lcg_px('y0 * w + x0')}) * (16 - fx) * (16 - fy)
+            + ({_sql_lcg_px('y0 * w + x1')}) * fx * (16 - fy)
+            + ({_sql_lcg_px('y1 * w + x0')}) * (16 - fx) * fy
+            + ({_sql_lcg_px('y1 * w + x1')}) * fx * fy) // 256 AS ov
       FROM bld
     ),
     blagg AS (
