@@ -285,6 +285,198 @@ def minimum_spanning_forest(
     return forest.select("a", "b", "w")
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph that
+    ``edges(a, b)`` induces — the degree/triangle substrate of local
+    clustering coefficients, community pre-screens and near-dup
+    cluster QA (a triangle in a similarity pair graph is three
+    MUTUALLY similar items, much stronger evidence than two pairs).
+
+    Returns ``(id, deg, tri)`` for every node of the simple graph:
+    ``deg`` its degree, ``tri`` how many triangles contain it (0 when
+    none). Global triangle count = sum(tri) / 3. The local clustering
+    coefficient is the caller's one shared division
+    2*tri / (deg*(deg-1)) — left to the caller so this stays all-int.
+
+    Degree-ordered counting (the standard shuffle-efficient MapReduce
+    shape, Suri & Vassilvitskii WWW'11): orient every canonical edge
+    from the (deg, id)-smaller endpoint to the larger; each triangle
+    then has exactly ONE node with two out-edges into the other two
+    (its rank-minimum), so wedges (u->v, u->w with rank(v) < rank(w))
+    semi-joined against the oriented closure edge (v->w) enumerate
+    every triangle exactly once, and out-degrees are bounded by
+    O(sqrt(m)) — the wedge fan-out a raw (unoriented) self-join would
+    blow up on hub nodes is capped by construction.
+
+    Scale: canonicalize+distinct (one shuffle), degree agg (one), two
+    broadcast-or-hash joins to attach ranks, the wedge self-join on u
+    (one shuffle of oriented edges), the closure join on (v, w) (one),
+    and the per-vertex explode/agg (one) — all narrow int rows, no
+    loop, O(m^{3/2}) wedge bound. Duplicate edges and self-loops are
+    dropped during canonicalization."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ranked = (
+        canon.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("_da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("_db")), "b")
+        .withColumn(
+            "_ord",
+            (F.col("_da") < F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+        )
+    )
+    o = ranked.select(
+        F.when(F.col("_ord"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("_ord"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(F.col("_ord"), F.col("_db")).otherwise(F.col("_da")).alias("dv"),
+    ).persist()
+    o1 = o.select("u", F.col("v").alias("_v1"), F.col("dv").alias("_d1"))
+    o2 = o.select("u", F.col("v").alias("_v2"), F.col("dv").alias("_d2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("_d1") < F.col("_d2"))
+        | ((F.col("_d1") == F.col("_d2")) & (F.col("_v1") < F.col("_v2")))
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("_v1"), F.col("v").alias("_v2")),
+        ["_v1", "_v2"],
+        "left_semi",
+    ).select(F.col("u").alias("x"), F.col("_v1").alias("y"), F.col("_v2").alias("z"))
+    per_vertex = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    out = (
+        deg.join(per_vertex, "id", "left")
+        .select("id", "deg", F.coalesce(F.col("tri"), F.lit(0).cast("long")).alias("tri"))
+        .localCheckpoint(eager=True)
+    )
+    o.unpersist()
+    return out
+
+
+#: fixed-point PageRank mass scale: each node starts with SCALE units.
+#: Exactness bound: every intermediate (per-node rank, contribution
+#: sum, 100x the damped sum) stays under N * SCALE * damp_den, so the
+#: default keeps int64 exact to N ~ 9e5 nodes; larger graphs pass a
+#: smaller scale (ranking is scale-invariant down to ~1e6, where the
+#: floor-division quantum starts to matter).
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 4,
+    scale: int = PAGERANK_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Fixed-point integer PageRank over the DIRECTED simple graph of
+    ``edges(a, b)`` — the canonical "importance by incoming links"
+    ranking, in the engine's exact-integer cross-engine discipline: no
+    float accumulation order to reconcile, every engine (and every
+    retry) lands on bit-identical ranks.
+
+    Recurrence (all non-negative int64 / decimal(38,0), floor
+    divisions — numpy ``//`` == Spark ``DIV`` == DuckDB ``//`` on
+    non-negative operands)::
+
+        pr_0(v)     = scale
+        share_t(u)  = pr_t(u) DIV outdeg(u)
+        pr_{t+1}(v) = base + (damp_num * SUM_{u->v} share_t(u)) DIV damp_den
+        base        = ((damp_den - damp_num) * scale) DIV damp_den
+
+    This is textbook PageRank with uniform teleport mass ``(1-d) *
+    scale`` per node (the usual (1-d)/N on ranks that sum to 1, scaled
+    by N * scale) and damping d = damp_num/damp_den. Spec choices,
+    pinned: duplicate edges collapse (simple graph), self-loops drop,
+    dangling nodes RETAIN rank but re-emit nothing (their outflow
+    leaves the system rather than teleporting — the "lost mass"
+    variant; rankings are unaffected for the usual d), and each
+    iteration floors twice (share, then damped sum), so ranks are
+    exact integers with quantization error <= outdeg per node per
+    round — invisible at the default scale.
+
+    Returns ``(id, pr)`` after exactly ``iters`` rounds (fixed
+    iteration count, not a convergence test: the oracle unrolls the
+    same rounds). Contribution sums are carried as decimal(38,0)
+    through the damp_num product (DuckDB HUGEINT twin), cast back to
+    int64 after the final division.
+
+    Scale: outdeg is computed once; each round is one hash join
+    (ranks onto edge sources — narrow int rows) + one sum agg + one
+    left join back onto the node set, plan-truncated with eager
+    localCheckpoint (the hop_distances discipline). Hub fan-in is a
+    plain hash-agg combine; no per-node state beyond (id, pr)."""
+    if iters < 1:
+        raise ValueError("pagerank requires iters >= 1")
+    if not (0 < damp_num < damp_den):
+        raise ValueError("pagerank requires 0 < damp_num < damp_den")
+    if scale < damp_den:
+        raise ValueError("scale must be >= damp_den (the teleport base would floor to 0)")
+    de = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        de.select(F.col("_a").alias("id"))
+        .unionByName(de.select(F.col("_b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = de.groupBy(F.col("_a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("_od")
+    ).localCheckpoint(eager=True)
+    base = ((damp_den - damp_num) * scale) // damp_den
+    pr = nodes.withColumn("pr", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        shares = pr.join(outdeg, "id").select(
+            F.col("id").alias("_a"),
+            F.expr("pr div _od").alias("_share"),
+        )
+        sums = (
+            de.join(shares, "_a")
+            .groupBy(F.col("_b").alias("id"))
+            .agg(F.sum(F.col("_share").cast("decimal(38,0)")).alias("_s"))
+        )
+        pr = (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"CAST((CAST({damp_num} AS DECIMAL(38,0)) * coalesce(_s, CAST(0 AS DECIMAL(38,0)))) "
+                        f"DIV {damp_den} AS BIGINT)"
+                    )
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    de.unpersist()
+    return pr
+
+
 def components_pointer_jump(
     pairs: DataFrame,
     max_iters: int = 40,

@@ -313,3 +313,164 @@ def test_msf_shapes_and_disconnected(spark):
     got = {(r.a, r.b, r.w) for r in minimum_spanning_forest(e).collect()}
     assert got == {("a", "b", 1), ("b", "c", 2), ("x", "y", 4)}
     assert got == _kruskal(edges)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def _tri_ref(edges):
+    """Adjacency-set reference: node -> (deg, triangles containing it)
+    over the canonical simple graph."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    seen = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for a, b in seen:
+        for c in adj[a] & adj[b]:
+            tri[c] += 1  # counts each triangle once per edge -> /2 per node
+    # each node's triangles were counted once per OPPOSITE edge => exact
+    # count is common-neighbour pairs: recount properly
+    tri = {n: 0 for n in adj}
+    for a, b in seen:
+        common = adj[a] & adj[b]
+        for c in common:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    # every triangle has 3 edges, so each node got its count x3
+    return {n: (len(adj[n]), t // 3) for n, t in tri.items()}
+
+
+def test_triangle_counts_shapes(spark):
+    from osm_replication_rust_spark.operators.graph import triangle_counts
+
+    # triangle + pendant + island edge + self loop + duplicate edge
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "d"),                      # pendant: deg 1, no triangle
+        ("x", "y"),                      # island pair
+        ("a", "a"), ("b", "a"),          # self loop + duplicate (reversed)
+    ]
+    e = spark.createDataFrame(edges, "a string, b string")
+    got = {r.id: (r.deg, r.tri) for r in triangle_counts(e).collect()}
+    assert got == {
+        "a": (2, 1), "b": (2, 1), "c": (3, 1),
+        "d": (1, 0), "x": (1, 0), "y": (1, 0),
+    }
+
+
+def test_triangle_counts_k4_and_two_triangles_sharing_edge(spark):
+    from osm_replication_rust_spark.operators.graph import triangle_counts
+
+    # K4: every vertex in C(3,2)=3 triangles, 4 triangles total
+    k4 = [(a, b) for i, a in enumerate("pqrs") for b in "pqrs"[i + 1:]]
+    e = spark.createDataFrame(k4, "a string, b string")
+    got = {r.id: (r.deg, r.tri) for r in triangle_counts(e).collect()}
+    assert got == {v: (3, 3) for v in "pqrs"}
+
+    # bowtie on a shared edge: a-b shared by triangles abc and abd
+    bow = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")]
+    e = spark.createDataFrame(bow, "a string, b string")
+    got = {r.id: (r.deg, r.tri) for r in triangle_counts(e).collect()}
+    assert got == {"a": (3, 2), "b": (3, 2), "c": (2, 1), "d": (2, 1)}
+
+
+def test_triangle_counts_random_matches_reference(spark):
+    from osm_replication_rust_spark.operators.graph import triangle_counts
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (int(a), int(b)) for a, b in rng.integers(0, n, size=(160, 2))
+        ]
+        e = spark.createDataFrame(edges, "a long, b long")
+        got = {r.id: (r.deg, r.tri) for r in triangle_counts(e).collect()}
+        assert got == _tri_ref(edges), trial
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def _pr_ref(edges, iters, scale=10**12, num=85, den=100):
+    """Exact integer replica of the pinned recurrence (floor divisions
+    on non-negative ints — Python // == Spark DIV == DuckDB //)."""
+    de = {(a, b) for a, b in edges if a != b}
+    nodes = {x for ab in de for x in ab}
+    od = {}
+    for a, _ in de:
+        od[a] = od.get(a, 0) + 1
+    base = ((den - num) * scale) // den
+    pr = {v: scale for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in de:
+            s[b] += pr[a] // od[a]
+        pr = {v: base + (num * s[v]) // den for v in nodes}
+    return pr
+
+
+def test_pagerank_star_sink_and_dangling(spark):
+    from osm_replication_rust_spark.operators.graph import pagerank
+
+    # all points into "hub": hub accumulates, spokes keep teleport-only
+    edges = [(f"s{i}", "hub") for i in range(5)]
+    e = spark.createDataFrame(edges, "a string, b string")
+    got = {r.id: r.pr for r in pagerank(e, iters=3).collect()}
+    ref = _pr_ref(edges, 3)
+    assert got == ref
+    assert got["hub"] > got["s0"]
+    # dangling hub re-emits nothing: spokes all settle to the same rank
+    assert len({got[f"s{i}"] for i in range(5)}) == 1
+
+
+def test_pagerank_cycle_uniform_and_selfloop_dup(spark):
+    from osm_replication_rust_spark.operators.graph import pagerank
+
+    # directed 4-cycle is rank-symmetric: all equal at every iteration
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    e = spark.createDataFrame(cyc, "a string, b string")
+    got = {r.id: r.pr for r in pagerank(e, iters=4).collect()}
+    assert got == _pr_ref(cyc, 4)
+    assert len(set(got.values())) == 1
+
+    # self loops drop, duplicate edges collapse
+    edges = cyc + [("a", "a"), ("a", "b")]
+    e = spark.createDataFrame(edges, "a string, b string")
+    got2 = {r.id: r.pr for r in pagerank(e, iters=4).collect()}
+    assert got2 == got
+
+
+def test_pagerank_random_matches_reference(spark):
+    from osm_replication_rust_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(37)
+    for iters in (1, 3):
+        edges = [
+            (int(a), int(b)) for a, b in rng.integers(0, 30, size=(90, 2))
+        ]
+        e = spark.createDataFrame(edges, "a long, b long")
+        got = {r.id: r.pr for r in pagerank(e, iters=iters).collect()}
+        assert got == _pr_ref(edges, iters), iters
+
+
+def test_pagerank_guards(spark):
+    import pytest
+
+    from osm_replication_rust_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b")], "a string, b string")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(e, iters=0)
+    with pytest.raises(ValueError, match="damp"):
+        pagerank(e, damp_num=100, damp_den=100)
+    with pytest.raises(ValueError, match="scale"):
+        pagerank(e, scale=10)
