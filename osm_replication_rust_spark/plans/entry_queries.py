@@ -4476,25 +4476,80 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM g
-    )
-    SELECT user_id, min(ts) AS s_start,
-           count(*) AS n, sum(value) AS sum_value
-    FROM s GROUP BY user_id, sid
-    ORDER BY user_id, s_start
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS s_start,
+             count(*) AS n, sum(value) AS sum_value
+      FROM s GROUP BY user_id, sid
+    ),
+    ij AS (
+      SELECT a.user_id, a.event_id AS cid, b.event_id AS bid
+      FROM events a JOIN events b ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 7200 SECOND
+    ),
+    iju AS (SELECT user_id, count(*) AS ij_n FROM ij GROUP BY user_id),
+    ijs AS (SELECT md5(COALESCE(string_agg(
+              CAST(cid AS VARCHAR) || ':' || CAST(bid AS VARCHAR),
+              ',' ORDER BY cid, bid), '')) AS ij_sig FROM ij)
+    SELECT se.user_id, se.s_start, se.n, se.sum_value,
+           COALESCE(u.ij_n, 0) AS ij_n, ijs.ij_sig
+    FROM sess se LEFT JOIN iju u ON u.user_id = se.user_id
+    CROSS JOIN ijs
+    ORDER BY se.user_id, se.s_start
     """,
 )
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation (gap-based), the built-in
     sibling of operators/relational.sessionize. Spark session windows
     are half-open [start, last_ts + gap): an event at exactly
-    last_ts + gap starts a NEW session, hence the oracle's >= 1800."""
+    last_ts + gap starts a NEW session, hence the oracle's >= 1800.
+    PLUS the stream-stream interval join
+    (streaming/incremental.stream_interval_join — same call, batch
+    frames, identical plan minus watermarks; streaming face asserted
+    stream==batch with out-of-order arrivals and a watermark-drop case
+    in test_streaming): the click->purchase-within-2h attribution
+    pairs per user ride each session row (ij_n, BIGINT per the gate
+    dtype rule) and the ENTIRE pair set is pinned by one md5 over the
+    (click, purchase) id pairs in pair order (ij_sig)."""
+    from ..streaming.incremental import stream_interval_join
+
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    return (
+    sess = (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
         .select("user_id", F.col("w.start").alias("s_start"), "n", "sum_value")
+    )
+    evi = _t(spark, sf_dir, "events")
+    clicks = evi.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("cid")
+    )
+    buys = evi.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("bid")
+    )
+    ij = stream_interval_join(clicks, buys, after_s=7200)
+    iju = ij.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("ij_n"))
+    pair_s = F.concat_ws(":", F.col("cid").cast("string"), F.col("bid").cast("string"))
+    ijs = ij.agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("cid", "bid", pair_s.alias("s")))
+                    ),
+                    lambda x: x["s"],
+                ),
+            )
+        ).alias("ij_sig")
+    )
+    return (
+        sess.join(iju, "user_id", "left")
+        .withColumn("ij_n", F.coalesce(F.col("ij_n"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(ijs))
+        .select("user_id", "s_start", "n", "sum_value", "ij_n", "ij_sig")
         .orderBy("user_id", "s_start")
     )
 

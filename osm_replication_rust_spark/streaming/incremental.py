@@ -47,6 +47,78 @@ def windowed_change_stats(events: DataFrame, window: str = "5 minutes") -> DataF
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    before_s: int = 0,
+    after_s: int = 7200,
+    watermark: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Stream-stream INNER interval join — the attribution-join shape
+    ("purchase within 2 h after the click"): pair every left row with
+    the right rows of the SAME ``key`` whose event time falls in
+    ``[left_ts - before_s, left_ts + after_s]``. The same call works
+    on batch frames (identical plan minus watermarks), so batch is the
+    executable spec the streaming test compares against.
+
+    Output: ``key, l_ts, r_ts`` plus every other left column and every
+    other right column, in that order. Non-key column names shared by
+    both inputs raise (the join would silently produce ambiguous
+    references); the two event-time columns are renamed ``l_ts`` /
+    ``r_ts`` in the output whatever their input names.
+
+    Streaming semantics: BOTH sides get ``watermark`` on their event
+    time — Spark requires it to bound interval-join state, and the
+    condition below is exactly the range form its state manager
+    recognises. Each side buffers only rows inside
+    watermark + before_s/after_s of the stream clock, so state is
+    O(rate x horizon) per key-partition, never the stream. Matches
+    emit as soon as both rows have arrived (append mode); a row later
+    than the watermark is dropped and its pairs are NOT emitted —
+    stream==batch equality holds for on-time data (asserted with
+    out-of-order but in-horizon arrivals in the tests).
+
+    Scale: one shuffle of each side on ``key`` (co-partitioned state
+    store); hot keys split across time via the range condition. At
+    100 TB the watermark horizon — not the input size — bounds memory."""
+    if before_s < 0 or after_s < 0:
+        raise ValueError("before_s/after_s must be >= 0 (a negative bound "
+                         "silently empties the join window)")
+    l_extra = [c for c in left.columns if c not in (key, left_ts)]
+    r_extra = [c for c in right.columns if c not in (key, right_ts)]
+    clash = sorted(set(l_extra) & set(r_extra))
+    if clash:
+        raise ValueError(
+            f"non-key columns present on both sides: {clash}; rename one "
+            "side — the join output would be ambiguous"
+        )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).cast("timestamp").alias("l_ts"),
+        *[F.col(c) for c in l_extra],
+    )
+    r = right.select(
+        F.col(key).alias("_rkey"),
+        F.col(right_ts).cast("timestamp").alias("r_ts"),
+        *[F.col(c) for c in r_extra],
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (l[key] == r["_rkey"])
+        & (r["r_ts"] >= l["l_ts"] - F.expr(f"INTERVAL {before_s} SECONDS"))
+        & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {after_s} SECONDS"))
+    )
+    return l.join(r, cond, "inner").select(
+        key, "l_ts", "r_ts", *l_extra, *r_extra
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n long, sum_value double"

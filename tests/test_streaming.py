@@ -431,3 +431,142 @@ def test_stateful_trajectory_segments_stream_equals_batch(spark, tmp_path):
     assert got == want
     # the out-of-order point landed inside segment A: 3 points
     assert (1, t0, t0 + 150, 3) in got
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Attribution join: purchases within [click, click+2h] per user —
+    streamed in three appends with out-of-order (but in-horizon)
+    arrivals, compared pair-for-pair against the batch twin."""
+    from datetime import datetime
+
+    from osm_replication_rust_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    from datetime import timedelta
+
+    T = lambda m: datetime(2024, 1, 1, 10, 0) + timedelta(minutes=m)
+    clicks = [
+        (1, T(0), "c1"), (1, T(50), "c2"), (2, T(10), "c3"),
+        (3, T(30), "c4"),
+    ]
+    buys = [
+        (1, T(40), "p1"),     # matches c1 (40m) and NOT c2 (before it -> only via before_s=0 rule: 40 < 50 so no)
+        (1, T(55), "p2"),     # matches c1 (55m) and c2 (5m)
+        (2, T(9), "p3"),      # 1m BEFORE c3: excluded by before_s=0
+        (3, T(150), "p4"),    # 120m after c4: exactly at the bound -> included
+        (4, T(20), "p5"),     # user with no clicks
+    ]
+    cschema = "user_id long, ts timestamp, click_id string"
+    pschema = "user_id long, ts timestamp, buy_id string"
+    cb = spark.createDataFrame(clicks, cschema)
+    pb = spark.createDataFrame(buys, pschema)
+    want = {
+        (r.user_id, r.click_id, r.buy_id)
+        for r in stream_interval_join(cb, pb, after_s=7200).collect()
+    }
+    assert want == {(1, "c1", "p1"), (1, "c1", "p2"), (1, "c2", "p2"),
+                    (3, "c4", "p4")}
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "buys"
+    # batch 1: first clicks + one EARLY purchase; batch 2 delivers a
+    # purchase OLDER than batch 1's clicks (out-of-order, in horizon);
+    # batch 3 the rest
+    spark.createDataFrame([clicks[0], clicks[2]], cschema).coalesce(1).write.parquet(str(cdir))
+    spark.createDataFrame([buys[1]], pschema).coalesce(1).write.parquet(str(pdir))
+    cs = spark.readStream.schema(cb.schema).parquet(str(cdir))
+    ps = spark.readStream.schema(pb.schema).parquet(str(pdir))
+    q = (
+        stream_interval_join(cs, ps, after_s=7200, watermark="3 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([clicks[1], clicks[3]], cschema).coalesce(1).write.mode("append").parquet(str(cdir))
+        spark.createDataFrame([buys[0], buys[2]], pschema).coalesce(1).write.mode("append").parquet(str(pdir))
+        q.processAllAvailable()
+        spark.createDataFrame([buys[3], buys[4]], pschema).coalesce(1).write.mode("append").parquet(str(pdir))
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.click_id, r.buy_id)
+            for r in spark.sql("SELECT * FROM ij").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
+
+
+def test_stream_interval_join_guards(spark):
+    import pytest
+
+    from osm_replication_rust_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    a = spark.createDataFrame([], "user_id long, ts timestamp, x string")
+    b = spark.createDataFrame([], "user_id long, ts timestamp, x string")
+    with pytest.raises(ValueError, match="both sides"):
+        stream_interval_join(a, b)
+    with pytest.raises(ValueError, match="negative"):
+        stream_interval_join(
+            a, b.withColumnRenamed("x", "y"), before_s=-1
+        )
+
+
+def test_stream_interval_join_drops_late_rows(spark, tmp_path):
+    """A right row arriving BEHIND the watermark is dropped and its
+    pair never emits (the batch twin still contains it) — the state
+    bound is real, not decorative."""
+    from datetime import datetime, timedelta
+
+    from osm_replication_rust_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    T = lambda m: datetime(2024, 1, 1, 10, 0) + timedelta(minutes=m)
+    cschema = "user_id long, ts timestamp, click_id string"
+    pschema = "user_id long, ts timestamp, buy_id string"
+    # the GLOBAL watermark is min() over all watermarked inputs
+    # (multipleWatermarkPolicy default), so BOTH sides carry a
+    # far-future row in batch 1 — an empty purchases side would hold
+    # the global watermark at the epoch and nothing would ever drop
+    clicks = [(1, T(0), "c1"), (9, T(300), "cfar")]
+    far_buy = [(9, T(301), "pfar")]
+    late_buy = [(1, T(40), "p1")]
+
+    cb = spark.createDataFrame(clicks, cschema)
+    pb = spark.createDataFrame(far_buy + late_buy, pschema)
+    batch = {
+        (r.user_id, r.click_id, r.buy_id)
+        for r in stream_interval_join(cb, pb, after_s=7200).collect()
+    }
+    assert batch == {(1, "c1", "p1"), (9, "cfar", "pfar")}
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "buys"
+    spark.createDataFrame(clicks, cschema).coalesce(1).write.parquet(str(cdir))
+    spark.createDataFrame(far_buy, pschema).coalesce(1).write.parquet(str(pdir))
+    cs = spark.readStream.schema(cb.schema).parquet(str(cdir))
+    ps = spark.readStream.schema(pb.schema).parquet(str(pdir))
+    q = (
+        stream_interval_join(cs, ps, after_s=7200, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_late")
+        .start()
+    )
+    try:
+        # batch 1 advances the stream clock to T(300): watermark T(290)
+        q.processAllAvailable()
+        # p1 at T(40) is now ~4 h behind the watermark: dropped
+        spark.createDataFrame(late_buy, pschema).coalesce(1).write.mode("append").parquet(str(pdir))
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.click_id, r.buy_id)
+            for r in spark.sql("SELECT * FROM ij_late").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(9, "cfar", "pfar")}
