@@ -581,6 +581,95 @@ def sobel_stage(df: DataFrame, edge_sq_min: int = 200_000, bytes_col: str = "byt
     return df.mapInPandas(stage, out_schema)
 
 
+def template_match_stage(
+    df: DataFrame,
+    template: np.ndarray,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Exact SSD template matching — the localization primitive behind
+    logo/watermark detection and patch-level duplicate search
+    (OpenCV's cv2.matchTemplate(..., TM_SQDIFF) is this statistic):
+    slide ``template`` (a small uint8 t_h x t_w array) over every
+    valid offset of each image and report the best (minimum) sum of
+    squared differences and WHERE it occurred.
+
+    Emits per image: ``n_pos`` (number of valid offsets,
+    (h-t_h+1)*(w-t_w+1)), ``best_ssd``, ``best_y``, ``best_x`` — ties
+    break to the smallest y then x (C-order argmin, pinned by tests),
+    so the result is deterministic and the DuckDB oracle reproduces
+    all four columns from the pixel formula. Everything is exact
+    int64 (per-term diff^2 <= 250^2; even a 4-megapixel image times
+    that stays far under 2^63) — no correlation-via-FFT float paths,
+    bit-identical across engines and retries. Images smaller than the
+    template have no valid offset: n_pos 0, best_* NULL.
+
+    Scale: map-only mapInPandas over equal-shape batch stacks (the
+    decode_stats discipline); the [chunk, H', W', t_h, t_w] window
+    tensor is bounded by a fixed image chunk size, so executor memory
+    is independent of partition size. Cost is O(pixels x template)
+    per image — the exact-arithmetic price; at 100 TB the win is that
+    the stage stays embarrassingly parallel with zero shuffle."""
+    tpl = np.asarray(template)
+    if tpl.ndim != 2 or tpl.size == 0:
+        raise ValueError("template must be a non-empty 2-D array")
+    if tpl.min() < 0 or tpl.max() > 255:
+        raise ValueError("template values must be uint8-range (0..255)")
+    tpl = tpl.astype(np.int64)
+    th, tw = tpl.shape
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields + ["n_pos bigint", "best_ssd bigint", "best_y bigint", "best_x bigint"]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            n = len(pdf)
+            npos = np.zeros(n, dtype=np.int64)
+            bssd = np.full(n, np.nan)
+            by = np.full(n, np.nan)
+            bx = np.full(n, np.nan)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < th or w < tw:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                wo = w - tw + 1
+                npos[ii] = (h - th + 1) * wo
+                # chunk the window tensor: memory is chunk-bounded,
+                # not partition-bounded
+                for lo in range(0, len(ii), 64):
+                    sub = px[lo : lo + 64]
+                    sw = sliding_window_view(sub, (th, tw), axis=(1, 2))
+                    d = sw - tpl
+                    ssd = np.einsum("lyxab,lyxab->lyx", d, d)
+                    flat = ssd.reshape(len(sub), -1)
+                    idx = flat.argmin(axis=1)  # first min = smallest (y, x)
+                    sel = ii[lo : lo + 64]
+                    bssd[sel] = flat[np.arange(len(sub)), idx]
+                    by[sel] = idx // wo
+                    bx[sel] = idx % wo
+            yield pdf.assign(
+                n_pos=npos,
+                best_ssd=pd.array(
+                    [None if np.isnan(v) else int(v) for v in bssd], dtype="Int64"
+                ),
+                best_y=pd.array(
+                    [None if np.isnan(v) else int(v) for v in by], dtype="Int64"
+                ),
+                best_x=pd.array(
+                    [None if np.isnan(v) else int(v) for v in bx], dtype="Int64"
+                ),
+            )
+
+    return df.mapInPandas(stage, out_schema)
+
+
 #: Otsu float-exactness bound: the between-class numerator
 #: cw*S - N*cs is bounded by 255*N^2, which must stay exactly
 #: representable in a double (< 2^53) so Spark's numpy kernel and the

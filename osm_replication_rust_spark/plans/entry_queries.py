@@ -2316,6 +2316,30 @@ def _multimodal_oracle() -> str:
              CAST(SUM((j + 1) * ov) AS BIGINT) AS bl_wsum
       FROM ble GROUP BY image_id
     ),
+    tmssd AS (
+      -- exact SSD template matching (multimodal.template_match_stage):
+      -- the 8x8 gate template is tpl[j] = (j*37 + 11) % 251
+      SELECT image_id, (h - 7) * (w - 7) AS n_pos, oy, ox,
+             SUM((({_sql_lcg_px('(oy + j // 8) * w + (ox + j % 8)')})
+                  - ((j * 37 + 11) % 251))
+                 * (({_sql_lcg_px('(oy + j // 8) * w + (ox + j % 8)')})
+                    - ((j * 37 + 11) % 251))) AS ssd
+      FROM meta,
+           UNNEST(generate_series(0, h - 8)) AS t1(oy),
+           UNNEST(generate_series(0, w - 8)) AS t2(ox),
+           UNNEST(generate_series(0, 63)) AS t3(j)
+      GROUP BY image_id, (h - 7) * (w - 7), oy, ox
+    ),
+    tmbest AS (
+      SELECT image_id, CAST(n_pos AS BIGINT) AS tm_npos,
+             CAST(ssd AS BIGINT) AS tm_ssd,
+             CAST(oy AS BIGINT) AS tm_y, CAST(ox AS BIGINT) AS tm_x
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY image_id ORDER BY ssd, oy, ox) AS rn
+        FROM tmssd
+      ) WHERE rn = 1
+    ),
     aud AS (
       SELECT image_id,
              CAST(w * h AS INT) AS n_samples,
@@ -2349,12 +2373,14 @@ def _multimodal_oracle() -> str:
            COALESCE(sg.n_edge, 0) AS n_edge,
            ob.otsu_t, ob.otsu_fg, ob.otsu_sigma,
            e.eq_sum, e.eq_dark,
-           bl.bl_sum, bl.bl_wsum
+           bl.bl_sum, bl.bl_wsum,
+           tb.tm_npos, tb.tm_ssd, tb.tm_y, tb.tm_x
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     JOIN eagg e USING (image_id)
     JOIN blagg bl USING (image_id)
+    JOIN tmbest tb USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -2407,7 +2433,17 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-division combination of the four LCG neighbors with the
     half-pixel fixed-point fractions, pinned per image by the output
     sum and the position-weighted checksum (a transpose or shift
-    breaks it even when the pixel multiset is right)."""
+    breaks it even when the pixel multiset is right).
+
+    Plus exact SSD template matching (template_match_stage, the
+    localization primitive behind logo/watermark detection): the best
+    offset of the fixed 8x8 gate template tpl[j] = (j*37 + 11) % 251
+    in every image, ties to the smallest (y, x) — valid-offset count,
+    minimum SSD and BOTH coordinates recomputed by the oracle's
+    position x template-index unnest (a localization off-by-one
+    breaks tm_y/tm_x even when the SSD value is right)."""
+    import numpy as np
+
     from ..datagen.synth import gen_images, gen_videos
     from ..operators.multimodal import (
         audio_stats_stage,
@@ -2419,6 +2455,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scene_cut_stage,
         sharpness_stage,
         sobel_stage,
+        template_match_stage,
     )
 
     imgs = spark.createDataFrame(gen_images(500, seed=42))
@@ -2478,6 +2515,16 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     blr = bilinear_resize_stage(
         imgs.select("image_id", "bytes", "w", "h"), 8, 8, with_checksums=True
     ).select("image_id", "bl_sum", "bl_wsum")
+    tpl = ((np.arange(64) * 37 + 11) % 251).reshape(8, 8)
+    tmt = template_match_stage(
+        imgs.select("image_id", "bytes", "w", "h"), tpl
+    ).select(
+        "image_id",
+        F.col("n_pos").alias("tm_npos"),
+        F.col("best_ssd").alias("tm_ssd"),
+        F.col("best_y").alias("tm_y"),
+        F.col("best_x").alias("tm_x"),
+    )
     return (
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
@@ -2487,6 +2534,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ots, "image_id")
         .join(heq, "image_id")
         .join(blr, "image_id")
+        .join(tmt, "image_id")
         .orderBy("image_id")
     )
 

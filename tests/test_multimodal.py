@@ -647,3 +647,83 @@ def test_bilinear_resize_exact_reference_and_identity(spark):
         16, 12,
     ).collect()[0]
     assert bytes(ident.bytes) == rows[0][1]
+
+
+def test_template_match_matches_numpy_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        template_match_stage,
+    )
+
+    tpl = np.array(
+        [[(r * 4 + c) * 37 % 251 for c in range(4)] for r in range(4)]
+    )
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),
+        ("c", bytes(range(2 * 9)), 2, 9),      # smaller than the template
+        ("d", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in template_match_stage(df, tpl).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if h < 4 or w < 4:
+            assert (r.n_pos, r.best_ssd, r.best_y, r.best_x) == (0, None, None, None)
+            continue
+        px = fake_decode(payload, w, h).astype(np.int64)
+        best = None
+        for oy in range(h - 3):
+            for ox in range(w - 3):
+                d = px[oy : oy + 4, ox : ox + 4] - tpl
+                s = int((d * d).sum())
+                if best is None or s < best[0]:
+                    best = (s, oy, ox)
+        assert r.n_pos == (h - 3) * (w - 3)
+        assert (r.best_ssd, r.best_y, r.best_x) == best, image_id
+
+
+def test_template_match_planted_exact_and_ties(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        template_match_stage,
+    )
+
+    # plant the template verbatim at (3, 5): best_ssd must be 0 there
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 251, size=(12, 10), dtype=np.int64)
+    tpl = img[3:7, 5:9].copy()
+    # ensure no OTHER window equals the template (random 4x4 over 251
+    # values: collision odds are negligible, but assert to be sure)
+    n_zero = sum(
+        (img[y : y + 4, x : x + 4] == tpl).all()
+        for y in range(9)
+        for x in range(7)
+    )
+    assert n_zero == 1
+    rows = [("p", bytes(img.astype(np.uint8).flatten().tolist()), 10, 12)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    r = template_match_stage(df, tpl).collect()[0]
+    assert (r.best_ssd, r.best_y, r.best_x) == (0, 3, 5)
+
+    # constant image + constant template: every offset ties at 0 ->
+    # smallest y then x wins
+    const = [("t", bytes([7] * 48), 8, 6)]
+    df = spark.createDataFrame(const, "image_id string, bytes binary, w int, h int")
+    r = template_match_stage(df, np.full((2, 2), 7)).collect()[0]
+    assert (r.n_pos, r.best_ssd, r.best_y, r.best_x) == (35, 0, 0, 0)
+
+
+def test_template_match_guards(spark):
+    import pytest
+
+    from osm_replication_rust_spark.operators.multimodal import (
+        template_match_stage,
+    )
+
+    df = spark.createDataFrame(
+        [("a", bytes(16), 4, 4)], "image_id string, bytes binary, w int, h int"
+    )
+    with pytest.raises(ValueError, match="2-D"):
+        template_match_stage(df, np.array([1, 2, 3]))
+    with pytest.raises(ValueError, match="uint8-range"):
+        template_match_stage(df, np.array([[300]]))
