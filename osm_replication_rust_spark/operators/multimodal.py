@@ -581,6 +581,82 @@ def sobel_stage(df: DataFrame, edge_sq_min: int = 200_000, bytes_col: str = "byt
     return df.mapInPandas(stage, out_schema)
 
 
+def orientation_hist_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Gradient-orientation histogram — HOG's pooling statistic reduced
+    to one cell per image (the texture/orientation signature an image
+    pipeline uses to separate line art, text renders and natural
+    photos). Per interior pixel the Sobel pair (gx, gy) (exact ints,
+    sobel_stage's kernel) is binned into FOUR orientation sectors of
+    the undirected gradient angle in [0°, 180°):
+
+        bin 0 = [0°, 45°)    bin 1 = [45°, 90°)
+        bin 2 = [90°, 135°)  bin 3 = [135°, 180°)
+
+    The classic HOG uses sectors anchored at arbitrary angles, whose
+    tan() boundaries are irrational — unverifiable cross-engine. At
+    45° multiples every boundary is an EXACT integer test: normalize
+    to the upper half-plane ((gx, gy) -> (-gx, -gy) when gy < 0 or
+    (gy = 0 and gx < 0)), then bin 0 is nx > ny, bin 1 is nx > 0 and
+    ny >= nx, bin 2 is nx <= 0 and ny > -nx, bin 3 is nx < 0 and
+    ny <= -nx (disjoint and exhaustive for non-zero gradients; each
+    boundary angle lands in the counter-clockwise bin). Zero
+    gradients are 'flat' and counted separately.
+
+    Emits og_flat, og_n0..og_n3 (pixel counts) and og_e0..og_e3
+    (gx²+gy² edge energy per sector) — all exact int64, so the DuckDB
+    oracle reproduces every column from the pixel formula. Images
+    thinner than 3 px have no interior: all zeros. Map-only."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields
+        + ["og_flat bigint"]
+        + [f"og_n{b} bigint" for b in range(4)]
+        + [f"og_e{b} bigint" for b in range(4)]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {
+                k: np.zeros(n, dtype=np.int64)
+                for k in ["og_flat"]
+                + [f"og_n{b}" for b in range(4)]
+                + [f"og_e{b}" for b in range(4)]
+            }
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 3 or w < 3:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                tl, tc, tr = px[:, :-2, :-2], px[:, :-2, 1:-1], px[:, :-2, 2:]
+                ml, mr = px[:, 1:-1, :-2], px[:, 1:-1, 2:]
+                bl, bc, br = px[:, 2:, :-2], px[:, 2:, 1:-1], px[:, 2:, 2:]
+                gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+                gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+                sq = gx * gx + gy * gy
+                neg = (gy < 0) | ((gy == 0) & (gx < 0))
+                nx = np.where(neg, -gx, gx)
+                ny = np.where(neg, -gy, gy)
+                nz = sq > 0
+                bins = [
+                    nz & (nx > ny),
+                    nz & (nx > 0) & (ny >= nx),
+                    nz & (nx <= 0) & (ny > -nx),
+                    nz & (nx < 0) & (ny <= -nx),
+                ]
+                cols["og_flat"][ii] = (~nz).sum(axis=(1, 2))
+                for b, m in enumerate(bins):
+                    cols[f"og_n{b}"][ii] = m.sum(axis=(1, 2))
+                    cols[f"og_e{b}"][ii] = np.where(m, sq, 0).sum(axis=(1, 2))
+            yield pdf.assign(**cols)
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def template_match_stage(
     df: DataFrame,
     template: np.ndarray,

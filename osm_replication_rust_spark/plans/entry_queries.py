@@ -2232,6 +2232,30 @@ def _multimodal_oracle() -> str:
       FROM sob
       GROUP BY image_id
     ),
+    sobn AS (
+      -- upper-half-plane normalization for the orientation bins
+      -- (multimodal.orientation_hist_stage): 45-degree sector
+      -- boundaries are exact integer tests
+      SELECT image_id,
+             CASE WHEN gy < 0 OR (gy = 0 AND gx < 0) THEN -gx ELSE gx END AS nx,
+             CASE WHEN gy < 0 OR (gy = 0 AND gx < 0) THEN -gy ELSE gy END AS ny,
+             gx * gx + gy * gy AS sq
+      FROM sob
+    ),
+    og AS (
+      SELECT image_id,
+             CAST(COALESCE(SUM(CASE WHEN sq = 0 THEN 1 END), 0) AS BIGINT) AS og_flat,
+             CAST(COALESCE(SUM(CASE WHEN sq > 0 AND nx > ny THEN 1 END), 0) AS BIGINT) AS og_n0,
+             CAST(COALESCE(SUM(CASE WHEN sq > 0 AND nx > 0 AND ny >= nx THEN 1 END), 0) AS BIGINT) AS og_n1,
+             CAST(COALESCE(SUM(CASE WHEN sq > 0 AND nx <= 0 AND ny > -nx THEN 1 END), 0) AS BIGINT) AS og_n2,
+             CAST(COALESCE(SUM(CASE WHEN sq > 0 AND nx < 0 AND ny <= -nx THEN 1 END), 0) AS BIGINT) AS og_n3,
+             CAST(COALESCE(SUM(CASE WHEN sq > 0 AND nx > ny THEN sq END), 0) AS BIGINT) AS og_e0,
+             CAST(COALESCE(SUM(CASE WHEN sq > 0 AND nx > 0 AND ny >= nx THEN sq END), 0) AS BIGINT) AS og_e1,
+             CAST(COALESCE(SUM(CASE WHEN sq > 0 AND nx <= 0 AND ny > -nx THEN sq END), 0) AS BIGINT) AS og_e2,
+             CAST(COALESCE(SUM(CASE WHEN sq > 0 AND nx < 0 AND ny <= -nx THEN sq END), 0) AS BIGINT) AS og_e3
+      FROM sobn
+      GROUP BY image_id
+    ),
     ohist AS (
       SELECT image_id, v, COUNT(*) AS c
       FROM px
@@ -2374,13 +2398,19 @@ def _multimodal_oracle() -> str:
            ob.otsu_t, ob.otsu_fg, ob.otsu_sigma,
            e.eq_sum, e.eq_dark,
            bl.bl_sum, bl.bl_wsum,
-           tb.tm_npos, tb.tm_ssd, tb.tm_y, tb.tm_x
+           tb.tm_npos, tb.tm_ssd, tb.tm_y, tb.tm_x,
+           COALESCE(og.og_flat, 0) AS og_flat,
+           COALESCE(og.og_n0, 0) AS og_n0, COALESCE(og.og_n1, 0) AS og_n1,
+           COALESCE(og.og_n2, 0) AS og_n2, COALESCE(og.og_n3, 0) AS og_n3,
+           COALESCE(og.og_e0, 0) AS og_e0, COALESCE(og.og_e1, 0) AS og_e1,
+           COALESCE(og.og_e2, 0) AS og_e2, COALESCE(og.og_e3, 0) AS og_e3
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     JOIN eagg e USING (image_id)
     JOIN blagg bl USING (image_id)
     JOIN tmbest tb USING (image_id)
+    LEFT JOIN og USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -2441,7 +2471,16 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     in every image, ties to the smallest (y, x) — valid-offset count,
     minimum SSD and BOTH coordinates recomputed by the oracle's
     position x template-index unnest (a localization off-by-one
-    breaks tm_y/tm_x even when the SSD value is right)."""
+    breaks tm_y/tm_x even when the SSD value is right).
+
+    Plus the gradient-orientation histogram
+    (orientation_hist_stage, HOG's pooling statistic at one cell per
+    image): per-sector pixel counts and edge energy over FOUR
+    45-degree sectors of the undirected gradient angle — the sector
+    boundaries sit at 45-degree multiples precisely so every boundary
+    is an exact integer comparison (classic HOG's tan() boundaries
+    are irrational and cross-engine unverifiable); flat gradients
+    counted separately; oracle reuses the Sobel CTE."""
     import numpy as np
 
     from ..datagen.synth import gen_images, gen_videos
@@ -2453,6 +2492,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         otsu_stage,
         patchify_stage,
         scene_cut_stage,
+        orientation_hist_stage,
         sharpness_stage,
         sobel_stage,
         template_match_stage,
@@ -2525,6 +2565,12 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_y").alias("tm_y"),
         F.col("best_x").alias("tm_x"),
     )
+    ogh = orientation_hist_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id",
+        "og_flat",
+        *[f"og_n{b}" for b in range(4)],
+        *[f"og_e{b}" for b in range(4)],
+    )
     return (
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
@@ -2535,6 +2581,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(heq, "image_id")
         .join(blr, "image_id")
         .join(tmt, "image_id")
+        .join(ogh, "image_id")
         .orderBy("image_id")
     )
 

@@ -727,3 +727,82 @@ def test_template_match_guards(spark):
         template_match_stage(df, np.array([1, 2, 3]))
     with pytest.raises(ValueError, match="uint8-range"):
         template_match_stage(df, np.array([[300]]))
+
+
+def test_orientation_hist_matches_reference(spark):
+    import math
+
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        orientation_hist_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),   # constant: all flat
+        ("c", bytes(range(2 * 9)), 2, 9),      # no interior
+        ("d", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in orientation_hist_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if w < 3 or h < 3:
+            assert all(
+                getattr(r, c) == 0
+                for c in ["og_flat"]
+                + [f"og_n{b}" for b in range(4)]
+                + [f"og_e{b}" for b in range(4)]
+            )
+            continue
+        px = fake_decode(payload, w, h).astype(np.int64)
+        ref_n = [0, 0, 0, 0]
+        ref_e = [0, 0, 0, 0]
+        flat = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = int(
+                    px[y - 1, x + 1] + 2 * px[y, x + 1] + px[y + 1, x + 1]
+                    - px[y - 1, x - 1] - 2 * px[y, x - 1] - px[y + 1, x - 1]
+                )
+                gy = int(
+                    px[y + 1, x - 1] + 2 * px[y + 1, x] + px[y + 1, x + 1]
+                    - px[y - 1, x - 1] - 2 * px[y - 1, x] - px[y - 1, x + 1]
+                )
+                if gx == 0 and gy == 0:
+                    flat += 1
+                    continue
+                # independent angle-based binning: the undirected
+                # gradient angle in [0, 180) at 45-degree sectors
+                theta = math.degrees(math.atan2(gy, gx)) % 180.0
+                b = int(theta // 45.0) % 4
+                ref_n[b] += 1
+                ref_e[b] += gx * gx + gy * gy
+        assert r.og_flat == flat, image_id
+        assert [getattr(r, f"og_n{b}") for b in range(4)] == ref_n, image_id
+        assert [getattr(r, f"og_e{b}") for b in range(4)] == ref_e, image_id
+
+
+def test_orientation_hist_pure_directions(spark):
+    """Vertical / horizontal / diagonal ramps land ALL their non-flat
+    energy in the expected single sector, boundary angles included."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        orientation_hist_stage,
+    )
+
+    w = h = 8
+    # horizontal ramp: gradient points along +x -> theta 0 -> bin 0
+    horiz = bytes([(5 * x) % 256 for y in range(h) for x in range(w)])
+    # vertical ramp: gradient +y -> theta 90 -> bin 2 (boundary goes ccw)
+    vert = bytes([(5 * y) % 256 for y in range(h) for x in range(w)])
+    # diagonal ramp x+y: theta 45 -> bin 1
+    diag = bytes([(5 * (x + y)) % 256 for y in range(h) for x in range(w)])
+    rows = [("hz", horiz, w, h), ("vt", vert, w, h), ("dg", diag, w, h)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in orientation_hist_stage(df).collect()}
+    n_int = (w - 2) * (h - 2)
+    for image_id, b in (("hz", 0), ("vt", 2), ("dg", 1)):
+        r = got[image_id]
+        assert getattr(r, f"og_n{b}") == n_int, image_id
+        assert r.og_flat == 0
+        assert sum(getattr(r, f"og_n{k}") for k in range(4)) == n_int
