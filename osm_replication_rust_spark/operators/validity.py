@@ -153,6 +153,40 @@ def self_intersection_counts(
     )
 
 
+def cross_intersection_pairs(
+    segs_a: DataFrame, segs_b: DataFrame, res: int | None = C.DEFAULT_RES
+) -> DataFrame:
+    """(a_group, apos, b_group, bpos) — every properly-crossing segment
+    pair BETWEEN two layers, exactly once: the overlay-detection join
+    (roads x rivers = bridge/culvert candidates, ST_Crosses as a
+    distributed join) on the same exact-integer predicate and
+    canonical-tile machinery as the self-intersection screen.
+
+    Unlike ``self_intersection_pairs`` there is no shared group key:
+    the ONLY join key is the bbox tile — a global spatial pair join.
+    The canonical-tile rule (accept a pair only in tile
+    (max(txlo), max(tylo))) again counts each bbox-overlapping pair
+    exactly once with no distinct. ``res=None`` is the brute-force
+    cross join (oracle shape; tests and tiny inputs only).
+
+    Scale: shuffle = each layer's segments x their tile span, hash
+    join on (tx, ty); only bbox-close cross-layer pairs are ever
+    tested. Dense tiles are ordinary AQE skew splits; res trades
+    fan-out (finer = more tiles per long segment) against tile
+    occupancy (coarser = more candidate pairs) exactly as in
+    clip_ways_to_tiles."""
+    a = _sides(segs_a, "a", res).withColumnRenamed("group_id", "a_group")
+    b = _sides(segs_b, "b", res).withColumnRenamed("group_id", "b_group")
+    if res is None:
+        j = a.crossJoin(b)
+    else:
+        j = a.join(b, ["tx", "ty"]).filter(
+            (F.col("tx") == F.greatest("atxlo", "btxlo"))
+            & (F.col("ty") == F.greatest("atylo", "btylo"))
+        )
+    return j.filter(_proper_cross()).select("a_group", "apos", "b_group", "bpos")
+
+
 def sql_proper_cross_expr(
     ax1: str, ay1: str, ax2: str, ay2: str, bx1: str, by1: str, bx2: str, by2: str
 ) -> str:

@@ -3520,9 +3520,12 @@ def _way_geometry_oracle() -> str:
     from ..operators.snap import sql_snap_d2_expr
     from ..operators.validity import sql_proper_cross_expr
 
+    from ..operators.dedup import sql_h64_md5
+
     _, groups_pdf, pts = _closure_fixture_pts()
     groups_pdf = _planted_rev_ways(groups_pdf)
     snap_d2 = sql_snap_d2_expr("p.lon", "p.lat", "s.x1", "s.y1", "s.x2", "s.y2")
+    _sql_h64_gid = sql_h64_md5("group_id")
     cross = sql_proper_cross_expr(
         "a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"
     )
@@ -3614,6 +3617,34 @@ def _way_geometry_oracle() -> str:
         ON b.group_id = a.group_id AND a.pos < b.pos
       WHERE {cross}
       GROUP BY a.group_id
+    ),
+    slay AS (
+      -- two overlay layers by shared-hash parity (validity.
+      -- cross_intersection_pairs gate): pmod(h64_md5(group_id), 2)
+      SELECT group_id,
+             ((({_sql_h64_gid} % 2) + 2) % 2) AS lay
+      FROM (SELECT DISTINCT group_id FROM segs) t
+    ),
+    cxp AS (
+      SELECT a.group_id AS agid, a.pos AS apos,
+             b.group_id AS bgid, b.pos AS bpos
+      FROM segs a JOIN slay la ON la.group_id = a.group_id AND la.lay = 0
+      CROSS JOIN segs b
+      JOIN slay lb ON lb.group_id = b.group_id AND lb.lay = 1
+      WHERE {cross}
+    ),
+    cxc AS (
+      SELECT group_id, CAST(count(*) AS BIGINT) AS n_cross_x
+      FROM (SELECT agid AS group_id FROM cxp
+            UNION ALL SELECT bgid AS group_id FROM cxp)
+      GROUP BY group_id
+    ),
+    cxs AS (
+      SELECT md5(COALESCE(string_agg(
+               agid || ':' || CAST(apos AS VARCHAR) || ':' ||
+               bgid || ':' || CAST(bpos AS VARCHAR),
+               ',' ORDER BY agid, apos, bgid, bpos), '')) AS cx_sig
+      FROM cxp
     ),
     sigser AS (
       SELECT group_id,
@@ -3772,7 +3803,9 @@ def _way_geometry_oracle() -> str:
            dens.dens_py_max AS dens_py_max,
            hagg.n_hull AS n_hull,
            hagg.hull_area2 AS hull_area2,
-           hagg.hull_sig AS hull_sig
+           hagg.hull_sig AS hull_sig,
+           COALESCE(cxc.n_cross_x, 0) AS n_cross_x,
+           cxs.cx_sig AS cx_sig
     FROM geo JOIN simp ON simp.group_id = geo.group_id
     LEFT JOIN snap ON snap.group_id = geo.group_id
     LEFT JOIN xsel ON xsel.group_id = geo.group_id
@@ -3781,6 +3814,8 @@ def _way_geometry_oracle() -> str:
     LEFT JOIN dens ON dens.group_id = geo.group_id
     JOIN lin ON lin.group_id = geo.group_id
     JOIN hagg ON hagg.group_id = geo.group_id
+    LEFT JOIN cxc ON cxc.group_id = geo.group_id
+    CROSS JOIN cxs
     ORDER BY geo.group_id
     """
 
@@ -3812,8 +3847,14 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ST_ConvexHull): minimal hull in canonical CCW-from-lexicographic-
     min order, exact-integer monotone chain checked bit-for-bit
     (vertex count, exact shoelace area string, canonical-order md5)
-    against the oracle's gift-wrapping recursive CTE — all by the one
-    oracle."""
+    against the oracle's gift-wrapping recursive CTE — PLUS the
+    two-layer overlay join (validity.cross_intersection_pairs,
+    ST_Crosses as a distributed join): ways split into two layers by
+    shared-hash parity, every cross-layer proper crossing found by
+    the canonical-tile bucketed GLOBAL pair join (no shared group
+    key), per-way crossing counts riding each row and one md5 over
+    the ordered pair set vs the oracle's brute cross-join twin — all
+    by the one oracle."""
     from ..datagen.synth import gen_groups, gen_images
     from ..operators.clip import densify_segments, way_segments
     from ..operators.hull import convex_hull_stats
@@ -3823,8 +3864,12 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         way_geom_signature,
         way_geometry,
     )
+    from ..operators.dedup import h64_md5
     from ..operators.snap import snap_points_to_segments
-    from ..operators.validity import self_intersection_counts
+    from ..operators.validity import (
+        cross_intersection_pairs,
+        self_intersection_counts,
+    )
 
     images = gen_images(300, seed=42)
     base = spark.createDataFrame(images[["image_id", "phash"]]).select(
@@ -3860,6 +3905,41 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # res=27 (~13.4 deg tiles): whole-globe fixture chains stay a few
     # tiles wide, so the canonical-tile dedup path is truly exercised
     selfx = self_intersection_counts(segs, res=27)
+    lay = F.pmod(h64_md5(F.col("group_id")), F.lit(2))
+    cxp = cross_intersection_pairs(
+        segs.filter(lay == 0), segs.filter(lay == 1), res=27
+    )
+    cxc = (
+        cxp.select(F.col("a_group").alias("group_id"))
+        .unionByName(cxp.select(F.col("b_group").alias("group_id")))
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross_x"))
+    )
+    cx_s = F.concat_ws(
+        ":",
+        F.col("a_group"),
+        F.col("apos").cast("string"),
+        F.col("b_group"),
+        F.col("bpos").cast("string"),
+    )
+    cxs = cxp.agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "a_group", "apos", "b_group", "bpos",
+                                cx_s.alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            )
+        ).alias("cx_sig")
+    )
     sigs = way_geom_signature(groups, base).withColumn(
         "n_geom_dups",
         F.count(F.lit(1)).over(Window.partitionBy("geom_sig")).cast("long"),
@@ -3894,6 +3974,9 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_densified", F.coalesce("n_densified", F.lit(0).cast("long")))
         .withColumn("dens_fx_sum", F.coalesce("dens_fx_sum", F.lit(0).cast("long")))
         .withColumn("dens_fy_sum", F.coalesce("dens_fy_sum", F.lit(0).cast("long")))
+        .join(cxc, "group_id", "left")
+        .withColumn("n_cross_x", F.coalesce("n_cross_x", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(cxs))
         .orderBy("group_id")
     )
 

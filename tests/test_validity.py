@@ -148,3 +148,91 @@ def test_sql_twin_matches_spark(spark):
     ).fetchall()
     want = {gid: (int(n), n == 0) for gid, n in oracle}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cross_intersection_pairs (two-layer overlay join)
+# ---------------------------------------------------------------------------
+
+
+def _brute_cross(chains_a, chains_b):
+    """Pure-python proper-crossing reference between two layers."""
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    def sign(v):
+        return (v > 0) - (v < 0)
+
+    def segs(chains):
+        out = []
+        for gid, pts in chains.items():
+            for pos, (a, b) in enumerate(zip(pts, pts[1:])):
+                out.append((gid, pos, a, b))
+        return out
+
+    got = set()
+    for ga, pa, a1, a2 in segs(chains_a):
+        for gb, pb, b1, b2 in segs(chains_b):
+            s1 = sign(orient(a1, a2, b1))
+            s2 = sign(orient(a1, a2, b2))
+            s3 = sign(orient(b1, b2, a1))
+            s4 = sign(orient(b1, b2, a2))
+            if s1 * s2 == -1 and s3 * s4 == -1:
+                got.add((ga, pa, gb, pb))
+    return got
+
+
+def test_cross_layer_planted_and_touches(spark):
+    from osm_replication_rust_spark.operators.validity import (
+        cross_intersection_pairs,
+    )
+
+    roads = {"r1": [(0, 0), (2 * M, 2 * M)], "r2": [(0, 3 * M), (M, 3 * M)]}
+    rivers = {
+        "w1": [(0, 2 * M), (2 * M, 0)],          # crosses r1 once
+        "w2": [(M, M), (M, 0)],                  # T-touches r1 at (M, M) -> no
+        "w3": [(5 * M, 5 * M), (6 * M, 5 * M)],  # far away
+    }
+    got = {
+        (r.a_group, r.apos, r.b_group, r.bpos)
+        for r in cross_intersection_pairs(
+            _segs(spark, roads), _segs(spark, rivers), res=18
+        ).collect()
+    }
+    assert got == {("r1", 0, "w1", 0)}
+    assert got == _brute_cross(roads, rivers)
+
+
+def test_cross_layer_bucketed_equals_brute_random(spark):
+    """Whole-globe random chains: the canonical-tile bucketed join must
+    equal the brute-force cross join pair-for-pair (exactly once)."""
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.validity import (
+        cross_intersection_pairs,
+    )
+
+    rng = np.random.default_rng(17)
+
+    def chains(tag, n):
+        out = {}
+        for i in range(n):
+            pts = rng.integers(-1_500_000_000, 1_500_000_000, size=(4, 2))
+            out[f"{tag}{i}"] = [(int(x), int(y)) for x, y in pts]
+        return out
+
+    a, b = chains("a", 12), chains("b", 12)
+    ref = _brute_cross(a, b)
+    assert len(ref) > 5  # the fixture genuinely crosses layers
+    for res in (27, 29):
+        rows = cross_intersection_pairs(
+            _segs(spark, a), _segs(spark, b), res=res
+        ).collect()
+        got = [(r.a_group, r.apos, r.b_group, r.bpos) for r in rows]
+        assert len(got) == len(set(got)), "pair emitted more than once"
+        assert set(got) == ref, res
+    # brute path (res=None) agrees too
+    rows = cross_intersection_pairs(
+        _segs(spark, a), _segs(spark, b), res=None
+    ).collect()
+    assert {(r.a_group, r.apos, r.b_group, r.bpos) for r in rows} == ref
