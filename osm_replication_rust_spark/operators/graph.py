@@ -371,6 +371,84 @@ def triangle_counts(
     return out
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """The k-core of the UNDIRECTED simple graph of ``edges(a, b)`` —
+    the maximal subgraph where every node keeps degree >= k (the
+    classic density screen: spam-farm / bot-cluster detection in link
+    graphs, "well-connected" filtering before community detection).
+    Returns the surviving node ids as ``(id)``; possibly empty.
+
+    Simultaneous peeling: every round deletes ALL nodes whose degree
+    within the current survivor set is < k at once. The k-core is
+    unique and order-independent, so simultaneous rounds land on the
+    same fixpoint as any sequential peel — which is what makes the
+    result verifiable cross-engine (the oracle unrolls the same
+    simultaneous rounds as chained CTEs; extra rounds past the
+    fixpoint are no-ops).
+
+    Scale: each round filters the canonical edge list with two
+    semi-joins against the survivor set and re-aggregates degrees —
+    O(E) narrow rows per round, survivor state one id per node, plans
+    truncated per round (the hop_distances discipline). Round count
+    is the peel depth (degeneracy ordering depth / max "onion layer"),
+    typically small; raises past ``max_rounds`` rather than returning
+    a half-peeled set that is NOT the k-core. Duplicate edges and
+    self-loops drop during canonicalization."""
+    if k < 1:
+        raise ValueError("k_core requires k >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    both = canon.select(F.col("a").alias("id"), F.col("b").alias("o")).unionByName(
+        canon.select(F.col("b").alias("id"), F.col("a").alias("o"))
+    )
+    alive = (
+        both.select("id").distinct().localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    converged = False
+    for _ in range(max_rounds):
+        surv = (
+            both.join(alive, "id", "left_semi")
+            .join(alive.select(F.col("id").alias("o")), "o", "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        n_surv = surv.count()
+        alive = surv
+        if n_surv == n_alive:
+            converged = True
+            break
+        n_alive = n_surv
+        if n_surv == 0:
+            converged = True
+            break
+    canon.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not converge in {max_rounds} rounds; raise "
+            "max_rounds — a half-peeled set is not the k-core"
+        )
+    return alive
+
+
 #: fixed-point PageRank mass scale: each node starts with SCALE units.
 #: Exactness bound: every intermediate (per-node rank, contribution
 #: sum, 100x the damped sum) stays under N * SCALE * damp_den, so the

@@ -736,15 +736,29 @@ def knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: / 71,379 triangles).
 _GRAPH_K = 211
 _PAGERANK_ITERS = 4
+#: k-core gate parameters: the peel runs on the event_id % 10 subsample
+#: so the DRIVER's sf0.01 gate is the non-trivial one (977 edges, k=6:
+#: 188 survive after 3 genuine peel rounds; the full sf0.01 graph is
+#: dense enough that any fixed k is a no-op). The oracle unrolls
+#: _KCORE_UNROLL simultaneous rounds — past-fixpoint rounds are no-ops,
+#: so the unroll just needs to be >= the fixture's peel depth.
+_KCORE_K = 6
+_KCORE_UNROLL = 10
 
 
-def _graph_raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _graph_raw_edges(
+    spark: SparkSession, sf_dir: str, subsample_mod: int | None = None
+) -> DataFrame:
     """(a, b) endpoint pairs of the derived event graph — first and
     second 8 hex chars of md5(event_id) mod _GRAPH_K (both < 2^32,
     non-negative: plain % agrees across engines; twin inside
-    :func:`_sql_graph_ctes`)."""
+    :func:`_sql_graph_ctes`). ``subsample_mod`` keeps only events with
+    event_id % mod == 0 (the k-core gate's sparser sibling)."""
+    ev = _t(spark, sf_dir, "events")
+    if subsample_mod is not None:
+        ev = ev.filter(F.col("event_id") % subsample_mod == 0)
     hx = F.md5(F.col("event_id").cast("string"))
-    return _t(spark, sf_dir, "events").select(
+    return ev.select(
         (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % _GRAPH_K).alias("a"),
         (F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % _GRAPH_K).alias("b"),
     )
@@ -770,6 +784,27 @@ def _sql_graph_ctes() -> str:
         FROM dedges e JOIN pr{k} p ON p.id = e.a JOIN odeg d ON d.id = e.a
         GROUP BY e.b) s ON s.id = n.id)""")
     prs = ",\n    ".join(pr)
+    kc = [f"""kraw AS (SELECT ('0x' || substr({h}, 1, 8))::BIGINT % {K} AS a,
+                    ('0x' || substr({h}, 9, 8))::BIGINT % {K} AS b
+             FROM events WHERE event_id % 10 = 0),
+    kcanon AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+               FROM kraw WHERE a <> b),
+    kboth AS (SELECT a AS id, b AS o FROM kcanon
+              UNION ALL SELECT b AS id, a AS o FROM kcanon),
+    kc0 AS (SELECT DISTINCT id FROM kboth)"""]
+    for r in range(_KCORE_UNROLL):
+        kc.append(f"""kc{r + 1} AS (
+      SELECT id FROM (
+        SELECT x.id, count(*) AS c FROM kboth x
+        JOIN kc{r} s1 ON s1.id = x.id
+        JOIN kc{r} s2 ON s2.id = x.o
+        GROUP BY x.id) t WHERE c >= {_KCORE_K})""")
+    kc.append(f"""kcagg AS (
+      SELECT CAST(count(*) AS BIGINT) AS kc_n,
+             md5(COALESCE(string_agg(CAST(id AS VARCHAR), ',' ORDER BY id),
+                          '')) AS kc_sig
+      FROM kc{_KCORE_UNROLL})""")
+    kcs = ",\n    ".join(kc)
     return f"""
     graw AS (SELECT ('0x' || substr({h}, 1, 8))::BIGINT % {K} AS a,
                     ('0x' || substr({h}, 9, 8))::BIGINT % {K} AS b
@@ -802,6 +837,7 @@ def _sql_graph_ctes() -> str:
                  SELECT a AS id FROM dedges UNION ALL SELECT b AS id FROM dedges)),
     odeg AS (SELECT a AS id, count(*) AS od FROM dedges GROUP BY a),
     {prs},
+    {kcs},
     tstats AS (SELECT CAST(sum(tri) // 3 AS BIGINT) AS tri_total,
                       md5(string_agg(CAST(id AS VARCHAR) || ':' ||
                                      CAST(deg AS VARCHAR) || ':' ||
@@ -839,8 +875,10 @@ def _graph_sig(id_col: str, parts: list[str]) -> Column:
       WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 40)
     ),{_sql_graph_ctes()}
     SELECT d.dangling_key, t.tri_total, t.tri_sig,
-           p.pr_top, p.pr_top_val, g.pr_sig
+           p.pr_top, p.pr_top_val, g.pr_sig,
+           kca.kc_n, kca.kc_sig
     FROM dang d CROSS JOIN tstats t CROSS JOIN ptop p CROSS JOIN psig g
+    CROSS JOIN kcagg kca
     ORDER BY d.dangling_key
     """,
 )
@@ -857,9 +895,14 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-ranked node, its exact rank, and an md5 over the entire
     (id, pr) vector — one string each pinning all 211 node states
     against the oracle's oriented-wedge / unrolled-recurrence twins.
-    (Iterative ops belong on non-benched gate rows: the PR loop costs
-    ~4 driver-action rounds whatever the data size.)"""
-    from ..operators.graph import pagerank, triangle_counts
+    PLUS the k-core (operators/graph.k_core, simultaneous peeling)
+    over the event_id % 10 subsample — see _KCORE_K for why the
+    subsample makes the DRIVER's sf the non-trivial gate — pinned by
+    the core size and an md5 over the surviving id set vs the
+    oracle's unrolled peel-round CTEs.
+    (Iterative ops belong on non-benched gate rows: the PR/peel loops
+    cost driver-action rounds whatever the data size.)"""
+    from ..operators.graph import k_core, pagerank, triangle_counts
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 40)
@@ -879,10 +922,25 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("pr_top"), F.col("pr").alias("pr_top_val")
     )
     psig = pr.agg(_graph_sig("id", ["pr"]).alias("pr_sig"))
+    kraw = _graph_raw_edges(spark, sf_dir, subsample_mod=10)
+    kc = k_core(kraw, k=_KCORE_K)
+    kcagg = kc.agg(
+        F.count(F.lit(1)).cast("long").alias("kc_n"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("id"))),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("kc_sig"),
+    )
     return (
         dang.crossJoin(F.broadcast(tstats))
         .crossJoin(F.broadcast(ptop))
         .crossJoin(F.broadcast(psig))
+        .crossJoin(F.broadcast(kcagg))
         .orderBy("dangling_key")
     )
 

@@ -474,3 +474,72 @@ def test_pagerank_guards(spark):
         pagerank(e, damp_num=100, damp_den=100)
     with pytest.raises(ValueError, match="scale"):
         pagerank(e, scale=10)
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+
+def _kcore_ref(edges, k):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    g = {n: set(s) for n, s in adj.items()}
+    while True:
+        drop = [n for n, s in g.items() if len(s) < k]
+        if not drop:
+            return set(g)
+        for n in drop:
+            for m in g[n]:
+                g[m].discard(n)
+            del g[n]
+
+
+def test_k_core_shapes(spark):
+    from osm_replication_rust_spark.operators.graph import k_core
+
+    # K4 with a pendant chain: 3-core = the K4, chain peels away
+    edges = [(a, b) for i, a in enumerate("pqrs") for b in "pqrs"[i + 1:]]
+    edges += [("p", "x"), ("x", "y"), ("y", "z")]
+    e = spark.createDataFrame(edges, "a string, b string")
+    got = {r.id for r in k_core(e, 3).collect()}
+    assert got == set("pqrs")
+    # 2-core keeps only cycles: the chain still dies (endpoints deg 1)
+    got2 = {r.id for r in k_core(e, 2).collect()}
+    assert got2 == set("pqrs")
+    # k above max degree: empty
+    assert k_core(e, 10).count() == 0
+    # self loops and duplicates are dropped
+    e2 = spark.createDataFrame(
+        edges + [("p", "p"), ("q", "p")], "a string, b string"
+    )
+    assert {r.id for r in k_core(e2, 3).collect()} == set("pqrs")
+
+
+def test_k_core_onion_layers_random(spark):
+    from osm_replication_rust_spark.operators.graph import k_core
+
+    rng = np.random.default_rng(41)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 50, size=(220, 2))]
+    e = spark.createDataFrame(edges, "a long, b long")
+    for k in (2, 4, 6, 9):
+        got = {r.id for r in k_core(e, k).collect()}
+        assert got == _kcore_ref(edges, k), k
+
+
+def test_k_core_guards(spark):
+    from osm_replication_rust_spark.operators.graph import k_core
+
+    e = spark.createDataFrame([("a", "b")], "a string, b string")
+    with pytest.raises(ValueError, match="k >= 1"):
+        k_core(e, 0)
+    # a long peel chain: every round removes exactly one layer ->
+    # max_rounds too small raises
+    chain = [(i, i + 1) for i in range(12)]
+    e = spark.createDataFrame(chain, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(e, 2, max_rounds=2)
