@@ -449,6 +449,130 @@ def k_core(
     return alive
 
 
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """The k-truss of the UNDIRECTED simple graph of ``edges(a, b)`` —
+    the maximal subgraph where every EDGE sits in >= k-2 triangles
+    (Cohen 2008): the edge-level tightening of :func:`k_core` (a
+    k-truss is always inside the (k-1)-core, but demands its density
+    through MUTUAL triangles, which is what makes it the standard
+    cohesive-community screen on similarity/link graphs — two nodes
+    stay connected only while enough common neighbors vouch for the
+    edge). Returns the surviving canonical edge set ``(a, b)`` with
+    a < b; possibly empty.
+
+    Simultaneous peeling, the :func:`k_core` discipline: every round
+    recomputes per-edge support within the CURRENT survivor set and
+    deletes ALL under-supported edges at once. The k-truss is unique
+    and order-independent, so simultaneous rounds land on the same
+    fixpoint at any parallelism — and the oracle can unroll the same
+    rounds as chained CTEs (rounds past the fixpoint are no-ops).
+
+    Per-round support is a triangle ENUMERATION, not a wedge count
+    per edge: survivors are degree-oriented from the (deg, id)-smaller
+    endpoint (the :func:`triangle_counts` Suri-Vassilvitskii shape, so
+    wedge fan-out is O(sqrt(m))-bounded), each triangle found once,
+    then scattered to its three canonical edges and hash-aggregated —
+    O(m^{3/2}) per round instead of the O(m * d_max) a naive
+    adjacency-intersection join costs on hub edges. Each round's
+    survivor frame is eagerly localCheckpoint-truncated; raises past
+    ``max_rounds`` (a half-peeled set is NOT the k-truss). Round count
+    is the truss peel depth, typically small. Duplicate edges and
+    self-loops drop during canonicalization. k = 2 keeps every edge
+    of the simple graph (support >= 0 is vacuous)."""
+    if k < 2:
+        raise ValueError("k_truss requires k >= 2")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    sup_min = k - 2
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    if sup_min == 0 or n_cur == 0:
+        return cur
+    converged = False
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("a").alias("id"))
+            .unionByName(cur.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        ranked = (
+            cur.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("_da")), "a")
+            .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("_db")), "b")
+            .withColumn(
+                "_ord",
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+            )
+        )
+        o = ranked.select(
+            F.when(F.col("_ord"), F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(F.col("_ord"), F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(F.col("_ord"), F.col("_db")).otherwise(F.col("_da")).alias("dv"),
+        ).persist()
+        o1 = o.select("u", F.col("v").alias("_v1"), F.col("dv").alias("_d1"))
+        o2 = o.select("u", F.col("v").alias("_v2"), F.col("dv").alias("_d2"))
+        wedges = o1.join(o2, "u").filter(
+            (F.col("_d1") < F.col("_d2"))
+            | ((F.col("_d1") == F.col("_d2")) & (F.col("_v1") < F.col("_v2")))
+        )
+        tri = wedges.join(
+            o.select(F.col("u").alias("_v1"), F.col("v").alias("_v2")),
+            ["_v1", "_v2"],
+            "left_semi",
+        ).select(F.col("u").alias("x"), F.col("_v1").alias("y"), F.col("_v2").alias("z"))
+        pair = lambda p, q: F.struct(  # noqa: E731 — canonical edge of a triangle side
+            F.least(p, q).alias("a"), F.greatest(p, q).alias("b")
+        )
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        pair(F.col("x"), F.col("y")),
+                        pair(F.col("x"), F.col("z")),
+                        pair(F.col("y"), F.col("z")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("_sup"))
+        )
+        nxt = (
+            cur.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("_sup"), F.lit(0)) >= sup_min)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        o.unpersist()
+        prev = n_cur
+        cur, n_cur = nxt, n_nxt
+        if n_nxt == prev or n_nxt == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"k_truss did not converge in {max_rounds} rounds; raise "
+            "max_rounds — a half-peeled set is not the k-truss"
+        )
+    return cur
+
+
 #: fixed-point PageRank mass scale: each node starts with SCALE units.
 #: Exactness bound: every intermediate (per-node rank, contribution
 #: sum, 100x the damped sum) stays under N * SCALE * damp_den, so the

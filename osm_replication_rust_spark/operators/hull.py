@@ -84,6 +84,27 @@ def hull_area2(hull: list[Point]) -> int:
     return s
 
 
+def hull_diam2(hull: list[Point]) -> int:
+    """Exact squared diameter (ST_MaxDistance of the set with itself):
+    the farthest pair of hull vertices — which IS the point-set
+    diameter, since the maximum distance is attained at hull vertices.
+    Brute over hull vertices (hulls are small after the chain reduces
+    the chain/batch; the classic rotating-calipers refinement saves
+    nothing at these sizes), arbitrary-precision ints — decimicro
+    global extents square past 2^63, so callers carry the result as a
+    decimal STRING like the shoelace area. 0 for empty/single-point
+    hulls."""
+    best = 0
+    for i in range(len(hull)):
+        x1, y1 = hull[i]
+        for j in range(i + 1, len(hull)):
+            x2, y2 = hull[j]
+            d = (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)
+            if d > best:
+                best = d
+    return best
+
+
 def hull_signature(hull: list[Point]) -> str:
     """md5 of the canonical serialization ``lon,lat;lon,lat;...`` in
     hull order — the same spelling DuckDB's
@@ -96,11 +117,13 @@ def convex_hull_stats(
     groups: DataFrame, points: DataFrame, point_id: str = "image_id"
 ) -> DataFrame:
     """Per-way convex hull summary over the resolved chain:
-    ``(group_id, n_hull, hull_area2, hull_sig)`` with ``hull_area2``
-    the exact decimal STRING (HUGEINT-safe, like way_geometry's area2)
-    and ``hull_sig`` the canonical-order md5. Ways whose chain resolved
-    to zero coordinates emit nothing (inner-join semantics, as
-    simplify_ways)."""
+    ``(group_id, n_hull, hull_area2, hull_sig, hull_diam2)`` with
+    ``hull_area2`` / ``hull_diam2`` exact decimal STRINGS (HUGEINT-
+    safe, like way_geometry's area2) and ``hull_sig`` the
+    canonical-order md5; ``hull_diam2`` is the exact squared point-set
+    diameter (ST_MaxDistance — attained at hull vertices). Ways whose
+    chain resolved to zero coordinates emit nothing (inner-join
+    semantics, as simplify_ways)."""
     ways = resolve_way_full(groups, points, point_id)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,6 +132,7 @@ def convex_hull_stats(
             ns: list[int] = []
             a2: list[str] = []
             sg: list[str] = []
+            d2: list[str] = []
             for gid, coords in zip(pdf["group_id"], pdf["coords"]):
                 if len(coords) == 0:
                     continue
@@ -117,12 +141,21 @@ def convex_hull_stats(
                 ns.append(len(h))
                 a2.append(str(hull_area2(h)))
                 sg.append(hull_signature(h))
+                d2.append(str(hull_diam2(h)))
             yield pd.DataFrame(
-                {"group_id": gs, "n_hull": ns, "hull_area2": a2, "hull_sig": sg}
+                {
+                    "group_id": gs,
+                    "n_hull": ns,
+                    "hull_area2": a2,
+                    "hull_sig": sg,
+                    "hull_diam2": d2,
+                }
             )
 
     return ways.mapInPandas(
-        kernel, "group_id string, n_hull int, hull_area2 string, hull_sig string"
+        kernel,
+        "group_id string, n_hull int, hull_area2 string, hull_sig string, "
+        "hull_diam2 string",
     )
 
 

@@ -657,6 +657,145 @@ def orientation_hist_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame
     return df.mapInPandas(stage, out_schema)
 
 
+def harris_stage(
+    df: DataFrame, corner_min: int = 2_000_000_000_000, bytes_col: str = "bytes"
+) -> DataFrame:
+    """Harris corner response — the interest-point screen behind
+    keypoint extraction and perceptual registration (OpenCV's
+    cv2.cornerHarris with a box window). Per pixel the structure
+    tensor M = Σ_window [gx², gxgy; gxgy, gy²] over the 3x3 box of
+    Sobel gradients (sobel_stage's exact kernel), and the response
+
+        R20 = 20·det(M) − trace(M)²
+            = 20·(A·B − C²) − (A + B)²     (k = 1/20, scaled by 20)
+
+    — classic Harris with k = 0.05 multiplied through by 20 so the
+    response is EXACT int64 (A, B ≤ 9·(4·255)² ≈ 9.4e6; 20·A·B ≤
+    1.8e15): no float k, no engine-order drift. The Gaussian window of
+    textbook Harris is irrational; the box window is the standard fast
+    variant and the one that verifies cross-engine.
+
+    Emits per image: hc_n (count of response pixels with R20 >
+    corner_min), hc_max / hc_min (extreme responses, NULL when the
+    image has no full window), and hc_wpos (sum of the linear pixel
+    index k = r·w + c over above-threshold pixels — pins WHERE the
+    corners sit, so a shifted response map breaks the gate even when
+    the count is right; exact while n_px·max_k < 2^63, i.e. any
+    realistic image). Response pixels are those with a full 3x3
+    gradient window: r, c in [2, h-3] x [2, w-3]; images thinner than
+    5 px have none. Map-only, equal-shape Arrow batch stacks."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields + ["hc_n bigint", "hc_max bigint", "hc_min bigint", "hc_wpos bigint"]
+    )
+    thr = int(corner_min)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            hn = np.zeros(n, dtype=np.int64)
+            hmx = np.full(n, np.nan, dtype=object)
+            hmn = np.full(n, np.nan, dtype=object)
+            hwp = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 5 or w < 5:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                tl, tc, tr = px[:, :-2, :-2], px[:, :-2, 1:-1], px[:, :-2, 2:]
+                ml, mr = px[:, 1:-1, :-2], px[:, 1:-1, 2:]
+                bl, bc, br = px[:, 2:, :-2], px[:, 2:, 1:-1], px[:, 2:, 2:]
+                gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+                gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+
+                def win(a: np.ndarray) -> np.ndarray:
+                    H, W = a.shape[1], a.shape[2]
+                    return sum(
+                        a[:, dy : H - 2 + dy, dx : W - 2 + dx]
+                        for dy in range(3)
+                        for dx in range(3)
+                    )
+
+                A = win(gx * gx)
+                B = win(gy * gy)
+                C = win(gx * gy)
+                r20 = 20 * (A * B - C * C) - (A + B) * (A + B)
+                m = r20 > thr
+                hn[ii] = m.sum(axis=(1, 2))
+                hmx[ii] = r20.max(axis=(1, 2))
+                hmn[ii] = r20.min(axis=(1, 2))
+                # linear index of the response pixel's CENTER in the
+                # full image grid: r = ry + 2, c = cx + 2
+                ry = np.arange(h - 4).reshape(1, -1, 1) + 2
+                cx = np.arange(w - 4).reshape(1, 1, -1) + 2
+                kidx = ry * w + cx
+                hwp[ii] = np.where(m, kidx, 0).sum(axis=(1, 2))
+            yield pdf.assign(
+                hc_n=hn,
+                hc_max=pd.array(hmx, dtype="Int64"),
+                hc_min=pd.array(hmn, dtype="Int64"),
+                hc_wpos=hwp,
+            )
+
+    return df.mapInPandas(stage, out_schema)
+
+
+def median_filter_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """3x3 median filter statistics — the classic impulse-noise
+    (salt-and-pepper) screen (cv2.medianBlur): per interior pixel the
+    median of its 3x3 neighborhood, which for 9 integers is the exact
+    5th order statistic — no interpolation, no floats, so the filtered
+    field reproduces bit-for-bit in SQL (DuckDB's median over an odd
+    count is the same order statistic).
+
+    Emits per image: med_sum (Σ median over interior pixels) and
+    med_absdiff (Σ |median − center|, the impulse-noise mass: large
+    when isolated pixels disagree with their neighborhood — ~0 on
+    smooth natural images, high on noise/dithering). Both exact int64
+    at any image size (≤ 255 per pixel). Images thinner than 3 px
+    have no interior: zeros. Map-only, equal-shape batch stacks; the
+    per-window sort is a fixed 9-element axis sort on the
+    [chunk, h-2, w-2, 9] tensor."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(fields + ["med_sum bigint", "med_absdiff bigint"])
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ms = np.zeros(n, dtype=np.int64)
+            md = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 3 or w < 3:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                # [chunk, h-2, w-2, 9] neighborhood tensor; partition at
+                # index 4 = the 5th order statistic (exact int median of 9)
+                neigh = np.stack(
+                    [
+                        px[:, dy : h - 2 + dy, dx : w - 2 + dx]
+                        for dy in range(3)
+                        for dx in range(3)
+                    ],
+                    axis=-1,
+                )
+                med = np.partition(neigh, 4, axis=-1)[..., 4]
+                ctr = px[:, 1:-1, 1:-1]
+                ms[ii] = med.sum(axis=(1, 2))
+                md[ii] = np.abs(med - ctr).sum(axis=(1, 2))
+            yield pdf.assign(med_sum=ms, med_absdiff=md)
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def template_match_stage(
     df: DataFrame,
     template: np.ndarray,

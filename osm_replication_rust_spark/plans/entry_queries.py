@@ -744,6 +744,14 @@ _PAGERANK_ITERS = 4
 #: so the unroll just needs to be >= the fixture's peel depth.
 _KCORE_K = 6
 _KCORE_UNROLL = 10
+#: k-truss gate parameters, same subsample graph: k=4 is the
+#: discriminating choice at the DRIVER's sf0.01 (977 edges -> 12 over
+#: 3 genuine peel rounds + fixpoint confirm; k=3 stops after one peel,
+#: k=5 empties immediately); sf0.001 empties in one round. The oracle
+#: unrolls _KTRUSS_UNROLL simultaneous rounds — past-fixpoint rounds
+#: are no-ops, so the unroll just needs to be >= the peel depth.
+_KTRUSS_K = 4
+_KTRUSS_UNROLL = 6
 
 
 def _graph_raw_edges(
@@ -804,6 +812,26 @@ def _sql_graph_ctes() -> str:
              md5(COALESCE(string_agg(CAST(id AS VARCHAR), ',' ORDER BY id),
                           '')) AS kc_sig
       FROM kc{_KCORE_UNROLL})""")
+    # k-truss twin over the same subsample canon: per round, per-edge
+    # support as the brute common-neighbor wedge count (a DIFFERENT
+    # algorithm from the Spark side's oriented triangle-scatter — two
+    # routes to the unique fixpoint), edges kept at support >= k-2
+    kc.append("kt0 AS (SELECT a, b FROM kcanon)")
+    for r in range(_KTRUSS_UNROLL):
+        kc.append(f"""kts{r} AS (SELECT a AS id, b AS o FROM kt{r}
+               UNION ALL SELECT b AS id, a AS o FROM kt{r}),
+    kt{r + 1} AS (
+      SELECT e.a, e.b FROM kt{r} e
+      JOIN kts{r} x ON x.id = e.a
+      JOIN kts{r} y ON y.id = e.b AND y.o = x.o
+      GROUP BY e.a, e.b
+      HAVING count(*) >= {_KTRUSS_K - 2})""")
+    kc.append(f"""ktagg AS (
+      SELECT CAST(count(*) AS BIGINT) AS kt_n,
+             md5(COALESCE(string_agg(
+               CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR), ','
+               ORDER BY a, b), '')) AS kt_sig
+      FROM kt{_KTRUSS_UNROLL})""")
     kcs = ",\n    ".join(kc)
     return f"""
     graw AS (SELECT ('0x' || substr({h}, 1, 8))::BIGINT % {K} AS a,
@@ -876,9 +904,9 @@ def _graph_sig(id_col: str, parts: list[str]) -> Column:
     ),{_sql_graph_ctes()}
     SELECT d.dangling_key, t.tri_total, t.tri_sig,
            p.pr_top, p.pr_top_val, g.pr_sig,
-           kca.kc_n, kca.kc_sig
+           kca.kc_n, kca.kc_sig, kta.kt_n, kta.kt_sig
     FROM dang d CROSS JOIN tstats t CROSS JOIN ptop p CROSS JOIN psig g
-    CROSS JOIN kcagg kca
+    CROSS JOIN kcagg kca CROSS JOIN ktagg kta
     ORDER BY d.dangling_key
     """,
 )
@@ -900,9 +928,17 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsample makes the DRIVER's sf the non-trivial gate — pinned by
     the core size and an md5 over the surviving id set vs the
     oracle's unrolled peel-round CTEs.
+    PLUS the k-truss (operators/graph.k_truss, simultaneous EDGE
+    peeling by triangle support) over the same subsample graph at
+    _KTRUSS_K=4 (977 -> 12 edges over 3 genuine peel rounds at
+    sf0.01), pinned by the surviving edge count and an md5 over the
+    ordered edge set — the Spark side enumerates triangles via the
+    degree-oriented wedge join and scatters them to edges, while the
+    oracle's unrolled rounds count brute common-neighbor wedges per
+    edge: two algorithms, one unique fixpoint.
     (Iterative ops belong on non-benched gate rows: the PR/peel loops
     cost driver-action rounds whatever the data size.)"""
-    from ..operators.graph import k_core, pagerank, triangle_counts
+    from ..operators.graph import k_core, k_truss, pagerank, triangle_counts
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 40)
@@ -936,11 +972,29 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kc_sig"),
     )
+    kt = k_truss(kraw, k=_KTRUSS_K)
+    ktagg = kt.agg(
+        F.count(F.lit(1)).cast("long").alias("kt_n"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    # struct sort = lexicographic by (a, b), the oracle's
+                    # ORDER BY a, b
+                    F.array_sort(F.collect_list(F.struct("a", "b"))),
+                    lambda s: F.concat_ws(
+                        ":", s["a"].cast("string"), s["b"].cast("string")
+                    ),
+                ),
+            )
+        ).alias("kt_sig"),
+    )
     return (
         dang.crossJoin(F.broadcast(tstats))
         .crossJoin(F.broadcast(ptop))
         .crossJoin(F.broadcast(psig))
         .crossJoin(F.broadcast(kcagg))
+        .crossJoin(F.broadcast(ktagg))
         .orderBy("dangling_key")
     )
 
@@ -2173,6 +2227,11 @@ _AUDIO_AMP = 16
 #: column is a non-trivial discriminator
 _EDGE_SQ_MIN = 200_000
 
+#: Harris R20 corner threshold: the LCG fixture's response pixels split
+#: ~50% above / 50% below (measured median 2.0e12, max 6.4e12), so
+#: hc_n and hc_wpos genuinely discriminate
+_CORNER_MIN = 2_000_000_000_000
+
 
 def _sql_lcg_px(kexpr: str) -> str:
     """Pixel value of the deterministic LCG fake codec at linear index
@@ -2270,7 +2329,7 @@ def _multimodal_oracle() -> str:
       GROUP BY image_id
     ),
     sob AS (
-      SELECT image_id,
+      SELECT image_id, w, k // w AS r, k % w AS c,
              (({_sql_lcg_px('k - w + 1')}) + 2 * ({_sql_lcg_px('k + 1')})
               + ({_sql_lcg_px('k + w + 1')}) - ({_sql_lcg_px('k - w - 1')})
               - 2 * ({_sql_lcg_px('k - 1')}) - ({_sql_lcg_px('k + w - 1')})) AS gx,
@@ -2313,6 +2372,51 @@ def _multimodal_oracle() -> str:
              CAST(COALESCE(SUM(CASE WHEN sq > 0 AND nx < 0 AND ny <= -nx THEN sq END), 0) AS BIGINT) AS og_e3
       FROM sobn
       GROUP BY image_id
+    ),
+    hoff(dy, dx) AS (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0),
+                            (0, 1), (1, -1), (1, 0), (1, 1)),
+    hacc AS (
+      -- Harris structure tensor: scatter each gradient pixel to the 9
+      -- windows it belongs to; full windows (n9 = 9) are the response
+      -- pixels (multimodal.harris_stage)
+      SELECT image_id, w, r + dy AS hr, c + dx AS hc,
+             SUM(gx * gx) AS ha, SUM(gy * gy) AS hb, SUM(gx * gy) AS hcv,
+             COUNT(*) AS n9
+      FROM sob CROSS JOIN hoff
+      GROUP BY image_id, w, r + dy, c + dx
+    ),
+    hres AS (
+      SELECT image_id, hr * w + hc AS kpos,
+             20 * (ha * hb - hcv * hcv) - (ha + hb) * (ha + hb) AS r20
+      FROM hacc WHERE n9 = 9
+    ),
+    hagg AS (
+      SELECT image_id,
+             CAST(COALESCE(SUM(CASE WHEN r20 > {_CORNER_MIN} THEN 1 END), 0)
+                  AS BIGINT) AS hc_n,
+             CAST(MAX(r20) AS BIGINT) AS hc_max,
+             CAST(MIN(r20) AS BIGINT) AS hc_min,
+             CAST(COALESCE(SUM(CASE WHEN r20 > {_CORNER_MIN} THEN kpos END), 0)
+                  AS BIGINT) AS hc_wpos
+      FROM hres GROUP BY image_id
+    ),
+    macc AS (
+      -- 3x3 median filter: same window scatter over raw pixels;
+      -- quantile_disc(0.5) of 9 ints = the exact 5th order statistic
+      -- (multimodal.median_filter_stage)
+      SELECT image_id, r + dy AS mr, c + dx AS mc,
+             CAST(quantile_disc(v, 0.5) AS BIGINT) AS medv, COUNT(*) AS n9
+      FROM px CROSS JOIN hoff
+      GROUP BY image_id, r + dy, c + dx
+    ),
+    magg AS (
+      SELECT m.image_id,
+             CAST(SUM(m.medv) AS BIGINT) AS med_sum,
+             CAST(SUM(ABS(m.medv - p.v)) AS BIGINT) AS med_absdiff
+      FROM macc m JOIN px p ON p.image_id = m.image_id
+                           AND p.r = m.mr AND p.c = m.mc
+      WHERE m.n9 = 9
+      GROUP BY m.image_id
     ),
     ohist AS (
       SELECT image_id, v, COUNT(*) AS c
@@ -2461,7 +2565,11 @@ def _multimodal_oracle() -> str:
            COALESCE(og.og_n0, 0) AS og_n0, COALESCE(og.og_n1, 0) AS og_n1,
            COALESCE(og.og_n2, 0) AS og_n2, COALESCE(og.og_n3, 0) AS og_n3,
            COALESCE(og.og_e0, 0) AS og_e0, COALESCE(og.og_e1, 0) AS og_e1,
-           COALESCE(og.og_e2, 0) AS og_e2, COALESCE(og.og_e3, 0) AS og_e3
+           COALESCE(og.og_e2, 0) AS og_e2, COALESCE(og.og_e3, 0) AS og_e3,
+           COALESCE(hg.hc_n, 0) AS hc_n, hg.hc_max, hg.hc_min,
+           COALESCE(hg.hc_wpos, 0) AS hc_wpos,
+           COALESCE(mg.med_sum, 0) AS med_sum,
+           COALESCE(mg.med_absdiff, 0) AS med_absdiff
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
@@ -2469,6 +2577,8 @@ def _multimodal_oracle() -> str:
     JOIN blagg bl USING (image_id)
     JOIN tmbest tb USING (image_id)
     LEFT JOIN og USING (image_id)
+    LEFT JOIN hagg hg USING (image_id)
+    LEFT JOIN magg mg USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -2538,7 +2648,22 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries sit at 45-degree multiples precisely so every boundary
     is an exact integer comparison (classic HOG's tan() boundaries
     are irrational and cross-engine unverifiable); flat gradients
-    counted separately; oracle reuses the Sobel CTE."""
+    counted separately; oracle reuses the Sobel CTE.
+
+    Plus the Harris corner response (harris_stage): R20 = 20·det(M) −
+    trace(M)² over the 3x3 box structure tensor of Sobel gradients —
+    classic Harris with k = 1/20 multiplied through so every response
+    is exact int64; pinned per image by the above-threshold count, the
+    extreme responses AND the position-weighted corner sum hc_wpos (a
+    shifted response map breaks the gate even when the count is
+    right); the oracle scatters the shared Sobel CTE through the 9
+    window offsets.
+
+    Plus the 3x3 median filter (median_filter_stage, the
+    salt-and-pepper noise screen): the median of 9 ints is the exact
+    5th order statistic, pinned by the filtered sum and the
+    impulse-noise mass Σ|median − center| vs the oracle's
+    window-scatter + quantile_disc twin."""
     import numpy as np
 
     from ..datagen.synth import gen_images, gen_videos
@@ -2546,7 +2671,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_stats_stage,
         bilinear_resize_stage,
         decode_stats,
+        harris_stage,
         hist_eq_stage,
+        median_filter_stage,
         otsu_stage,
         patchify_stage,
         scene_cut_stage,
@@ -2629,6 +2756,12 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"og_n{b}" for b in range(4)],
         *[f"og_e{b}" for b in range(4)],
     )
+    hcr = harris_stage(
+        imgs.select("image_id", "bytes", "w", "h"), corner_min=_CORNER_MIN
+    ).select("image_id", "hc_n", "hc_max", "hc_min", "hc_wpos")
+    mfs = median_filter_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "med_sum", "med_absdiff"
+    )
     return (
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
@@ -2640,6 +2773,8 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(blr, "image_id")
         .join(tmt, "image_id")
         .join(ogh, "image_id")
+        .join(hcr, "image_id")
+        .join(mfs, "image_id")
         .orderBy("image_id")
     )
 
@@ -3837,6 +3972,18 @@ def _way_geometry_oracle() -> str:
              CAST(SUM(t) AS VARCHAR) AS hull_area2,
              md5(string_agg(x || ',' || y, ';' ORDER BY step)) AS hull_sig
       FROM hpair GROUP BY group_id
+    ),
+    hdiam AS (
+      -- exact squared point-set diameter (ST_MaxDistance): brute
+      -- all-pairs over DISTINCT vertices — the diameter is attained at
+      -- hull vertices, so this equals hull.hull_diam2's hull-vertex
+      -- brute (two routes to one exact integer)
+      SELECT a.group_id,
+             CAST(MAX((a.x - b.x)::HUGEINT * (a.x - b.x)
+                    + (a.y - b.y)::HUGEINT * (a.y - b.y)) AS VARCHAR)
+               AS hull_diam2
+      FROM hpts a JOIN hpts b ON b.group_id = a.group_id
+      GROUP BY a.group_id
     )
     SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy,
            CASE WHEN a2h <> 0 THEN
@@ -3862,6 +4009,7 @@ def _way_geometry_oracle() -> str:
            hagg.n_hull AS n_hull,
            hagg.hull_area2 AS hull_area2,
            hagg.hull_sig AS hull_sig,
+           hdiam.hull_diam2 AS hull_diam2,
            COALESCE(cxc.n_cross_x, 0) AS n_cross_x,
            cxs.cx_sig AS cx_sig
     FROM geo JOIN simp ON simp.group_id = geo.group_id
@@ -3872,6 +4020,7 @@ def _way_geometry_oracle() -> str:
     LEFT JOIN dens ON dens.group_id = geo.group_id
     JOIN lin ON lin.group_id = geo.group_id
     JOIN hagg ON hagg.group_id = geo.group_id
+    JOIN hdiam ON hdiam.group_id = geo.group_id
     LEFT JOIN cxc ON cxc.group_id = geo.group_id
     CROSS JOIN cxs
     ORDER BY geo.group_id
@@ -3904,7 +4053,9 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverges) — PLUS the convex hull (operators/hull.py,
     ST_ConvexHull): minimal hull in canonical CCW-from-lexicographic-
     min order, exact-integer monotone chain checked bit-for-bit
-    (vertex count, exact shoelace area string, canonical-order md5)
+    (vertex count, exact shoelace area string, canonical-order md5,
+    and the exact squared point-set diameter hull_diam2 — hull-vertex
+    brute vs the oracle's all-distinct-vertex brute, ST_MaxDistance)
     against the oracle's gift-wrapping recursive CTE — PLUS the
     two-layer overlay join (validity.cross_intersection_pairs,
     ST_Crosses as a distributed join): ways split into two layers by

@@ -543,3 +543,83 @@ def test_k_core_guards(spark):
     e = spark.createDataFrame(chain, "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         k_core(e, 2, max_rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# k_truss
+# ---------------------------------------------------------------------------
+
+
+def _ktruss_ref(edges, k):
+    """Simultaneous edge peel: support = |common neighbors|, delete all
+    under-supported edges each round."""
+    E = set()
+    for a, b in edges:
+        if a != b:
+            E.add((min(a, b), max(a, b)))
+    while True:
+        adj = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {e for e in E if len(adj[e[0]] & adj[e[1]]) >= k - 2}
+        if keep == E:
+            return E
+        E = keep
+
+
+def test_k_truss_shapes(spark):
+    from osm_replication_rust_spark.operators.graph import k_truss
+
+    # K5: every edge sits in 3 triangles -> survives k <= 5, dies at 6
+    k5 = [(a, b) for i, a in enumerate("pqrst") for b in "pqrst"[i + 1:]]
+    e = spark.createDataFrame(k5, "a string, b string")
+    full = {(min(a, b), max(a, b)) for a, b in k5}
+    for k in (3, 4, 5):
+        got = {(r.a, r.b) for r in k_truss(e, k).collect()}
+        assert got == full, k
+    assert k_truss(e, 6).count() == 0
+
+    # K4 + pendant triangle: 4-truss = the K4 (pendant edges support 1)
+    k4 = [(a, b) for i, a in enumerate("wxyz") for b in "wxyz"[i + 1:]]
+    pend = [("w", "m"), ("w", "n"), ("m", "n")]
+    e2 = spark.createDataFrame(k4 + pend, "a string, b string")
+    got = {(r.a, r.b) for r in k_truss(e2, 4).collect()}
+    assert got == {(min(a, b), max(a, b)) for a, b in k4}
+    # the pendant triangle IS in the 3-truss
+    got3 = {(r.a, r.b) for r in k_truss(e2, 3).collect()}
+    assert got3 == {(min(a, b), max(a, b)) for a, b in k4 + pend}
+
+    # k=2 keeps every canonical edge; duplicates and self-loops drop
+    e3 = spark.createDataFrame(
+        k4 + [("w", "w"), ("x", "w")], "a string, b string"
+    )
+    got2 = {(r.a, r.b) for r in k_truss(e3, 2).collect()}
+    assert got2 == {(min(a, b), max(a, b)) for a, b in k4}
+
+
+def test_k_truss_random_matches_reference(spark):
+    from osm_replication_rust_spark.operators.graph import k_truss
+
+    rng = np.random.default_rng(47)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 30, size=(160, 2))]
+    e = spark.createDataFrame(edges, "a long, b long")
+    for k in (3, 4, 5, 6):
+        got = {(r.a, r.b) for r in k_truss(e, k).collect()}
+        assert got == _ktruss_ref(edges, k), k
+
+
+def test_k_truss_guards(spark):
+    from osm_replication_rust_spark.operators.graph import k_truss
+
+    e = spark.createDataFrame([("a", "b")], "a string, b string")
+    with pytest.raises(ValueError, match="k >= 2"):
+        k_truss(e, 1)
+    # K4 + pendant triangle at k=4 needs 2 rounds (one genuine peel +
+    # the fixpoint confirmation) -> max_rounds=1 raises rather than
+    # returning the half-peeled set
+    k4 = [(a, b) for i, a in enumerate("wxyz") for b in "wxyz"[i + 1:]]
+    pend = [("w", "m"), ("w", "n"), ("m", "n")]
+    e = spark.createDataFrame(k4 + pend, "a string, b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_truss(e, 4, max_rounds=1)

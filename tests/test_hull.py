@@ -183,6 +183,10 @@ def test_convex_hull_stats_spark(spark):
     # canonical CCW from lexicographic (lon, lat) min: (0,0)->(40,0)->(40,40)->(0,40)
     assert w1.hull_sig == hashlib.md5(b"0,0;40,0;40,40;0,40").hexdigest()
     assert got["w2"].n_hull == 2 and got["w2"].hull_area2 == "0"
+    # exact squared diameter: the square's diagonal; 2-point hull = the
+    # segment's squared length
+    assert w1.hull_diam2 == str(40 * 40 + 40 * 40)
+    assert got["w2"].hull_diam2 == str(40 * 40)
 
 
 @pytest.mark.parametrize("parts", [1, 7])
@@ -198,3 +202,35 @@ def test_global_hull_two_level_matches_driver_kernel(spark, parts):
         for r in global_hull(df).orderBy("hull_pos").collect()
     ]
     assert got == hull_ccw(pts)
+
+
+def test_hull_diam2_matches_brute_all_pairs():
+    """Diameter over HULL vertices == diameter over ALL points (the max
+    distance is attained at hull vertices), on random clouds including
+    collinear and duplicate-heavy ones; values past 2^63 stay exact."""
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.hull import hull_ccw, hull_diam2
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        pts = [
+            (int(x), int(y))
+            for x, y in rng.integers(-(2**33), 2**33, size=(60, 2))
+        ]
+        if trial == 3:  # collinear line
+            pts = [(i * 7, i * 3) for i in range(40)]
+        if trial == 4:  # duplicates
+            pts = pts[:10] * 6
+        brute = max(
+            (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            for a in pts
+            for b in pts
+        )
+        assert hull_diam2(hull_ccw(pts)) == brute
+    # hemisphere-magnitude coordinates: squared diameter passes 2^63
+    big = [(-1_800_000_000, -900_000_000), (1_800_000_000, 900_000_000), (0, 0)]
+    d = hull_diam2(hull_ccw(big))
+    assert d == 3_600_000_000**2 + 1_800_000_000**2 and d > 2**63
+    # degenerate
+    assert hull_diam2([]) == 0 and hull_diam2([(5, 5)]) == 0

@@ -806,3 +806,143 @@ def test_orientation_hist_pure_directions(spark):
         assert getattr(r, f"og_n{b}") == n_int, image_id
         assert r.og_flat == 0
         assert sum(getattr(r, f"og_n{k}") for k in range(4)) == n_int
+
+
+def test_harris_matches_numpy_reference(spark):
+    """Kernel == brute per-pixel structure-tensor reference on mixed
+    shapes; undersized images get the NULL/zero contract."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        harris_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),    # constant: R20 == 0 everywhere
+        ("c", bytes(range(4 * 9)), 4, 9),       # w < 5: no full window
+        ("d", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    thr = 1_000_000_000
+    got = {r.image_id: r for r in harris_stage(df, corner_min=thr).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if w < 5 or h < 5:
+            assert (r.hc_n, r.hc_max, r.hc_min, r.hc_wpos) == (0, None, None, 0)
+            continue
+        px = fake_decode(payload, w, h).astype(np.int64)
+        gx = np.zeros((h, w), dtype=np.int64)
+        gy = np.zeros((h, w), dtype=np.int64)
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx[y, x] = (
+                    px[y - 1, x + 1] + 2 * px[y, x + 1] + px[y + 1, x + 1]
+                    - px[y - 1, x - 1] - 2 * px[y, x - 1] - px[y + 1, x - 1]
+                )
+                gy[y, x] = (
+                    px[y + 1, x - 1] + 2 * px[y + 1, x] + px[y + 1, x + 1]
+                    - px[y - 1, x - 1] - 2 * px[y - 1, x] - px[y - 1, x + 1]
+                )
+        n = mx = mn = wp = None
+        vals = []
+        for y in range(2, h - 2):
+            for x in range(2, w - 2):
+                A = B = C = 0
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        A += gx[y + dy, x + dx] ** 2
+                        B += gy[y + dy, x + dx] ** 2
+                        C += gx[y + dy, x + dx] * gy[y + dy, x + dx]
+                r20 = 20 * (A * B - C * C) - (A + B) * (A + B)
+                vals.append((r20, y * w + x))
+        n = sum(1 for v, _ in vals if v > thr)
+        wp = sum(k for v, k in vals if v > thr)
+        mx = max(v for v, _ in vals)
+        mn = min(v for v, _ in vals)
+        assert (r.hc_n, r.hc_max, r.hc_min, r.hc_wpos) == (n, mx, mn, wp), image_id
+    assert got["b"].hc_max == 0 and got["b"].hc_n == 0
+
+
+def test_harris_detects_planted_corner(spark):
+    """A single bright rectangle corner in a flat field: the max
+    response must sit within 1 px of the rectangle's corner, and a
+    pure straight edge must score far lower than the corner (the
+    det-vs-trace discrimination Harris exists for)."""
+    from osm_replication_rust_spark.operators.multimodal import harris_stage
+
+    corner = np.zeros((24, 24), dtype=np.uint8)
+    corner[12:, 12:] = 200          # one L-corner at (12, 12)
+    edge = np.zeros((24, 24), dtype=np.uint8)
+    edge[:, 12:] = 200              # pure vertical edge: det(M) == 0
+    df = spark.createDataFrame(
+        [("c", corner.tobytes(), 24, 24), ("e", edge.tobytes(), 24, 24)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    got = {r.image_id: r for r in harris_stage(df, corner_min=10**12).collect()}
+    assert got["c"].hc_n >= 1
+    # locate max via a second pass with threshold just under the max
+    got2 = {
+        r.image_id: r
+        for r in harris_stage(df, corner_min=got["c"].hc_max - 1).collect()
+    }
+    k = got2["c"].hc_wpos // got2["c"].hc_n
+    y, x = divmod(int(k), 24)
+    assert abs(y - 12) <= 1 and abs(x - 12) <= 1
+    # straight edge: every response far below the corner's peak
+    assert got["e"].hc_max < got["c"].hc_max
+    assert got["e"].hc_n == 0
+
+
+def test_median_filter_matches_numpy_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        median_filter_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),
+        ("c", bytes(range(2 * 9)), 2, 9),      # no interior
+        ("d", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in median_filter_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if w < 3 or h < 3:
+            assert (r.med_sum, r.med_absdiff) == (0, 0)
+            continue
+        px = fake_decode(payload, w, h).astype(np.int64)
+        ms = md = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                window = sorted(
+                    int(px[y + dy, x + dx])
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                )
+                med = window[4]
+                ms += med
+                md += abs(med - int(px[y, x]))
+        assert (r.med_sum, r.med_absdiff) == (ms, md), image_id
+
+
+def test_median_filter_kills_impulse_noise(spark):
+    """Salt-and-pepper: isolated impulses vanish from the median field
+    (med_sum equals the clean image's) and the impulse mass counts
+    exactly the planted outliers."""
+    from osm_replication_rust_spark.operators.multimodal import median_filter_stage
+
+    clean = np.full((16, 16), 100, dtype=np.uint8)
+    noisy = clean.copy()
+    # isolated impulses, no two adjacent: medians stay 100 everywhere
+    for y, x, v in [(3, 3, 255), (3, 8, 0), (9, 5, 255), (12, 12, 0)]:
+        noisy[y, x] = v
+    df = spark.createDataFrame(
+        [("clean", clean.tobytes(), 16, 16), ("noisy", noisy.tobytes(), 16, 16)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    got = {r.image_id: r for r in median_filter_stage(df).collect()}
+    assert got["noisy"].med_sum == got["clean"].med_sum == 100 * 14 * 14
+    assert got["clean"].med_absdiff == 0
+    assert got["noisy"].med_absdiff == (255 - 100) + 100 + 155 + 100
