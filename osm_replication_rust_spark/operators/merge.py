@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -272,3 +274,61 @@ class TableStore:
         man["last_state"] = state
         self._publish_manifest(man)
         return True
+
+    # -- table maintenance (the Iceberg expire_snapshots /
+    # remove_orphan_files pair) ------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots — Iceberg's
+        ``expire_snapshots``, the op that keeps a per-minute-MERGE
+        store's disk and manifest bounded (10^12-row design point:
+        1440 snapshots/day of manifest entries and directory trees).
+
+        Deleting an old snapshot directory is SAFE by construction:
+        unchanged buckets are carried forward as hard links, so a data
+        file shared with a retained snapshot survives the rmtree (the
+        inode lives until its last link drops) — exactly Iceberg's
+        reachability rule, enforced by the filesystem instead of a
+        file-graph walk. The manifest is rewritten first (tmp + atomic
+        rename): a crash between publish and rmtree leaves only
+        unreferenced directories, which ``remove_orphans`` reclaims.
+
+        Time travel to an expired state raises (as_of finds no
+        eligible snapshot). Returns {"expired": [states], "kept":
+        [states]}."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots requires keep_last >= 1")
+        man = self.manifest()
+        snaps = man["snapshots"]
+        if len(snaps) <= keep_last:
+            return {"expired": [], "kept": [s["state"] for s in snaps]}
+        drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+        man["snapshots"] = keep
+        self._publish_manifest(man)
+        for s in drop:
+            shutil.rmtree(s["path"], ignore_errors=True)
+        return {
+            "expired": [s["state"] for s in drop],
+            "kept": [s["state"] for s in keep],
+        }
+
+    def remove_orphans(self) -> list[str]:
+        """Delete snapshot directories not referenced by the manifest —
+        Iceberg's ``remove_orphan_files`` for this store's layout. A
+        job killed after writing ``v{state}`` but before the manifest
+        publish leaves exactly such a directory (apply_batch is
+        idempotent-by-state, so a retry overwrites it; an abandoned
+        state never would). Returns the deleted paths."""
+        man = self.manifest()
+        referenced = {os.path.basename(s["path"]) for s in man["snapshots"]}
+        removed: list[str] = []
+        for entry in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, entry)
+            if (
+                os.path.isdir(full)
+                and re.fullmatch(r"v\d+", entry)
+                and entry not in referenced
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        return removed

@@ -308,3 +308,79 @@ def test_killed_job_resume_skips_completed_states(spark, regions, images_pdf, tm
     }
     assert after == before  # completed state's tiles never re-written
     assert store.last_state() == 2
+
+
+def test_expire_snapshots_hardlink_safety_and_time_travel(spark, tmp_path):
+    """expire_snapshots drops old snapshot dirs; the CURRENT snapshot
+    stays fully readable (hard-linked carry-forward files survive the
+    rmtree of the snapshot that first wrote them), time travel to an
+    expired state raises, and retained states still resolve."""
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"k{i:04d}" for i in range(100)],
+                "caption": [f"c{i}" for i in range(100)],
+                "phash": list(range(100)),
+            }
+        )
+    )
+    store = TableStore(spark, str(tmp_path / "t"), n_buckets=8)
+    store.init(base)
+    for s in (1, 2, 3):
+        store.apply_batch(
+            s, changes_df(spark, [(f"k000{s}", "modify", 0, f"new{s}", None)])
+        )
+    assert [e["state"] for e in store.manifest()["snapshots"]] == [0, 1, 2, 3]
+
+    res = store.expire_snapshots(keep_last=2)
+    assert res == {"expired": [0, 1], "kept": [2, 3]}
+    assert not os.path.exists(str(tmp_path / "t" / "v0"))
+    assert not os.path.exists(str(tmp_path / "t" / "v1"))
+
+    # current() reads every bucket — including ones only ever written
+    # by v0 and carried forward as hard links since
+    got = {r.image_id: r.caption for r in store.current().collect()}
+    assert len(got) == 100
+    assert got["k0003"] == "new3" and got["k0099"] == "c99"
+    # retained time travel works; expired raises
+    old = {r.image_id: r.caption for r in store.as_of(2).collect()}
+    assert old["k0002"] == "new2" and old["k0003"] == "c3"
+    with pytest.raises(ValueError, match="no snapshot"):
+        store.as_of(1)
+    with pytest.raises(ValueError, match="keep_last"):
+        store.expire_snapshots(keep_last=0)
+    # no-op when nothing to expire
+    assert store.expire_snapshots(keep_last=5) == {"expired": [], "kept": [2, 3]}
+
+
+def test_remove_orphans_reclaims_unpublished_snapshots_only(spark, tmp_path):
+    """A v{state} dir with no manifest entry (killed before publish) is
+    reclaimed; referenced snapshots and non-snapshot entries are
+    untouched."""
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"k{i:02d}" for i in range(20)],
+                "caption": [f"c{i}" for i in range(20)],
+                "phash": list(range(20)),
+            }
+        )
+    )
+    store = TableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    store.init(base)
+    store.apply_batch(1, changes_df(spark, [("k01", "modify", 0, "n1", None)]))
+    # simulate a killed job: a written-but-unpublished snapshot dir
+    orphan = tmp_path / "t" / "v9"
+    (orphan / "_bucket=0").mkdir(parents=True)
+    (orphan / "_bucket=0" / "part-0.parquet").write_bytes(b"partial")
+    # and an unrelated sidecar that must survive
+    side = tmp_path / "t" / "update.lock"
+    side.write_text("")
+    removed = store.remove_orphans()
+    assert removed == [str(orphan)]
+    assert not orphan.exists()
+    assert side.exists()
+    assert os.path.isdir(str(tmp_path / "t" / "v0"))
+    assert {r.image_id for r in store.current().collect()} == {
+        f"k{i:02d}" for i in range(20)
+    }
