@@ -520,6 +520,30 @@ def cmd_bbox(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_maintain(spark: SparkSession, args) -> int:
+    """Store maintenance (the Iceberg expire_snapshots /
+    remove_orphan_files pair over <store>/points): bound the snapshot
+    log's disk and manifest, reclaim written-but-unpublished snapshot
+    dirs a killed update left. Takes the same advisory lock as
+    ``update`` — expiring a snapshot while an update publishes would
+    race the manifest."""
+    lock = _acquire_update_lock(args.store)
+    try:
+        store = _store(spark, args.store)
+        if args.keep_last is not None:
+            res = store.expire_snapshots(keep_last=args.keep_last)
+            print(
+                f"expired {len(res['expired'])} snapshot(s) "
+                f"{res['expired']}; kept {res['kept']}"
+            )
+        if args.remove_orphans:
+            removed = store.remove_orphans()
+            print(f"removed {len(removed)} orphan snapshot dir(s)")
+    finally:
+        lock.close()
+    return 0
+
+
 def cmd_cluster(spark: SparkSession, args) -> int:
     """Rewrite a parquet table Hilbert-clustered: persist the curve id
     and lay files out as disjoint, sorted id ranges
@@ -633,6 +657,24 @@ def build_parser() -> argparse.ArgumentParser:
     bb.add_argument("output")
     bb.add_argument("--store", required=True)
 
+    mt = sub.add_parser(
+        "maintain",
+        help="store maintenance: snapshot expiry + orphan cleanup "
+        "(Iceberg expire_snapshots / remove_orphan_files)",
+    )
+    mt.add_argument("--store", required=True)
+    mt.add_argument(
+        "--keep-last",
+        type=int,
+        default=None,
+        help="expire all but the newest N snapshots",
+    )
+    mt.add_argument(
+        "--remove-orphans",
+        action="store_true",
+        help="delete snapshot dirs not referenced by the manifest",
+    )
+
     cl = sub.add_parser(
         "cluster",
         help="rewrite a parquet table hilbert-clustered (disjoint sorted "
@@ -664,6 +706,7 @@ def main(argv: list[str] | None = None) -> int:
         "check": cmd_check,
         "filter": cmd_filter,
         "bbox": cmd_bbox,
+        "maintain": cmd_maintain,
         "cluster": cmd_cluster,
     }[args.cmd](spark, args)
 

@@ -573,6 +573,77 @@ def k_truss(
     return cur
 
 
+def assortativity(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Degree assortativity coefficient of the UNDIRECTED simple graph
+    of ``edges(a, b)`` — Newman's r: the Pearson correlation of the
+    degrees at the two ends of every edge, sampled over BOTH
+    orientations (so the statistic is symmetric without a covariance
+    correction). Positive = hubs link hubs (social nets), negative =
+    hubs link leaves (star-ish infrastructure / spam farms) — the
+    one-number structure screen pipelines run before deciding whether
+    community detection is even meaningful.
+
+    Exact-integer discipline: with M = 2m samples and the degree
+    moments Sx = Σdx, Sxy = Σdx·dy, Sxx = Σdx² (Sy = Sx, Syy = Sxx by
+    the two-orientation symmetry),
+
+        r = (M·Sxy − Sx²) / (M·Sxx − Sx²)
+
+    — numerator and denominator accumulated in decimal(38,0) with
+    casts BEFORE the products (DuckDB HUGEINT twin), the coefficient
+    ONE shared IEEE division, so the doubles are bit-identical
+    cross-engine. Returns one row ``(asr_num_str, asr_den_str,
+    assortativity)`` with the exact integers carried as digit strings
+    behind the float; NULL r on a degree-regular graph (denominator
+    0 — every cycle, every complete graph) or an empty edge set.
+
+    Scale: ONE aggregation over the degree-joined symmetrized edge
+    list — canonicalize+distinct, degree agg, two hash joins, one
+    global agg; no loop, no driver rounds. Duplicate edges and
+    self-loops drop during canonicalization."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    sym = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    samp = sym.join(
+        deg.select(F.col("id").alias("u"), F.col("deg").alias("dx")), "u"
+    ).join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dy")), "v")
+    dec = "decimal(38,0)"
+    agg = samp.agg(
+        F.count(F.lit(1)).cast(dec).alias("_m"),
+        F.sum(F.col("dx").cast(dec)).alias("_sx"),
+        F.sum(F.col("dx").cast(dec) * F.col("dy").cast(dec)).alias("_sxy"),
+        F.sum(F.col("dx").cast(dec) * F.col("dx").cast(dec)).alias("_sxx"),
+    )
+    num = F.col("_m") * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = F.col("_m") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return agg.select(
+        F.coalesce(num.cast("string"), F.lit("0")).alias("asr_num_str"),
+        F.coalesce(den.cast("string"), F.lit("0")).alias("asr_den_str"),
+        F.when(
+            den.isNotNull() & (den != 0),
+            num.cast("double") / den.cast("double"),
+        ).alias("assortativity"),
+    )
+
+
 #: fixed-point PageRank mass scale: each node starts with SCALE units.
 #: Exactness bound: every intermediate (per-node rank, contribution
 #: sum, 100x the damped sum) stays under N * SCALE * damp_den, so the

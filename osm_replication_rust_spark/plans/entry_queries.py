@@ -785,7 +785,12 @@ def _sql_graph_ctes() -> str:
     base = (15 * scale) // 100
     pr = [f"pr0 AS (SELECT id, CAST({scale} AS BIGINT) AS pr FROM gnodes)"]
     for k in range(_PAGERANK_ITERS):
-        pr.append(f"""pr{k + 1} AS (
+        # AS MATERIALIZED: each round is referenced by the next (and the
+        # final round twice) — without it DuckDB re-inlines the whole
+        # chain per reference and the unrolled plan goes exponential
+        # (measured: k-core unroll 10 inline = minutes, materialized =
+        # 0.2 s at sf0.001)
+        pr.append(f"""pr{k + 1} AS MATERIALIZED (
       SELECT n.id, CAST({base} + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
       FROM gnodes n LEFT JOIN (
         SELECT e.b AS id, sum(p.pr // d.od) AS c
@@ -801,7 +806,7 @@ def _sql_graph_ctes() -> str:
               UNION ALL SELECT b AS id, a AS o FROM kcanon),
     kc0 AS (SELECT DISTINCT id FROM kboth)"""]
     for r in range(_KCORE_UNROLL):
-        kc.append(f"""kc{r + 1} AS (
+        kc.append(f"""kc{r + 1} AS MATERIALIZED (
       SELECT id FROM (
         SELECT x.id, count(*) AS c FROM kboth x
         JOIN kc{r} s1 ON s1.id = x.id
@@ -818,9 +823,9 @@ def _sql_graph_ctes() -> str:
     # routes to the unique fixpoint), edges kept at support >= k-2
     kc.append("kt0 AS (SELECT a, b FROM kcanon)")
     for r in range(_KTRUSS_UNROLL):
-        kc.append(f"""kts{r} AS (SELECT a AS id, b AS o FROM kt{r}
+        kc.append(f"""kts{r} AS MATERIALIZED (SELECT a AS id, b AS o FROM kt{r}
                UNION ALL SELECT b AS id, a AS o FROM kt{r}),
-    kt{r + 1} AS (
+    kt{r + 1} AS MATERIALIZED (
       SELECT e.a, e.b FROM kt{r} e
       JOIN kts{r} x ON x.id = e.a
       JOIN kts{r} y ON y.id = e.b AND y.o = x.o
@@ -875,7 +880,30 @@ def _sql_graph_ctes() -> str:
              ORDER BY pr DESC, id LIMIT 1),
     psig AS (SELECT md5(string_agg(CAST(id AS VARCHAR) || ':' ||
                                    CAST(pr AS VARCHAR), ',' ORDER BY id)) AS pr_sig
-             FROM pr{_PAGERANK_ITERS})"""
+             FROM pr{_PAGERANK_ITERS}),
+    asamp AS (
+      -- degree assortativity samples: both orientations of every
+      -- canonical edge, degrees at each end (graph.assortativity)
+      SELECT du.deg AS dx, dv.deg AS dy
+      FROM (SELECT a AS u, b AS v FROM gcanon
+            UNION ALL SELECT b AS u, a AS v FROM gcanon) j
+      JOIN gdeg du ON du.id = j.u JOIN gdeg dv ON dv.id = j.v),
+    asr AS (
+      SELECT
+        CAST(COALESCE(count(*)::HUGEINT * SUM(dx::HUGEINT * dy)
+               - SUM(dx::HUGEINT) * SUM(dx::HUGEINT), 0) AS VARCHAR)
+          AS asr_num_str,
+        CAST(COALESCE(count(*)::HUGEINT * SUM(dx::HUGEINT * dx)
+               - SUM(dx::HUGEINT) * SUM(dx::HUGEINT), 0) AS VARCHAR)
+          AS asr_den_str,
+        CASE WHEN count(*)::HUGEINT * SUM(dx::HUGEINT * dx)
+               - SUM(dx::HUGEINT) * SUM(dx::HUGEINT) <> 0 THEN
+          CAST(count(*)::HUGEINT * SUM(dx::HUGEINT * dy)
+               - SUM(dx::HUGEINT) * SUM(dx::HUGEINT) AS DOUBLE)
+          / CAST(count(*)::HUGEINT * SUM(dx::HUGEINT * dx)
+               - SUM(dx::HUGEINT) * SUM(dx::HUGEINT) AS DOUBLE)
+        END AS assortativity
+      FROM asamp)"""
 
 
 def _graph_sig(id_col: str, parts: list[str]) -> Column:
@@ -904,9 +932,10 @@ def _graph_sig(id_col: str, parts: list[str]) -> Column:
     ),{_sql_graph_ctes()}
     SELECT d.dangling_key, t.tri_total, t.tri_sig,
            p.pr_top, p.pr_top_val, g.pr_sig,
-           kca.kc_n, kca.kc_sig, kta.kt_n, kta.kt_sig
+           kca.kc_n, kca.kc_sig, kta.kt_n, kta.kt_sig,
+           ar.asr_num_str, ar.asr_den_str, ar.assortativity
     FROM dang d CROSS JOIN tstats t CROSS JOIN ptop p CROSS JOIN psig g
-    CROSS JOIN kcagg kca CROSS JOIN ktagg kta
+    CROSS JOIN kcagg kca CROSS JOIN ktagg kta CROSS JOIN asr ar
     ORDER BY d.dangling_key
     """,
 )
@@ -936,9 +965,20 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-oriented wedge join and scatters them to edges, while the
     oracle's unrolled rounds count brute common-neighbor wedges per
     edge: two algorithms, one unique fixpoint.
+    PLUS degree assortativity (operators/graph.assortativity) over the
+    FULL event graph: Newman's r as exact decimal(38,0)/HUGEINT moments
+    with ONE shared division, the exact numerator/denominator riding
+    as digit strings behind the float — a loop-free one-aggregation
+    fold.
     (Iterative ops belong on non-benched gate rows: the PR/peel loops
     cost driver-action rounds whatever the data size.)"""
-    from ..operators.graph import k_core, k_truss, pagerank, triangle_counts
+    from ..operators.graph import (
+        assortativity,
+        k_core,
+        k_truss,
+        pagerank,
+        triangle_counts,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 40)
@@ -995,6 +1035,7 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(psig))
         .crossJoin(F.broadcast(kcagg))
         .crossJoin(F.broadcast(ktagg))
+        .crossJoin(F.broadcast(assortativity(raw)))
         .orderBy("dangling_key")
     )
 

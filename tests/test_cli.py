@@ -462,3 +462,46 @@ def test_cli_cluster_hilbert_layout(spark, tmp_path, capsys):
     ) == 0
     got2 = {r.id: r.hil for r in spark.read.parquet(dst2).collect()}
     assert got2 == got
+
+
+def test_cli_maintain_expire_and_orphans(spark, tmp_path, capsys):
+    """`maintain --keep-last/--remove-orphans` bounds the points store:
+    expiry drops old snapshots while the current one stays readable
+    (hard-link carry-forward), orphan cleanup reclaims an unpublished
+    v{state} dir, and the update lock is honored."""
+    store = str(tmp_path / "mstore")
+    assert cli.main(["import", PBF, "--store", store]) == 0
+    pts = os.path.join(store, "points")
+    # three more snapshots via the TableStore directly (cheaper than
+    # three update runs; `update` produces exactly these)
+    from osm_replication_rust_spark.operators.merge import TableStore
+    from osm_replication_rust_spark.session import get_spark
+
+    ts = TableStore(spark, pts)
+    cur = ts.current()
+    some_id = cur.select("image_id").limit(1).collect()[0][0]
+    n0 = cur.count()
+    for s in (1, 2):
+        ch = cur.filter(F.col("image_id") == some_id).select(
+            "image_id",
+            F.lit("modify").alias("action"),
+            F.lit(s).cast("long").alias("seq"),
+            F.concat(F.lit(f"cap{s}-"), F.col("image_id")).alias("new_caption"),
+        )
+        assert ts.apply_batch(s, ch) is True
+    # orphan: a written-but-unpublished snapshot dir
+    os.makedirs(os.path.join(pts, "v99", "_bucket=0"), exist_ok=True)
+    rc = cli.main(
+        ["maintain", "--store", store, "--keep-last", "1", "--remove-orphans"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "expired 2 snapshot(s)" in out and "removed 1 orphan" in out
+    assert not os.path.exists(os.path.join(pts, "v0"))
+    assert not os.path.exists(os.path.join(pts, "v99"))
+    got = TableStore(spark, pts).current()
+    assert got.count() == n0
+    assert (
+        got.filter(F.col("image_id") == some_id).collect()[0]["caption"]
+        == f"cap2-{some_id}"
+    )

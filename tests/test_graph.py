@@ -623,3 +623,67 @@ def test_k_truss_guards(spark):
     e = spark.createDataFrame(k4 + pend, "a string, b string")
     with pytest.raises(RuntimeError, match="did not converge"):
         k_truss(e, 4, max_rounds=1)
+
+
+# ---------------------------------------------------------------------------
+# assortativity
+# ---------------------------------------------------------------------------
+
+
+def _assort_ref(edges):
+    """Fraction-exact Newman r over both orientations of the simple
+    graph; (num, den) exact ints."""
+    E = set()
+    for a, b in edges:
+        if a != b:
+            E.add((min(a, b), max(a, b)))
+    deg = {}
+    for a, b in E:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    samples = [(deg[a], deg[b]) for a, b in E] + [(deg[b], deg[a]) for a, b in E]
+    M = len(samples)
+    sx = sum(dx for dx, _ in samples)
+    sxy = sum(dx * dy for dx, dy in samples)
+    sxx = sum(dx * dx for dx, _ in samples)
+    return M * sxy - sx * sx, M * sxx - sx * sx
+
+
+def test_assortativity_star_cycle_random(spark):
+    from fractions import Fraction
+
+    from osm_replication_rust_spark.operators.graph import assortativity
+
+    # star K1,5: perfectly disassortative, r = -1 exactly
+    star = [("hub", f"s{i}") for i in range(5)]
+    e = spark.createDataFrame(star, "a string, b string")
+    r = assortativity(e).collect()[0]
+    num, den = _assort_ref(star)
+    assert (r.asr_num_str, r.asr_den_str) == (str(num), str(den))
+    assert Fraction(num, den) == -1 and r.assortativity == -1.0
+
+    # cycle: degree-regular -> denominator 0 -> NULL r, exact strings
+    cyc = [(f"c{i}", f"c{(i + 1) % 6}") for i in range(6)]
+    e = spark.createDataFrame(cyc, "a string, b string")
+    r = assortativity(e).collect()[0]
+    assert r.asr_den_str == "0" and r.assortativity is None
+
+    # random graphs: exact integer parity + float spelling; self-loops
+    # and duplicates drop
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        edges = [
+            (int(a), int(b)) for a, b in rng.integers(0, 40, size=(150, 2))
+        ]
+        e = spark.createDataFrame(
+            edges + edges[:5] + [(3, 3)], "a long, b long"
+        )
+        num, den = _assort_ref(edges)
+        r = assortativity(e).collect()[0]
+        assert (r.asr_num_str, r.asr_den_str) == (str(num), str(den)), trial
+        if den:
+            assert r.assortativity == num / den
+    # empty edge set
+    e = spark.createDataFrame([("x", "x")], "a string, b string")
+    r = assortativity(e).collect()[0]
+    assert (r.asr_num_str, r.asr_den_str, r.assortativity) == ("0", "0", None)
