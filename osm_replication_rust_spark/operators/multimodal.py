@@ -1156,3 +1156,124 @@ def audio_stats_stage(
             yield out
 
     return df.mapInPandas(stage, out_schema)
+
+
+def morphology_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """3x3 grayscale morphology — erosion (window min) and dilation
+    (window max), the opening/closing building blocks every binary-mask
+    and watermark-cleanup pipeline starts from (cv2.erode/cv2.dilate
+    with the full 3x3 structuring element). Min/max of 9 ints are exact
+    order statistics like the median filter's, so the eroded and
+    dilated fields reproduce bit-for-bit in SQL.
+
+    Emits per image:
+    - ``ero_sum`` / ``dil_sum``: Σ erosion / Σ dilation over interior
+      pixels (ero_sum <= raw interior sum <= dil_sum always);
+    - ``mg_nz``: count of interior pixels whose morphological gradient
+      (dilation − erosion, the classic edge detector) is non-zero —
+      zero exactly on locally-flat windows, so mg_nz is the non-flat
+      texture mass.
+
+    Images thinner than 3 px have no interior: zeros. Map-only,
+    equal-shape batch stacks; the window extrema are axis reductions
+    on the [chunk, h-2, w-2, 9] tensor (median_filter_stage's shape)."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields + ["ero_sum bigint", "dil_sum bigint", "mg_nz bigint"]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            es = np.zeros(n, dtype=np.int64)
+            ds = np.zeros(n, dtype=np.int64)
+            mg = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 3 or w < 3:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                neigh = np.stack(
+                    [
+                        px[:, dy : h - 2 + dy, dx : w - 2 + dx]
+                        for dy in range(3)
+                        for dx in range(3)
+                    ],
+                    axis=-1,
+                )
+                ero = neigh.min(axis=-1)
+                dil = neigh.max(axis=-1)
+                es[ii] = ero.sum(axis=(1, 2))
+                ds[ii] = dil.sum(axis=(1, 2))
+                mg[ii] = (dil > ero).sum(axis=(1, 2))
+            yield pdf.assign(ero_sum=es, dil_sum=ds, mg_nz=mg)
+
+    return df.mapInPandas(stage, out_schema)
+
+
+# LBP neighbor ring, clockwise from the top-left corner: bit i set when
+# neighbor i >= center (ties INSIDE, the standard LBP convention). The
+# order is part of the operator contract — the uniform-pattern test
+# walks consecutive ring positions, so a reordering changes which codes
+# count as uniform.
+LBP_RING = [(-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1)]
+
+
+def lbp_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Local Binary Patterns (Ojala et al.) — the classic texture
+    descriptor a quality screen uses to separate natural texture from
+    synthetic/flat renders: per interior pixel the 8-bit code
+    Σ 2^i · [neighbor_i >= center] over the clockwise ring LBP_RING.
+    Pure integer comparisons, so every code reproduces bit-for-bit in
+    SQL from the same 8 neighbor taps.
+
+    Emits per image:
+    - ``lbp_sum``: Σ code over interior pixels — pins all eight
+      comparison planes with position-independent weights 2^i (a
+      flipped or rotated ring changes the weighting and breaks it);
+    - ``lbp_uni``: count of UNIFORM codes — at most 2 circular 0↔1
+      transitions around the ring (the 58 patterns that carry ~90% of
+      natural-texture mass; flat, edge, corner and line-end
+      micro-shapes). The uniform fraction lbp_uni / interior is the
+      texture-quality statistic.
+
+    Images thinner than 3 px have no interior: zeros. Map-only over
+    equal-shape batch stacks; the 8 comparison planes are boolean
+    tensors on the median-filter window slices."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(fields + ["lbp_sum bigint", "lbp_uni bigint"])
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ls = np.zeros(n, dtype=np.int64)
+            lu = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 3 or w < 3:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                ctr = px[:, 1:-1, 1:-1]
+                bits = [
+                    px[:, 1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx] >= ctr
+                    for dy, dx in LBP_RING
+                ]
+                code = np.zeros_like(ctr)
+                for i, b in enumerate(bits):
+                    code += b.astype(np.int64) << i
+                trans = np.zeros_like(ctr)
+                for i in range(8):
+                    trans += (bits[i] != bits[(i + 1) % 8]).astype(np.int64)
+                ls[ii] = code.sum(axis=(1, 2))
+                lu[ii] = (trans <= 2).sum(axis=(1, 2))
+            yield pdf.assign(lbp_sum=ls, lbp_uni=lu)
+
+    return df.mapInPandas(stage, out_schema)

@@ -2442,22 +2442,61 @@ def _multimodal_oracle() -> str:
       FROM hres GROUP BY image_id
     ),
     macc AS (
-      -- 3x3 median filter: same window scatter over raw pixels;
-      -- quantile_disc(0.5) of 9 ints = the exact 5th order statistic
-      -- (multimodal.median_filter_stage)
+      -- 3x3 median filter + morphology: ONE window scatter over raw
+      -- pixels feeds all three order statistics — quantile_disc(0.5)
+      -- of 9 ints = the exact 5th order statistic
+      -- (multimodal.median_filter_stage), MIN/MAX = erosion/dilation
+      -- (multimodal.morphology_stage)
       SELECT image_id, r + dy AS mr, c + dx AS mc,
-             CAST(quantile_disc(v, 0.5) AS BIGINT) AS medv, COUNT(*) AS n9
+             CAST(quantile_disc(v, 0.5) AS BIGINT) AS medv,
+             MIN(v) AS erov, MAX(v) AS dilv, COUNT(*) AS n9
       FROM px CROSS JOIN hoff
       GROUP BY image_id, r + dy, c + dx
     ),
     magg AS (
       SELECT m.image_id,
              CAST(SUM(m.medv) AS BIGINT) AS med_sum,
-             CAST(SUM(ABS(m.medv - p.v)) AS BIGINT) AS med_absdiff
+             CAST(SUM(ABS(m.medv - p.v)) AS BIGINT) AS med_absdiff,
+             CAST(SUM(m.erov) AS BIGINT) AS ero_sum,
+             CAST(SUM(m.dilv) AS BIGINT) AS dil_sum,
+             CAST(COALESCE(SUM(CASE WHEN m.dilv > m.erov THEN 1 END), 0)
+                  AS BIGINT) AS mg_nz
       FROM macc m JOIN px p ON p.image_id = m.image_id
                            AND p.r = m.mr AND p.c = m.mc
       WHERE m.n9 = 9
       GROUP BY m.image_id
+    ),
+    lbpb AS (
+      -- LBP ring taps (multimodal.lbp_stage): bit i set when the
+      -- clockwise-from-top-left neighbor i >= center, per interior
+      -- pixel — the same LCG-tap spelling the Sobel twin uses
+      SELECT image_id,
+        CASE WHEN ({_sql_lcg_px('k - w - 1')}) >= ({_sql_lcg_px('k')}) THEN 1 ELSE 0 END AS b0,
+        CASE WHEN ({_sql_lcg_px('k - w')})     >= ({_sql_lcg_px('k')}) THEN 1 ELSE 0 END AS b1,
+        CASE WHEN ({_sql_lcg_px('k - w + 1')}) >= ({_sql_lcg_px('k')}) THEN 1 ELSE 0 END AS b2,
+        CASE WHEN ({_sql_lcg_px('k + 1')})     >= ({_sql_lcg_px('k')}) THEN 1 ELSE 0 END AS b3,
+        CASE WHEN ({_sql_lcg_px('k + w + 1')}) >= ({_sql_lcg_px('k')}) THEN 1 ELSE 0 END AS b4,
+        CASE WHEN ({_sql_lcg_px('k + w')})     >= ({_sql_lcg_px('k')}) THEN 1 ELSE 0 END AS b5,
+        CASE WHEN ({_sql_lcg_px('k + w - 1')}) >= ({_sql_lcg_px('k')}) THEN 1 ELSE 0 END AS b6,
+        CASE WHEN ({_sql_lcg_px('k - 1')})     >= ({_sql_lcg_px('k')}) THEN 1 ELSE 0 END AS b7
+      FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
+      WHERE (k // w) BETWEEN 1 AND h - 2 AND (k % w) BETWEEN 1 AND w - 2
+    ),
+    lbpagg AS (
+      SELECT image_id,
+             CAST(SUM(b0 + 2*b1 + 4*b2 + 8*b3 + 16*b4 + 32*b5 + 64*b6
+                      + 128*b7) AS BIGINT) AS lbp_sum,
+             CAST(COALESCE(SUM(CASE WHEN
+                 (CASE WHEN b0 <> b1 THEN 1 ELSE 0 END)
+               + (CASE WHEN b1 <> b2 THEN 1 ELSE 0 END)
+               + (CASE WHEN b2 <> b3 THEN 1 ELSE 0 END)
+               + (CASE WHEN b3 <> b4 THEN 1 ELSE 0 END)
+               + (CASE WHEN b4 <> b5 THEN 1 ELSE 0 END)
+               + (CASE WHEN b5 <> b6 THEN 1 ELSE 0 END)
+               + (CASE WHEN b6 <> b7 THEN 1 ELSE 0 END)
+               + (CASE WHEN b7 <> b0 THEN 1 ELSE 0 END) <= 2
+               THEN 1 END), 0) AS BIGINT) AS lbp_uni
+      FROM lbpb GROUP BY image_id
     ),
     ohist AS (
       SELECT image_id, v, COUNT(*) AS c
@@ -2610,7 +2649,12 @@ def _multimodal_oracle() -> str:
            COALESCE(hg.hc_n, 0) AS hc_n, hg.hc_max, hg.hc_min,
            COALESCE(hg.hc_wpos, 0) AS hc_wpos,
            COALESCE(mg.med_sum, 0) AS med_sum,
-           COALESCE(mg.med_absdiff, 0) AS med_absdiff
+           COALESCE(mg.med_absdiff, 0) AS med_absdiff,
+           COALESCE(mg.ero_sum, 0) AS ero_sum,
+           COALESCE(mg.dil_sum, 0) AS dil_sum,
+           COALESCE(mg.mg_nz, 0) AS mg_nz,
+           COALESCE(lb.lbp_sum, 0) AS lbp_sum,
+           COALESCE(lb.lbp_uni, 0) AS lbp_uni
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
@@ -2620,6 +2664,7 @@ def _multimodal_oracle() -> str:
     LEFT JOIN og USING (image_id)
     LEFT JOIN hagg hg USING (image_id)
     LEFT JOIN magg mg USING (image_id)
+    LEFT JOIN lbpagg lb USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -2704,7 +2749,15 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt-and-pepper noise screen): the median of 9 ints is the exact
     5th order statistic, pinned by the filtered sum and the
     impulse-noise mass Σ|median − center| vs the oracle's
-    window-scatter + quantile_disc twin."""
+    window-scatter + quantile_disc twin.
+
+    Plus 3x3 morphology (morphology_stage — erosion/dilation sums and
+    the non-flat gradient mass mg_nz, exact window MIN/MAX recomputed
+    by the SAME oracle window scatter the median twin uses) and Local
+    Binary Patterns (lbp_stage — Σ 8-bit ring codes and the
+    uniform-pattern count, every comparison plane rebuilt from the
+    eight LCG neighbor taps; the circular-transition test makes the
+    ring ORDER part of the gate, not just the comparison set)."""
     import numpy as np
 
     from ..datagen.synth import gen_images, gen_videos
@@ -2714,7 +2767,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_stats,
         harris_stage,
         hist_eq_stage,
+        lbp_stage,
         median_filter_stage,
+        morphology_stage,
         otsu_stage,
         patchify_stage,
         scene_cut_stage,
@@ -2803,6 +2858,12 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mfs = median_filter_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "med_sum", "med_absdiff"
     )
+    mor = morphology_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "ero_sum", "dil_sum", "mg_nz"
+    )
+    lbp = lbp_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "lbp_sum", "lbp_uni"
+    )
     return (
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
@@ -2816,6 +2877,8 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ogh, "image_id")
         .join(hcr, "image_id")
         .join(mfs, "image_id")
+        .join(mor, "image_id")
+        .join(lbp, "image_id")
         .orderBy("image_id")
     )
 

@@ -946,3 +946,127 @@ def test_median_filter_kills_impulse_noise(spark):
     assert got["noisy"].med_sum == got["clean"].med_sum == 100 * 14 * 14
     assert got["clean"].med_absdiff == 0
     assert got["noisy"].med_absdiff == (255 - 100) + 100 + 155 + 100
+
+
+def test_morphology_matches_numpy_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        morphology_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),
+        ("c", bytes(range(2 * 9)), 2, 9),      # no interior
+        ("d", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in morphology_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if w < 3 or h < 3:
+            assert (r.ero_sum, r.dil_sum, r.mg_nz) == (0, 0, 0)
+            continue
+        px = fake_decode(payload, w, h).astype(np.int64)
+        es = ds = mg = raw = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                window = [
+                    int(px[y + dy, x + dx])
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+                es += min(window)
+                ds += max(window)
+                mg += 1 if max(window) > min(window) else 0
+                raw += int(px[y, x])
+        assert (r.ero_sum, r.dil_sum, r.mg_nz) == (es, ds, mg), image_id
+        # the morphology sandwich: erosion <= raw <= dilation
+        assert r.ero_sum <= raw <= r.dil_sum
+
+
+def test_morphology_flat_and_impulse(spark):
+    """Constant image: erosion == dilation everywhere (mg_nz == 0).
+    One isolated impulse dilates to its full 3x3 neighborhood and
+    erodes away entirely."""
+    from osm_replication_rust_spark.operators.multimodal import morphology_stage
+
+    flat = np.full((10, 10), 7, dtype=np.uint8)
+    imp = flat.copy()
+    imp[5, 5] = 200
+    df = spark.createDataFrame(
+        [("flat", flat.tobytes(), 10, 10), ("imp", imp.tobytes(), 10, 10)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    got = {r.image_id: r for r in morphology_stage(df).collect()}
+    n_int = 8 * 8
+    assert got["flat"].ero_sum == got["flat"].dil_sum == 7 * n_int
+    assert got["flat"].mg_nz == 0
+    # dilation: the impulse wins the max in its 9 surrounding windows
+    assert got["imp"].dil_sum == 7 * (n_int - 9) + 200 * 9
+    # erosion: the impulse's own window min is still 7 -> erosion unchanged
+    assert got["imp"].ero_sum == 7 * n_int
+    assert got["imp"].mg_nz == 9
+
+
+def test_lbp_matches_loop_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        LBP_RING,
+        fake_decode,
+        lbp_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([(k * 7 + 3) % 251 for k in range(12 * 20)]), 12, 20),
+        ("c", bytes(range(9 * 2)), 9, 2),      # no interior
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in lbp_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if w < 3 or h < 3:
+            assert (r.lbp_sum, r.lbp_uni) == (0, 0)
+            continue
+        px = fake_decode(payload, w, h).astype(np.int64)
+        ls = lu = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                bits = [
+                    1 if px[y + dy, x + dx] >= px[y, x] else 0
+                    for dy, dx in LBP_RING
+                ]
+                ls += sum(b << i for i, b in enumerate(bits))
+                trans = sum(bits[i] != bits[(i + 1) % 8] for i in range(8))
+                lu += 1 if trans <= 2 else 0
+        assert (r.lbp_sum, r.lbp_uni) == (ls, lu), image_id
+
+
+def test_lbp_flat_edge_and_saw(spark):
+    """Constant image: every ring comparison ties inside -> code 255,
+    zero transitions, all uniform. A vertical step edge: interior codes
+    are uniform (one contiguous >= arc). A 1px checkerboard: every PEAK
+    pixel's ring alternates (8 transitions, non-uniform) while every
+    valley ties with its whole ring (code 255, uniform) — so exactly
+    the 25 valleys of the 7x7 interior count."""
+    from osm_replication_rust_spark.operators.multimodal import lbp_stage
+
+    flat = np.full((8, 8), 9, dtype=np.uint8)
+    edge = np.zeros((8, 8), dtype=np.uint8)
+    edge[:, 4:] = 100
+    saw = np.fromfunction(lambda y, x: ((x + y) % 2) * 100, (9, 9)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("flat", flat.tobytes(), 8, 8),
+            ("edge", edge.tobytes(), 8, 8),
+            ("saw", saw.tobytes(), 9, 9),
+        ],
+        "image_id string, bytes binary, w int, h int",
+    )
+    got = {r.image_id: r for r in lbp_stage(df).collect()}
+    assert got["flat"].lbp_sum == 255 * 36
+    assert got["flat"].lbp_uni == 36
+    assert got["edge"].lbp_uni == 36      # step edges are uniform patterns
+    # checkerboard peaks: ring alternates 1,0,1,0,... -> 8 transitions,
+    # non-uniform; valleys: all-ties code 255 -> uniform. 25 valleys.
+    assert got["saw"].lbp_uni == 25
