@@ -1277,3 +1277,90 @@ def lbp_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             yield pdf.assign(lbp_sum=ls, lbp_uni=lu)
 
     return df.mapInPandas(stage, out_schema)
+
+
+#: LCM(1..16) — the homogeneity denominator 1 + |i - j| for 16 gray
+#: levels always divides it, so the quantized homogeneity weight
+#: GLCM_HOMOG_K // (1 + |i-j|) is EXACT (no per-cell float division)
+GLCM_HOMOG_K = 720_720
+
+
+def glcm_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Gray-Level Co-occurrence Matrix texture statistics (Haralick) —
+    the second-order texture screen next to LBP's micro-patterns: pixel
+    values quantize to 16 levels (v >> 4) and every horizontal
+    neighbor pair (p, east(p)) increments cell (level(p), level(east))
+    of the per-image 16x16 co-occurrence matrix N.  Emits the classic
+    Haralick statistics in EXACT integers:
+
+    - ``glcm_n``:        total pairs = (w-1)·h — pins the pair domain;
+    - ``glcm_contrast``: Σ N_ij·(i-j)²   — local variation mass;
+    - ``glcm_energy``:   Σ N_ij²         — uniformity (angular second
+      moment numerator; peaked matrices = synthetic/flat content);
+    - ``glcm_homog``:    Σ N_ij·(GLCM_HOMOG_K // (1+|i-j|)) — inverse
+      difference moment with the float 1/(1+|i-j|) quantized through
+      the exact LCM(1..16) weight, so the statistic is an integer both
+      engines agree on bit-for-bit;
+    - ``glcm_nz``:       occupied cells — matrix sparsity.
+
+    The unnormalized (count, not probability) forms are deliberate:
+    dividing by glcm_n is a consumer-side float; the gate pins the
+    integer state behind it.  Images with w < 2 have no pairs: all
+    zeros.  Map-only over equal-shape batch stacks, one 256-bin
+    offset-bincount per stack (the otsu kernel's trick), zero shuffle."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields
+        + [
+            "glcm_n bigint",
+            "glcm_contrast bigint",
+            "glcm_energy bigint",
+            "glcm_homog bigint",
+            "glcm_nz bigint",
+        ]
+    )
+    lvl = np.arange(256, dtype=np.int64)
+    d = lvl // 16 - lvl % 16
+    w_contrast = d * d
+    w_homog = GLCM_HOMOG_K // (1 + np.abs(d))
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            gn = np.zeros(n, dtype=np.int64)
+            gc = np.zeros(n, dtype=np.int64)
+            ge = np.zeros(n, dtype=np.int64)
+            gh = np.zeros(n, dtype=np.int64)
+            gz = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if w < 2 or h < 1:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                q = px >> 4
+                code = q[:, :, :-1] * 16 + q[:, :, 1:]
+                flat = (
+                    np.arange(len(ii), dtype=np.int64)[:, None, None] * 256
+                    + code
+                ).ravel()
+                counts = np.bincount(flat, minlength=len(ii) * 256).reshape(
+                    len(ii), 256
+                )
+                gn[ii] = counts.sum(axis=1)
+                gc[ii] = (counts * w_contrast).sum(axis=1)
+                ge[ii] = (counts * counts).sum(axis=1)
+                gh[ii] = (counts * w_homog).sum(axis=1)
+                gz[ii] = (counts > 0).sum(axis=1)
+            yield pdf.assign(
+                glcm_n=gn,
+                glcm_contrast=gc,
+                glcm_energy=ge,
+                glcm_homog=gh,
+                glcm_nz=gz,
+            )
+
+    return df.mapInPandas(stage, out_schema)

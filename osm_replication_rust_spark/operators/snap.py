@@ -33,6 +33,27 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,0)"
 
 
+def point_segment_d2(px, py, x1, y1, x2, y2):
+    """Clamped squared point-to-segment distance as a Column — the ONE
+    Spark spelling of the docstring's d² (decimal(38,0) products, one
+    shared division/cast), kept in lockstep with ``sql_snap_d2_expr``
+    below; snapping AND the chain-Hausdorff operator both build on it
+    so candidate ordering is identical everywhere."""
+    dx, dy = x2 - x1, y2 - y1
+    apx, apy = px - x1, py - y1
+    pbx, pby = px - x2, py - y2
+    dot = apx * dx + apy * dy
+    l2 = dx * dx + dy * dy
+    pa2 = apx * apx + apy * apy
+    pb2 = pbx * pbx + pby * pby
+    num = pa2.cast(_DEC) * l2.cast(_DEC) - dot.cast(_DEC) * dot.cast(_DEC)
+    return (
+        F.when(dot <= 0, pa2.cast("double"))
+        .when(dot >= l2, pb2.cast("double"))
+        .otherwise(num.cast("double") / l2.cast("double"))
+    )
+
+
 def snap_points_to_segments(
     points: DataFrame,
     segments: DataFrame,
@@ -63,30 +84,13 @@ def snap_points_to_segments(
             & (py >= F.least("y1", "y2") - md)
             & (py <= F.greatest("y1", "y2") + md)
         )
-    j = (
-        points.select(point_id, x, y)
-        .join(F.broadcast(segments), cond)
-        .withColumn("_dx", F.col("x2") - F.col("x1"))
-        .withColumn("_dy", F.col("y2") - F.col("y1"))
-        .withColumn("_apx", px - F.col("x1"))
-        .withColumn("_apy", py - F.col("y1"))
+    j = points.select(point_id, x, y).join(F.broadcast(segments), cond)
+    scored = j.withColumn(
+        "d2",
+        point_segment_d2(
+            px, py, F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+        ),
     )
-    dot = F.col("_apx") * F.col("_dx") + F.col("_apy") * F.col("_dy")
-    l2 = F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy")
-    pa2 = F.col("_apx") * F.col("_apx") + F.col("_apy") * F.col("_apy")
-    pbx, pby = px - F.col("x2"), py - F.col("y2")
-    pb2 = pbx * pbx + pby * pby
-    j = j.withColumn("_dot", dot).withColumn("_l2", l2)
-    num = (
-        pa2.cast(_DEC) * F.col("_l2").cast(_DEC)
-        - F.col("_dot").cast(_DEC) * F.col("_dot").cast(_DEC)
-    )
-    d2 = (
-        F.when(F.col("_dot") <= 0, pa2.cast("double"))
-        .when(F.col("_dot") >= F.col("_l2"), pb2.cast("double"))
-        .otherwise(num.cast("double") / F.col("_l2").cast("double"))
-    )
-    scored = j.withColumn("d2", d2)
     if max_dist is not None:
         scored = scored.filter(F.col("d2") <= float(max_dist) ** 2)
     w = Window.partitionBy(point_id).orderBy("d2", "group_id", "pos")

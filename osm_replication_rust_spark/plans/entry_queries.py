@@ -435,6 +435,12 @@ def _sql_dbscan_ctes() -> str:
 _EV_LAT = C.sql_derived_lat("event_id")
 _EV_LON = C.sql_derived_lon("event_id")
 
+#: fixed-radius parameters shared by the knn row's n_eps column and the
+#: pip_polygon row's IDW fold: 0.5 deg radius, counted at res 23
+#: (cell edge 2^23 >= eps -> 3x3 disk)
+_KNN_EPS = 5_000_000
+_KNN_EPS_RES = 23
+
 
 @register(
     "pip_polygon",
@@ -444,15 +450,48 @@ _EV_LON = C.sql_derived_lon("event_id")
     pip AS (
       SELECT event_id FROM events
       WHERE {sql_raycast(fixture_regions()[5], _EV_LON, _EV_LAT)}
+    ),
+    ipts AS (
+      SELECT event_id, {_EV_LAT} AS lat, {_EV_LON} AS lon FROM events
+    ),
+    idwd AS (
+      -- IDW with quantized integer weights wq = K // max(dist2, 1)
+      -- (operators/knn.idw_interpolate): exact HUGEINT sums, ONE
+      -- shared division; queries are the pip points themselves
+      SELECT q.event_id,
+             (q.lat - s.lat) * (q.lat - s.lat)
+             + (q.lon - s.lon) * (q.lon - s.lon) AS dist2,
+             s.event_id % 97 + 1 AS pv
+      FROM (SELECT p.event_id, i.lat, i.lon
+            FROM pip p JOIN ipts i USING (event_id)) q, ipts s
+    ),
+    iagg AS (
+      SELECT event_id,
+             CAST(COALESCE(SUM(CASE WHEN dist2 <= CAST({_KNN_EPS} AS BIGINT)
+                                         * {_KNN_EPS} THEN 1 END), 0)
+                  AS BIGINT) AS n_idw,
+             SUM(CASE WHEN dist2 <= CAST({_KNN_EPS} AS BIGINT) * {_KNN_EPS}
+                 THEN CAST(pv * ({IDW_SCALE_K} // greatest(dist2, 1))
+                           AS HUGEINT) END) AS idw_num,
+             SUM(CASE WHEN dist2 <= CAST({_KNN_EPS} AS BIGINT) * {_KNN_EPS}
+                 THEN CAST({IDW_SCALE_K} // greatest(dist2, 1)
+                           AS HUGEINT) END) AS idw_den
+      FROM idwd GROUP BY event_id
     )
     SELECT pip.event_id AS event_id,
            CAST(da.is_core AS BIGINT) AS dbscan_core,
            da.cluster AS dbscan_cluster,
            dg.dbscan_n_core, dg.dbscan_n_clusters, dg.dbscan_n_noise,
-           dg.dbscan_sig
+           dg.dbscan_sig,
+           CASE WHEN ia.idw_den IS NOT NULL AND ia.idw_den != 0
+                THEN CAST(ia.idw_num AS DOUBLE) / CAST(ia.idw_den AS DOUBLE)
+           END AS idw,
+           ia.n_idw AS n_idw,
+           CAST(COALESCE(ia.idw_den, 0) AS VARCHAR) AS idw_den_str
     FROM pip
     LEFT JOIN dall da ON da.point_id = pip.event_id
     CROSS JOIN dglob dg
+    JOIN iagg ia ON ia.event_id = pip.event_id
     ORDER BY pip.event_id
     """,
 )
@@ -470,8 +509,19 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 1000 assignments vs the oracle's quadratic pair set +
     reachability-closure twin. (Folded here, not on the benched knn
     row: the component loop's per-round driver actions are gate-only
-    cost.)"""
-    from ..operators.knn import dbscan
+    cost.)
+
+    PLUS IDW interpolation (operators/knn.idw_interpolate) of the
+    deterministic sample surface v = event_id % 97 + 1, queried AT the
+    pip points themselves (every output row gets its own genuinely
+    distinct estimate): quantized integer weights wq = K div
+    max(dist², 1) make the estimate ONE shared division of two exact
+    decimal(38,0)/HUGEINT sums — bit-reproducible across engines and
+    orderings — with the exact Σwq carried as digits (idw_den_str)
+    behind the float. (Relocated from the benched knn row — the
+    second eps-disk join + decimal agg is gate value, not bench
+    value.)"""
+    from ..operators.knn import dbscan, idw_interpolate
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -485,6 +535,13 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("in_poly"))
         .select("event_id")
     )
+    qi = pip.join(ev, "event_id").select(
+        F.col("event_id").alias("query_id"), "lat", "lon"
+    )
+    samples = ev.select("lat", "lon", (F.col("event_id") % 97 + 1).alias("v"))
+    iw = idw_interpolate(
+        qi, samples, eps=_KNN_EPS, res=_KNN_EPS_RES, v="v"
+    ).withColumnRenamed("query_id", "event_id")
 
     dpts = (
         _t(spark, sf_dir, "events")
@@ -536,6 +593,7 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pip.join(dlabels, "event_id", "left")
         .crossJoin(F.broadcast(dglob))
+        .join(iw, "event_id")
         .orderBy("event_id")
     )
 
@@ -628,13 +686,6 @@ def bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: fixed-radius count parameters for the knn row's n_eps column:
-#: 0.5 deg radius, counted at res 23 (cell edge 2^23 >= eps -> 3x3 disk)
-_KNN_EPS = 5_000_000
-_KNN_EPS_RES = 23
-
-
-
 @register(
     "knn",
     f"""
@@ -644,7 +695,6 @@ _KNN_EPS_RES = 23
     q AS (SELECT event_id AS query_id, lat, lon FROM pts WHERE event_id <= 20),
     d AS (
       SELECT q.query_id, p.event_id AS point_id,
-             p.event_id % 97 + 1 AS pv,
              (q.lat - p.lat) * (q.lat - p.lat)
              + (q.lon - p.lon) * (q.lon - p.lon) AS dist2
       FROM q, pts p
@@ -655,35 +705,13 @@ _KNN_EPS_RES = 23
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_eps
       FROM d GROUP BY query_id
     ),
-    i AS (
-      -- IDW with quantized integer weights wq = K // max(dist2, 1)
-      -- (operators/knn.idw_interpolate): exact HUGEINT sums, ONE
-      -- shared division
-      SELECT query_id,
-             CAST(COALESCE(SUM(CASE WHEN dist2 <= CAST({_KNN_EPS} AS BIGINT)
-                                         * {_KNN_EPS} THEN 1 END), 0)
-                  AS BIGINT) AS n_idw,
-             SUM(CASE WHEN dist2 <= CAST({_KNN_EPS} AS BIGINT) * {_KNN_EPS}
-                 THEN CAST(pv * ({IDW_SCALE_K} // greatest(dist2, 1))
-                           AS HUGEINT) END) AS idw_num,
-             SUM(CASE WHEN dist2 <= CAST({_KNN_EPS} AS BIGINT) * {_KNN_EPS}
-                 THEN CAST({IDW_SCALE_K} // greatest(dist2, 1)
-                           AS HUGEINT) END) AS idw_den
-      FROM d GROUP BY query_id
-    ),
     r AS (
       SELECT query_id, point_id, dist2,
              row_number() OVER (PARTITION BY query_id ORDER BY dist2, point_id) AS rank
       FROM d
     )
-    SELECT r.query_id, r.point_id, r.dist2, r.rank, e.n_eps,
-           CASE WHEN i.idw_den IS NOT NULL AND i.idw_den != 0
-                THEN CAST(i.idw_num AS DOUBLE) / CAST(i.idw_den AS DOUBLE)
-           END AS idw,
-           i.n_idw AS n_idw,
-           CAST(COALESCE(i.idw_den, 0) AS VARCHAR) AS idw_den_str
+    SELECT r.query_id, r.point_id, r.dist2, r.rank, e.n_eps
     FROM r JOIN e ON e.query_id = r.query_id
-    JOIN i ON i.query_id = r.query_id
     WHERE rank <= 5
     ORDER BY r.query_id, r.rank
     """,
@@ -693,18 +721,12 @@ def knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLUS the fixed-radius sibling (operators/knn.eps_neighbor_counts,
     DBSCAN's |N_eps| core-point primitive): each query row also carries
     its exact eps-disk point count — one cell equi-join + one agg,
-    checked against the oracle's quadratic conditional count. PLUS IDW
-    interpolation (operators/knn.idw_interpolate) of a deterministic
-    sample surface (v = event_id % 97 + 1) over the same disk:
-    quantized integer weights wq = K div max(dist², 1) make the
-    estimate ONE shared division of two exact decimal(38,0)/HUGEINT
-    sums — bit-reproducible across engines and orderings — with the
-    exact Σwq carried as digits (idw_den_str) behind the float."""
-    from ..operators.knn import (
-        eps_neighbor_counts,
-        idw_interpolate,
-        knn_cell_ring,
-    )
+    checked against the oracle's quadratic conditional count. (The IDW
+    interpolation fold lives on the non-benched pip_polygon row — the
+    iterative-operators lesson's sibling: a second eps-disk join +
+    decimal agg is gate value, not bench value, so the benched row
+    keeps measuring the declarative kNN plan alone.)"""
+    from ..operators.knn import eps_neighbor_counts, knn_cell_ring
 
     pts = _t(spark, sf_dir, "events").select(
         F.col("event_id"),
@@ -715,14 +737,9 @@ def knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("query_id"), "lat", "lon"
     )
     ne = eps_neighbor_counts(q, pts, eps=_KNN_EPS, res=_KNN_EPS_RES)
-    samples = pts.select(
-        "lat", "lon", (F.col("event_id") % 97 + 1).alias("v")
-    )
-    iw = idw_interpolate(q, samples, eps=_KNN_EPS, res=_KNN_EPS_RES, v="v")
     return (
         knn_cell_ring(q, pts.withColumnRenamed("event_id", "point_id"), k=5)
         .join(ne, "query_id")
-        .join(iw, "query_id")
         .orderBy("query_id", "rank")
     )
 
@@ -2073,73 +2090,22 @@ def merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_window_stats",
     """
-    WITH w AS (
-      SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
-             count(*) AS n, sum(value) AS sum_value
-      FROM events GROUP BY 1, 2
-    ),
-    m AS (
-      SELECT event_type,
-             CAST(count(*) AS HUGEINT) AS tn,
-             SUM(CAST(epoch_us(win_start) // 1000000 AS HUGEINT)) AS sx,
-             SUM(CAST(n AS HUGEINT)) AS sy,
-             SUM(CAST(epoch_us(win_start) // 1000000 AS HUGEINT)
-                 * CAST(epoch_us(win_start) // 1000000 AS HUGEINT)) AS sxx,
-             SUM(CAST(epoch_us(win_start) // 1000000 AS HUGEINT)
-                 * CAST(n AS HUGEINT)) AS sxy
-      FROM w GROUP BY event_type
-    ),
-    t AS (
-      SELECT event_type,
-             CAST(tn AS BIGINT) AS n_obs,
-             CASE WHEN tn * sxx - sx * sx != 0
-               THEN CAST(tn * sxy - sx * sy AS DOUBLE)
-                    / CAST(tn * sxx - sx * sx AS DOUBLE) END AS slope,
-             CASE WHEN tn * sxx - sx * sx != 0
-               THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
-                    / CAST(tn * sxx - sx * sx AS DOUBLE) END AS intercept,
-             CAST(tn * sxx - sx * sx AS VARCHAR) AS trend_den_str
-      FROM m
-    )
-    SELECT w.win_start, w.event_type, w.n, w.sum_value,
-           t.n_obs, t.slope, t.intercept, t.trend_den_str
-    FROM w JOIN t USING (event_type)
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+           count(*) AS n, sum(value) AS sum_value
+    FROM events GROUP BY 1, 2
     ORDER BY 1, 2
     """,
 )
 def stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: the windowed change-stats aggregation (same plan batch and
-    streaming; streamed variant exercised in tests) PLUS the per-type
-    OLS volume trend (operators/relational.group_trend — "is this
-    event type's windowed volume rising?"): x = the window's epoch
-    second, y = the window's count, every moment exact
-    decimal(38,0)/HUGEINT with ONE shared division per statistic and
-    the exact denominator carried as digits."""
-    from ..operators.relational import group_trend
+    streaming; streamed variant exercised in tests). (The per-group OLS
+    trend fold lives on the non-benched sessionize row — gate value,
+    not bench value, so this benched row keeps measuring the windowed
+    aggregation alone.)"""
     from ..streaming.incremental import windowed_change_stats
 
     ev = _t(spark, sf_dir, "events")
-    base = windowed_change_stats(ev)
-    tr = group_trend(
-        base.select(
-            "event_type",
-            F.col("win_start").cast("long").alias("x"),
-            F.col("n").alias("y"),
-        ),
-        ["event_type"],
-        "x",
-        "y",
-    )
-    return base.join(tr, "event_type").select(
-        "win_start",
-        "event_type",
-        "n",
-        "sum_value",
-        "n_obs",
-        "slope",
-        "intercept",
-        "trend_den_str",
-    ).orderBy("win_start", "event_type")
+    return windowed_change_stats(ev).orderBy("win_start", "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -3822,6 +3788,7 @@ def _way_geometry_oracle() -> str:
     _, groups_pdf, pts = _closure_fixture_pts()
     groups_pdf = _planted_rev_ways(groups_pdf)
     snap_d2 = sql_snap_d2_expr("p.lon", "p.lat", "s.x1", "s.y1", "s.x2", "s.y2")
+    hc_d2 = sql_snap_d2_expr("a.lon", "a.lat", "s.x1", "s.y1", "s.x2", "s.y2")
     _sql_h64_gid = sql_h64_md5("group_id")
     cross = sql_proper_cross_expr(
         "a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"
@@ -3887,6 +3854,43 @@ def _way_geometry_oracle() -> str:
       FROM j
     ),
     {_sql_dp_levels(6, _WAY_SIMPLIFY_EPS * _WAY_SIMPLIFY_EPS)},
+    kc AS (
+      -- kept-vertex coordinates (the DP keep set with geometry back on)
+      SELECT k.group_id, k.pos, jj.lon, jj.lat
+      FROM keepp k JOIN j jj
+        ON jj.group_id = k.group_id AND jj.pos = k.pos
+    ),
+    hvmin AS (
+      -- directed vertex-set Hausdorff original -> kept: per-vertex min
+      -- squared distance in HUGEINT (== Spark decimal(38,0))
+      SELECT a.group_id, a.pos,
+             MIN(CAST(CAST(a.lon AS BIGINT) - k.lon AS HUGEINT)
+                   * (CAST(a.lon AS BIGINT) - k.lon)
+                 + CAST(CAST(a.lat AS BIGINT) - k.lat AS HUGEINT)
+                   * (CAST(a.lat AS BIGINT) - k.lat)) AS mind2
+      FROM j a JOIN kc k ON k.group_id = a.group_id
+      GROUP BY a.group_id, a.pos
+    ),
+    hv AS (
+      SELECT group_id, CAST(MAX(mind2) AS VARCHAR) AS hd2_kept
+      FROM hvmin GROUP BY group_id
+    ),
+    kseg AS (
+      -- consecutive kept vertices = the simplified polyline's segments
+      SELECT * FROM (
+        SELECT group_id, pos, lon AS x1, lat AS y1,
+               lead(lon) OVER kg AS x2, lead(lat) OVER kg AS y2
+        FROM kc WINDOW kg AS (PARTITION BY group_id ORDER BY pos)
+      ) WHERE x2 IS NOT NULL
+    ),
+    hcmin AS (
+      SELECT a.group_id, a.pos, MIN({hc_d2}) AS mind2
+      FROM j a JOIN kseg s ON s.group_id = a.group_id
+      GROUP BY a.group_id, a.pos
+    ),
+    hc AS (
+      SELECT group_id, MAX(mind2) AS hd_seg_d2 FROM hcmin GROUP BY group_id
+    ),
     segs AS (
       SELECT group_id, pos, lon AS x1, lat AS y1, nlon AS x2, nlat AS y2
       FROM w WHERE NOT is_last
@@ -4099,6 +4103,8 @@ def _way_geometry_oracle() -> str:
            lin.ix AS ix, lin.iy AS iy,
            length,
            simp.n_kept AS n_kept, simp.kept_pos AS kept_pos,
+           hv.hd2_kept AS hd2_kept,
+           hc.hd_seg_d2 AS hd_seg_d2,
            COALESCE(snap.n_snapped, 0) AS n_snapped,
            snap.snap_min_d2,
            COALESCE(xsel.n_self_x, 0) AS n_self_x,
@@ -4117,6 +4123,8 @@ def _way_geometry_oracle() -> str:
            COALESCE(cxc.n_cross_x, 0) AS n_cross_x,
            cxs.cx_sig AS cx_sig
     FROM geo JOIN simp ON simp.group_id = geo.group_id
+    JOIN hv ON hv.group_id = geo.group_id
+    LEFT JOIN hc ON hc.group_id = geo.group_id
     LEFT JOIN snap ON snap.group_id = geo.group_id
     LEFT JOIN xsel ON xsel.group_id = geo.group_id
     JOIN sigs ON sigs.group_id = geo.group_id
@@ -4166,13 +4174,25 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-hash parity, every cross-layer proper crossing found by
     the canonical-tile bucketed GLOBAL pair join (no shared group
     key), per-way crossing counts riding each row and one md5 over
-    the ordered pair set vs the oracle's brute cross-join twin — all
-    by the one oracle."""
+    the ordered pair set vs the oracle's brute cross-join twin — PLUS
+    discrete Hausdorff distances (operators/hausdorff.py,
+    ST_HausdorffDistance): hd2_kept = directed vertex-set Hausdorff
+    from the original chain to its DP keep set (exact decimal(38,0)
+    digits — whole-globe deltas square past 2^63) and hd_seg_d2 = the
+    max-min point-to-simplified-POLYLINE d² (the true Douglas-Peucker
+    error, <= eps² by the DP invariant; snap.point_segment_d2's one
+    IEEE spelling both engines) — all by the one oracle."""
     from ..datagen.synth import gen_groups, gen_images
     from ..operators.clip import densify_segments, way_segments
+    from ..operators.hausdorff import (
+        chain_hausdorff_d2,
+        chain_segments,
+        directed_hausdorff_d2,
+    )
     from ..operators.hull import convex_hull_stats
     from ..operators.resolve import (
         line_interpolate,
+        resolve_way_full,
         simplify_ways,
         way_geom_signature,
         way_geometry,
@@ -4191,8 +4211,9 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.unpack_lon(F.col("phash")).alias("lon"),
     )
     groups = spark.createDataFrame(_planted_rev_ways(gen_groups(images)))
+    kept = simplify_ways(groups, base, eps=_WAY_SIMPLIFY_EPS)
     simp = (
-        simplify_ways(groups, base, eps=_WAY_SIMPLIFY_EPS)
+        kept
         .groupBy("group_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_kept"),
@@ -4204,6 +4225,27 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("kept_pos"),
         )
+    )
+    # Hausdorff folds (operators/hausdorff.py): hd2_kept = vertex-set
+    # directed Hausdorff original chain -> DP keep set, exact
+    # decimal(38,0) rendered as digits (whole-globe deltas square past
+    # 2^63); hd_seg_d2 = point-to-simplified-POLYLINE max-min — the
+    # true DP error, <= eps^2 by the invariant, doubles through the ONE
+    # snap.point_segment_d2 spelling shared with the oracle twin
+    allv = (
+        resolve_way_full(groups, base, keep_pos=True)
+        .select("group_id", F.explode("coords").alias("c"))
+        .select(
+            "group_id",
+            F.col("c.lon").alias("lon"),
+            F.col("c.lat").alias("lat"),
+        )
+    )
+    hvd = directed_hausdorff_d2(allv, kept).select(
+        "group_id", F.col("hd2").cast("string").alias("hd2_kept")
+    )
+    hch = chain_hausdorff_d2(allv, chain_segments(kept)).select(
+        "group_id", F.col("hd2").alias("hd_seg_d2")
     )
     segs = way_segments(groups, base)
     snapped = snap_points_to_segments(
@@ -4275,6 +4317,8 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         way_geometry(groups, base)
         .join(simp, "group_id")
+        .join(hvd, "group_id")
+        .join(hch, "group_id", "left")
         .join(lin, "group_id")
         .join(hull, "group_id")
         .join(per_way, "group_id", "left")
@@ -4626,8 +4670,34 @@ _TRAJ_MIN_STAY_S = 600
       FROM g
       WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING)
+    ),
+    tm AS (
+      -- per-user OLS trend moments (operators/relational.group_trend,
+      -- relocated from the benched stream_window_stats row): x = the
+      -- event's epoch second, y = event_id % 997 (exact ints both)
+      SELECT user_id,
+             CAST(count(*) AS HUGEINT) AS tn,
+             SUM(CAST(epoch_us(ts) // 1000000 AS HUGEINT)) AS sx,
+             SUM(CAST(event_id % 997 AS HUGEINT)) AS sy,
+             SUM(CAST(epoch_us(ts) // 1000000 AS HUGEINT)
+                 * CAST(epoch_us(ts) // 1000000 AS HUGEINT)) AS sxx,
+             SUM(CAST(epoch_us(ts) // 1000000 AS HUGEINT)
+                 * CAST(event_id % 997 AS HUGEINT)) AS sxy
+      FROM events GROUP BY user_id
+    ),
+    tt AS (
+      SELECT user_id,
+             CAST(tn AS BIGINT) AS n_obs,
+             CASE WHEN tn * sxx - sx * sx != 0
+               THEN CAST(tn * sxy - sx * sy AS DOUBLE)
+                    / CAST(tn * sxx - sx * sx AS DOUBLE) END AS slope,
+             CASE WHEN tn * sxx - sx * sx != 0
+               THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                    / CAST(tn * sxx - sx * sx AS DOUBLE) END AS intercept,
+             CAST(tn * sxx - sx * sx AS VARCHAR) AS trend_den_str
+      FROM tm
     )
-    SELECT user_id, event_id, session_id, seg_id,
+    SELECT sg.user_id, event_id, session_id, seg_id,
            CAST(count(*) OVER ws AS BIGINT) AS seg_n,
            CAST(max(epoch_us(ts) // 1000000) OVER ws
                 - min(epoch_us(ts) // 1000000) OVER ws AS BIGINT)
@@ -4635,10 +4705,11 @@ _TRAJ_MIN_STAY_S = 600
            CAST(CASE WHEN max(epoch_us(ts) // 1000000) OVER ws
                           - min(epoch_us(ts) // 1000000) OVER ws
                           >= {_TRAJ_MIN_STAY_S} THEN 1 ELSE 0 END AS BIGINT)
-             AS seg_stay
-    FROM sg
-    WINDOW ws AS (PARTITION BY user_id, seg_id)
-    ORDER BY user_id, event_id
+             AS seg_stay,
+           tt.n_obs, tt.slope, tt.intercept, tt.trend_den_str
+    FROM sg JOIN tt ON tt.user_id = sg.user_id
+    WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
+    ORDER BY sg.user_id, event_id
     """,
 )
 def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4651,8 +4722,15 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     point carrying its segment id, size, duration and the stay flag
     (duration >= {_TRAJ_MIN_STAY_S}s, BIGINT per the gate dtype rule).
     Same (user, ts, event_id) window partitioning as the session id —
-    one shuffle serves both."""
-    from ..operators.relational import trajectory_segments
+    one shuffle serves both.
+
+    PLUS the per-user OLS trend (operators/relational.group_trend,
+    relocated from the benched stream_window_stats row): x = the
+    event's epoch second, y = event_id % 997 (both exact ints), every
+    moment decimal(38,0)/HUGEINT with ONE shared division per
+    statistic and the exact denominator carried as digits
+    (trend_den_str)."""
+    from ..operators.relational import group_trend, trajectory_segments
     from pyspark.sql import Window as W
 
     ev = _t(spark, sf_dir, "events").select(
@@ -4673,11 +4751,22 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_stay_s=_TRAJ_MIN_STAY_S,
         order_cols=["ts", "event_id"],
     )
+    tr = group_trend(
+        ev.select(
+            "user_id",
+            F.col("ts").cast("long").alias("x"),
+            (F.col("event_id") % 997).alias("y"),
+        ),
+        ["user_id"],
+        "x",
+        "y",
+    )
     return (
         seg.withColumn(
             "session_id",
             F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0)),
         )
+        .join(tr, "user_id")
         .select(
             "user_id",
             "event_id",
@@ -4686,6 +4775,10 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seg_n").cast("long").alias("seg_n"),
             "seg_duration_s",
             "seg_stay",
+            "n_obs",
+            "slope",
+            "intercept",
+            "trend_den_str",
         )
         .orderBy("user_id", "event_id")
     )
@@ -5075,88 +5168,6 @@ def _sql_rasterize_density() -> str:
       CROSS JOIN range(0, {npx * npx}) g(i)
       LEFT JOIN sp s ON s.tile = t.tile AND s.idx = g.i
     ),
-    gpx AS (
-      SELECT gx, gy, count(*) AS n FROM px GROUP BY 1, 2
-    ),
-    foc AS (
-      SELECT a.gx, a.gy,
-             CAST(SUM(b.n) AS BIGINT) AS focal,
-             CAST(COUNT(*) AS BIGINT) AS n_nbrs
-      FROM gpx a JOIN gpx b
-        ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
-       AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
-      GROUP BY a.gx, a.gy
-    ),
-    gstat AS (
-      SELECT CAST(count(*) AS HUGEINT) AS gn,
-             SUM(CAST(n AS HUGEINT)) AS gs,
-             SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS gq
-      FROM gpx
-    ),
-    gz AS (
-      SELECT gx, gy,
-             (gy // {npx}) * {C.Y_STRIDE} + (gx // {npx}) AS tile,
-             focal, n_nbrs,
-             CASE WHEN gn > 1
-                   AND gn * gq - gs * gs != 0
-                   AND gn * CAST(n_nbrs AS HUGEINT)
-                       - CAST(n_nbrs AS HUGEINT) * CAST(n_nbrs AS HUGEINT) != 0
-               THEN CAST(gn * CAST(focal AS HUGEINT)
-                         - gs * CAST(n_nbrs AS HUGEINT) AS DOUBLE)
-                    / sqrt((CAST(gn * gq - gs * gs AS DOUBLE)
-                            / CAST(gn - 1 AS DOUBLE))
-                           * CAST(gn * CAST(n_nbrs AS HUGEINT)
-                                  - CAST(n_nbrs AS HUGEINT)
-                                    * CAST(n_nbrs AS HUGEINT) AS DOUBLE))
-             END AS gi_z
-      FROM foc CROSS JOIN gstat
-    ),
-    ftile AS (
-      SELECT tile,
-             CAST(SUM(focal) AS BIGINT) AS focal_total,
-             CAST(MAX(focal) AS BIGINT) AS focal_max,
-             CAST(COALESCE(SUM(CASE WHEN n_nbrs = 9 THEN 1 END), 0) AS BIGINT)
-               AS n_core,
-             CAST(COALESCE(SUM(CASE WHEN gi_z > 2.576 THEN 1 END), 0) AS BIGINT)
-               AS n_hot,
-             MAX(gi_z) AS z_max
-      FROM gz GROUP BY 1
-    ),
-    mpair AS (
-      SELECT (a.gy // {npx}) * {C.Y_STRIDE} + (a.gx // {npx}) AS tile,
-             a.n AS va, b.n AS vb
-      FROM gpx a JOIN gpx b
-        ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
-       AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
-       AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
-       AND a.gx // {npx} = b.gx // {npx}
-       AND a.gy // {npx} = b.gy // {npx}
-    ),
-    mp AS (
-      SELECT tile,
-             CAST(count(*) AS HUGEINT) AS mw,
-             SUM(CAST(va AS HUGEINT) * CAST(vb AS HUGEINT)) AS mpp,
-             SUM(CAST(va AS HUGEINT) + CAST(vb AS HUGEINT)) AS mr
-      FROM mpair GROUP BY tile
-    ),
-    mx AS (
-      SELECT (gy // {npx}) * {C.Y_STRIDE} + (gx // {npx}) AS tile,
-             CAST(count(*) AS HUGEINT) AS mn,
-             SUM(CAST(n AS HUGEINT)) AS ms,
-             SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS mq
-      FROM gpx GROUP BY 1
-    ),
-    mi AS (
-      SELECT mx.tile,
-             CAST(COALESCE(mp.mw, 0) AS BIGINT) AS mi_w,
-             CASE WHEN mp.mw IS NOT NULL AND mp.mw != 0
-                   AND mn * mn * mq - mn * ms * ms != 0
-               THEN CAST(mn * (mn * mn * mpp - mn * ms * mr + mw * ms * ms)
-                         AS DOUBLE)
-                    / CAST(mw * (mn * mn * mq - mn * ms * ms) AS DOUBLE)
-             END AS moran_i
-      FROM mx LEFT JOIN mp ON mp.tile = mx.tile
-    ),
     agg AS (
       SELECT tile,
              CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS nnz,
@@ -5164,18 +5175,9 @@ def _sql_rasterize_density() -> str:
              string_agg(n::VARCHAR, ',' ORDER BY i)        AS raster_sig
       FROM dense GROUP BY tile
     )
-    SELECT agg.tile AS tile, nnz, total, raster_sig,
-           ftile.focal_total AS focal_total,
-           ftile.focal_max AS focal_max,
-           ftile.n_core AS n_core,
-           ftile.n_hot AS n_hot,
-           ftile.z_max AS z_max,
-           mi.mi_w AS mi_w,
-           mi.moran_i AS moran_i
+    SELECT tile, nnz, total, raster_sig
     FROM agg
-    JOIN ftile ON ftile.tile = agg.tile
-    JOIN mi ON mi.tile = agg.tile
-    ORDER BY agg.tile
+    ORDER BY tile
     """
 
 
@@ -5185,72 +5187,27 @@ def rasterize_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rasters (operators/raster.rasterize_points), emitted as a
     canonical comma-joined signature per tile so the DuckDB twin (a
     range() densify + ordered string_agg) compares every pixel,
-    including the zeros. PLUS focal statistics (raster.focal_sum, the
-    GIS moving-window convolution / morphology primitive): per-tile
-    sum and max of every occupied pixel's 3x3 focal sum and the count
-    of erosion survivors (fully-occupied windows), all exact integers
-    vs the oracle's sparse self-join twin. PLUS the two spatial
-    statistics (new): per-tile Moran's I with within-tile rook weights
-    (raster.morans_i — exact decimal(38,0)/HUGEINT moments, ONE shared
-    division) and Getis-Ord Gi* hotspot z-scores per occupied pixel
-    (raster.gi_star over the SAME focal frame), aggregated per tile as
-    the hot-pixel count (z > 2.576, the 99% Gaussian tail) and max z —
-    the float trees are spelled identically in the SQL twin."""
-    from ..operators.raster import (
-        focal_sum,
-        gi_star,
-        morans_i,
-        pixels_to_tiles,
-        point_pixel_counts,
-    )
+    including the zeros. (The focal-convolution / Gi* / Moran's I
+    spatial-statistics folds live on the non-benched raster_vectorize
+    row, which builds the identical pixel frame — this benched row
+    keeps measuring the pure rasterize plan.)"""
+    from ..operators.raster import pixels_to_tiles, point_pixel_counts
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         C.derived_lat(F.col("event_id")).alias("lat"),
         C.derived_lon(F.col("event_id")).alias("lon"),
     )
-    # ONE scan + ONE pixel aggregation feed the tile rasters, the focal
-    # convolution, Gi* (which reuses the focal frame via foc=) and the
-    # Moran pair join (identical subplans also let ReuseExchange
-    # collapse the physical agg)
     pix = point_pixel_counts(ev, px_res=_RAS_PX_RES)
     r = pixels_to_tiles(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
-    shift = _RAS_TILE_RES - _RAS_PX_RES
-    g = gi_star(pix, foc=focal_sum(pix))
-    ftile = (
-        g.groupBy(
-            (
-                F.shiftright("gy", shift) * C.Y_STRIDE + F.shiftright("gx", shift)
-            ).alias("tile")
-        )
-        .agg(
-            F.sum("focal").cast("long").alias("focal_total"),
-            F.max("focal").cast("long").alias("focal_max"),
-            F.coalesce(F.sum(F.when(F.col("n_nbrs") == 9, 1)), F.lit(0))
-            .cast("long")
-            .alias("n_core"),
-            F.coalesce(F.sum(F.when(F.col("gi_z") > 2.576, 1)), F.lit(0))
-            .cast("long")
-            .alias("n_hot"),
-            F.max("gi_z").alias("z_max"),
-        )
-    )
-    mi = morans_i(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES).select(
-        "tile", "mi_w", "moran_i"
-    )
-    return (
-        r.select(
-            "tile",
-            F.size(F.filter("raster", lambda x: x > 0)).cast("long").alias("nnz"),
-            F.aggregate(
-                "raster", F.lit(0).cast("long"), lambda a, x: a + x
-            ).alias("total"),
-            F.array_join("raster", ",").alias("raster_sig"),
-        )
-        .join(ftile, "tile")
-        .join(mi, "tile")
-        .orderBy("tile")
-    )
+    return r.select(
+        "tile",
+        F.size(F.filter("raster", lambda x: x > 0)).cast("long").alias("nnz"),
+        F.aggregate(
+            "raster", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total"),
+        F.array_join("raster", ",").alias("raster_sig"),
+    ).orderBy("tile")
 
 
 _PYR_BASE_RES = 18
@@ -5414,6 +5371,7 @@ def _sql_raster_vectorize() -> str:
         f"(gy * {pxe} + {half} - {C.LAT_OFFSET})",
     )
     epxe = _RAS_PXE
+    enpx = _RAS_NPX
     ys = C.Y_STRIDE
     return f"""
     WITH RECURSIVE grid AS (
@@ -5471,7 +5429,94 @@ def _sql_raster_vectorize() -> str:
       SELECT gx, gy, coalesce(c, gy * {ys} + gx) AS blob
       FROM epx LEFT JOIN comp ON gy * {ys} + gx = comp.id
     ),
-    bsz AS (SELECT blob, CAST(count(*) AS BIGINT) AS blob_px FROM lab GROUP BY blob)
+    bsz AS (SELECT blob, CAST(count(*) AS BIGINT) AS blob_px FROM lab GROUP BY blob),
+    gpx AS (
+      -- pixel COUNTS (epx is the distinct mask): the spatial-stats
+      -- frame shared by the focal / Gi* / Moran twins
+      SELECT (({_EV_LON}) + {C.LON_OFFSET}) // {epxe} AS gx,
+             (({_EV_LAT}) + {C.LAT_OFFSET}) // {epxe} AS gy,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    foc AS (
+      SELECT a.gx, a.gy,
+             CAST(SUM(b.n) AS BIGINT) AS focal,
+             CAST(COUNT(*) AS BIGINT) AS n_nbrs
+      FROM gpx a JOIN gpx b
+        ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+       AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+      GROUP BY a.gx, a.gy
+    ),
+    gstat AS (
+      SELECT CAST(count(*) AS HUGEINT) AS gn,
+             SUM(CAST(n AS HUGEINT)) AS gs,
+             SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS gq
+      FROM gpx
+    ),
+    gz AS (
+      SELECT gx, gy,
+             (gy // {enpx}) * {ys} + (gx // {enpx}) AS tile,
+             focal, n_nbrs,
+             CASE WHEN gn > 1
+                   AND gn * gq - gs * gs != 0
+                   AND gn * CAST(n_nbrs AS HUGEINT)
+                       - CAST(n_nbrs AS HUGEINT) * CAST(n_nbrs AS HUGEINT) != 0
+               THEN CAST(gn * CAST(focal AS HUGEINT)
+                         - gs * CAST(n_nbrs AS HUGEINT) AS DOUBLE)
+                    / sqrt((CAST(gn * gq - gs * gs AS DOUBLE)
+                            / CAST(gn - 1 AS DOUBLE))
+                           * CAST(gn * CAST(n_nbrs AS HUGEINT)
+                                  - CAST(n_nbrs AS HUGEINT)
+                                    * CAST(n_nbrs AS HUGEINT) AS DOUBLE))
+             END AS gi_z
+      FROM foc CROSS JOIN gstat
+    ),
+    ftile AS (
+      SELECT tile,
+             CAST(SUM(focal) AS BIGINT) AS focal_total,
+             CAST(MAX(focal) AS BIGINT) AS focal_max,
+             CAST(COALESCE(SUM(CASE WHEN n_nbrs = 9 THEN 1 END), 0) AS BIGINT)
+               AS n_core,
+             CAST(COALESCE(SUM(CASE WHEN gi_z > 2.576 THEN 1 END), 0) AS BIGINT)
+               AS n_hot,
+             MAX(gi_z) AS z_max
+      FROM gz GROUP BY 1
+    ),
+    mpair AS (
+      SELECT (a.gy // {enpx}) * {ys} + (a.gx // {enpx}) AS tile,
+             a.n AS va, b.n AS vb
+      FROM gpx a JOIN gpx b
+        ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+       AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+       AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+       AND a.gx // {enpx} = b.gx // {enpx}
+       AND a.gy // {enpx} = b.gy // {enpx}
+    ),
+    mp AS (
+      SELECT tile,
+             CAST(count(*) AS HUGEINT) AS mw,
+             SUM(CAST(va AS HUGEINT) * CAST(vb AS HUGEINT)) AS mpp,
+             SUM(CAST(va AS HUGEINT) + CAST(vb AS HUGEINT)) AS mr
+      FROM mpair GROUP BY tile
+    ),
+    mx AS (
+      SELECT (gy // {enpx}) * {ys} + (gx // {enpx}) AS tile,
+             CAST(count(*) AS HUGEINT) AS mn,
+             SUM(CAST(n AS HUGEINT)) AS ms,
+             SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS mq
+      FROM gpx GROUP BY 1
+    ),
+    mi AS (
+      SELECT mx.tile,
+             CAST(COALESCE(mp.mw, 0) AS BIGINT) AS mi_w,
+             CASE WHEN mp.mw IS NOT NULL AND mp.mw != 0
+                   AND mn * mn * mq - mn * ms * ms != 0
+               THEN CAST(mn * (mn * mn * mpp - mn * ms * mr + mw * ms * ms)
+                         AS DOUBLE)
+                    / CAST(mw * (mn * mn * mq - mn * ms * ms) AS DOUBLE)
+             END AS moran_i
+      FROM mx LEFT JOIN mp ON mp.tile = mx.tile
+    )
     SELECT * FROM (
       SELECT 'poly' AS leg,
              x0 * {pxe} - {C.LON_OFFSET}       AS min_lon,
@@ -5479,7 +5524,14 @@ def _sql_raster_vectorize() -> str:
              (x1 + 1) * {pxe} - {C.LON_OFFSET} AS max_lon,
              (y1 + 1) * {pxe} - {C.LAT_OFFSET} AS max_lat,
              (x1 - x0 + 1) * (y1 - y0 + 1)     AS n_pixels,
-             CAST(NULL AS BIGINT) AS blob, CAST(NULL AS BIGINT) AS blob_px
+             CAST(NULL AS BIGINT) AS blob, CAST(NULL AS BIGINT) AS blob_px,
+             CAST(NULL AS BIGINT) AS focal_total,
+             CAST(NULL AS BIGINT) AS focal_max,
+             CAST(NULL AS BIGINT) AS n_core,
+             CAST(NULL AS BIGINT) AS n_hot,
+             CAST(NULL AS DOUBLE) AS z_max,
+             CAST(NULL AS BIGINT) AS mi_w,
+             CAST(NULL AS DOUBLE) AS moran_i
       FROM rects
       UNION ALL
       SELECT 'events' AS leg,
@@ -5488,10 +5540,14 @@ def _sql_raster_vectorize() -> str:
              (e.x1 + 1) * {epxe} - {C.LON_OFFSET} AS max_lon,
              (e.y1 + 1) * {epxe} - {C.LAT_OFFSET} AS max_lat,
              (e.x1 - e.x0 + 1) * (e.y1 - e.y0 + 1) AS n_pixels,
-             l.blob AS blob, b.blob_px AS blob_px
+             l.blob AS blob, b.blob_px AS blob_px,
+             ft.focal_total, ft.focal_max, ft.n_core, ft.n_hot, ft.z_max,
+             mi.mi_w, mi.moran_i
       FROM erects e
       JOIN lab l ON l.gx = e.x0 AND l.gy = e.y0
       JOIN bsz b USING (blob)
+      JOIN ftile ft ON ft.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
+      JOIN mi ON mi.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
     )
     ORDER BY leg, min_lon, min_lat
     """
@@ -5511,9 +5567,26 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     blob-diameter) rounds, the Shiloach-Vishkin shape; a rectangle is
     connected, so its SW pixel's label IS its label) plus the GLOBAL
     blob pixel count, vs the oracle's recursive-CTE reachability
-    closure (min reachable pixel key == the component min)."""
+    closure (min reachable pixel key == the component min).
+
+    PLUS the spatial-statistics folds over the SAME pixel frame
+    (relocated from the benched rasterize_density row — gate value,
+    not bench value): per-tile focal statistics (raster.focal_sum, the
+    GIS moving-window convolution primitive — sum/max of every
+    occupied pixel's 3x3 focal sum and the count of erosion
+    survivors), Getis-Ord Gi* hotspot z-scores (raster.gi_star over
+    the same focal frame; per-tile hot-pixel count at z > 2.576 and
+    max z), and per-tile Moran's I with within-tile rook weights
+    (raster.morans_i — exact decimal(38,0)/HUGEINT moments, ONE shared
+    division). Every events-leg rectangle carries ITS tile's seven
+    statistics (rectangles never cross tiles, so the tile key is
+    derivable from the rect corner on both engines); the poly leg is
+    NULL. The float trees are spelled identically in the SQL twin."""
     from ..operators.raster import (
         blob_labels,
+        focal_sum,
+        gi_star,
+        morans_i,
         pixels_to_tiles,
         point_pixel_counts,
         rasterize_polygon,
@@ -5531,6 +5604,13 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixels",
         F.lit(None).cast("long").alias("blob"),
         F.lit(None).cast("long").alias("blob_px"),
+        F.lit(None).cast("long").alias("focal_total"),
+        F.lit(None).cast("long").alias("focal_max"),
+        F.lit(None).cast("long").alias("n_core"),
+        F.lit(None).cast("long").alias("n_hot"),
+        F.lit(None).cast("double").alias("z_max"),
+        F.lit(None).cast("long").alias("mi_w"),
+        F.lit(None).cast("double").alias("moran_i"),
     )
 
     ev = _t(spark, sf_dir, "events").select(
@@ -5548,15 +5628,59 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blob",
         "blob_px",
     )
-    events_leg = erects.join(corner, ["min_lon", "min_lat"], "inner").select(
-        F.lit("events").alias("leg"),
-        "min_lon",
-        "min_lat",
-        "max_lon",
-        "max_lat",
-        "n_pixels",
-        "blob",
-        "blob_px",
+    # ONE pixel aggregation feeds the rasters, the focal convolution,
+    # Gi* (reusing the focal frame via foc=) and the Moran pair join
+    # (identical subplans let ReuseExchange collapse the physical agg)
+    shift = _RAS_TILE_RES - _RAS_PX_RES
+    g = gi_star(pix, foc=focal_sum(pix))
+    ftile = (
+        g.groupBy(
+            (
+                F.shiftright("gy", shift) * C.Y_STRIDE + F.shiftright("gx", shift)
+            ).alias("tile")
+        )
+        .agg(
+            F.sum("focal").cast("long").alias("focal_total"),
+            F.max("focal").cast("long").alias("focal_max"),
+            F.coalesce(F.sum(F.when(F.col("n_nbrs") == 9, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_core"),
+            F.coalesce(F.sum(F.when(F.col("gi_z") > 2.576, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_hot"),
+            F.max("gi_z").alias("z_max"),
+        )
+    )
+    mi = morans_i(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES).select(
+        "tile", "mi_w", "moran_i"
+    )
+    events_leg = (
+        erects.join(corner, ["min_lon", "min_lat"], "inner")
+        .withColumn(
+            "tile",
+            F.shiftright(F.col("min_lat") + C.LAT_OFFSET, _RAS_TILE_RES)
+            * C.Y_STRIDE
+            + F.shiftright(F.col("min_lon") + C.LON_OFFSET, _RAS_TILE_RES),
+        )
+        .join(ftile, "tile")
+        .join(mi, "tile")
+        .select(
+            F.lit("events").alias("leg"),
+            "min_lon",
+            "min_lat",
+            "max_lon",
+            "max_lat",
+            "n_pixels",
+            "blob",
+            "blob_px",
+            "focal_total",
+            "focal_max",
+            "n_core",
+            "n_hot",
+            "z_max",
+            "mi_w",
+            "moran_i",
+        )
     )
     return poly.unionByName(events_leg).orderBy("leg", "min_lon", "min_lat")
 

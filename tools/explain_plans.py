@@ -155,21 +155,15 @@ def main(sf_dir: str) -> int:
     )
 
     # 5e. raster: vector->raster is two hash aggs (sparse pixel counts,
-    # tile densify) + the output sort; the focal_sum fold adds its own
-    # minimal chain (pixel pre-agg, scatter agg, occupied-side join
-    # shuffle, tile agg — the scatter agg reuses its partitioning for
-    # the join's other side); the round-5 spatial-statistics folds add
-    # Moran's pair chain (scatter + neighbour equi-join + pair agg +
-    # pixel agg + tile join) and Gi*'s 1-row global aggregate +
-    # broadcast cross join. 14 total measured (the identical
-    # point_pixel_counts subplans are deduplicated by AQE exchange
-    # reuse at runtime, not in the static plan); budget 14 so any NEW
-    # exchange (e.g. a lost partitioning reuse) still fails.
+    # tile densify) + the output sort — 3 exchanges measured now that
+    # the focal/Gi*/Moran spatial-statistics folds live on the
+    # non-benched raster_vectorize row (which builds the identical
+    # pixel frame); budget 3 so any NEW exchange fails.
     ras = entry_queries.queries()["rasterize_density"](spark, sf_dir)
     p = plan_of(ras)
     n_ex = count_shuffle_exchanges(p)
     check("raster.no_python", "ArrowEvalPython" not in p and "BatchEvalPython" not in p)
-    check("raster.exchange_budget", 0 < n_ex <= 14, f"exchanges={n_ex}")
+    check("raster.exchange_budget", 0 < n_ex <= 3, f"exchanges={n_ex}")
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = m.group(1) if m else ""
     check("raster.column_pruning", cols.split(":")[0] == "event_id" and "," not in cols, cols)
