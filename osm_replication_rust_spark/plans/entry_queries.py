@@ -2572,6 +2572,32 @@ def _multimodal_oracle() -> str:
         FROM tmssd
       ) WHERE rn = 1
     ),
+    glcp AS (
+      -- GLCM horizontal-pair codes (multimodal.glcm_stage): 16-level
+      -- quantization v >> 4 == v // 16 on non-negative pixels; the
+      -- k % w <> w - 1 guard keeps the east pair inside its row
+      SELECT image_id,
+             (({_sql_lcg_px('k')}) // 16) * 16
+               + (({_sql_lcg_px('k + 1')}) // 16) AS code,
+             COUNT(*) AS nc
+      FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
+      WHERE w >= 2 AND k % w <> w - 1
+      GROUP BY image_id, code
+    ),
+    glcm AS (
+      -- Haralick statistics in exact integers; homogeneity weight
+      -- quantized through LCM(1..16) = 720720 so 1/(1+|i-j|) is exact
+      SELECT image_id,
+             CAST(SUM(nc) AS BIGINT) AS glcm_n,
+             CAST(SUM(nc * (code // 16 - code % 16)
+                         * (code // 16 - code % 16)) AS BIGINT)
+               AS glcm_contrast,
+             CAST(SUM(nc * nc) AS BIGINT) AS glcm_energy,
+             CAST(SUM(nc * (720720 // (1 + abs(code // 16 - code % 16))))
+                  AS BIGINT) AS glcm_homog,
+             CAST(COUNT(*) AS BIGINT) AS glcm_nz
+      FROM glcp GROUP BY image_id
+    ),
     aud AS (
       SELECT image_id,
              CAST(w * h AS INT) AS n_samples,
@@ -2620,7 +2646,12 @@ def _multimodal_oracle() -> str:
            COALESCE(mg.dil_sum, 0) AS dil_sum,
            COALESCE(mg.mg_nz, 0) AS mg_nz,
            COALESCE(lb.lbp_sum, 0) AS lbp_sum,
-           COALESCE(lb.lbp_uni, 0) AS lbp_uni
+           COALESCE(lb.lbp_uni, 0) AS lbp_uni,
+           COALESCE(gm.glcm_n, 0) AS glcm_n,
+           COALESCE(gm.glcm_contrast, 0) AS glcm_contrast,
+           COALESCE(gm.glcm_energy, 0) AS glcm_energy,
+           COALESCE(gm.glcm_homog, 0) AS glcm_homog,
+           COALESCE(gm.glcm_nz, 0) AS glcm_nz
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
@@ -2631,6 +2662,7 @@ def _multimodal_oracle() -> str:
     LEFT JOIN hagg hg USING (image_id)
     LEFT JOIN magg mg USING (image_id)
     LEFT JOIN lbpagg lb USING (image_id)
+    LEFT JOIN glcm gm USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -2723,7 +2755,15 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Binary Patterns (lbp_stage — Σ 8-bit ring codes and the
     uniform-pattern count, every comparison plane rebuilt from the
     eight LCG neighbor taps; the circular-transition test makes the
-    ring ORDER part of the gate, not just the comparison set)."""
+    ring ORDER part of the gate, not just the comparison set).
+
+    Plus GLCM texture statistics (glcm_stage, Haralick's second-order
+    screen): the 16-level horizontal co-occurrence matrix pinned by
+    exact-integer contrast / energy / homogeneity (the 1/(1+|i-j|)
+    inverse-difference weight quantized through LCM(1..16) = 720720 so
+    no per-cell float division exists in either engine), total-pair
+    and occupied-cell counts; the oracle re-bins east-neighbor LCG
+    pairs per image."""
     import numpy as np
 
     from ..datagen.synth import gen_images, gen_videos
@@ -2731,6 +2771,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_stats_stage,
         bilinear_resize_stage,
         decode_stats,
+        glcm_stage,
         harris_stage,
         hist_eq_stage,
         lbp_stage,
@@ -2830,6 +2871,14 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lbp = lbp_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "lbp_sum", "lbp_uni"
     )
+    glc = glcm_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id",
+        "glcm_n",
+        "glcm_contrast",
+        "glcm_energy",
+        "glcm_homog",
+        "glcm_nz",
+    )
     return (
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
@@ -2845,6 +2894,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mfs, "image_id")
         .join(mor, "image_id")
         .join(lbp, "image_id")
+        .join(glc, "image_id")
         .orderBy("image_id")
     )
 

@@ -1070,3 +1070,86 @@ def test_lbp_flat_edge_and_saw(spark):
     # checkerboard peaks: ring alternates 1,0,1,0,... -> 8 transitions,
     # non-uniform; valleys: all-ties code 255 -> uniform. 25 valleys.
     assert got["saw"].lbp_uni == 25
+
+
+def test_glcm_matches_loop_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        GLCM_HOMOG_K,
+        fake_decode,
+        glcm_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([(k * 7 + 3) % 251 for k in range(12 * 20)]), 12, 20),
+        ("c", bytes(range(7)), 1, 7),          # w < 2: no pairs
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in glcm_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if w < 2:
+            assert (
+                r.glcm_n, r.glcm_contrast, r.glcm_energy, r.glcm_homog, r.glcm_nz
+            ) == (0, 0, 0, 0, 0)
+            continue
+        px = fake_decode(payload, w, h).astype(np.int64)
+        counts = {}
+        for y in range(h):
+            for x in range(w - 1):
+                key = (px[y, x] >> 4, px[y, x + 1] >> 4)
+                counts[key] = counts.get(key, 0) + 1
+        want_n = (w - 1) * h
+        want_c = sum(n * (i - j) ** 2 for (i, j), n in counts.items())
+        want_e = sum(n * n for n in counts.values())
+        want_h = sum(
+            n * (GLCM_HOMOG_K // (1 + abs(i - j)))
+            for (i, j), n in counts.items()
+        )
+        assert (
+            r.glcm_n, r.glcm_contrast, r.glcm_energy, r.glcm_homog, r.glcm_nz
+        ) == (want_n, want_c, want_e, want_h, len(counts)), image_id
+
+
+def test_glcm_constant_ramp_and_checker(spark):
+    """Constant image: one occupied cell (i, i) -> contrast 0, energy
+    n^2, homogeneity n*K. A horizontal two-level step: the single
+    cross-level pair per row sits at |i-j| = 5. A 1px vertical-stripe
+    checkerboard between levels 0 and 15: EVERY horizontal pair crosses
+    15 levels -> maximal contrast 225 per pair, two occupied cells."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        GLCM_HOMOG_K,
+        glcm_stage,
+    )
+
+    flat = np.full((6, 6), 40, dtype=np.uint8)           # level 2
+    step = np.zeros((4, 8), dtype=np.uint8)              # levels 0 | 5
+    step[:, 4:] = 80
+    stripes = np.zeros((5, 8), dtype=np.uint8)           # levels 0 | 15
+    stripes[:, 1::2] = 249                               # 249 >> 4 = 15
+    rows = [
+        ("flat", flat.tobytes(), 6, 6),
+        ("step", step.tobytes(), 8, 4),
+        ("stripes", stripes.tobytes(), 8, 5),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    # bypass the LCG: these payloads ARE the pixels (fake_decode is
+    # identity when len == w*h)
+    got = {r.image_id: r for r in glcm_stage(df).collect()}
+    f = got["flat"]
+    n = 5 * 6
+    assert (f.glcm_n, f.glcm_contrast, f.glcm_energy, f.glcm_homog, f.glcm_nz) == (
+        n, 0, n * n, n * GLCM_HOMOG_K, 1
+    )
+    s = got["step"]
+    assert s.glcm_n == 7 * 4
+    # per row: three (0,0) pairs, one (0,5) crossing, three (5,5) pairs
+    assert s.glcm_contrast == 4 * 25
+    assert s.glcm_energy == 12 * 12 + 4 * 4 + 12 * 12
+    assert s.glcm_nz == 3
+    st = got["stripes"]
+    assert st.glcm_n == 7 * 5
+    assert st.glcm_contrast == 35 * 225
+    assert st.glcm_nz == 2            # (0,15) and (15,0)
+    # homogeneity: every pair at |i-j| = 15 -> weight K // 16
+    assert st.glcm_homog == 35 * (GLCM_HOMOG_K // 16)
