@@ -1364,3 +1364,67 @@ def glcm_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             )
 
     return df.mapInPandas(stage, out_schema)
+
+
+#: raw spatial moments stay exact in int64 up to this square size:
+#: m20 <= 255 * h * Σ x² < 255 * 4096 * 4096³/3 ≈ 2.4e16 < 2^63
+MOMENTS_MAX_DIM = 4096
+
+
+def moments_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Raw spatial image moments (the Hu-moment / shape-orientation
+    front end): per image the six intensity-weighted sums
+
+        m00 = Σ v,    m10 = Σ x·v,   m01 = Σ y·v,
+        m20 = Σ x²·v, m02 = Σ y²·v,  m11 = Σ x·y·v
+
+    over pixel value v at column x, row y — the statistics behind the
+    intensity centroid (m10/m00, m01/m00), the central second moments
+    and the principal-axis orientation a vision pipeline derives from
+    them.  All exact int64 (safe through ``MOMENTS_MAX_DIM``-square
+    images — a larger side raises rather than silently wrapping).
+
+    DELIBERATELY emits only the raw moments: the central-moment
+    products m00·m20 − m10² pass 2^63 even for 256² images, so that
+    arithmetic belongs in the engines' exact wide types —
+    decimal(38,0) on Spark, HUGEINT in the DuckDB twin — with one
+    shared spelling (see the multimodal gate row), not in a numpy
+    kernel that would need object dtype.  Map-only over equal-shape
+    batch stacks; the coordinate weight planes are computed once per
+    stack shape.  Empty images emit all zeros."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields
+        + [f"im_{m} bigint" for m in ("m00", "m10", "m01", "m20", "m02", "m11")]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {m: np.zeros(n, dtype=np.int64)
+                   for m in ("m00", "m10", "m01", "m20", "m02", "m11")}
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if w > MOMENTS_MAX_DIM or h > MOMENTS_MAX_DIM:
+                    raise ValueError(
+                        f"moments_stage: {w}x{h} exceeds MOMENTS_MAX_DIM="
+                        f"{MOMENTS_MAX_DIM}; raw moments would overflow int64"
+                    )
+                if w == 0 or h == 0:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                xs = np.arange(w, dtype=np.int64)[None, None, :]
+                ys = np.arange(h, dtype=np.int64)[None, :, None]
+                out["m00"][ii] = px.sum(axis=(1, 2))
+                out["m10"][ii] = (px * xs).sum(axis=(1, 2))
+                out["m01"][ii] = (px * ys).sum(axis=(1, 2))
+                out["m20"][ii] = (px * xs * xs).sum(axis=(1, 2))
+                out["m02"][ii] = (px * ys * ys).sum(axis=(1, 2))
+                out["m11"][ii] = (px * xs * ys).sum(axis=(1, 2))
+            yield pdf.assign(**{f"im_{m}": v for m, v in out.items()})
+
+    return df.mapInPandas(stage, out_schema)

@@ -2598,6 +2598,29 @@ def _multimodal_oracle() -> str:
              CAST(COUNT(*) AS BIGINT) AS glcm_nz
       FROM glcp GROUP BY image_id
     ),
+    momr AS (
+      -- raw spatial moments (multimodal.moments_stage); DuckDB SUM on
+      -- BIGINT already accumulates in HUGEINT
+      SELECT image_id,
+             SUM(v) AS m00,
+             SUM(c * v) AS m10, SUM(r * v) AS m01,
+             SUM(c * c * v) AS m20, SUM(r * r * v) AS m02,
+             SUM(c * r * v) AS m11
+      FROM px GROUP BY image_id
+    ),
+    mom AS (
+      -- central-moment numerators m00*m2x - m1x^2 in HUGEINT ==
+      -- Spark's decimal(38,0), rendered as digits
+      SELECT image_id,
+             CAST(m00 AS BIGINT) AS im_m00,
+             CAST(CAST(m00 AS HUGEINT) * m20
+                  - CAST(m10 AS HUGEINT) * m10 AS VARCHAR) AS mu20n,
+             CAST(CAST(m00 AS HUGEINT) * m02
+                  - CAST(m01 AS HUGEINT) * m01 AS VARCHAR) AS mu02n,
+             CAST(CAST(m00 AS HUGEINT) * m11
+                  - CAST(m10 AS HUGEINT) * m01 AS VARCHAR) AS mu11n
+      FROM momr
+    ),
     aud AS (
       SELECT image_id,
              CAST(w * h AS INT) AS n_samples,
@@ -2651,7 +2674,9 @@ def _multimodal_oracle() -> str:
            COALESCE(gm.glcm_contrast, 0) AS glcm_contrast,
            COALESCE(gm.glcm_energy, 0) AS glcm_energy,
            COALESCE(gm.glcm_homog, 0) AS glcm_homog,
-           COALESCE(gm.glcm_nz, 0) AS glcm_nz
+           COALESCE(gm.glcm_nz, 0) AS glcm_nz,
+           mm.im_m00 AS im_m00,
+           mm.mu20n AS mu20n, mm.mu02n AS mu02n, mm.mu11n AS mu11n
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
@@ -2663,6 +2688,7 @@ def _multimodal_oracle() -> str:
     LEFT JOIN magg mg USING (image_id)
     LEFT JOIN lbpagg lb USING (image_id)
     LEFT JOIN glcm gm USING (image_id)
+    JOIN mom mm USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -2763,7 +2789,14 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse-difference weight quantized through LCM(1..16) = 720720 so
     no per-cell float division exists in either engine), total-pair
     and occupied-cell counts; the oracle re-bins east-neighbor LCG
-    pairs per image."""
+    pairs per image.
+
+    Plus raw spatial moments (moments_stage, the Hu-moment /
+    orientation front end): exact int64 m00..m11 from the kernel, the
+    central-moment numerators m00·m2x − m1x² computed in decimal(38,0)
+    on Spark and HUGEINT in the oracle (they pass 2^63 even at 256²,
+    so the wide products belong to the engines' exact types, not the
+    numpy kernel) and pinned as digit strings."""
     import numpy as np
 
     from ..datagen.synth import gen_images, gen_videos
@@ -2776,6 +2809,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_eq_stage,
         lbp_stage,
         median_filter_stage,
+        moments_stage,
         morphology_stage,
         otsu_stage,
         patchify_stage,
@@ -2879,6 +2913,20 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "glcm_homog",
         "glcm_nz",
     )
+    # central-moment numerators in decimal(38,0): the kernel emits raw
+    # int64 moments only (m00*m20 - m10^2 passes 2^63 even at 256^2) —
+    # the wide products live in the engines' exact types, one spelling
+    _d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = moments_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id",
+        "im_m00",
+        (_d("im_m00") * _d("im_m20") - _d("im_m10") * _d("im_m10"))
+        .cast("string").alias("mu20n"),
+        (_d("im_m00") * _d("im_m02") - _d("im_m01") * _d("im_m01"))
+        .cast("string").alias("mu02n"),
+        (_d("im_m00") * _d("im_m11") - _d("im_m10") * _d("im_m01"))
+        .cast("string").alias("mu11n"),
+    )
     return (
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
@@ -2895,6 +2943,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mor, "image_id")
         .join(lbp, "image_id")
         .join(glc, "image_id")
+        .join(mom, "image_id")
         .orderBy("image_id")
     )
 

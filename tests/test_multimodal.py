@@ -1153,3 +1153,83 @@ def test_glcm_constant_ramp_and_checker(spark):
     assert st.glcm_nz == 2            # (0,15) and (15,0)
     # homogeneity: every pair at |i-j| = 15 -> weight K // 16
     assert st.glcm_homog == 35 * (GLCM_HOMOG_K // 16)
+
+
+def test_moments_matches_loop_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        moments_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([(k * 7 + 3) % 251 for k in range(12 * 20)]), 12, 20),
+        ("c", bytes([5]), 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in moments_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        px = fake_decode(payload, w, h).astype(object)  # python ints, no wrap
+        m = {k: 0 for k in ("m00", "m10", "m01", "m20", "m02", "m11")}
+        for y in range(h):
+            for x in range(w):
+                v = int(px[y, x])
+                m["m00"] += v
+                m["m10"] += x * v
+                m["m01"] += y * v
+                m["m20"] += x * x * v
+                m["m02"] += y * y * v
+                m["m11"] += x * y * v
+        r = got[image_id]
+        for k, want in m.items():
+            assert getattr(r, f"im_{k}") == want, (image_id, k)
+
+
+def test_moments_orientation_and_symmetry_contracts(spark):
+    """A single bright pixel at (x0, y0): m10/m00 = x0, m01/m00 = y0 and
+    every central numerator is exactly 0. A horizontal bar: mu20n > 0
+    while mu02n = 0 (no vertical spread) and mu11n = 0. A diagonal
+    line y = x: mu11n > 0 (positive principal-axis correlation)."""
+    from osm_replication_rust_spark.operators.multimodal import moments_stage
+
+    dot = np.zeros((8, 8), dtype=np.uint8)
+    dot[3, 5] = 200
+    bar = np.zeros((8, 8), dtype=np.uint8)
+    bar[4, 1:7] = 10
+    diag = np.zeros((8, 8), dtype=np.uint8)
+    np.fill_diagonal(diag, 10)
+    rows = [
+        ("dot", dot.tobytes(), 8, 8),
+        ("bar", bar.tobytes(), 8, 8),
+        ("diag", diag.tobytes(), 8, 8),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in moments_stage(df).collect()}
+
+    def mu(r):
+        mu20 = r.im_m00 * r.im_m20 - r.im_m10 * r.im_m10
+        mu02 = r.im_m00 * r.im_m02 - r.im_m01 * r.im_m01
+        mu11 = r.im_m00 * r.im_m11 - r.im_m10 * r.im_m01
+        return mu20, mu02, mu11
+
+    d = got["dot"]
+    assert (d.im_m00, d.im_m10 / d.im_m00, d.im_m01 / d.im_m00) == (200, 5, 3)
+    assert mu(d) == (0, 0, 0)
+    b20, b02, b11 = mu(got["bar"])
+    assert b20 > 0 and b02 == 0 and b11 == 0
+    g20, g02, g11 = mu(got["diag"])
+    assert g11 > 0 and g20 == g02  # y = x symmetry
+
+
+def test_moments_dim_guard(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        MOMENTS_MAX_DIM,
+        moments_stage,
+    )
+
+    df = spark.createDataFrame(
+        [("big", bytes(2 * (MOMENTS_MAX_DIM + 1)), MOMENTS_MAX_DIM + 1, 2)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    with pytest.raises(Exception, match="MOMENTS_MAX_DIM"):
+        moments_stage(df).collect()
