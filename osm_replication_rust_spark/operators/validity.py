@@ -175,6 +175,17 @@ def cross_intersection_pairs(
     fan-out (finer = more tiles per long segment) against tile
     occupancy (coarser = more candidate pairs) exactly as in
     clip_ways_to_tiles."""
+    return _cross_pairs_raw(segs_a, segs_b, res).select(
+        "a_group", "apos", "b_group", "bpos"
+    )
+
+
+def _cross_pairs_raw(
+    segs_a: DataFrame, segs_b: DataFrame, res: int | None
+) -> DataFrame:
+    """The properly-crossing cross-layer pair frame WITH both segments'
+    coordinate columns still attached (shared by the pair and the
+    intersection-point variants)."""
     a = _sides(segs_a, "a", res).withColumnRenamed("group_id", "a_group")
     b = _sides(segs_b, "b", res).withColumnRenamed("group_id", "b_group")
     if res is None:
@@ -184,7 +195,49 @@ def cross_intersection_pairs(
             (F.col("tx") == F.greatest("atxlo", "btxlo"))
             & (F.col("ty") == F.greatest("atylo", "btylo"))
         )
-    return j.filter(_proper_cross()).select("a_group", "apos", "b_group", "bpos")
+    return j.filter(_proper_cross())
+
+
+def cross_intersection_points(
+    segs_a: DataFrame, segs_b: DataFrame, res: int | None = C.DEFAULT_RES
+) -> DataFrame:
+    """(a_group, apos, b_group, bpos, ix, iy) — the overlay join's
+    NODE-ing step (ST_Intersection of two line layers): every properly
+    crossing pair plus the intersection point itself.
+
+    The point is the exact rational
+
+        t  = cross(b1 − a1, s) / cross(r, s)      r = a2−a1, s = b2−b1
+        ix = (a1x·den + num_t·rx) / den           den = cross(r, s)
+        iy = (a1y·den + num_t·ry) / den
+
+    with every numerator/denominator an exact decimal(38,0) product
+    (|num| < 2^99 < 10^38 for decimicro coords; den ≠ 0 on a proper
+    crossing by definition) and the double produced by ONE shared
+    division of the two exact integers — both engines convert the same
+    integers and divide once, so the doubles are bit-identical (the
+    snap.point_segment_d2 discipline).  Same join/shuffle shape as
+    ``cross_intersection_pairs``; the point math is map-side codegen on
+    the surviving pairs only."""
+    j = _cross_pairs_raw(segs_a, segs_b, res)
+    rx = (F.col("ax2") - F.col("ax1")).cast(_DEC)
+    ry = (F.col("ay2") - F.col("ay1")).cast(_DEC)
+    sx = (F.col("bx2") - F.col("bx1")).cast(_DEC)
+    sy = (F.col("by2") - F.col("by1")).cast(_DEC)
+    den = rx * sy - ry * sx
+    numt = (F.col("bx1") - F.col("ax1")).cast(_DEC) * sy - (
+        F.col("by1") - F.col("ay1")
+    ).cast(_DEC) * sx
+    ixn = F.col("ax1").cast(_DEC) * den + numt * rx
+    iyn = F.col("ay1").cast(_DEC) * den + numt * ry
+    return j.select(
+        "a_group",
+        "apos",
+        "b_group",
+        "bpos",
+        (ixn.cast("double") / den.cast("double")).alias("ix"),
+        (iyn.cast("double") / den.cast("double")).alias("iy"),
+    )
 
 
 def sql_proper_cross_expr(
@@ -212,3 +265,33 @@ def sql_proper_cross_expr(
         f"((({o1} > 0 AND {o2} < 0) OR ({o1} < 0 AND {o2} > 0))"
         f" AND (({o3} > 0 AND {o4} < 0) OR ({o3} < 0 AND {o4} > 0)))"
     )
+
+
+def sql_cross_point_exprs(
+    ax1: str, ay1: str, ax2: str, ay2: str, bx1: str, by1: str, bx2: str, by2: str
+) -> tuple[str, str]:
+    """DuckDB twin of cross_intersection_points' (ix, iy) — HUGEINT
+    numerators/denominator == Spark's decimal(38,0), ONE shared
+    division, so the doubles match bit-for-bit."""
+
+    def d(a: str, b: str) -> str:
+        return f"(CAST({a} AS BIGINT) - CAST({b} AS BIGINT))"
+
+    rx = f"CAST({d(ax2, ax1)} AS HUGEINT)"
+    ry = f"CAST({d(ay2, ay1)} AS HUGEINT)"
+    sx = f"CAST({d(bx2, bx1)} AS HUGEINT)"
+    sy = f"CAST({d(by2, by1)} AS HUGEINT)"
+    den = f"({rx} * {sy} - {ry} * {sx})"
+    numt = (
+        f"(CAST({d(bx1, ax1)} AS HUGEINT) * {sy}"
+        f" - CAST({d(by1, ay1)} AS HUGEINT) * {sx})"
+    )
+    ix = (
+        f"(CAST(CAST({ax1} AS HUGEINT) * {den} + {numt} * {rx} AS DOUBLE)"
+        f" / CAST({den} AS DOUBLE))"
+    )
+    iy = (
+        f"(CAST(CAST({ay1} AS HUGEINT) * {den} + {numt} * {ry} AS DOUBLE)"
+        f" / CAST({den} AS DOUBLE))"
+    )
+    return ix, iy

@@ -3880,7 +3880,10 @@ def _way_geometry_oracle() -> str:
     window'd chain, and the unrolled-CTE Douglas-Peucker keep set
     (bit-identical IEEE distance tree; see _sql_dp_d2)."""
     from ..operators.snap import sql_snap_d2_expr
-    from ..operators.validity import sql_proper_cross_expr
+    from ..operators.validity import (
+        sql_cross_point_exprs,
+        sql_proper_cross_expr,
+    )
 
     from ..operators.dedup import sql_h64_md5
 
@@ -3890,6 +3893,9 @@ def _way_geometry_oracle() -> str:
     hc_d2 = sql_snap_d2_expr("a.lon", "a.lat", "s.x1", "s.y1", "s.x2", "s.y2")
     _sql_h64_gid = sql_h64_md5("group_id")
     cross = sql_proper_cross_expr(
+        "a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"
+    )
+    cp_ix, cp_iy = sql_cross_point_exprs(
         "a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"
     )
     # gift-wrapping orientation tests, shared by the two hull witnesses
@@ -4027,7 +4033,9 @@ def _way_geometry_oracle() -> str:
     ),
     cxp AS (
       SELECT a.group_id AS agid, a.pos AS apos,
-             b.group_id AS bgid, b.pos AS bpos
+             b.group_id AS bgid, b.pos AS bpos,
+             CAST(FLOOR({cp_ix}) AS BIGINT) AS fx,
+             CAST(FLOOR({cp_iy}) AS BIGINT) AS fy
       FROM segs a JOIN slay la ON la.group_id = a.group_id AND la.lay = 0
       CROSS JOIN segs b
       JOIN slay lb ON lb.group_id = b.group_id AND lb.lay = 1
@@ -4043,7 +4051,14 @@ def _way_geometry_oracle() -> str:
       SELECT md5(COALESCE(string_agg(
                agid || ':' || CAST(apos AS VARCHAR) || ':' ||
                bgid || ':' || CAST(bpos AS VARCHAR),
-               ',' ORDER BY agid, apos, bgid, bpos), '')) AS cx_sig
+               ',' ORDER BY agid, apos, bgid, bpos), '')) AS cx_sig,
+             md5(COALESCE(string_agg(
+               agid || ':' || CAST(apos AS VARCHAR) || ':' ||
+               bgid || ':' || CAST(bpos AS VARCHAR) || ':' ||
+               CAST(fx AS VARCHAR) || ':' || CAST(fy AS VARCHAR),
+               ',' ORDER BY agid, apos, bgid, bpos), '')) AS cxp_sig,
+             CAST(COALESCE(SUM(fx), 0) AS BIGINT) AS cx_fx_sum,
+             CAST(COALESCE(SUM(fy), 0) AS BIGINT) AS cx_fy_sum
       FROM cxp
     ),
     sigser AS (
@@ -4220,7 +4235,10 @@ def _way_geometry_oracle() -> str:
            hagg.hull_sig AS hull_sig,
            hdiam.hull_diam2 AS hull_diam2,
            COALESCE(cxc.n_cross_x, 0) AS n_cross_x,
-           cxs.cx_sig AS cx_sig
+           cxs.cx_sig AS cx_sig,
+           cxs.cxp_sig AS cxp_sig,
+           cxs.cx_fx_sum AS cx_fx_sum,
+           cxs.cx_fy_sum AS cx_fy_sum
     FROM geo JOIN simp ON simp.group_id = geo.group_id
     JOIN hv ON hv.group_id = geo.group_id
     LEFT JOIN hc ON hc.group_id = geo.group_id
@@ -4268,12 +4286,16 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the exact squared point-set diameter hull_diam2 — hull-vertex
     brute vs the oracle's all-distinct-vertex brute, ST_MaxDistance)
     against the oracle's gift-wrapping recursive CTE — PLUS the
-    two-layer overlay join (validity.cross_intersection_pairs,
-    ST_Crosses as a distributed join): ways split into two layers by
-    shared-hash parity, every cross-layer proper crossing found by
-    the canonical-tile bucketed GLOBAL pair join (no shared group
-    key), per-way crossing counts riding each row and one md5 over
-    the ordered pair set vs the oracle's brute cross-join twin — PLUS
+    two-layer overlay join (validity.cross_intersection_points,
+    ST_Crosses + ST_Intersection as a distributed join): ways split
+    into two layers by shared-hash parity, every cross-layer proper
+    crossing found by the canonical-tile bucketed GLOBAL pair join
+    (no shared group key) TOGETHER with the intersection point itself
+    (exact decimal(38,0)/HUGEINT rational, ONE shared division ->
+    bit-identical doubles, pinned by floor-coordinate signature
+    cxp_sig and floor sums), per-way crossing counts riding each row
+    and md5s over the ordered pair and node sets vs the oracle's
+    brute cross-join twin — PLUS
     discrete Hausdorff distances (operators/hausdorff.py,
     ST_HausdorffDistance): hd2_kept = directed vertex-set Hausdorff
     from the original chain to its DP keep set (exact decimal(38,0)
@@ -4299,7 +4321,7 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import h64_md5
     from ..operators.snap import snap_points_to_segments
     from ..operators.validity import (
-        cross_intersection_pairs,
+        cross_intersection_points,
         self_intersection_counts,
     )
 
@@ -4360,8 +4382,15 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiles wide, so the canonical-tile dedup path is truly exercised
     selfx = self_intersection_counts(segs, res=27)
     lay = F.pmod(h64_md5(F.col("group_id")), F.lit(2))
-    cxp = cross_intersection_pairs(
+    # points, not just pairs: the node-ing step — fx/fy floors are
+    # engine-stable because the doubles themselves are bit-identical
+    cxp = cross_intersection_points(
         segs.filter(lay == 0), segs.filter(lay == 1), res=27
+    ).withColumns(
+        {
+            "fx": F.floor("ix").cast("long"),
+            "fy": F.floor("iy").cast("long"),
+        }
     )
     cxc = (
         cxp.select(F.col("a_group").alias("group_id"))
@@ -4375,6 +4404,15 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("apos").cast("string"),
         F.col("b_group"),
         F.col("bpos").cast("string"),
+    )
+    cxp_s = F.concat_ws(
+        ":",
+        F.col("a_group"),
+        F.col("apos").cast("string"),
+        F.col("b_group"),
+        F.col("bpos").cast("string"),
+        F.col("fx").cast("string"),
+        F.col("fy").cast("string"),
     )
     cxs = cxp.agg(
         F.md5(
@@ -4392,7 +4430,25 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda x: x["s"],
                 ),
             )
-        ).alias("cx_sig")
+        ).alias("cx_sig"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "a_group", "apos", "b_group", "bpos",
+                                cxp_s.alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            )
+        ).alias("cxp_sig"),
+        F.coalesce(F.sum("fx"), F.lit(0)).cast("long").alias("cx_fx_sum"),
+        F.coalesce(F.sum("fy"), F.lit(0)).cast("long").alias("cx_fy_sum"),
     )
     sigs = way_geom_signature(groups, base).withColumn(
         "n_geom_dups",

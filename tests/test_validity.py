@@ -236,3 +236,76 @@ def test_cross_layer_bucketed_equals_brute_random(spark):
         _segs(spark, a), _segs(spark, b), res=None
     ).collect()
     assert {(r.a_group, r.apos, r.b_group, r.bpos) for r in rows} == ref
+
+
+# ---------------------------------------------------------------------------
+# cross_intersection_points (overlay node-ing: ST_Intersection of lines)
+# ---------------------------------------------------------------------------
+
+
+def _ref_point(a1, a2, b1, b2):
+    """Exact-integer reference of the shared (ix, iy) spelling: HUGEINT
+    numerators as python ints, ONE float conversion + division each."""
+    rx, ry = a2[0] - a1[0], a2[1] - a1[1]
+    sx, sy = b2[0] - b1[0], b2[1] - b1[1]
+    den = rx * sy - ry * sx
+    numt = (b1[0] - a1[0]) * sy - (b1[1] - a1[1]) * sx
+    ix = float(a1[0] * den + numt * rx) / float(den)
+    iy = float(a1[1] * den + numt * ry) / float(den)
+    return ix, iy
+
+
+def test_cross_points_planted_rational(spark):
+    from osm_replication_rust_spark.operators.validity import (
+        cross_intersection_points,
+    )
+
+    # X-crossing at exactly (5, 5); second pair meets at (18/11, 54/11)
+    a = {"a1": [(0, 0), (10, 10)], "a2": [(0, 0), (3, 9)]}
+    b = {"b1": [(0, 10), (10, 0)], "b2": [(0, 6), (9, 0)]}
+    rows = cross_intersection_points(_segs(spark, a), _segs(spark, b), res=None)
+    got = {
+        (r.a_group, r.b_group): (r.ix, r.iy) for r in rows.collect()
+    }
+    assert got[("a1", "b1")] == (5.0, 5.0)
+    assert got[("a2", "b2")] == (float(18 * 11) / 121.0, float(54 * 11) / 121.0)
+    # the doubles are EXACTLY the one-shared-division reference spelling
+    assert got[("a2", "b2")] == _ref_point((0, 0), (3, 9), (0, 6), (9, 0))
+
+
+def test_cross_points_bucketed_equals_brute_bitwise(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.validity import (
+        cross_intersection_points,
+    )
+
+    rng = np.random.default_rng(23)
+
+    def chains(tag, n):
+        out = {}
+        for i in range(n):
+            pts = rng.integers(-1_500_000_000, 1_500_000_000, size=(4, 2))
+            out[f"{tag}{i}"] = [(int(x), int(y)) for x, y in pts]
+        return out
+
+    a, b = chains("p", 10), chains("q", 10)
+    segs_a, segs_b = _segs(spark, a), _segs(spark, b)
+    brute = {
+        (r.a_group, r.apos, r.b_group, r.bpos): (r.ix, r.iy)
+        for r in cross_intersection_points(segs_a, segs_b, res=None).collect()
+    }
+    assert len(brute) > 3
+    bucketed = {
+        (r.a_group, r.apos, r.b_group, r.bpos): (r.ix, r.iy)
+        for r in cross_intersection_points(segs_a, segs_b, res=27).collect()
+    }
+    assert bucketed == brute  # exact double equality, not approx
+    # every intersection point sits inside BOTH segments' bboxes, and
+    # matches the exact-integer python reference bit-for-bit
+    for (ga, pa, gb, pb), (ix, iy) in brute.items():
+        a1, a2 = a[ga][pa], a[ga][pa + 1]
+        b1, b2 = b[gb][pb], b[gb][pb + 1]
+        assert min(a1[0], a2[0]) <= ix <= max(a1[0], a2[0])
+        assert min(b1[1], b2[1]) <= iy <= max(b1[1], b2[1])
+        assert (ix, iy) == _ref_point(a1, a2, b1, b2)
