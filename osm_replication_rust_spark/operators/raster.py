@@ -766,3 +766,71 @@ def blob_labels(
         )
         .drop("label")
     )
+
+
+def rasterize_line(segs: DataFrame, px_res: int = 19) -> DataFrame:
+    """Vector -> raster, LINE leg (next to ``rasterize_points`` and
+    ``rasterize_polygon``): the rounded-DDA pixel trace of every
+    segment — the distributed ST_AsRaster(line) / Bresenham step a
+    burn-in or viewshed pipeline runs over a road layer.
+
+    ``segs`` is the clip.way_segments shape (group_id, pos, x1, y1,
+    x2, y2, decimicro ints).  Each segment's endpoints drop onto the
+    ``px_res`` pixel grid and the trace is the CLOSED FORM rounded
+    linear interpolation over n = max(|dpx|, |dpy|) steps:
+
+        px(j) = px1 + sgn(dpx) * ((2*j*|dpx| + n) // (2*n)),  j = 0..n
+
+    (and the same for y) — round-half-up on the absolute delta with the
+    sign applied outside, every operand NON-NEGATIVE so Spark's `div`
+    (truncating) and DuckDB's `//` (flooring) agree, making the trace
+    bit-reproducible cross-engine with no iterative error accumulator
+    (classic Bresenham's running error term is sequential state; the
+    closed form is embarrassingly parallel).  Contract: 8-connected
+    (the dominant axis advances exactly 1 per step, the other 0 or 1),
+    endpoints exact, n+1 pixels per segment with NO within-segment
+    duplicates; consecutive segments re-emit their shared vertex pixel
+    (callers distinct per group when burning).
+
+    Returns (group_id, pos, j, px, py).  Pure map-side codegen explode
+    — output-proportional fan-out, zero shuffle, no Python."""
+    if not 0 <= px_res < 32:
+        raise ValueError(f"px_res out of range: {px_res}")
+    px1 = F.shiftright(F.col("x1") + LON_OFFSET, px_res)
+    px2 = F.shiftright(F.col("x2") + LON_OFFSET, px_res)
+    py1 = F.shiftright(F.col("y1") + LAT_OFFSET, px_res)
+    py2 = F.shiftright(F.col("y2") + LAT_OFFSET, px_res)
+    base = segs.select(
+        "group_id",
+        "pos",
+        px1.alias("_px1"),
+        py1.alias("_py1"),
+        (px2 - px1).alias("_dx"),
+        (py2 - py1).alias("_dy"),
+    ).withColumn("_n", F.greatest(F.abs("_dx"), F.abs("_dy")))
+    stepped = base.select(
+        "group_id",
+        "pos",
+        "_px1",
+        "_py1",
+        "_dx",
+        "_dy",
+        "_n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n"))).alias("j"),
+    )
+
+    def axis(p1: str, d: str):
+        sgn = F.when(F.col(d) >= 0, F.lit(1)).otherwise(F.lit(-1))
+        off = F.when(
+            F.col("_n") > 0,
+            F.expr(f"(2 * j * abs({d}) + _n) div (2 * _n)"),
+        ).otherwise(F.lit(0))
+        return F.col(p1) + sgn * off
+
+    return stepped.select(
+        "group_id",
+        "pos",
+        "j",
+        axis("_px1", "_dx").alias("px"),
+        axis("_py1", "_dy").alias("py"),
+    )

@@ -3783,6 +3783,7 @@ def way_full_closure_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAY_SIMPLIFY_EPS = 1e7  # 1 degree in decimicro
 _DENSIFY_GAP = 100_000_000  # 10 deg in decimicro: fixture segments densify to <= ~50 points
 _INTERP_T = 0.37  # arc-length fraction for the line_interpolate gate columns
+_LINE_PX_RES = 16  # rasterize_line gate pixels: 65536-decimicro (~6.6 mdeg) cells
 
 
 def _sql_dp_d2(px, py, x1, y1, x2, y2) -> str:
@@ -4061,6 +4062,43 @@ def _way_geometry_oracle() -> str:
              CAST(COALESCE(SUM(fy), 0) AS BIGINT) AS cx_fy_sum
       FROM cxp
     ),
+    ldda AS (
+      -- rounded-DDA line rasterization (raster.rasterize_line):
+      -- endpoint pixels at _LINE_PX_RES; numerators kept non-negative
+      -- so DuckDB's flooring // equals Spark's truncating div
+      SELECT group_id,
+             (CAST(x1 AS BIGINT) + {C.LON_OFFSET}) // {1 << _LINE_PX_RES} AS px1,
+             (CAST(y1 AS BIGINT) + {C.LAT_OFFSET}) // {1 << _LINE_PX_RES} AS py1,
+             (CAST(x2 AS BIGINT) + {C.LON_OFFSET}) // {1 << _LINE_PX_RES}
+               - (CAST(x1 AS BIGINT) + {C.LON_OFFSET}) // {1 << _LINE_PX_RES} AS dx,
+             (CAST(y2 AS BIGINT) + {C.LAT_OFFSET}) // {1 << _LINE_PX_RES}
+               - (CAST(y1 AS BIGINT) + {C.LAT_OFFSET}) // {1 << _LINE_PX_RES} AS dy
+      FROM segs
+    ),
+    ln0 AS (SELECT *, GREATEST(ABS(dx), ABS(dy)) AS n FROM ldda),
+    lpxs AS (
+      -- closed form: round-half-up on the absolute delta, sign applied
+      -- outside; GREATEST(n, 1) makes the n = 0 single-pixel case the
+      -- same branchless formula (j = 0 -> offset 0)
+      SELECT group_id,
+             CASE WHEN dx >= 0
+               THEN px1 + (2 * j * ABS(dx) + n) // (2 * GREATEST(n, 1))
+               ELSE px1 - (2 * j * ABS(dx) + n) // (2 * GREATEST(n, 1)) END AS px,
+             CASE WHEN dy >= 0
+               THEN py1 + (2 * j * ABS(dy) + n) // (2 * GREATEST(n, 1))
+               ELSE py1 - (2 * j * ABS(dy) + n) // (2 * GREATEST(n, 1)) END AS py
+      FROM ln0, UNNEST(generate_series(0, n)) AS t(j)
+    ),
+    lpd AS (SELECT DISTINCT group_id, px, py FROM lpxs),
+    lrast AS (
+      SELECT group_id,
+             CAST(COUNT(*) AS BIGINT) AS n_line_px,
+             CAST(SUM(px) AS BIGINT) AS lpx_sum,
+             CAST(SUM(py) AS BIGINT) AS lpy_sum,
+             md5(string_agg(CAST(px AS VARCHAR) || ',' || CAST(py AS VARCHAR),
+                            ';' ORDER BY px, py)) AS line_sig
+      FROM lpd GROUP BY group_id
+    ),
     sigser AS (
       SELECT group_id,
              string_agg(lon || ',' || lat, ';' ORDER BY pos) AS fwd,
@@ -4238,7 +4276,11 @@ def _way_geometry_oracle() -> str:
            cxs.cx_sig AS cx_sig,
            cxs.cxp_sig AS cxp_sig,
            cxs.cx_fx_sum AS cx_fx_sum,
-           cxs.cx_fy_sum AS cx_fy_sum
+           cxs.cx_fy_sum AS cx_fy_sum,
+           COALESCE(lr.n_line_px, 0) AS n_line_px,
+           COALESCE(lr.lpx_sum, 0) AS lpx_sum,
+           COALESCE(lr.lpy_sum, 0) AS lpy_sum,
+           lr.line_sig AS line_sig
     FROM geo JOIN simp ON simp.group_id = geo.group_id
     JOIN hv ON hv.group_id = geo.group_id
     LEFT JOIN hc ON hc.group_id = geo.group_id
@@ -4251,6 +4293,7 @@ def _way_geometry_oracle() -> str:
     JOIN hagg ON hagg.group_id = geo.group_id
     JOIN hdiam ON hdiam.group_id = geo.group_id
     LEFT JOIN cxc ON cxc.group_id = geo.group_id
+    LEFT JOIN lrast lr ON lr.group_id = geo.group_id
     CROSS JOIN cxs
     ORDER BY geo.group_id
     """
@@ -4319,6 +4362,7 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         way_geometry,
     )
     from ..operators.dedup import h64_md5
+    from ..operators.raster import rasterize_line
     from ..operators.snap import snap_points_to_segments
     from ..operators.validity import (
         cross_intersection_points,
@@ -4450,6 +4494,33 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("fx"), F.lit(0)).cast("long").alias("cx_fx_sum"),
         F.coalesce(F.sum("fy"), F.lit(0)).cast("long").alias("cx_fy_sum"),
     )
+    # line rasterization fold (raster.rasterize_line): the per-way
+    # DISTINCT burned pixel set at _LINE_PX_RES, pinned by count, both
+    # coordinate sums and the ordered-set md5
+    lrast = (
+        rasterize_line(segs, px_res=_LINE_PX_RES)
+        .select("group_id", "px", "py")
+        .distinct()
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_line_px"),
+            F.sum("px").cast("long").alias("lpx_sum"),
+            F.sum("py").cast("long").alias("lpy_sum"),
+            F.md5(
+                F.concat_ws(
+                    ";",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("px", "py"))),
+                        lambda s: F.concat_ws(
+                            ",",
+                            s["px"].cast("string"),
+                            s["py"].cast("string"),
+                        ),
+                    ),
+                )
+            ).alias("line_sig"),
+        )
+    )
     sigs = way_geom_signature(groups, base).withColumn(
         "n_geom_dups",
         F.count(F.lit(1)).over(Window.partitionBy("geom_sig")).cast("long"),
@@ -4488,6 +4559,10 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dens_fy_sum", F.coalesce("dens_fy_sum", F.lit(0).cast("long")))
         .join(cxc, "group_id", "left")
         .withColumn("n_cross_x", F.coalesce("n_cross_x", F.lit(0).cast("long")))
+        .join(lrast, "group_id", "left")
+        .withColumn("n_line_px", F.coalesce("n_line_px", F.lit(0).cast("long")))
+        .withColumn("lpx_sum", F.coalesce("lpx_sum", F.lit(0).cast("long")))
+        .withColumn("lpy_sum", F.coalesce("lpy_sum", F.lit(0).cast("long")))
         .crossJoin(F.broadcast(cxs))
         .orderBy("group_id")
     )

@@ -632,3 +632,75 @@ def test_quadtree_level_mismatch_raises(spark):
     pyr = tile_pyramid(df, base_res=18, levels=6)
     with pytest.raises(ValueError, match="level set"):
         quadtree_leaves(pyr, cap=10, base_res=18, levels=5)
+
+
+# ---------------------------------------------------------------------------
+# rasterize_line (rounded-DDA pixel trace)
+# ---------------------------------------------------------------------------
+
+
+def _ref_trace(p1, p2):
+    """Python reference of the closed-form rounded DDA in pixel space."""
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    n = max(abs(dx), abs(dy))
+    if n == 0:
+        return [p1]
+    out = []
+    for j in range(n + 1):
+        ox = (2 * j * abs(dx) + n) // (2 * n)
+        oy = (2 * j * abs(dy) + n) // (2 * n)
+        out.append(
+            (p1[0] + (ox if dx >= 0 else -ox), p1[1] + (oy if dy >= 0 else -oy))
+        )
+    return out
+
+
+def test_rasterize_line_matches_reference_all_octants(spark):
+    from osm_replication_rust_spark.functions.coords import (
+        LAT_OFFSET,
+        LON_OFFSET,
+    )
+    from osm_replication_rust_spark.operators.raster import rasterize_line
+
+    res = 19
+    edge = 1 << res
+    # pixel-space endpoints across all octants + degenerate same-pixel
+    cases = [
+        ((0, 0), (7, 3)), ((0, 0), (3, 7)), ((0, 0), (-7, 3)),
+        ((0, 0), (-3, -7)), ((5, 5), (5, 5)), ((2, 9), (2, -4)),
+        ((-6, 1), (8, 1)), ((10, -10), (-10, 10)),
+    ]
+    rows = []
+    for i, (p1, p2) in enumerate(cases):
+        # put each endpoint at its pixel's exact lower-left corner
+        rows.append(
+            (f"g{i}", 0,
+             p1[0] * edge - LON_OFFSET, p1[1] * edge - LAT_OFFSET,
+             p2[0] * edge - LON_OFFSET, p2[1] * edge - LAT_OFFSET)
+        )
+    segs = spark.createDataFrame(
+        rows, "group_id string, pos int, x1 long, y1 long, x2 long, y2 long"
+    )
+    got = {}
+    for r in rasterize_line(segs, px_res=res).collect():
+        got.setdefault(r.group_id, {})[r.j] = (r.px, r.py)
+    for i, (p1, p2) in enumerate(cases):
+        want = _ref_trace(p1, p2)
+        trace = [got[f"g{i}"][j] for j in range(len(got[f"g{i}"]))]
+        assert trace == want, (i, p1, p2)
+        # contracts: endpoints exact, 8-connected, dominant axis steps 1
+        assert trace[0] == p1 and trace[-1] == p2
+        for a, b in zip(trace, trace[1:]):
+            assert max(abs(b[0] - a[0]), abs(b[1] - a[1])) == 1
+        assert len(trace) == len(set(trace))  # no within-segment dups
+
+
+def test_rasterize_line_res_guard(spark):
+    from osm_replication_rust_spark.operators.raster import rasterize_line
+
+    segs = spark.createDataFrame(
+        [("g", 0, 0, 0, 1, 1)],
+        "group_id string, pos int, x1 long, y1 long, x2 long, y2 long",
+    )
+    with pytest.raises(ValueError, match="px_res"):
+        rasterize_line(segs, px_res=40)
