@@ -17,8 +17,13 @@ from ..functions import coords as C
 from ..functions import geometry as G
 from ..functions.geometry import MultiPolygon
 from ..datagen.synth import fixture_regions
+from ..operators.iou import sql_iou_exprs
 from ..operators.knn import IDW_SCALE_K
 from ..operators.spatial_join import assign_regions
+
+#: bbox_intersects IoU fold: threshold 1/10, parity-split user boxes
+_IOU_MIN = (1, 10)
+_IOU_INTER, _IOU_UNI, _IOU_IOU = sql_iou_exprs("a", "b")
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -634,11 +639,36 @@ _RECT = (2_000_000, -8_000_000, 14_000_000, 6_000_000)  # lon0, lat0, lon1, lat1
              min({_EV_LAT}) AS minlat, max({_EV_LAT}) AS maxlat,
              min({_EV_LON}) AS minlon, max({_EV_LON}) AS maxlon
       FROM events GROUP BY user_id
+    ),
+    bx AS (
+      -- half-open IoU boxes (operators/iou.py): +1 on the max edges so
+      -- even a single-event user has nonzero area
+      SELECT user_id, minlon AS minx, minlat AS miny,
+             maxlon + 1 AS maxx, maxlat + 1 AS maxy
+      FROM bb
+    ),
+    ip AS (
+      SELECT a.user_id AS a_id, b.user_id AS b_id,
+             {_IOU_INTER} AS inter, {_IOU_IOU} AS iou
+      FROM bx a, bx b
+      WHERE a.user_id % 2 = 0 AND b.user_id % 2 = 1
+        AND {_IOU_INTER} > 0
+        AND {_IOU_INTER} * {_IOU_MIN[1]} >= {_IOU_MIN[0]} * {_IOU_UNI}
+    ),
+    im AS (
+      SELECT a_id, b_id, inter, iou FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY a_id ORDER BY iou DESC, b_id) AS rn
+        FROM ip
+      ) WHERE rn = 1
     )
     SELECT user_id,
            {G.sql_haversine_km('(minlat + maxlat) * 0.5', '(minlon + maxlon) * 0.5',
-                               str((_RECT[1] + _RECT[3]) // 2), str((_RECT[0] + _RECT[2]) // 2))} AS hav_km
-    FROM bb
+                               str((_RECT[1] + _RECT[3]) // 2), str((_RECT[0] + _RECT[2]) // 2))} AS hav_km,
+           im.b_id AS iou_bid,
+           im.iou AS iou,
+           CAST(im.inter AS VARCHAR) AS iou_inter
+    FROM bb LEFT JOIN im ON im.a_id = bb.user_id
     WHERE NOT (maxlon < {_RECT[0]} OR minlon > {_RECT[2]}
                OR maxlat < {_RECT[1]} OR minlat > {_RECT[3]})
     ORDER BY user_id
@@ -649,7 +679,16 @@ def bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node tests, /root/reference/src/osmxml/filter.rs:238-244), plus
     the geodesic refinement: haversine km from each surviving bbox's
     center to the query rect's center (geometry.haversine_km — same
-    IEEE tree both engines, round 5)."""
+    IEEE tree both engines, round 5) — PLUS the bbox IoU match
+    (operators/iou.py, the detection / label-matching primitive): user
+    boxes split by user_id parity, every even-user box matched to its
+    argmax-IoU odd-user box through the canonical-tile pair join;
+    exact decimal(38,0)/HUGEINT areas (global boxes pass 2^63), the
+    1/10 threshold decided by integer cross-multiplication, the iou
+    double ONE shared division — pinned vs the oracle's brute
+    cross-join twin."""
+    from ..operators.iou import iou_match
+
     ev = _t(spark, sf_dir, "events")
     lat = C.derived_lat(F.col("event_id"))
     lon = C.derived_lon(F.col("event_id"))
@@ -662,6 +701,25 @@ def bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lon").alias("minlon"),
             F.max("lon").alias("maxlon"),
         )
+    )
+    # half-open IoU boxes: +1 on the max edges (single-event users keep
+    # nonzero area); res 28 = ~26.8 deg tiles over near-global boxes
+    boxes = bb.select(
+        F.col("user_id").alias("box_id"),
+        F.col("minlon").alias("minx"),
+        F.col("minlat").alias("miny"),
+        (F.col("maxlon") + 1).alias("maxx"),
+        (F.col("maxlat") + 1).alias("maxy"),
+    )
+    par = F.pmod(F.col("box_id"), F.lit(2))
+    matched = iou_match(
+        boxes.filter(par == 0), boxes.filter(par == 1),
+        min_iou=_IOU_MIN, res=28,
+    ).select(
+        F.col("a_id").alias("user_id"),
+        F.col("b_id").alias("iou_bid"),
+        F.col("iou"),
+        F.col("inter").cast("string").alias("iou_inter"),
     )
     lon0, lat0, lon1, lat1 = _RECT
     return (
@@ -682,6 +740,7 @@ def bbox_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit((lon0 + lon1) // 2),
             ).alias("hav_km"),
         )
+        .join(matched, "user_id", "left")
         .orderBy("user_id")
     )
 
