@@ -3843,6 +3843,8 @@ _WAY_SIMPLIFY_EPS = 1e7  # 1 degree in decimicro
 _DENSIFY_GAP = 100_000_000  # 10 deg in decimicro: fixture segments densify to <= ~50 points
 _INTERP_T = 0.37  # arc-length fraction for the line_interpolate gate columns
 _LINE_PX_RES = 16  # rasterize_line gate pixels: 65536-decimicro (~6.6 mdeg) cells
+_TPA_GATE_RES = 22  # tile_polygon_areas gate tiles (~0.42 deg; fixture rings span a few)
+_TPA_GATE_Q = 12  # sub-coordinate lattice bits for the snapped breakpoints
 
 
 def _sql_dp_d2(px, py, x1, y1, x2, y2) -> str:
@@ -3922,15 +3924,23 @@ def _sql_dp_levels(levels: int, eps2: float) -> str:
 def _planted_rev_ways(groups_pdf):
     """Reversed-member clones of every 4th way (sorted by group_id),
     appended as ``<id>_rev`` — planted duplicate geometries so the
-    direction-invariant signature gate is non-trivial.  Shared by the
-    Spark query and the oracle so both engines see the same fixture."""
+    direction-invariant signature gate is non-trivial — PLUS closed
+    RING clones of every 3rd way with >= 3 members (first member
+    re-appended, ``<id>_ring``) so the closed-ring folds (shoelace
+    area/centroid, tile_polygon_areas) have genuine rings to chew on.
+    Shared by the Spark query and the oracle so both engines see the
+    same fixture."""
     import pandas as pd
 
     ways = groups_pdf[groups_pdf["kind"] == "way"].sort_values("group_id")
     clones = ways.iloc[::4].copy()
     clones["group_id"] = clones["group_id"] + "_rev"
     clones["members"] = clones["members"].apply(lambda ms: list(reversed(ms)))
-    return pd.concat([groups_pdf, clones], ignore_index=True)
+    ringable = ways[ways["members"].apply(len) >= 3]
+    rings = ringable.iloc[::3].copy()
+    rings["group_id"] = rings["group_id"] + "_ring"
+    rings["members"] = rings["members"].apply(lambda ms: list(ms) + [ms[0]])
+    return pd.concat([groups_pdf, clones, rings], ignore_index=True)
 
 
 def _way_geometry_oracle() -> str:
@@ -3960,6 +3970,53 @@ def _way_geometry_oracle() -> str:
     )
     # gift-wrapping orientation tests, shared by the two hull witnesses
     hx = "(q.x - w.x)::HUGEINT * (r.y - w.y) - (q.y - w.y)::HUGEINT * (r.x - w.x)"
+    # tile_polygon_areas twin: snapped breakpoint branches (the SAME
+    # floor-division spelling — sign-normalized denominator, offset
+    # makes the numerator non-negative so // is an exact floor)
+    _edge = 1 << _TPA_GATE_RES
+    _tq = 1 << _TPA_GATE_Q
+    _toff = 1 << 31
+
+    def _tpa_branch(cline: str, idx: int, is_x: bool) -> str:
+        p1, p2, o1, o2 = ("x1", "x2", "y1", "y2") if is_x else (
+            "y1", "y2", "x1", "x2"
+        )
+        num = f"(CAST({cline} - {p1} AS HUGEINT) * ({o2} - {o1}) * {_tq})"
+        nums = f"(CASE WHEN {p2} >= {p1} THEN {num} ELSE -{num} END)"
+        ddp = f"CAST(ABS({p2} - {p1}) AS HUGEINT)"
+        oq = (
+            f"(CAST((({nums} + (CAST({o1} AS HUGEINT) + {_toff})"
+            f" * {_tq} * {ddp}) // {ddp}) AS BIGINT) - {_toff * _tq})"
+        )
+        pq = f"(({cline}) * {_tq})"
+        xq, yq = (pq, oq) if is_x else (oq, pq)
+        return f"""
+      SELECT group_id, pos, tx, ty,
+             CAST({cline} - {p1} AS DOUBLE)
+               / CAST({p2} - {p1} AS DOUBLE) AS td,
+             {idx} AS idx, {xq} AS xq, {yq} AS yq
+      FROM tfan
+      WHERE ({p1} < {cline} AND {cline} < {p2})
+         OR ({p2} < {cline} AND {cline} < {p1})"""
+
+    _cx0 = f"(tx * {_edge} - {C.LON_OFFSET})"
+    _cx1 = f"((tx + 1) * {_edge} - {C.LON_OFFSET})"
+    _cy0 = f"(ty * {_edge} - {C.LAT_OFFSET})"
+    _cy1 = f"((ty + 1) * {_edge} - {C.LAT_OFFSET})"
+    tpa_branches = " UNION ALL ".join(
+        [
+            f"""
+      SELECT group_id, pos, tx, ty, 0.0 AS td, 0 AS idx,
+             x1 * {_tq} AS xq, y1 * {_tq} AS yq FROM tfan""",
+            _tpa_branch(_cx0, 1, True),
+            _tpa_branch(_cx1, 2, True),
+            _tpa_branch(_cy0, 3, False),
+            _tpa_branch(_cy1, 4, False),
+            f"""
+      SELECT group_id, pos, tx, ty, 1.0 AS td, 5 AS idx,
+             x2 * {_tq} AS xq, y2 * {_tq} AS yq FROM tfan""",
+        ]
+    )
     rows = []
     for g in groups_pdf.itertuples():
         if g.kind != "way":
@@ -4158,6 +4215,64 @@ def _way_geometry_oracle() -> str:
                             ';' ORDER BY px, py)) AS line_sig
       FROM lpd GROUP BY group_id
     ),
+    cseg AS (
+      -- closed rings only: the clamp identity needs a closed curve
+      SELECT s.group_id, s.pos,
+             CAST(s.x1 AS BIGINT) AS x1, CAST(s.y1 AS BIGINT) AS y1,
+             CAST(s.x2 AS BIGINT) AS x2, CAST(s.y2 AS BIGINT) AS y2
+      FROM segs s JOIN geo g ON g.group_id = s.group_id AND g.is_closed
+    ),
+    tbb AS (
+      SELECT group_id,
+             MIN((LEAST(x1, x2) + {C.LON_OFFSET}) // {1 << _TPA_GATE_RES}) AS txlo,
+             MAX((GREATEST(x1, x2) + {C.LON_OFFSET}) // {1 << _TPA_GATE_RES}) AS txhi,
+             MIN((LEAST(y1, y2) + {C.LAT_OFFSET}) // {1 << _TPA_GATE_RES}) AS tylo,
+             MAX((GREATEST(y1, y2) + {C.LAT_OFFSET}) // {1 << _TPA_GATE_RES}) AS tyhi
+      FROM cseg GROUP BY group_id
+    ),
+    tfan AS (
+      -- EVERY ring edge contributes to every bbox tile (a far edge
+      -- clamps to the tile boundary; its run carries the winding)
+      SELECT s.group_id, s.pos, s.x1, s.y1, s.x2, s.y2, gx.tx, gy.ty
+      FROM cseg s JOIN tbb b USING (group_id),
+           UNNEST(generate_series(b.txlo, b.txhi)) AS gx(tx),
+           UNNEST(generate_series(b.tylo, b.tyhi)) AS gy(ty)
+    ),
+    tcand AS (SELECT * FROM ({tpa_branches})),
+    tpts AS (
+      SELECT group_id, pos, tx, ty, td, idx,
+             LEAST(GREATEST(xq, (tx * {1 << _TPA_GATE_RES}
+                                 - {C.LON_OFFSET}) * {1 << _TPA_GATE_Q}),
+                   ((tx + 1) * {1 << _TPA_GATE_RES}
+                    - {C.LON_OFFSET}) * {1 << _TPA_GATE_Q}) AS cx,
+             LEAST(GREATEST(yq, (ty * {1 << _TPA_GATE_RES}
+                                 - {C.LAT_OFFSET}) * {1 << _TPA_GATE_Q}),
+                   ((ty + 1) * {1 << _TPA_GATE_RES}
+                    - {C.LAT_OFFSET}) * {1 << _TPA_GATE_Q}) AS cy
+      FROM tcand
+    ),
+    tterm AS (
+      SELECT group_id, tx, ty,
+             CAST(cx AS HUGEINT) * lead(cy) OVER tw
+               - CAST(lead(cx) OVER tw AS HUGEINT) * cy AS t
+      FROM tpts
+      WINDOW tw AS (PARTITION BY group_id, pos, tx, ty ORDER BY td, idx)
+    ),
+    tparea AS (
+      SELECT group_id, tx, ty, SUM(t) AS area2q
+      FROM tterm WHERE t IS NOT NULL
+      GROUP BY group_id, tx, ty
+      HAVING SUM(t) <> 0
+    ),
+    tpagg AS (
+      SELECT group_id,
+             CAST(COUNT(*) AS BIGINT) AS n_area_tiles,
+             CAST(SUM(area2q) AS VARCHAR) AS clip_area2q_sum,
+             md5(string_agg(
+               tx || ',' || ty || ',' || CAST(area2q AS VARCHAR),
+               ';' ORDER BY tx, ty)) AS tile_area_sig
+      FROM tparea GROUP BY group_id
+    ),
     sigser AS (
       SELECT group_id,
              string_agg(lon || ',' || lat, ';' ORDER BY pos) AS fwd,
@@ -4339,7 +4454,10 @@ def _way_geometry_oracle() -> str:
            COALESCE(lr.n_line_px, 0) AS n_line_px,
            COALESCE(lr.lpx_sum, 0) AS lpx_sum,
            COALESCE(lr.lpy_sum, 0) AS lpy_sum,
-           lr.line_sig AS line_sig
+           lr.line_sig AS line_sig,
+           COALESCE(tp.n_area_tiles, 0) AS n_area_tiles,
+           tp.clip_area2q_sum AS clip_area2q_sum,
+           tp.tile_area_sig AS tile_area_sig
     FROM geo JOIN simp ON simp.group_id = geo.group_id
     JOIN hv ON hv.group_id = geo.group_id
     LEFT JOIN hc ON hc.group_id = geo.group_id
@@ -4353,6 +4471,7 @@ def _way_geometry_oracle() -> str:
     JOIN hdiam ON hdiam.group_id = geo.group_id
     LEFT JOIN cxc ON cxc.group_id = geo.group_id
     LEFT JOIN lrast lr ON lr.group_id = geo.group_id
+    LEFT JOIN tpagg tp ON tp.group_id = geo.group_id
     CROSS JOIN cxs
     ORDER BY geo.group_id
     """
@@ -4404,9 +4523,20 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits — whole-globe deltas square past 2^63) and hd_seg_d2 = the
     max-min point-to-simplified-POLYLINE d² (the true Douglas-Peucker
     error, <= eps² by the DP invariant; snap.point_segment_d2's one
-    IEEE spelling both engines) — all by the one oracle."""
+    IEEE spelling both engines) — PLUS the rounded-DDA line
+    rasterization (raster.rasterize_line: per-way distinct burned
+    pixel count, coordinate sums and ordered-set md5) — PLUS the
+    tile-clipped polygon areas (clip.tile_polygon_areas, the
+    Green's-theorem clamp identity over 6 planted closed-ring clones:
+    per-way tile count, exact Σ area2q digits and the ordered
+    per-tile md5 vs the oracle's breakpoint-union + window twin) —
+    all by the one oracle."""
     from ..datagen.synth import gen_groups, gen_images
-    from ..operators.clip import densify_segments, way_segments
+    from ..operators.clip import (
+        densify_segments,
+        tile_polygon_areas,
+        way_segments,
+    )
     from ..operators.hausdorff import (
         chain_hausdorff_d2,
         chain_segments,
@@ -4599,8 +4729,47 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lin = line_interpolate(groups, base, t=_INTERP_T)
     hull = convex_hull_stats(groups, base)
+    wg = way_geometry(groups, base)
+    # tile-clipped polygon areas (clip.tile_polygon_areas): closed
+    # rings only — the clamp identity needs a closed curve; per way the
+    # tile count, the exact Σ area2q digits (== ring area up to
+    # boundary snapping) and the ordered per-tile md5
+    tpa = tile_polygon_areas(
+        segs.join(
+            wg.filter(F.col("is_closed")).select("group_id"), "group_id"
+        ),
+        res=_TPA_GATE_RES,
+        qshift=_TPA_GATE_Q,
+    )
+    tpagg = tpa.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_area_tiles"),
+        F.sum("area2q").cast("decimal(38,0)").cast("string")
+        .alias("clip_area2q_sum"),
+        F.md5(
+            F.concat_ws(
+                ";",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "tx",
+                                "ty",
+                                F.col("area2q").cast("string").alias("a"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ",",
+                        s["tx"].cast("string"),
+                        s["ty"].cast("string"),
+                        s["a"],
+                    ),
+                ),
+            )
+        ).alias("tile_area_sig"),
+    )
     return (
-        way_geometry(groups, base)
+        wg
         .join(simp, "group_id")
         .join(hvd, "group_id")
         .join(hch, "group_id", "left")
@@ -4622,6 +4791,10 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_line_px", F.coalesce("n_line_px", F.lit(0).cast("long")))
         .withColumn("lpx_sum", F.coalesce("lpx_sum", F.lit(0).cast("long")))
         .withColumn("lpy_sum", F.coalesce("lpy_sum", F.lit(0).cast("long")))
+        .join(tpagg, "group_id", "left")
+        .withColumn(
+            "n_area_tiles", F.coalesce("n_area_tiles", F.lit(0).cast("long"))
+        )
         .crossJoin(F.broadcast(cxs))
         .orderBy("group_id")
     )

@@ -236,3 +236,190 @@ def test_densify_rejects_nonpositive_gap(spark):
     for bad in (0, -5):
         with pytest.raises(ValueError):
             densify_segments(_segs_df(spark, rows), max_gap=bad)
+
+
+# ---------------------------------------------------------------------------
+# tile_polygon_areas (Green's-theorem clamp identity, quantized)
+# ---------------------------------------------------------------------------
+
+_TPA_RES, _TPA_Q = 20, 16
+
+
+def _tpa_segs(spark, rings):
+    rows = []
+    for gid, ring in rings.items():
+        closed = list(ring) + [ring[0]]
+        for pos, (a, b) in enumerate(zip(closed, closed[1:])):
+            rows.append((gid, pos, a[0], a[1], b[0], b[1]))
+    return spark.createDataFrame(
+        rows, "group_id string, pos int, x1 long, y1 long, x2 long, y2 long"
+    )
+
+
+def _ref_tile_area2q(ring, rect, q):
+    """Python reference of the exact quantized clamp identity: python's
+    floor-div IS the contract's floor division."""
+    Q = 1 << q
+    x0, y0, x1, y1 = rect
+    tot = 0
+    n = len(ring)
+    for i in range(n):
+        (ax, ay), (bx, by) = ring[i], ring[(i + 1) % n]
+        cands = [(0.0, 0, ax * Q, ay * Q), (1.0, 5, bx * Q, by * Q)]
+
+        def cross(c, p1, p2, o1, o2, idx, is_x):
+            if (p1 < c < p2) or (p2 < c < p1):
+                td = (c - p1) / (p2 - p1)
+                oq = o1 * Q + ((c - p1) * (o2 - o1) * Q) // (p2 - p1)
+                pq = c * Q
+                cands.append(
+                    (td, idx, pq if is_x else oq, oq if is_x else pq)
+                )
+
+        cross(x0, ax, bx, ay, by, 1, True)
+        cross(x1, ax, bx, ay, by, 2, True)
+        cross(y0, ay, by, ax, bx, 3, False)
+        cross(y1, ay, by, ax, bx, 4, False)
+        cands.sort(key=lambda s: (s[0], s[1]))
+        pts = [
+            (min(max(xq, x0 * Q), x1 * Q), min(max(yq, y0 * Q), y1 * Q))
+            for _, _, xq, yq in cands
+        ]
+        for p, r in zip(pts, pts[1:]):
+            tot += p[0] * r[1] - r[0] * p[1]
+    return tot
+
+
+def _shoelace2(ring):
+    n = len(ring)
+    return sum(
+        ring[i][0] * ring[(i + 1) % n][1] - ring[(i + 1) % n][0] * ring[i][1]
+        for i in range(n)
+    )
+
+
+def test_tpa_matches_python_reference(spark):
+    import random
+
+    from osm_replication_rust_spark.functions.coords import (
+        LAT_OFFSET,
+        LON_OFFSET,
+    )
+    from osm_replication_rust_spark.operators.clip import tile_polygon_areas
+
+    rng = random.Random(9)
+    rings = {}
+    for g in range(5):
+        n = rng.randint(3, 7)
+        rings[f"g{g}"] = [
+            (rng.randint(-3_000_000, 3_000_000), rng.randint(-3_000_000, 3_000_000))
+            for _ in range(n)
+        ]
+    got = {
+        (r.group_id, r.tx, r.ty): int(r.area2q)
+        for r in tile_polygon_areas(
+            _tpa_segs(spark, rings), res=_TPA_RES, qshift=_TPA_Q
+        ).collect()
+    }
+    want = {}
+    for gid, ring in rings.items():
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        for tx in range((min(xs) + LON_OFFSET) >> _TPA_RES,
+                        ((max(xs) + LON_OFFSET) >> _TPA_RES) + 1):
+            for ty in range((min(ys) + LAT_OFFSET) >> _TPA_RES,
+                            ((max(ys) + LAT_OFFSET) >> _TPA_RES) + 1):
+                rect = (
+                    (tx << _TPA_RES) - LON_OFFSET,
+                    (ty << _TPA_RES) - LAT_OFFSET,
+                    ((tx + 1) << _TPA_RES) - LON_OFFSET,
+                    ((ty + 1) << _TPA_RES) - LAT_OFFSET,
+                )
+                a = _ref_tile_area2q(ring, rect, _TPA_Q)
+                if a != 0:
+                    want[(gid, tx, ty)] = a
+    assert got == want
+    # quantization-bounded partition: Σ tiles ≈ ring area, and at least
+    # one ring spans multiple tiles
+    for gid, ring in rings.items():
+        s = sum(v for (g, _, _), v in got.items() if g == gid)
+        tot = _shoelace2(ring) * (1 << _TPA_Q) ** 2
+        n_cross = sum(1 for (g, _, _) in got if g == gid) * 8
+        assert abs(s - tot) <= n_cross * (1 << _TPA_Q) * (1 << _TPA_RES) * 4
+    assert len({(tx, ty) for (_, tx, ty) in got}) > len(rings)
+
+
+def test_tpa_lattice_exact_partition_and_orientation(spark):
+    """Crossings of axis-aligned rings land EXACTLY on the lattice, so
+    the tile areas partition the ring area with zero error; reversing
+    the ring negates every tile."""
+    from osm_replication_rust_spark.operators.clip import tile_polygon_areas
+
+    e = 1 << _TPA_RES
+    # CCW staircase spanning a 2x2 tile block, vertices at half-tile
+    # offsets (tile-grid-aligned lines land exactly)
+    stair = [
+        (0, 0), (e + e // 2, 0), (e + e // 2, e // 2), (e // 2, e // 2),
+        (e // 2, e + e // 2), (0, e + e // 2),
+    ]
+    rings = {"ccw": stair, "cw": list(reversed(stair))}
+    got = {}
+    for r in tile_polygon_areas(
+        _tpa_segs(spark, rings), res=_TPA_RES, qshift=_TPA_Q
+    ).collect():
+        got.setdefault(r.group_id, {})[(r.tx, r.ty)] = int(r.area2q)
+    q2 = (1 << _TPA_Q) ** 2
+    want_total = _shoelace2(stair) * q2
+    assert want_total > 0
+    assert sum(got["ccw"].values()) == want_total  # EXACT partition
+    assert got["cw"] == {k: -v for k, v in got["ccw"].items()}
+    assert len(got["ccw"]) >= 3  # genuinely split across tiles
+
+
+def test_tpa_containment_cases(spark):
+    from osm_replication_rust_spark.functions.coords import (
+        LAT_OFFSET,
+        LON_OFFSET,
+    )
+    from osm_replication_rust_spark.operators.clip import tile_polygon_areas
+
+    e = 1 << _TPA_RES
+    q2 = (1 << _TPA_Q) ** 2
+    # true tile corner (coordinate 0 is NOT tile-aligned: the offsets
+    # are not multiples of the tile edge)
+    mtx, mty = 1717, 859
+    bx = (mtx << _TPA_RES) - LON_OFFSET
+    by = (mty << _TPA_RES) - LAT_OFFSET
+    # ring fully inside one tile -> exactly one row, the full ring area
+    inner = [(bx + e // 4, by + e // 4), (bx + e // 2, by + e // 4),
+             (bx + e // 2, by + e // 2)]
+    # ring covering the full middle tile plus margins -> that tile's
+    # row is exactly 2 * tile_area
+    big = [(bx - e, by - e), (bx + 2 * e, by - e),
+           (bx + 2 * e, by + 2 * e), (bx - e, by + 2 * e)]
+    rows = tile_polygon_areas(
+        _tpa_segs(spark, {"inner": inner, "big": big}),
+        res=_TPA_RES, qshift=_TPA_Q,
+    ).collect()
+    inner_rows = [r for r in rows if r.group_id == "inner"]
+    assert len(inner_rows) == 1
+    assert (inner_rows[0].tx, inner_rows[0].ty) == (mtx, mty)
+    assert int(inner_rows[0].area2q) == _shoelace2(inner) * q2
+    big_mid = [r for r in rows if r.group_id == "big"
+               and (r.tx, r.ty) == (mtx, mty)]
+    assert len(big_mid) == 1
+    assert int(big_mid[0].area2q) == 2 * e * e * q2
+    # and the big ring's tiles partition its area exactly (all its
+    # edges are tile-aligned lines)
+    s = sum(int(r.area2q) for r in rows if r.group_id == "big")
+    assert s == _shoelace2(big) * q2
+
+
+def test_tpa_guards(spark):
+    from osm_replication_rust_spark.operators.clip import tile_polygon_areas
+
+    segs = _tpa_segs(spark, {"g": [(0, 0), (10, 0), (10, 10)]})
+    with pytest.raises(ValueError, match="qshift"):
+        tile_polygon_areas(segs, qshift=25)
+    with pytest.raises(ValueError, match="res"):
+        tile_polygon_areas(segs, res=40)
