@@ -1428,3 +1428,91 @@ def moments_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             yield pdf.assign(**{f"im_{m}": v for m, v in out.items()})
 
     return df.mapInPandas(stage, out_schema)
+
+
+def nms_stage(
+    df: DataFrame, edge_sq_min: int = 200_000, bytes_col: str = "bytes"
+) -> DataFrame:
+    """Gradient non-maximum suppression — Canny's edge-THINNING step
+    over the Sobel field: a pixel survives iff its squared magnitude
+    clears ``edge_sq_min`` AND is >= both neighbors along the
+    quantized gradient direction.  The classic 4-direction binning
+    (nearest of 0/45/90/135 deg, boundaries at +-22.5 deg) is EXACT in
+    integers via the half-angle identity
+
+        |gy| <= tan(22.5deg)·|gx|  <=>  (|gx| + |gy|)^2 <= 2·gx^2
+
+    (tan 22.5 = sqrt(2) - 1), so no irrational boundary is ever
+    evaluated — and since sqrt(2) is irrational, equality is
+    impossible for nonzero ints: the binning is TIE-FREE.  The 45-deg
+    boundary (|gx| = |gy|) fails both axis tests and lands in the
+    diagonal bin, sign(gx·gy) picking which one.  Neighbors outside
+    the interior gradient domain count as magnitude 0; the >= keep
+    rule makes plateau pixels all survive (documented contract).
+
+    Emits per image: ``nms_n`` (surviving pixels), ``nms_sq_sum``
+    (their magnitude mass) and ``nms_wpos`` (position-weighted
+    Σ (r·4096 + c + 1) — a shifted edge map breaks the gate even when
+    the count is right).  Map-only over equal-shape stacks; all exact
+    int64."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields + ["nms_n bigint", "nms_sq_sum bigint", "nms_wpos bigint"]
+    )
+    thr = int(edge_sq_min)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            nn = np.zeros(n, dtype=np.int64)
+            ns = np.zeros(n, dtype=np.int64)
+            nw = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 3 or w < 3:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                tl, tc, tr = px[:, :-2, :-2], px[:, :-2, 1:-1], px[:, :-2, 2:]
+                ml, mr = px[:, 1:-1, :-2], px[:, 1:-1, 2:]
+                bl, bc, br = px[:, 2:, :-2], px[:, 2:, 1:-1], px[:, 2:, 2:]
+                gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+                gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+                sq = gx * gx + gy * gy
+                # zero-padded magnitude plane: rim neighbors count as 0
+                pad = np.zeros((len(ii), h, w), dtype=np.int64)
+                pad[:, 1:-1, 1:-1] = sq
+                ih, iw = h - 2, w - 2
+
+                def nb(dy, dx):
+                    return pad[:, 1 + dy : 1 + dy + ih, 1 + dx : 1 + dx + iw]
+
+                ax, ay = np.abs(gx), np.abs(gy)
+                s2 = (ax + ay) * (ax + ay)
+                horiz = s2 <= 2 * gx * gx
+                vert = (~horiz) & (s2 <= 2 * gy * gy)
+                diag1 = (~horiz) & (~vert) & (gx * gy > 0)
+                diag2 = (~horiz) & (~vert) & (gx * gy < 0)
+                n1 = np.where(
+                    horiz, nb(0, -1),
+                    np.where(vert, nb(-1, 0),
+                             np.where(diag1, nb(-1, -1), nb(-1, 1))),
+                )
+                n2 = np.where(
+                    horiz, nb(0, 1),
+                    np.where(vert, nb(1, 0),
+                             np.where(diag1, nb(1, 1), nb(1, -1))),
+                )
+                keep = (sq >= thr) & (sq >= n1) & (sq >= n2)
+                rr = np.arange(1, h - 1, dtype=np.int64)[None, :, None]
+                cc = np.arange(1, w - 1, dtype=np.int64)[None, None, :]
+                wgt = rr * 4096 + cc + 1
+                nn[ii] = keep.sum(axis=(1, 2))
+                ns[ii] = np.where(keep, sq, 0).sum(axis=(1, 2))
+                nw[ii] = np.where(keep, wgt, 0).sum(axis=(1, 2))
+            yield pdf.assign(nms_n=nn, nms_sq_sum=ns, nms_wpos=nw)
+
+    return df.mapInPandas(stage, out_schema)

@@ -2439,6 +2439,53 @@ def _multimodal_oracle() -> str:
       FROM sobn
       GROUP BY image_id
     ),
+    nmsd AS (
+      -- exact 4-direction binning (multimodal.nms_stage): the 22.5-deg
+      -- boundaries via (|gx|+|gy|)^2 <= 2*g^2 (tan 22.5 = sqrt2 - 1;
+      -- tie-free for nonzero ints)
+      SELECT image_id, r, c, gx * gx + gy * gy AS sq,
+             CASE
+               WHEN (ABS(gx) + ABS(gy)) * (ABS(gx) + ABS(gy)) <= 2 * gx * gx
+                 THEN 0  -- horizontal: E/W
+               WHEN (ABS(gx) + ABS(gy)) * (ABS(gx) + ABS(gy)) <= 2 * gy * gy
+                 THEN 1  -- vertical: N/S
+               WHEN gx * gy > 0 THEN 2  -- main diagonal
+               ELSE 3                   -- anti diagonal
+             END AS dirb
+      FROM sob
+    ),
+    nmsn AS (
+      SELECT d.image_id, d.r, d.c, d.sq,
+             COALESCE(n1.sq, 0) AS sq1, COALESCE(n2.sq, 0) AS sq2
+      FROM (
+        SELECT *,
+               CASE dirb WHEN 0 THEN 0 WHEN 1 THEN -1 ELSE -1 END AS dy1,
+               CASE dirb WHEN 0 THEN -1 WHEN 1 THEN 0
+                         WHEN 2 THEN -1 ELSE 1 END AS dx1,
+               CASE dirb WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 1 END AS dy2,
+               CASE dirb WHEN 0 THEN 1 WHEN 1 THEN 0
+                         WHEN 2 THEN 1 ELSE -1 END AS dx2
+        FROM nmsd
+      ) d
+      LEFT JOIN nmsd n1 ON n1.image_id = d.image_id
+                       AND n1.r = d.r + d.dy1 AND n1.c = d.c + d.dx1
+      LEFT JOIN nmsd n2 ON n2.image_id = d.image_id
+                       AND n2.r = d.r + d.dy2 AND n2.c = d.c + d.dx2
+    ),
+    nms AS (
+      SELECT image_id,
+             CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+               AS nms_n,
+             CAST(COALESCE(SUM(CASE WHEN keep THEN sq END), 0) AS BIGINT)
+               AS nms_sq_sum,
+             CAST(COALESCE(SUM(CASE WHEN keep THEN r * 4096 + c + 1 END), 0)
+                  AS BIGINT) AS nms_wpos
+      FROM (
+        SELECT image_id, r, c, sq,
+               sq >= {_EDGE_SQ_MIN} AND sq >= sq1 AND sq >= sq2 AS keep
+        FROM nmsn
+      ) GROUP BY image_id
+    ),
     hoff(dy, dx) AS (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0),
                             (0, 1), (1, -1), (1, 0), (1, 1)),
     hacc AS (
@@ -2735,7 +2782,10 @@ def _multimodal_oracle() -> str:
            COALESCE(gm.glcm_homog, 0) AS glcm_homog,
            COALESCE(gm.glcm_nz, 0) AS glcm_nz,
            mm.im_m00 AS im_m00,
-           mm.mu20n AS mu20n, mm.mu02n AS mu02n, mm.mu11n AS mu11n
+           mm.mu20n AS mu20n, mm.mu02n AS mu02n, mm.mu11n AS mu11n,
+           COALESCE(nm.nms_n, 0) AS nms_n,
+           COALESCE(nm.nms_sq_sum, 0) AS nms_sq_sum,
+           COALESCE(nm.nms_wpos, 0) AS nms_wpos
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
@@ -2748,6 +2798,7 @@ def _multimodal_oracle() -> str:
     LEFT JOIN lbpagg lb USING (image_id)
     LEFT JOIN glcm gm USING (image_id)
     JOIN mom mm USING (image_id)
+    LEFT JOIN nms nm USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -2870,6 +2921,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         median_filter_stage,
         moments_stage,
         morphology_stage,
+        nms_stage,
         otsu_stage,
         patchify_stage,
         scene_cut_stage,
@@ -2972,6 +3024,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "glcm_homog",
         "glcm_nz",
     )
+    nms = nms_stage(
+        imgs.select("image_id", "bytes", "w", "h"), edge_sq_min=_EDGE_SQ_MIN
+    ).select("image_id", "nms_n", "nms_sq_sum", "nms_wpos")
     # central-moment numerators in decimal(38,0): the kernel emits raw
     # int64 moments only (m00*m20 - m10^2 passes 2^63 even at 256^2) —
     # the wide products live in the engines' exact types, one spelling
@@ -3003,6 +3058,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lbp, "image_id")
         .join(glc, "image_id")
         .join(mom, "image_id")
+        .join(nms, "image_id")
         .orderBy("image_id")
     )
 

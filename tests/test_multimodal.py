@@ -1233,3 +1233,88 @@ def test_moments_dim_guard(spark):
     )
     with pytest.raises(Exception, match="MOMENTS_MAX_DIM"):
         moments_stage(df).collect()
+
+
+def _ref_nms(px, thr):
+    """Brute loop reference of the exact-integer NMS contract."""
+    h, w = px.shape
+    px = px.astype(int)
+    sq = {}
+    g = {}
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            gx = (px[r-1, c+1] + 2*px[r, c+1] + px[r+1, c+1]
+                  - px[r-1, c-1] - 2*px[r, c-1] - px[r+1, c-1])
+            gy = (px[r+1, c-1] + 2*px[r+1, c] + px[r+1, c+1]
+                  - px[r-1, c-1] - 2*px[r-1, c] - px[r-1, c+1])
+            sq[(r, c)] = gx*gx + gy*gy
+            g[(r, c)] = (gx, gy)
+    nn = ns = nw = 0
+    for (r, c), s in sq.items():
+        gx, gy = g[(r, c)]
+        ax, ay = abs(gx), abs(gy)
+        s2 = (ax + ay) ** 2
+        if s2 <= 2 * gx * gx:
+            offs = ((0, -1), (0, 1))
+        elif s2 <= 2 * gy * gy:
+            offs = ((-1, 0), (1, 0))
+        elif gx * gy > 0:
+            offs = ((-1, -1), (1, 1))
+        else:
+            offs = ((-1, 1), (1, -1))
+        n1 = sq.get((r + offs[0][0], c + offs[0][1]), 0)
+        n2 = sq.get((r + offs[1][0], c + offs[1][1]), 0)
+        if s >= thr and s >= n1 and s >= n2:
+            nn += 1
+            ns += s
+            nw += r * 4096 + c + 1
+    return nn, ns, nw
+
+
+def test_nms_matches_loop_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        nms_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([(k * 7 + 3) % 251 for k in range(12 * 20)]), 12, 20),
+        ("c", bytes(range(9 * 2)), 9, 2),      # no interior
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    thr = 1000
+    got = {r.image_id: r for r in nms_stage(df, edge_sq_min=thr).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if w < 3 or h < 3:
+            assert (r.nms_n, r.nms_sq_sum, r.nms_wpos) == (0, 0, 0)
+            continue
+        want = _ref_nms(fake_decode(payload, w, h), thr)
+        assert (r.nms_n, r.nms_sq_sum, r.nms_wpos) == want, image_id
+
+
+def test_nms_thins_a_soft_vertical_edge(spark):
+    """A horizontal intensity ramp concentrated over two columns: the
+    gradient is horizontal everywhere, and NMS keeps exactly the
+    single column where |gx| peaks — the classic thinning contract."""
+    from osm_replication_rust_spark.operators.multimodal import nms_stage
+
+    img = np.zeros((8, 10), dtype=np.uint8)
+    img[:, 5] = 60          # soft shoulder
+    img[:, 6:] = 200        # plateau
+    df = spark.createDataFrame(
+        [("e", img.tobytes(), 10, 8)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    r = nms_stage(df, edge_sq_min=100).collect()[0]
+    # peak |gx| is at column 5 (0 -> 60 -> 200 spans it); NMS must keep
+    # one column of the 6 interior rows, not the 2-3 column thick band
+    assert r.nms_n == 6
+    # all kept pixels share one column: the wpos sum over rows 1..6
+    # with a fixed column must reconstruct exactly
+    want_col = None
+    for c in range(1, 9):
+        if sum(rr * 4096 + c + 1 for rr in range(1, 7)) == r.nms_wpos:
+            want_col = c
+    assert want_col == 5
