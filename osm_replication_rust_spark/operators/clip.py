@@ -363,3 +363,46 @@ def tile_polygon_areas(
         .filter(F.col("area2q") != 0)
     )
     return out
+
+
+#: areal-transfer weight quantum: wq = (value * AREAL_K * |tile area|)
+#: // |ring area| — exact integers, error <= value/AREAL_K per tile
+AREAL_K = 1 << 20
+
+
+def areal_transfer(
+    tile_areas: DataFrame, values: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """(tx, ty, alloc) — areal interpolation: redistribute a per-ring
+    quantity (population, counts, mass) onto tiles proportionally to
+    the clipped areas from ``tile_polygon_areas``.  True proportional
+    allocation value·area/total is a float; the allocation here is the
+    exact integer
+
+        alloc_tile = Σ_rings (value · AREAL_K · |area2q|) // |Σ area2q|
+
+    (the IDW quantization discipline): one exact decimal(38,0) floor
+    division per (ring, tile), so every allocation is bit-reproducible
+    and ORDER-FREE, with quantization error <= value/AREAL_K per tile
+    — divide by AREAL_K consumer-side for the real-valued answer.
+    Signed areas enter through ABS so both ring orientations allocate
+    identically.  Plan: one per-ring total agg + a join back + one
+    per-tile agg; everything combines map-side."""
+    tot = tile_areas.groupBy("group_id").agg(
+        F.sum(F.abs(F.col("area2q"))).alias("_tot")
+    )
+    v = values.select(
+        F.col("group_id"), F.col(value_col).cast("decimal(38,0)").alias("_v")
+    )
+    j = tile_areas.join(tot, "group_id").join(v, "group_id")
+    num = F.col("_v") * F.lit(AREAL_K).cast("decimal(38,0)") * F.abs(
+        F.col("area2q")
+    )
+    wq = ((num - F.pmod(num, F.col("_tot"))) / F.col("_tot")).cast(
+        "decimal(38,0)"
+    )
+    return (
+        j.withColumn("_wq", wq)
+        .groupBy("tx", "ty")
+        .agg(F.sum("_wq").cast("decimal(38,0)").alias("alloc"))
+    )

@@ -4329,6 +4329,28 @@ def _way_geometry_oracle() -> str:
                ';' ORDER BY tx, ty)) AS tile_area_sig
       FROM tparea GROUP BY group_id
     ),
+    atv AS (
+      -- areal transfer (clip.areal_transfer): deterministic per-ring
+      -- value h64(group_id) % 97 + 1
+      SELECT group_id, ((({_sql_h64_gid} % 97) + 97) % 97) + 1 AS v
+      FROM (SELECT DISTINCT group_id FROM tparea) t
+    ),
+    att AS (
+      SELECT group_id, SUM(ABS(area2q)) AS tot FROM tparea GROUP BY group_id
+    ),
+    atw AS (
+      SELECT p.tx, p.ty,
+             (CAST(a.v AS HUGEINT) * {1 << 20} * ABS(p.area2q)) // t.tot AS wq
+      FROM tparea p JOIN att t USING (group_id) JOIN atv a USING (group_id)
+    ),
+    atagg AS (SELECT tx, ty, SUM(wq) AS alloc FROM atw GROUP BY tx, ty),
+    ats AS (
+      SELECT md5(COALESCE(string_agg(
+               tx || ',' || ty || ',' || CAST(alloc AS VARCHAR),
+               ';' ORDER BY tx, ty), '')) AS at_sig,
+             CAST(COALESCE(SUM(alloc), 0) AS VARCHAR) AS at_total
+      FROM atagg
+    ),
     sigser AS (
       SELECT group_id,
              string_agg(lon || ',' || lat, ';' ORDER BY pos) AS fwd,
@@ -4513,7 +4535,9 @@ def _way_geometry_oracle() -> str:
            lr.line_sig AS line_sig,
            COALESCE(tp.n_area_tiles, 0) AS n_area_tiles,
            tp.clip_area2q_sum AS clip_area2q_sum,
-           tp.tile_area_sig AS tile_area_sig
+           tp.tile_area_sig AS tile_area_sig,
+           ats.at_sig AS at_sig,
+           ats.at_total AS at_total
     FROM geo JOIN simp ON simp.group_id = geo.group_id
     JOIN hv ON hv.group_id = geo.group_id
     LEFT JOIN hc ON hc.group_id = geo.group_id
@@ -4529,6 +4553,7 @@ def _way_geometry_oracle() -> str:
     LEFT JOIN lrast lr ON lr.group_id = geo.group_id
     LEFT JOIN tpagg tp ON tp.group_id = geo.group_id
     CROSS JOIN cxs
+    CROSS JOIN ats
     ORDER BY geo.group_id
     """
 
@@ -4589,6 +4614,7 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     all by the one oracle."""
     from ..datagen.synth import gen_groups, gen_images
     from ..operators.clip import (
+        areal_transfer,
         densify_segments,
         tile_polygon_areas,
         way_segments,
@@ -4824,6 +4850,42 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tile_area_sig"),
     )
+    # areal transfer (clip.areal_transfer): redistribute the per-ring
+    # deterministic value h64(group_id) % 97 + 1 onto tiles by exact
+    # quantized area weights; pinned globally by the ordered per-tile
+    # md5 and the total allocation digits
+    atv = tpa.select("group_id").distinct().select(
+        "group_id",
+        (F.pmod(h64_md5(F.col("group_id")), F.lit(97)) + 1).alias("value"),
+    )
+    ats = (
+        areal_transfer(tpa, atv)
+        .select(
+            F.struct(
+                "tx", "ty", F.col("alloc").cast("string").alias("a")
+            ).alias("s")
+        )
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ";",
+                    F.transform(
+                        F.array_sort(F.collect_list("s")),
+                        lambda s: F.concat_ws(
+                            ",",
+                            s["tx"].cast("string"),
+                            s["ty"].cast("string"),
+                            s["a"],
+                        ),
+                    ),
+                )
+            ).alias("at_sig"),
+            F.coalesce(
+                F.sum(F.col("s.a").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).cast("decimal(38,0)").cast("string").alias("at_total"),
+        )
+    )
     return (
         wg
         .join(simp, "group_id")
@@ -4852,6 +4914,7 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_area_tiles", F.coalesce("n_area_tiles", F.lit(0).cast("long"))
         )
         .crossJoin(F.broadcast(cxs))
+        .crossJoin(F.broadcast(ats))
         .orderBy("group_id")
     )
 

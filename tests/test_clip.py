@@ -423,3 +423,43 @@ def test_tpa_guards(spark):
         tile_polygon_areas(segs, qshift=25)
     with pytest.raises(ValueError, match="res"):
         tile_polygon_areas(segs, res=40)
+
+
+def test_areal_transfer_exact_and_conserving(spark):
+    from osm_replication_rust_spark.operators.clip import (
+        AREAL_K,
+        areal_transfer,
+        tile_polygon_areas,
+    )
+
+    e = 1 << _TPA_RES
+    # two overlapping rings (opposite orientations — ABS must equalize)
+    rings = {
+        "r1": [(0, 0), (e, 0), (e, e), (0, e)],
+        "r2": list(reversed([(e // 2, e // 2), (2 * e, e // 2),
+                             (2 * e, 2 * e), (e // 2, 2 * e)])),
+    }
+    tpa = tile_polygon_areas(_tpa_segs(spark, rings), res=_TPA_RES,
+                             qshift=_TPA_Q)
+    vals = spark.createDataFrame(
+        [("r1", 100), ("r2", 7)], "group_id string, value long"
+    )
+    got = {(r.tx, r.ty): int(r.alloc)
+           for r in areal_transfer(tpa, vals).collect()}
+    # python reference over the collected tile areas
+    areas = [(r.group_id, r.tx, r.ty, int(r.area2q)) for r in tpa.collect()]
+    tot = {}
+    for g, _, _, a in areas:
+        tot[g] = tot.get(g, 0) + abs(a)
+    vmap = {"r1": 100, "r2": 7}
+    want = {}
+    for g, tx, ty, a in areas:
+        wq = (vmap[g] * AREAL_K * abs(a)) // tot[g]
+        want[(tx, ty)] = want.get((tx, ty), 0) + wq
+    assert got == want
+    # conservation: per ring the allocation loses < 1 quantum per tile
+    for g, v in vmap.items():
+        alloc_g = sum((v * AREAL_K * abs(a)) // tot[g]
+                      for gg, _, _, a in areas if gg == g)
+        n_tiles = sum(1 for gg, _, _, _ in areas if gg == g)
+        assert v * AREAL_K - n_tiles < alloc_g <= v * AREAL_K
