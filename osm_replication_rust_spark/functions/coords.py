@@ -575,3 +575,81 @@ def sql_hilbert_range_predicate(expr: str, ranges: list[tuple[int, int]]) -> str
     return "(" + " OR ".join(
         f"({expr} BETWEEN {lo} AND {hi})" for lo, hi in ranges
     ) + ")"
+
+
+# ---------------------------------------------------------------------------
+# hexagonal cell binning (the H3-style axial hex id on the flat grid —
+# the uniform-neighborhood cell family mobility analytics bins by,
+# next to the square cell / quadkey / geohash / hilbert ids).
+# Pointy-top hexagons of circumradius `size` coordinate units; a point
+# maps to the axial (hq, hr) of the NEAREST hex center via fractional
+# axial coords + cube rounding.  The conversion constants are
+# irrational, so this is the repo's shared-IEEE-tree discipline (the
+# haversine/Liang-Barsky precedent), NOT exact integers: both engines
+# evaluate the literally identical double expression, so the ids are
+# bit-reproducible cross-engine.  Rounding is the EXPLICIT contract
+# round(x) = floor(x + 0.5) — spelled the same in both engines, never
+# the engines' own round() (whose half-away/half-even tie rules
+# differ).
+# ---------------------------------------------------------------------------
+
+_HEX_SQRT3_3 = 0.5773502691896258  # sqrt(3)/3, 17 significant digits
+_HEX_1_3 = 0.3333333333333333
+_HEX_2_3 = 0.6666666666666666
+
+
+def hex_cell(lon: Column, lat: Column, size: float) -> Column:
+    """struct(hq, hr) — axial hex id of the nearest pointy-top hex
+    center at circumradius ``size``.  Cube rounding: round each
+    fractional cube coordinate with floor(x + 0.5), then re-derive the
+    component with the largest rounding error from the other two so
+    hq + hy + hr == 0 holds exactly."""
+    s = float(size)
+    if s <= 0:
+        raise ValueError(f"hex size must be positive: {size}")
+    x, y = lon.cast("double"), lat.cast("double")
+    qf = (x * _HEX_SQRT3_3 - y * _HEX_1_3) / s
+    rf = (y * _HEX_2_3) / s
+    yf = -qf - rf
+    rq = F.floor(qf + 0.5)
+    ry = F.floor(yf + 0.5)
+    rr = F.floor(rf + 0.5)
+    dq = F.abs(rq.cast("double") - qf)
+    dy = F.abs(ry.cast("double") - yf)
+    dr = F.abs(rr.cast("double") - rf)
+    fix_q = (dq > dy) & (dq > dr)
+    fix_r = (~fix_q) & (dr > dy)
+    hq = F.when(fix_q, -ry - rr).otherwise(rq)
+    hr = F.when(fix_r, -rq - ry).otherwise(rr)
+    return F.struct(hq.cast("long").alias("hq"), hr.cast("long").alias("hr"))
+
+
+def sql_hex_cell(lon: str, lat: str, size: float) -> tuple[str, str]:
+    """DuckDB twin (hq_expr, hr_expr) — the literally identical double
+    tree and the same floor(x + 0.5) rounding contract."""
+    s = float(size)
+    qf = f"((CAST({lon} AS DOUBLE) * {_HEX_SQRT3_3!r} - CAST({lat} AS DOUBLE) * {_HEX_1_3!r}) / {s!r})"
+    rf = f"((CAST({lat} AS DOUBLE) * {_HEX_2_3!r}) / {s!r})"
+    yf = f"(-{qf} - {rf})"
+    rq = f"CAST(FLOOR({qf} + 0.5) AS BIGINT)"
+    ry = f"CAST(FLOOR({yf} + 0.5) AS BIGINT)"
+    rr = f"CAST(FLOOR({rf} + 0.5) AS BIGINT)"
+    dq = f"ABS(CAST({rq} AS DOUBLE) - {qf})"
+    dy = f"ABS(CAST({ry} AS DOUBLE) - {yf})"
+    dr = f"ABS(CAST({rr} AS DOUBLE) - {rf})"
+    fix_q = f"({dq} > {dy} AND {dq} > {dr})"
+    fix_r = f"(NOT {fix_q} AND {dr} > {dy})"
+    hq = f"(CASE WHEN {fix_q} THEN -{ry} - {rr} ELSE {rq} END)"
+    hr = f"(CASE WHEN {fix_r} THEN -{rq} - {ry} ELSE {rr} END)"
+    return hq, hr
+
+
+def hex_center(hq: Column, hr: Column, size: float) -> tuple[Column, Column]:
+    """(x, y) doubles of an axial hex id's center — the inverse map
+    (exact up to the shared spelling): x = s*sqrt(3)*(q + r/2),
+    y = s*3/2*r."""
+    s = float(size)
+    sq3 = 1.7320508075688772  # sqrt(3)
+    x = (hq.cast("double") + hr.cast("double") * 0.5) * (s * sq3)
+    y = hr.cast("double") * (s * 1.5)
+    return x, y

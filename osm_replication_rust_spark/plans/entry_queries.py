@@ -445,6 +445,9 @@ _EV_LON = C.sql_derived_lon("event_id")
 #: (cell edge 2^23 >= eps -> 3x3 disk)
 _KNN_EPS = 5_000_000
 _KNN_EPS_RES = 23
+#: hex binning fold on the pip_polygon row: circumradius 0.025 deg
+_HEX_GATE_SIZE = 250_000.0
+_HEX_Q_SQL, _HEX_R_SQL = C.sql_hex_cell("hp.lon", "hp.lat", _HEX_GATE_SIZE)
 
 
 @register(
@@ -492,11 +495,14 @@ _KNN_EPS_RES = 23
                 THEN CAST(ia.idw_num AS DOUBLE) / CAST(ia.idw_den AS DOUBLE)
            END AS idw,
            ia.n_idw AS n_idw,
-           CAST(COALESCE(ia.idw_den, 0) AS VARCHAR) AS idw_den_str
+           CAST(COALESCE(ia.idw_den, 0) AS VARCHAR) AS idw_den_str,
+           {_HEX_Q_SQL} AS hex_q,
+           {_HEX_R_SQL} AS hex_r
     FROM pip
     LEFT JOIN dall da ON da.point_id = pip.event_id
     CROSS JOIN dglob dg
     JOIN iagg ia ON ia.event_id = pip.event_id
+    JOIN ipts hp ON hp.event_id = pip.event_id
     ORDER BY pip.event_id
     """,
 )
@@ -595,10 +601,22 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_core").cast("long").alias("dbscan_core"),
         F.col("cluster").alias("dbscan_cluster"),
     )
+    # hex binning fold (coords.hex_cell): axial hex id of every pip
+    # point — the shared-IEEE-tree cell family member next to the
+    # exact-integer square/quadkey/geohash/hilbert ids
+    hx = ev.select(
+        "event_id",
+        C.hex_cell(F.col("lon"), F.col("lat"), _HEX_GATE_SIZE).alias("_h"),
+    ).select(
+        "event_id",
+        F.col("_h.hq").alias("hex_q"),
+        F.col("_h.hr").alias("hex_r"),
+    )
     return (
         pip.join(dlabels, "event_id", "left")
         .crossJoin(F.broadcast(dglob))
         .join(iw, "event_id")
+        .join(hx, "event_id")
         .orderBy("event_id")
     )
 

@@ -222,3 +222,95 @@ def test_hilbert_range_predicate_pushes_down(spark, tmp_path):
         r["i"] for r in exact.collect()
     )
     assert got.count() >= exact.count()
+
+
+# ---------------------------------------------------------------------------
+# hex_cell (axial hex binning, shared-IEEE-tree discipline)
+# ---------------------------------------------------------------------------
+
+
+def test_hex_cell_nearest_center_property(spark):
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osm_replication_rust_spark.functions.coords import hex_cell
+
+    rng = random.Random(13)
+    size = 250_000.0
+    pts = [
+        (i, rng.randint(-3_000_000, 3_000_000), rng.randint(-3_000_000, 3_000_000))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, "id long, lon long, lat long")
+    got = {
+        r.id: (r.h.hq, r.h.hr)
+        for r in df.select(
+            "id", hex_cell(F.col("lon"), F.col("lat"), size).alias("h")
+        ).collect()
+    }
+    sq3 = math.sqrt(3.0)
+
+    def center(q, r):
+        return (size * sq3 * (q + r / 2.0), size * 1.5 * r)
+
+    for i, x, y in pts:
+        q, r = got[i]
+        cx, cy = center(q, r)
+        d0 = math.hypot(x - cx, y - cy)
+        # the assigned center is within the hex circumradius, and no
+        # neighbor center is meaningfully closer (near-ties allowed:
+        # the cube-round decision at a boundary is a valid either-way
+        # call, but never a WRONG cell)
+        assert d0 <= size * (1 + 1e-9)
+        for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+            nx, ny = center(q + dq, r + dr)
+            assert d0 <= math.hypot(x - nx, y - ny) * (1 + 1e-9)
+
+
+def test_hex_cell_matches_duckdb_twin_bitwise(spark):
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from osm_replication_rust_spark.functions.coords import (
+        hex_cell,
+        sql_hex_cell,
+    )
+
+    rng = random.Random(29)
+    size = 777_000.0
+    pts = [
+        (i,
+         rng.randint(-1_800_000_000, 1_800_000_000),
+         rng.randint(-900_000_000, 900_000_000))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(pts, "id long, lon long, lat long")
+    got = {
+        r.id: (r.h.hq, r.h.hr)
+        for r in df.select(
+            "id", hex_cell(F.col("lon"), F.col("lat"), size).alias("h")
+        ).collect()
+    }
+    hq, hr = sql_hex_cell("lon", "lat", size)
+    vals = ",".join(f"({i},{x},{y})" for i, x, y in pts)
+    want = {
+        row[0]: (row[1], row[2])
+        for row in duckdb.sql(
+            f"SELECT id, {hq}, {hr} FROM (VALUES {vals}) AS t(id, lon, lat)"
+        ).fetchall()
+    }
+    assert got == want  # bit-identical doubles -> identical ids
+
+
+def test_hex_cell_size_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_replication_rust_spark.functions.coords import hex_cell
+
+    with pytest.raises(ValueError, match="hex size"):
+        hex_cell(F.lit(0), F.lit(0), 0.0)
