@@ -406,3 +406,52 @@ def areal_transfer(
         .groupBy("tx", "ty")
         .agg(F.sum("_wq").cast("decimal(38,0)").alias("alloc"))
     )
+
+
+def bearing_histogram(segs: DataFrame) -> DataFrame:
+    """(group_id, bh_n0..bh_n3, bh_l0..bh_l3) — the street-grid
+    orientation histogram (the road-orientation-entropy statistic city
+    morphology studies compute): every segment's UNDIRECTED bearing
+    quantized into four 45-degree sectors, per way the sector counts
+    and the exact squared-length mass per sector.
+
+    The same exact-integer sector discipline as the gradient
+    orientation histogram (operators/multimodal.orientation_hist_stage):
+    after upper-half-plane normalization ((dx, dy) -> (-dx, -dy) when
+    dy < 0 or dy = 0, dx < 0) the 0/45/90/135-degree boundaries are
+    pure integer comparisons — no atan2, no floats, bit-reproducible.
+    Left-closed 45-degree sectors of the normalized angle in [0, 180):
+    0 = [0, 45): nx > ny; 1 = [45, 90): nx > 0 and ny >= nx;
+    2 = [90, 135): nx <= 0 and ny > -nx; 3 = [135, 180): the rest.
+    Zero-length segments are dropped (no bearing).
+    Squared lengths in decimal(38,0) (whole-globe deltas pass 2^63
+    when squared).  One hash aggregate; map-side combine."""
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    flip = (dy < 0) | ((dy == 0) & (dx < 0))
+    nx = F.when(flip, -dx).otherwise(dx)
+    ny = F.when(flip, -dy).otherwise(dy)
+    l2 = nx.cast(_DEC) * nx.cast(_DEC) + ny.cast(_DEC) * ny.cast(_DEC)
+    sec = (
+        F.when(nx > ny, 0)
+        .when((nx > 0) & (ny >= nx), 1)
+        .when((nx <= 0) & (ny > -nx), 2)
+        .otherwise(3)
+    )
+    base = segs.filter((dx != 0) | (dy != 0)).select(
+        "group_id", sec.alias("_s"), l2.alias("_l2")
+    )
+    aggs = []
+    for b in range(4):
+        aggs.append(
+            F.sum(F.when(F.col("_s") == b, 1).otherwise(0))
+            .cast("long")
+            .alias(f"bh_n{b}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("_s") == b, F.col("_l2")))
+            .cast(_DEC)
+            .cast("string")
+            .alias(f"bh_l{b}")
+        )
+    return base.groupBy("group_id").agg(*aggs)

@@ -4369,6 +4369,40 @@ def _way_geometry_oracle() -> str:
              CAST(COALESCE(SUM(alloc), 0) AS VARCHAR) AS at_total
       FROM atagg
     ),
+    bhs AS (
+      -- street-grid orientation histogram (clip.bearing_histogram):
+      -- upper-half-plane normalization, exact integer sector tests
+      SELECT group_id,
+             CASE WHEN nx > ny THEN 0
+                  WHEN nx > 0 AND ny >= nx THEN 1
+                  WHEN nx <= 0 AND ny > -nx THEN 2
+                  ELSE 3 END AS s,
+             CAST(nx AS HUGEINT) * nx + CAST(ny AS HUGEINT) * ny AS l2
+      FROM (
+        SELECT group_id,
+               CASE WHEN CAST(y2 AS BIGINT) - y1 < 0
+                      OR (y2 = y1 AND CAST(x2 AS BIGINT) - x1 < 0)
+                    THEN -(CAST(x2 AS BIGINT) - x1)
+                    ELSE CAST(x2 AS BIGINT) - x1 END AS nx,
+               CASE WHEN CAST(y2 AS BIGINT) - y1 < 0
+                      OR (y2 = y1 AND CAST(x2 AS BIGINT) - x1 < 0)
+                    THEN -(CAST(y2 AS BIGINT) - y1)
+                    ELSE CAST(y2 AS BIGINT) - y1 END AS ny
+        FROM segs WHERE x1 <> x2 OR y1 <> y2
+      )
+    ),
+    bh AS (
+      SELECT group_id,
+             CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bh_n0,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bh_n1,
+             CAST(SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bh_n2,
+             CAST(SUM(CASE WHEN s = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bh_n3,
+             CAST(SUM(CASE WHEN s = 0 THEN l2 END) AS VARCHAR) AS bh_l0,
+             CAST(SUM(CASE WHEN s = 1 THEN l2 END) AS VARCHAR) AS bh_l1,
+             CAST(SUM(CASE WHEN s = 2 THEN l2 END) AS VARCHAR) AS bh_l2,
+             CAST(SUM(CASE WHEN s = 3 THEN l2 END) AS VARCHAR) AS bh_l3
+      FROM bhs GROUP BY group_id
+    ),
     sigser AS (
       SELECT group_id,
              string_agg(lon || ',' || lat, ';' ORDER BY pos) AS fwd,
@@ -4555,7 +4589,11 @@ def _way_geometry_oracle() -> str:
            tp.clip_area2q_sum AS clip_area2q_sum,
            tp.tile_area_sig AS tile_area_sig,
            ats.at_sig AS at_sig,
-           ats.at_total AS at_total
+           ats.at_total AS at_total,
+           COALESCE(bh.bh_n0, 0) AS bh_n0, COALESCE(bh.bh_n1, 0) AS bh_n1,
+           COALESCE(bh.bh_n2, 0) AS bh_n2, COALESCE(bh.bh_n3, 0) AS bh_n3,
+           bh.bh_l0 AS bh_l0, bh.bh_l1 AS bh_l1,
+           bh.bh_l2 AS bh_l2, bh.bh_l3 AS bh_l3
     FROM geo JOIN simp ON simp.group_id = geo.group_id
     JOIN hv ON hv.group_id = geo.group_id
     LEFT JOIN hc ON hc.group_id = geo.group_id
@@ -4570,6 +4608,7 @@ def _way_geometry_oracle() -> str:
     LEFT JOIN cxc ON cxc.group_id = geo.group_id
     LEFT JOIN lrast lr ON lr.group_id = geo.group_id
     LEFT JOIN tpagg tp ON tp.group_id = geo.group_id
+    LEFT JOIN bh ON bh.group_id = geo.group_id
     CROSS JOIN cxs
     CROSS JOIN ats
     ORDER BY geo.group_id
@@ -4633,6 +4672,7 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datagen.synth import gen_groups, gen_images
     from ..operators.clip import (
         areal_transfer,
+        bearing_histogram,
         densify_segments,
         tile_polygon_areas,
         way_segments,
@@ -4829,6 +4869,7 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lin = line_interpolate(groups, base, t=_INTERP_T)
     hull = convex_hull_stats(groups, base)
+    bh = bearing_histogram(segs)
     wg = way_geometry(groups, base)
     # tile-clipped polygon areas (clip.tile_polygon_areas): closed
     # rings only — the clamp identity needs a closed curve; per way the
@@ -4930,6 +4971,13 @@ def way_geometry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tpagg, "group_id", "left")
         .withColumn(
             "n_area_tiles", F.coalesce("n_area_tiles", F.lit(0).cast("long"))
+        )
+        .join(bh, "group_id", "left")
+        .withColumns(
+            {
+                f"bh_n{b}": F.coalesce(f"bh_n{b}", F.lit(0).cast("long"))
+                for b in range(4)
+            }
         )
         .crossJoin(F.broadcast(cxs))
         .crossJoin(F.broadcast(ats))

@@ -463,3 +463,48 @@ def test_areal_transfer_exact_and_conserving(spark):
                       for gg, _, _, a in areas if gg == g)
         n_tiles = sum(1 for gg, _, _, _ in areas if gg == g)
         assert v * AREAL_K - n_tiles < alloc_g <= v * AREAL_K
+
+
+def test_bearing_histogram_vs_atan2_reference(spark):
+    import math
+    import random
+
+    from osm_replication_rust_spark.operators.clip import bearing_histogram
+
+    rng = random.Random(31)
+    rows = []
+    want = {}
+    for g in range(6):
+        gid = f"g{g}"
+        want[gid] = {f"bh_n{b}": 0 for b in range(4)}
+        want[gid].update({f"bh_l{b}": None for b in range(4)})
+        for pos in range(8):
+            x1, y1, x2, y2 = (rng.randint(-2_000_000_000, 2_000_000_000)
+                              for _ in range(4))
+            rows.append((gid, pos, x1, y1, x2, y2))
+            dx, dy = x2 - x1, y2 - y1
+            if dx == 0 and dy == 0:
+                continue
+            theta = math.degrees(math.atan2(dy, dx)) % 180.0
+            b = int(theta // 45.0) % 4
+            want[gid][f"bh_n{b}"] += 1
+            l2 = dx * dx + dy * dy
+            want[gid][f"bh_l{b}"] = (want[gid][f"bh_l{b}"] or 0) + l2
+    # planted exact boundaries: 0, 45, 90, 135 degrees -> sectors 0..3
+    for pos, (dx, dy, b) in enumerate(
+        [(10, 0, 0), (7, 7, 1), (0, 9, 2), (-5, 5, 3)]
+    ):
+        rows.append(("edge", pos, 0, 0, dx, dy))
+    segs = spark.createDataFrame(
+        rows, "group_id string, pos int, x1 long, y1 long, x2 long, y2 long"
+    )
+    got = {r.group_id: r.asDict() for r in bearing_histogram(segs).collect()}
+    for gid, exp in want.items():
+        for k, v in exp.items():
+            gv = got[gid][k]
+            if k.startswith("bh_l"):
+                gv = int(gv) if gv is not None else None
+            assert gv == v, (gid, k, gv, v)
+    e = got["edge"]
+    assert (e["bh_n0"], e["bh_n1"], e["bh_n2"], e["bh_n3"]) == (1, 1, 1, 1)
+    assert int(e["bh_l1"]) == 98  # the 45-degree boundary segment
