@@ -1516,3 +1516,69 @@ def nms_stage(
             yield pdf.assign(nms_n=nn, nms_sq_sum=ns, nms_wpos=nw)
 
     return df.mapInPandas(stage, out_schema)
+
+
+def euler_stage(
+    df: DataFrame, fg_min: int = 128, bytes_col: str = "bytes"
+) -> DataFrame:
+    """Euler characteristic of the thresholded image (Gray 1971) — the
+    object-counting screen: chi = #components - #holes, computed
+    PURELY LOCALLY from 2x2 window pattern counts over the zero-padded
+    foreground mask (pixels >= ``fg_min``), so it needs no labeling,
+    no reachability and no iteration:
+
+        Q1 = windows with exactly one fg pixel
+        Q3 = windows with exactly three
+        Qd = diagonal windows (two fg pixels corner-to-corner)
+
+        chi_4 = (Q1 - Q3 + 2*Qd) / 4     (4-connected objects,
+                                          8-connected background)
+        chi_8 = (Q1 - Q3 - 2*Qd) / 4     (the dual)
+
+    Both divisions are exact by the padded-border convention (the mask
+    is an island in a sea of zeros).  Emits the three raw pattern
+    counts (pinning the full quad census) plus both chi values, all
+    exact int64; map-only over equal-shape stacks."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields
+        + ["eu_q1 bigint", "eu_q3 bigint", "eu_qd bigint",
+           "eu_chi4 bigint", "eu_chi8 bigint"]
+    )
+    thr = int(fg_min)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            q1 = np.zeros(n, dtype=np.int64)
+            q3 = np.zeros(n, dtype=np.int64)
+            qd = np.zeros(n, dtype=np.int64)
+            c4 = np.zeros(n, dtype=np.int64)
+            c8 = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if w == 0 or h == 0:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                b = np.zeros((len(ii), h + 2, w + 2), dtype=np.int64)
+                b[:, 1:-1, 1:-1] = (px >= thr).astype(np.int64)
+                tl = b[:, :-1, :-1]
+                tr = b[:, :-1, 1:]
+                bl = b[:, 1:, :-1]
+                br = b[:, 1:, 1:]
+                s = tl + tr + bl + br
+                q1[ii] = (s == 1).sum(axis=(1, 2))
+                q3[ii] = (s == 3).sum(axis=(1, 2))
+                diag = (s == 2) & (tl == br) & (tr == bl) & (tl != tr)
+                qd[ii] = diag.sum(axis=(1, 2))
+                c4[ii] = (q1[ii] - q3[ii] + 2 * qd[ii]) // 4
+                c8[ii] = (q1[ii] - q3[ii] - 2 * qd[ii]) // 4
+            yield pdf.assign(
+                eu_q1=q1, eu_q3=q3, eu_qd=qd, eu_chi4=c4, eu_chi8=c8
+            )
+
+    return df.mapInPandas(stage, out_schema)

@@ -2457,6 +2457,46 @@ def _multimodal_oracle() -> str:
       FROM sobn
       GROUP BY image_id
     ),
+    euw AS (
+      -- Euler quad census (multimodal.euler_stage): 2x2 windows over
+      -- the zero-padded >= 128 foreground mask; window top-left runs
+      -- over the padded grid, out-of-range pixels are background
+      SELECT image_id,
+             CASE WHEN (k0 // (w + 1)) - 1 BETWEEN 0 AND h - 1
+                   AND (k0 % (w + 1)) - 1 BETWEEN 0 AND w - 1
+                   AND ({_sql_lcg_px('((k0 // (w + 1)) - 1) * w + ((k0 % (w + 1)) - 1)')}) >= 128
+                  THEN 1 ELSE 0 END AS tl,
+             CASE WHEN (k0 // (w + 1)) - 1 BETWEEN 0 AND h - 1
+                   AND (k0 % (w + 1)) BETWEEN 0 AND w - 1
+                   AND ({_sql_lcg_px('((k0 // (w + 1)) - 1) * w + (k0 % (w + 1))')}) >= 128
+                  THEN 1 ELSE 0 END AS tr,
+             CASE WHEN (k0 // (w + 1)) BETWEEN 0 AND h - 1
+                   AND (k0 % (w + 1)) - 1 BETWEEN 0 AND w - 1
+                   AND ({_sql_lcg_px('(k0 // (w + 1)) * w + ((k0 % (w + 1)) - 1)')}) >= 128
+                  THEN 1 ELSE 0 END AS bl,
+             CASE WHEN (k0 // (w + 1)) BETWEEN 0 AND h - 1
+                   AND (k0 % (w + 1)) BETWEEN 0 AND w - 1
+                   AND ({_sql_lcg_px('(k0 // (w + 1)) * w + (k0 % (w + 1))')}) >= 128
+                  THEN 1 ELSE 0 END AS br
+      FROM meta, UNNEST(generate_series(0, (h + 1) * (w + 1) - 1)) AS t(k0)
+    ),
+    eu AS (
+      SELECT image_id,
+             CAST(SUM(CASE WHEN tl + tr + bl + br = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS eu_q1,
+             CAST(SUM(CASE WHEN tl + tr + bl + br = 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS eu_q3,
+             CAST(SUM(CASE WHEN tl + tr + bl + br = 2 AND tl = br
+                            AND tr = bl AND tl <> tr THEN 1 ELSE 0 END)
+                  AS BIGINT) AS eu_qd
+      FROM euw GROUP BY image_id
+    ),
+    euc AS (
+      SELECT image_id, eu_q1, eu_q3, eu_qd,
+             (eu_q1 - eu_q3 + 2 * eu_qd) // 4 AS eu_chi4,
+             (eu_q1 - eu_q3 - 2 * eu_qd) // 4 AS eu_chi8
+      FROM eu
+    ),
     nmsd AS (
       -- exact 4-direction binning (multimodal.nms_stage): the 22.5-deg
       -- boundaries via (|gx|+|gy|)^2 <= 2*g^2 (tan 22.5 = sqrt2 - 1;
@@ -2803,7 +2843,9 @@ def _multimodal_oracle() -> str:
            mm.mu20n AS mu20n, mm.mu02n AS mu02n, mm.mu11n AS mu11n,
            COALESCE(nm.nms_n, 0) AS nms_n,
            COALESCE(nm.nms_sq_sum, 0) AS nms_sq_sum,
-           COALESCE(nm.nms_wpos, 0) AS nms_wpos
+           COALESCE(nm.nms_wpos, 0) AS nms_wpos,
+           ec.eu_q1 AS eu_q1, ec.eu_q3 AS eu_q3, ec.eu_qd AS eu_qd,
+           ec.eu_chi4 AS eu_chi4, ec.eu_chi8 AS eu_chi8
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
@@ -2817,6 +2859,7 @@ def _multimodal_oracle() -> str:
     LEFT JOIN glcm gm USING (image_id)
     JOIN mom mm USING (image_id)
     LEFT JOIN nms nm USING (image_id)
+    JOIN euc ec USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -2932,6 +2975,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_stats_stage,
         bilinear_resize_stage,
         decode_stats,
+        euler_stage,
         glcm_stage,
         harris_stage,
         hist_eq_stage,
@@ -3045,6 +3089,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nms = nms_stage(
         imgs.select("image_id", "bytes", "w", "h"), edge_sq_min=_EDGE_SQ_MIN
     ).select("image_id", "nms_n", "nms_sq_sum", "nms_wpos")
+    eul = euler_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "eu_q1", "eu_q3", "eu_qd", "eu_chi4", "eu_chi8"
+    )
     # central-moment numerators in decimal(38,0): the kernel emits raw
     # int64 moments only (m00*m20 - m10^2 passes 2^63 even at 256^2) —
     # the wide products live in the engines' exact types, one spelling
@@ -3077,6 +3124,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(glc, "image_id")
         .join(mom, "image_id")
         .join(nms, "image_id")
+        .join(eul, "image_id")
         .orderBy("image_id")
     )
 

@@ -1318,3 +1318,104 @@ def test_nms_thins_a_soft_vertical_edge(spark):
         if sum(rr * 4096 + c + 1 for rr in range(1, 7)) == r.nms_wpos:
             want_col = c
     assert want_col == 5
+
+
+def _ref_euler(px, thr):
+    """Brute quad census + an INDEPENDENT BFS component/hole counter."""
+    h, w = px.shape
+    b = np.zeros((h + 2, w + 2), dtype=int)
+    b[1:-1, 1:-1] = (px.astype(int) >= thr)
+    q1 = q3 = qd = 0
+    for r in range(h + 1):
+        for c in range(w + 1):
+            win = (b[r, c], b[r, c + 1], b[r + 1, c], b[r + 1, c + 1])
+            s = sum(win)
+            if s == 1:
+                q1 += 1
+            elif s == 3:
+                q3 += 1
+            elif s == 2 and win[0] == win[3] and win[1] == win[2]:
+                qd += 1
+    return q1, q3, qd, (q1 - q3 + 2 * qd) // 4, (q1 - q3 - 2 * qd) // 4
+
+
+def _count_components(mask, conn8=False):
+    """BFS component count over a boolean mask."""
+    from collections import deque
+
+    h, w = mask.shape
+    seen = np.zeros_like(mask, dtype=bool)
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if conn8:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    n = 0
+    for r in range(h):
+        for c in range(w):
+            if mask[r, c] and not seen[r, c]:
+                n += 1
+                dq = deque([(r, c)])
+                seen[r, c] = True
+                while dq:
+                    y, x = dq.popleft()
+                    for dy, dx in offs:
+                        yy, xx = y + dy, x + dx
+                        if 0 <= yy < h and 0 <= xx < w and mask[yy, xx] \
+                                and not seen[yy, xx]:
+                            seen[yy, xx] = True
+                            dq.append((yy, xx))
+    return n
+
+
+def test_euler_matches_census_and_topology(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        euler_stage,
+        fake_decode,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([(k * 7 + 3) % 251 for k in range(12 * 20)]), 12, 20),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in euler_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        px = fake_decode(payload, w, h)
+        want = _ref_euler(px, 128)
+        r = got[image_id]
+        assert (r.eu_q1, r.eu_q3, r.eu_qd, r.eu_chi4, r.eu_chi8) == want
+        # chi_4 = 4-connected components - 8-connected holes (and dual)
+        mask = px.astype(int) >= 128
+        inv = ~mask
+        # holes = background components not touching the border
+        padded_inv = np.zeros((h + 2, w + 2), dtype=bool)
+        padded_inv[1:-1, 1:-1] = inv
+        padded_inv[0, :] = padded_inv[-1, :] = True
+        padded_inv[:, 0] = padded_inv[:, -1] = True
+        holes8 = _count_components(padded_inv, conn8=True) - 1
+        holes4 = _count_components(padded_inv, conn8=False) - 1
+        assert r.eu_chi4 == _count_components(mask, conn8=False) - holes8
+        assert r.eu_chi8 == _count_components(mask, conn8=True) - holes4
+
+
+def test_euler_planted_shapes(spark):
+    from osm_replication_rust_spark.operators.multimodal import euler_stage
+
+    disk = np.zeros((9, 9), dtype=np.uint8)
+    disk[2:7, 2:7] = 200                      # one solid blob: chi = 1
+    ring = disk.copy()
+    ring[4, 4] = 0                            # punch a hole: chi = 0
+    two = np.zeros((9, 9), dtype=np.uint8)
+    two[1:3, 1:3] = 200
+    two[6:8, 6:8] = 200                       # two blobs: chi = 2
+    diag = np.zeros((4, 4), dtype=np.uint8)
+    diag[1, 1] = diag[2, 2] = 200             # corner-touching pair:
+    rows = [("disk", disk.tobytes(), 9, 9),   # 2 under 4-conn, 1 under 8
+            ("ring", ring.tobytes(), 9, 9),
+            ("two", two.tobytes(), 9, 9),
+            ("diag", diag.tobytes(), 4, 4)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: (r.eu_chi4, r.eu_chi8) for r in euler_stage(df).collect()}
+    assert got["disk"] == (1, 1)
+    assert got["ring"] == (0, 0)
+    assert got["two"] == (2, 2)
+    assert got["diag"] == (2, 1)
