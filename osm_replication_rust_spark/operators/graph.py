@@ -840,3 +840,90 @@ def components_pointer_jump(
             "true component across several labels"
         )
     return labels.select("id", "label")
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction — the classic "who should be
+    connected next" primitive (friend/item recommendation, similarity-
+    graph densification, knowledge-graph completion): for every
+    unordered NON-edge pair (u, v) at distance exactly 2 in the
+    undirected simple graph ``edges(a, b)`` induces, the evidence
+    counts
+
+    - ``cn``   = |N(u) ∩ N(v)|  (common neighbors — Newman's score),
+    - ``un``   = |N(u) ∪ N(v)|  = deg(u) + deg(v) - cn (NON-edge, so
+                 neither endpoint is in the other's neighborhood),
+    - ``jaccard`` = cn / un as ONE shared IEEE division per row — the
+      exact integers ride beside it, so rankings can compare
+      cn1*un2 vs cn2*un1 cross-multiplied when floats won't do.
+
+    Returns ``(u, v, cn, un, jaccard)`` with u < v. Pairs with no
+    common neighbor (distance > 2) are absent — at web scale the
+    distance-2 candidate set IS the standard search space (everything
+    further scores 0 under neighborhood measures).
+
+    Shape: one wedge self-join on the shared center (each center of
+    degree d emits C(d, 2) candidate pairs), one hash agg per (u, v),
+    one anti-join against the canonical edge set, two degree joins —
+    no loop, no driver action. The wedge fan-out is Σ C(deg, 2); pass
+    ``max_degree`` to drop hub CENTERS above it (the standard
+    web-scale mitigation: a 10^6-degree hub contributes 5·10^11
+    wedges but near-zero Jaccard evidence — documented cap, logged
+    nowhere silently since dropped centers change no kept pair's
+    correctness claim: scores become "w.r.t. the degree-capped
+    graph", which is how production recommenders state it)."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    both = canon.select(F.col("a").alias("c"), F.col("b").alias("n")).unionByName(
+        canon.select(F.col("b").alias("c"), F.col("a").alias("n"))
+    )
+    if max_degree is not None:
+        if max_degree < 2:
+            raise ValueError(f"max_degree must be >= 2: {max_degree}")
+        both = both.join(
+            deg.filter(F.col("deg") <= max_degree).select(F.col("id").alias("c")),
+            "c",
+            "left_semi",
+        )
+    w1 = both.select(F.col("c"), F.col("n").alias("u"))
+    w2 = both.select(F.col("c"), F.col("n").alias("v"))
+    cand = (
+        w1.join(w2, "c")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+        .join(
+            canon.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    un = F.col("_du") + F.col("_dv") - F.col("cn")
+    return (
+        cand.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("_du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("_dv")), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            un.alias("un"),
+            (F.col("cn").cast("double") / un.cast("double")).alias("jaccard"),
+        )
+    )

@@ -297,3 +297,53 @@ def trajectory_segments(
             F.when(dur >= min_stay_s, 1).otherwise(0).cast("long"),
         )
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals — the temporal-table
+    primitive a replication consumer builds from a version history
+    (the reference's element version chains, osm.rs:26: every diff row
+    is a new revision of its (type, id) key): each key's time-ordered
+    revisions become half-open validity intervals
+    ``[valid_from_s, valid_to_s)`` with exactly one open (current)
+    version per key. Returns the input plus
+
+    - ``scd_version``   1-based revision number within the key,
+    - ``valid_from_s``  the revision's own epoch second,
+    - ``valid_to_s``    the NEXT revision's epoch second — NULL on the
+                        current version, so intervals tile the key's
+                        history with no gaps and no overlaps by
+                        construction,
+    - ``is_current``    1 on the open version else 0 (BIGINT for
+                        gate-dtype stability).
+
+    Point-in-time reads become ``valid_from_s <= t AND (valid_to_s IS
+    NULL OR t < valid_to_s)``; the as-of join over the result needs no
+    window at read time.
+
+    Deterministic given the ordering: pass ``order_cols`` (defaults to
+    ``[ts]``) including a tiebreaker if timestamps can collide — two
+    revisions at the same instant would otherwise order
+    nondeterministically and swap their (degenerate, zero-length)
+    intervals between runs.
+
+    Scale: one window over the (key, order) partitioning — a single
+    shuffle, O(1) state per key; both ``row_number`` and ``lead`` ride
+    the same sort, so Catalyst plans one Window node."""
+    order = order_cols or [ts]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    nxt = F.lead(F.col(ts).cast("long")).over(w)
+    return (
+        df.withColumn("scd_version", F.row_number().over(w).cast("long"))
+        .withColumn("valid_from_s", F.col(ts).cast("long"))
+        .withColumn("valid_to_s", nxt)
+        .withColumn(
+            "is_current",
+            F.when(nxt.isNull(), 1).otherwise(0).cast("long"),
+        )
+    )

@@ -931,6 +931,32 @@ def _sql_graph_ctes() -> str:
                CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR), ','
                ORDER BY a, b), '')) AS kt_sig
       FROM kt{_KTRUSS_UNROLL})""")
+    # link-prediction twin (graph.link_prediction) over the same
+    # subsample graph: brute wedge join on the shared center, non-edge
+    # filter, union size from the canonical degrees; the top candidate
+    # pins (cn DESC, u, v) through one composite integer key (all of
+    # u, v, cn < _GRAPH_K, so the encoding is strictly monotone)
+    kc.append(f"""kdeg AS (SELECT id, count(*) AS deg FROM kboth GROUP BY id),
+    lpw AS (
+      SELECT w1.o AS u, w2.o AS v, CAST(count(*) AS BIGINT) AS cn
+      FROM kboth w1 JOIN kboth w2 ON w1.id = w2.id AND w1.o < w2.o
+      GROUP BY w1.o, w2.o),
+    lp AS (
+      SELECT l.u, l.v, l.cn, du.deg + dv.deg - l.cn AS un
+      FROM lpw l
+      JOIN kdeg du ON du.id = l.u JOIN kdeg dv ON dv.id = l.v
+      WHERE NOT EXISTS (SELECT 1 FROM kcanon c WHERE c.a = l.u AND c.b = l.v)),
+    lpagg AS (
+      SELECT CAST(count(*) AS BIGINT) AS lp_n,
+             arg_min(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR) || ':'
+                       || CAST(cn AS VARCHAR) || ':' || CAST(un AS VARCHAR),
+                     ({_GRAPH_K} - cn) * {_GRAPH_K * _GRAPH_K}
+                       + u * {_GRAPH_K} + v) AS lp_top,
+             md5(COALESCE(string_agg(
+               CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR) || ':'
+                 || CAST(cn AS VARCHAR) || ':' || CAST(un AS VARCHAR), ','
+               ORDER BY u, v), '')) AS lp_sig
+      FROM lp)""")
     kcs = ",\n    ".join(kc)
     return f"""
     graw AS (SELECT ('0x' || substr({h}, 1, 8))::BIGINT % {K} AS a,
@@ -1027,9 +1053,11 @@ def _graph_sig(id_col: str, parts: list[str]) -> Column:
     SELECT d.dangling_key, t.tri_total, t.tri_sig,
            p.pr_top, p.pr_top_val, g.pr_sig,
            kca.kc_n, kca.kc_sig, kta.kt_n, kta.kt_sig,
+           lpa.lp_n, lpa.lp_top, lpa.lp_sig,
            ar.asr_num_str, ar.asr_den_str, ar.assortativity
     FROM dang d CROSS JOIN tstats t CROSS JOIN ptop p CROSS JOIN psig g
-    CROSS JOIN kcagg kca CROSS JOIN ktagg kta CROSS JOIN asr ar
+    CROSS JOIN kcagg kca CROSS JOIN ktagg kta CROSS JOIN lpagg lpa
+    CROSS JOIN asr ar
     ORDER BY d.dangling_key
     """,
 )
@@ -1064,12 +1092,20 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ONE shared division, the exact numerator/denominator riding
     as digit strings behind the float — a loop-free one-aggregation
     fold.
+    PLUS common-neighbor link prediction (operators/graph.
+    link_prediction) over the subsample graph: every non-edge pair at
+    distance 2 with its common-neighbor and union counts, pinned by
+    the candidate count, an md5 over the complete ordered
+    (u, v, cn, un) set, and the top candidate under the fully-integer
+    (cn DESC, u, v) order — min_by/arg_min over one composite key, so
+    an empty candidate set degrades to NULL instead of zero rows.
     (Iterative ops belong on non-benched gate rows: the PR/peel loops
     cost driver-action rounds whatever the data size.)"""
     from ..operators.graph import (
         assortativity,
         k_core,
         k_truss,
+        link_prediction,
         pagerank,
         triangle_counts,
     )
@@ -1123,12 +1159,47 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kt_sig"),
     )
+    lp = link_prediction(kraw)
+    _lps = F.concat_ws(
+        ":",
+        F.col("u").cast("string"),
+        F.col("v").cast("string"),
+        F.col("cn").cast("string"),
+        F.col("un").cast("string"),
+    )
+    lpagg = lp.agg(
+        F.count(F.lit(1)).cast("long").alias("lp_n"),
+        F.min_by(
+            _lps,
+            (F.lit(_GRAPH_K) - F.col("cn")) * (_GRAPH_K * _GRAPH_K)
+            + F.col("u") * _GRAPH_K
+            + F.col("v"),
+        ).alias("lp_top"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("u").alias("u"),
+                                F.col("v").alias("v"),
+                                _lps.alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            )
+        ).alias("lp_sig"),
+    )
     return (
         dang.crossJoin(F.broadcast(tstats))
         .crossJoin(F.broadcast(ptop))
         .crossJoin(F.broadcast(psig))
         .crossJoin(F.broadcast(kcagg))
         .crossJoin(F.broadcast(ktagg))
+        .crossJoin(F.broadcast(lpagg))
         .crossJoin(F.broadcast(assortativity(raw)))
         .orderBy("dangling_key")
     )
@@ -5361,10 +5432,18 @@ _TRAJ_MIN_STAY_S = 600
     sg AS (
       SELECT user_id, event_id, ts,
              CAST(sum(new_s) OVER cum AS BIGINT) AS session_id,
-             CAST(sum(new_g) OVER cum AS BIGINT) AS seg_id
+             CAST(sum(new_g) OVER cum AS BIGINT) AS seg_id,
+             -- SCD2 validity intervals (relational.scd2_intervals):
+             -- each user's revisions tile into half-open
+             -- [valid_from_s, valid_to_s) with one open current row
+             CAST(row_number() OVER w2 AS BIGINT) AS scd_version,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS valid_from_s,
+             CAST(lead(epoch_us(ts) // 1000000) OVER w2 AS BIGINT)
+               AS valid_to_s
       FROM g
       WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING)
+                     ROWS UNBOUNDED PRECEDING),
+             w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     tm AS (
       -- per-user OLS trend moments (operators/relational.group_trend,
@@ -5401,6 +5480,9 @@ _TRAJ_MIN_STAY_S = 600
                           - min(epoch_us(ts) // 1000000) OVER ws
                           >= {_TRAJ_MIN_STAY_S} THEN 1 ELSE 0 END AS BIGINT)
              AS seg_stay,
+           scd_version, valid_from_s, valid_to_s,
+           CAST(CASE WHEN valid_to_s IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current,
            tt.n_obs, tt.slope, tt.intercept, tt.trend_den_str
     FROM sg JOIN tt ON tt.user_id = sg.user_id
     WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
@@ -5424,8 +5506,20 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     event's epoch second, y = event_id % 997 (both exact ints), every
     moment decimal(38,0)/HUGEINT with ONE shared division per
     statistic and the exact denominator carried as digits
-    (trend_den_str)."""
-    from ..operators.relational import group_trend, trajectory_segments
+    (trend_den_str).
+
+    PLUS SCD2 validity intervals (operators/relational.scd2_intervals
+    — the temporal-table primitive over the reference's element
+    version chains, osm.rs:26): each user's time-ordered revisions
+    tile into half-open [valid_from_s, valid_to_s) with a 1-based
+    scd_version and exactly one open current row per key; rides the
+    SAME (user, ts, event_id) window partitioning, so the fold adds
+    no shuffle."""
+    from ..operators.relational import (
+        group_trend,
+        scd2_intervals,
+        trajectory_segments,
+    )
     from pyspark.sql import Window as W
 
     ev = _t(spark, sf_dir, "events").select(
@@ -5457,9 +5551,14 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     return (
-        seg.withColumn(
-            "session_id",
-            F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        scd2_intervals(
+            seg.withColumn(
+                "session_id",
+                F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0)),
+            ),
+            key_cols=["user_id"],
+            ts="ts",
+            order_cols=["ts", "event_id"],
         )
         .join(tr, "user_id")
         .select(
@@ -5470,6 +5569,10 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seg_n").cast("long").alias("seg_n"),
             "seg_duration_s",
             "seg_stay",
+            "scd_version",
+            "valid_from_s",
+            "valid_to_s",
+            "is_current",
             "n_obs",
             "slope",
             "intercept",

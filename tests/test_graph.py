@@ -687,3 +687,88 @@ def test_assortativity_star_cycle_random(spark):
     e = spark.createDataFrame([("x", "x")], "a string, b string")
     r = assortativity(e).collect()[0]
     assert (r.asr_num_str, r.asr_den_str, r.assortativity) == ("0", "0", None)
+
+
+def _lp_ref(edges):
+    """Reference link prediction: adjacency sets, all non-edge pairs
+    with >= 1 common neighbor."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in adj[u]:
+                continue
+            cn = len(adj[u] & adj[v])
+            if cn:
+                out[(u, v)] = (cn, len(adj[u] | adj[v]))
+    return out
+
+
+def test_link_prediction_shapes(spark):
+    from osm_replication_rust_spark.operators.graph import link_prediction
+
+    # path a-b-c: one candidate (a, c) via center b; N(a)=N(c)={b}
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "a string, b string")
+    got = {(r.u, r.v): (r.cn, r.un, r.jaccard) for r in link_prediction(e).collect()}
+    assert got == {("a", "c"): (1, 1, 1.0)}
+
+    # 4-cycle: both diagonals, cn=2, un=2 (jaccard 1.0 — they share
+    # EVERYTHING and still aren't connected: the strongest candidates)
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    e = spark.createDataFrame(cyc, "a string, b string")
+    got = {(r.u, r.v): (r.cn, r.un, r.jaccard) for r in link_prediction(e).collect()}
+    assert got == {("a", "c"): (2, 2, 1.0), ("b", "d"): (2, 2, 1.0)}
+
+    # triangle: no candidates (every distance-2 pair is already an edge)
+    tri = [("x", "y"), ("y", "z"), ("x", "z")]
+    e = spark.createDataFrame(tri, "a string, b string")
+    assert link_prediction(e).count() == 0
+
+    # duplicates + self-loops are dropped by canonicalization
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c")], "a string, b string"
+    )
+    got = {(r.u, r.v): r.cn for r in link_prediction(e).collect()}
+    assert got == {("a", "c"): 1}
+
+
+def test_link_prediction_random_matches_reference(spark):
+    from osm_replication_rust_spark.operators.graph import link_prediction
+
+    rng = np.random.default_rng(7)
+    n, m = 30, 120
+    edges = [(f"n{rng.integers(n)}", f"n{rng.integers(n)}") for _ in range(m)]
+    e = spark.createDataFrame(edges, "a string, b string")
+    got = {(r.u, r.v): (r.cn, r.un) for r in link_prediction(e).collect()}
+    assert got == _lp_ref(edges)
+    # jaccard is the one shared division of the exact ints
+    for r in link_prediction(e).collect():
+        assert r.jaccard == r.cn / r.un
+
+
+def test_link_prediction_max_degree_cap(spark):
+    from osm_replication_rust_spark.operators.graph import link_prediction
+
+    # star hub h with leaves l0..l4 plus a path l0-p-l1: uncapped, the
+    # hub is a center connecting every leaf pair; capped below the
+    # hub's degree only the path center p survives
+    edges = [("h", f"l{i}") for i in range(5)] + [("l0", "p"), ("p", "l1")]
+    e = spark.createDataFrame(edges, "a string, b string")
+    uncapped = {(r.u, r.v) for r in link_prediction(e).collect()}
+    assert ("l2", "l3") in uncapped and ("l0", "l1") in uncapped
+    capped = {(r.u, r.v): (r.cn, r.un) for r in link_prediction(e, max_degree=2).collect()}
+    # only center p (deg 2) emits wedges; (l0, l1) via p: cn counts
+    # capped-graph wedges while degrees stay the TRUE graph's, so un
+    # = du + dv - capped_cn is an upper bound on the true union
+    assert set(capped) == {("l0", "l1"), ("h", "p")}
+    assert capped[("l0", "l1")] == (1, 3)  # deg(l0)=2, deg(l1)=2, cn=1
+    assert capped[("h", "p")] == (2, 5)    # centers l0, l1 both survive
+
+    with pytest.raises(ValueError):
+        link_prediction(e, max_degree=1)

@@ -200,3 +200,46 @@ def test_trajectory_segments_reference(spark):
     assert got[4] == (2, 2, 100, 0)   # 100 s < min_stay 150
     assert got[5] == (2, 2, 100, 0)
     assert got[6] == (1, 1, 0, 0)
+
+
+def test_scd2_intervals_reference(spark):
+    from osm_replication_rust_spark.operators.relational import scd2_intervals
+
+    # key a: three revisions (one at a tied timestamp — eid breaks the
+    # tie); key b: a single revision (current from birth)
+    rows = [
+        ("a", 100, 1),
+        ("a", 250, 2),
+        ("a", 250, 3),   # tied ts — ordering falls to eid
+        ("a", 900, 4),
+        ("b", 42, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, eid long")
+    out = scd2_intervals(
+        df.withColumn("ts", F.col("t").cast("timestamp")),
+        key_cols=["k"],
+        ts="ts",
+        order_cols=["ts", "eid"],
+    ).collect()
+    got = {r.eid: r for r in out}
+    # versions are 1-based in (ts, eid) order
+    assert [got[e].scd_version for e in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert got[5].scd_version == 1
+    # intervals tile: valid_to == next valid_from, half-open
+    assert (got[1].valid_from_s, got[1].valid_to_s) == (100, 250)
+    assert (got[2].valid_from_s, got[2].valid_to_s) == (250, 250)  # tie => degenerate
+    assert (got[3].valid_from_s, got[3].valid_to_s) == (250, 900)
+    assert (got[4].valid_from_s, got[4].valid_to_s) == (900, None)
+    assert (got[5].valid_from_s, got[5].valid_to_s) == (42, None)
+    # exactly one current per key, and it is the last version
+    assert [r.eid for r in out if r.is_current == 1] in ([4, 5], [5, 4])
+    assert all(r.is_current in (0, 1) for r in out)
+    # point-in-time read at t=300 sees exactly one version of 'a': eid 3
+    live = [
+        r.eid
+        for r in out
+        if r.k == "a"
+        and r.valid_from_s <= 300
+        and (r.valid_to_s is None or 300 < r.valid_to_s)
+    ]
+    assert live == [3]
