@@ -927,3 +927,39 @@ def link_prediction(
             (F.col("cn").cast("double") / un.cast("double")).alias("jaccard"),
         )
     )
+
+
+def transitivity_stats(tc: DataFrame) -> DataFrame:
+    """Global transitivity (the graph clustering coefficient) from a
+    ``triangle_counts`` frame ``(id, deg, tri)`` — the one-number
+    "how clique-ish is this graph" health statistic link-graph and
+    similarity-graph pipelines track over time (a near-dup pair graph
+    whose transitivity collapses is producing chains, not clusters).
+
+    C = closed wedges / all wedges = Σ tri_i / Σ C(deg_i, 2)
+      = 2·Σ tri_i / Σ deg_i·(deg_i − 1)
+
+    in the exact-integer discipline: both sums accumulate in
+    decimal(38,0) with the cast BEFORE the product (a 10^10-degree
+    hub wraps ``deg*(deg-1)`` in int64), the unhalved denominator and
+    the numerator travel as digit strings, and the float is ONE
+    shared division ``2 * (num / den)`` (the doubling is exact in
+    IEEE, so it commutes with the rounding of the division). NULL
+    when the graph has no wedges (every component an edge or a
+    point). One single-row aggregate — no extra shuffle beyond the
+    ``triangle_counts`` output it folds.
+
+    Returns one row ``(trans_num_str, trans_den_str, transitivity)``.
+    """
+    num = F.expr("sum(CAST(tri AS DECIMAL(38,0)))")
+    den = F.expr("sum(CAST(deg AS DECIMAL(38,0)) * (deg - 1))")
+    return tc.agg(
+        num.cast("string").alias("trans_num_str"),
+        den.cast("string").alias("trans_den_str"),
+        F.when(
+            den == F.lit(0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.lit(2.0) * (num.cast("double") / den.cast("double")))
+        .alias("transitivity"),
+    )

@@ -992,6 +992,13 @@ def _sql_graph_ctes() -> str:
     {prs},
     {kcs},
     tstats AS (SELECT CAST(sum(tri) // 3 AS BIGINT) AS tri_total,
+                      CAST(sum(CAST(tri AS HUGEINT)) AS VARCHAR) AS trans_num_str,
+                      CAST(sum(CAST(deg AS HUGEINT) * (deg - 1)) AS VARCHAR)
+                        AS trans_den_str,
+                      CASE WHEN sum(CAST(deg AS HUGEINT) * (deg - 1)) = 0 THEN NULL
+                           ELSE 2.0 * (CAST(sum(CAST(tri AS HUGEINT)) AS DOUBLE)
+                                       / CAST(sum(CAST(deg AS HUGEINT) * (deg - 1))
+                                              AS DOUBLE)) END AS transitivity,
                       md5(string_agg(CAST(id AS VARCHAR) || ':' ||
                                      CAST(deg AS VARCHAR) || ':' ||
                                      CAST(tri AS VARCHAR), ',' ORDER BY id)) AS tri_sig
@@ -1050,7 +1057,8 @@ def _graph_sig(id_col: str, parts: list[str]) -> Column:
       FROM lineitem l
       WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 40)
     ),{_sql_graph_ctes()}
-    SELECT d.dangling_key, t.tri_total, t.tri_sig,
+    SELECT d.dangling_key, t.tri_total, t.trans_num_str, t.trans_den_str,
+           t.transitivity, t.tri_sig,
            p.pr_top, p.pr_top_val, g.pr_sig,
            kca.kc_n, kca.kc_sig, kta.kt_n, kta.kt_sig,
            lpa.lp_n, lpa.lp_top, lpa.lp_sig,
@@ -1099,6 +1107,10 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u, v, cn, un) set, and the top candidate under the fully-integer
     (cn DESC, u, v) order — min_by/arg_min over one composite key, so
     an empty candidate set degrades to NULL instead of zero rows.
+    PLUS global transitivity (operators/graph.transitivity_stats):
+    2·Σtri / Σdeg·(deg−1) over the full-graph triangle frame, exact
+    decimal(38,0)/HUGEINT sums as digit strings behind ONE shared
+    division (the ×2 is IEEE-exact so it commutes with the rounding).
     (Iterative ops belong on non-benched gate rows: the PR/peel loops
     cost driver-action rounds whatever the data size.)"""
     from ..operators.graph import (
@@ -1107,6 +1119,7 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_truss,
         link_prediction,
         pagerank,
+        transitivity_stats,
         triangle_counts,
     )
 
@@ -1123,7 +1136,7 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tstats = tc.agg(
         F.expr("CAST(sum(tri) DIV 3 AS BIGINT)").alias("tri_total"),
         _graph_sig("id", ["deg", "tri"]).alias("tri_sig"),
-    )
+    ).crossJoin(F.broadcast(transitivity_stats(tc)))
     ptop = pr.orderBy(F.desc("pr"), F.asc("id")).limit(1).select(
         F.col("id").alias("pr_top"), F.col("pr").alias("pr_top_val")
     )

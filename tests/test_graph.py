@@ -772,3 +772,35 @@ def test_link_prediction_max_degree_cap(spark):
 
     with pytest.raises(ValueError):
         link_prediction(e, max_degree=1)
+
+
+def test_transitivity_known_shapes(spark):
+    from fractions import Fraction
+
+    from osm_replication_rust_spark.operators.graph import (
+        transitivity_stats,
+        triangle_counts,
+    )
+
+    def stats(edges):
+        e = spark.createDataFrame(edges, "a string, b string")
+        return transitivity_stats(triangle_counts(e)).collect()[0]
+
+    # K4: every wedge closed -> C = 1
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    r = stats(k4)
+    assert r.transitivity == 1.0
+    assert Fraction(2 * int(r.trans_num_str), int(r.trans_den_str)) == 1
+
+    # path a-b-c: one open wedge -> C = 0
+    r = stats([("a", "b"), ("b", "c")])
+    assert r.transitivity == 0.0 and r.trans_num_str == "0"
+
+    # triangle + pendant: networkx transitivity = 3/5
+    r = stats([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    assert Fraction(2 * int(r.trans_num_str), int(r.trans_den_str)) == Fraction(3, 5)
+    assert r.transitivity == pytest.approx(0.6)
+
+    # single edge: no wedges -> NULL
+    r = stats([("a", "b")])
+    assert r.transitivity is None and r.trans_den_str == "0"
