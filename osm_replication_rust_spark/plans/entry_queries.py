@@ -6327,6 +6327,47 @@ def _sql_raster_vectorize() -> str:
                     / CAST(mw * (mn * mn * mq - mn * ms * ms) AS DOUBLE)
              END AS moran_i
       FROM mx LEFT JOIN mp ON mp.tile = mx.tile
+    ),
+    -- L1 distance transform (raster.distance_transform_l1): the
+    -- two-pass min-plus factorization as FOUR running-min windows
+    -- over each occupied tile's dense grid; BIG sentinel = 2^40
+    dtg AS (
+      SELECT t.tile, i % {enpx} AS px, i // {enpx} AS py
+      FROM (SELECT DISTINCT (gy // {enpx}) * {ys} + (gx // {enpx}) AS tile
+            FROM epx) t, range(0, {enpx * enpx}) r(i)
+    ),
+    dto AS (
+      SELECT g.tile, g.px, g.py,
+             CASE WHEN e.gx IS NULL THEN 1099511627776 ELSE 0 END AS seed
+      FROM dtg g LEFT JOIN epx e
+        ON (e.gy // {enpx}) * {ys} + (e.gx // {enpx}) = g.tile
+       AND e.gx % {enpx} = g.px AND e.gy % {enpx} = g.py
+    ),
+    dtr AS (
+      SELECT tile, px, py,
+             least(px + min(seed - px) OVER
+                     (PARTITION BY tile, py ORDER BY px
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   -px + min(seed + px) OVER
+                     (PARTITION BY tile, py ORDER BY px DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS rm
+      FROM dto
+    ),
+    dtf AS (
+      SELECT tile,
+             least(py + min(rm - py) OVER
+                     (PARTITION BY tile, px ORDER BY py
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   -py + min(rm + py) OVER
+                     (PARTITION BY tile, px ORDER BY py DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS dt
+      FROM dtr
+    ),
+    dtile AS (
+      SELECT tile, CAST(sum(dt) AS BIGINT) AS dt_sum,
+             CAST(max(dt) AS BIGINT) AS dt_max,
+             CAST(sum(CASE WHEN dt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dt_zeros
+      FROM dtf GROUP BY tile
     )
     SELECT * FROM (
       SELECT 'poly' AS leg,
@@ -6342,7 +6383,10 @@ def _sql_raster_vectorize() -> str:
              CAST(NULL AS BIGINT) AS n_hot,
              CAST(NULL AS DOUBLE) AS z_max,
              CAST(NULL AS BIGINT) AS mi_w,
-             CAST(NULL AS DOUBLE) AS moran_i
+             CAST(NULL AS DOUBLE) AS moran_i,
+             CAST(NULL AS BIGINT) AS dt_sum,
+             CAST(NULL AS BIGINT) AS dt_max,
+             CAST(NULL AS BIGINT) AS dt_zeros
       FROM rects
       UNION ALL
       SELECT 'events' AS leg,
@@ -6353,12 +6397,13 @@ def _sql_raster_vectorize() -> str:
              (e.x1 - e.x0 + 1) * (e.y1 - e.y0 + 1) AS n_pixels,
              l.blob AS blob, b.blob_px AS blob_px,
              ft.focal_total, ft.focal_max, ft.n_core, ft.n_hot, ft.z_max,
-             mi.mi_w, mi.moran_i
+             mi.mi_w, mi.moran_i, dtile.dt_sum, dtile.dt_max, dtile.dt_zeros
       FROM erects e
       JOIN lab l ON l.gx = e.x0 AND l.gy = e.y0
       JOIN bsz b USING (blob)
       JOIN ftile ft ON ft.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN mi ON mi.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
+      JOIN dtile ON dtile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
     )
     ORDER BY leg, min_lon, min_lat
     """
@@ -6389,12 +6434,18 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same focal frame; per-tile hot-pixel count at z > 2.576 and
     max z), and per-tile Moran's I with within-tile rook weights
     (raster.morans_i — exact decimal(38,0)/HUGEINT moments, ONE shared
-    division). Every events-leg rectangle carries ITS tile's seven
-    statistics (rectangles never cross tiles, so the tile key is
-    derivable from the rect corner on both engines); the poly leg is
-    NULL. The float trees are spelled identically in the SQL twin."""
+    division), and the exact L1 distance transform
+    (raster.distance_transform_l1 — the two-pass min-plus
+    factorization as four running-min windows over each occupied
+    tile's dense grid; per-tile dt_sum/dt_max/dt_zeros pin the whole
+    proximity field, since a single shifted pixel changes dt_sum).
+    Every events-leg rectangle carries ITS tile's statistics
+    (rectangles never cross tiles, so the tile key is derivable from
+    the rect corner on both engines); the poly leg is NULL. The float
+    trees and windows are spelled identically in the SQL twin."""
     from ..operators.raster import (
         blob_labels,
+        distance_transform_l1,
         focal_sum,
         gi_star,
         morans_i,
@@ -6422,6 +6473,9 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("z_max"),
         F.lit(None).cast("long").alias("mi_w"),
         F.lit(None).cast("double").alias("moran_i"),
+        F.lit(None).cast("long").alias("dt_sum"),
+        F.lit(None).cast("long").alias("dt_max"),
+        F.lit(None).cast("long").alias("dt_zeros"),
     )
 
     ev = _t(spark, sf_dir, "events").select(
@@ -6465,6 +6519,17 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mi = morans_i(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES).select(
         "tile", "mi_w", "moran_i"
     )
+    dtile = (
+        distance_transform_l1(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
+        .groupBy("tile")
+        .agg(
+            F.sum("dt").cast("long").alias("dt_sum"),
+            F.max("dt").cast("long").alias("dt_max"),
+            F.sum(F.when(F.col("dt") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("dt_zeros"),
+        )
+    )
     events_leg = (
         erects.join(corner, ["min_lon", "min_lat"], "inner")
         .withColumn(
@@ -6475,6 +6540,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(ftile, "tile")
         .join(mi, "tile")
+        .join(dtile, "tile")
         .select(
             F.lit("events").alias("leg"),
             "min_lon",
@@ -6491,6 +6557,9 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_max",
             "mi_w",
             "moran_i",
+            "dt_sum",
+            "dt_max",
+            "dt_zeros",
         )
     )
     return poly.unionByName(events_leg).orderBy("leg", "min_lon", "min_lat")

@@ -704,3 +704,65 @@ def test_rasterize_line_res_guard(spark):
     )
     with pytest.raises(ValueError, match="px_res"):
         rasterize_line(segs, px_res=40)
+
+
+def _dt_ref(mask):
+    """Brute-force L1 distance transform of a 2-D bool mask."""
+    h, w = mask.shape
+    occ = np.argwhere(mask)
+    out = np.empty((h, w), dtype=np.int64)
+    for yy in range(h):
+        for xx in range(w):
+            out[yy, xx] = np.abs(occ - [yy, xx]).sum(axis=1).min()
+    return out
+
+
+def _dt_run(spark, pts):
+    from osm_replication_rust_spark.operators.raster import distance_transform_l1
+
+    df = spark.createDataFrame([{"gx": int(a), "gy": int(b)} for a, b in pts])
+    return distance_transform_l1(df, tile_res=TILE_RES, px_res=PX_RES).collect()
+
+
+def test_distance_transform_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    mask = rng.random((NPX, NPX)) < 0.06
+    mask[3, 5] = True  # never empty
+    base_tx, base_ty = 5000, 7000  # arbitrary tile
+    pts = [
+        (base_tx * NPX + xx, base_ty * NPX + yy) for yy, xx in np.argwhere(mask)
+    ]
+    ref = _dt_ref(mask)
+    got = _dt_run(spark, pts)
+    assert len(got) == NPX * NPX
+    for r in got:
+        assert r.tile == base_ty * Y_STRIDE + base_tx
+        assert r.dt == ref[r.py, r.px], (r.px, r.py)
+
+
+def test_distance_transform_single_pixel_and_full(spark):
+    # one occupied pixel at (2, 3): dt == |px-2| + |py-3| everywhere
+    got = _dt_run(spark, [(2, 3)])
+    for r in got:
+        assert r.dt == abs(r.px - 2) + abs(r.py - 3)
+    # fully occupied tile: all zeros (duplicates are harmless)
+    pts = [(xx, yy) for xx in range(NPX) for yy in range(NPX)] + [(0, 0)]
+    got = _dt_run(spark, pts)
+    assert all(r.dt == 0 for r in got)
+
+
+def test_distance_transform_tiles_independent(spark):
+    # two occupied tiles, one pixel each: distances never cross tiles
+    got = _dt_run(spark, [(0, 0), (3 * NPX + 8, 9)])
+    by_tile = {}
+    for r in got:
+        by_tile.setdefault(r.tile, []).append(r)
+    assert len(by_tile) == 2
+    for tile, rows in by_tile.items():
+        assert len(rows) == NPX * NPX
+        if tile == 3:  # ty=0, tx=3
+            for r in rows:
+                assert r.dt == abs(r.px - 8) + abs(r.py - 9)
+        else:
+            for r in rows:
+                assert r.dt == r.px + r.py
