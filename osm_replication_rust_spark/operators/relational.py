@@ -347,3 +347,90 @@ def scd2_intervals(
             F.when(nxt.isNull(), 1).otherwise(0).cast("long"),
         )
     )
+
+
+_FUNNEL_NEG = -(1 << 62)
+
+
+def funnel_levels(
+    df: DataFrame,
+    steps: list[str],
+    horizon_s: int,
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+    order_id: str = "event_id",
+) -> DataFrame:
+    """Window funnel (ClickHouse ``windowFunnel`` semantics) — the
+    product-analytics conversion primitive: per user, the deepest
+    prefix of the ``steps`` event-type chain that occurs in order
+    within ``horizon_s`` seconds OF THE CHAIN'S FIRST STEP. Returns
+    ``(user, funnel_level, funnel_start_us)`` — level K users also
+    carry the chain-start time of the latest complete chain; users
+    with no step-1 event get level 0.
+
+    Exact-integer DP as ONE aggregation: per user, the step events
+    collect into a (ts_us, order_id, step)-sorted array and a single
+    ``F.aggregate`` fold carries K longs — acc[k] = the LATEST
+    possible chain-start among chains reaching step k (latest start
+    dominates: the only future constraint is t − start ≤ horizon, so
+    no other chain can extend where the latest-start one cannot).
+    Event times are unix MICROSECONDS (exact int64); the total order
+    (ts, order_id) makes equal-timestamp runs deterministic and
+    engine-identical, and a chain may not reuse one event for two
+    steps (step types must be distinct — validated). The oracle twin
+    can verify with a genuinely different algorithm (brute
+    exists-joins over the same total order).
+
+    Scale: one hash aggregation on ``user`` with map-side combine of
+    the collected lists; per-user state = that user's STEP events
+    only (the same carry any sessionization holds), the fold itself
+    is O(events × K) with zero extra shuffles, no window, no Python.
+    Hot users are bounded by their own event counts, not the table.
+    """
+    if len(set(steps)) != len(steps) or len(steps) < 2:
+        raise ValueError(f"steps must be >= 2 distinct event types: {steps}")
+    if horizon_s <= 0:
+        raise ValueError(f"horizon_s must be positive: {horizon_s}")
+    k_n = len(steps)
+    neg = F.lit(_FUNNEL_NEG).cast("long")
+    h_us = F.lit(horizon_s * 1_000_000).cast("long")
+    j = F.when(F.col(etype) == steps[0], 1)
+    for i, s in enumerate(steps[1:], start=2):
+        j = j.when(F.col(etype) == s, i)
+    ev = df.select(
+        F.col(user).alias("user"),
+        # cast: parquet NTZ timestamps read as TIMESTAMP_NTZ, which
+        # unix_micros rejects; the session pins UTC so the cast is a
+        # relabel, matching the oracle's epoch_us on naive timestamps
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("t"),
+        F.col(order_id).alias("oid"),
+        j.alias("j"),
+    ).filter(F.col("j").isNotNull())
+
+    def fold(acc, e):
+        out = []
+        for k in range(1, k_n + 1):
+            cur = F.element_at(acc, k)
+            if k == 1:
+                out.append(
+                    F.when(e["j"] == 1, F.greatest(cur, e["t"])).otherwise(cur)
+                )
+            else:
+                prev = F.element_at(acc, k - 1)
+                ok = (e["j"] == k) & (prev > neg) & (e["t"] - prev <= h_us)
+                out.append(F.when(ok, F.greatest(cur, prev)).otherwise(cur))
+        return F.array(*out)
+
+    lst = F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("oid"), F.col("j"))))
+    per_user = ev.groupBy("user").agg(lst.alias("_l"))
+    acc = F.aggregate(
+        F.col("_l"), F.array(*[neg for _ in range(k_n)]), fold
+    )
+    return per_user.select(
+        "user",
+        F.size(F.filter(acc, lambda v: v > neg)).cast("long").alias("funnel_level"),
+        F.when(
+            F.element_at(acc, k_n) > neg, F.element_at(acc, k_n)
+        ).alias("funnel_start_us"),
+    )

@@ -5420,6 +5420,11 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 10-minute stay criterion
 _TRAJ_EPS = 8_000_000
 _TRAJ_MIN_STAY_S = 600
+#: window-funnel gate params: view -> click -> purchase within 4 h of
+#: the chain's FIRST step (150/99/4 users at levels >=1/2/3 at sf0.01 —
+#: genuinely mixed at the driver's gate scale)
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_H_S = 14_400
 
 
 @register(
@@ -5483,6 +5488,46 @@ _TRAJ_MIN_STAY_S = 600
                     / CAST(tn * sxx - sx * sx AS DOUBLE) END AS intercept,
              CAST(tn * sxx - sx * sx AS VARCHAR) AS trend_den_str
       FROM tm
+    ),
+    -- window funnel (relational.funnel_levels, ClickHouse
+    -- windowFunnel semantics): the oracle verifies with a genuinely
+    -- DIFFERENT algorithm — brute exists-joins over the same
+    -- (ts, event_id) total order — where Spark runs the single-agg
+    -- max-start DP fold
+    f1 AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = '{_FUNNEL_STEPS[0]}'),
+    f2 AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = '{_FUNNEL_STEPS[1]}'),
+    f3 AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = '{_FUNNEL_STEPS[2]}'),
+    fl2 AS (
+      SELECT DISTINCT a.user_id FROM f1 a JOIN f2 b
+        ON b.user_id = a.user_id
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+       AND epoch_us(b.ts) - epoch_us(a.ts) <= {_FUNNEL_H_S * 1_000_000}
+    ),
+    fl3 AS (
+      SELECT a.user_id, CAST(max(epoch_us(a.ts)) AS BIGINT) AS fstart
+      FROM f1 a
+      JOIN f2 b ON b.user_id = a.user_id
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+      JOIN f3 c ON c.user_id = a.user_id
+       AND (b.ts < c.ts OR (b.ts = c.ts AND b.event_id < c.event_id))
+       AND epoch_us(c.ts) - epoch_us(a.ts) <= {_FUNNEL_H_S * 1_000_000}
+      GROUP BY a.user_id
+    ),
+    fnl AS (
+      SELECT u.user_id,
+             CASE WHEN l3.user_id IS NOT NULL THEN 3
+                  WHEN l2.user_id IS NOT NULL THEN 2
+                  WHEN e1.user_id IS NOT NULL THEN 1 ELSE 0 END
+               AS funnel_level,
+             l3.fstart AS funnel_start_us
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN (SELECT DISTINCT user_id FROM f1) e1
+        ON e1.user_id = u.user_id
+      LEFT JOIN fl2 l2 ON l2.user_id = u.user_id
+      LEFT JOIN fl3 l3 ON l3.user_id = u.user_id
     )
     SELECT sg.user_id, event_id, session_id, seg_id,
            CAST(count(*) OVER ws AS BIGINT) AS seg_n,
@@ -5496,8 +5541,11 @@ _TRAJ_MIN_STAY_S = 600
            scd_version, valid_from_s, valid_to_s,
            CAST(CASE WHEN valid_to_s IS NULL THEN 1 ELSE 0 END AS BIGINT)
              AS is_current,
-           tt.n_obs, tt.slope, tt.intercept, tt.trend_den_str
+           tt.n_obs, tt.slope, tt.intercept, tt.trend_den_str,
+           CAST(COALESCE(fnl.funnel_level, 0) AS BIGINT) AS funnel_level,
+           fnl.funnel_start_us
     FROM sg JOIN tt ON tt.user_id = sg.user_id
+    LEFT JOIN fnl ON fnl.user_id = sg.user_id
     WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
     ORDER BY sg.user_id, event_id
     """,
@@ -5527,8 +5575,17 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile into half-open [valid_from_s, valid_to_s) with a 1-based
     scd_version and exactly one open current row per key; rides the
     SAME (user, ts, event_id) window partitioning, so the fold adds
-    no shuffle."""
+    no shuffle.
+
+    PLUS the window funnel (operators/relational.funnel_levels —
+    ClickHouse windowFunnel): per user the deepest in-order prefix of
+    view -> click -> purchase within {_FUNNEL_H_S} s of the chain's
+    FIRST step, as a single-agg exact-integer max-start DP fold; the
+    oracle proves it with a DIFFERENT algorithm (brute exists-joins
+    over the same (ts, event_id) total order), and level-3 users also
+    pin the latest complete chain's start micros."""
     from ..operators.relational import (
+        funnel_levels,
         group_trend,
         scd2_intervals,
         trajectory_segments,
@@ -5563,6 +5620,9 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "y",
     )
+    fl = funnel_levels(
+        _t(spark, sf_dir, "events"), list(_FUNNEL_STEPS), _FUNNEL_H_S
+    ).select(F.col("user").alias("user_id"), "funnel_level", "funnel_start_us")
     return (
         scd2_intervals(
             seg.withColumn(
@@ -5574,6 +5634,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=["ts", "event_id"],
         )
         .join(tr, "user_id")
+        .join(fl, "user_id", "left")
         .select(
             "user_id",
             "event_id",
@@ -5590,6 +5651,10 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope",
             "intercept",
             "trend_den_str",
+            F.coalesce(F.col("funnel_level"), F.lit(0))
+            .cast("long")
+            .alias("funnel_level"),
+            "funnel_start_us",
         )
         .orderBy("user_id", "event_id")
     )

@@ -243,3 +243,134 @@ def test_scd2_intervals_reference(spark):
         and (r.valid_to_s is None or 300 < r.valid_to_s)
     ]
     assert live == [3]
+
+
+def _funnel_ref(rows, steps, horizon_s):
+    """Brute-force reference: deepest k with an in-order chain of the
+    step types within horizon of the chain's first event, ordering by
+    (ts, id)."""
+    H = horizon_s * 1_000_000
+    by_user = {}
+    for uid, t_us, eid, et in rows:
+        by_user.setdefault(uid, []).append((t_us, eid, et))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        best = 0
+        # chains = list of (start, level) reachable states, brute DFS
+        def extend(level, start, pos):
+            nonlocal best
+            best = max(best, level)
+            if level == len(steps):
+                return
+            for i in range(pos, len(evs)):
+                t, eid, et = evs[i]
+                if et == steps[level] and t - start <= H:
+                    extend(level + 1, start, i + 1)
+        for i, (t, eid, et) in enumerate(evs):
+            if et == steps[0]:
+                extend(1, t, i + 1)
+        out[uid] = best
+    return out
+
+
+def _funnel_run(spark, rows, steps, horizon_s):
+    import datetime as dt
+
+    from osm_replication_rust_spark.operators.relational import funnel_levels
+
+    data = [
+        {
+            "user_id": uid,
+            "ts": dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=t_us),
+            "event_id": eid,
+            "event_type": et,
+        }
+        for uid, t_us, eid, et in rows
+    ]
+    df = spark.createDataFrame(data)
+    return {
+        r.user: (r.funnel_level, r.funnel_start_us)
+        for r in funnel_levels(df, steps, horizon_s).collect()
+    }
+
+
+def test_funnel_planted(spark):
+    S = ["view", "click", "purchase"]
+    s = 1_000_000
+    rows = [
+        # A: full chain inside horizon
+        (1, 0, 1, "view"), (1, 10 * s, 2, "click"), (1, 20 * s, 3, "purchase"),
+        # B: click outside horizon
+        (2, 0, 4, "view"), (2, 100 * s, 5, "click"),
+        # C: out of order (purchase before click)
+        (3, 0, 6, "view"), (3, 5 * s, 7, "purchase"), (3, 10 * s, 8, "click"),
+        # D: max-start DP — only the LATER view completes within horizon
+        (4, 0, 9, "view"), (4, 50 * s, 10, "view"),
+        (4, 55 * s, 11, "click"), (4, 120 * s, 12, "purchase"),
+        # E: no step-1 at all
+        (5, 0, 13, "click"), (5, 1 * s, 14, "purchase"),
+    ]
+    got = _funnel_run(spark, rows, S, 60)
+    base = 1704067200 * s  # 2024-01-01 epoch micros
+    assert got[1] == (3, base + 0)
+    assert got[2][0] == 1
+    assert got[3][0] == 2  # view -> click ok, purchase came too early
+    assert got[4][0] == 2  # at H=60 neither view's chain completes
+    assert got[5] == (0, None)  # step events but no step-1 -> level 0
+    ref = _funnel_ref(rows, S, 60)
+    for uid, (lvl, _) in got.items():
+        assert lvl == ref[uid]
+    # max-start DP: at H=80 ONLY the later view's chain completes
+    # (120 - 50 = 70 <= 80 but 120 - 0 > 80), pinning that acc keeps
+    # the LATEST chain start per level
+    got80 = _funnel_run(spark, rows, S, 80)
+    assert got80[4] == (3, base + 50 * s)
+    assert _funnel_ref(rows, S, 80)[4] == 3
+
+
+def test_funnel_equal_timestamp_tiebreak(spark):
+    S = ["view", "click"]
+    # same ts: click id AFTER view id counts; BEFORE does not
+    got = _funnel_run(spark, [(1, 0, 1, "view"), (1, 0, 2, "click")], S, 60)
+    assert got[1][0] == 2
+    got = _funnel_run(spark, [(1, 0, 2, "view"), (1, 0, 1, "click")], S, 60)
+    assert got[1][0] == 1
+
+
+def test_funnel_random_matches_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    S = ["view", "click", "purchase"]
+    types = S + ["error", "signup"]
+    rows = []
+    eid = 0
+    for uid in range(25):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (uid, rng.randrange(0, 300) * 1_000_000, eid, rng.choice(types))
+            )
+            eid += 1
+    got = _funnel_run(spark, rows, S, 100)
+    ref = _funnel_ref(rows, S, 100)
+    for uid, lvl in ref.items():
+        if any(et == S[0] for u, t, e, et in rows if u == uid) or any(
+            et in S for u, t, e, et in rows if u == uid
+        ):
+            if uid in got:
+                assert got[uid][0] == lvl, uid
+            else:
+                assert lvl == 0
+
+
+def test_funnel_guards(spark):
+    from osm_replication_rust_spark.operators.relational import funnel_levels
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_id long, event_type string")
+    with pytest.raises(ValueError):
+        funnel_levels(df, ["a", "a"], 60)
+    with pytest.raises(ValueError):
+        funnel_levels(df, ["a"], 60)
+    with pytest.raises(ValueError):
+        funnel_levels(df, ["a", "b"], 0)
