@@ -434,3 +434,49 @@ def funnel_levels(
             F.element_at(acc, k_n) > neg, F.element_at(acc, k_n)
         ).alias("funnel_start_us"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    period_s: int,
+    user: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix — the third leg of the event-analytics
+    trio (sessionize, funnel, retention): users cohort by the period
+    of their FIRST event, and each matrix cell counts how many of a
+    cohort's users were active ``offset_p`` periods later.
+
+    Returns ``(cohort_p, offset_p, n_users)`` with ``cohort_p`` the
+    cohort's absolute period index (``epoch_seconds DIV period_s`` —
+    truncating int division == floor on the positive epochs this
+    engine's timestamps live in, so Spark ``DIV`` and SQL ``//`` agree
+    bit-for-bit), ``offset_p >= 0``, and cells with zero active users
+    absent (a dense matrix is the caller's generate_series join).
+
+    Shape: one (user, period) distinct + one per-user min aggregation
+    + one matrix aggregation — all hash aggs with map-side combine,
+    all exact integers. No window, no Python, no per-user state beyond
+    the distinct's own key.
+
+    Scale: the (user, period) distinct is the heavy step and is
+    bounded by ACTIVITY (one row per user-period, not per event);
+    cohort skew (one giant launch-day cohort) lands on distinct
+    (cohort, offset) reducer keys, never one hot key."""
+    if period_s <= 0:
+        raise ValueError(f"period_s must be positive: {period_s}")
+    base = df.select(
+        F.col(user).alias("user"),
+        # double cast: parquet NTZ timestamps reject a direct LONG
+        # cast; the session pins UTC so TIMESTAMP is a relabel
+        F.col(ts).cast("timestamp").cast("long").alias("_e"),
+    ).select("user", F.expr(f"_e DIV {period_s}").alias("p"))
+    first = base.groupBy("user").agg(F.min("p").alias("cohort_p"))
+    act = (
+        base.distinct()
+        .join(first, "user")
+        .select("cohort_p", (F.col("p") - F.col("cohort_p")).alias("offset_p"))
+    )
+    return act.groupBy("cohort_p", "offset_p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

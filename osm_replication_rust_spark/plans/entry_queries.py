@@ -5425,6 +5425,11 @@ _TRAJ_MIN_STAY_S = 600
 #: genuinely mixed at the driver's gate scale)
 _FUNNEL_STEPS = ("view", "click", "purchase")
 _FUNNEL_H_S = 14_400
+#: cohort-retention gate param: hourly periods (per-user activity is
+#: ~one event / 9 h at sf0.01, so user-periods genuinely skip — 32
+#: cohorts, cell counts 1-19; weekly/daily periods are degenerate
+#: full-retention on this fixture)
+_COHORT_PERIOD_S = 3_600
 
 
 @register(
@@ -5528,7 +5533,18 @@ _FUNNEL_H_S = 14_400
         ON e1.user_id = u.user_id
       LEFT JOIN fl2 l2 ON l2.user_id = u.user_id
       LEFT JOIN fl3 l3 ON l3.user_id = u.user_id
-    )
+    ),
+    -- cohort retention (relational.cohort_retention): hourly periods,
+    -- cohort = the user's first active period, cell = distinct users
+    -- of a cohort active at that offset
+    cb AS (SELECT user_id, epoch_us(ts) // 1000000 // {_COHORT_PERIOD_S} AS p
+           FROM events),
+    cf AS (SELECT user_id, CAST(min(p) AS BIGINT) AS cohort_p
+           FROM cb GROUP BY user_id),
+    ca AS (SELECT DISTINCT b.user_id, f.cohort_p, b.p - f.cohort_p AS offset_p
+           FROM cb b JOIN cf f ON f.user_id = b.user_id),
+    cm AS (SELECT cohort_p, offset_p, CAST(count(*) AS BIGINT) AS ret_n
+           FROM ca GROUP BY cohort_p, offset_p)
     SELECT sg.user_id, event_id, session_id, seg_id,
            CAST(count(*) OVER ws AS BIGINT) AS seg_n,
            CAST(max(epoch_us(ts) // 1000000) OVER ws
@@ -5543,9 +5559,17 @@ _FUNNEL_H_S = 14_400
              AS is_current,
            tt.n_obs, tt.slope, tt.intercept, tt.trend_den_str,
            CAST(COALESCE(fnl.funnel_level, 0) AS BIGINT) AS funnel_level,
-           fnl.funnel_start_us
+           fnl.funnel_start_us,
+           cf.cohort_p,
+           CAST(epoch_us(ts) // 1000000 // {_COHORT_PERIOD_S} - cf.cohort_p
+                AS BIGINT) AS offset_p,
+           cm.ret_n
     FROM sg JOIN tt ON tt.user_id = sg.user_id
     LEFT JOIN fnl ON fnl.user_id = sg.user_id
+    JOIN cf ON cf.user_id = sg.user_id
+    JOIN cm ON cm.cohort_p = cf.cohort_p
+           AND cm.offset_p = epoch_us(ts) // 1000000 // {_COHORT_PERIOD_S}
+                             - cf.cohort_p
     WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
     ORDER BY sg.user_id, event_id
     """,
@@ -5583,8 +5607,16 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST step, as a single-agg exact-integer max-start DP fold; the
     oracle proves it with a DIFFERENT algorithm (brute exists-joins
     over the same (ts, event_id) total order), and level-3 users also
-    pin the latest complete chain's start micros."""
+    pin the latest complete chain's start micros.
+
+    PLUS cohort retention (operators/relational.cohort_retention, the
+    trio's third leg): hourly periods (see _COHORT_PERIOD_S for why
+    coarser periods are degenerate on this fixture), each event row
+    carrying its user's cohort_p, its own offset_p, and the matrix
+    cell ret_n — distinct users of that cohort active at that offset —
+    so the complete retention matrix is pinned through the join."""
     from ..operators.relational import (
+        cohort_retention,
         funnel_levels,
         group_trend,
         scd2_intervals,
@@ -5623,6 +5655,16 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fl = funnel_levels(
         _t(spark, sf_dir, "events"), list(_FUNNEL_STEPS), _FUNNEL_H_S
     ).select(F.col("user").alias("user_id"), "funnel_level", "funnel_start_us")
+    raw_ev = _t(spark, sf_dir, "events")
+    ret = cohort_retention(raw_ev, _COHORT_PERIOD_S)
+    coh = (
+        raw_ev.select(
+            "user_id",
+            F.expr(f"CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV {_COHORT_PERIOD_S}").alias("_p"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("_p").cast("long").alias("cohort_p"))
+    )
     return (
         scd2_intervals(
             seg.withColumn(
@@ -5635,6 +5677,12 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(tr, "user_id")
         .join(fl, "user_id", "left")
+        .join(coh, "user_id")
+        .withColumn(
+            "offset_p",
+            F.expr(f"CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV {_COHORT_PERIOD_S}") - F.col("cohort_p"),
+        )
+        .join(ret.withColumnRenamed("n_users", "ret_n"), ["cohort_p", "offset_p"])
         .select(
             "user_id",
             "event_id",
@@ -5655,6 +5703,9 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("funnel_level"),
             "funnel_start_us",
+            "cohort_p",
+            F.col("offset_p").cast("long").alias("offset_p"),
+            "ret_n",
         )
         .orderBy("user_id", "event_id")
     )

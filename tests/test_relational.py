@@ -374,3 +374,65 @@ def test_funnel_guards(spark):
         funnel_levels(df, ["a"], 60)
     with pytest.raises(ValueError):
         funnel_levels(df, ["a", "b"], 0)
+
+
+def _retention_run(spark, rows, period_s):
+    import datetime as dt
+
+    from osm_replication_rust_spark.operators.relational import cohort_retention
+
+    data = [
+        {"user_id": u, "ts": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t)}
+        for u, t in rows
+    ]
+    return {
+        (r.cohort_p, r.offset_p): r.n_users
+        for r in cohort_retention(spark.createDataFrame(data), period_s).collect()
+    }
+
+
+def test_cohort_retention_planted(spark):
+    P = 100
+    base = 1704067200 // P  # 2024-01-01 period index
+    rows = [
+        (1, 0), (1, 150), (1, 410),   # user 1: cohort base, offsets 0,1,4
+        (2, 50), (2, 160),            # user 2: cohort base, offsets 0,1
+        (3, 250), (3, 260),           # user 3: cohort base+2, offset 0 (dup period)
+    ]
+    got = _retention_run(spark, rows, P)
+    assert got == {
+        (base, 0): 2, (base, 1): 2, (base, 4): 1,
+        (base + 2, 0): 1,
+    }
+
+
+def test_cohort_retention_random_matches_reference(spark):
+    import random
+
+    rng = random.Random(5)
+    P = 60
+    rows = [
+        (u, rng.randrange(0, 4000)) for u in range(30) for _ in range(rng.randint(1, 10))
+    ]
+    got = _retention_run(spark, rows, P)
+    ref = {}
+    first = {}
+    for u, t in sorted(rows, key=lambda r: r[1]):
+        p = (1704067200 + t) // P
+        first.setdefault(u, p)
+    seen = set()
+    for u, t in rows:
+        p = (1704067200 + t) // P
+        key = (first[u], p - first[u])
+        if (u, p) not in seen:
+            seen.add((u, p))
+            ref[key] = ref.get(key, 0) + 1
+    assert got == ref
+
+
+def test_cohort_retention_guard(spark):
+    from osm_replication_rust_spark.operators.relational import cohort_retention
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp")
+    with pytest.raises(ValueError):
+        cohort_retention(df, 0)
