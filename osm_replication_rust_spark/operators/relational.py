@@ -480,3 +480,70 @@ def cohort_retention(
     return act.groupBy("cohort_p", "offset_p").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x: str,
+    y: str,
+    bucket_width: int,
+    out: str = "sky",
+) -> DataFrame:
+    """2-D Pareto frontier (skyline) flag — the multi-objective
+    selection primitive ("best documents by quality AND brevity",
+    "south-west frontier of a point cloud"): ``out`` = 1 iff no other
+    row DOMINATES this one, where q dominates p iff ``q.x <= p.x AND
+    q.y <= p.y`` with at least one strict (both MINIMIZED; negate a
+    column to maximize it). Exact duplicates dominate nothing, so tied
+    frontier points all keep the flag — deterministic, order-free,
+    exact int64 throughout.
+
+    The naive skyline is an O(n²) NOT-EXISTS anti-join (the oracle
+    shape). The distributed form is the grid-partitioned skyline:
+
+    - rows bucket by ``x DIV bucket_width`` (Euclidean floor division
+      — monotone, so every row of an earlier bucket has strictly
+      smaller x);
+    - WITHIN a bucket, domination splits exactly into "strictly
+      smaller x" (a running ``min(y)`` over a RANGE frame ending at
+      x−1) and "equal x, strictly smaller y" (a per-(bucket, x) min)
+      — two window passes over one (bucket, x) sort;
+    - ACROSS buckets, the only fact needed from all earlier buckets is
+      their min(y) (their x is strictly smaller by construction), so a
+      per-bucket min aggregate + a prefix-min over the BUCKET frame
+      (cells-width — one row per occupied bucket, the quadtree-carry
+      convention) joins back as the carry.
+
+    dominated  ⇔  carry_min <= y  ∨  min_{x'<x, same bucket}(y') <= y
+                  ∨  min_{x'=x}(y') < y
+
+    Scale: one (bucket)-keyed window sort over the facts + one
+    cells-width prefix window + one broadcast-sized carry join; no
+    loop, no Python, no O(n²) anywhere. ``bucket_width`` trades carry
+    size against per-bucket window width — any positive value is
+    CORRECT (the flag is bucket-invariant; tested), it only moves
+    work between the window and the carry."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive: {bucket_width}")
+    xs = F.col(x).cast("long")
+    ys = F.col(y).cast("long")
+    base = df.withColumn("_bx", _bucket_of(xs, bucket_width))
+    w_lt = (
+        Window.partitionBy("_bx")
+        .orderBy(xs)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("_bx", xs)
+    bmin = base.groupBy("_bx").agg(F.min(ys).alias("_bm"))
+    w_carry = Window.orderBy("_bx").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bmin.select("_bx", F.min("_bm").over(w_carry).alias("_cm"))
+    dominated = (
+        (F.col("_cm") <= ys)
+        | (F.min(ys).over(w_lt) <= ys)
+        | (F.min(ys).over(w_eq) < ys)
+    )
+    return (
+        base.join(carry, "_bx", "left")
+        .withColumn(out, F.when(dominated, 0).otherwise(1).cast("long"))
+        .drop("_bx", "_cm")
+    )

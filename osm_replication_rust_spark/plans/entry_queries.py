@@ -448,6 +448,10 @@ _KNN_EPS_RES = 23
 #: hex binning fold on the pip_polygon row: circumradius 0.025 deg
 _HEX_GATE_SIZE = 250_000.0
 _HEX_Q_SQL, _HEX_R_SQL = C.sql_hex_cell("hp.lon", "hp.lat", _HEX_GATE_SIZE)
+#: skyline fold on the pip_polygon row: 5 deg grid buckets (~36 occupied
+#: over the fixture's +-90 deg lat span) — correctness is
+#: bucket-invariant (tested), the width only sizes the carry
+_SKY_BUCKET_W = 50_000_000
 
 
 @register(
@@ -485,6 +489,24 @@ _HEX_Q_SQL, _HEX_R_SQL = C.sql_hex_cell("hp.lon", "hp.lat", _HEX_GATE_SIZE)
                  THEN CAST({IDW_SCALE_K} // greatest(dist2, 1)
                            AS HUGEINT) END) AS idw_den
       FROM idwd GROUP BY event_id
+    ),
+    skyl AS (
+      -- brute NOT-EXISTS skyline twin (operators/relational.
+      -- pareto_frontier): q dominates p iff q <= p on both axes with
+      -- at least one strict; exact duplicates dominate nothing
+      SELECT p.point_id,
+             CAST(CASE WHEN EXISTS (
+               SELECT 1 FROM dp q
+               WHERE q.lat <= p.lat AND q.lon <= p.lon
+                 AND (q.lat < p.lat OR q.lon < p.lon)
+             ) THEN 0 ELSE 1 END AS BIGINT) AS sky
+      FROM dp p
+    ),
+    skyg AS (
+      SELECT CAST(SUM(sky) AS BIGINT) AS sky_n,
+             md5(string_agg(point_id || ':' || sky, ',' ORDER BY point_id))
+               AS sky_sig
+      FROM skyl
     )
     SELECT pip.event_id AS event_id,
            CAST(da.is_core AS BIGINT) AS dbscan_core,
@@ -497,12 +519,17 @@ _HEX_Q_SQL, _HEX_R_SQL = C.sql_hex_cell("hp.lon", "hp.lat", _HEX_GATE_SIZE)
            ia.n_idw AS n_idw,
            CAST(COALESCE(ia.idw_den, 0) AS VARCHAR) AS idw_den_str,
            {_HEX_Q_SQL} AS hex_q,
-           {_HEX_R_SQL} AS hex_r
+           {_HEX_R_SQL} AS hex_r,
+           sl.sky AS sky,
+           sg.sky_n AS sky_n,
+           sg.sky_sig AS sky_sig
     FROM pip
     LEFT JOIN dall da ON da.point_id = pip.event_id
     CROSS JOIN dglob dg
     JOIN iagg ia ON ia.event_id = pip.event_id
     JOIN ipts hp ON hp.event_id = pip.event_id
+    LEFT JOIN skyl sl ON sl.point_id = pip.event_id
+    CROSS JOIN skyg sg
     ORDER BY pip.event_id
     """,
 )
@@ -531,8 +558,17 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderings — with the exact Σwq carried as digits (idw_den_str)
     behind the float. (Relocated from the benched knn row — the
     second eps-disk join + decimal agg is gate value, not bench
-    value.)"""
+    value.)
+
+    PLUS the 2-D Pareto frontier (operators/relational.pareto_frontier
+    — grid-bucketed skyline: per-bucket running-min windows + a
+    one-row-per-bucket prefix-min carry, no O(n²) anywhere) over the
+    SAME 1000-point fixture, minimizing (lat, lon) — the south-west
+    frontier. Each pip row carries its point's sky flag where the
+    fixture covers it, the global frontier size, and an md5 over the
+    ENTIRE sorted labeling vs the oracle's brute NOT-EXISTS twin."""
     from ..operators.knn import dbscan, idw_interpolate
+    from ..operators.relational import pareto_frontier
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -612,11 +648,32 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_h.hq").alias("hex_q"),
         F.col("_h.hr").alias("hex_r"),
     )
+    sk = pareto_frontier(dpts, "lat", "lon", _SKY_BUCKET_W)
+    sky_str = F.concat_ws(":", F.col("point_id"), F.col("sky"))
+    skg = sk.agg(
+        F.sum("sky").cast("long").alias("sky_n"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("point_id"), sky_str.alias("s"))
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            )
+        ).alias("sky_sig"),
+    )
+    sklab = sk.select(F.col("point_id").alias("event_id"), "sky")
     return (
         pip.join(dlabels, "event_id", "left")
         .crossJoin(F.broadcast(dglob))
         .join(iw, "event_id")
         .join(hx, "event_id")
+        .join(sklab, "event_id", "left")
+        .crossJoin(F.broadcast(skg))
         .orderBy("event_id")
     )
 

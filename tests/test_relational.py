@@ -436,3 +436,48 @@ def test_cohort_retention_guard(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp")
     with pytest.raises(ValueError):
         cohort_retention(df, 0)
+
+
+def _sky_ref(pts):
+    out = []
+    for px, py in pts:
+        dom = any(
+            qx <= px and qy <= py and (qx < px or qy < py) for qx, qy in pts
+        )
+        out.append(0 if dom else 1)
+    return out
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    import random
+
+    from osm_replication_rust_spark.operators.relational import pareto_frontier
+
+    rng = random.Random(13)
+    pts = [(rng.randrange(-500, 500), rng.randrange(-500, 500)) for _ in range(300)]
+    pts += pts[:5]  # exact duplicates: tied frontier points both keep the flag
+    df = spark.createDataFrame(
+        [{"i": i, "x": a, "y": b} for i, (a, b) in enumerate(pts)]
+    )
+    ref = _sky_ref(pts)
+    for width in (1, 7, 64, 100000):  # incl. one-bucket and single-x buckets
+        got = {r.i: r.sky for r in pareto_frontier(df, "x", "y", width).collect()}
+        assert [got[i] for i in range(len(pts))] == ref, width
+
+
+def test_pareto_frontier_shapes(spark):
+    from osm_replication_rust_spark.operators.relational import pareto_frontier
+
+    # anti-diagonal: every point is on the frontier
+    diag = [{"i": i, "x": i, "y": 10 - i} for i in range(11)]
+    got = pareto_frontier(spark.createDataFrame(diag), "x", "y", 4).collect()
+    assert all(r.sky == 1 for r in got)
+    # one global minimum dominates everything else
+    pts = [{"i": 0, "x": 0, "y": 0}] + [
+        {"i": i, "x": i, "y": i} for i in range(1, 6)
+    ]
+    got = {r.i: r.sky for r in pareto_frontier(
+        spark.createDataFrame(pts), "x", "y", 2).collect()}
+    assert got == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
+    with pytest.raises(ValueError):
+        pareto_frontier(spark.createDataFrame(pts), "x", "y", 0)
