@@ -74,13 +74,15 @@ def _eps_disk_candidates(
     res: int,
     q_id: str,
     p_cols: list | None = None,
+    q_cols: list | None = None,
 ):
     """Shared eps-disk candidate join (the eps_neighbor_counts /
     idw_interpolate common core): validates the (eps, res) guards,
     buckets points by grid cell, explodes each query to the literal
     offsets covering its disk, and returns (cand, hit) where ``cand``
     is the left-joined candidate frame (carrying ``p_cols`` from the
-    point side) and ``hit`` the exact int64 in-disk predicate."""
+    point side and ``q_cols`` from the query side) and ``hit`` the
+    exact int64 in-disk predicate."""
     if eps <= 0:
         raise ValueError("eps must be a positive decimicro radius")
     edge = cell_edge(res)
@@ -113,6 +115,7 @@ def _eps_disk_candidates(
         F.col("lat").alias("_qlat"),
         F.col("lon").alias("_qlon"),
         cell_id(F.col("lon"), F.col("lat"), res).alias("_qcell"),
+        *(q_cols or []),
     )
     cand = (
         q.withColumn("_off", F.explode(F.array(*[F.lit(o) for o in offs])))
@@ -433,3 +436,123 @@ def knn_cell_ring(
         for df in cached:
             df.unpersist()
     return out
+
+
+def ripley_k(
+    points: DataFrame,
+    radii: list,
+    res: int = DEFAULT_RES,
+    id_col: str = "point_id",
+    area: float = 1.0,
+) -> DataFrame:
+    """Ripley's K function — the canonical point-pattern statistic
+    (clustered vs dispersed vs Poisson at each scale r): for every
+    radius in ``radii``, the ORDERED i≠j pair count within exact
+    distance r, and K̂(r) = area · pairs / (n·(n−1)). (The reference
+    has no point-pattern analytics; this extends its spatial-join
+    family the way dbscan/idw do — SURVEY.md J6 siblings.)
+
+    Returns ONE row: n (long), then per radius index i
+    ``rip_n_{i}`` (exact long ordered-pair count, d ≤ r inclusive,
+    co-located distinct points count) and ``rip_k_{i}`` (double,
+    a single multiply/divide over exact ints — bit-reproducible).
+
+    Plan: ONE eps-disk candidate join at max(radii) (cell equi-join,
+    literal offset fan-out, exact int64 distances — the
+    eps_neighbor_counts core) + ONE global aggregate with a
+    conditional counter per radius (partial map-side combine collapses
+    each partition to len(radii)+1 counters). No per-radius rescans,
+    no O(n²): the candidate list is disk-bounded per point; a
+    mega-cell is an AQE skew split like the kNN ring join."""
+    if not radii or sorted(radii) != list(radii):
+        raise ValueError("radii must be a non-empty ascending list")
+    q = points.select(F.col(id_col).alias("_rq"), "lat", "lon")
+    cand, hit = _eps_disk_candidates(
+        q, points, int(max(radii)), res, "_rq",
+        p_cols=[F.col(id_col).alias("_rp")],
+    )
+    d2 = _dist2(F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon"))
+    pair = F.col("_rp").isNotNull() & (F.col("_rp") != F.col("_rq"))
+    aggs = [F.countDistinct("_rq").alias("n")]
+    for i, r in enumerate(radii):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(pair & (d2 <= F.lit(int(r) * int(r))), 1)),
+                F.lit(0),
+            ).cast("long").alias(f"rip_n_{i}")
+        )
+    row = cand.agg(*aggs)
+    k_cols = [
+        (
+            F.lit(float(area)) * F.col(f"rip_n_{i}").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        ).alias(f"rip_k_{i}")
+        for i in range(len(radii))
+    ]
+    return row.select("n", *[F.col(f"rip_n_{i}") for i in range(len(radii))], *k_cols)
+
+
+def semivariogram(
+    points: DataFrame,
+    lag_w: int,
+    nbins: int,
+    v: str = "v",
+    res: int = DEFAULT_RES,
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Empirical semivariogram — kriging's first stage (how does a
+    sample surface decorrelate with distance): over ORDERED i≠j pairs
+    within max lag L = nbins·lag_w, bin b holds pairs with distance in
+    [b·lag_w, (b+1)·lag_w), membership decided on EXACT int64 squared
+    thresholds ((b·w)² ≤ d² < ((b+1)·w)² — no sqrt, no float binning),
+    and γ(b) = Σ(zᵢ−zⱼ)² / (2·count) — one division of two exact int64
+    sums, so the estimate reproduces bit-for-bit across engines
+    (ordered vs unordered pairing cancels in the ratio).
+
+    Returns ONE row: per bin b ``vg_n_{b}`` (long ordered-pair count),
+    ``vg_num_{b}`` (long exact Σ(zᵢ−zⱼ)²) and ``vg_g_{b}`` (double γ,
+    NULL for an empty bin).
+
+    Plan: same single-join shape as ripley_k — ONE cell equi-join at
+    the max lag + ONE global aggregate carrying 3 conditional counters
+    per bin; the CASE ladder over squared thresholds is pure JVM
+    codegen."""
+    if lag_w <= 0 or nbins <= 0:
+        raise ValueError("lag_w and nbins must be positive")
+    cand, hit = _eps_disk_candidates(
+        points.select(F.col(id_col).alias("_vq"), "lat", "lon", F.col(v).alias("_vz")),
+        points,
+        int(lag_w) * int(nbins),
+        res,
+        "_vq",
+        p_cols=[F.col(id_col).alias("_vp"), F.col(v).alias("_pz")],
+        q_cols=[F.col("_vz")],
+    )
+    d2 = _dist2(F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon"))
+    dz2 = (F.col("_vz") - F.col("_pz")) * (F.col("_vz") - F.col("_pz"))
+    pair = F.col("_vp").isNotNull() & (F.col("_vp") != F.col("_vq"))
+    aggs = []
+    for b in range(nbins):
+        lo, hi = (b * lag_w) ** 2, ((b + 1) * lag_w) ** 2
+        inbin = pair & (d2 >= F.lit(int(lo))) & (d2 < F.lit(int(hi)))
+        aggs.append(
+            F.coalesce(F.sum(F.when(inbin, 1)), F.lit(0))
+            .cast("long").alias(f"vg_n_{b}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(inbin, dz2)), F.lit(0))
+            .cast("long").alias(f"vg_num_{b}")
+        )
+    row = cand.agg(*aggs)
+    g_cols = [
+        F.when(
+            F.col(f"vg_n_{b}") > 0,
+            F.col(f"vg_num_{b}").cast("double")
+            / (F.lit(2.0) * F.col(f"vg_n_{b}").cast("double")),
+        ).alias(f"vg_g_{b}")
+        for b in range(nbins)
+    ]
+    return row.select(
+        *[F.col(c) for b in range(nbins) for c in (f"vg_n_{b}", f"vg_num_{b}")],
+        *g_cols,
+    )

@@ -452,6 +452,13 @@ _HEX_Q_SQL, _HEX_R_SQL = C.sql_hex_cell("hp.lon", "hp.lat", _HEX_GATE_SIZE)
 #: over the fixture's +-90 deg lat span) — correctness is
 #: bucket-invariant (tested), the width only sizes the carry
 _SKY_BUCKET_W = 50_000_000
+#: point-pattern folds on the pip_polygon row: Ripley radii 0.15/0.3/
+#: 0.6 deg and variogram lag grid 4 x 0.2 deg over the SAME dp
+#: fixture, both at res 23 (cell edge 2^23 covers the max radius ->
+#: 3x3 disk)
+_RIPLEY_RADII = (1_500_000, 3_000_000, 6_000_000)
+_VG_LAG_W, _VG_NBINS = 2_000_000, 4
+_PP_RES = 23
 
 
 @register(
@@ -507,6 +514,50 @@ _SKY_BUCKET_W = 50_000_000
              md5(string_agg(point_id || ':' || sky, ',' ORDER BY point_id))
                AS sky_sig
       FROM skyl
+    ),
+    ppd AS (
+      -- ordered i != j pair set of the dp fixture with exact d2 and
+      -- the deterministic sample surface z = point_id % 97 + 1 — the
+      -- brute twin of the engine's single-cell-join candidate pass
+      -- (operators/knn.ripley_k / semivariogram)
+      SELECT (a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon) AS d2,
+             ((a.point_id % 97 + 1) - (b.point_id % 97 + 1))
+             * ((a.point_id % 97 + 1) - (b.point_id % 97 + 1)) AS dz2
+      FROM dp a JOIN dp b ON a.point_id != b.point_id
+    ),
+    ppg AS (
+      SELECT
+        {', '.join(
+            f"CAST(COALESCE(SUM(CASE WHEN d2 <= CAST({r} AS BIGINT) * {r} "
+            f"THEN 1 END), 0) AS BIGINT) AS rip_n_{i}"
+            for i, r in enumerate(_RIPLEY_RADII)
+        )},
+        {', '.join(
+            f"CAST(COALESCE(SUM(CASE WHEN d2 >= CAST({(b * _VG_LAG_W) ** 2} "
+            f"AS BIGINT) AND d2 < CAST({((b + 1) * _VG_LAG_W) ** 2} AS BIGINT) "
+            f"THEN 1 END), 0) AS BIGINT) AS vg_n_{b}, "
+            f"CAST(COALESCE(SUM(CASE WHEN d2 >= CAST({(b * _VG_LAG_W) ** 2} "
+            f"AS BIGINT) AND d2 < CAST({((b + 1) * _VG_LAG_W) ** 2} AS BIGINT) "
+            f"THEN dz2 END), 0) AS BIGINT) AS vg_num_{b}"
+            for b in range(_VG_NBINS)
+        )}
+      FROM ppd
+    ),
+    ppk AS (
+      SELECT CAST({_DBSCAN_N} AS BIGINT) AS rip_pts, ppg.*,
+        {', '.join(
+            f"(1.0 * CAST(rip_n_{i} AS DOUBLE)) "
+            f"/ (CAST({_DBSCAN_N} AS DOUBLE) * CAST({_DBSCAN_N - 1} AS DOUBLE)) "
+            f"AS rip_k_{i}"
+            for i in range(len(_RIPLEY_RADII))
+        )},
+        {', '.join(
+            f"CASE WHEN vg_n_{b} > 0 THEN CAST(vg_num_{b} AS DOUBLE) "
+            f"/ (2.0 * CAST(vg_n_{b} AS DOUBLE)) END AS vg_g_{b}"
+            for b in range(_VG_NBINS)
+        )}
+      FROM ppg
     )
     SELECT pip.event_id AS event_id,
            CAST(da.is_core AS BIGINT) AS dbscan_core,
@@ -522,7 +573,8 @@ _SKY_BUCKET_W = 50_000_000
            {_HEX_R_SQL} AS hex_r,
            sl.sky AS sky,
            sg.sky_n AS sky_n,
-           sg.sky_sig AS sky_sig
+           sg.sky_sig AS sky_sig,
+           pk.*
     FROM pip
     LEFT JOIN dall da ON da.point_id = pip.event_id
     CROSS JOIN dglob dg
@@ -530,6 +582,7 @@ _SKY_BUCKET_W = 50_000_000
     JOIN ipts hp ON hp.event_id = pip.event_id
     LEFT JOIN skyl sl ON sl.point_id = pip.event_id
     CROSS JOIN skyg sg
+    CROSS JOIN ppk pk
     ORDER BY pip.event_id
     """,
 )
@@ -566,8 +619,16 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME 1000-point fixture, minimizing (lat, lon) — the south-west
     frontier. Each pip row carries its point's sky flag where the
     fixture covers it, the global frontier size, and an md5 over the
-    ENTIRE sorted labeling vs the oracle's brute NOT-EXISTS twin."""
-    from ..operators.knn import dbscan, idw_interpolate
+    ENTIRE sorted labeling vs the oracle's brute NOT-EXISTS twin.
+
+    PLUS the two point-pattern statistics over the SAME fixture, each
+    ONE cell equi-join + ONE global aggregate (operators/knn):
+    Ripley's K at three radii (exact ordered-pair counts + K̂ as a
+    single divide of exact ints) and the empirical semivariogram over
+    a 4-bin lag grid of the z = point_id % 97 + 1 surface (bins decided
+    on exact squared thresholds — no sqrt; γ = Σdz²/(2·n) one divide)
+    vs the oracle's brute quadratic pair set."""
+    from ..operators.knn import dbscan, idw_interpolate, ripley_k, semivariogram
     from ..operators.relational import pareto_frontier
 
     ev = _t(spark, sf_dir, "events").select(
@@ -667,6 +728,15 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sky_sig"),
     )
     sklab = sk.select(F.col("point_id").alias("event_id"), "sky")
+    rip = ripley_k(dpts, list(_RIPLEY_RADII), res=_PP_RES).withColumnRenamed(
+        "n", "rip_pts"
+    )
+    vg = semivariogram(
+        dpts.withColumn("v", F.col("point_id") % 97 + 1),
+        lag_w=_VG_LAG_W,
+        nbins=_VG_NBINS,
+        res=_PP_RES,
+    )
     return (
         pip.join(dlabels, "event_id", "left")
         .crossJoin(F.broadcast(dglob))
@@ -674,6 +744,8 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hx, "event_id")
         .join(sklab, "event_id", "left")
         .crossJoin(F.broadcast(skg))
+        .crossJoin(F.broadcast(rip))
+        .crossJoin(F.broadcast(vg))
         .orderBy("event_id")
     )
 

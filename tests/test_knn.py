@@ -298,3 +298,69 @@ def test_dbscan_all_noise_and_validation(spark):
 
     with pytest.raises(ValueError, match="min_pts"):
         dbscan(df, eps=1_000_000, min_pts=0)
+
+
+def test_ripley_k_matches_bruteforce(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.knn import ripley_k
+
+    rng = np.random.default_rng(7)
+    pts = [
+        (i, int(rng.integers(-9_000_000, 9_000_000)),
+         int(rng.integers(-9_000_000, 9_000_000)))
+        for i in range(200)
+    ]
+    pts.append((200, pts[0][1], pts[0][2]))  # co-located distinct pair counts
+    radii = [1_000_000, 3_000_000, 6_000_000]
+    df = spark.createDataFrame(pts, "point_id long, lat long, lon long")
+    row = ripley_k(df, radii, res=23, area=2.0).collect()[0]
+    n = len(pts)
+    assert row.n == n
+    for i, r in enumerate(radii):
+        ref = sum(
+            1
+            for a in pts
+            for b in pts
+            if a[0] != b[0]
+            and (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r
+        )
+        assert row[f"rip_n_{i}"] == ref, r
+        assert row[f"rip_k_{i}"] == 2.0 * ref / (n * (n - 1))
+
+    with pytest.raises(ValueError, match="ascending"):
+        ripley_k(df, [3, 1])
+
+
+def test_semivariogram_matches_bruteforce(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.knn import semivariogram
+
+    rng = np.random.default_rng(11)
+    pts = [
+        (i, int(rng.integers(-9_000_000, 9_000_000)),
+         int(rng.integers(-9_000_000, 9_000_000)), int(i * i % 53))
+        for i in range(200)
+    ]
+    lag_w, nbins = 2_000_000, 4
+    df = spark.createDataFrame(pts, "point_id long, lat long, lon long, v long")
+    row = semivariogram(df, lag_w=lag_w, nbins=nbins, res=23).collect()[0]
+    for b in range(nbins):
+        lo, hi = (b * lag_w) ** 2, ((b + 1) * lag_w) ** 2
+        sel = [
+            (a[3] - c[3]) ** 2
+            for a in pts
+            for c in pts
+            if a[0] != c[0]
+            and lo <= (a[1] - c[1]) ** 2 + (a[2] - c[2]) ** 2 < hi
+        ]
+        assert row[f"vg_n_{b}"] == len(sel), b
+        assert row[f"vg_num_{b}"] == sum(sel), b
+        if sel:
+            assert row[f"vg_g_{b}"] == sum(sel) / (2.0 * len(sel))
+        else:
+            assert row[f"vg_g_{b}"] is None
+
+    with pytest.raises(ValueError, match="positive"):
+        semivariogram(df, lag_w=0, nbins=4)
