@@ -529,3 +529,110 @@ def sql_redact_pii(text: str) -> str:
     for pat, tag in PII_REDACTION:
         out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# character-bigram language-model fluency (the CCNet-style perplexity
+# filter, stripped to its engine-expressible core: a corpus-trained
+# char n-gram LM scoring every document; low avg log-prob = noisy /
+# non-prose text a pretrain pipeline drops or down-weights)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document fluency under an add-one-smoothed character-bigram
+    LM trained on ``ref`` (default: the corpus itself — the in-domain
+    CCNet configuration): for each doc,
+
+        lm_avg_logp = mean over bigram positions of
+                      ln((cnt(c1c2) + 1) / (tot(c1) + V))
+
+    with cnt = corpus bigram count, tot(c1) = Σ_c cnt(c1c), and V =
+    distinct continuation characters corpus-wide (the Laplace
+    vocabulary). Emits (id, n_bigrams, lm_mass, lm_avg_logp) where
+    ``n_bigrams``/``lm_mass`` (Σ cnt over the doc's positions) are the
+    exact-integer pins behind the float score. Docs shorter than two
+    characters produce no row — callers left-join.
+
+    Plan: bigrams explode map-side from a sequence/substring transform
+    (pure JVM, no Python); the model is TWO tiny aggregates (bigram
+    counts ≤ |alphabet|², first-char totals) that broadcast back, so
+    the only data-sized shuffles are the model count (map-side combine
+    collapses each partition to its distinct-bigram set) and the
+    per-doc score aggregate. ln() may differ by an ulp per term across
+    engines and the sum order is engine-dependent — absorbed by the
+    oracle's 9-significant-digit compare (the exact invariants ride in
+    n_bigrams / lm_mass), same contract as bm25_scores."""
+    src = ref if ref is not None else df
+    bg_of = (
+        "transform(sequence(1, length({t}) - 1), i -> substring({t}, i, 2))"
+    )
+    def bge(frame):
+        return (
+            frame.filter(F.length(F.col(text_col)) >= 2)
+            .select(
+                F.col(id_col).alias("__lm_id"),
+                F.explode(F.expr(bg_of.format(t=text_col))).alias("bg"),
+            )
+        )
+
+    counts = bge(src).groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    tots = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("tot")
+    )
+    vocab = counts.agg(
+        F.countDistinct(F.substring("bg", 2, 1)).alias("v")
+    )
+    logp = F.log(
+        (F.col("cnt").cast("double") + F.lit(1.0))
+        / (F.col("tot").cast("double") + F.col("v").cast("double"))
+    )
+    return (
+        bge(df)
+        .join(F.broadcast(counts), "bg")
+        .join(F.broadcast(tots), F.substring("bg", 1, 1) == F.col("c1"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("__lm_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("lm_mass"),
+            (F.sum(logp) / F.count(F.lit(1))).alias("lm_avg_logp"),
+        )
+        .select(F.col("__lm_id").alias(id_col), "n_bigrams", "lm_mass", "lm_avg_logp")
+    )
+
+
+def sql_bigram_lm(id_out: str = "doc_id") -> str:
+    """DuckDB twin of bigram_lm_scores over the ``documents`` view
+    (self-trained configuration). Returns a CTE body string defining
+    ``lm`` with columns (id_out, n_bigrams, lm_mass, lm_avg_logp) —
+    splice after a leading WITH."""
+    return f"""
+    lm_bge AS (
+      SELECT doc_id AS {id_out},
+             unnest(list_transform(range(1, length(text)),
+                                   i -> substr(text, i, 2))) AS bg
+      FROM documents WHERE length(text) >= 2
+    ),
+    lm_cnt AS (SELECT bg, COUNT(*) AS cnt FROM lm_bge GROUP BY bg),
+    lm_tot AS (
+      SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot FROM lm_cnt GROUP BY c1
+    ),
+    lm_v AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS v FROM lm_cnt),
+    lm AS (
+      SELECT e.{id_out},
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c.cnt) AS BIGINT) AS lm_mass,
+             SUM(ln((CAST(c.cnt AS DOUBLE) + 1.0)
+                    / (CAST(t.tot AS DOUBLE) + CAST(v.v AS DOUBLE))))
+               / COUNT(*) AS lm_avg_logp
+      FROM lm_bge e
+      JOIN lm_cnt c USING (bg)
+      JOIN lm_tot t ON t.c1 = substr(e.bg, 1, 1)
+      CROSS JOIN lm_v v
+      GROUP BY e.{id_out}
+    )"""

@@ -1699,10 +1699,19 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark-decontamination screen (operators/contamination.py):
     distinct word-trigram overlap against the planted benchmark slice
     (doc_id % 37 == 0), exact integer counts and the one-division
-    fraction so the doubles hash-match bit-for-bit."""
+    fraction so the doubles hash-match bit-for-bit, PLUS the
+    char-bigram LM fluency score (operators/text.bigram_lm_scores —
+    the CCNet-style perplexity filter: corpus-trained add-one-smoothed
+    bigram model, two tiny broadcast aggregates, exact n_bigrams /
+    lm_mass pins behind the float avg log-prob)."""
     from ..operators.contamination import contamination_scores
     from ..operators.dedup import exact_duplicates
-    from ..operators.text import bm25_scores, lang_score, quality_features
+    from ..operators.text import (
+        bigram_lm_scores,
+        bm25_scores,
+        lang_score,
+        quality_features,
+    )
 
     d = _t(spark, sf_dir, "documents")
     q = quality_features(d, "text", "doc_id")
@@ -1726,16 +1735,19 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, d.filter(F.col("doc_id") % 37 == 0), "text", "doc_id",
         n=3, threshold=_CONTAM_THR,
     )
+    lm = bigram_lm_scores(d, "text", "doc_id")
     return (
         keep_q.join(keep_lang, "doc_id", "left_semi")
         .join(losers, "doc_id", "left_anti")
         .join(bm, "doc_id", "left")
         .join(cont, "doc_id", "left")
+        .join(lm, "doc_id", "left")
         .select(
             "doc_id", "n_tokens", F.coalesce("bm25", F.lit(0.0)).alias("bm25_q"),
             F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
             F.coalesce("n_contam", F.lit(0).cast("long")).alias("n_contam"),
             "contam_frac", "is_contaminated",
+            "n_bigrams", "lm_mass", "lm_avg_logp",
         )
         .orderBy("doc_id")
     )
@@ -1745,6 +1757,7 @@ def _fill_pipeline_oracle() -> None:
     from ..operators.contamination import sql_contamination_ctes
     from ..operators.text import (
         LANG_MARKERS as markers,
+        sql_bigram_lm,
         sql_bm25,
         sql_occurrences,
         sql_stopword_hits,
@@ -1753,6 +1766,7 @@ def _fill_pipeline_oracle() -> None:
 
     bm25 = sql_bm25(id_out="doc_id", query_terms=_BM25_QUERY)
     cont = sql_contamination_ctes("doc_id % 37 = 0", n=3)
+    lm = sql_bigram_lm()
 
     ntok = sql_token_count("text")
     padded = "(' ' || text || ' ')"
@@ -1787,15 +1801,19 @@ def _fill_pipeline_oracle() -> None:
       WHERE k.n > 1 AND d.doc_id <> k.keeper_id
     ),
     bm AS ({bm25}
-    ),{cont}
+    ),{cont},{lm}
     SELECT q.doc_id, q.n_tokens, COALESCE(bm.bm25, 0.0) AS bm25_q,
            COALESCE(cont.n_shingles, 0) AS n_shingles,
            COALESCE(cont.n_contam, 0) AS n_contam,
            cont.contam_frac AS contam_frac,
-           cont.contam_frac >= {_CONTAM_THR!r} AS is_contaminated
+           cont.contam_frac >= {_CONTAM_THR!r} AS is_contaminated,
+           lm.n_bigrams AS n_bigrams,
+           lm.lm_mass AS lm_mass,
+           lm.lm_avg_logp AS lm_avg_logp
     FROM q
     LEFT JOIN bm ON bm.doc_id = q.doc_id
     LEFT JOIN cont ON cont.doc_id = q.doc_id
+    LEFT JOIN lm ON lm.doc_id = q.doc_id
     WHERE q.n_tokens >= 10 AND q.mean_tok_len BETWEEN 3 AND 12 AND q.swr > 0
       AND q.doc_id IN (SELECT doc_id FROM lang)
       AND q.doc_id NOT IN (SELECT doc_id FROM losers)

@@ -389,3 +389,64 @@ def test_bpe_token_count_three_way_parity(spark):
     assert duck == got
     # sanity anchors: counts include whitespace-run segments
     assert got[1] == 2 and got[7] == 0 and got[8] == 0
+
+
+def test_bigram_lm_scores_matches_python_and_duckdb(spark):
+    import math
+
+    import duckdb
+
+    from osm_replication_rust_spark.operators.text import (
+        bigram_lm_scores,
+        sql_bigram_lm,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the"),
+        (3, "zzqxj zzqxj"),
+        (4, "a"),        # < 2 chars: no row
+        (5, ""),         # empty: no row
+        (6, "on the mat the cat sat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert set(got) == {1, 2, 3, 6}
+
+    # python reference
+    cnt: dict = {}
+    for _, t in docs:
+        for i in range(len(t) - 1):
+            cnt[t[i : i + 2]] = cnt.get(t[i : i + 2], 0) + 1
+    tot: dict = {}
+    for bg, c in cnt.items():
+        tot[bg[0]] = tot.get(bg[0], 0) + c
+    v = len({bg[1] for bg in cnt})
+    for did, t in docs:
+        bgs = [t[i : i + 2] for i in range(len(t) - 1)]
+        if not bgs:
+            assert did not in got
+            continue
+        r = got[did]
+        assert r.n_bigrams == len(bgs)
+        assert r.lm_mass == sum(cnt[b] for b in bgs)
+        ref = sum(
+            math.log((cnt[b] + 1) / (tot[b[0]] + v)) for b in bgs
+        ) / len(bgs)
+        assert abs(r.lm_avg_logp - ref) < 1e-12, did
+
+    # duckdb twin over the same rows (as the documents view)
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    duck = {
+        r[0]: r
+        for r in con.execute(
+            f"WITH {sql_bigram_lm()} SELECT * FROM lm"
+        ).fetchall()
+    }
+    assert set(duck) == set(got)
+    for did in got:
+        assert duck[did][1] == got[did].n_bigrams
+        assert duck[did][2] == got[did].lm_mass
+        assert abs(duck[did][3] - got[did].lm_avg_logp) < 1e-12
