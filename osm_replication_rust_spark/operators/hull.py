@@ -105,6 +105,38 @@ def hull_diam2(hull: list[Point]) -> int:
     return best
 
 
+def hull_mbr_area(hull: list[Point]) -> float:
+    """Minimum-area oriented bounding rectangle (ST_OrientedEnvelope)
+    area — the rotating-calipers statistic, computed by the defining
+    theorem instead of the pointer dance: the optimal rectangle has a
+    side collinear with a hull EDGE, so take the min over edges of
+    (projection extent) x (perpendicular extent) / |edge|². Extents are
+    EXACT arbitrary-precision ints (decimicro products pass 2^63);
+    each per-edge area is then ONE correctly-rounded int->double cast
+    per factor and two IEEE ops — bit-identical to the DuckDB twin's
+    HUGEINT min/max + CAST spelling, so the float min matches across
+    engines without an epsilon. O(h²) over hull vertices (same budget
+    rationale as hull_diam2). 0.0 for degenerate (<3 vertex) hulls."""
+    n = len(hull)
+    if n < 3:
+        return 0.0
+    best = None
+    for i in range(n):
+        x1, y1 = hull[i]
+        x2, y2 = hull[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        projs = [x * dx + y * dy for x, y in hull]
+        perps = [y * dx - x * dy for x, y in hull]
+        a = (
+            float(max(projs) - min(projs))
+            * float(max(perps) - min(perps))
+            / float(dx * dx + dy * dy)
+        )
+        if best is None or a < best:
+            best = a
+    return best
+
+
 def hull_signature(hull: list[Point]) -> str:
     """md5 of the canonical serialization ``lon,lat;lon,lat;...`` in
     hull order — the same spelling DuckDB's
@@ -121,9 +153,11 @@ def convex_hull_stats(
     ``hull_area2`` / ``hull_diam2`` exact decimal STRINGS (HUGEINT-
     safe, like way_geometry's area2) and ``hull_sig`` the
     canonical-order md5; ``hull_diam2`` is the exact squared point-set
-    diameter (ST_MaxDistance — attained at hull vertices). Ways whose
-    chain resolved to zero coordinates emit nothing (inner-join
-    semantics, as simplify_ways)."""
+    diameter (ST_MaxDistance — attained at hull vertices), and
+    ``mbr_area`` the minimum-area oriented-envelope area (float,
+    engine-matched — hull_mbr_area). Ways whose chain resolved to zero
+    coordinates emit nothing (inner-join semantics, as
+    simplify_ways)."""
     ways = resolve_way_full(groups, points, point_id)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,6 +167,7 @@ def convex_hull_stats(
             a2: list[str] = []
             sg: list[str] = []
             d2: list[str] = []
+            mb: list[float] = []
             for gid, coords in zip(pdf["group_id"], pdf["coords"]):
                 if len(coords) == 0:
                     continue
@@ -142,6 +177,7 @@ def convex_hull_stats(
                 a2.append(str(hull_area2(h)))
                 sg.append(hull_signature(h))
                 d2.append(str(hull_diam2(h)))
+                mb.append(hull_mbr_area(h))
             yield pd.DataFrame(
                 {
                     "group_id": gs,
@@ -149,13 +185,14 @@ def convex_hull_stats(
                     "hull_area2": a2,
                     "hull_sig": sg,
                     "hull_diam2": d2,
+                    "mbr_area": mb,
                 }
             )
 
     return ways.mapInPandas(
         kernel,
         "group_id string, n_hull int, hull_area2 string, hull_sig string, "
-        "hull_diam2 string",
+        "hull_diam2 string, mbr_area double",
     )
 
 

@@ -4827,7 +4827,30 @@ def _way_geometry_oracle() -> str:
                AS hull_diam2
       FROM hpts a JOIN hpts b ON b.group_id = a.group_id
       GROUP BY a.group_id
-    )
+    ),
+    hedge AS (
+      -- hull edges with ring wraparound (lead else first) — the
+      -- candidate orientations of the minimum-area oriented envelope
+      SELECT group_id, step, x, y,
+             COALESCE(lead(x) OVER hgm, first_value(x) OVER hgm) - x AS dx,
+             COALESCE(lead(y) OVER hgm, first_value(y) OVER hgm) - y AS dy
+      FROM hwalk WINDOW hgm AS (PARTITION BY group_id ORDER BY step)
+    ),
+    hmbre AS (
+      -- per-edge envelope area (hull.hull_mbr_area twin): exact
+      -- HUGEINT projection/perpendicular extents, ONE cast per factor,
+      -- two IEEE ops — the doubles match the Python kernel bit-for-bit
+      SELECT e.group_id,
+             CAST(MAX(v.x::HUGEINT * e.dx + v.y::HUGEINT * e.dy)
+                  - MIN(v.x::HUGEINT * e.dx + v.y::HUGEINT * e.dy) AS DOUBLE)
+             * CAST(MAX(v.y::HUGEINT * e.dx - v.x::HUGEINT * e.dy)
+                    - MIN(v.y::HUGEINT * e.dx - v.x::HUGEINT * e.dy) AS DOUBLE)
+             / CAST(e.dx::HUGEINT * e.dx + e.dy::HUGEINT * e.dy AS DOUBLE) AS a
+      FROM hedge e JOIN hwalk v ON v.group_id = e.group_id
+      WHERE e.dx <> 0 OR e.dy <> 0
+      GROUP BY e.group_id, e.step, e.dx, e.dy
+    ),
+    hmbr AS (SELECT group_id, MIN(a) AS a FROM hmbre GROUP BY group_id)
     SELECT geo.group_id AS group_id, n_pts, is_closed, area2, cx, cy,
            CASE WHEN a2h <> 0 THEN
              CAST(flon0 AS DOUBLE) + CAST(swx AS DOUBLE) / CAST(3 * a2h AS DOUBLE)
@@ -4855,6 +4878,7 @@ def _way_geometry_oracle() -> str:
            hagg.hull_area2 AS hull_area2,
            hagg.hull_sig AS hull_sig,
            hdiam.hull_diam2 AS hull_diam2,
+           CASE WHEN hagg.n_hull >= 3 THEN hmbr.a ELSE 0.0 END AS mbr_area,
            COALESCE(cxc.n_cross_x, 0) AS n_cross_x,
            cxs.cx_sig AS cx_sig,
            cxs.cxp_sig AS cxp_sig,
@@ -4884,6 +4908,7 @@ def _way_geometry_oracle() -> str:
     JOIN lin ON lin.group_id = geo.group_id
     JOIN hagg ON hagg.group_id = geo.group_id
     JOIN hdiam ON hdiam.group_id = geo.group_id
+    LEFT JOIN hmbr ON hmbr.group_id = geo.group_id
     LEFT JOIN cxc ON cxc.group_id = geo.group_id
     LEFT JOIN lrast lr ON lr.group_id = geo.group_id
     LEFT JOIN tpagg tp ON tp.group_id = geo.group_id

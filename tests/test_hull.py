@@ -234,3 +234,46 @@ def test_hull_diam2_matches_brute_all_pairs():
     assert d == 3_600_000_000**2 + 1_800_000_000**2 and d > 2**63
     # degenerate
     assert hull_diam2([]) == 0 and hull_diam2([(5, 5)]) == 0
+
+
+def test_hull_mbr_area_known_shapes():
+    from osm_replication_rust_spark.operators.hull import hull_ccw, hull_mbr_area
+
+    # axis-aligned unit square: MBR is the square itself
+    sq = hull_ccw([(0, 0), (10, 0), (10, 10), (0, 10)])
+    assert hull_mbr_area(sq) == 100.0
+    # 45-degree diamond: optimal rectangle aligns with an edge
+    # (side sqrt(200)), area 200 — HALF the axis-aligned bbox (400)
+    dia = hull_ccw([(10, 0), (20, 10), (10, 20), (0, 10)])
+    assert abs(hull_mbr_area(dia) - 200.0) < 1e-9
+    # thin 3-point sliver: area ~ base * height
+    tri = hull_ccw([(0, 0), (100, 0), (50, 2)])
+    assert abs(hull_mbr_area(tri) - 200.0) < 1e-9
+    # degenerate: segment / point
+    assert hull_mbr_area(hull_ccw([(0, 0), (5, 5)])) == 0.0
+    assert hull_mbr_area(hull_ccw([(3, 3)])) == 0.0
+
+
+def test_hull_mbr_area_is_min_over_rotations():
+    import math
+    import random
+
+    from osm_replication_rust_spark.operators.hull import hull_ccw, hull_mbr_area
+
+    rng = random.Random(5)
+    pts = [(rng.randrange(-1000, 1000), rng.randrange(-1000, 1000))
+           for _ in range(60)]
+    h = hull_ccw(pts)
+    got = hull_mbr_area(h)
+    # dense rotation sweep can only be >= the edge-aligned optimum
+    # (theorem: the min-area rectangle is edge-collinear), and the
+    # sweep minimum must come within a hair of it
+    best = float("inf")
+    for k in range(3600):
+        t = k * math.pi / 3600
+        c, s = math.cos(t), math.sin(t)
+        xs = [x * c + y * s for x, y in h]
+        ys = [-x * s + y * c for x, y in h]
+        best = min(best, (max(xs) - min(xs)) * (max(ys) - min(ys)))
+    assert got <= best + 1e-6
+    assert best <= got * 1.0001
