@@ -429,6 +429,42 @@ def merge_pyramids(a: DataFrame, b: DataFrame, check_levels: bool = True) -> Dat
     )
 
 
+def _rook_pairs(base: DataFrame) -> DataFrame:
+    """Ordered within-tile rook-adjacent pairs over a sparse raster
+    frame (tile, _px, _py, _pv): one map-side 4-offset scatter + one
+    hash equi-join on the neighbour coordinate (~4·nnz narrow rows),
+    same-tile filtered — the shared adjacency core of morans_i /
+    geary_join_stats. Carries (tile, _va, _vb) per ordered pair."""
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        ]
+    )
+    scat = base.select(
+        "tile",
+        F.col("_pv").alias("_va"),
+        F.explode(offs).alias("_o"),
+        "_px",
+        "_py",
+    ).select(
+        "tile",
+        "_va",
+        (F.col("_px") + F.col("_o.dx")).alias("_tx"),
+        (F.col("_py") + F.col("_o.dy")).alias("_ty"),
+    )
+    return scat.join(
+        base.select(
+            F.col("tile").alias("_tb"),
+            F.col("_px").alias("_tx"),
+            F.col("_py").alias("_ty"),
+            F.col("_pv").alias("_vb"),
+        ),
+        ["_tx", "_ty"],
+        "inner",
+    ).filter(F.col("tile") == F.col("_tb"))
+
+
 def morans_i(
     pixels: DataFrame,
     tile_res: int = 23,
@@ -474,34 +510,7 @@ def morans_i(
         F.col(y).alias("_py"),
         F.col(v).cast("long").alias("_pv"),
     )
-    offs = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
-        ]
-    )
-    scat = base.select(
-        "tile",
-        F.col("_pv").alias("_va"),
-        F.explode(offs).alias("_o"),
-        "_px",
-        "_py",
-    ).select(
-        "tile",
-        "_va",
-        (F.col("_px") + F.col("_o.dx")).alias("_tx"),
-        (F.col("_py") + F.col("_o.dy")).alias("_ty"),
-    )
-    pairs = scat.join(
-        base.select(
-            F.col("tile").alias("_tb"),
-            F.col("_px").alias("_tx"),
-            F.col("_py").alias("_ty"),
-            F.col("_pv").alias("_vb"),
-        ),
-        ["_tx", "_ty"],
-        "inner",
-    ).filter(F.col("tile") == F.col("_tb"))
+    pairs = _rook_pairs(base)
     pagg = pairs.groupBy("tile").agg(
         F.count(F.lit(1)).cast(dec).alias("_W"),
         F.sum(F.col("_va").cast(dec) * F.col("_vb").cast(dec)).alias("_P"),
@@ -529,6 +538,79 @@ def morans_i(
                 (n * num).cast("double") / (W * den).cast("double"),
             ).alias("moran_i"),
         )
+    )
+
+
+def geary_join_stats(
+    pixels: DataFrame,
+    tile_res: int = 23,
+    px_res: int = 19,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+) -> DataFrame:
+    """Geary's C + join-count statistics per tile — the remaining two
+    members of the classic ESDA quartet next to morans_i and gi_star
+    (C is I's pair-difference dual, sensitive to LOCAL dissimilarity;
+    join counts are the lattice statistic for BINARY marks), over the
+    same within-tile rook adjacency and exact-integer discipline:
+
+        C = (n−1)/(2W) · Σ_ij w_ij (xᵢ−xⱼ)² / Σᵢ(xᵢ−x̄)²
+          = n·(n−1)·D / (2·W·(n·Q − S²))      D = Σ ordered (xᵢ−xⱼ)²
+
+    — every term decimal(38,0) (HUGEINT in the oracle), ONE shared
+    division; NULL on W=0 / constant tiles. Join counts bin each
+    ordered adjacent pair by the parity mark m = x mod 2: jc_bb (both
+    odd), jc_ww (both even), jc_bw (mixed) — exact longs (ordered
+    pairs, so symmetric pairs count twice, uniformly).
+
+    Plan: the SAME one scatter + one equi-join + two per-tile
+    aggregates as morans_i (shared _rook_pairs core) — no dense grid,
+    no Python, no extra shuffle class."""
+    _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    dec = "decimal(38,0)"
+
+    def _tile(cx, cy):
+        return F.shiftright(cy, shift) * Y_STRIDE + F.shiftright(cx, shift)
+
+    base = pixels.select(
+        _tile(F.col(x), F.col(y)).alias("tile"),
+        F.col(x).alias("_px"),
+        F.col(y).alias("_py"),
+        F.col(v).cast("long").alias("_pv"),
+    )
+    pairs = _rook_pairs(base)
+    d = (F.col("_va") - F.col("_vb")).cast(dec)
+    ma = F.col("_va") % 2
+    mb = F.col("_vb") % 2
+    pagg = pairs.groupBy("tile").agg(
+        F.count(F.lit(1)).cast(dec).alias("_W"),
+        F.sum(d * d).alias("_D"),
+        F.sum(F.when((ma == 1) & (mb == 1), 1)).cast("long").alias("_bb"),
+        F.sum(F.when((ma == 0) & (mb == 0), 1)).cast("long").alias("_ww"),
+        F.sum(F.when(ma != mb, 1)).cast("long").alias("_bw"),
+    )
+    xagg = base.groupBy("tile").agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("_pv").cast(dec)).alias("_S"),
+        F.sum(F.col("_pv").cast(dec) * F.col("_pv").cast(dec)).alias("_Q"),
+    )
+    n, S, Q = F.col("_n"), F.col("_S"), F.col("_Q")
+    W, D = F.col("_W"), F.col("_D")
+    den = n * Q - S * S
+    return xagg.join(pagg, "tile", "left").select(
+        "tile",
+        F.col("_n").cast("long").alias("gc_n"),
+        F.coalesce(F.col("_W").cast("long"), F.lit(0).cast("long")).alias("gc_w"),
+        F.when(
+            W.isNotNull() & (W != 0) & (den != 0),
+            (n * (n - 1) * D).cast("double")
+            / (F.lit(2).cast(dec) * W * den).cast("double"),
+        ).alias("geary_c"),
+        F.coalesce(F.col("_bb"), F.lit(0).cast("long")).alias("jc_bb"),
+        F.coalesce(F.col("_ww"), F.lit(0).cast("long")).alias("jc_ww"),
+        F.coalesce(F.col("_bw"), F.lit(0).cast("long")).alias("jc_bw"),
     )
 
 

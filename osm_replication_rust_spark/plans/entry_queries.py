@@ -6595,7 +6595,12 @@ def _sql_raster_vectorize() -> str:
       SELECT tile,
              CAST(count(*) AS HUGEINT) AS mw,
              SUM(CAST(va AS HUGEINT) * CAST(vb AS HUGEINT)) AS mpp,
-             SUM(CAST(va AS HUGEINT) + CAST(vb AS HUGEINT)) AS mr
+             SUM(CAST(va AS HUGEINT) + CAST(vb AS HUGEINT)) AS mr,
+             SUM((CAST(va AS HUGEINT) - CAST(vb AS HUGEINT))
+                 * (CAST(va AS HUGEINT) - CAST(vb AS HUGEINT))) AS md,
+             SUM(CASE WHEN va % 2 = 1 AND vb % 2 = 1 THEN 1 END) AS mbb,
+             SUM(CASE WHEN va % 2 = 0 AND vb % 2 = 0 THEN 1 END) AS mww,
+             SUM(CASE WHEN va % 2 <> vb % 2 THEN 1 END) AS mbw
       FROM mpair GROUP BY tile
     ),
     mx AS (
@@ -6613,7 +6618,17 @@ def _sql_raster_vectorize() -> str:
                THEN CAST(mn * (mn * mn * mpp - mn * ms * mr + mw * ms * ms)
                          AS DOUBLE)
                     / CAST(mw * (mn * mn * mq - mn * ms * ms) AS DOUBLE)
-             END AS moran_i
+             END AS moran_i,
+             -- Geary's C twin (raster.geary_join_stats): exact HUGEINT
+             -- n(n-1)D over 2W(nQ - S^2), ONE division
+             CASE WHEN mp.mw IS NOT NULL AND mp.mw != 0
+                   AND mn * mq - ms * ms != 0
+               THEN CAST(mn * (mn - 1) * md AS DOUBLE)
+                    / CAST(2 * mw * (mn * mq - ms * ms) AS DOUBLE)
+             END AS geary_c,
+             CAST(COALESCE(mbb, 0) AS BIGINT) AS jc_bb,
+             CAST(COALESCE(mww, 0) AS BIGINT) AS jc_ww,
+             CAST(COALESCE(mbw, 0) AS BIGINT) AS jc_bw
       FROM mx LEFT JOIN mp ON mp.tile = mx.tile
     ),
     -- L1 distance transform (raster.distance_transform_l1): the
@@ -6672,6 +6687,10 @@ def _sql_raster_vectorize() -> str:
              CAST(NULL AS DOUBLE) AS z_max,
              CAST(NULL AS BIGINT) AS mi_w,
              CAST(NULL AS DOUBLE) AS moran_i,
+             CAST(NULL AS DOUBLE) AS geary_c,
+             CAST(NULL AS BIGINT) AS jc_bb,
+             CAST(NULL AS BIGINT) AS jc_ww,
+             CAST(NULL AS BIGINT) AS jc_bw,
              CAST(NULL AS BIGINT) AS dt_sum,
              CAST(NULL AS BIGINT) AS dt_max,
              CAST(NULL AS BIGINT) AS dt_zeros
@@ -6685,7 +6704,8 @@ def _sql_raster_vectorize() -> str:
              (e.x1 - e.x0 + 1) * (e.y1 - e.y0 + 1) AS n_pixels,
              l.blob AS blob, b.blob_px AS blob_px,
              ft.focal_total, ft.focal_max, ft.n_core, ft.n_hot, ft.z_max,
-             mi.mi_w, mi.moran_i, dtile.dt_sum, dtile.dt_max, dtile.dt_zeros
+             mi.mi_w, mi.moran_i, mi.geary_c, mi.jc_bb, mi.jc_ww, mi.jc_bw,
+             dtile.dt_sum, dtile.dt_max, dtile.dt_zeros
       FROM erects e
       JOIN lab l ON l.gx = e.x0 AND l.gy = e.y0
       JOIN bsz b USING (blob)
@@ -6722,7 +6742,12 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same focal frame; per-tile hot-pixel count at z > 2.576 and
     max z), and per-tile Moran's I with within-tile rook weights
     (raster.morans_i — exact decimal(38,0)/HUGEINT moments, ONE shared
-    division), and the exact L1 distance transform
+    division), PLUS the remaining ESDA pair on the same adjacency
+    (raster.geary_join_stats, sharing _rook_pairs so ReuseExchange
+    collapses the scatter/join): Geary's C (n(n−1)D / 2W(nQ−S²), one
+    divide of exact ints) and the parity join-count statistics
+    jc_bb/jc_ww/jc_bw (exact ordered-pair longs), and the exact L1
+    distance transform
     (raster.distance_transform_l1 — the two-pass min-plus
     factorization as four running-min windows over each occupied
     tile's dense grid; per-tile dt_sum/dt_max/dt_zeros pin the whole
@@ -6735,6 +6760,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         blob_labels,
         distance_transform_l1,
         focal_sum,
+        geary_join_stats,
         gi_star,
         morans_i,
         pixels_to_tiles,
@@ -6761,6 +6787,10 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("z_max"),
         F.lit(None).cast("long").alias("mi_w"),
         F.lit(None).cast("double").alias("moran_i"),
+        F.lit(None).cast("double").alias("geary_c"),
+        F.lit(None).cast("long").alias("jc_bb"),
+        F.lit(None).cast("long").alias("jc_ww"),
+        F.lit(None).cast("long").alias("jc_bw"),
         F.lit(None).cast("long").alias("dt_sum"),
         F.lit(None).cast("long").alias("dt_max"),
         F.lit(None).cast("long").alias("dt_zeros"),
@@ -6807,6 +6837,11 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mi = morans_i(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES).select(
         "tile", "mi_w", "moran_i"
     )
+    # Geary's C + parity join counts share _rook_pairs with morans_i —
+    # identical scatter/join subplans, so ReuseExchange collapses them
+    gj = geary_join_stats(
+        pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES
+    ).select("tile", "geary_c", "jc_bb", "jc_ww", "jc_bw")
     dtile = (
         distance_transform_l1(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
         .groupBy("tile")
@@ -6828,6 +6863,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(ftile, "tile")
         .join(mi, "tile")
+        .join(gj, "tile")
         .join(dtile, "tile")
         .select(
             F.lit("events").alias("leg"),
@@ -6845,6 +6881,10 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_max",
             "mi_w",
             "moran_i",
+            "geary_c",
+            "jc_bb",
+            "jc_ww",
+            "jc_bw",
             "dt_sum",
             "dt_max",
             "dt_zeros",

@@ -766,3 +766,63 @@ def test_distance_transform_tiles_independent(spark):
         else:
             for r in rows:
                 assert r.dt == r.px + r.py
+
+
+def test_geary_join_stats_matches_fraction_reference(spark):
+    from fractions import Fraction
+
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.raster import geary_join_stats
+
+    rng = np.random.default_rng(41)
+    W = 16
+    mask = rng.random((W, W)) < 0.5
+    vals = rng.integers(1, 9, (W, W))
+    rows = [
+        (int(x), int(y), int(vals[y, x]))
+        for y in range(W)
+        for x in range(W)
+        if mask[y, x]
+    ]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    out = geary_join_stats(pix, tile_res=20, px_res=16).collect()
+    assert len(out) == 1
+    got = out[0]
+
+    pts = {(x, y): v for x, y, v in rows}
+    n = len(pts)
+    pairs = [
+        (pts[p], pts[(p[0] + dx, p[1] + dy)])
+        for p in pts
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        if (p[0] + dx, p[1] + dy) in pts
+    ]
+    w = len(pairs)
+    xbar = Fraction(sum(pts.values()), n)
+    ref_c = (
+        Fraction(n - 1, 2 * w)
+        * sum((a - b) ** 2 for a, b in pairs)
+        / sum((v - xbar) ** 2 for v in pts.values())
+    )
+    assert got.gc_n == n and got.gc_w == w
+    assert abs(got.geary_c - float(ref_c)) < 1e-12
+    assert got.jc_bb == sum(1 for a, b in pairs if a % 2 == 1 and b % 2 == 1)
+    assert got.jc_ww == sum(1 for a, b in pairs if a % 2 == 0 and b % 2 == 0)
+    assert got.jc_bw == sum(1 for a, b in pairs if a % 2 != b % 2)
+    assert got.jc_bb + got.jc_ww + got.jc_bw == w
+
+
+def test_geary_join_stats_nulls(spark):
+    from osm_replication_rust_spark.operators.raster import geary_join_stats
+
+    rows = [
+        (0, 0, 5), (1, 0, 5),        # constant tile -> geary NULL, joins count
+        (15, 21, 1), (16, 21, 9),    # straddling tiles -> W=0, all zero
+    ]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    out = {r.tile: r for r in geary_join_stats(pix, tile_res=20, px_res=16).collect()}
+    assert all(r.geary_c is None for r in out.values())
+    const_tile = [r for r in out.values() if r.gc_w > 0]
+    assert len(const_tile) == 1 and const_tile[0].jc_bb == 2  # 5,5 both odd
+    assert sum(r.jc_bb + r.jc_ww + r.jc_bw for r in out.values()) == 2
