@@ -547,3 +547,91 @@ def pareto_frontier(
         .withColumn(out, F.when(dominated, 0).otherwise(1).cast("long"))
         .drop("_bx", "_cm")
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    v: str = "v",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Mann-Kendall trend test per key — the standard nonparametric
+    "is this series monotonically trending?" statistic (hydrology /
+    emerging-hotspot / metric-drift screening), exact-integer end to
+    end:
+
+        S = Σ_{i<j} sign(vⱼ − vᵢ)   over the (ts, id) time order
+        Var·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)
+        Z = (S ∓ 1) / sqrt(Var18/18)   (0 at S=0, NULL at Var18=0)
+
+    Emits (key, mk_n, mk_s, mk_var18_str, mk_z): S and Var18 are exact
+    (Var18 in decimal(38,0) — n³ passes int64 near n≈2M), Z is two
+    casts + divide + sqrt + divide spelled identically in the SQL twin.
+
+    Plan: ONE (key)-keyed collect agg; S folds over the time-ordered
+    value array as a nested higher-order aggregate — per-key state
+    O(n), compute O(n²) INSIDE the executor with no pair shuffle (the
+    bounded-series contract, same as funnel_levels' accumulator); the
+    tie correction is a relational (key, v) count + per-key agg on the
+    same shuffle key. Keys with one row get S=0, Var18=0, Z NULL."""
+    dec = "decimal(38,0)"
+    per = df.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(v).cast("long").alias("x"),
+                )
+            )
+        ).alias("_a"),
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+    )
+    s_expr = """
+      CASE WHEN size(_va) >= 2 THEN aggregate(
+        sequence(1, size(_va) - 1), 0L,
+        (acc, i) -> acc + aggregate(
+          slice(_va, i + 1, size(_va) - i), 0L,
+          (a2, x) -> a2 + CASE WHEN x > element_at(_va, i) THEN 1L
+                               WHEN x < element_at(_va, i) THEN -1L
+                               ELSE 0L END))
+      ELSE 0L END
+    """
+    ties = (
+        df.groupBy(key, v)
+        .agg(F.count(F.lit(1)).cast(dec).alias("_t"))
+        .groupBy(key)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_t") > 1,
+                        F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5),
+                    )
+                ),
+                F.lit(0).cast(dec),
+            ).cast(dec).alias("_tie")
+        )
+    )
+    n = F.col("_n")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("_tie")).cast(dec)
+    sc = F.col("mk_s").cast("double")
+    zden = F.sqrt(F.col("_v18").cast("double") / F.lit(18.0))
+    return (
+        per.withColumn("_va", F.expr("transform(_a, s -> s.x)"))
+        .withColumn("mk_s", F.expr(s_expr))
+        .join(ties, key)
+        .withColumn("_v18", var18)
+        .select(
+            key,
+            n.cast("long").alias("mk_n"),
+            F.col("mk_s").alias("mk_s"),
+            F.col("_v18").cast("string").alias("mk_var18_str"),
+            F.when(F.col("_v18") == 0, F.lit(None).cast("double"))
+            .when(F.col("mk_s") > 0, (sc - 1) / zden)
+            .when(F.col("mk_s") < 0, (sc + 1) / zden)
+            .otherwise(F.lit(0.0))
+            .alias("mk_z"),
+        )
+    )

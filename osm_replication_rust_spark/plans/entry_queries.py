@@ -5666,6 +5666,50 @@ _COHORT_PERIOD_S = 3_600
              CAST(tn * sxx - sx * sx AS VARCHAR) AS trend_den_str
       FROM tm
     ),
+    -- Mann-Kendall trend test (relational.mann_kendall): the oracle
+    -- verifies with the brute pair join where Spark folds the
+    -- time-ordered value array inside one nested HOF aggregate
+    mkp AS (
+      SELECT a.user_id,
+             CASE WHEN b.event_id % 997 > a.event_id % 997 THEN 1
+                  WHEN b.event_id % 997 < a.event_id % 997 THEN -1
+                  ELSE 0 END AS sg
+      FROM events a JOIN events b
+        ON b.user_id = a.user_id
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    ),
+    mks AS (
+      SELECT user_id, CAST(SUM(sg) AS BIGINT) AS mk_s
+      FROM mkp GROUP BY user_id
+    ),
+    mkt AS (
+      SELECT user_id,
+             SUM(CASE WHEN t > 1 THEN t * (t - 1) * (2 * t + 5)
+                 ELSE 0 END) AS tie
+      FROM (SELECT user_id, CAST(count(*) AS HUGEINT) AS t
+            FROM events GROUP BY user_id, event_id % 997)
+      GROUP BY user_id
+    ),
+    mkf AS (
+      SELECT tm.user_id,
+             COALESCE(mks.mk_s, 0) AS mk_s,
+             CAST(tn * (tn - 1) * (2 * tn + 5) - COALESCE(mkt.tie, 0)
+                  AS VARCHAR) AS mk_var18_str,
+             CASE WHEN tn * (tn - 1) * (2 * tn + 5) - COALESCE(mkt.tie, 0) = 0
+                    THEN NULL
+                  WHEN COALESCE(mks.mk_s, 0) > 0
+                    THEN CAST(mks.mk_s - 1 AS DOUBLE)
+                         / sqrt(CAST(tn * (tn - 1) * (2 * tn + 5)
+                                     - COALESCE(mkt.tie, 0) AS DOUBLE) / 18.0)
+                  WHEN COALESCE(mks.mk_s, 0) < 0
+                    THEN CAST(mks.mk_s + 1 AS DOUBLE)
+                         / sqrt(CAST(tn * (tn - 1) * (2 * tn + 5)
+                                     - COALESCE(mkt.tie, 0) AS DOUBLE) / 18.0)
+                  ELSE 0.0 END AS mk_z
+      FROM tm
+      LEFT JOIN mks ON mks.user_id = tm.user_id
+      LEFT JOIN mkt ON mkt.user_id = tm.user_id
+    ),
     -- window funnel (relational.funnel_levels, ClickHouse
     -- windowFunnel semantics): the oracle verifies with a genuinely
     -- DIFFERENT algorithm — brute exists-joins over the same
@@ -5730,6 +5774,8 @@ _COHORT_PERIOD_S = 3_600
            CAST(CASE WHEN valid_to_s IS NULL THEN 1 ELSE 0 END AS BIGINT)
              AS is_current,
            tt.n_obs, tt.slope, tt.intercept, tt.trend_den_str,
+           mkf.mk_s AS mk_s, mkf.mk_var18_str AS mk_var18_str,
+           mkf.mk_z AS mk_z,
            CAST(COALESCE(fnl.funnel_level, 0) AS BIGINT) AS funnel_level,
            fnl.funnel_start_us,
            cf.cohort_p,
@@ -5737,6 +5783,7 @@ _COHORT_PERIOD_S = 3_600
                 AS BIGINT) AS offset_p,
            cm.ret_n
     FROM sg JOIN tt ON tt.user_id = sg.user_id
+    JOIN mkf ON mkf.user_id = sg.user_id
     LEFT JOIN fnl ON fnl.user_id = sg.user_id
     JOIN cf ON cf.user_id = sg.user_id
     JOIN cm ON cm.cohort_p = cf.cohort_p
@@ -5781,6 +5828,14 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same (ts, event_id) total order), and level-3 users also
     pin the latest complete chain's start micros.
 
+    PLUS the Mann-Kendall trend test (operators/relational.
+    mann_kendall): exact-integer S over the (ts, event_id) time order
+    folded as one nested HOF aggregate over the collected value array
+    (per-user O(n²) INSIDE the executor, no pair shuffle), exact
+    tie-corrected Var·18 carried as digits, Z one sqrt+divide tree —
+    the oracle proves S with the brute pair join, a genuinely
+    different algorithm.
+
     PLUS cohort retention (operators/relational.cohort_retention, the
     trio's third leg): hourly periods (see _COHORT_PERIOD_S for why
     coarser periods are degenerate on this fixture), each event row
@@ -5791,6 +5846,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort_retention,
         funnel_levels,
         group_trend,
+        mann_kendall,
         scd2_intervals,
         trajectory_segments,
     )
@@ -5827,6 +5883,14 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fl = funnel_levels(
         _t(spark, sf_dir, "events"), list(_FUNNEL_STEPS), _FUNNEL_H_S
     ).select(F.col("user").alias("user_id"), "funnel_level", "funnel_start_us")
+    mk = mann_kendall(
+        _t(spark, sf_dir, "events").select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            (F.col("event_id") % 997).alias("v"),
+        )
+    ).select("user_id", "mk_s", "mk_var18_str", "mk_z")
     raw_ev = _t(spark, sf_dir, "events")
     ret = cohort_retention(raw_ev, _COHORT_PERIOD_S)
     coh = (
@@ -5848,6 +5912,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=["ts", "event_id"],
         )
         .join(tr, "user_id")
+        .join(mk, "user_id")
         .join(fl, "user_id", "left")
         .join(coh, "user_id")
         .withColumn(
@@ -5871,6 +5936,9 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope",
             "intercept",
             "trend_den_str",
+            "mk_s",
+            "mk_var18_str",
+            "mk_z",
             F.coalesce(F.col("funnel_level"), F.lit(0))
             .cast("long")
             .alias("funnel_level"),

@@ -481,3 +481,65 @@ def test_pareto_frontier_shapes(spark):
     assert got == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
     with pytest.raises(ValueError):
         pareto_frontier(spark.createDataFrame(pts), "x", "y", 0)
+
+
+def _mk_ref(series):
+    """series: list of (ts, id, v) — brute reference."""
+    import math
+
+    s = sorted(series)
+    vals = [x[2] for x in s]
+    n = len(vals)
+    S = sum(
+        (vals[j] > vals[i]) - (vals[j] < vals[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(vals).values() if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    if var18 == 0:
+        z = None
+    elif S > 0:
+        z = (S - 1) / math.sqrt(var18 / 18.0)
+    elif S < 0:
+        z = (S + 1) / math.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    return n, S, var18, z
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    import random
+
+    from osm_replication_rust_spark.operators.relational import mann_kendall
+
+    rng = random.Random(23)
+    rows = []
+    series = {}
+    for u in range(6):
+        n = rng.choice([1, 2, 5, 40])
+        for i in range(n):
+            val = rng.randrange(0, 8)  # narrow domain -> plenty of ties
+            rows.append((u, i * 10 + rng.randrange(3), i, val))
+            series.setdefault(u, []).append(rows[-1][1:])
+    # a strictly increasing and a strictly decreasing user
+    for u, sgn in ((10, 1), (11, -1)):
+        for i in range(12):
+            rows.append((u, i, i, 100 + sgn * i))
+            series.setdefault(u, []).append(rows[-1][1:])
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, v long")
+    got = {r.user_id: r for r in mann_kendall(df).collect()}
+    assert set(got) == set(series)
+    for u, ser in series.items():
+        n, S, var18, z = _mk_ref(ser)
+        r = got[u]
+        assert (r.mk_n, r.mk_s, r.mk_var18_str) == (n, S, str(var18)), u
+        if z is None:
+            assert r.mk_z is None
+        else:
+            assert abs(r.mk_z - z) < 1e-12, u
+    assert got[10].mk_s == 66 and got[11].mk_s == -66
