@@ -636,3 +636,149 @@ def sql_bigram_lm(id_out: str = "doc_id") -> str:
       CROSS JOIN lm_v v
       GROUP BY e.{id_out}
     )"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016) — learning the merge
+# table IS a distributed counting problem: pair statistics come from
+# the (tiny) distinct-word frequency table, never the corpus, and each
+# round is one weighted hash aggregation + one argmax
+# ---------------------------------------------------------------------------
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+):
+    """Train a byte-pair-encoding merge table on the corpus: start from
+    character sequences of the engine-shared lowercased-whitespace
+    vocabulary (the bm25 tokenization), and n_merges times (a) count
+    every adjacent symbol pair weighted by word frequency, (b) merge
+    the argmax pair under the deterministic (count DESC, a ASC, b ASC)
+    order, applying it greedily left-to-right without overlap (the
+    reference BPE semantics: "aaa" + (a,a) -> [aa, a]).
+
+    Returns ``(merges, segmented)``: merges a list of (a, b, pair_n)
+    in learned order, segmented the final (w, wf, syms) word frame.
+
+    Scale shape: the corpus is touched ONCE (the word-frequency agg —
+    one shuffle with map-side combine); every round after that runs on
+    the DISTINCT-WORD table (vocabulary-sized, millions of rows at
+    web scale, not trillions): one weighted pair aggregation + a
+    1-row argmax collect (the merge table is inherently sequential —
+    n_merges tiny driver actions, the knn-round pattern), then a
+    map-side array fold applies the merge. The per-round frame is
+    localCheckpoint-ed so the fold lineage never stacks."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    toks = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("w")
+    words = (
+        df.select(toks)
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    seg = words.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            seg.filter(F.size("syms") >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wf").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        fold = F.aggregate(
+            F.expr("slice(syms, 2, size(syms) - 1)"),
+            F.array(F.element_at(F.col("syms"), 1)),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        seg = seg.withColumn(
+            "syms", F.when(F.size("syms") >= 2, fold).otherwise(F.col("syms"))
+        ).localCheckpoint(eager=True)
+    return merges, seg
+
+
+def sql_bpe_ctes(n_merges: int = 5, sep: str = "chr(1)") -> str:
+    """DuckDB twin of bpe_train over the ``documents`` view: unrolled
+    n_merges rounds, each a weighted pair count + (count DESC, a, b)
+    argmax + a list_reduce greedy merge with a {sep}-joined string
+    accumulator (the corpus is asserted free of that byte by the
+    caller's test; the Spark fold needs no separator). Defines CTEs
+    bpe_w0..bpe_w{n}, bpe_m0..bpe_m{n-1} and ``bpe`` with one row:
+    m{r}_a, m{r}_b, m{r}_n per round + tokens_before/tokens_after."""
+    out = [f"""
+    bpe_w0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wf,
+             list_transform(range(1, length(w) + 1),
+                            i -> substr(w, i, 1)) AS syms
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                             '{SQL_WS}')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    )"""]
+    for r in range(n_merges):
+        out.append(f"""
+    bpe_p{r} AS (
+      SELECT p.a AS a, p.b AS b, SUM(wf) AS n FROM (
+        SELECT wf,
+               unnest(list_transform(range(1, len(syms)),
+                 i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS p
+        FROM bpe_w{r} WHERE len(syms) >= 2)
+      GROUP BY p.a, p.b
+    ),
+    bpe_m{r} AS (
+      SELECT a, b, CAST(n AS BIGINT) AS n
+      FROM bpe_p{r} ORDER BY n DESC, a, b LIMIT 1
+    ),
+    bpe_w{r + 1} AS (
+      SELECT w, wf,
+             CASE WHEN len(syms) <= 1 THEN syms ELSE
+               string_split(list_reduce(syms, (acc, x) ->
+                 CASE WHEN (acc = m.a OR ends_with(acc, {sep} || m.a))
+                           AND x = m.b
+                   THEN left(acc, length(acc) - length(m.a)) || m.a || m.b
+                   ELSE acc || {sep} || x END), {sep})
+             END AS syms
+      FROM bpe_w{r} CROSS JOIN bpe_m{r} m
+    )""")
+    mcols = ", ".join(
+        f"m{r}.a AS m{r}_a, m{r}.b AS m{r}_b, m{r}.n AS m{r}_n"
+        for r in range(n_merges)
+    )
+    mfrom = " CROSS JOIN ".join(f"bpe_m{r} m{r}" for r in range(n_merges))
+    out.append(f"""
+    bpe_stats AS (
+      SELECT CAST(SUM(b0.wf * len(b0.syms)) AS BIGINT) AS tokens_before,
+             CAST(SUM(bn.wf * len(bn.syms)) AS BIGINT) AS tokens_after
+      FROM bpe_w0 b0 JOIN bpe_w{n_merges} bn USING (w)
+    ),
+    bpe AS (
+      SELECT {mcols}, s.tokens_before, s.tokens_after
+      FROM {mfrom} CROSS JOIN bpe_stats s
+    )""")
+    return ",".join(out)

@@ -1682,6 +1682,8 @@ _BM25_QUERY = ("fast", "vector", "scan", "merge")
 #: decontamination flag threshold (fraction of distinct trigrams shared
 #: with the benchmark slice)
 _CONTAM_THR = 0.2
+#: BPE merge rounds learned on the documents corpus (pretrain row)
+_BPE_MERGES = 5
 
 
 @register(
@@ -1703,12 +1705,20 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-bigram LM fluency score (operators/text.bigram_lm_scores —
     the CCNet-style perplexity filter: corpus-trained add-one-smoothed
     bigram model, two tiny broadcast aggregates, exact n_bigrams /
-    lm_mass pins behind the float avg log-prob)."""
+    lm_mass pins behind the float avg log-prob), PLUS BPE tokenizer
+    training (operators/text.bpe_train, Sennrich 2016): 5 merge rounds
+    learned on the corpus — pair statistics over the DISTINCT-WORD
+    frequency table (the corpus is scanned once), argmax under the
+    deterministic (count DESC, a, b) order, greedy non-overlapping
+    merge application as a map-side array fold — the full learned
+    merge table and the before/after corpus token counts pinned as
+    global columns vs the oracle's 5 unrolled list_reduce rounds."""
     from ..operators.contamination import contamination_scores
     from ..operators.dedup import exact_duplicates
     from ..operators.text import (
         bigram_lm_scores,
         bm25_scores,
+        bpe_train,
         lang_score,
         quality_features,
     )
@@ -1736,6 +1746,19 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, threshold=_CONTAM_THR,
     )
     lm = bigram_lm_scores(d, "text", "doc_id")
+    bpe_merges, bpe_seg = bpe_train(d, "text", n_merges=_BPE_MERGES)
+    before = F.sum(F.col("wf") * F.length(F.col("w"))).cast("long")
+    after = F.sum(F.col("wf") * F.size(F.col("syms"))).cast("long")
+    bpe_stats = bpe_seg.agg(
+        before.alias("bpe_tokens_before"), after.alias("bpe_tokens_after")
+    )
+    bpe_row = spark.createDataFrame(
+        [tuple(x for m in bpe_merges for x in m)],
+        ", ".join(
+            f"bpe_m{r}_a string, bpe_m{r}_b string, bpe_m{r}_n long"
+            for r in range(_BPE_MERGES)
+        ),
+    )
     return (
         keep_q.join(keep_lang, "doc_id", "left_semi")
         .join(losers, "doc_id", "left_anti")
@@ -1749,6 +1772,8 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contam_frac", "is_contaminated",
             "n_bigrams", "lm_mass", "lm_avg_logp",
         )
+        .crossJoin(F.broadcast(bpe_row))
+        .crossJoin(F.broadcast(bpe_stats))
         .orderBy("doc_id")
     )
 
@@ -1759,6 +1784,7 @@ def _fill_pipeline_oracle() -> None:
         LANG_MARKERS as markers,
         sql_bigram_lm,
         sql_bm25,
+        sql_bpe_ctes,
         sql_occurrences,
         sql_stopword_hits,
         sql_token_count,
@@ -1767,6 +1793,12 @@ def _fill_pipeline_oracle() -> None:
     bm25 = sql_bm25(id_out="doc_id", query_terms=_BM25_QUERY)
     cont = sql_contamination_ctes("doc_id % 37 = 0", n=3)
     lm = sql_bigram_lm()
+    bpe = sql_bpe_ctes(_BPE_MERGES)
+    bpe_cols = ", ".join(
+        f"bpe.m{r}_a AS bpe_m{r}_a, bpe.m{r}_b AS bpe_m{r}_b, "
+        f"bpe.m{r}_n AS bpe_m{r}_n"
+        for r in range(_BPE_MERGES)
+    )
 
     ntok = sql_token_count("text")
     padded = "(' ' || text || ' ')"
@@ -1801,7 +1833,7 @@ def _fill_pipeline_oracle() -> None:
       WHERE k.n > 1 AND d.doc_id <> k.keeper_id
     ),
     bm AS ({bm25}
-    ),{cont},{lm}
+    ),{cont},{lm},{bpe}
     SELECT q.doc_id, q.n_tokens, COALESCE(bm.bm25, 0.0) AS bm25_q,
            COALESCE(cont.n_shingles, 0) AS n_shingles,
            COALESCE(cont.n_contam, 0) AS n_contam,
@@ -1809,11 +1841,15 @@ def _fill_pipeline_oracle() -> None:
            cont.contam_frac >= {_CONTAM_THR!r} AS is_contaminated,
            lm.n_bigrams AS n_bigrams,
            lm.lm_mass AS lm_mass,
-           lm.lm_avg_logp AS lm_avg_logp
+           lm.lm_avg_logp AS lm_avg_logp,
+           {bpe_cols},
+           bpe.tokens_before AS bpe_tokens_before,
+           bpe.tokens_after AS bpe_tokens_after
     FROM q
     LEFT JOIN bm ON bm.doc_id = q.doc_id
     LEFT JOIN cont ON cont.doc_id = q.doc_id
     LEFT JOIN lm ON lm.doc_id = q.doc_id
+    CROSS JOIN bpe
     WHERE q.n_tokens >= 10 AND q.mean_tok_len BETWEEN 3 AND 12 AND q.swr > 0
       AND q.doc_id IN (SELECT doc_id FROM lang)
       AND q.doc_id NOT IN (SELECT doc_id FROM losers)

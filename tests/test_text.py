@@ -450,3 +450,80 @@ def test_bigram_lm_scores_matches_python_and_duckdb(spark):
         assert duck[did][1] == got[did].n_bigrams
         assert duck[did][2] == got[did].lm_mass
         assert abs(duck[did][3] - got[did].lm_avg_logp) < 1e-12
+
+
+def _bpe_ref(texts, n_merges):
+    """Sequential reference BPE (Sennrich): greedy left-to-right merge
+    application, (count DESC, a, b) argmax."""
+    from collections import Counter
+
+    wf = Counter(
+        w for t in texts for w in t.strip().lower().split() if w
+    )
+    seg = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in seg.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        for w, syms in seg.items():
+            out = [syms[0]] if syms else []
+            for x in syms[1:]:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            seg[w] = out
+    return merges, seg, wf
+
+
+def test_bpe_train_matches_reference_and_duckdb(spark):
+    import duckdb
+
+    from osm_replication_rust_spark.operators.text import (
+        bpe_train,
+        sql_bpe_ctes,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the mat that the cat sat on",
+        "aaa aaaa banana bandana",
+        "x",
+        "thethethe",
+    ]
+    n_merges = 5
+    ref_merges, ref_seg, ref_wf = _bpe_ref(texts, n_merges)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges, seg = bpe_train(df, n_merges=n_merges)
+    assert merges == ref_merges
+    got_seg = {r.w: list(r.syms) for r in seg.collect()}
+    assert got_seg == ref_seg
+    # greedy non-overlap contract visible in the data: 'aaa' under an
+    # ('a','a') merge must become ['aa','a'], never ['aa','aa']
+    if ("a", "a") in [(a, b) for a, b, _ in merges[:1]]:
+        assert got_seg["aaa"][0] == "aa"
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+    row = con.execute(
+        f"WITH {sql_bpe_ctes(n_merges)} SELECT * FROM bpe"
+    ).fetchdf().iloc[0]
+    for r, (a, b, n) in enumerate(ref_merges):
+        assert (row[f"m{r}_a"], row[f"m{r}_b"], row[f"m{r}_n"]) == (a, b, n), r
+    assert row["tokens_before"] == sum(len(w) * c for w, c in ref_wf.items())
+    assert row["tokens_after"] == sum(
+        len(s) * ref_wf[w] for w, s in ref_seg.items()
+    )
+    got_after = seg.selectExpr("sum(wf * size(syms)) AS t").collect()[0].t
+    assert got_after == row["tokens_after"]
