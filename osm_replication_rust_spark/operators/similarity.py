@@ -646,3 +646,163 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, i_id, "pq_d2", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# top principal component via EXACT fixed-point power iteration — the
+# embedding-analytics primitive (dominant direction of a corpus: drift
+# monitoring, whitening, spectral initialization) in the shape a
+# 10^12-row table demands: the data reduces to ONE 64x64 sufficient
+# statistic (the Gram matrix of the quantized embeddings, an
+# order-free exact-integer aggregation), and the eigensolve runs on
+# that tiny matrix with integer-requantized iterates, so every number
+# in the result is exact and engine-independent (no float accumulates
+# anywhere; the single division producing the eigenvalue is the only
+# float op).
+# ---------------------------------------------------------------------------
+
+def pca_gram(items: DataFrame, dim: int, vec: str = "embedding") -> DataFrame:
+    """Exact integer Gram matrix of round(x*1000)-quantized embeddings:
+    one row per (gi, gj) in [0, dim)², g = Σ_rows q_gi·q_gj summed in
+    decimal(38,0). Plan: per-row flattened outer product (pure JVM
+    transform/flatten), posexplode, ONE hash aggregate on the 0..dim²-1
+    position — map-side combine collapses every partition to dim²
+    counters, so the shuffle is dim²·partitions rows whatever the row
+    count (the sufficient-statistic reduce)."""
+    q = (
+        f"transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    op = "flatten(transform(_q, a -> transform(_q, b -> a * b)))"
+    return (
+        items.select(F.expr(q).alias("_q"))
+        .select(F.posexplode(F.expr(op)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("g"))
+        .select(
+            (F.col("pos") / dim).cast("long").alias("gi"),
+            (F.col("pos") % dim).cast("long").alias("gj"),
+            "g",
+        )
+    )
+
+
+def pca_power_top(
+    items: DataFrame,
+    dim: int,
+    iters: int = 12,
+    scale_bits: int = 20,
+    vec: str = "embedding",
+):
+    """Dominant eigenvector/-value of the quantized-embedding Gram
+    matrix by fixed-point power iteration. Returns ``(v, eig, gtrace,
+    n_iters)``: v the integer eigenvector iterate (|v|∞ = 2^scale_bits,
+    sign fixed so the first nonzero component is positive), eig the
+    Rayleigh quotient vᵀGv / vᵀv as ONE division of exact ints, gtrace
+    the exact Gram trace (the sufficient-statistic pin).
+
+    Every iteration is exact integer arithmetic — matvec in unbounded
+    Python ints over the collected dim² Gram (collecting a 64×64
+    sufficient statistic is the textbook driver-side step, not a
+    driver loop over data), then requantize w → sign(w)·(|w|·2^s //
+    max|w|), truncation-toward-zero spelled so DuckDB's floor `//` on
+    the non-negative operands agrees — so the iterate sequence is
+    bit-identical in the SQL twin regardless of summation order,
+    engine, or retry. A zero matvec stops early (all-zero corpus)."""
+    rows = pca_gram(items, dim, vec).collect()
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[int(r.gi)][int(r.gj)] = int(r.g)
+    S = 1 << scale_bits
+    v = [S] * dim
+    w = None
+    it = 0
+    for it in range(1, iters + 1):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            v = [0] * dim
+            break
+        v = [(1 if x >= 0 else -1) * ((abs(x) * S) // mx) for x in w]
+        fz = next((x for x in v if x != 0), 0)
+        if fz < 0:
+            v = [-x for x in v]
+    w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    num = sum(v[i] * w[i] for i in range(dim))
+    den = sum(x * x for x in v)
+    eig = (float(num) / float(den)) if den else None
+    gtrace = sum(G[i][i] for i in range(dim))
+    return v, eig, gtrace, it
+
+
+def sql_pca_ctes(dim: int, iters: int = 12, scale_bits: int = 20) -> str:
+    """DuckDB twin of pca_power_top over the ``embeddings`` view:
+    relational Gram (self-join on vec_id over unnested positions) +
+    unrolled fixed-point iterations (matvec = JOIN + SUM, requantize =
+    the same sign·(abs·2^s // max) spelling on HUGEINT), every CTE
+    MATERIALIZED — each iteration references its predecessor ~3x, so
+    DuckDB's default CTE inlining would otherwise expand the plan
+    3^iters-fold (measured: a 12-iteration inline plan never finishes
+    PLANNING). Defines CTE
+    ``pca`` with one row: (pca_eig, pca_v_sig, pca_v0, pca_v1, pca_v2,
+    pca_gtrace)."""
+    S = 1 << scale_bits
+    out = [f"""
+    pca_q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    pca_e AS MATERIALIZED (
+      SELECT vec_id, i, q[i] AS v FROM pca_q, range(1, {dim + 1}) t(i)
+    ),
+    pca_g AS MATERIALIZED (
+      SELECT a.i AS gi, b.i AS gj,
+             SUM(CAST(a.v AS HUGEINT) * b.v) AS g
+      FROM pca_e a JOIN pca_e b USING (vec_id) GROUP BY 1, 2
+    ),
+    pca_v0 AS MATERIALIZED (
+      SELECT i AS vi, CAST({S} AS HUGEINT) AS val FROM range(1, {dim + 1}) t(i)
+    )"""]
+    prev = "pca_v0"
+    for k in range(1, iters + 1):
+        out.append(f"""
+    pca_mv{k} AS MATERIALIZED (
+      SELECT gi AS vi, SUM(g * v.val) AS m
+      FROM pca_g JOIN {prev} v ON pca_g.gj = v.vi GROUP BY gi
+    ),
+    pca_mx{k} AS MATERIALIZED (SELECT MAX(ABS(m)) AS mx FROM pca_mv{k}),
+    pca_vr{k} AS MATERIALIZED (
+      SELECT vi,
+             CASE WHEN m >= 0 THEN 1 ELSE -1 END
+             * ((ABS(m) * {S}) // NULLIF(mx.mx, 0)) AS val
+      FROM pca_mv{k}, pca_mx{k} mx
+    ),
+    pca_sg{k} AS MATERIALIZED (
+      SELECT CASE WHEN (SELECT val FROM pca_vr{k} WHERE val != 0
+                        ORDER BY vi LIMIT 1) < 0 THEN -1 ELSE 1 END AS s
+    ),
+    pca_v{k} AS MATERIALIZED (
+      SELECT vi, COALESCE(val, 0) * sg.s AS val FROM pca_vr{k}, pca_sg{k} sg
+    )""")
+        prev = f"pca_v{k}"
+    out.append(f"""
+    pca_mvF AS MATERIALIZED (
+      SELECT gi AS vi, SUM(g * v.val) AS m
+      FROM pca_g JOIN {prev} v ON pca_g.gj = v.vi GROUP BY gi
+    ),
+    pca AS (
+      SELECT CASE WHEN (SELECT SUM(val * val) FROM {prev}) != 0
+               THEN CAST((SELECT SUM(v.val * m.m) FROM {prev} v
+                          JOIN pca_mvF m USING (vi)) AS DOUBLE)
+                    / CAST((SELECT SUM(val * val) FROM {prev}) AS DOUBLE)
+             END AS pca_eig,
+             (SELECT md5(string_agg(vi - 1 || ':' || val, ',' ORDER BY vi))
+              FROM {prev}) AS pca_v_sig,
+             (SELECT CAST(val AS VARCHAR) FROM {prev} WHERE vi = 1) AS pca_v0,
+             (SELECT CAST(val AS VARCHAR) FROM {prev} WHERE vi = 2) AS pca_v1,
+             (SELECT CAST(val AS VARCHAR) FROM {prev} WHERE vi = 3) AS pca_v2,
+             (SELECT CAST(SUM(g) AS VARCHAR) FROM pca_g WHERE gi = gj)
+               AS pca_gtrace
+    )""")
+    return ",".join(out)

@@ -6182,11 +6182,24 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "dot_q", "rank").orderBy("query_id", "rank")
 
 
+#: fixed-point power-iteration rounds for the PCA fold (gate cost is
+#: ~5 materialized CTEs per round in the oracle; the iterate is exact
+#: at ANY count — more rounds only tighten the eigen direction)
+_PCA_ITERS = 12
+
+
 def _near_dup_oracle() -> str:
     """SQL twin of embedding_near_dup: same planted fixture (x2 scaling
     is exact in any float width), bit-identical LSH candidate sets via
-    the integer-plane buckets, exact cosine >= threshold filter."""
-    from ..operators.similarity import sql_lsh_buckets, sql_quantized
+    the integer-plane buckets, exact cosine >= threshold filter. PLUS
+    the fixed-point PCA twin over the FULL embeddings table (pca CTE:
+    relational Gram + unrolled integer power iterations, every CTE
+    materialized)."""
+    from ..operators.similarity import (
+        sql_lsh_buckets,
+        sql_pca_ctes,
+        sql_quantized,
+    )
 
     bkts = sql_lsh_buckets(dim=64, n_tables=12, n_bits=8, seed=13, vec="v")
     per_table = "\n      UNION ALL\n      ".join(
@@ -6220,8 +6233,11 @@ def _near_dup_oracle() -> str:
       FROM cand c
       JOIN iv x ON x.vec_id = c.id_a
       JOIN iv y ON y.vec_id = c.id_b
-    )
-    SELECT id_a, id_b FROM chk WHERE cosine >= 0.99
+    ),{sql_pca_ctes(dim=64, iters=_PCA_ITERS)}
+    SELECT id_a, id_b,
+           pca.pca_eig, pca.pca_v_sig, pca.pca_v0, pca.pca_v1, pca.pca_v2,
+           pca.pca_gtrace
+    FROM chk CROSS JOIN pca WHERE cosine >= 0.99
     ORDER BY id_a, id_b
     """
 
@@ -6233,18 +6249,47 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic self-union with scaled copies (same direction =>
     cosine 1). Candidate sets are bit-identical across engines (integer
     planes); the cosine threshold only separates ~1.0 from <=0.7, so
-    float rounding cannot flip membership."""
-    from ..operators.similarity import embedding_near_dup_pairs
+    float rounding cannot flip membership.
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    PLUS the top principal component of the FULL embeddings table
+    (operators/similarity.pca_power_top): the data reduces to ONE
+    64×64 exact-integer Gram sufficient statistic (posexplode of the
+    per-row outer product + one hash agg — dim²·partitions shuffle
+    rows whatever the row count), then fixed-point power iteration on
+    the collected tiny matrix — integer requantize sign·(|w|·2^20 //
+    max|w|) each round, so the iterate, its md5 signature, the three
+    leading components, the Gram trace and the Rayleigh eigenvalue
+    (ONE division of exact ints) reproduce bit-for-bit in the oracle's
+    unrolled materialized-CTE twin."""
+    from ..operators.similarity import (
+        embedding_near_dup_pairs,
+        pca_power_top,
+    )
+
+    emb_all = _t(spark, sf_dir, "embeddings")
+    emb = emb_all.filter(F.col("vec_id") < 200)
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
     )
     u = emb.select("vec_id", "embedding").unionByName(planted)
-    return embedding_near_dup_pairs(u, 0.99, dim=64).select(
-        "id_a", "id_b"
-    ).orderBy("id_a", "id_b")
+    import hashlib
+
+    v, eig, gtrace, _ = pca_power_top(emb_all, dim=64, iters=_PCA_ITERS)
+    sig = hashlib.md5(
+        ",".join(f"{i}:{x}" for i, x in enumerate(v)).encode()
+    ).hexdigest()
+    pca_row = spark.createDataFrame(
+        [(eig, sig, str(v[0]), str(v[1]), str(v[2]), str(gtrace))],
+        "pca_eig double, pca_v_sig string, pca_v0 string, pca_v1 string, "
+        "pca_v2 string, pca_gtrace string",
+    )
+    return (
+        embedding_near_dup_pairs(u, 0.99, dim=64)
+        .select("id_a", "id_b")
+        .crossJoin(F.broadcast(pca_row))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(

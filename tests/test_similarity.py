@@ -139,3 +139,64 @@ def test_pq_codebook_validation(spark):
     bad = np.zeros((4, 8, 5), dtype=np.int64)  # 4*5 != 16
     with pytest.raises(ValueError):
         pq_topk(items, items.withColumnRenamed("vec_id", "query_id"), bad, k=1, dim=16)
+
+
+def test_pca_power_top_matches_numpy_and_duckdb(spark):
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.similarity import (
+        _quantize,
+        pca_gram,
+        pca_power_top,
+        sql_pca_ctes,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n = 6, 80
+    # anisotropic cloud with a clear dominant direction
+    base = rng.normal(0, 0.05, (n, dim))
+    base[:, 2] += rng.normal(0, 0.9, n)
+    base[:, 4] += 0.5 * base[:, 2]
+    emb = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(emb, "vec_id long, embedding array<float>")
+
+    # Gram agg == numpy outer-product sum over the quantized ints
+    q = _quantize(np.array([r[1] for r in emb], dtype=np.float64))
+    Gref = q.T.astype(object) @ q.astype(object)
+    got_g = {(r.gi, r.gj): int(r.g) for r in pca_gram(df, dim).collect()}
+    for i in range(dim):
+        for j in range(dim):
+            assert got_g[(i, j)] == int(Gref[i, j]), (i, j)
+
+    v, eig, gtrace, it = pca_power_top(df, dim, iters=12)
+    assert gtrace == sum(int(Gref[i, i]) for i in range(dim))
+    # direction approximates numpy's top eigenvector (cosine ~ 1)
+    wn, vn = np.linalg.eigh(np.array(Gref, dtype=np.float64))
+    top = vn[:, -1]
+    u = np.array(v, dtype=np.float64)
+    cos = abs(u @ top) / (np.linalg.norm(u) * np.linalg.norm(top))
+    assert cos > 0.9999
+    assert abs(eig - wn[-1]) / wn[-1] < 1e-4
+
+    # DuckDB twin: identical iterate (signature), v components, eig
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(" + str(i) + ", [" + ",".join(f"{x}::FLOAT" for x in e) + "])"
+        for i, e in emb
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM (VALUES {vals}) t(vec_id, embedding)"
+    )
+    row = con.execute(
+        f"WITH {sql_pca_ctes(dim, iters=12)} SELECT * FROM pca"
+    ).fetchone()
+    sig = hashlib.md5(
+        ",".join(f"{i}:{x}" for i, x in enumerate(v)).encode()
+    ).hexdigest()
+    assert row[1] == sig
+    assert (row[2], row[3], row[4]) == (str(v[0]), str(v[1]), str(v[2]))
+    assert abs(row[0] - eig) < 1e-12
+    assert row[5] == str(gtrace)
