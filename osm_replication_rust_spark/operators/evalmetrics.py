@@ -1,0 +1,262 @@
+"""Exact evaluation metrics over classifier-style score/label columns:
+ROC-AUC (Mann-Whitney rank form, midrank tie handling) and the 2x2
+Pearson chi-square association test.
+
+A training-data pipeline does not just COMPUTE quality signals — it has
+to EVALUATE them: "does this quality score actually separate the
+contaminated/leaked/duplicate docs from the clean ones?" is an AUC
+question, and "is seed-query relevance associated with contamination?"
+is a chi-square question.  The reference engine has no analogue (it is
+a geodata engine); these belong to the training-data-pipeline tier the
+engine adds on top.
+
+Cross-engine exactness (the repo-wide rule: exact integer state behind
+every float):
+
+- ROC-AUC is computed in its Mann-Whitney rank-sum form with midranks,
+  which makes it a pure INTEGER statistic: group the labeled rows by
+  distinct score s into (c1 = positives at s, c = rows at s), take the
+  strictly-below cumulative count cl, and then
+
+      2*R1    = sum( c1 * (2*cl + c + 1) )        # doubled midrank sum
+      auc_num = 2*R1 - n1*(n1 + 1)
+      auc_den = 2 * n1 * n0
+      auc     = auc_num / auc_den                  # ONE shared division
+
+  Every sum/product runs in decimal(38,0) on Spark and HUGEINT on the
+  DuckDB twin (products reach ~n^2 and the rank sum ~n^2, far past
+  int64 at 10^12 rows), the exact numerator/denominator travel as
+  digit strings (the integer pin behind the float compare, the
+  ``idw_den_str`` discipline), and the float is one correctly-rounded
+  division — bit-identical across engines, orderings and retries.
+  auc_num >= 0 always (R1 is minimal when every positive ranks below
+  every negative).  den = 0 (single-class input) => auc NULL.
+
+- chi-square: the four contingency cells a,b,c,d ARE the sufficient
+  statistic and stay exact int64 at any scale; ad - bc is computed in
+  decimal/HUGEINT (exact) and cast to double ONCE (one correct
+  rounding), the margins are < 2^53 so their double casts are exact,
+  and the statistic is a FIXED double expression tree
+
+      chi2 = (N * (ad - bc)^2) / (((a+b) * (c+d)) * ((a+c) * (b+d)))
+
+  spelled with identical association in both engines, so every
+  intermediate is the same correctly-rounded IEEE value.  Any zero
+  margin => chi2 NULL.
+
+Plan shape / 100 TB scaling:
+
+- roc_auc: one hash aggregation on (group, score) with map-side
+  combine (the only fact-width exchange), then a window and final
+  aggregate over the DISTINCT-SCORE table — for the integer/bounded
+  scores these metrics run on (token counts, quantized quality
+  scores), that table is domain-sized, not corpus-sized.  With no
+  group columns the window is single-partition BY DESIGN: it orders
+  the global distinct-score table, never the facts.
+- chi2_2x2: ONE aggregate, map-side combining, four conditional
+  counts.  Nothing else.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _dec(c: Column) -> Column:
+    return c.cast(_DEC)
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    group_cols: Sequence[str] = (),
+    prefix: str = "auc",
+) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` predicting boolean ``label_col``
+    (higher score = more positive), midrank tie handling, optionally
+    per group.  Returns one row per group (one row total when
+    ``group_cols`` is empty) with columns::
+
+        <prefix>_num_str  exact numerator digits   (2*R1 - n1*(n1+1))
+        <prefix>_den_str  exact denominator digits (2*n1*n0)
+        <prefix>          num/den as ONE shared double division
+        <prefix>_n_pos    positive count (rows with label true)
+        <prefix>_n_neg    negative count
+
+    Rows whose label is NULL are excluded (both engines).  AUC is NULL
+    when either class is empty."""
+    g = list(group_cols)
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.filter(y.isNotNull()).select(
+        *g, s.alias("_s"), y.cast("boolean").alias("_y")
+    )
+    per = base.groupBy(*g, "_s").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("_c1"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per = per.withColumn("_cl", F.sum("_c").over(w) - F.col("_c"))
+    two = F.lit(2).cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    agg = per.groupBy(*g).agg(
+        F.sum(
+            _dec(F.col("_c1"))
+            * (two * _dec(F.col("_cl")) + _dec(F.col("_c")) + one)
+        ).alias("_r2"),
+        _dec(F.sum("_c1")).alias("_n1"),
+        _dec(F.sum("_c")).alias("_n"),
+    )
+    num = F.col("_r2") - F.col("_n1") * (F.col("_n1") + one)
+    den = two * F.col("_n1") * (F.col("_n") - F.col("_n1"))
+    return agg.select(
+        *g,
+        num.cast("string").alias(f"{prefix}_num_str"),
+        den.cast("string").alias(f"{prefix}_den_str"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(prefix),
+        F.col("_n1").cast("long").alias(f"{prefix}_n_pos"),
+        (F.col("_n") - F.col("_n1")).cast("long").alias(f"{prefix}_n_neg"),
+    )
+
+
+def sql_roc_auc_ctes(
+    src: str,
+    score: str,
+    label: str,
+    prefix: str = "auc",
+    group_by: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`roc_auc` as a chain of CTEs; the final CTE
+    is named ``<prefix>`` and carries exactly the Spark columns.  All
+    integer work runs in HUGEINT (the oracle-side decimal(38,0))."""
+    gsel = f"{group_by}, " if group_by else ""
+    gpart = f"PARTITION BY {group_by} " if group_by else ""
+    ggrp = f"GROUP BY {group_by}" if group_by else ""
+    return f"""
+    {prefix}_rk AS (
+      SELECT {gsel}{score} AS s,
+             SUM(CASE WHEN {label} THEN 1 ELSE 0 END) AS c1,
+             COUNT(*) AS c
+      FROM {src} WHERE {label} IS NOT NULL
+      GROUP BY {gsel.rstrip(', ') + ', ' if gsel else ''}s
+    ),
+    {prefix}_rk2 AS (
+      SELECT *, SUM(c) OVER ({gpart}ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cl
+      FROM {prefix}_rk
+    ),
+    {prefix}_ag AS (
+      SELECT {gsel}
+             SUM(CAST(c1 AS HUGEINT)
+                 * (2 * CAST(cl AS HUGEINT) + CAST(c AS HUGEINT) + 1)) AS r2,
+             CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c) AS HUGEINT) AS n
+      FROM {prefix}_rk2 {ggrp}
+    ),
+    {prefix} AS (
+      SELECT {gsel}
+             CAST(r2 - n1 * (n1 + 1) AS VARCHAR) AS {prefix}_num_str,
+             CAST(2 * n1 * (n - n1) AS VARCHAR) AS {prefix}_den_str,
+             CASE WHEN 2 * n1 * (n - n1) <> 0
+                  THEN CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                       / CAST(2 * n1 * (n - n1) AS DOUBLE)
+             END AS {prefix},
+             CAST(n1 AS BIGINT) AS {prefix}_n_pos,
+             CAST(n - n1 AS BIGINT) AS {prefix}_n_neg
+      FROM {prefix}_ag
+    )"""
+
+
+def chi2_2x2(
+    df: DataFrame,
+    pred_col: str | Column,
+    label_col: str | Column,
+    prefix: str = "chi2",
+) -> DataFrame:
+    """Pearson chi-square (1 dof, no continuity correction) of boolean
+    ``pred_col`` against boolean ``label_col``.  Returns ONE row:
+    ``<prefix>_a/_b/_c/_d`` (exact cells: a = pred&pos, b = pred&neg,
+    c = !pred&pos, d = !pred&neg, over rows where both are non-NULL),
+    ``<prefix>_n`` and ``<prefix>`` (the statistic; NULL on any zero
+    margin)."""
+    p = F.col(pred_col) if isinstance(pred_col, str) else pred_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    ok = p.isNotNull() & y.isNotNull()
+    p, y = p.cast("boolean"), y.cast("boolean")
+
+    def cell(cond: Column) -> Column:
+        return F.coalesce(F.sum(F.when(ok & cond, 1)), F.lit(0)).cast("long")
+
+    agg = df.agg(
+        cell(p & y).alias("_a"),
+        cell(p & ~y).alias("_b"),
+        cell(~p & y).alias("_c"),
+        cell(~p & ~y).alias("_d"),
+    )
+    a, b, c, d = (F.col(x) for x in ("_a", "_b", "_c", "_d"))
+    n = a + b + c + d
+    # exact cross-product difference in decimal, rounded to double ONCE
+    det = (_dec(a) * _dec(d) - _dec(b) * _dec(c)).cast("double")
+    # margins < 2^53: their double casts are exact; fixed association
+    m = (
+        (a + b).cast("double") * (c + d).cast("double")
+    ) * (
+        (a + c).cast("double") * (b + d).cast("double")
+    )
+    chi = F.when(m != 0, n.cast("double") * (det * det) / m)
+    return agg.select(
+        a.alias(f"{prefix}_a"),
+        b.alias(f"{prefix}_b"),
+        c.alias(f"{prefix}_c"),
+        d.alias(f"{prefix}_d"),
+        n.alias(f"{prefix}_n"),
+        chi.alias(prefix),
+    )
+
+
+def sql_chi2_2x2(src: str, pred: str, label: str, prefix: str = "chi2") -> str:
+    """DuckDB twin of :func:`chi2_2x2` as one CTE named ``<prefix>``,
+    spelled with the identical double-expression association."""
+    ok = f"({pred}) IS NOT NULL AND ({label}) IS NOT NULL"
+    cells = {
+        "a": f"({pred}) AND ({label})",
+        "b": f"({pred}) AND NOT ({label})",
+        "c": f"NOT ({pred}) AND ({label})",
+        "d": f"NOT ({pred}) AND NOT ({label})",
+    }
+    sel = ",\n             ".join(
+        f"COALESCE(SUM(CASE WHEN {ok} AND {cond} THEN 1 END), 0) AS _{k}"
+        for k, cond in cells.items()
+    )
+    return f"""
+    {prefix}_cells AS (
+      SELECT {sel} FROM {src}
+    ),
+    {prefix} AS (
+      SELECT CAST(_a AS BIGINT) AS {prefix}_a,
+             CAST(_b AS BIGINT) AS {prefix}_b,
+             CAST(_c AS BIGINT) AS {prefix}_c,
+             CAST(_d AS BIGINT) AS {prefix}_d,
+             CAST(_a + _b + _c + _d AS BIGINT) AS {prefix}_n,
+             CASE WHEN (CAST(_a + _b AS DOUBLE) * CAST(_c + _d AS DOUBLE))
+                       * (CAST(_a + _c AS DOUBLE) * CAST(_b + _d AS DOUBLE)) <> 0
+                  THEN CAST(_a + _b + _c + _d AS DOUBLE)
+                       * (CAST(CAST(_a AS HUGEINT) * CAST(_d AS HUGEINT)
+                               - CAST(_b AS HUGEINT) * CAST(_c AS HUGEINT) AS DOUBLE)
+                          * CAST(CAST(_a AS HUGEINT) * CAST(_d AS HUGEINT)
+                                 - CAST(_b AS HUGEINT) * CAST(_c AS HUGEINT) AS DOUBLE))
+                       / ((CAST(_a + _b AS DOUBLE) * CAST(_c + _d AS DOUBLE))
+                          * (CAST(_a + _c AS DOUBLE) * CAST(_b + _d AS DOUBLE)))
+             END AS {prefix}
+      FROM {prefix}_cells
+    )"""

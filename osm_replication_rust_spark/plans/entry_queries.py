@@ -1712,9 +1712,16 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count DESC, a, b) order, greedy non-overlapping
     merge application as a map-side array fold — the full learned
     merge table and the before/after corpus token counts pinned as
-    global columns vs the oracle's 5 unrolled list_reduce rounds."""
+    global columns vs the oracle's 5 unrolled list_reduce rounds, PLUS
+    the pipeline's own evaluation metrics (operators/evalmetrics.py):
+    the exact midrank ROC-AUC of n_tokens predicting is_contaminated
+    (Mann-Whitney rank form — num/den pinned as decimal/HUGEINT digit
+    strings behind the one-division float) and the 2x2 Pearson
+    chi-square of seed-query relevance (bm25_q > 0) vs contamination
+    (the four exact cells ARE the statistic's integer state)."""
     from ..operators.contamination import contamination_scores
     from ..operators.dedup import exact_duplicates
+    from ..operators.evalmetrics import chi2_2x2, roc_auc
     from ..operators.text import (
         bigram_lm_scores,
         bm25_scores,
@@ -1759,7 +1766,7 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in range(_BPE_MERGES)
         ),
     )
-    return (
+    core = (
         keep_q.join(keep_lang, "doc_id", "left_semi")
         .join(losers, "doc_id", "left_anti")
         .join(bm, "doc_id", "left")
@@ -1772,6 +1779,12 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contam_frac", "is_contaminated",
             "n_bigrams", "lm_mass", "lm_avg_logp",
         )
+    )
+    auc = roc_auc(core, "n_tokens", "is_contaminated", prefix="contam_auc")
+    chi = chi2_2x2(core, F.col("bm25_q") > 0, "is_contaminated", prefix="rel_chi2")
+    return (
+        core.crossJoin(F.broadcast(auc))
+        .crossJoin(F.broadcast(chi))
         .crossJoin(F.broadcast(bpe_row))
         .crossJoin(F.broadcast(bpe_stats))
         .orderBy("doc_id")
@@ -1780,6 +1793,7 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fill_pipeline_oracle() -> None:
     from ..operators.contamination import sql_contamination_ctes
+    from ..operators.evalmetrics import sql_chi2_2x2, sql_roc_auc_ctes
     from ..operators.text import (
         LANG_MARKERS as markers,
         sql_bigram_lm,
@@ -1833,7 +1847,8 @@ def _fill_pipeline_oracle() -> None:
       WHERE k.n > 1 AND d.doc_id <> k.keeper_id
     ),
     bm AS ({bm25}
-    ),{cont},{lm},{bpe}
+    ),{cont},{lm},{bpe},
+    fin AS (
     SELECT q.doc_id, q.n_tokens, COALESCE(bm.bm25, 0.0) AS bm25_q,
            COALESCE(cont.n_shingles, 0) AS n_shingles,
            COALESCE(cont.n_contam, 0) AS n_contam,
@@ -1853,7 +1868,10 @@ def _fill_pipeline_oracle() -> None:
     WHERE q.n_tokens >= 10 AND q.mean_tok_len BETWEEN 3 AND 12 AND q.swr > 0
       AND q.doc_id IN (SELECT doc_id FROM lang)
       AND q.doc_id NOT IN (SELECT doc_id FROM losers)
-    ORDER BY q.doc_id
+    ),{sql_roc_auc_ctes('fin', 'n_tokens', 'is_contaminated', prefix='contam_auc')},{sql_chi2_2x2('fin', 'bm25_q > 0', 'is_contaminated', prefix='rel_chi2')}
+    SELECT fin.*, contam_auc.*, rel_chi2.*
+    FROM fin CROSS JOIN contam_auc CROSS JOIN rel_chi2
+    ORDER BY fin.doc_id
     """
 
 

@@ -1,0 +1,160 @@
+"""Exact ROC-AUC (Mann-Whitney midrank form) and 2x2 chi-square."""
+
+import math
+from fractions import Fraction
+
+import pytest
+
+from osm_replication_rust_spark.operators.evalmetrics import chi2_2x2, roc_auc
+
+
+def _ref_auc(pairs):
+    """Brute-force AUC = P(s_pos > s_neg) + 0.5 * P(s_pos = s_neg),
+    exact rational."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    num = 0
+    for p in pos:
+        for n in neg:
+            num += 2 if p > n else (1 if p == n else 0)
+    return Fraction(num, 2 * len(pos) * len(neg))
+
+
+def _lcg(seed):
+    x = seed
+    while True:
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        yield x
+
+
+def test_auc_matches_bruteforce_with_ties(spark):
+    g = _lcg(7)
+    # scores drawn from a tiny domain so midrank ties are heavy
+    pairs = [((next(g) >> 5) % 9, (next(g) >> 7) % 3 == 0) for _ in range(400)]
+    df = spark.createDataFrame(pairs, "s long, y boolean")
+    row = roc_auc(df, "s", "y").collect()[0]
+    ref = _ref_auc(pairs)
+    got = Fraction(int(row["auc_num_str"]), int(row["auc_den_str"]))
+    assert got == ref
+    assert row["auc"] == pytest.approx(float(ref), abs=0, rel=0)
+    assert row["auc_n_pos"] == sum(1 for _, y in pairs if y)
+    assert row["auc_n_neg"] == sum(1 for _, y in pairs if not y)
+
+
+def test_auc_grouped_and_null_labels(spark):
+    g = _lcg(11)
+    rows = []
+    for i in range(300):
+        grp = i % 3
+        s = (next(g) >> 9) % 20
+        y = None if i % 17 == 0 else (next(g) >> 3) % 2 == 0
+        rows.append((grp, s, y))
+    df = spark.createDataFrame(rows, "grp int, s long, y boolean")
+    out = {r["grp"]: r for r in roc_auc(df, "s", "y", group_cols=["grp"]).collect()}
+    for grp in range(3):
+        ref = _ref_auc([(s, y) for g2, s, y in rows if g2 == grp and y is not None])
+        got = Fraction(int(out[grp]["auc_num_str"]), int(out[grp]["auc_den_str"]))
+        assert got == ref, grp
+
+
+def test_auc_perfect_worst_and_single_class(spark):
+    perfect = [(i, i >= 5) for i in range(10)]
+    df = spark.createDataFrame(perfect, "s long, y boolean")
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] == 1.0
+    worst = [(i, i < 5) for i in range(10)]
+    df = spark.createDataFrame(worst, "s long, y boolean")
+    r = roc_auc(df, "s", "y").collect()[0]
+    assert r["auc"] == 0.0
+    assert r["auc_num_str"] == "0"
+    onecls = [(i, True) for i in range(5)]
+    df = spark.createDataFrame(onecls, "s long, y boolean")
+    r = roc_auc(df, "s", "y").collect()[0]
+    assert r["auc"] is None and r["auc_den_str"] == "0"
+
+
+def _ref_chi2(a, b, c, d):
+    n = a + b + c + d
+    m = (a + b) * (c + d) * (a + c) * (b + d)
+    if m == 0:
+        return None
+    return n * (a * d - b * c) ** 2 / m
+
+
+def test_chi2_matches_closed_form(spark):
+    g = _lcg(3)
+    rows = [
+        ((next(g) >> 4) % 3 == 0, (next(g) >> 6) % 4 == 0) for _ in range(500)
+    ]
+    # plant association: flip some labels to follow pred
+    rows = [(p, (y or p) if i % 5 == 0 else y) for i, (p, y) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "p boolean, y boolean")
+    r = chi2_2x2(df, "p", "y").collect()[0]
+    a = sum(1 for p, y in rows if p and y)
+    b = sum(1 for p, y in rows if p and not y)
+    c = sum(1 for p, y in rows if not p and y)
+    d = sum(1 for p, y in rows if not p and not y)
+    assert (r["chi2_a"], r["chi2_b"], r["chi2_c"], r["chi2_d"]) == (a, b, c, d)
+    assert r["chi2"] == pytest.approx(_ref_chi2(a, b, c, d), rel=1e-12)
+    assert r["chi2_n"] == 500
+
+
+def test_chi2_zero_margin_and_nulls(spark):
+    rows = [(True, True), (True, False), (True, True), (None, True), (True, None)]
+    df = spark.createDataFrame(rows, "p boolean, y boolean")
+    r = chi2_2x2(df, "p", "y").collect()[0]
+    assert r["chi2"] is None  # no pred=False rows -> zero margin
+    assert r["chi2_n"] == 3  # NULL rows excluded
+    ind = [(i % 2 == 0, i % 3 == 0) for i in range(60)]
+    df = spark.createDataFrame(ind, "p boolean, y boolean")
+    r = chi2_2x2(df, "p", "y").collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-12)  # exactly independent
+
+
+def test_auc_duckdb_twin_parity(spark):
+    """The generated CTE chain must be valid DuckDB and bit-match the
+    Spark columns (digit strings AND the float)."""
+    duckdb = pytest.importorskip("duckdb")
+    from osm_replication_rust_spark.operators.evalmetrics import (
+        sql_chi2_2x2,
+        sql_roc_auc_ctes,
+    )
+
+    g = _lcg(23)
+    rows = [
+        (
+            (next(g) >> 8) % 13,
+            None if i % 19 == 0 else (next(g) >> 2) % 3 == 0,
+            (next(g) >> 5) % 2 == 0,
+        )
+        for i in range(350)
+    ]
+    df = spark.createDataFrame(rows, "s long, y boolean, p boolean")
+    srow = (
+        roc_auc(df, "s", "y")
+        .crossJoin(chi2_2x2(df, "p", "y"))
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({s}, {'NULL' if y is None else y}, {p})" for s, y, p in rows
+        )
+        + ") v(s, y, p)"
+    )
+    q = (
+        "WITH "
+        + sql_roc_auc_ctes("t", "s", "y")
+        + ","
+        + sql_chi2_2x2("t", "p", "y")
+        + " SELECT * FROM auc CROSS JOIN chi2"
+    )
+    orow = con.execute(q).fetchdf().iloc[0]
+    assert srow["auc_num_str"] == orow["auc_num_str"]
+    assert srow["auc_den_str"] == orow["auc_den_str"]
+    assert srow["auc"] == orow["auc"]  # bit-identical, not approx
+    assert math.isclose(srow["chi2"], orow["chi2"], rel_tol=0, abs_tol=0)
+    for k in ("chi2_a", "chi2_b", "chi2_c", "chi2_d", "chi2_n"):
+        assert srow[k] == orow[k]
