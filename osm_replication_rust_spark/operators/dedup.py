@@ -859,3 +859,152 @@ def winnow_fps_udf(k: int = 5, w: int = 4):
         return pd.Series(out)
 
     return fps
+
+
+# ---------------------------------------------------------------------------
+# bounded edit-distance similarity join (q-gram count filter + verify)
+# ---------------------------------------------------------------------------
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` — the fuzzy
+    near-dup tier between exact dedup (hash) and Jaccard/MinHash
+    (token sets): caption variants, OCR noise, single-typo mirrors.
+
+    NEVER all-pairs.  Candidates come from the classic q-gram count
+    lower bound (Gravano et al., VLDB'01 — public): one edit operation
+    destroys at most q positional q-grams, so
+
+        ed(s1, s2) <= d  =>  |G(s1) ∩ G(s2)|_multiset
+                             >= max(len1, len2) - (q-1) - q*d
+
+    Multiset semantics are exact: each doc's grams aggregate to
+    (gram, count) and re-explode to (gram, k) occurrence rows, so the
+    equi-join on (gram, k) yields exactly sum(min(c1, c2)) matches per
+    pair.  The bound is usable (>= 1) whenever the LONGER string has
+    len >= L0 = q*(d+1); shorter-vs-shorter pairs (both len < L0, a
+    CONSTANT-bounded pool) go through a complete length-band join
+    instead (the right side fans out to its len±d keys — any true pair
+    shares exactly one key).  Together the two paths are COMPLETE:
+    every true pair is generated by exactly one path (the length
+    filter |len1-len2| <= d makes a short-long true pair impossible
+    across the L0 boundary beyond the band the gram path covers —
+    max >= L0 routes to grams, and there min >= L0-d >= q so both
+    sides have grams).
+
+    Verification is the built-in JVM ``levenshtein`` (whole-stage
+    codegen) on the candidate pairs only; the emitted ``edist`` is the
+    exact distance.  ``max_gram_df`` (default None = exact/complete)
+    drops grams whose document frequency exceeds the cap — the
+    ngram_jaccard ``max_shingle_df`` skew valve for the 100 TB tier,
+    where a stop-gram ("the", "ing") would otherwise quadratically
+    dominate the candidate join; capping trades completeness for a
+    bounded join, exactly like every prefix-filter system in
+    production.
+
+    Plan: one fact-width explode + hash agg (gram counts), one
+    self-equi-join on (gram, k), one pair-count agg, two narrow id
+    joins back to texts, one codegen verify.  Returns (id_a, id_b,
+    edist) with id_a < id_b."""
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1 (got {max_dist}); use "
+                         "exact_duplicates for distance 0")
+    if q < 2:
+        raise ValueError(f"q must be >= 2: {q}")
+    d, L0 = max_dist, q * (max_dist + 1)
+    t, i = text_col, id_col
+    base = (
+        df.filter(F.col(t).isNotNull())
+        .select(F.col(i).alias("_id"), F.col(t).alias("_t"),
+                F.length(t).alias("_len"))
+    )
+
+    # --- gram path: pairs whose longer member has _len >= L0 ---------
+    grams = base.select(
+        "_id", "_len",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(_t) >= {q} THEN "
+                f"transform(sequence(1, length(_t) - {q - 1}), "
+                f"p -> substring(_t, p, {q})) "
+                f"ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("_g"),
+    )
+    gc = grams.groupBy("_id", "_len", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    if max_gram_df is not None:
+        hot = (
+            gc.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_df).select("_g")
+        )
+        gc = gc.join(F.broadcast(hot), "_g", "left_anti")
+    sh = gc.select(
+        "_id", "_len", "_g", F.explode(F.expr("sequence(1, _c)")).alias("_k")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    gram_cand = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._k") == F.col("b._k"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.abs(F.col("a._len") - F.col("b._len")) <= d)
+            & (F.greatest(F.col("a._len"), F.col("b._len")) >= L0),
+        )
+        .groupBy(
+            F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"),
+            F.col("a._len").alias("_la"), F.col("b._len").alias("_lb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_nc"))
+        .filter(
+            F.col("_nc")
+            >= F.greatest("_la", "_lb") - F.lit(q - 1) - F.lit(q * d)
+        )
+        .select("_ida", "_idb")
+    )
+
+    # --- short path: both members have _len <= L0 - 1 ----------------
+    shorts = base.filter(F.col("_len") <= L0 - 1)
+    sl = shorts.select(F.col("_id").alias("_ida"), F.col("_len").alias("_key"))
+    sr = shorts.select(
+        F.col("_id").alias("_idb"),
+        F.explode(F.expr(f"sequence(greatest(_len - {d}, 0), _len + {d})"))
+        .alias("_key"),
+    )
+    short_cand = sl.join(
+        sr, (sl["_key"] == sr["_key"]) & (sl["_ida"] < sr["_idb"])
+    ).select("_ida", "_idb")
+
+    # --- verify ------------------------------------------------------
+    cand = gram_cand.unionByName(short_cand)
+    ta = base.select(F.col("_id").alias("_ida"), F.col("_t").alias("_ta"))
+    tb = base.select(F.col("_id").alias("_idb"), F.col("_t").alias("_tb"))
+    return (
+        cand.join(ta, "_ida").join(tb, "_idb")
+        .withColumn("edist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("edist") <= d)
+        .select(
+            F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "edist"
+        )
+    )
+
+
+def sql_edit_distance_pairs(fixture_sql: str, max_dist: int) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` — the quadratic
+    length-filtered verify (a genuinely different algorithm: no
+    banding, so it also PROVES the banding complete at fixture
+    scale)."""
+    return f"""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.text, b.text) AS edist
+      FROM ({fixture_sql}) a JOIN ({fixture_sql}) b
+        ON a.doc_id < b.doc_id
+       AND abs(length(a.text) - length(b.text)) <= {max_dist}
+      WHERE levenshtein(a.text, b.text) <= {max_dist}
+    """

@@ -1495,31 +1495,82 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_components",
-    f"""
-    WITH RECURSIVE und AS (
-      SELECT id_a AS a, id_b AS b FROM (
-        {_sql_jaccard_pairs(_sql_doc_union(100), 0.5, "id_a, id_b")}
-      )
+def _sql_doc_union_typos(max_id: int) -> str:
+    """_sql_doc_union plus planted single-char-DELETION mutants
+    (id + 2e6) of every 5th doc — the edit-distance fold's fixture.
+    The deletion position doc_id % 20 + 1 shifts gram alignment, the
+    case the q-gram count filter (not a positional filter) exists
+    for."""
+    return f"""{_sql_doc_union(max_id)}
       UNION ALL
-      SELECT id_b, id_a FROM (
-        {_sql_jaccard_pairs(_sql_doc_union(100), 0.5, "id_a, id_b")}
-      )
+      SELECT doc_id + 2000000,
+             substring(text, 1, doc_id % 20)
+               || substring(text, doc_id % 20 + 2)
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id < {max_id}
+    """
+
+
+def _dedup_components_oracle() -> str:
+    from ..operators.dedup import sql_edit_distance_pairs
+
+    u2 = _sql_doc_union_typos(100)
+    pairs = _sql_jaccard_pairs(u2, 0.5, "id_a, id_b")
+    ed = sql_edit_distance_pairs(u2, 2)
+    return f"""
+    WITH RECURSIVE und AS (
+      SELECT id_a AS a, id_b AS b FROM ({pairs})
+      UNION ALL
+      SELECT id_b, id_a FROM ({pairs})
     ),
     reach(id, r) AS (
       SELECT a, a FROM und
       UNION
       SELECT u.a, r.r FROM und u JOIN reach r ON r.id = u.b
+    ),
+    comp AS (SELECT id, min(r) AS keeper_id FROM reach GROUP BY id),
+    ed AS ({ed}),
+    edb AS (
+      SELECT id_a AS id, id_b AS nbr, edist FROM ed
+      UNION ALL
+      SELECT id_b, id_a, edist FROM ed
+    ),
+    edm AS (
+      SELECT id, count(*) AS n_edit_nbrs, min(edist) AS min_edist
+      FROM edb GROUP BY id
+    ),
+    eds AS (
+      SELECT edm.id, edm.n_edit_nbrs, edm.min_edist,
+             min(b.nbr) AS edit_nn
+      FROM edm JOIN edb b ON b.id = edm.id AND b.edist = edm.min_edist
+      GROUP BY edm.id, edm.n_edit_nbrs, edm.min_edist
     )
-    SELECT id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY id
-    """,
-)
+    SELECT comp.id, comp.keeper_id,
+           COALESCE(eds.n_edit_nbrs, 0) AS n_edit_nbrs,
+           eds.min_edist, eds.edit_nn
+    FROM comp LEFT JOIN eds ON eds.id = comp.id
+    ORDER BY comp.id
+    """
+
+
+@register("dedup_components")
 def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact near-dup pair graph ->
     (id, keeper_id): min-label propagation to fixpoint; oracle =
-    recursive-CTE transitive closure with min over reachable ids."""
-    from ..operators.dedup import dedup_components, ngram_jaccard_pairs
+    recursive-CTE transitive closure with min over reachable ids.
+
+    Round 5: the fixture gains planted single-char-deletion mutants
+    (id + 2e6, every 5th doc) and the row carries the bounded
+    edit-distance join (operators/dedup.edit_distance_pairs — q-gram
+    count-filter banding + levenshtein verify, NEVER all-pairs) as
+    per-id neighbor stats: n_edit_nbrs / min_edist / edit_nn (argmin
+    neighbor, ties to smallest id) at max_dist=2.  The oracle twin is
+    the QUADRATIC length-filtered verify, so the gate also proves the
+    banding complete on the fixture."""
+    from ..operators.dedup import (
+        dedup_components,
+        edit_distance_pairs,
+        ngram_jaccard_pairs,
+    )
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     u = d.select("doc_id", "text").unionByName(
@@ -1527,8 +1578,50 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
         )
     )
-    pairs = ngram_jaccard_pairs(u, "text", "doc_id", n=3, threshold=0.5)
-    return dedup_components(pairs).orderBy("id")
+    u2 = u.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.expr("substring(text, 1, doc_id % 20)"),
+                F.expr("substring(text, doc_id % 20 + 2)"),
+            ).alias("text"),
+        )
+    )
+    pairs = ngram_jaccard_pairs(u2, "text", "doc_id", n=3, threshold=0.5)
+    comp = dedup_components(pairs)
+    ed = edit_distance_pairs(u2, "text", "doc_id", max_dist=2, q=3)
+    both = ed.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "edist"
+    ).unionByName(
+        ed.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "edist")
+    )
+    eds = (
+        both.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edit_nbrs"),
+            F.min(F.struct(F.col("edist"), F.col("nbr"))).alias("_m"),
+        )
+        .select(
+            "id",
+            "n_edit_nbrs",
+            F.col("_m.edist").cast("long").alias("min_edist"),
+            F.col("_m.nbr").alias("edit_nn"),
+        )
+    )
+    return (
+        comp.join(eds, "id", "left")
+        .select(
+            "id",
+            "keeper_id",
+            F.coalesce("n_edit_nbrs", F.lit(0).cast("long")).alias("n_edit_nbrs"),
+            "min_edist",
+            "edit_nn",
+        )
+        .orderBy("id")
+    )
+
+
+_ORACLES["dedup_components"] = _dedup_components_oracle()
 
 
 #: PQ gate parameters: codebooks = quantized subvectors of data vectors
