@@ -5751,10 +5751,46 @@ _FUNNEL_H_S = 14_400
 _COHORT_PERIOD_S = 3_600
 
 
+def _mm_segments_values() -> str:
+    """Pandas twin of clip.way_segments over the RAW closure fixture
+    (no _planted_rev_ways mutation — the map-match dimension is the
+    store as-is), rendered as VALUES literals for the oracle; parity
+    with the Spark operator is pinned by test_mapmatch."""
+    images, groups_pdf, _ = _closure_fixture_pts()
+    lat = (images.phash // C.PHASH_LON_BASE) - C.LAT_OFFSET
+    lon = (images.phash % C.PHASH_LON_BASE) - C.LON_OFFSET
+    coord = {
+        i: (int(lo), int(la))
+        for i, la, lo in zip(images.image_id, lat, lon)
+    }
+    vals = []
+    for _, g in groups_pdf.iterrows():
+        if g["kind"] != "way":
+            continue
+        chain = [
+            (p, coord[m["ref"]])
+            for p, m in enumerate(g["members"])
+            if m["type"] == "image" and m["ref"] in coord
+        ]
+        for (p1, (x1, y1)), (_, (x2, y2)) in zip(chain, chain[1:]):
+            vals.append(f"('{g['group_id']}', {p1}, {x1}, {y1}, {x2}, {y2})")
+    return ", ".join(vals)
+
+
+def _mm_oracle_ctes() -> str:
+    from ..operators.mapmatch import sql_hmm_ctes
+
+    pts = (
+        f"(SELECT user_id, ts, event_id, {_EV_LON} AS lon, "
+        f"{_EV_LAT} AS lat FROM events)"
+    )
+    return sql_hmm_ctes(pts, _mm_segments_values())
+
+
 @register(
     "sessionize",
     f"""
-    WITH g AS (
+    WITH RECURSIVE g AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
@@ -5907,7 +5943,13 @@ _COHORT_PERIOD_S = 3_600
     ca AS (SELECT DISTINCT b.user_id, f.cohort_p, b.p - f.cohort_p AS offset_p
            FROM cb b JOIN cf f ON f.user_id = b.user_id),
     cm AS (SELECT cohort_p, offset_p, CAST(count(*) AS BIGINT) AS ret_n
-           FROM ca GROUP BY cohort_p, offset_p)
+           FROM ca GROUP BY cohort_p, offset_p),
+    {_mm_oracle_ctes()},
+    mmfull AS (
+      SELECT a.pid, a.mm_way, a.mm_pos, a.mm_rank, a.mm_e, a.mm_cost,
+             w.mm_switches
+      FROM mmassign a JOIN mmswitch w USING (traj)
+    )
     SELECT sg.user_id, event_id, session_id, seg_id,
            CAST(count(*) OVER ws AS BIGINT) AS seg_n,
            CAST(max(epoch_us(ts) // 1000000) OVER ws
@@ -5928,7 +5970,9 @@ _COHORT_PERIOD_S = 3_600
            cf.cohort_p,
            CAST(epoch_us(ts) // 1000000 // {_COHORT_PERIOD_S} - cf.cohort_p
                 AS BIGINT) AS offset_p,
-           cm.ret_n
+           cm.ret_n,
+           mmf.mm_way, mmf.mm_pos, mmf.mm_rank, mmf.mm_e, mmf.mm_cost,
+           mmf.mm_switches
     FROM sg JOIN tt ON tt.user_id = sg.user_id
     JOIN mkf ON mkf.user_id = sg.user_id
     LEFT JOIN fnl ON fnl.user_id = sg.user_id
@@ -5936,6 +5980,7 @@ _COHORT_PERIOD_S = 3_600
     JOIN cm ON cm.cohort_p = cf.cohort_p
            AND cm.offset_p = epoch_us(ts) // 1000000 // {_COHORT_PERIOD_S}
                              - cf.cohort_p
+    LEFT JOIN mmfull mmf ON mmf.pid = sg.event_id
     WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
     ORDER BY sg.user_id, event_id
     """,
@@ -5988,7 +6033,20 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarser periods are degenerate on this fixture), each event row
     carrying its user's cohort_p, its own offset_p, and the matrix
     cell ret_n — distinct users of that cohort active at that offset —
-    so the complete retention matrix is pinned through the join."""
+    so the complete retention matrix is pinned through the join.
+
+    PLUS Viterbi HMM map matching (operators/mapmatch.py, Newson &
+    Krumm '09 reduced to exact ints): each user's first 8 events are
+    JOINTLY matched onto the closure fixture's way segments — emission
+    = floor(snap d²), transition = switch-penalty + squared midpoint
+    gap, all int64, tie rule = lexicographically smallest rank path —
+    per matched event mm_way/mm_pos/mm_rank/mm_e plus the trajectory's
+    mm_cost/mm_switches; the oracle ENUMERATES all 3^8 candidate paths
+    in a recursive CTE and takes ORDER BY (cost, path), proving the DP
+    optimal and the tie rule exact on every user."""
+    from ..datagen.synth import gen_groups, gen_images
+    from ..operators.clip import way_segments
+    from ..operators.mapmatch import hmm_map_match
     from ..operators.relational import (
         cohort_retention,
         funnel_levels,
@@ -6038,6 +6096,14 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") % 997).alias("v"),
         )
     ).select("user_id", "mk_s", "mk_var18_str", "mk_z")
+    images = gen_images(300, seed=42)
+    mm_base = spark.createDataFrame(images[["image_id", "phash"]]).select(
+        "image_id",
+        C.unpack_lat(F.col("phash")).alias("lat"),
+        C.unpack_lon(F.col("phash")).alias("lon"),
+    )
+    mm_segs = way_segments(spark.createDataFrame(gen_groups(images)), mm_base)
+    mm = hmm_map_match(ev, mm_segs).withColumnRenamed("pid", "event_id")
     raw_ev = _t(spark, sf_dir, "events")
     ret = cohort_retention(raw_ev, _COHORT_PERIOD_S)
     coh = (
@@ -6094,6 +6160,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("offset_p").cast("long").alias("offset_p"),
             "ret_n",
         )
+        .join(mm, "event_id", "left")
         .orderBy("user_id", "event_id")
     )
 
