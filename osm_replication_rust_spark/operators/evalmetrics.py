@@ -260,3 +260,113 @@ def sql_chi2_2x2(src: str, pred: str, label: str, prefix: str = "chi2") -> str:
              END AS {prefix}
       FROM {prefix}_cells
     )"""
+
+
+def ks_2samp(
+    df: DataFrame,
+    value_col: str | Column,
+    in_a: Column,
+    prefix: str = "ks",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D statistic — the
+    distribution-drift screen between two shards/cohorts/time windows
+    of the same signal (is this batch's quality-score distribution
+    still the one the filter thresholds were tuned on?).
+
+    Rows with ``in_a`` true form sample A, false sample B; NULL ``in_a``
+    rows are excluded.  D = sup_x |F_A(x) - F_B(x)| is a pure RATIONAL:
+
+        num = max over distinct values v of |cumA(v)*nB - cumB(v)*nA|
+        den = nA * nB,          D = num / den    (ONE shared division)
+
+    The cross products reach n² (past int64 at 10^12 rows), so they run
+    in decimal(38,0) on Spark and HUGEINT on the DuckDB twin, and
+    num/den travel as digit strings (the integer pin behind the float).
+
+    Plan = the roc_auc shape: one fact-width hash aggregation on the
+    value (map-side combining), one 1-row totals aggregate broadcast
+    back, then a window + final aggregate over the DISTINCT-VALUE
+    table (domain-sized for the quantized signals drift screens run
+    on).  Returns ONE row: <prefix>_num_str/_den_str, <prefix> (NULL
+    when either sample is empty), <prefix>_n_a/_n_b."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.filter(in_a.isNotNull()).select(
+        v.alias("_v"), in_a.cast("boolean").alias("_a")
+    )
+    per = base.groupBy("_v").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0)).cast("long").alias("_na"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).cast("long").alias("_nb"),
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    _dec(F.col("_cuma")) * _dec(F.col("_nb"))
+                    - _dec(F.col("_cumb")) * _dec(F.col("_na"))
+                )
+            ).alias("_num")
+        )
+        .crossJoin(F.broadcast(tot))  # totals survive even an empty input
+    )
+    den = _dec(F.col("_na")) * _dec(F.col("_nb"))
+    num = F.coalesce(F.col("_num"), F.lit(0).cast(_DEC))
+    return agg.select(
+        num.cast("string").alias(f"{prefix}_num_str"),
+        den.cast("string").alias(f"{prefix}_den_str"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(prefix),
+        F.col("_na").alias(f"{prefix}_n_a"),
+        F.col("_nb").alias(f"{prefix}_n_b"),
+    )
+
+
+def sql_ks_2samp_ctes(
+    src: str, value: str, in_a: str, prefix: str = "ks"
+) -> str:
+    """DuckDB twin of :func:`ks_2samp` as a CTE chain; the final CTE is
+    named ``<prefix>`` and carries exactly the Spark columns."""
+    return f"""
+    {prefix}_per AS (
+      SELECT {value} AS v,
+             SUM(CASE WHEN {in_a} THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN NOT ({in_a}) THEN 1 ELSE 0 END) AS cb
+      FROM {src} WHERE ({in_a}) IS NOT NULL GROUP BY 1
+    ),
+    {prefix}_cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      FROM {prefix}_per
+    ),
+    {prefix}_tot AS (
+      SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS na,
+             CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS nb
+      FROM {prefix}_per
+    ),
+    {prefix}_agg AS (
+      SELECT MAX(ABS(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT)
+                     - CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT))) AS num
+      FROM {prefix}_cum CROSS JOIN {prefix}_tot
+    ),
+    {prefix} AS (
+      SELECT CAST(COALESCE(num, 0) AS VARCHAR) AS {prefix}_num_str,
+             CAST(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) AS VARCHAR)
+               AS {prefix}_den_str,
+             CASE WHEN na <> 0 AND nb <> 0
+                  THEN CAST(COALESCE(num, 0) AS DOUBLE)
+                       / CAST(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+                              AS DOUBLE)
+             END AS {prefix},
+             na AS {prefix}_n_a, nb AS {prefix}_n_b
+      FROM {prefix}_tot CROSS JOIN {prefix}_agg
+    )"""

@@ -3562,22 +3562,38 @@ def _group_bbox_oracle() -> str:
 _SKEW_RES = 24
 
 
-@register(
-    "skew_salted_agg",
-    f"""
-    SELECT {C.sql_cell_id(C.sql_derived_lon('event_id'), C.sql_derived_lat('event_id'), 24)} AS cell,
-           count(*) AS n_points,
-           sum(value) AS sum_value
-    FROM events GROUP BY cell ORDER BY cell
-    """,
-)
+def _skew_agg_oracle() -> str:
+    from ..operators.evalmetrics import sql_ks_2samp_ctes
+
+    cell = C.sql_cell_id(
+        C.sql_derived_lon("event_id"), C.sql_derived_lat("event_id"), 24
+    )
+    return f"""
+    WITH pts AS (SELECT {cell} AS cell, value FROM events),
+    base AS (
+      SELECT cell, count(*) AS n_points, sum(value) AS sum_value
+      FROM pts GROUP BY cell
+    ),
+    {sql_ks_2samp_ctes('pts', 'value', 'cell % 2 = 0', prefix='drift_ks')}
+    SELECT base.*, drift_ks.* FROM base CROSS JOIN drift_ks ORDER BY cell
+    """
+
+
+@register("skew_salted_agg")
 def skew_salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew tooling (north_rule: "skewed mega-cells salted and
     AQE-split explicitly"): hot cells are sub-bucketed
     (operators/skew.split_hot_cells), the aggregate runs in two stages
     — partial per (cell, sub), final per cell — and the oracle's
     direct single-stage aggregation must match value-for-value, proving
-    the salting is a pure physical transform."""
+    the salting is a pure physical transform.
+
+    Round 5: the row also carries the exact two-sample KS drift screen
+    (operators/evalmetrics.ks_2samp) between the value distributions of
+    even- and odd-parity cells — D = max|cumA·nB − cumB·nA| / (nA·nB),
+    decimal/HUGEINT cross products pinned as digit strings behind the
+    one shared division."""
+    from ..operators.evalmetrics import ks_2samp
     from ..operators.skew import split_hot_cells
 
     ev = _t(spark, sf_dir, "events").select(
@@ -3593,11 +3609,16 @@ def skew_salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = sub.groupBy("cell", "cell_sub").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_s")
     )
+    ks = ks_2samp(ev, "value", F.col("cell") % 2 == 0, prefix="drift_ks")
     return (
         partial.groupBy("cell")
         .agg(F.sum("_n").alias("n_points"), F.sum("_s").alias("sum_value"))
+        .crossJoin(F.broadcast(ks))
         .orderBy("cell")
     )
+
+
+_ORACLES["skew_salted_agg"] = _skew_agg_oracle()
 
 
 @register(

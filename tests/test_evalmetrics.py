@@ -158,3 +158,85 @@ def test_auc_duckdb_twin_parity(spark):
     assert math.isclose(srow["chi2"], orow["chi2"], rel_tol=0, abs_tol=0)
     for k in ("chi2_a", "chi2_b", "chi2_c", "chi2_d", "chi2_n"):
         assert srow[k] == orow[k]
+
+
+def _ref_ks(pairs):
+    """Brute exact KS as a Fraction: pairs = (value, in_a)."""
+    a = sorted(v for v, t in pairs if t)
+    b = sorted(v for v, t in pairs if not t)
+    if not a or not b:
+        return None, len(a), len(b)
+    num = 0
+    for x in sorted({*a, *b}):
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in b if v <= x)
+        num = max(num, abs(ca * len(b) - cb * len(a)))
+    return Fraction(num, len(a) * len(b)), len(a), len(b)
+
+
+def test_ks_matches_bruteforce(spark):
+    from osm_replication_rust_spark.operators.evalmetrics import ks_2samp
+    from pyspark.sql import functions as F
+
+    g = _lcg(31)
+    # shifted discrete distributions with heavy ties
+    pairs = []
+    for i in range(500):
+        t = (next(g) >> 3) % 2 == 0
+        v = (next(g) >> 7) % 15 + (3 if t else 0)
+        pairs.append((v, t))
+    df = spark.createDataFrame(pairs, "v long, t boolean")
+    r = ks_2samp(df, "v", F.col("t")).collect()[0]
+    ref, na, nb = _ref_ks(pairs)
+    assert Fraction(int(r["ks_num_str"]), int(r["ks_den_str"])) == ref
+    assert (r["ks_n_a"], r["ks_n_b"]) == (na, nb)
+    assert ref > 0 and r["ks"] == pytest.approx(float(ref), rel=0, abs=0)
+
+
+def test_ks_identical_and_disjoint_and_empty(spark):
+    from osm_replication_rust_spark.operators.evalmetrics import ks_2samp
+    from pyspark.sql import functions as F
+
+    same = [(v % 7, t == 1) for v in range(70) for t in (0, 1)]
+    df = spark.createDataFrame(same, "v long, t boolean")
+    r = ks_2samp(df, "v", F.col("t")).collect()[0]
+    assert r["ks"] == 0.0 and r["ks_num_str"] == "0"
+    disj = [(1, True)] * 5 + [(9, False)] * 7
+    df = spark.createDataFrame(disj, "v long, t boolean")
+    r = ks_2samp(df, "v", F.col("t")).collect()[0]
+    assert r["ks"] == 1.0
+    onecls = [(1, True), (2, True), (3, None)]
+    df = spark.createDataFrame(onecls, "v long, t boolean")
+    r = ks_2samp(df, "v", F.col("t")).collect()[0]
+    assert r["ks"] is None and r["ks_n_b"] == 0 and r["ks_n_a"] == 2
+
+
+def test_ks_duckdb_twin_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osm_replication_rust_spark.operators.evalmetrics import (
+        ks_2samp,
+        sql_ks_2samp_ctes,
+    )
+    from pyspark.sql import functions as F
+
+    g = _lcg(37)
+    pairs = [
+        ((next(g) >> 6) % 11, None if i % 23 == 0 else (next(g) >> 2) % 2 == 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "v long, t boolean")
+    srow = ks_2samp(df, "v", F.col("t")).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({v}, {'NULL' if t is None else t})" for v, t in pairs)
+        + ") x(v, t)"
+    )
+    orow = (
+        con.execute("WITH " + sql_ks_2samp_ctes("t", "v", "t") + " SELECT * FROM ks")
+        .fetchdf().iloc[0]
+    )
+    assert srow["ks_num_str"] == orow["ks_num_str"]
+    assert srow["ks_den_str"] == orow["ks_den_str"]
+    assert srow["ks"] == orow["ks"]
+    assert srow["ks_n_a"] == orow["ks_n_a"] and srow["ks_n_b"] == orow["ks_n_b"]
