@@ -1582,3 +1582,68 @@ def euler_stage(
             )
 
     return df.mapInPandas(stage, out_schema)
+
+
+DCT_SCALE_BITS = 14  # |C| <= 2^14: 32x32 two-sided products stay < 2^47
+
+
+def dct_basis(n: int = 32, scale_bits: int = DCT_SCALE_BITS) -> list:
+    """Fixed-point DCT-II basis C[k][n] = round(cos(pi*(2n+1)k/2N) * 2^s)
+    as plain python ints — computed ONCE here and shared by the numpy
+    stage AND the SQL twin generator, so both engines work from the
+    IDENTICAL integer table (the float cos is rounded exactly once, at
+    table build, never per engine)."""
+    import math
+
+    s = 1 << scale_bits
+    return [
+        [int(round(math.cos(math.pi * (2 * j + 1) * k / (2 * n)) * s)) for j in range(n)]
+        for k in range(n)
+    ]
+
+
+def phash_dct_stage(
+    df: DataFrame, bytes_col: str = "bytes", out_col: str = "phash_dct"
+) -> DataFrame:
+    """DCT perceptual hash (the classic pHash construction — the
+    producer of the input-hint's ``phash:int64`` column) computed FROM
+    PIXELS, exact-integer end to end: decode (fake codec) -> 32x32
+    nearest-neighbor grid (the resize_stage index formula, so the hash
+    is EXACTLY invariant under the engine's own resize) -> fixed-point
+    2-D DCT-II  D = C·P·Cᵀ  with the shared integer basis
+    (:func:`dct_basis`; products bounded < 2^47, int64-safe) -> the
+    8x8 low-frequency block, DC excluded -> strict threshold against
+    the LOWER MEDIAN (32nd smallest of the 63 AC coefficients, an
+    exact order statistic) -> 64 packed sign bits (DC bit = 0).
+
+    Completes the aHash (brightness) / dHash (gradient) pair with the
+    frequency-domain member; all three band through
+    dedup.hamming_near_pairs.  Map-only mapInPandas over equal-shape
+    batch stacks, zero shuffle, bit-for-bit reproducible in SQL."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(fields + [f"{out_col} bigint"])
+    C = np.array(dct_basis(), dtype=np.int64)  # (32, 32)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if w * h == 0:
+                    out[ii] = 0
+                    continue
+                px = _decode_stack(list(payloads[ii]), L, w, h)
+                r = np.arange(32)
+                k = ((r[:, None] * h) // 32 * w + (r[None, :] * w) // 32).ravel()
+                smp = px[:, k].astype(np.int64).reshape(-1, 32, 32)
+                d = C[None] @ smp @ C.T[None]  # (m, 32, 32) exact int64
+                vals = d[:, :8, :8].reshape(-1, 64)[:, 1:]  # AC, order k*8+l
+                med = np.sort(vals, axis=1)[:, 31:32]  # lower median
+                bits = (vals > med).astype(np.uint64)
+                pos = np.arange(1, 64, dtype=np.uint64)
+                packed = (bits << pos).sum(axis=1, dtype=np.uint64)
+                out[ii] = packed.view(np.int64)
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(stage, out_schema)

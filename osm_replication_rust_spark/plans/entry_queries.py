@@ -7337,6 +7337,7 @@ def _sql_image_ahash() -> str:
     with a strict integer mean threshold (aHash) and 9x8 samples with
     adjacent-column compares (dHash), both signed 64-bit packs."""
     from ..datagen.synth import gen_images
+    from ..operators.multimodal import dct_basis
 
     images = gen_images(500, seed=42)
     meta = ",\n      ".join(
@@ -7344,6 +7345,12 @@ def _sql_image_ahash() -> str:
         for i, r in enumerate(images.itertuples())
     )
     px = "CAST((k * 1103515245 + i * 12345 + 7) % 251 AS BIGINT)"
+    dctb_vals = ",\n      ".join(
+        f"({k}, {n}, {v})"
+        for k, row in enumerate(dct_basis())
+        for n, v in enumerate(row)
+    )
+    px32 = px.replace("k", "((r * h) // 32 * w + (c * w) // 32)")
     pack = " + ".join(
         f"(CASE WHEN 64 * s{b} > tot THEN {(1 << b) if b < 63 else -(1 << 63)} ELSE 0 END)"
         for b in range(64)
@@ -7377,9 +7384,50 @@ def _sql_image_ahash() -> str:
       SELECT image_id, CAST(SUM({dbit}) AS BIGINT) AS dhash
       FROM meta, UNNEST(generate_series(0, 63)) AS t(b)
       GROUP BY image_id
+    ),
+    dctb(k, n, v) AS (VALUES
+      {dctb_vals}
+    ),
+    g32 AS (
+      SELECT image_id, rr.r AS r, cc.c AS c, {px32} AS px
+      FROM meta,
+           UNNEST(generate_series(0, 31)) AS rr(r),
+           UNNEST(generate_series(0, 31)) AS cc(c)
+    ),
+    dx AS (
+      -- first matmul C·P, restricted to the 8 low-frequency rows
+      SELECT g.image_id, d.k AS k, g.c AS c, SUM(d.v * g.px) AS v
+      FROM g32 g JOIN dctb d ON d.n = g.r
+      WHERE d.k < 8 GROUP BY 1, 2, 3
+    ),
+    dd AS (
+      -- second matmul (C·P)·Cᵀ, low-frequency columns only
+      SELECT x.image_id, x.k AS k, d.k AS l, SUM(x.v * d.v) AS v
+      FROM dx x JOIN dctb d ON d.n = x.c
+      WHERE d.k < 8 GROUP BY 1, 2, 3
+    ),
+    ac AS (
+      SELECT image_id, k * 8 + l AS b, v,
+             row_number() OVER (PARTITION BY image_id ORDER BY v) AS rn
+      FROM dd WHERE NOT (k = 0 AND l = 0)
+    ),
+    pmed AS (
+      SELECT image_id, max(CASE WHEN rn = 32 THEN v END) AS med
+      FROM ac GROUP BY image_id
+    ),
+    pdct AS (
+      SELECT ac.image_id,
+             CAST(COALESCE(SUM(CASE WHEN ac.v > pmed.med THEN
+                  CASE WHEN b = 63 THEN {-(1 << 63)}
+                       ELSE (1::BIGINT << b) END ELSE 0 END), 0) AS BIGINT)
+               AS phash_dct
+      FROM ac JOIN pmed USING (image_id) GROUP BY ac.image_id
     )
-    SELECT wide.image_id, CAST({pack} AS BIGINT) AS ahash, dh.dhash AS dhash
-    FROM wide JOIN dh ON dh.image_id = wide.image_id ORDER BY wide.image_id
+    SELECT wide.image_id, CAST({pack} AS BIGINT) AS ahash, dh.dhash AS dhash,
+           pdct.phash_dct AS phash_dct
+    FROM wide JOIN dh ON dh.image_id = wide.image_id
+    JOIN pdct ON pdct.image_id = wide.image_id
+    ORDER BY wide.image_id
     """
 
 
@@ -7388,15 +7436,20 @@ def image_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual hashes computed FROM PIXELS (decode -> 8x8
     aHash + 9x8 dHash; multimodal.ahash_stage / dhash_stage) — the
     producer end of the image-dedup chain (hash ->
-    hamming_near_pairs). Oracle rebuilds the fake-codec pixels and BOTH
-    hashes bit-for-bit in SQL."""
+    hamming_near_pairs). Round 5 adds the frequency-domain member:
+    the DCT pHash (multimodal.phash_dct_stage — 32x32 grid,
+    fixed-point 2-D DCT-II over the SHARED integer basis, 8x8
+    low-frequency block, lower-median threshold; the producer of the
+    input-hint's phash:int64 column). Oracle rebuilds the fake-codec
+    pixels and ALL THREE hashes bit-for-bit in SQL — the DCT as two
+    matmul join-aggregates over the same basis VALUES."""
     from ..datagen.synth import gen_images
-    from ..operators.multimodal import ahash_stage, dhash_stage
+    from ..operators.multimodal import ahash_stage, dhash_stage, phash_dct_stage
 
     imgs = spark.createDataFrame(gen_images(500, seed=42))
     return (
-        dhash_stage(ahash_stage(imgs))
-        .select("image_id", "ahash", "dhash")
+        phash_dct_stage(dhash_stage(ahash_stage(imgs)))
+        .select("image_id", "ahash", "dhash", "phash_dct")
         .orderBy("image_id")
     )
 

@@ -1419,3 +1419,80 @@ def test_euler_planted_shapes(spark):
     assert got["ring"] == (0, 0)
     assert got["two"] == (2, 2)
     assert got["diag"] == (2, 1)
+
+
+def test_phash_dct_reference_parity(spark, imgs):
+    """Brute triple-loop DCT reference over the fake-codec pixels."""
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.multimodal import (
+        dct_basis,
+        fake_decode,
+        phash_dct_stage,
+    )
+
+    got = {
+        r.image_id: r.phash_dct
+        for r in phash_dct_stage(imgs).select("image_id", "phash_dct").collect()
+    }
+    C = dct_basis()
+    pdf = imgs.select("image_id", "bytes", "w", "h").limit(12).toPandas()
+    for _, row in pdf.iterrows():
+        px = fake_decode(bytes(row["bytes"]), int(row["w"]), int(row["h"]))
+        w, h = int(row["w"]), int(row["h"])
+        smp = [
+            [int(px.ravel()[(r * h) // 32 * w + (c * w) // 32]) for c in range(32)]
+            for r in range(32)
+        ]
+        d = [
+            [
+                sum(
+                    C[k][i] * smp[i][j] * C[l][j]
+                    for i in range(32)
+                    for j in range(32)
+                )
+                for l in range(8)
+            ]
+            for k in range(8)
+        ]
+        vals = [d[k][l] for k in range(8) for l in range(8)][1:]
+        med = sorted(vals)[31]
+        packed = 0
+        for b, v in enumerate(vals, start=1):
+            if v > med:
+                packed |= 1 << b
+        if packed >= 1 << 63:
+            packed -= 1 << 64
+        assert got[row["image_id"]] == packed, row["image_id"]
+
+
+def test_phash_dct_resize_invariant_and_degenerate(spark, imgs):
+    from osm_replication_rust_spark.operators.multimodal import (
+        phash_dct_stage,
+        resize_stage,
+    )
+
+    base = {
+        r.image_id: r.phash_dct
+        for r in phash_dct_stage(imgs).select("image_id", "phash_dct").collect()
+    }
+    rs = {
+        r.image_id: r.phash_dct
+        for r in phash_dct_stage(resize_stage(imgs, 64, 96))
+        .select("image_id", "phash_dct")
+        .collect()
+    }
+    assert rs == base  # exact invariance under (32a, 32b) resize
+    zero = spark.createDataFrame(
+        [("z", b"", 0, 0)], "image_id string, bytes binary, w int, h int"
+    )
+    r = phash_dct_stage(zero).collect()[0]
+    assert r["phash_dct"] == 0
+    # identical payloads -> identical (and non-trivial) hashes
+    pay = bytes((i * 37 + (i * i) % 17) % 251 for i in range(600))
+    dup = spark.createDataFrame(
+        [("a", pay, 30, 20), ("b", pay, 30, 20)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    rows = {r.image_id: r.phash_dct for r in phash_dct_stage(dup).collect()}
+    assert rows["a"] == rows["b"] != 0
