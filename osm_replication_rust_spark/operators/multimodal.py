@@ -657,6 +657,105 @@ def orientation_hist_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame
     return df.mapInPandas(stage, out_schema)
 
 
+def hough_stage(
+    df: DataFrame, edge_sq_min: int = 200_000, bytes_col: str = "bytes"
+) -> DataFrame:
+    """Hough line transform — the dominant-line detector behind road /
+    horizon / document-skew estimation (OpenCV's cv2.HoughLines
+    restricted to the 45°-family orientations, where the accumulator
+    is EXACT): every edge pixel (Sobel gx²+gy² >= ``edge_sq_min``,
+    sobel_stage's kernel and threshold, so the edge set is the same
+    set n_edge counts) votes for the line through it at each of four
+    orientations, indexed by the integer normal form
+
+        theta 0 (vertical line,   normal →):  rho = c
+        theta 1 (diagonal ↘,      normal ↗):  rho = c + r
+        theta 2 (horizontal line, normal ↑):  rho = r
+        theta 3 (diagonal ↗,      normal ↖):  rho = r - c
+
+    The classic transform quantizes rho = x·cosθ + y·sinθ over
+    irrational trig values — unverifiable cross-engine; at 45°
+    multiples the (unnormalized) normal components are 0/±1, so every
+    accumulator key is an exact integer and the DuckDB oracle rebuilds
+    the whole vote table from the pixel formula. Emits the winning
+    accumulator cell per image: ``hl_votes`` (max votes), ``hl_theta``,
+    ``hl_rho`` — ties break to the smallest (theta, rho), pinned by
+    tests, so the argmax is deterministic. Images with no edge pixels
+    (or no interior) report 0 votes and NULL theta/rho.
+
+    Scale: map-only mapInPandas over equal-shape batch stacks, vote
+    tensor chunk-bounded (64 images) like template_match_stage, zero
+    shuffle; the accumulator is one bincount of length 4·(h+w) per
+    image — executor memory independent of partition size."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(
+        fields + ["hl_votes bigint", "hl_theta bigint", "hl_rho bigint"]
+    )
+    thr = int(edge_sq_min)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            votes = np.zeros(n, dtype=np.int64)
+            bt = np.full(n, np.nan)
+            brh = np.full(n, np.nan)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 3 or w < 3:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                tl, tc, tr = px[:, :-2, :-2], px[:, :-2, 1:-1], px[:, :-2, 2:]
+                ml, mr = px[:, 1:-1, :-2], px[:, 1:-1, 2:]
+                bl, bc, br = px[:, 2:, :-2], px[:, 2:, 1:-1], px[:, 2:, 2:]
+                gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+                gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+                mask = gx * gx + gy * gy >= thr
+                rr, cc = np.mgrid[1 : h - 1, 1 : w - 1]
+                # offset theta-3's rho (min 3-w) into [1, h+w-5]; all
+                # offsetted rhos < R, so theta*R + rho is collision-free
+                R = h + w
+                offs = np.array([0, 0, 0, w - 2], dtype=np.int64)
+                rhos = np.stack([cc, cc + rr, rr, rr - cc + (w - 2)])
+                keys = (np.arange(4, dtype=np.int64) * R)[:, None, None] + rhos
+                for lo in range(0, len(ii), 64):
+                    sel = ii[lo : lo + 64]
+                    m = len(sel)
+                    sub = mask[lo : lo + 64]
+                    base = (np.arange(m, dtype=np.int64) * (4 * R))[
+                        :, None, None, None
+                    ]
+                    full = base + keys[None]
+                    picked = full[np.broadcast_to(sub[:, None], full.shape)]
+                    counts = np.bincount(picked, minlength=m * 4 * R).reshape(
+                        m, 4 * R
+                    )
+                    # first max in flat (theta, offsetted-rho) order ==
+                    # smallest (theta, rho): offsets are constant per theta
+                    win = counts.argmax(axis=1)
+                    v = counts[np.arange(m), win]
+                    votes[sel] = v
+                    t_idx = win // R
+                    rho = win % R - offs[t_idx]
+                    ok = v > 0
+                    bt[sel[ok]] = t_idx[ok]
+                    brh[sel[ok]] = rho[ok]
+            yield pdf.assign(
+                hl_votes=votes,
+                hl_theta=pd.array(
+                    [None if np.isnan(x) else int(x) for x in bt], dtype="Int64"
+                ),
+                hl_rho=pd.array(
+                    [None if np.isnan(x) else int(x) for x in brh], dtype="Int64"
+                ),
+            )
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def harris_stage(
     df: DataFrame, corner_min: int = 2_000_000_000_000, bytes_col: str = "bytes"
 ) -> DataFrame:

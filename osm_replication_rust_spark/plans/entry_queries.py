@@ -2835,6 +2835,30 @@ def _multimodal_oracle() -> str:
       FROM sobn
       GROUP BY image_id
     ),
+    hgv AS (
+      -- Hough vote accumulator (multimodal.hough_stage): each edge
+      -- pixel (same Sobel threshold as n_edge) votes for the
+      -- 45-degree-family line through it; rho is the exact integer
+      -- normal form per orientation
+      SELECT image_id, t AS theta,
+             CASE t WHEN 0 THEN c WHEN 1 THEN c + r WHEN 2 THEN r
+                    ELSE r - c END AS rho,
+             COUNT(*) AS v
+      FROM sob, UNNEST([0, 1, 2, 3]) AS tt(t)
+      WHERE gx * gx + gy * gy >= {_EDGE_SQ_MIN}
+      GROUP BY image_id, theta, rho
+    ),
+    hbest AS (
+      -- winner per image, ties to the smallest (theta, rho) — the
+      -- kernel's C-order argmax
+      SELECT image_id, hl_votes, hl_theta, hl_rho FROM (
+        SELECT image_id, CAST(v AS BIGINT) AS hl_votes,
+               CAST(theta AS BIGINT) AS hl_theta,
+               CAST(rho AS BIGINT) AS hl_rho,
+               ROW_NUMBER() OVER (PARTITION BY image_id
+                                  ORDER BY v DESC, theta, rho) AS rn
+        FROM hgv) WHERE rn = 1
+    ),
     euw AS (
       -- Euler quad census (multimodal.euler_stage): 2x2 windows over
       -- the zero-padded >= 128 foreground mask; window top-left runs
@@ -3223,7 +3247,9 @@ def _multimodal_oracle() -> str:
            COALESCE(nm.nms_sq_sum, 0) AS nms_sq_sum,
            COALESCE(nm.nms_wpos, 0) AS nms_wpos,
            ec.eu_q1 AS eu_q1, ec.eu_q3 AS eu_q3, ec.eu_qd AS eu_qd,
-           ec.eu_chi4 AS eu_chi4, ec.eu_chi8 AS eu_chi8
+           ec.eu_chi4 AS eu_chi4, ec.eu_chi8 AS eu_chi8,
+           COALESCE(hb.hl_votes, 0) AS hl_votes,
+           hb.hl_theta, hb.hl_rho
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
@@ -3238,6 +3264,7 @@ def _multimodal_oracle() -> str:
     JOIN mom mm USING (image_id)
     LEFT JOIN nms nm USING (image_id)
     JOIN euc ec USING (image_id)
+    LEFT JOIN hbest hb USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -3340,6 +3367,13 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and occupied-cell counts; the oracle re-bins east-neighbor LCG
     pairs per image.
 
+    Plus the Hough line transform (hough_stage — the dominant-line
+    detector at the four exact 45-degree orientations; every Sobel
+    edge pixel votes at integer normal forms and the winning
+    accumulator cell rides each row as hl_votes/hl_theta/hl_rho, ties
+    pinned to the smallest (theta, rho), so a vote-table or argmax
+    bug anywhere breaks 500 rows bit-for-bit).
+
     Plus raw spatial moments (moments_stage, the Hu-moment /
     orientation front end): exact int64 m00..m11 from the kernel, the
     central-moment numerators m00·m2x − m1x² computed in decimal(38,0)
@@ -3357,6 +3391,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         glcm_stage,
         harris_stage,
         hist_eq_stage,
+        hough_stage,
         lbp_stage,
         median_filter_stage,
         moments_stage,
@@ -3470,6 +3505,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     eul = euler_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "eu_q1", "eu_q3", "eu_qd", "eu_chi4", "eu_chi8"
     )
+    hgh = hough_stage(
+        imgs.select("image_id", "bytes", "w", "h"), edge_sq_min=_EDGE_SQ_MIN
+    ).select("image_id", "hl_votes", "hl_theta", "hl_rho")
     # central-moment numerators in decimal(38,0): the kernel emits raw
     # int64 moments only (m00*m20 - m10^2 passes 2^63 even at 256^2) —
     # the wide products live in the engines' exact types, one spelling
@@ -3503,6 +3541,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mom, "image_id")
         .join(nms, "image_id")
         .join(eul, "image_id")
+        .join(hgh, "image_id")
         .orderBy("image_id")
     )
 

@@ -1496,3 +1496,84 @@ def test_phash_dct_resize_invariant_and_degenerate(spark, imgs):
     )
     rows = {r.image_id: r.phash_dct for r in phash_dct_stage(dup).collect()}
     assert rows["a"] == rows["b"] != 0
+
+
+def test_hough_matches_loop_reference(spark):
+    """Brute-force Python vote accumulator on mixed shapes: every edge
+    pixel votes at four orientations, winner by (votes DESC, theta,
+    rho) — exactly the kernel's C-order argmax contract."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        hough_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+        ("c", bytes(range(2 * 9)), 2, 9),  # no interior
+        ("d", bytes([(k * 97 + 3) % 251 for k in range(24 * 24)]), 24, 24),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    thr = 60_000
+    got = {r.image_id: r for r in hough_stage(df, edge_sq_min=thr).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if w < 3 or h < 3:
+            assert (r.hl_votes, r.hl_theta, r.hl_rho) == (0, None, None)
+            continue
+        px = fake_decode(payload, w, h).astype(np.int64)
+        acc: dict = {}
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = (
+                    px[y - 1, x + 1] + 2 * px[y, x + 1] + px[y + 1, x + 1]
+                    - px[y - 1, x - 1] - 2 * px[y, x - 1] - px[y + 1, x - 1]
+                )
+                gy = (
+                    px[y + 1, x - 1] + 2 * px[y + 1, x] + px[y + 1, x + 1]
+                    - px[y - 1, x - 1] - 2 * px[y - 1, x] - px[y - 1, x + 1]
+                )
+                if gx * gx + gy * gy < thr:
+                    continue
+                for t, rho in ((0, x), (1, x + y), (2, y), (3, y - x)):
+                    acc[(t, rho)] = acc.get((t, rho), 0) + 1
+        if not acc:
+            assert (r.hl_votes, r.hl_theta, r.hl_rho) == (0, None, None)
+            continue
+        best = min(acc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        assert (r.hl_votes, r.hl_theta, r.hl_rho) == (
+            best[1], best[0][0], best[0][1],
+        ), image_id
+
+
+def test_hough_planted_lines_and_flat(spark):
+    """A vertical stripe wins at theta 0 with the full column of votes
+    (tie among its four gradient columns breaks to the smallest rho);
+    a bright main diagonal wins at theta 3 with rho near 0; a constant
+    image casts no votes."""
+    from osm_replication_rust_spark.operators.multimodal import hough_stage
+
+    h = w = 32
+    bg = np.full((h, w), 10, dtype=np.uint8)
+    vert = bg.copy()
+    vert[:, 10:12] = 240
+    diag = bg.copy()
+    for i in range(h):
+        diag[i, i] = 240
+    df = spark.createDataFrame(
+        [
+            ("vert", vert.tobytes(), w, h),
+            ("diag", diag.tobytes(), w, h),
+            ("flat", bg.tobytes(), w, h),
+        ],
+        "image_id string, bytes binary, w int, h int",
+    )
+    got = {r.image_id: r for r in hough_stage(df).collect()}
+    # stripe at columns 10-11: gx fires for c in {9,10,11,12}, each a
+    # full interior column of h-2 votes; smallest-rho tie-break -> 9
+    assert (got["vert"].hl_theta, got["vert"].hl_rho) == (0, 9)
+    assert got["vert"].hl_votes == h - 2
+    assert got["diag"].hl_theta == 3 and abs(got["diag"].hl_rho) <= 2
+    assert (got["flat"].hl_votes, got["flat"].hl_theta, got["flat"].hl_rho) == (
+        0, None, None,
+    )
