@@ -756,6 +756,57 @@ def hough_stage(
     return df.mapInPandas(stage, out_schema)
 
 
+def emd_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between each
+    image's pixel-value histogram and the uniform distribution over
+    [0, 256) — the distribution-drift / synthetic-content screen next
+    to the two-sample KS test (1-D EMD is the L1 norm of the CDF
+    difference; scipy.stats.wasserstein_distance computes the same
+    quantity in floats). Cross-multiplied to stay EXACT:
+
+        emd_uniform = Σ_{v=0}^{255} |256·cumhist(v) − npx·(v+1)|
+
+    i.e. 256·npx times the mean-per-pixel transport cost in value
+    units — an integer, so the DuckDB oracle reproduces it bit-for-bit
+    from the pixel formula (histogram GROUP BY, one cumulative-sum
+    window over the dense value series, one abs-difference sum). The
+    top bin term is identically zero (both CDFs reach total mass), a
+    contract the tests pin. Near-uniform noise scores low; flat or
+    strongly structured images score high.
+
+    Scale: map-only mapInPandas over equal-shape batch stacks; the
+    accumulator is one bincount of 256 bins per image — zero shuffle,
+    executor memory independent of partition size."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    out_schema = ", ".join(fields + ["emd_uniform bigint"])
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            emd = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            vplus = np.arange(1, 257, dtype=np.int64)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                npx = w * h
+                if npx == 0:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), npx)
+                )
+                m = len(ii)
+                base = (np.arange(m, dtype=np.int64) * 256)[:, None]
+                counts = np.bincount(
+                    (px + base).ravel(), minlength=m * 256
+                ).reshape(m, 256)
+                ch = counts.cumsum(axis=1)
+                emd[ii] = np.abs(256 * ch - npx * vplus).sum(axis=1)
+            yield pdf.assign(emd_uniform=emd)
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def harris_stage(
     df: DataFrame, corner_min: int = 2_000_000_000_000, bytes_col: str = "bytes"
 ) -> DataFrame:

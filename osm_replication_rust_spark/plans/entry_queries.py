@@ -2859,6 +2859,28 @@ def _multimodal_oracle() -> str:
                                   ORDER BY v DESC, theta, rho) AS rn
         FROM hgv) WHERE rn = 1
     ),
+    hsx AS (
+      -- pixel-value histogram for the EMD fold (multimodal.emd_stage)
+      SELECT image_id, v, COUNT(*) AS c FROM px GROUP BY image_id, v
+    ),
+    emdg AS (
+      -- dense value series 0..255 (codec values stop at 250; the gap
+      -- bins must still contribute |CDF - uniform| terms)
+      SELECT a.image_id, a.npx, a.v, COALESCE(h.c, 0) AS c
+      FROM (SELECT image_id, w * h AS npx, v
+            FROM meta, UNNEST(generate_series(0, 255)) AS t(v)) a
+      LEFT JOIN hsx h ON h.image_id = a.image_id AND h.v = a.v
+    ),
+    emdc AS (
+      SELECT image_id, npx, v,
+             SUM(c) OVER (PARTITION BY image_id ORDER BY v) AS ch
+      FROM emdg
+    ),
+    emda AS (
+      SELECT image_id,
+             CAST(SUM(ABS(256 * ch - npx * (v + 1))) AS BIGINT) AS emd_uniform
+      FROM emdc GROUP BY image_id
+    ),
     euw AS (
       -- Euler quad census (multimodal.euler_stage): 2x2 windows over
       -- the zero-padded >= 128 foreground mask; window top-left runs
@@ -3249,7 +3271,8 @@ def _multimodal_oracle() -> str:
            ec.eu_q1 AS eu_q1, ec.eu_q3 AS eu_q3, ec.eu_qd AS eu_qd,
            ec.eu_chi4 AS eu_chi4, ec.eu_chi8 AS eu_chi8,
            COALESCE(hb.hl_votes, 0) AS hl_votes,
-           hb.hl_theta, hb.hl_rho
+           hb.hl_theta, hb.hl_rho,
+           em.emd_uniform
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
@@ -3265,6 +3288,7 @@ def _multimodal_oracle() -> str:
     LEFT JOIN nms nm USING (image_id)
     JOIN euc ec USING (image_id)
     LEFT JOIN hbest hb USING (image_id)
+    JOIN emda em USING (image_id)
     ORDER BY s.image_id
     """
 
@@ -3387,6 +3411,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_stats_stage,
         bilinear_resize_stage,
         decode_stats,
+        emd_stage,
         euler_stage,
         glcm_stage,
         harris_stage,
@@ -3508,6 +3533,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hgh = hough_stage(
         imgs.select("image_id", "bytes", "w", "h"), edge_sq_min=_EDGE_SQ_MIN
     ).select("image_id", "hl_votes", "hl_theta", "hl_rho")
+    emd = emd_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "emd_uniform"
+    )
     # central-moment numerators in decimal(38,0): the kernel emits raw
     # int64 moments only (m00*m20 - m10^2 passes 2^63 even at 256^2) —
     # the wide products live in the engines' exact types, one spelling
@@ -3542,6 +3570,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nms, "image_id")
         .join(eul, "image_id")
         .join(hgh, "image_id")
+        .join(emd, "image_id")
         .orderBy("image_id")
     )
 

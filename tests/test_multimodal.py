@@ -1577,3 +1577,40 @@ def test_hough_planted_lines_and_flat(spark):
     assert (got["flat"].hl_votes, got["flat"].hl_theta, got["flat"].hl_rho) == (
         0, None, None,
     )
+
+
+def test_emd_matches_reference_and_contracts(spark):
+    """Cross-multiplied EMD vs an independent float reference
+    (256*npx*scipy-style CDF-L1), plus the closed-form contracts: a
+    constant image transports everything (known closed form), a
+    perfectly uniform 0..255 ramp scores 0."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        emd_stage,
+        fake_decode,
+    )
+
+    flat = np.full((8, 8), 37, dtype=np.uint8)
+    ramp = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+        ("flat", flat.tobytes(), 8, 8),
+        ("ramp", ramp.tobytes(), 16, 16),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r.emd_uniform for r in emd_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        px = fake_decode(payload, w, h).astype(np.int64).ravel()
+        npx = w * h
+        ch = np.bincount(px, minlength=256).cumsum()
+        want = int(np.abs(256 * ch - npx * np.arange(1, 257)).sum())
+        assert got[image_id] == want, image_id
+    # uniform ramp: CDF == uniform CDF exactly -> zero transport
+    assert got["ramp"] == 0
+    # constant at value c: sum_v |256*N*[v>=c] - N*(v+1)|
+    #   = N * (sum_{v<c}(v+1) + sum_{v>=c}(256-(v+1)))
+    c, npx = 37, 64
+    want_flat = npx * (
+        sum(v + 1 for v in range(c)) + sum(255 - v for v in range(c, 256))
+    )
+    assert got["flat"] == want_flat > 0
