@@ -614,6 +614,65 @@ def geary_join_stats(
     )
 
 
+def gini_tile(
+    pixels: DataFrame,
+    tile_res: int = 23,
+    px_res: int = 19,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+) -> DataFrame:
+    """Gini coefficient of the value mass across each tile's occupied
+    pixels — the inequality statistic behind the north rule's skew
+    handling (a tile whose events pile into a few mega-pixels needs
+    salting / AQE splitting; a tile with G ≈ 0 does not). Classic
+    rank formulation over the ascending-sorted values x_(1..n):
+
+        G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+
+    Every moment is exact decimal(38,0) (HUGEINT in the oracle) and G
+    is ONE shared division — and because equal values occupy a
+    CONSECUTIVE rank block, Σ i·x_(i) is invariant to tie order, so
+    any engine's stable sort lands on the identical integer moments
+    (the row_number tie-break on (value, y, x) is belt-and-braces, not
+    load-bearing). G = 0 for constant tiles (incl. single-pixel), → 1
+    as one pixel holds all mass. NULL only on zero total mass.
+
+    Plan: one row_number window + one hash aggregate, both keyed on
+    the tile — the same single narrow shuffle class as morans_i /
+    geary_join_stats over the shared pixel frame."""
+    _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    dec = "decimal(38,0)"
+    base = pixels.select(
+        (
+            F.shiftright(F.col(y), shift) * Y_STRIDE + F.shiftright(F.col(x), shift)
+        ).alias("tile"),
+        F.col(x).alias("_px"),
+        F.col(y).alias("_py"),
+        F.col(v).cast("long").alias("_pv"),
+    )
+    w = Window.partitionBy("tile").orderBy("_pv", "_py", "_px")
+    ranked = base.withColumn("_rk", F.row_number().over(w))
+    n, S, RW = F.col("_n"), F.col("_S"), F.col("_RW")
+    return (
+        ranked.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("_n"),
+            F.sum(F.col("_pv").cast(dec)).alias("_S"),
+            F.sum(F.col("_rk").cast(dec) * F.col("_pv").cast(dec)).alias("_RW"),
+        )
+        .select(
+            "tile",
+            S.cast("long").alias("gini_mass"),
+            F.when(
+                n * S != 0,
+                (2 * RW - (n + 1) * S).cast("double") / (n * S).cast("double"),
+            ).alias("gini"),
+        )
+    )
+
+
 def gi_star(
     pixels: DataFrame,
     radius: int = 1,

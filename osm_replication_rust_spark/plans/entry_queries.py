@@ -7047,6 +7047,27 @@ def _sql_raster_vectorize() -> str:
              CAST(COALESCE(mbw, 0) AS BIGINT) AS jc_bw
       FROM mx LEFT JOIN mp ON mp.tile = mx.tile
     ),
+    grk AS (
+      -- Gini rank frame (raster.gini_tile): equal values occupy a
+      -- consecutive rank block, so SUM(rk * n) is tie-order invariant
+      SELECT (gy // {enpx}) * {ys} + (gx // {enpx}) AS tile, n,
+             row_number() OVER (
+               PARTITION BY (gy // {enpx}) * {ys} + (gx // {enpx})
+               ORDER BY n, gy, gx) AS rk
+      FROM gpx
+    ),
+    gini AS (
+      SELECT tile,
+             CAST(SUM(n) AS BIGINT) AS gini_mass,
+             CASE WHEN CAST(COUNT(*) AS HUGEINT) * SUM(CAST(n AS HUGEINT)) != 0
+               THEN CAST(2 * SUM(CAST(rk AS HUGEINT) * CAST(n AS HUGEINT))
+                         - (CAST(COUNT(*) AS HUGEINT) + 1)
+                           * SUM(CAST(n AS HUGEINT)) AS DOUBLE)
+                    / CAST(CAST(COUNT(*) AS HUGEINT)
+                           * SUM(CAST(n AS HUGEINT)) AS DOUBLE)
+             END AS gini
+      FROM grk GROUP BY tile
+    ),
     -- L1 distance transform (raster.distance_transform_l1): the
     -- two-pass min-plus factorization as FOUR running-min windows
     -- over each occupied tile's dense grid; BIG sentinel = 2^40
@@ -7107,6 +7128,8 @@ def _sql_raster_vectorize() -> str:
              CAST(NULL AS BIGINT) AS jc_bb,
              CAST(NULL AS BIGINT) AS jc_ww,
              CAST(NULL AS BIGINT) AS jc_bw,
+             CAST(NULL AS BIGINT) AS gini_mass,
+             CAST(NULL AS DOUBLE) AS gini,
              CAST(NULL AS BIGINT) AS dt_sum,
              CAST(NULL AS BIGINT) AS dt_max,
              CAST(NULL AS BIGINT) AS dt_zeros
@@ -7121,12 +7144,14 @@ def _sql_raster_vectorize() -> str:
              l.blob AS blob, b.blob_px AS blob_px,
              ft.focal_total, ft.focal_max, ft.n_core, ft.n_hot, ft.z_max,
              mi.mi_w, mi.moran_i, mi.geary_c, mi.jc_bb, mi.jc_ww, mi.jc_bw,
+             gini.gini_mass, gini.gini,
              dtile.dt_sum, dtile.dt_max, dtile.dt_zeros
       FROM erects e
       JOIN lab l ON l.gx = e.x0 AND l.gy = e.y0
       JOIN bsz b USING (blob)
       JOIN ftile ft ON ft.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN mi ON mi.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
+      JOIN gini ON gini.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN dtile ON dtile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
     )
     ORDER BY leg, min_lon, min_lat
@@ -7178,6 +7203,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         focal_sum,
         geary_join_stats,
         gi_star,
+        gini_tile,
         morans_i,
         pixels_to_tiles,
         point_pixel_counts,
@@ -7207,6 +7233,8 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("jc_bb"),
         F.lit(None).cast("long").alias("jc_ww"),
         F.lit(None).cast("long").alias("jc_bw"),
+        F.lit(None).cast("long").alias("gini_mass"),
+        F.lit(None).cast("double").alias("gini"),
         F.lit(None).cast("long").alias("dt_sum"),
         F.lit(None).cast("long").alias("dt_max"),
         F.lit(None).cast("long").alias("dt_zeros"),
@@ -7258,6 +7286,11 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gj = geary_join_stats(
         pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES
     ).select("tile", "geary_c", "jc_bb", "jc_ww", "jc_bw")
+    # Gini of the value mass across each tile's occupied pixels — the
+    # mega-cell concentration statistic on the same shared pixel frame
+    gin = gini_tile(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES).select(
+        "tile", "gini_mass", "gini"
+    )
     dtile = (
         distance_transform_l1(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
         .groupBy("tile")
@@ -7280,6 +7313,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ftile, "tile")
         .join(mi, "tile")
         .join(gj, "tile")
+        .join(gin, "tile")
         .join(dtile, "tile")
         .select(
             F.lit("events").alias("leg"),
@@ -7301,6 +7335,8 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jc_bb",
             "jc_ww",
             "jc_bw",
+            "gini_mass",
+            "gini",
             "dt_sum",
             "dt_max",
             "dt_zeros",
