@@ -635,3 +635,74 @@ def mann_kendall(
             .alias("mk_z"),
         )
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key: str,
+    value: str,
+    k: int = 3,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact per-group median / MAD robust outlier flagging — the
+    monitoring screen that survives the heavy tails a mean/stddev
+    z-score drowns in (Hampel filter / robust z-score family; the
+    0.6745 consistency constant is irrational and dropped, so ``k``
+    compares |x − median| directly against k·MAD). Everything stays
+    EXACT integer by carrying doubled medians:
+
+        med2  = x_(k1) + x_(k2)          k1 = (n+1)//2, k2 = n//2 + 1
+        d2_i  = |2·x_i − med2|           (= 2·|x_i − median|)
+        mad22 = d2_(k1) + d2_(k2)        (= 4·MAD)
+        outlier iff 2·d2_i > k·mad22     (⇔ |x−med| > k·MAD)
+
+    Each midrank is picked by two conditional window sums (rn == k1,
+    rn == k2), so odd groups count their single middle value twice and
+    no division ever happens; the flag test is cross-multiplied. A
+    singleton group has d2 = mad22 = 0 — never an outlier. A group
+    where >= half the values equal the median has MAD 0, flagging
+    every value off the median: that is the documented Hampel-filter
+    edge, not a bug (callers wanting slack add it to k).
+
+    Emits per ROW: rz_med2, rz_mad22 (group constants), rz_d2 and
+    rz_out (0/1). Plan: two sorts over ONE hash partitioning of the
+    group key (rank by value, then rank by deviation) — the same
+    single narrow shuffle class as sessionize; no join, no Python."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0: {k}")
+    tb = [tiebreak] if tiebreak else []
+    grp = Window.partitionBy(key)
+    w1 = grp.orderBy(value, *tb)
+    x = F.col(value).cast("long")
+    n = F.count(F.lit(1)).over(grp)
+    rn = F.row_number().over(w1)
+    # midranks as EXACT longs (Spark's / is float division: truncate-
+    # cast after the halving reproduces // for these positive counts)
+    _k1 = ((F.col("_rz_n") + 1) / 2).cast("long")
+    _k2 = (F.col("_rz_n") / 2).cast("long") + 1
+    with_med = (
+        df.withColumn("_rz_rn", rn)
+        .withColumn("_rz_n", n)
+        .withColumn(
+            "rz_med2",
+            F.sum(F.when(F.col("_rz_rn") == _k1, x)).over(grp)
+            + F.sum(F.when(F.col("_rz_rn") == _k2, x)).over(grp),
+        )
+        .withColumn("rz_d2", F.abs(2 * x - F.col("rz_med2")))
+    )
+    w2 = grp.orderBy("rz_d2", value, *tb)
+    rn2 = F.row_number().over(w2)
+    d2 = F.col("rz_d2")
+    return (
+        with_med.withColumn("_rz_rn2", rn2)
+        .withColumn(
+            "rz_mad22",
+            F.sum(F.when(F.col("_rz_rn2") == _k1, d2)).over(grp)
+            + F.sum(F.when(F.col("_rz_rn2") == _k2, d2)).over(grp),
+        )
+        .withColumn(
+            "rz_out",
+            (2 * d2 > F.lit(int(k)) * F.col("rz_mad22")).cast("long"),
+        )
+        .drop("_rz_rn", "_rz_rn2", "_rz_n")
+    )

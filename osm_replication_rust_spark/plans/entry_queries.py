@@ -6033,13 +6033,60 @@ def _mm_oracle_ctes() -> str:
            FROM cb b JOIN cf f ON f.user_id = b.user_id),
     cm AS (SELECT cohort_p, offset_p, CAST(count(*) AS BIGINT) AS ret_n
            FROM ca GROUP BY cohort_p, offset_p),
+    -- exact median/MAD robust outliers (relational.robust_outliers):
+    -- doubled medians via two midrank window picks, cross-multiplied
+    -- Hampel test 2*d2 > k*mad22 — all exact BIGINTs
+    rza AS (
+      SELECT user_id, event_id,
+             (CAST(1 AS BIGINT) << CAST(event_id % 19 AS INT)) AS amp
+      FROM events
+    ),
+    rzr AS (
+      SELECT user_id, event_id, amp,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY amp, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS rzn
+      FROM rza
+    ),
+    rzm AS (
+      SELECT user_id, event_id, amp, rzn,
+             SUM(CASE WHEN rn = (rzn + 1) // 2 THEN amp END)
+               OVER (PARTITION BY user_id)
+           + SUM(CASE WHEN rn = rzn // 2 + 1 THEN amp END)
+               OVER (PARTITION BY user_id) AS rz_med2
+      FROM rzr
+    ),
+    rzd AS (
+      SELECT user_id, event_id, rzn, rz_med2,
+             ABS(2 * amp - rz_med2) AS rz_d2,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ABS(2 * amp - rz_med2), amp,
+                                         event_id) AS rn2
+      FROM rzm
+    ),
+    rzf AS (
+      SELECT user_id, event_id,
+             CAST(rz_med2 AS BIGINT) AS rz_med2,
+             CAST(rz_d2 AS BIGINT) AS rz_d2,
+             CAST(SUM(CASE WHEN rn2 = (rzn + 1) // 2 THEN rz_d2 END)
+                    OVER (PARTITION BY user_id)
+                + SUM(CASE WHEN rn2 = rzn // 2 + 1 THEN rz_d2 END)
+                    OVER (PARTITION BY user_id) AS BIGINT) AS rz_mad22
+      FROM rzd
+    ),
+    rz AS (
+      SELECT user_id, event_id, rz_med2, rz_d2, rz_mad22,
+             CAST(CASE WHEN 2 * rz_d2 > 3 * rz_mad22
+                       THEN 1 ELSE 0 END AS BIGINT) AS rz_out
+      FROM rzf
+    ),
     {_mm_oracle_ctes()},
     mmfull AS (
       SELECT a.pid, a.mm_way, a.mm_pos, a.mm_rank, a.mm_e, a.mm_cost,
              w.mm_switches
       FROM mmassign a JOIN mmswitch w USING (traj)
     )
-    SELECT sg.user_id, event_id, session_id, seg_id,
+    SELECT sg.user_id, sg.event_id AS event_id, session_id, seg_id,
            CAST(count(*) OVER ws AS BIGINT) AS seg_n,
            CAST(max(epoch_us(ts) // 1000000) OVER ws
                 - min(epoch_us(ts) // 1000000) OVER ws AS BIGINT)
@@ -6061,7 +6108,8 @@ def _mm_oracle_ctes() -> str:
                 AS BIGINT) AS offset_p,
            cm.ret_n,
            mmf.mm_way, mmf.mm_pos, mmf.mm_rank, mmf.mm_e, mmf.mm_cost,
-           mmf.mm_switches
+           mmf.mm_switches,
+           rz.rz_med2, rz.rz_d2, rz.rz_mad22, rz.rz_out
     FROM sg JOIN tt ON tt.user_id = sg.user_id
     JOIN mkf ON mkf.user_id = sg.user_id
     LEFT JOIN fnl ON fnl.user_id = sg.user_id
@@ -6070,6 +6118,7 @@ def _mm_oracle_ctes() -> str:
            AND cm.offset_p = epoch_us(ts) // 1000000 // {_COHORT_PERIOD_S}
                              - cf.cohort_p
     LEFT JOIN mmfull mmf ON mmf.pid = sg.event_id
+    JOIN rz ON rz.event_id = sg.event_id
     WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
     ORDER BY sg.user_id, event_id
     """,
@@ -6124,6 +6173,12 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell ret_n — distinct users of that cohort active at that offset —
     so the complete retention matrix is pinned through the join.
 
+    PLUS exact median/MAD robust outliers (operators/relational.
+    robust_outliers, the Hampel screen): per-user doubled medians via
+    two midrank window picks over a deliberately heavy-tailed exact
+    amplitude (2^(id mod 19) — the regime where mean/stddev z-scores
+    drown), cross-multiplied flag test 2*d2 > k*mad22, all BIGINTs.
+
     PLUS Viterbi HMM map matching (operators/mapmatch.py, Newson &
     Krumm '09 reduced to exact ints): each user's first 8 events are
     JOINTLY matched onto the closure fixture's way segments — emission
@@ -6141,6 +6196,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         funnel_levels,
         group_trend,
         mann_kendall,
+        robust_outliers,
         scd2_intervals,
         trajectory_segments,
     )
@@ -6195,6 +6251,22 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = hmm_map_match(ev, mm_segs).withColumnRenamed("pid", "event_id")
     raw_ev = _t(spark, sf_dir, "events")
     ret = cohort_retention(raw_ev, _COHORT_PERIOD_S)
+    # exact median/MAD robust outliers (Hampel screen) per user over a
+    # deliberately heavy-tailed exact amplitude (2^(id mod 19)): the
+    # regime where mean/stddev z-scores drown and MAD is the tool
+    ro = robust_outliers(
+        raw_ev.select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(event_id % 19 AS INT))"
+            ).alias("amp"),
+        ),
+        "user_id",
+        "amp",
+        k=3,
+        tiebreak="event_id",
+    ).select("event_id", "rz_med2", "rz_d2", "rz_mad22", "rz_out")
     coh = (
         raw_ev.select(
             "user_id",
@@ -6250,6 +6322,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ret_n",
         )
         .join(mm, "event_id", "left")
+        .join(ro, "event_id")
         .orderBy("user_id", "event_id")
     )
 

@@ -543,3 +543,61 @@ def test_mann_kendall_matches_bruteforce(spark):
         else:
             assert abs(r.mk_z - z) < 1e-12, u
     assert got[10].mk_s == 66 and got[11].mk_s == -66
+
+
+def test_robust_outliers_matches_reference(spark):
+    """Exact-integer reference: per-group sorted median / MAD midranks
+    and the cross-multiplied Hampel test, on a heavy-tailed fixture
+    with ties, singletons, and an even-sized group."""
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.relational import robust_outliers
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(6):
+        for i in range(rng.integers(1, 12)):
+            v = int(1 << rng.integers(0, 16)) if g % 2 else int(rng.integers(0, 9))
+            rows.append((f"g{g}", len(rows), v))
+    df = spark.createDataFrame(rows, "key string, rid long, v long")
+    got = {
+        r.rid: r
+        for r in robust_outliers(df, "key", "v", k=3, tiebreak="rid").collect()
+    }
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for key, rid, v in rows:
+        by[key].append(v)
+    for key, rid, v in rows:
+        xs = sorted(by[key])
+        n = len(xs)
+        med2 = xs[(n + 1) // 2 - 1] + xs[n // 2]
+        d2s = sorted(abs(2 * x - med2) for x in xs)
+        mad22 = d2s[(n + 1) // 2 - 1] + d2s[n // 2]
+        r = got[rid]
+        assert (r.rz_med2, r.rz_mad22) == (med2, mad22), (key, rid)
+        assert r.rz_d2 == abs(2 * v - med2)
+        assert r.rz_out == int(2 * abs(2 * v - med2) > 3 * mad22)
+
+
+def test_robust_outliers_contracts(spark):
+    """Singleton group never flags; a planted spike in a tight group
+    flags exactly the spike; constant group (MAD 0) flags only
+    off-median values; k validation."""
+    import pytest
+
+    from osm_replication_rust_spark.operators.relational import robust_outliers
+
+    rows = [
+        ("s", 0, 7),
+        ("t", 1, 10), ("t", 2, 11), ("t", 3, 10), ("t", 4, 12), ("t", 5, 9000),
+        ("c", 6, 4), ("c", 7, 4), ("c", 8, 4),
+    ]
+    df = spark.createDataFrame(rows, "key string, rid long, v long")
+    got = {r.rid: r for r in robust_outliers(df, "key", "v", k=3).collect()}
+    assert got[0].rz_out == 0 and got[0].rz_mad22 == 0
+    assert [got[i].rz_out for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 0, 1]
+    assert all(got[i].rz_out == 0 for i in (6, 7, 8))
+    with pytest.raises(ValueError):
+        robust_outliers(df, "key", "v", k=-1)
