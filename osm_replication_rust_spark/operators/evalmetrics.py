@@ -370,3 +370,98 @@ def sql_ks_2samp_ctes(
              na AS {prefix}_n_a, nb AS {prefix}_n_b
       FROM {prefix}_tot CROSS JOIN {prefix}_agg
     )"""
+
+
+def first_digit_screen(
+    df: DataFrame, int_col: str | Column, prefix: str = "fd"
+) -> DataFrame:
+    """First-significant-digit distribution — the Benford's-law-style
+    fraud / synthetic-data screen an ingestion pipeline runs over
+    amount-like columns (fabricated and machine-generated figures have
+    first-digit distributions real multiplicative data never shows).
+    Rows with ``int_col`` < 1 (non-positive, sub-unit after the
+    caller's fixed-point scaling) are out of the population by
+    definition — the leading digit of a non-positive integer is not a
+    Benford observation.
+
+    Digits come from the decimal rendering (``substring(cast(x as
+    string), 1, 1)`` — BIGINT-to-string is identical across engines:
+    no sign, no decimal point, no exponent), so the extraction is
+    exact without log10. The pinned statistic is the EXACT uniformity
+    chi-square (the classic Benford expectation log10(1+1/d) is
+    irrational and cross-engine unverifiable; uniform is the natural
+    null for this engine's LCG-derived fixtures, and the raw counts
+    ride along so any downstream test can re-weight them):
+
+        chi2u = Σ_d (9·c_d − N)² / (9·N)
+
+    with the numerator carried exactly in decimal(38,0)/HUGEINT
+    (pinned as digits) and ONE shared division. Returns ONE row:
+    ``<prefix>_n``, ``<prefix>_c1..c9``, ``<prefix>_chi2u_num_str``,
+    ``<prefix>_chi2u`` (NULL on an empty population).
+
+    Plan: one filter + one hash aggregate to a single row — map-side
+    combine does the work; broadcast the result."""
+    x = F.col(int_col) if isinstance(int_col, str) else int_col
+    x = x.cast("long")
+    d = F.substring(x.cast("string"), 1, 1).cast("long")
+    pop = df.where(x >= 1)
+    agg = pop.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[
+            F.coalesce(F.sum(F.when(d == k, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"_c{k}")
+            for k in range(1, 10)
+        ],
+    )
+    n = F.col("_n")
+    num = None
+    for k in range(1, 10):
+        t = _dec(9 * F.col(f"_c{k}") - n)
+        term = t * t
+        num = term if num is None else num + term
+    return agg.select(
+        n.alias(f"{prefix}_n"),
+        *[F.col(f"_c{k}").alias(f"{prefix}_c{k}") for k in range(1, 10)],
+        num.cast("string").alias(f"{prefix}_chi2u_num_str"),
+        F.when(n > 0, num.cast("double") / (9 * n).cast("double")).alias(
+            f"{prefix}_chi2u"
+        ),
+    )
+
+
+def sql_first_digit_ctes(src: str, int_expr: str, prefix: str = "fd") -> str:
+    """DuckDB twin of :func:`first_digit_screen` ending in a CTE named
+    ``<prefix>`` with the identical columns (embed inside a WITH
+    chain; the caller CROSS JOINs it)."""
+    cs = ",\n             ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN d = {k} THEN 1 END), 0) AS BIGINT)"
+        f" AS {prefix}_c{k}"
+        for k in range(1, 10)
+    )
+    num = " + ".join(
+        f"(CAST(9 * {prefix}_c{k} - {prefix}_n AS HUGEINT)"
+        f" * CAST(9 * {prefix}_c{k} - {prefix}_n AS HUGEINT))"
+        for k in range(1, 10)
+    )
+    return f"""{prefix}pop AS (
+      SELECT CAST(substr(CAST(CAST({int_expr} AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM {src} WHERE CAST({int_expr} AS BIGINT) >= 1
+    ),
+    {prefix}ct AS (
+      SELECT CAST(count(*) AS BIGINT) AS {prefix}_n,
+             {cs}
+      FROM {prefix}pop
+    ),
+    {prefix} AS (
+      SELECT {prefix}_n,
+             {", ".join(f"{prefix}_c{k}" for k in range(1, 10))},
+             CAST({num} AS VARCHAR) AS {prefix}_chi2u_num_str,
+             CASE WHEN {prefix}_n > 0
+               THEN CAST({num} AS DOUBLE)
+                    / CAST(9 * {prefix}_n AS DOUBLE)
+             END AS {prefix}_chi2u
+      FROM {prefix}ct
+    )"""

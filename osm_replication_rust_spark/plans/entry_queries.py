@@ -3631,7 +3631,7 @@ _SKEW_RES = 24
 
 
 def _skew_agg_oracle() -> str:
-    from ..operators.evalmetrics import sql_ks_2samp_ctes
+    from ..operators.evalmetrics import sql_first_digit_ctes, sql_ks_2samp_ctes
 
     cell = C.sql_cell_id(
         C.sql_derived_lon("event_id"), C.sql_derived_lat("event_id"), 24
@@ -3642,8 +3642,10 @@ def _skew_agg_oracle() -> str:
       SELECT cell, count(*) AS n_points, sum(value) AS sum_value
       FROM pts GROUP BY cell
     ),
+    {sql_first_digit_ctes('pts', 'floor(abs(value) * 100)', prefix='fd')},
     {sql_ks_2samp_ctes('pts', 'value', 'cell % 2 = 0', prefix='drift_ks')}
-    SELECT base.*, drift_ks.* FROM base CROSS JOIN drift_ks ORDER BY cell
+    SELECT base.*, fd.*, drift_ks.*
+    FROM base CROSS JOIN fd CROSS JOIN drift_ks ORDER BY cell
     """
 
 
@@ -3661,7 +3663,7 @@ def skew_salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     even- and odd-parity cells — D = max|cumA·nB − cumB·nA| / (nA·nB),
     decimal/HUGEINT cross products pinned as digit strings behind the
     one shared division."""
-    from ..operators.evalmetrics import ks_2samp
+    from ..operators.evalmetrics import first_digit_screen, ks_2samp
     from ..operators.skew import split_hot_cells
 
     ev = _t(spark, sf_dir, "events").select(
@@ -3678,9 +3680,18 @@ def skew_salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_s")
     )
     ks = ks_2samp(ev, "value", F.col("cell") % 2 == 0, prefix="drift_ks")
+    # first-significant-digit screen over exact fixed-point cents
+    # (floor(abs(v)*100): abs and one multiply are the same IEEE ops in
+    # both engines, so the integer population is identical)
+    fd = first_digit_screen(
+        ev.select(F.floor(F.abs(F.col("value")) * 100).alias("cents")),
+        "cents",
+        prefix="fd",
+    )
     return (
         partial.groupBy("cell")
         .agg(F.sum("_n").alias("n_points"), F.sum("_s").alias("sum_value"))
+        .crossJoin(F.broadcast(fd))
         .crossJoin(F.broadcast(ks))
         .orderBy("cell")
     )

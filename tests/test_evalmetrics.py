@@ -240,3 +240,52 @@ def test_ks_duckdb_twin_parity(spark):
     assert srow["ks_den_str"] == orow["ks_den_str"]
     assert srow["ks"] == orow["ks"]
     assert srow["ks_n_a"] == orow["ks_n_a"] and srow["ks_n_b"] == orow["ks_n_b"]
+
+
+def test_first_digit_screen_matches_reference(spark):
+    """Counting reference over random magnitudes spanning 1..10^6 (so
+    every digit bucket is hit), exact chi-square numerator, and the
+    non-positive/sub-unit exclusion rule."""
+    from collections import Counter
+
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.evalmetrics import (
+        first_digit_screen,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = [int(v) for v in rng.integers(-50, 10**6, 400)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    r = first_digit_screen(df, "x", prefix="fd").collect()[0]
+    pop = [v for v in vals if v >= 1]
+    want = Counter(int(str(v)[0]) for v in pop)
+    n = len(pop)
+    assert r.fd_n == n
+    for k in range(1, 10):
+        assert r[f"fd_c{k}"] == want.get(k, 0)
+    num = sum((9 * want.get(k, 0) - n) ** 2 for k in range(1, 10))
+    assert r.fd_chi2u_num_str == str(num)
+    assert abs(r.fd_chi2u - num / (9 * n)) < 1e-12
+
+
+def test_first_digit_screen_contracts(spark):
+    """A perfectly digit-uniform population scores exactly 0; a
+    single-digit pile scores the closed form; an empty population
+    gives NULL chi-square and zero counts."""
+    from osm_replication_rust_spark.operators.evalmetrics import (
+        first_digit_screen,
+    )
+
+    uni = [(d * 10 + 3,) for d in range(1, 10)]  # one value per digit
+    df = spark.createDataFrame(uni, "x long")
+    r = first_digit_screen(df, "x").collect()[0]
+    assert r.fd_chi2u == 0.0 and r.fd_n == 9
+    pile = spark.createDataFrame([(7,)] * 5, "x long")
+    rp = first_digit_screen(pile, "x").collect()[0]
+    # c7 = 5, others 0: num = (45-5)^2 + 8*25 = 1800, chi2 = 1800/45
+    assert rp.fd_chi2u_num_str == "1800" and rp.fd_chi2u == 40.0
+    empty = spark.createDataFrame([(0,), (-3,)], "x long")
+    re_ = first_digit_screen(empty, "x").collect()[0]
+    assert re_.fd_n == 0 and re_.fd_chi2u is None
+    assert all(re_[f"fd_c{k}"] == 0 for k in range(1, 10))
