@@ -465,3 +465,125 @@ def sql_first_digit_ctes(src: str, int_expr: str, prefix: str = "fd") -> str:
              END AS {prefix}_chi2u
       FROM {prefix}ct
     )"""
+
+
+def spearman(
+    df: DataFrame,
+    x_col: str | Column,
+    y_col: str | Column,
+    group_cols: Sequence[str] = (),
+    prefix: str = "rho",
+) -> DataFrame:
+    """Exact Spearman rank correlation of ``x_col`` vs ``y_col`` with
+    midrank tie handling, optionally per group.  Returns one row per
+    group with::
+
+        <prefix>_num_str  exact digits of sum(cx*cy)
+        <prefix>_dx_str   exact digits of sum(cx^2)
+        <prefix>_dy_str   exact digits of sum(cy^2)
+        <prefix>          num / sqrt(dx*dy) as a FIXED double tree
+        <prefix>_n        paired-row count
+
+    where ``cx`` is the CENTERED doubled midrank ``2*cl + c - n`` (cl =
+    rows strictly below the value, c = rows at it, n = group rows).
+    Doubled midranks sum to exactly ``n*(n+1)``, so their mean is the
+    integer ``n + 1`` and centering is EXACT — and it bounds every
+    integer by n^3 instead of the n^4 a raw cross-moment
+    ``n*Sxy - Sx*Sy`` would need, keeping decimal(38,0)/HUGEINT safe
+    past 10^11 rows.  Constant column => dx (or dy) = 0 => rho NULL.
+    Rows with a NULL on either side are excluded.
+
+    Plan shape / 100 TB scaling: per variable one hash aggregate on
+    (group, value) with map-side combine, a window over the
+    DISTINCT-VALUE table only (domain-sized for the integer/quantized
+    columns this runs on — never the facts), a broadcast join of the
+    two rank tables back onto the facts, and ONE final aggregate.  The
+    only fact-width exchanges are the two value aggregations."""
+    g = list(group_cols)
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *g, x.alias("_x"), y.alias("_y")
+    )
+
+    def _ranks(col: str, out: str) -> DataFrame:
+        per = base.groupBy(*g, col).agg(F.count(F.lit(1)).alias("_c"))
+        run = (
+            Window.partitionBy(*g)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tot = Window.partitionBy(*g)
+        return per.select(
+            *g,
+            col,
+            (
+                2 * F.sum("_c").over(run) - F.col("_c") - F.sum("_c").over(tot)
+            ).alias(out),
+        )
+
+    j = base.join(F.broadcast(_ranks("_x", "_cx")), [*g, "_x"]).join(
+        F.broadcast(_ranks("_y", "_cy")), [*g, "_y"]
+    )
+    agg = j.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_dec(F.col("_cx")) * _dec(F.col("_cy"))).alias("_num"),
+        F.sum(_dec(F.col("_cx")) * _dec(F.col("_cx"))).alias("_dx"),
+        F.sum(_dec(F.col("_cy")) * _dec(F.col("_cy"))).alias("_dy"),
+    )
+    return agg.select(
+        *g,
+        F.col("_num").cast("string").alias(f"{prefix}_num_str"),
+        F.col("_dx").cast("string").alias(f"{prefix}_dx_str"),
+        F.col("_dy").cast("string").alias(f"{prefix}_dy_str"),
+        F.when(
+            (F.col("_dx") > 0) & (F.col("_dy") > 0),
+            F.col("_num").cast("double")
+            / F.sqrt(F.col("_dx").cast("double") * F.col("_dy").cast("double")),
+        ).alias(prefix),
+        F.col("_n").cast("long").alias(f"{prefix}_n"),
+    )
+
+
+def sql_spearman_ctes(src: str, x: str, y: str, prefix: str = "rho") -> str:
+    """DuckDB twin of :func:`spearman` (ungrouped form — the gate's
+    shape) as a chain of CTEs ending in ``<prefix>`` with the identical
+    columns.  All integer work runs in HUGEINT."""
+    return f"""{prefix}_b AS (
+      SELECT {x} AS x, {y} AS y FROM {src}
+      WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+    ),
+    {prefix}_rx AS (
+      SELECT x, 2 * SUM(c) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - c - SUM(c) OVER () AS cx
+      FROM (SELECT x, COUNT(*) AS c FROM {prefix}_b GROUP BY x)
+    ),
+    {prefix}_ry AS (
+      SELECT y, 2 * SUM(c) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - c - SUM(c) OVER () AS cy
+      FROM (SELECT y, COUNT(*) AS c FROM {prefix}_b GROUP BY y)
+    ),
+    {prefix}_j AS (
+      SELECT cx, cy FROM {prefix}_b
+      JOIN {prefix}_rx USING (x) JOIN {prefix}_ry USING (y)
+    ),
+    {prefix}_ag AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(cx AS HUGEINT) * CAST(cy AS HUGEINT)) AS num,
+             SUM(CAST(cx AS HUGEINT) * CAST(cx AS HUGEINT)) AS dx,
+             SUM(CAST(cy AS HUGEINT) * CAST(cy AS HUGEINT)) AS dy
+      FROM {prefix}_j
+    ),
+    {prefix} AS (
+      SELECT CAST(num AS VARCHAR) AS {prefix}_num_str,
+             CAST(dx AS VARCHAR) AS {prefix}_dx_str,
+             CAST(dy AS VARCHAR) AS {prefix}_dy_str,
+             CASE WHEN dx > 0 AND dy > 0
+                  THEN CAST(num AS DOUBLE)
+                       / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+             END AS {prefix},
+             CAST(n AS BIGINT) AS {prefix}_n
+      FROM {prefix}_ag
+    )"""

@@ -1809,12 +1809,16 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pipeline's own evaluation metrics (operators/evalmetrics.py):
     the exact midrank ROC-AUC of n_tokens predicting is_contaminated
     (Mann-Whitney rank form — num/den pinned as decimal/HUGEINT digit
-    strings behind the one-division float) and the 2x2 Pearson
+    strings behind the one-division float), the 2x2 Pearson
     chi-square of seed-query relevance (bm25_q > 0) vs contamination
-    (the four exact cells ARE the statistic's integer state)."""
+    (the four exact cells ARE the statistic's integer state), and the
+    exact midrank Spearman rank correlation of n_tokens vs n_shingles
+    (operators/evalmetrics.spearman — CENTERED doubled midranks keep
+    every integer <= n^3, pinned as digit strings behind the one fixed
+    num/sqrt(dx*dy) double tree)."""
     from ..operators.contamination import contamination_scores
     from ..operators.dedup import exact_duplicates
-    from ..operators.evalmetrics import chi2_2x2, roc_auc
+    from ..operators.evalmetrics import chi2_2x2, roc_auc, spearman
     from ..operators.text import (
         bigram_lm_scores,
         bm25_scores,
@@ -1875,9 +1879,11 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     auc = roc_auc(core, "n_tokens", "is_contaminated", prefix="contam_auc")
     chi = chi2_2x2(core, F.col("bm25_q") > 0, "is_contaminated", prefix="rel_chi2")
+    rho = spearman(core, "n_tokens", "n_shingles", prefix="spear")
     return (
         core.crossJoin(F.broadcast(auc))
         .crossJoin(F.broadcast(chi))
+        .crossJoin(F.broadcast(rho))
         .crossJoin(F.broadcast(bpe_row))
         .crossJoin(F.broadcast(bpe_stats))
         .orderBy("doc_id")
@@ -1886,7 +1892,11 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fill_pipeline_oracle() -> None:
     from ..operators.contamination import sql_contamination_ctes
-    from ..operators.evalmetrics import sql_chi2_2x2, sql_roc_auc_ctes
+    from ..operators.evalmetrics import (
+        sql_chi2_2x2,
+        sql_roc_auc_ctes,
+        sql_spearman_ctes,
+    )
     from ..operators.text import (
         LANG_MARKERS as markers,
         sql_bigram_lm,
@@ -1961,9 +1971,9 @@ def _fill_pipeline_oracle() -> None:
     WHERE q.n_tokens >= 10 AND q.mean_tok_len BETWEEN 3 AND 12 AND q.swr > 0
       AND q.doc_id IN (SELECT doc_id FROM lang)
       AND q.doc_id NOT IN (SELECT doc_id FROM losers)
-    ),{sql_roc_auc_ctes('fin', 'n_tokens', 'is_contaminated', prefix='contam_auc')},{sql_chi2_2x2('fin', 'bm25_q > 0', 'is_contaminated', prefix='rel_chi2')}
-    SELECT fin.*, contam_auc.*, rel_chi2.*
-    FROM fin CROSS JOIN contam_auc CROSS JOIN rel_chi2
+    ),{sql_roc_auc_ctes('fin', 'n_tokens', 'is_contaminated', prefix='contam_auc')},{sql_chi2_2x2('fin', 'bm25_q > 0', 'is_contaminated', prefix='rel_chi2')},{sql_spearman_ctes('fin', 'n_tokens', 'n_shingles', prefix='spear')}
+    SELECT fin.*, contam_auc.*, rel_chi2.*, spear.*
+    FROM fin CROSS JOIN contam_auc CROSS JOIN rel_chi2 CROSS JOIN spear
     ORDER BY fin.doc_id
     """
 

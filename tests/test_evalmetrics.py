@@ -289,3 +289,127 @@ def test_first_digit_screen_contracts(spark):
     re_ = first_digit_screen(empty, "x").collect()[0]
     assert re_.fd_n == 0 and re_.fd_chi2u is None
     assert all(re_[f"fd_c{k}"] == 0 for k in range(1, 10))
+
+
+def _ref_spearman(pairs):
+    """Exact-rational Spearman via midranks: returns (num, dx, dy) as
+    ints over the CENTERED DOUBLED midranks (mean n+1 subtracted)."""
+    n = len(pairs)
+
+    def cranks(vals):
+        out = []
+        for v in vals:
+            cl = sum(1 for u in vals if u < v)
+            c = sum(1 for u in vals if u == v)
+            out.append(2 * cl + c - n)  # (2*cl + c + 1) - (n + 1)
+        return out
+
+    cx = cranks([p[0] for p in pairs])
+    cy = cranks([p[1] for p in pairs])
+    num = sum(a * b for a, b in zip(cx, cy))
+    dx = sum(a * a for a in cx)
+    dy = sum(b * b for b in cy)
+    return num, dx, dy
+
+
+def test_spearman_matches_bruteforce_with_ties(spark):
+    from osm_replication_rust_spark.operators.evalmetrics import spearman
+
+    g = _lcg(31)
+    # tiny domains so midrank ties are heavy on both sides
+    pairs = [((next(g) >> 5) % 7, (next(g) >> 9) % 5) for _ in range(300)]
+    # couple y to x on a third of rows so rho is far from 0
+    pairs = [
+        (x, x % 5 if i % 3 == 0 else y) for i, (x, y) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    row = spearman(df, "x", "y").collect()[0]
+    num, dx, dy = _ref_spearman(pairs)
+    assert int(row["rho_num_str"]) == num
+    assert int(row["rho_dx_str"]) == dx
+    assert int(row["rho_dy_str"]) == dy
+    assert row["rho_n"] == len(pairs)
+    assert row["rho"] == num / math.sqrt(float(dx) * float(dy))
+
+
+def test_spearman_contracts(spark):
+    from osm_replication_rust_spark.operators.evalmetrics import spearman
+
+    # perfect monotone (with ties broken consistently) => rho = 1
+    inc = [(i, i * i) for i in range(50)]
+    df = spark.createDataFrame(inc, "x long, y long")
+    assert spearman(df, "x", "y").collect()[0]["rho"] == 1.0
+    # perfect anti-monotone => rho = -1
+    dec = [(i, -3 * i) for i in range(50)]
+    df = spark.createDataFrame(dec, "x long, y long")
+    assert spearman(df, "x", "y").collect()[0]["rho"] == -1.0
+    # constant column => dx = 0 => NULL rho, pins still exact
+    const = [(7, i % 4) for i in range(20)]
+    df = spark.createDataFrame(const, "x long, y long")
+    r = spearman(df, "x", "y").collect()[0]
+    assert r["rho"] is None and r["rho_dx_str"] == "0"
+    # NULLs excluded pairwise
+    rows = [(1, 10), (2, None), (None, 3), (4, 40), (5, 50)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = spearman(df, "x", "y").collect()[0]
+    assert r["rho_n"] == 3 and r["rho"] == 1.0
+
+
+def test_spearman_grouped(spark):
+    from osm_replication_rust_spark.operators.evalmetrics import spearman
+
+    g = _lcg(37)
+    rows = []
+    for i in range(240):
+        grp = i % 3
+        x = (next(g) >> 7) % 9
+        y = x % 4 if i % 2 == 0 else (next(g) >> 3) % 6
+        rows.append((grp, x, y))
+    df = spark.createDataFrame(rows, "grp int, x long, y long")
+    out = {
+        r["grp"]: r
+        for r in spearman(df, "x", "y", group_cols=["grp"]).collect()
+    }
+    for grp in range(3):
+        sub = [(x, y) for g2, x, y in rows if g2 == grp]
+        num, dx, dy = _ref_spearman(sub)
+        assert int(out[grp]["rho_num_str"]) == num, grp
+        assert int(out[grp]["rho_dx_str"]) == dx, grp
+        assert int(out[grp]["rho_dy_str"]) == dy, grp
+
+
+def test_spearman_duckdb_twin_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osm_replication_rust_spark.operators.evalmetrics import (
+        spearman,
+        sql_spearman_ctes,
+    )
+
+    g = _lcg(41)
+    rows = [
+        (
+            (next(g) >> 8) % 11,
+            None if i % 23 == 0 else (next(g) >> 4) % 8,
+        )
+        for i in range(320)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long")
+    srow = spearman(df, "x", "y").collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({x}, {'NULL' if y is None else y})" for x, y in rows
+        )
+        + ") v(x, y)"
+    )
+    orow = (
+        con.execute(
+            "WITH " + sql_spearman_ctes("t", "x", "y") + " SELECT * FROM rho"
+        )
+        .fetchdf()
+        .iloc[0]
+    )
+    for k in ("rho_num_str", "rho_dx_str", "rho_dy_str", "rho_n"):
+        assert str(srow[k]) == str(orow[k]), k
+    assert srow["rho"] == orow["rho"]  # bit-identical, not approx
