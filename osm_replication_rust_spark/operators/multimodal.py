@@ -894,6 +894,87 @@ def harris_stage(
     return df.mapInPandas(stage, out_schema)
 
 
+#: FAST circle: the 16 (dx, dy) taps of the radius-3 Bresenham circle,
+#: clockwise from the top (OpenCV's FAST_9_16 ordering)
+FAST_OFFSETS: tuple[tuple[int, int], ...] = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+
+
+def fast_stage(
+    df: DataFrame, t: int = 30, bytes_col: str = "bytes"
+) -> DataFrame:
+    """FAST-9 corner detection (Rosten & Drummond '06, the segment
+    test behind ORB keypoints; cv2.FastFeatureDetector without
+    non-max suppression): a pixel p is a corner iff some arc of >= 9
+    CONTIGUOUS pixels on its radius-3 Bresenham circle (16 taps) is
+    entirely brighter than v(p) + t (bright corner) or entirely darker
+    than v(p) - t (dark corner).  Pure integer compares — nothing to
+    round, so it verifies cross-engine bit-for-bit.
+
+    The cyclic >= 9-run test is branch-free bit logic: pack the 16
+    compares into a mask m < 2^16, double it cyclically as
+    m2 = m | (m << 16) = m * 65537 (disjoint bit ranges), and the run
+    exists iff ((m2 >> k) & 0x1FF) == 0x1FF for some k in [0, 16) —
+    the same 16-term test the DuckDB twin spells, so the arc semantics
+    can't drift between engines.  A pixel can never be both kinds
+    (two disjoint 9-runs need 18 > 16 taps).
+
+    Emits per image: fast_n (corner count), fast_bn (bright-kind
+    corners), fast_wpos (sum of linear index k = r*w + c over corners —
+    pins WHERE they sit, the hc_wpos discipline).  Centers need the
+    full circle in-bounds: r, c in [3, h-4] x [3, w-4]; images thinner
+    than 7 px have none.  Map-only, equal-shape Arrow batch stacks."""
+    fields = [f"{c} {ty}" for c, ty in df.dtypes]
+    out_schema = ", ".join(
+        fields + ["fast_n bigint", "fast_bn bigint", "fast_wpos bigint"]
+    )
+    thr = int(t)
+
+    def _run9(m: np.ndarray) -> np.ndarray:
+        m2 = m.astype(np.uint64) * np.uint64(65537)
+        out = np.zeros(m.shape, dtype=bool)
+        for k in range(16):
+            out |= ((m2 >> np.uint64(k)) & np.uint64(0x1FF)) == np.uint64(0x1FF)
+        return out
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            fn = np.zeros(n, dtype=np.int64)
+            fb = np.zeros(n, dtype=np.int64)
+            fw = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 7 or w < 7:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                ctr = px[:, 3 : h - 3, 3 : w - 3]
+                mb = np.zeros(ctr.shape, dtype=np.uint32)
+                md = np.zeros(ctr.shape, dtype=np.uint32)
+                for j, (dx, dy) in enumerate(FAST_OFFSETS):
+                    tap = px[:, 3 + dy : h - 3 + dy, 3 + dx : w - 3 + dx]
+                    mb |= (tap > ctr + thr).astype(np.uint32) << np.uint32(j)
+                    md |= (tap < ctr - thr).astype(np.uint32) << np.uint32(j)
+                isb = _run9(mb)
+                isd = _run9(md)
+                corner = isb | isd
+                fn[ii] = corner.sum(axis=(1, 2))
+                fb[ii] = isb.sum(axis=(1, 2))
+                ry = np.arange(h - 6).reshape(1, -1, 1) + 3
+                cx = np.arange(w - 6).reshape(1, 1, -1) + 3
+                kidx = ry * w + cx
+                fw[ii] = np.where(corner, kidx, 0).sum(axis=(1, 2))
+            yield pdf.assign(fast_n=fn, fast_bn=fb, fast_wpos=fw)
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def median_filter_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """3x3 median filter statistics — the classic impulse-noise
     (salt-and-pepper) screen (cv2.medianBlur): per interior pixel the

@@ -2704,6 +2704,12 @@ _EDGE_SQ_MIN = 200_000
 #: hc_n and hc_wpos genuinely discriminate
 _CORNER_MIN = 2_000_000_000_000
 
+#: FAST-9 segment-test threshold: the LCG fixture is an affine ramp
+#: mod 251, so its corners come from the wrap seams — counts are stable
+#: across t in [20, 40] (17388 corners, ~50/50 bright/dark over the 500
+#: images) and vanish by t=60; 30 sits mid-band
+_FAST_T = 30
+
 
 def _sql_lcg_px(kexpr: str) -> str:
     """Pixel value of the deterministic LCG fake codec at linear index
@@ -2724,6 +2730,7 @@ def _multimodal_oracle() -> str:
     a transpose bug, an off-by-one crop — breaks the hash even when the
     pixel multiset is right."""
     from ..datagen.synth import gen_images
+    from ..operators.multimodal import FAST_OFFSETS
 
     images = gen_images(500, seed=42)
     meta = ",\n      ".join(
@@ -2731,6 +2738,21 @@ def _multimodal_oracle() -> str:
         for i, r in enumerate(images.itertuples())
     )
     pxv = _sql_lcg_px("k")  # ONE definition of the codec formula
+
+    # FAST-9 (multimodal.fast_stage): 16 circle taps -> bit masks; the
+    # cyclic >=9-run test is the same m*65537 bit logic the kernel uses
+    def _fast_mask(cmp: str) -> str:
+        return " + ".join(
+            f"CASE WHEN ({_sql_lcg_px(f'k + ({dy}) * w + ({dx})')}) {cmp}"
+            f" THEN {1 << j} ELSE 0 END"
+            for j, (dx, dy) in enumerate(FAST_OFFSETS)
+        )
+
+    def _run9(m: str) -> str:
+        return "(" + " OR ".join(
+            f"(((CAST({m} AS BIGINT) * 65537) >> {kk}) & 511) = 511"
+            for kk in range(16)
+        ) + ")"
     return f"""
     WITH meta(image_id, w, h, i) AS (VALUES
       {meta}
@@ -2976,6 +2998,28 @@ def _multimodal_oracle() -> str:
         SELECT image_id, r, c, sq,
                sq >= {_EDGE_SQ_MIN} AND sq >= sq1 AND sq >= sq2 AS keep
         FROM nmsn
+      ) GROUP BY image_id
+    ),
+    fastb AS (
+      -- FAST-9 bright/dark circle masks per full-circle center
+      -- (multimodal.fast_stage)
+      SELECT image_id, k,
+             {_fast_mask(f"> ({pxv}) + {_FAST_T}")} AS mb,
+             {_fast_mask(f"< ({pxv}) - {_FAST_T}")} AS md
+      FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
+      WHERE (k // w) BETWEEN 3 AND h - 4 AND (k % w) BETWEEN 3 AND w - 4
+    ),
+    fastagg AS (
+      SELECT image_id,
+             CAST(COALESCE(SUM(CASE WHEN isb OR isd THEN 1 END), 0)
+                  AS BIGINT) AS fast_n,
+             CAST(COALESCE(SUM(CASE WHEN isb THEN 1 END), 0)
+                  AS BIGINT) AS fast_bn,
+             CAST(COALESCE(SUM(CASE WHEN isb OR isd THEN k END), 0)
+                  AS BIGINT) AS fast_wpos
+      FROM (
+        SELECT image_id, k, {_run9("mb")} AS isb, {_run9("md")} AS isd
+        FROM fastb
       ) GROUP BY image_id
     ),
     hoff(dy, dx) AS (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0),
@@ -3261,6 +3305,9 @@ def _multimodal_oracle() -> str:
            COALESCE(og.og_e2, 0) AS og_e2, COALESCE(og.og_e3, 0) AS og_e3,
            COALESCE(hg.hc_n, 0) AS hc_n, hg.hc_max, hg.hc_min,
            COALESCE(hg.hc_wpos, 0) AS hc_wpos,
+           COALESCE(fg.fast_n, 0) AS fast_n,
+           COALESCE(fg.fast_bn, 0) AS fast_bn,
+           COALESCE(fg.fast_wpos, 0) AS fast_wpos,
            COALESCE(mg.med_sum, 0) AS med_sum,
            COALESCE(mg.med_absdiff, 0) AS med_absdiff,
            COALESCE(mg.ero_sum, 0) AS ero_sum,
@@ -3291,6 +3338,7 @@ def _multimodal_oracle() -> str:
     JOIN tmbest tb USING (image_id)
     LEFT JOIN og USING (image_id)
     LEFT JOIN hagg hg USING (image_id)
+    LEFT JOIN fastagg fg USING (image_id)
     LEFT JOIN magg mg USING (image_id)
     LEFT JOIN lbpagg lb USING (image_id)
     LEFT JOIN glcm gm USING (image_id)
@@ -3424,6 +3472,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emd_stage,
         euler_stage,
         glcm_stage,
+        fast_stage,
         harris_stage,
         hist_eq_stage,
         hough_stage,
@@ -3517,6 +3566,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hcr = harris_stage(
         imgs.select("image_id", "bytes", "w", "h"), corner_min=_CORNER_MIN
     ).select("image_id", "hc_n", "hc_max", "hc_min", "hc_wpos")
+    fst = fast_stage(
+        imgs.select("image_id", "bytes", "w", "h"), t=_FAST_T
+    ).select("image_id", "fast_n", "fast_bn", "fast_wpos")
     mfs = median_filter_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "med_sum", "med_absdiff"
     )
@@ -3572,6 +3624,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tmt, "image_id")
         .join(ogh, "image_id")
         .join(hcr, "image_id")
+        .join(fst, "image_id")
         .join(mfs, "image_id")
         .join(mor, "image_id")
         .join(lbp, "image_id")

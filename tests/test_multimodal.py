@@ -1614,3 +1614,73 @@ def test_emd_matches_reference_and_contracts(spark):
         sum(v + 1 for v in range(c)) + sum(255 - v for v in range(c, 256))
     )
     assert got["flat"] == want_flat > 0
+
+
+def test_fast_matches_loop_reference(spark):
+    """FAST-9 kernel == brute per-pixel segment-test loop on mixed
+    shapes; undersized images get the all-zero contract."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        FAST_OFFSETS,
+        fake_decode,
+        fast_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),    # constant: no corners
+        ("c", bytes(range(4 * 9)), 4, 9),       # w < 7: no full circle
+        ("d", bytes([(k * k) % 251 for k in range(32 * 16)]), 32, 16),
+        ("e", bytes([(k * 193 + 3) % 256 for k in range(20 * 20)]), 20, 20),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    t = 25
+    got = {r.image_id: r for r in fast_stage(df, t=t).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if w < 7 or h < 7:
+            assert (r.fast_n, r.fast_bn, r.fast_wpos) == (0, 0, 0)
+            continue
+        px = fake_decode(payload, w, h).astype(np.int64)
+        n = bn = wp = 0
+        for y in range(3, h - 3):
+            for x in range(3, w - 3):
+                c = px[y, x]
+                bits_b = [int(px[y + dy, x + dx] > c + t) for dx, dy in FAST_OFFSETS]
+                bits_d = [int(px[y + dy, x + dx] < c - t) for dx, dy in FAST_OFFSETS]
+
+                def run9(bits):
+                    ext = bits + bits
+                    return any(all(ext[k : k + 9]) for k in range(16))
+
+                isb, isd = run9(bits_b), run9(bits_d)
+                if isb or isd:
+                    n += 1
+                    wp += y * w + x
+                    bn += int(isb)
+        assert (r.fast_n, r.fast_bn, r.fast_wpos) == (n, bn, wp), image_id
+    assert got["b"].fast_n == 0
+
+
+def test_fast_detects_planted_blob_and_rejects_edge(spark):
+    """A bright disc in a flat field fires (boundary pixels see a >=9
+    contiguous darker arc); a straight edge's pixels never do (the arc
+    through an edge is split 8/8 at best) — the discrimination the
+    segment test exists for."""
+    from osm_replication_rust_spark.operators.multimodal import fast_stage
+
+    disc = np.zeros((24, 24), dtype=np.uint8)
+    yy, xx = np.mgrid[0:24, 0:24]
+    disc[(yy - 12) ** 2 + (xx - 12) ** 2 <= 16] = 200
+    edge = np.zeros((24, 24), dtype=np.uint8)
+    edge[:, 12:] = 200
+    df = spark.createDataFrame(
+        [("disc", disc.tobytes(), 24, 24), ("edge", edge.tobytes(), 24, 24)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    got = {r.image_id: r for r in fast_stage(df, t=50).collect()}
+    assert got["disc"].fast_n >= 1
+    # disc on dark field: corners are BRIGHT-kind (center on the disc
+    # rim sees a contiguous darker... ) — both kinds occur; just pin
+    # the split is internally consistent
+    assert 0 <= got["disc"].fast_bn <= got["disc"].fast_n
+    assert got["edge"].fast_n == 0
