@@ -975,6 +975,84 @@ def fast_stage(
     return df.mapInPandas(stage, out_schema)
 
 
+def wavelet_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """2-level unnormalized 2-D Haar transform — subband energy
+    signature (the texture / compression-artifact screen; the front
+    end of wavelet hashing and JPEG2000-style analysis).  The Haar
+    lifting step is pure integer adds/subtracts, so every subband
+    coefficient — and therefore every energy — is EXACT int64 and
+    verifies cross-engine bit-for-bit (the irrational 1/sqrt(2)
+    normalization of textbook Haar is a per-level constant scale and
+    carries no information; dropping it is the standard integer
+    wavelet move).
+
+    Per 2x2 block (a=TL, b=TR, c=BL, d=BR) of the level's smooth band:
+
+        LL = a+b+c+d    LH = a-b+c-d  (horizontal detail)
+        HL = a+b-c-d    HH = a-b-c+d  (diagonal kills both)
+
+    Level 1 runs on pixels over the even-cropped (h//2*2, w//2*2)
+    region; level 2 runs on the level-1 LL grid over complete 4x4
+    pixel blocks (h//4*4, w//4*4).  Emits per image the detail-band
+    energies wv_e_lh1/hl1/hh1/lh2/hl2/hh2 (sum of squared
+    coefficients), wv_ll2_sum (the level-2 smooth mass — pins the
+    cascade), and wv_n1/wv_n2 (block counts).  Images thinner than
+    2 px at a level have zero blocks there.  Map-only, equal-shape
+    Arrow batch stacks, zero shuffle."""
+    fields = [f"{c} {ty}" for c, ty in df.dtypes]
+    out_schema = ", ".join(
+        fields
+        + [
+            "wv_e_lh1 bigint", "wv_e_hl1 bigint", "wv_e_hh1 bigint",
+            "wv_e_lh2 bigint", "wv_e_hl2 bigint", "wv_e_hh2 bigint",
+            "wv_ll2_sum bigint", "wv_n1 bigint", "wv_n2 bigint",
+        ]
+    )
+
+    def _haar(sm: np.ndarray):
+        """One Haar level over the smooth band: (LL, LH, HL, HH) on
+        complete 2x2 blocks (odd trailing row/col cropped)."""
+        H, W = sm.shape[1] // 2 * 2, sm.shape[2] // 2 * 2
+        a = sm[:, 0:H:2, 0:W:2]
+        b = sm[:, 0:H:2, 1:W:2]
+        c = sm[:, 1:H:2, 0:W:2]
+        d = sm[:, 1:H:2, 1:W:2]
+        return a + b + c + d, a - b + c - d, a + b - c - d, a - b - c + d
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {k: np.zeros(n, dtype=np.int64) for k in (
+                "wv_e_lh1", "wv_e_hl1", "wv_e_hh1",
+                "wv_e_lh2", "wv_e_hl2", "wv_e_hh2",
+                "wv_ll2_sum", "wv_n1", "wv_n2",
+            )}
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if w < 2 or h < 2:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                ll1, lh1, hl1, hh1 = _haar(px)
+                cols["wv_e_lh1"][ii] = (lh1 * lh1).sum(axis=(1, 2))
+                cols["wv_e_hl1"][ii] = (hl1 * hl1).sum(axis=(1, 2))
+                cols["wv_e_hh1"][ii] = (hh1 * hh1).sum(axis=(1, 2))
+                cols["wv_n1"][ii] = ll1.shape[1] * ll1.shape[2]
+                if ll1.shape[1] >= 2 and ll1.shape[2] >= 2:
+                    ll2, lh2, hl2, hh2 = _haar(ll1)
+                    cols["wv_e_lh2"][ii] = (lh2 * lh2).sum(axis=(1, 2))
+                    cols["wv_e_hl2"][ii] = (hl2 * hl2).sum(axis=(1, 2))
+                    cols["wv_e_hh2"][ii] = (hh2 * hh2).sum(axis=(1, 2))
+                    cols["wv_ll2_sum"][ii] = ll2.sum(axis=(1, 2))
+                    cols["wv_n2"][ii] = ll2.shape[1] * ll2.shape[2]
+            yield pdf.assign(**cols)
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def median_filter_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """3x3 median filter statistics — the classic impulse-noise
     (salt-and-pepper) screen (cv2.medianBlur): per interior pixel the

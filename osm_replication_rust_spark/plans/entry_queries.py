@@ -3000,6 +3000,48 @@ def _multimodal_oracle() -> str:
         FROM nmsn
       ) GROUP BY image_id
     ),
+    wv1 AS (
+      -- 2-level Haar (multimodal.wavelet_stage): level-1 subbands as
+      -- signed within-2x2-block sums; the sign of a pixel's
+      -- contribution to LH/HL/HH is (-1)^(c%2) / (-1)^(r%2) / both
+      SELECT image_id, w, h, r // 2 AS br, c // 2 AS bc,
+             SUM(v) AS ll,
+             SUM(v * (1 - 2 * (c % 2))) AS lh,
+             SUM(v * (1 - 2 * (r % 2))) AS hl,
+             SUM(v * (1 - 2 * (c % 2)) * (1 - 2 * (r % 2))) AS hh
+      FROM px
+      WHERE r < h // 2 * 2 AND c < w // 2 * 2
+      GROUP BY image_id, w, h, r // 2, c // 2
+    ),
+    wv2 AS (
+      -- level 2 = the same step on the level-1 LL grid (complete
+      -- blocks only: h//4 x w//4)
+      SELECT image_id, br // 2 AS b2r, bc // 2 AS b2c,
+             SUM(ll) AS ll2,
+             SUM(ll * (1 - 2 * (bc % 2))) AS lh2,
+             SUM(ll * (1 - 2 * (br % 2))) AS hl2,
+             SUM(ll * (1 - 2 * (bc % 2)) * (1 - 2 * (br % 2))) AS hh2
+      FROM wv1
+      WHERE br < h // 4 * 2 AND bc < w // 4 * 2
+      GROUP BY image_id, br // 2, bc // 2
+    ),
+    wvagg1 AS (
+      SELECT image_id,
+             CAST(SUM(lh * lh) AS BIGINT) AS wv_e_lh1,
+             CAST(SUM(hl * hl) AS BIGINT) AS wv_e_hl1,
+             CAST(SUM(hh * hh) AS BIGINT) AS wv_e_hh1,
+             CAST(COUNT(*) AS BIGINT) AS wv_n1
+      FROM wv1 GROUP BY image_id
+    ),
+    wvagg2 AS (
+      SELECT image_id,
+             CAST(SUM(lh2 * lh2) AS BIGINT) AS wv_e_lh2,
+             CAST(SUM(hl2 * hl2) AS BIGINT) AS wv_e_hl2,
+             CAST(SUM(hh2 * hh2) AS BIGINT) AS wv_e_hh2,
+             CAST(SUM(ll2) AS BIGINT) AS wv_ll2_sum,
+             CAST(COUNT(*) AS BIGINT) AS wv_n2
+      FROM wv2 GROUP BY image_id
+    ),
     fastb AS (
       -- FAST-9 bright/dark circle masks per full-circle center
       -- (multimodal.fast_stage)
@@ -3308,6 +3350,15 @@ def _multimodal_oracle() -> str:
            COALESCE(fg.fast_n, 0) AS fast_n,
            COALESCE(fg.fast_bn, 0) AS fast_bn,
            COALESCE(fg.fast_wpos, 0) AS fast_wpos,
+           COALESCE(w1.wv_e_lh1, 0) AS wv_e_lh1,
+           COALESCE(w1.wv_e_hl1, 0) AS wv_e_hl1,
+           COALESCE(w1.wv_e_hh1, 0) AS wv_e_hh1,
+           COALESCE(w1.wv_n1, 0) AS wv_n1,
+           COALESCE(w2.wv_e_lh2, 0) AS wv_e_lh2,
+           COALESCE(w2.wv_e_hl2, 0) AS wv_e_hl2,
+           COALESCE(w2.wv_e_hh2, 0) AS wv_e_hh2,
+           COALESCE(w2.wv_ll2_sum, 0) AS wv_ll2_sum,
+           COALESCE(w2.wv_n2, 0) AS wv_n2,
            COALESCE(mg.med_sum, 0) AS med_sum,
            COALESCE(mg.med_absdiff, 0) AS med_absdiff,
            COALESCE(mg.ero_sum, 0) AS ero_sum,
@@ -3339,6 +3390,8 @@ def _multimodal_oracle() -> str:
     LEFT JOIN og USING (image_id)
     LEFT JOIN hagg hg USING (image_id)
     LEFT JOIN fastagg fg USING (image_id)
+    LEFT JOIN wvagg1 w1 USING (image_id)
+    LEFT JOIN wvagg2 w2 USING (image_id)
     LEFT JOIN magg mg USING (image_id)
     LEFT JOIN lbpagg lb USING (image_id)
     LEFT JOIN glcm gm USING (image_id)
@@ -3488,6 +3541,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         sharpness_stage,
         sobel_stage,
         template_match_stage,
+        wavelet_stage,
     )
 
     imgs = spark.createDataFrame(gen_images(500, seed=42))
@@ -3569,6 +3623,11 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fst = fast_stage(
         imgs.select("image_id", "bytes", "w", "h"), t=_FAST_T
     ).select("image_id", "fast_n", "fast_bn", "fast_wpos")
+    wvl = wavelet_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id",
+        "wv_e_lh1", "wv_e_hl1", "wv_e_hh1", "wv_n1",
+        "wv_e_lh2", "wv_e_hl2", "wv_e_hh2", "wv_ll2_sum", "wv_n2",
+    )
     mfs = median_filter_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "med_sum", "med_absdiff"
     )
@@ -3625,6 +3684,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ogh, "image_id")
         .join(hcr, "image_id")
         .join(fst, "image_id")
+        .join(wvl, "image_id")
         .join(mfs, "image_id")
         .join(mor, "image_id")
         .join(lbp, "image_id")

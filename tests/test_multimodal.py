@@ -1684,3 +1684,81 @@ def test_fast_detects_planted_blob_and_rejects_edge(spark):
     # the split is internally consistent
     assert 0 <= got["disc"].fast_bn <= got["disc"].fast_n
     assert got["edge"].fast_n == 0
+
+
+def test_wavelet_matches_loop_reference(spark):
+    """2-level Haar energies == brute per-block loop on mixed shapes,
+    incl. odd dimensions (cropped) and undersized images."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        wavelet_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([7] * (9 * 13)), 9, 13),    # odd dims: crops; constant
+        ("c", bytes(range(1 * 8)), 1, 8),       # w < 2: no blocks at all
+        ("d", bytes([(k * k) % 251 for k in range(10 * 6)]), 10, 6),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in wavelet_stage(df).collect()}
+
+    def haar_level(sm):
+        H, W = len(sm) // 2 * 2, len(sm[0]) // 2 * 2
+        ll, lh, hl, hh = [], [], [], []
+        for y in range(0, H, 2):
+            llr, lhr, hlr, hhr = [], [], [], []
+            for x in range(0, W, 2):
+                a, b2, c, d = sm[y][x], sm[y][x + 1], sm[y + 1][x], sm[y + 1][x + 1]
+                llr.append(a + b2 + c + d)
+                lhr.append(a - b2 + c - d)
+                hlr.append(a + b2 - c - d)
+                hhr.append(a - b2 - c + d)
+            ll.append(llr); lh.append(lhr); hl.append(hlr); hh.append(hhr)
+        return ll, lh, hl, hh
+
+    def e2(m):
+        return sum(v * v for row in m for v in row)
+
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if w < 2 or h < 2:
+            assert r.wv_n1 == 0 and r.wv_e_lh1 == 0 and r.wv_ll2_sum == 0
+            continue
+        px = fake_decode(payload, w, h).astype(np.int64).tolist()
+        ll1, lh1, hl1, hh1 = haar_level(px)
+        assert (r.wv_e_lh1, r.wv_e_hl1, r.wv_e_hh1) == (e2(lh1), e2(hl1), e2(hh1)), image_id
+        assert r.wv_n1 == len(ll1) * len(ll1[0])
+        if len(ll1) >= 2 and len(ll1[0]) >= 2:
+            ll2, lh2, hl2, hh2 = haar_level(ll1)
+            assert (r.wv_e_lh2, r.wv_e_hl2, r.wv_e_hh2) == (e2(lh2), e2(hl2), e2(hh2))
+            assert r.wv_ll2_sum == sum(v for row in ll2 for v in row)
+            assert r.wv_n2 == len(ll2) * len(ll2[0])
+        else:
+            assert r.wv_n2 == 0
+    # constant image: ALL detail energy is zero, smooth band carries mass
+    b = got["b"]
+    assert b.wv_e_lh1 == b.wv_e_hh1 == b.wv_e_lh2 == 0
+    assert b.wv_ll2_sum == 7 * 16 * (13 // 4) * (9 // 4)
+
+
+def test_wavelet_band_selectivity(spark):
+    """A vertical-stripe texture puts its level-1 energy in LH
+    (horizontal detail) and NOTHING in HL/HH; a horizontal-stripe
+    texture mirrors into HL — the orientation selectivity subband
+    coding exists for."""
+    from osm_replication_rust_spark.operators.multimodal import wavelet_stage
+
+    v = np.zeros((16, 16), dtype=np.uint8)
+    v[:, 0::2] = 100                        # width-1 vertical stripes
+    hst = np.zeros((16, 16), dtype=np.uint8)
+    hst[0::2, :] = 100                      # width-1 horizontal stripes
+    df = spark.createDataFrame(
+        [("v", v.tobytes(), 16, 16), ("h", hst.tobytes(), 16, 16)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    got = {r.image_id: r for r in wavelet_stage(df).collect()}
+    assert got["v"].wv_e_lh1 > 0 and got["v"].wv_e_hl1 == 0 and got["v"].wv_e_hh1 == 0
+    assert got["h"].wv_e_hl1 > 0 and got["h"].wv_e_lh1 == 0 and got["h"].wv_e_hh1 == 0
+    # in-phase 2x2 blocks at level 1 => the stripe is invisible to level 2
+    assert got["v"].wv_e_lh2 == 0 and got["h"].wv_e_hl2 == 0
