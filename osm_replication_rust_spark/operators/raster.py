@@ -434,7 +434,8 @@ def _rook_pairs(base: DataFrame) -> DataFrame:
     frame (tile, _px, _py, _pv): one map-side 4-offset scatter + one
     hash equi-join on the neighbour coordinate (~4·nnz narrow rows),
     same-tile filtered — the shared adjacency core of morans_i /
-    geary_join_stats. Carries (tile, _va, _vb) per ordered pair."""
+    geary_join_stats / local_moran. Carries (tile, _sx, _sy, _va, _vb)
+    per ordered pair (source coords so per-pixel lags can group)."""
     offs = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -450,6 +451,8 @@ def _rook_pairs(base: DataFrame) -> DataFrame:
     ).select(
         "tile",
         "_va",
+        F.col("_px").alias("_sx"),
+        F.col("_py").alias("_sy"),
         (F.col("_px") + F.col("_o.dx")).alias("_tx"),
         (F.col("_py") + F.col("_o.dy")).alias("_ty"),
     )
@@ -611,6 +614,90 @@ def geary_join_stats(
         F.coalesce(F.col("_bb"), F.lit(0).cast("long")).alias("jc_bb"),
         F.coalesce(F.col("_ww"), F.lit(0).cast("long")).alias("jc_ww"),
         F.coalesce(F.col("_bw"), F.lit(0).cast("long")).alias("jc_bw"),
+    )
+
+
+def local_moran(
+    pixels: DataFrame,
+    tile_res: int = 23,
+    px_res: int = 19,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+) -> DataFrame:
+    """Local Moran's I — the LISA cluster map (Anselin '95), the
+    per-cell decomposition of morans_i that names WHICH cells form the
+    hotspots/coldspots/outliers — reduced to its exact-integer
+    Moran-scatterplot quadrant census per tile over the SAME
+    within-tile rook adjacency (shared _rook_pairs core):
+
+    with per-tile n, S = Σv the scaled deviation of pixel i is
+    d_i = n·v_i − S (exact; sign(d_i) = sign(v_i − mean)) and its
+    scaled spatial lag is L_i = n·Σ_{j~i} v_j − deg_i·S, so quadrant
+    membership — HH (high amid high), LL, HL (high outlier amid low),
+    LH — is a pure integer sign pair, and Σ_i d_i·L_i is the exact
+    global LISA numerator (= n²·Σ_ij w_ij (v_i−x̄)(v_j−x̄), the
+    integer behind morans_i's numerator — carried as digits, the
+    idw_den_str discipline).
+
+    Emits per tile: lq_hh / lq_ll / lq_hl / lq_lh (strict-sign
+    quadrant counts; boundary pixels with d=0 or L=0 belong to none),
+    lq_iso (occupied pixels with NO occupied rook neighbour —
+    unclassifiable islands), lq_n, and lisa_num_str (NULL when the
+    tile has no adjacent pair, both engines).
+
+    Plan: ONE extra per-(tile, source-pixel) aggregate over the shared
+    scatter-join pairs + the per-tile moment aggregate morans_i
+    already makes — no dense grid, no Python, no new shuffle class."""
+    _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    dec = "decimal(38,0)"
+
+    def _tile(cx, cy):
+        return F.shiftright(cy, shift) * Y_STRIDE + F.shiftright(cx, shift)
+
+    base = pixels.select(
+        _tile(F.col(x), F.col(y)).alias("tile"),
+        F.col(x).alias("_px"),
+        F.col(y).alias("_py"),
+        F.col(v).cast("long").alias("_pv"),
+    )
+    pairs = _rook_pairs(base)
+    lnb = pairs.groupBy("tile", "_sx", "_sy", "_va").agg(
+        F.count(F.lit(1)).cast(dec).alias("_deg"),
+        F.sum(F.col("_vb").cast(dec)).alias("_nbs"),
+    )
+    xagg = base.groupBy("tile").agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("_pv").cast(dec)).alias("_S"),
+    )
+    n, S = F.col("_n"), F.col("_S")
+    d = n * F.col("_va").cast(dec) - S
+    lag = n * F.col("_nbs") - F.col("_deg") * S
+    per = lnb.join(xagg, "tile").select(
+        "tile", d.alias("_d"), lag.alias("_lag")
+    )
+    dd, ll = F.col("_d"), F.col("_lag")
+    qagg = per.groupBy("tile").agg(
+        F.sum(F.when((dd > 0) & (ll > 0), 1)).cast("long").alias("_hh"),
+        F.sum(F.when((dd < 0) & (ll < 0), 1)).cast("long").alias("_ll"),
+        F.sum(F.when((dd > 0) & (ll < 0), 1)).cast("long").alias("_hl"),
+        F.sum(F.when((dd < 0) & (ll > 0), 1)).cast("long").alias("_lh"),
+        F.sum(dd * ll).alias("_num"),
+        F.count(F.lit(1)).cast("long").alias("_npix"),
+    )
+    zero = F.lit(0).cast("long")
+    return xagg.join(qagg, "tile", "left").select(
+        "tile",
+        F.col("_n").cast("long").alias("lq_n"),
+        F.coalesce(F.col("_hh"), zero).alias("lq_hh"),
+        F.coalesce(F.col("_ll"), zero).alias("lq_ll"),
+        F.coalesce(F.col("_hl"), zero).alias("lq_hl"),
+        F.coalesce(F.col("_lh"), zero).alias("lq_lh"),
+        (F.col("_n").cast("long") - F.coalesce(F.col("_npix"), zero)).alias(
+            "lq_iso"
+        ),
+        F.col("_num").cast("string").alias("lisa_num_str"),
     )
 
 

@@ -7206,6 +7206,7 @@ def _sql_raster_vectorize() -> str:
     ),
     mpair AS (
       SELECT (a.gy // {enpx}) * {ys} + (a.gx // {enpx}) AS tile,
+             a.gx AS sgx, a.gy AS sgy,
              a.n AS va, b.n AS vb
       FROM gpx a JOIN gpx b
         ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
@@ -7253,6 +7254,45 @@ def _sql_raster_vectorize() -> str:
              CAST(COALESCE(mww, 0) AS BIGINT) AS jc_ww,
              CAST(COALESCE(mbw, 0) AS BIGINT) AS jc_bw
       FROM mx LEFT JOIN mp ON mp.tile = mx.tile
+    ),
+    lnb AS (
+      -- LISA per-source-pixel lag frame (raster.local_moran): degree
+      -- and neighbour-value sum over the SAME within-tile rook pairs
+      SELECT tile, sgx, sgy, MAX(va) AS va,
+             CAST(count(*) AS HUGEINT) AS deg,
+             SUM(CAST(vb AS HUGEINT)) AS nbs
+      FROM mpair GROUP BY tile, sgx, sgy
+    ),
+    lqp AS (
+      SELECT l.tile,
+             mx.mn * CAST(l.va AS HUGEINT) - mx.ms AS d,
+             mx.mn * l.nbs - l.deg * mx.ms AS lag
+      FROM lnb l JOIN mx ON mx.tile = l.tile
+    ),
+    lqa AS (
+      SELECT tile,
+             CAST(COALESCE(SUM(CASE WHEN d > 0 AND lag > 0 THEN 1 END), 0)
+                  AS BIGINT) AS lq_hh,
+             CAST(COALESCE(SUM(CASE WHEN d < 0 AND lag < 0 THEN 1 END), 0)
+                  AS BIGINT) AS lq_ll,
+             CAST(COALESCE(SUM(CASE WHEN d > 0 AND lag < 0 THEN 1 END), 0)
+                  AS BIGINT) AS lq_hl,
+             CAST(COALESCE(SUM(CASE WHEN d < 0 AND lag > 0 THEN 1 END), 0)
+                  AS BIGINT) AS lq_lh,
+             CAST(SUM(d * lag) AS VARCHAR) AS lisa_num_str,
+             CAST(count(*) AS BIGINT) AS npix
+      FROM lqp GROUP BY tile
+    ),
+    lq AS (
+      SELECT mx.tile,
+             CAST(mx.mn AS BIGINT) AS lq_n,
+             COALESCE(lqa.lq_hh, 0) AS lq_hh,
+             COALESCE(lqa.lq_ll, 0) AS lq_ll,
+             COALESCE(lqa.lq_hl, 0) AS lq_hl,
+             COALESCE(lqa.lq_lh, 0) AS lq_lh,
+             CAST(mx.mn AS BIGINT) - COALESCE(lqa.npix, 0) AS lq_iso,
+             lqa.lisa_num_str
+      FROM mx LEFT JOIN lqa ON lqa.tile = mx.tile
     ),
     grk AS (
       -- Gini rank frame (raster.gini_tile): equal values occupy a
@@ -7335,6 +7375,13 @@ def _sql_raster_vectorize() -> str:
              CAST(NULL AS BIGINT) AS jc_bb,
              CAST(NULL AS BIGINT) AS jc_ww,
              CAST(NULL AS BIGINT) AS jc_bw,
+             CAST(NULL AS BIGINT) AS lq_n,
+             CAST(NULL AS BIGINT) AS lq_hh,
+             CAST(NULL AS BIGINT) AS lq_ll,
+             CAST(NULL AS BIGINT) AS lq_hl,
+             CAST(NULL AS BIGINT) AS lq_lh,
+             CAST(NULL AS BIGINT) AS lq_iso,
+             CAST(NULL AS VARCHAR) AS lisa_num_str,
              CAST(NULL AS BIGINT) AS gini_mass,
              CAST(NULL AS DOUBLE) AS gini,
              CAST(NULL AS BIGINT) AS dt_sum,
@@ -7351,6 +7398,8 @@ def _sql_raster_vectorize() -> str:
              l.blob AS blob, b.blob_px AS blob_px,
              ft.focal_total, ft.focal_max, ft.n_core, ft.n_hot, ft.z_max,
              mi.mi_w, mi.moran_i, mi.geary_c, mi.jc_bb, mi.jc_ww, mi.jc_bw,
+             lq.lq_n, lq.lq_hh, lq.lq_ll, lq.lq_hl, lq.lq_lh, lq.lq_iso,
+             lq.lisa_num_str,
              gini.gini_mass, gini.gini,
              dtile.dt_sum, dtile.dt_max, dtile.dt_zeros
       FROM erects e
@@ -7358,6 +7407,7 @@ def _sql_raster_vectorize() -> str:
       JOIN bsz b USING (blob)
       JOIN ftile ft ON ft.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN mi ON mi.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
+      JOIN lq ON lq.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN gini ON gini.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN dtile ON dtile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
     )
@@ -7411,6 +7461,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         geary_join_stats,
         gi_star,
         gini_tile,
+        local_moran,
         morans_i,
         pixels_to_tiles,
         point_pixel_counts,
@@ -7440,6 +7491,13 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("jc_bb"),
         F.lit(None).cast("long").alias("jc_ww"),
         F.lit(None).cast("long").alias("jc_bw"),
+        F.lit(None).cast("long").alias("lq_n"),
+        F.lit(None).cast("long").alias("lq_hh"),
+        F.lit(None).cast("long").alias("lq_ll"),
+        F.lit(None).cast("long").alias("lq_hl"),
+        F.lit(None).cast("long").alias("lq_lh"),
+        F.lit(None).cast("long").alias("lq_iso"),
+        F.lit(None).cast("string").alias("lisa_num_str"),
         F.lit(None).cast("long").alias("gini_mass"),
         F.lit(None).cast("double").alias("gini"),
         F.lit(None).cast("long").alias("dt_sum"),
@@ -7493,6 +7551,9 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gj = geary_join_stats(
         pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES
     ).select("tile", "geary_c", "jc_bb", "jc_ww", "jc_bw")
+    # LISA quadrant census — the per-cell decomposition of moran_i on
+    # the same shared pairs (the scatter/join collapses again)
+    lm = local_moran(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
     # Gini of the value mass across each tile's occupied pixels — the
     # mega-cell concentration statistic on the same shared pixel frame
     gin = gini_tile(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES).select(
@@ -7520,6 +7581,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ftile, "tile")
         .join(mi, "tile")
         .join(gj, "tile")
+        .join(lm, "tile")
         .join(gin, "tile")
         .join(dtile, "tile")
         .select(
@@ -7542,6 +7604,13 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jc_bb",
             "jc_ww",
             "jc_bw",
+            "lq_n",
+            "lq_hh",
+            "lq_ll",
+            "lq_hl",
+            "lq_lh",
+            "lq_iso",
+            "lisa_num_str",
             "gini_mass",
             "gini",
             "dt_sum",

@@ -890,3 +890,89 @@ def test_gini_tile_contracts(spark):
     # sorted [1, 1, 98]: G = (2*(1+2+3*98) - 4*100) / (3*100)
     assert abs(got[2].gini - (2 * (1 + 2 + 3 * 98) - 4 * 100) / 300) < 1e-15
     assert got[2].gini_mass == 100
+
+
+def test_local_moran_matches_fraction_reference(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.raster import local_moran
+
+    rng = np.random.default_rng(47)
+    W = 16
+    mask = rng.random((W, W)) < 0.5
+    vals = rng.integers(1, 9, (W, W))
+    rows = [
+        (int(x), int(y), int(vals[y, x]))
+        for y in range(W)
+        for x in range(W)
+        if mask[y, x]
+    ]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    out = local_moran(pix, tile_res=20, px_res=16).collect()
+    assert len(out) == 1
+    got = out[0]
+
+    pts = {(x, y): v for x, y, v in rows}
+    n = len(pts)
+    S = sum(pts.values())
+    hh = ll = hl = lh = iso = 0
+    num = 0
+    for p, v in pts.items():
+        nbrs = [
+            pts[(p[0] + dx, p[1] + dy)]
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+            if (p[0] + dx, p[1] + dy) in pts
+        ]
+        if not nbrs:
+            iso += 1
+            continue
+        d = n * v - S
+        lag = n * sum(nbrs) - len(nbrs) * S
+        num += d * lag
+        if d > 0 and lag > 0:
+            hh += 1
+        elif d < 0 and lag < 0:
+            ll += 1
+        elif d > 0 and lag < 0:
+            hl += 1
+        elif d < 0 and lag > 0:
+            lh += 1
+    assert (got.lq_n, got.lq_hh, got.lq_ll, got.lq_hl, got.lq_lh, got.lq_iso) == (
+        n, hh, ll, hl, lh, iso
+    )
+    assert int(got.lisa_num_str) == num
+    # the exact cross-check with GLOBAL Moran: sum d*lag == n^2 * num_I
+    from fractions import Fraction
+
+    xbar = Fraction(S, n)
+    numI = sum(
+        (Fraction(a) - xbar) * (Fraction(pts[(p[0] + dx, p[1] + dy)]) - xbar)
+        for p, a in pts.items()
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        if (p[0] + dx, p[1] + dy) in pts
+    )
+    assert Fraction(num, n * n) == numI
+
+
+def test_local_moran_contracts(spark):
+    from osm_replication_rust_spark.operators.raster import local_moran
+
+    # a 3-pixel line of (1, 9, 1): the 9 is an HL outlier (high amid
+    # low), its flanks are LH; nothing is HH/LL
+    rows = [(0, 0, 1), (1, 0, 9), (2, 0, 1)]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    got = local_moran(pix, tile_res=20, px_res=16).collect()[0]
+    assert (got.lq_hh, got.lq_ll, got.lq_hl, got.lq_lh) == (0, 0, 1, 2)
+    assert got.lq_iso == 0
+    # isolated pixels and pair-less tiles: NULL num, all-iso census
+    rows = [(0, 0, 3), (5, 5, 8)]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    got = local_moran(pix, tile_res=20, px_res=16).collect()[0]
+    assert got.lq_iso == 2 and got.lisa_num_str is None
+    assert (got.lq_hh, got.lq_ll, got.lq_hl, got.lq_lh) == (0, 0, 0, 0)
+    # constant tile: every d == 0 -> no quadrant membership, num == 0
+    rows = [(0, 0, 4), (1, 0, 4), (0, 1, 4)]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    got = local_moran(pix, tile_res=20, px_res=16).collect()[0]
+    assert (got.lq_hh, got.lq_ll, got.lq_hl, got.lq_lh) == (0, 0, 0, 0)
+    assert got.lisa_num_str == "0"
