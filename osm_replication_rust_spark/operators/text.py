@@ -532,6 +532,65 @@ def sql_redact_pii(text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Soundex phonetic encoding — the classic entity-resolution / record-
+# linkage BLOCKING key (group candidate pairs by how a name SOUNDS so
+# the expensive pairwise verify never goes all-pairs).  Deliberately
+# NOT Spark's builtin F.soundex: the h/w separator rule varies across
+# implementations, and the repo-wide discipline is ONE spelling both
+# engines evaluate — so the full pipeline is spelled from shared
+# primitives (upper/translate/regexp_replace/rpad, all backref-FREE so
+# Java regex and RE2 agree) and the published American-Soundex vectors
+# pin it (Robert/Rupert→R163, Ashcraft/Ashcroft→A261 — the h/w merge —
+# Tymczak→T522, Pfister→P236 — the first-letter merge — Honeyman→H555).
+# ---------------------------------------------------------------------------
+
+_SOUNDEX_FROM = "AEIOUYBFPVCGJKQSXZDTLMNR"
+_SOUNDEX_TO = "000000111122222222334556"
+
+
+def soundex_expr(word: Column) -> Column:
+    """American Soundex of ``word`` (non-letters stripped first):
+    retain the first letter; drop H/W (so same-coded consonants they
+    separate merge); map letters to digit classes with vowels as '0'
+    separators; collapse adjacent equal digits; drop the first
+    letter's own (merged) group; strip the separators; pad to
+    letter+3.  NULL when no letter survives the cleanup."""
+    u = F.upper(F.regexp_replace(word, "[^A-Za-z]", ""))
+    first = F.substring(u, 1, 1)
+    seq = F.translate(
+        F.regexp_replace(u, "[HW]", ""), _SOUNDEX_FROM, _SOUNDEX_TO
+    )
+    for d in "123456":  # backref-free run collapse, identical in RE2
+        seq = F.regexp_replace(seq, f"{d}{{2,}}", d)
+    tail = F.when(first.isin("H", "W"), seq).otherwise(F.substring(seq, 2, 2_000_000))
+    code = F.concat(
+        first, F.rpad(F.substring(F.regexp_replace(tail, "0", ""), 1, 3), 3, "0")
+    )
+    return F.when(u != "", code)
+
+
+def sql_soundex(word: str) -> str:
+    """DuckDB twin of :func:`soundex_expr` — the literally identical
+    pipeline ('g' flags where Spark replaces all by default)."""
+    u = f"upper(regexp_replace({word}, '[^A-Za-z]', '', 'g'))"
+    seq = (
+        f"translate(regexp_replace({u}, '[HW]', '', 'g'),"
+        f" '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    )
+    for d in "123456":
+        seq = f"regexp_replace({seq}, '{d}{{2,}}', '{d}', 'g')"
+    tail = (
+        f"CASE WHEN substr({u}, 1, 1) IN ('H', 'W') THEN {seq}"
+        f" ELSE substr({seq}, 2) END"
+    )
+    return (
+        f"CASE WHEN {u} <> '' THEN substr({u}, 1, 1)"
+        f" || rpad(substr(regexp_replace({tail}, '0', '', 'g'), 1, 3), 3, '0')"
+        f" END"
+    )
+
+
+# ---------------------------------------------------------------------------
 # character-bigram language-model fluency (the CCNet-style perplexity
 # filter, stripped to its engine-expressible core: a corpus-trained
 # char n-gram LM scoring every document; low avg log-prob = noisy /

@@ -2025,6 +2025,7 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_line_frac,
         pii_count_cols,
         redact_pii,
+        soundex_expr,
         text_features,
     )
 
@@ -2055,8 +2056,18 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         h64_md5(redact_pii(ptxt)).alias("pii_redacted_h64"),
         dup_line_frac(ltxt).alias("dup_line_frac"),
         bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        soundex_expr(
+            F.regexp_extract(F.col("text"), r"^\s*(\S+)", 1)
+        ).alias("sx_first"),
     ]
     tf = text_features(d, "text", "doc_id", extra_cols=pii_cols)
+    # phonetic blocking (entity resolution): the bucket size of each
+    # doc's first-word Soundex key — the candidate-pair budget a
+    # blocked linkage join would pay; tiny key domain, broadcast back
+    blocks = tf.groupBy("sx_first").agg(
+        F.count(F.lit(1)).cast("long").alias("sx_block_n")
+    )
+    tf = tf.join(F.broadcast(blocks), "sx_first", "left")
     tf = stratified_rate_sample(
         tf, "pred_lang", _LANG_SAMPLE_RATES, "doc_id", out_col="sample_keep"
     )
@@ -2073,6 +2084,11 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LANG_SAMPLE_RATES = {"en": 0.35, "de": 0.75}
 _LANG_HEAD_N = 25
 
+#: the phonetic blocking key's source: the doc's first whitespace token
+#: (regexp_extract group semantics are identical in Java regex / RE2,
+#: both return '' on no-match)
+_SX_FIRST_WORD = r"regexp_extract(text, '^\s*(\S+)', 1)"
+
 
 def _fill_text_oracles() -> None:
     from ..operators.dedup import sql_h64_md5, winnow_fps_sql, winnow_hashes_sql
@@ -2080,7 +2096,7 @@ def _fill_text_oracles() -> None:
         sql_stratified_fixed_n_expr,
         sql_stratified_keep_expr,
     )
-    from ..operators.text import sql_pii_counts, sql_redact_pii
+    from ..operators.text import sql_pii_counts, sql_redact_pii, sql_soundex
     from ..operators.text import (
         LANG_MARKERS as markers,
         sql_bpe_token_count,
@@ -2153,13 +2169,19 @@ def _fill_text_oracles() -> None:
            {pii_sql},
            {red_sql},
            {dlf_sql},
-           {sql_bpe_token_count('text')} AS bpe_tokens
+           {sql_bpe_token_count('text')} AS bpe_tokens,
+           {sql_soundex(_SX_FIRST_WORD)} AS sx_first
     FROM s2
     )
-    SELECT tfo.*,
+    SELECT tfo.*, b.sx_block_n,
            {sql_stratified_keep_expr('pred_lang', _LANG_SAMPLE_RATES, 'doc_id')} AS sample_keep,
            {sql_stratified_fixed_n_expr('pred_lang', _LANG_HEAD_N, 'doc_id', salt='head')} AS lang_head
-    FROM tfo ORDER BY doc_id
+    FROM tfo
+    LEFT JOIN (
+      SELECT sx_first, CAST(COUNT(*) AS BIGINT) AS sx_block_n
+      FROM tfo GROUP BY sx_first
+    ) b ON b.sx_first = tfo.sx_first
+    ORDER BY doc_id
     """
 
 

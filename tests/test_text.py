@@ -527,3 +527,50 @@ def test_bpe_train_matches_reference_and_duckdb(spark):
     )
     got_after = seg.selectExpr("sum(wf * size(syms)) AS t").collect()[0].t
     assert got_after == row["tokens_after"]
+
+
+def test_soundex_published_vectors(spark):
+    from osm_replication_rust_spark.operators.text import soundex_expr
+
+    vectors = [
+        ("Robert", "R163"), ("Rupert", "R163"),
+        ("Ashcraft", "A261"), ("Ashcroft", "A261"),   # the h/w merge
+        ("Tymczak", "T522"), ("Pfister", "P236"),     # first-letter merge
+        ("Honeyman", "H555"), ("Jackson", "J250"),
+        ("A", "A000"), ("Lee", "L000"), ("Gutierrez", "G362"),
+        ("o'Brien", "O165"), ("12 3", None),          # cleanup + empty
+    ]
+    df = spark.createDataFrame(
+        [(w,) for w, _ in vectors], "w string"
+    ).select("w", soundex_expr(F.col("w")).alias("sx"))
+    got = {r.w: r.sx for r in df.collect()}
+    for w, want in vectors:
+        assert got[w] == want, (w, got[w], want)
+
+
+def test_soundex_duckdb_twin_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osm_replication_rust_spark.operators.text import (
+        soundex_expr,
+        sql_soundex,
+    )
+
+    words = [
+        "Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister", "Honeyman",
+        "Wheeler", "Hwang", "Washington", "Wu", "Czarkowska", "Schmidt",
+        "lowercase", "MiXeD", "O'Malley-Smith", "Aeiouy", "Hhhh", "",
+    ]
+    sdf = spark.createDataFrame([(w,) for w in words], "w string")
+    srows = {r.w: r.sx for r in sdf.select(
+        "w", soundex_expr(F.col("w")).alias("sx")).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join("('{}')".format(w.replace("'", "''")) for w in words)
+        + ") v(w)"
+    )
+    orows = dict(con.execute(
+        f"SELECT w, {sql_soundex('w')} AS sx FROM t"
+    ).fetchall())
+    for w in words:
+        assert srows[w] == orows[w], (w, srows[w], orows[w])
