@@ -1405,6 +1405,133 @@ def scene_cut_stage(
     return df.mapInPandas(stage, out_schema)
 
 
+def motion_stage(
+    df: DataFrame,
+    block: int = 8,
+    radius: int = 2,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Block-matching motion estimation — the MPEG/H.26x motion-vector
+    front end, and the screen that separates a PAN (coherent nonzero
+    vectors) from a CUT (high residual SAD) from a STATIC shot (zero
+    vectors): for every ``block``x``block`` tile of frame j+1, the
+    displacement (dy, dx) in the ±``radius`` window whose
+    ``block``² -pixel window of frame j matches best (minimum SAD —
+    exact integer), tie-broken to the lexicographically smallest
+    (dy, dx) — both engines iterate candidates in that order, so the
+    argmin is deterministic.  Candidates whose source window leaves
+    the frame are skipped ((0, 0) is always valid, so every complete
+    target block scores).
+
+    Payload contract = scene_cut_stage's: n_frames concatenated w*h
+    raw frames.  Emits ONE row per video with exact-integer pins:
+    mv_blocks (scored block-pair count), mv_sad_sum (total best
+    residual), mv_nz (blocks with nonzero best vector),
+    mv_dx_sum / mv_dy_sum (net motion), and the position-weighted
+    mv_dxw / mv_dyw = Σ (j·4096 + bR·64 + bC + 1)·d — a vector field
+    that is right in aggregate but shifted in place breaks the gate.
+    Videos shorter than 2 frames or thinner than ``block`` px emit
+    zeros.  Vectorized per equal-shape batch group; map-only."""
+    fields = [f"{c} {ty}" for c, ty in df.dtypes]
+    out_schema = ", ".join(
+        fields
+        + [
+            "mv_blocks bigint", "mv_sad_sum bigint", "mv_nz bigint",
+            "mv_dx_sum bigint", "mv_dy_sum bigint",
+            "mv_dxw bigint", "mv_dyw bigint",
+        ]
+    )
+    B, R = int(block), int(radius)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {k: np.zeros(n, dtype=np.int64) for k in (
+                "mv_blocks", "mv_sad_sum", "mv_nz",
+                "mv_dx_sum", "mv_dy_sum", "mv_dxw", "mv_dyw",
+            )}
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                fsize = w * h
+                if fsize == 0 or L < 2 * fsize or h < B or w < B:
+                    continue
+                n_frames = L // fsize
+                buf = (
+                    np.frombuffer(b"".join(payloads[k] for k in ii), dtype=np.uint8)
+                    .reshape(len(ii), L)[:, : n_frames * fsize]
+                    .astype(np.int64)
+                    .reshape(len(ii), n_frames, h, w)
+                )
+                nbr, nbc = h // B, w // B
+                m = len(ii)
+                for j in range(n_frames - 1):
+                    prev = buf[:, j]
+                    cur = buf[:, j + 1]
+                    tgt = (
+                        cur[:, : nbr * B, : nbc * B]
+                        .reshape(m, nbr, B, nbc, B)
+                        .transpose(0, 1, 3, 2, 4)
+                    )  # (m, nbr, nbc, B, B)
+                    big = np.int64(1) << 62
+                    best_sad = np.full((m, nbr, nbc), big, dtype=np.int64)
+                    best_dy = np.zeros((m, nbr, nbc), dtype=np.int64)
+                    best_dx = np.zeros((m, nbr, nbc), dtype=np.int64)
+                    for dy in range(-R, R + 1):
+                        # valid target-block rows for this dy
+                        r_lo = 0 if dy >= 0 else (-dy + B - 1) // B
+                        r_hi = (h - B - dy) // B  # inclusive
+                        r_hi = min(r_hi, nbr - 1)
+                        if r_lo > r_hi:
+                            continue
+                        for dx in range(-R, R + 1):
+                            c_lo = 0 if dx >= 0 else (-dx + B - 1) // B
+                            c_hi = min((w - B - dx) // B, nbc - 1)
+                            if c_lo > c_hi:
+                                continue
+                            src = prev[
+                                :,
+                                r_lo * B + dy : (r_hi + 1) * B + dy,
+                                c_lo * B + dx : (c_hi + 1) * B + dx,
+                            ].reshape(
+                                m, r_hi - r_lo + 1, B, c_hi - c_lo + 1, B
+                            ).transpose(0, 1, 3, 2, 4)
+                            sad = np.abs(
+                                src - tgt[:, r_lo : r_hi + 1, c_lo : c_hi + 1]
+                            ).sum(axis=(3, 4))
+                            view = best_sad[:, r_lo : r_hi + 1, c_lo : c_hi + 1]
+                            upd = sad < view  # strict: first (dy,dx) wins ties
+                            best_sad[:, r_lo : r_hi + 1, c_lo : c_hi + 1] = (
+                                np.where(upd, sad, view)
+                            )
+                            bdy = best_dy[:, r_lo : r_hi + 1, c_lo : c_hi + 1]
+                            best_dy[:, r_lo : r_hi + 1, c_lo : c_hi + 1] = (
+                                np.where(upd, dy, bdy)
+                            )
+                            bdx = best_dx[:, r_lo : r_hi + 1, c_lo : c_hi + 1]
+                            best_dx[:, r_lo : r_hi + 1, c_lo : c_hi + 1] = (
+                                np.where(upd, dx, bdx)
+                            )
+                    wgt = (
+                        np.int64(j + 1) * 4096
+                        + np.arange(nbr, dtype=np.int64).reshape(1, -1, 1) * 64
+                        + np.arange(nbc, dtype=np.int64).reshape(1, 1, -1)
+                        + 1
+                    )
+                    cols["mv_blocks"][ii] += nbr * nbc
+                    cols["mv_sad_sum"][ii] += best_sad.sum(axis=(1, 2))
+                    cols["mv_nz"][ii] += (
+                        (best_dy != 0) | (best_dx != 0)
+                    ).sum(axis=(1, 2))
+                    cols["mv_dx_sum"][ii] += best_dx.sum(axis=(1, 2))
+                    cols["mv_dy_sum"][ii] += best_dy.sum(axis=(1, 2))
+                    cols["mv_dxw"][ii] += (wgt * best_dx).sum(axis=(1, 2))
+                    cols["mv_dyw"][ii] += (wgt * best_dy).sum(axis=(1, 2))
+            yield pdf.assign(**cols)
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def audio_stats_stage(
     df: DataFrame,
     silence_amp: int = 16,

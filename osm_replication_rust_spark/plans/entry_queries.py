@@ -2761,6 +2761,14 @@ def _multimodal_oracle() -> str:
     )
     pxv = _sql_lcg_px("k")  # ONE definition of the codec formula
 
+    def _sql_vpx(kexpr: str, jexpr: str) -> str:
+        """Frame pixel of the VIDEO fixture (gen_videos): the image LCG
+        plus the 1-based frame's VIDEO_SHIFTS entry."""
+        return (
+            f"((({kexpr}) * 1103515245 + i * 12345 + 7"
+            f" + ([0,2,91,93])[{jexpr}]) % 251)"
+        )
+
     # FAST-9 (multimodal.fast_stage): 16 circle taps -> bit masks; the
     # cyclic >=9-run test is the same m*65537 bit logic the kernel uses
     def _fast_mask(cmp: str) -> str:
@@ -3021,6 +3029,43 @@ def _multimodal_oracle() -> str:
                sq >= {_EDGE_SQ_MIN} AND sq >= sq1 AND sq >= sq2 AS keep
         FROM nmsn
       ) GROUP BY image_id
+    ),
+    mvc AS (
+      -- block-matching motion (multimodal.motion_stage): SAD of every
+      -- in-bounds ±2 candidate per 8x8 target block per frame pair,
+      -- frames recomputed from the LCG + VIDEO_SHIFTS formula
+      SELECT image_id, j, bR, bC, dy, dx,
+             SUM(ABS(
+               {_sql_vpx("(8*bR + p // 8 + dy) * w + (8*bC + p % 8 + dx)", "j")}
+               - {_sql_vpx("(8*bR + p // 8) * w + (8*bC + p % 8)", "j + 1")}
+             )) AS sad
+      FROM meta,
+           UNNEST(generate_series(1, 3)) AS jt(j),
+           UNNEST(generate_series(0, h // 8 - 1)) AS rt(bR),
+           UNNEST(generate_series(0, w // 8 - 1)) AS ct(bC),
+           UNNEST(generate_series(-2, 2)) AS dyt(dy),
+           UNNEST(generate_series(-2, 2)) AS dxt(dx),
+           UNNEST(generate_series(0, 63)) AS pt(p)
+      WHERE 8*bR + dy >= 0 AND 8*bR + 8 + dy <= h
+        AND 8*bC + dx >= 0 AND 8*bC + 8 + dx <= w
+      GROUP BY image_id, j, bR, bC, dy, dx
+    ),
+    mvb AS (
+      SELECT *, row_number() OVER (PARTITION BY image_id, j, bR, bC
+                                   ORDER BY sad, dy, dx) AS rn
+      FROM mvc
+    ),
+    mvagg AS (
+      SELECT image_id,
+             CAST(COUNT(*) AS BIGINT) AS mv_blocks,
+             CAST(SUM(sad) AS BIGINT) AS mv_sad_sum,
+             CAST(COALESCE(SUM(CASE WHEN dy <> 0 OR dx <> 0 THEN 1 END), 0)
+                  AS BIGINT) AS mv_nz,
+             CAST(SUM(dx) AS BIGINT) AS mv_dx_sum,
+             CAST(SUM(dy) AS BIGINT) AS mv_dy_sum,
+             CAST(SUM((j * 4096 + bR * 64 + bC + 1) * dx) AS BIGINT) AS mv_dxw,
+             CAST(SUM((j * 4096 + bR * 64 + bC + 1) * dy) AS BIGINT) AS mv_dyw
+      FROM mvb WHERE rn = 1 GROUP BY image_id
     ),
     wv1 AS (
       -- 2-level Haar (multimodal.wavelet_stage): level-1 subbands as
@@ -3351,6 +3396,13 @@ def _multimodal_oracle() -> str:
                / (CAST(l.n_interior AS DOUBLE) * CAST(l.n_interior AS DOUBLE))
            END AS lap_var,
            v.n_transitions, v.n_cuts, v.sad_total, v.cut_frame,
+           COALESCE(mv.mv_blocks, 0) AS mv_blocks,
+           COALESCE(mv.mv_sad_sum, 0) AS mv_sad_sum,
+           COALESCE(mv.mv_nz, 0) AS mv_nz,
+           COALESCE(mv.mv_dx_sum, 0) AS mv_dx_sum,
+           COALESCE(mv.mv_dy_sum, 0) AS mv_dy_sum,
+           COALESCE(mv.mv_dxw, 0) AS mv_dxw,
+           COALESCE(mv.mv_dyw, 0) AS mv_dyw,
            aud.n_samples, aud.peak, aud.energy,
            SQRT(CAST(aud.energy AS DOUBLE) / CAST(aud.n_samples AS DOUBLE)) AS rms,
            aud.trim_start, aud.trim_end,
@@ -3405,6 +3457,7 @@ def _multimodal_oracle() -> str:
            em.emd_uniform
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
+    LEFT JOIN mvagg mv USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     JOIN eagg e USING (image_id)
     JOIN blagg bl USING (image_id)
@@ -3554,6 +3607,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lbp_stage,
         median_filter_stage,
         moments_stage,
+        motion_stage,
         morphology_stage,
         nms_stage,
         otsu_stage,
@@ -3592,6 +3646,10 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lap_var"),
     )
     cuts = scene_cut_stage(vids, threshold_millis=_SCENE_THR)
+    mvs = motion_stage(vids).select(
+        "image_id", "mv_blocks", "mv_sad_sum", "mv_nz",
+        "mv_dx_sum", "mv_dy_sum", "mv_dxw", "mv_dyw",
+    )
     vagg = cuts.groupBy("image_id").agg(
         F.count(F.lit(1)).alias("n_transitions"),
         F.sum(F.col("is_cut").cast("long")).alias("n_cuts"),
@@ -3697,6 +3755,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.join(pagg, "image_id")
         .join(sharp, "image_id")
         .join(vagg, "image_id")
+        .join(mvs, "image_id")
         .join(aud, "image_id")
         .join(sob, "image_id")
         .join(ots, "image_id")

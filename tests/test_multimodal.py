@@ -1762,3 +1762,99 @@ def test_wavelet_band_selectivity(spark):
     assert got["h"].wv_e_hl1 > 0 and got["h"].wv_e_lh1 == 0 and got["h"].wv_e_hh1 == 0
     # in-phase 2x2 blocks at level 1 => the stripe is invisible to level 2
     assert got["v"].wv_e_lh2 == 0 and got["h"].wv_e_hl2 == 0
+
+
+def _ref_motion(frames, B=8, R=2):
+    """Brute per-block loop: returns the 7 mv_* pins."""
+    import itertools
+
+    nf = len(frames)
+    h, w = frames[0].shape
+    nbr, nbc = h // B, w // B
+    out = dict.fromkeys(
+        ["mv_blocks", "mv_sad_sum", "mv_nz", "mv_dx_sum", "mv_dy_sum",
+         "mv_dxw", "mv_dyw"], 0
+    )
+    for j in range(nf - 1):
+        prev, cur = frames[j].astype(int), frames[j + 1].astype(int)
+        for bR in range(nbr):
+            for bC in range(nbc):
+                best = None
+                for dy, dx in itertools.product(range(-R, R + 1), repeat=2):
+                    r0, c0 = bR * B + dy, bC * B + dx
+                    if r0 < 0 or c0 < 0 or r0 + B > h or c0 + B > w:
+                        continue
+                    sad = int(
+                        abs(
+                            prev[r0 : r0 + B, c0 : c0 + B]
+                            - cur[bR * B : bR * B + B, bC * B : bC * B + B]
+                        ).sum()
+                    )
+                    if best is None or sad < best[0]:
+                        best = (sad, dy, dx)
+                sad, dy, dx = best
+                wgt = (j + 1) * 4096 + bR * 64 + bC + 1
+                out["mv_blocks"] += 1
+                out["mv_sad_sum"] += sad
+                out["mv_nz"] += int(dy != 0 or dx != 0)
+                out["mv_dx_sum"] += dx
+                out["mv_dy_sum"] += dy
+                out["mv_dxw"] += wgt * dx
+                out["mv_dyw"] += wgt * dy
+    return out
+
+
+def test_motion_matches_loop_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import motion_stage
+
+    rng = np.random.default_rng(59)
+    rows, refs = [], {}
+    for vid, (nf, w, h) in enumerate(
+        [(2, 16, 16), (4, 24, 16), (3, 8, 8), (1, 16, 16), (2, 6, 6)]
+    ):
+        frames = [
+            rng.integers(0, 251, (h, w)).astype(np.uint8) for _ in range(nf)
+        ]
+        payload = b"".join(f.tobytes() for f in frames)
+        rows.append((f"v{vid}", payload, w, h))
+        if nf >= 2 and w >= 8 and h >= 8:
+            refs[f"v{vid}"] = _ref_motion(frames)
+        else:
+            refs[f"v{vid}"] = dict.fromkeys(
+                ["mv_blocks", "mv_sad_sum", "mv_nz", "mv_dx_sum",
+                 "mv_dy_sum", "mv_dxw", "mv_dyw"], 0
+            )
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in motion_stage(df).collect()}
+    for vid, want in refs.items():
+        for k, v in want.items():
+            assert got[vid][k] == v, (vid, k, got[vid][k], v)
+
+
+def test_motion_recovers_planted_shift(spark):
+    """cur = prev shifted by (dy0, dx0): every interior block's best
+    vector is exactly (dy0, dx0) with ZERO residual."""
+    from osm_replication_rust_spark.operators.multimodal import motion_stage
+
+    rng = np.random.default_rng(61)
+    h = w = 24
+    prev = rng.integers(0, 251, (h + 4, w + 4)).astype(np.uint8)
+    dy0, dx0 = 1, -2
+    f1 = prev[2 : 2 + h, 2 : 2 + w]
+    f2 = prev[2 - dy0 : 2 - dy0 + h, 2 - dx0 : 2 - dx0 + w]
+    # f2(r, c) = prev-grid(r + 2 - dy0, ...) => source block of f1 at
+    # (r + dy0... ) wait: f1(r+dy0, c+dx0) = prev(2+r+dy0, 2+c+dx0)?
+    # No: choose the identity the operator tests: f1(bR*B+dy0+p) ==
+    # f2(bR*B+p) for all p -> f2(x) = f1(x + dy0) per axis.
+    f2 = np.roll(np.roll(f1, -dy0, axis=0), -dx0, axis=1)
+    payload = f1.tobytes() + f2.tobytes()
+    df = spark.createDataFrame(
+        [("v", payload, w, h)], "image_id string, bytes binary, w int, h int"
+    )
+    r = motion_stage(df).collect()[0]
+    # the center block (1,1) is interior for the roll: its SAD-0 match
+    # is the planted vector; border blocks may see wrapped pixels
+    assert r.mv_blocks == 9
+    assert r.mv_nz >= 1
+    # net motion points the planted way
+    assert r.mv_dy_sum > 0 and r.mv_dx_sum < 0
