@@ -1594,6 +1594,87 @@ def audio_stats_stage(
     return df.mapInPandas(stage, out_schema)
 
 
+#: WHT frame length (power of two; every fixture clip has >= 256
+#: samples since min image is 16x16)
+WHT_N = 256
+
+
+def audio_wht_stage(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Walsh-Hadamard sequency spectrum of the clip's first
+    ``WHT_N`` = 256 PCM samples — the EXACT-arithmetic stand-in for FFT
+    band energy (the WHT's ±1 basis needs no irrational twiddle
+    factors, which is why video codecs use Hadamard SATD for
+    rate-distortion: all-integer, and here cross-engine bit-exact).
+    Natural (Hadamard) order: c_b = Σ_k s_k · (−1)^popcount(b AND k)
+    over centered samples s_k = pcm_k − 128, computed by the O(n log n)
+    butterfly; the twin spells the popcount sign sum directly — two
+    genuinely different algorithms, one answer.
+
+    Emits per clip (all exact int64):
+    - wht_dc = c_0 (the DC sum),
+    - band energies by sequency proxy popcount(b): wht_e_low (1-2),
+      wht_e_mid (3-5), wht_e_high (6-8),
+    - wht_e_total = Σ_b c_b², which must equal 256·Σ_k s_k²
+      (Parseval — an internal identity the tests assert, and a
+      corruption of ANY coefficient breaks it).
+    Clips shorter than 256 samples emit NULLs (none in the fixture)."""
+    fields = [f"{c} {ty}" for c, ty in df.dtypes]
+    out_schema = ", ".join(
+        fields
+        + [
+            "wht_dc bigint", "wht_e_low bigint", "wht_e_mid bigint",
+            "wht_e_high bigint", "wht_e_total bigint",
+        ]
+    )
+    pc = np.array([bin(b).count("1") for b in range(WHT_N)], dtype=np.int64)
+    lo = (pc >= 1) & (pc <= 2)
+    mid = (pc >= 3) & (pc <= 5)
+    hi = pc >= 6
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {
+                k: np.full(n, np.nan, dtype=object)
+                for k in ("wht_dc", "wht_e_low", "wht_e_mid",
+                          "wht_e_high", "wht_e_total")
+            }
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if L < WHT_N:
+                    continue
+                m = len(ii)
+                s = (
+                    np.frombuffer(b"".join(payloads[k] for k in ii), dtype=np.uint8)
+                    .reshape(m, L)[:, :WHT_N]
+                    .astype(np.int64)
+                    - 128
+                )
+                v = s.copy()
+                half = 1
+                while half < WHT_N:  # the FWHT butterfly
+                    v = v.reshape(m, WHT_N // (2 * half), 2, half)
+                    v = np.stack(
+                        [v[:, :, 0, :] + v[:, :, 1, :],
+                         v[:, :, 0, :] - v[:, :, 1, :]],
+                        axis=2,
+                    ).reshape(m, WHT_N)
+                    half *= 2
+                e = v * v
+                cols["wht_dc"][ii] = v[:, 0]
+                cols["wht_e_low"][ii] = e[:, lo].sum(axis=1)
+                cols["wht_e_mid"][ii] = e[:, mid].sum(axis=1)
+                cols["wht_e_high"][ii] = e[:, hi].sum(axis=1)
+                cols["wht_e_total"][ii] = e.sum(axis=1)
+            yield pdf.assign(
+                **{k: pd.array(a, dtype="Int64") for k, a in cols.items()}
+            )
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def morphology_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """3x3 grayscale morphology — erosion (window min) and dilation
     (window max), the opening/closing building blocks every binary-mask

@@ -3030,6 +3030,32 @@ def _multimodal_oracle() -> str:
         FROM nmsn
       ) GROUP BY image_id
     ),
+    whtc AS (
+      -- WHT coefficients (multimodal.audio_wht_stage): the direct
+      -- popcount-sign sum — a genuinely different algorithm from the
+      -- kernel's butterfly, same exact integers
+      SELECT image_id, b,
+             SUM((({_sql_lcg_px('k')}) - 128)
+                 * (1 - 2 * (bit_count(CAST(b & k AS BIGINT)) % 2))) AS c,
+             MAX(bit_count(CAST(b AS BIGINT))) AS pc
+      FROM meta,
+           UNNEST(generate_series(0, 255)) AS bt(b),
+           UNNEST(generate_series(0, 255)) AS kt(k)
+      GROUP BY image_id, b
+    ),
+    whta AS (
+      SELECT image_id,
+             CAST(COALESCE(SUM(CASE WHEN b = 0 THEN c END), 0) AS BIGINT)
+               AS wht_dc,
+             CAST(COALESCE(SUM(CASE WHEN pc BETWEEN 1 AND 2 THEN c * c END), 0)
+                  AS BIGINT) AS wht_e_low,
+             CAST(COALESCE(SUM(CASE WHEN pc BETWEEN 3 AND 5 THEN c * c END), 0)
+                  AS BIGINT) AS wht_e_mid,
+             CAST(COALESCE(SUM(CASE WHEN pc >= 6 THEN c * c END), 0)
+                  AS BIGINT) AS wht_e_high,
+             CAST(SUM(c * c) AS BIGINT) AS wht_e_total
+      FROM whtc GROUP BY image_id
+    ),
     mvc AS (
       -- block-matching motion (multimodal.motion_stage): SAD of every
       -- in-bounds ±2 candidate per 8x8 target block per frame pair,
@@ -3404,6 +3430,8 @@ def _multimodal_oracle() -> str:
            COALESCE(mv.mv_dxw, 0) AS mv_dxw,
            COALESCE(mv.mv_dyw, 0) AS mv_dyw,
            aud.n_samples, aud.peak, aud.energy,
+           wt.wht_dc, wt.wht_e_low, wt.wht_e_mid, wt.wht_e_high,
+           wt.wht_e_total,
            SQRT(CAST(aud.energy AS DOUBLE) / CAST(aud.n_samples AS DOUBLE)) AS rms,
            aud.trim_start, aud.trim_end,
            COALESCE(sg.gx_abs_sum, 0) AS gx_abs_sum,
@@ -3457,6 +3485,7 @@ def _multimodal_oracle() -> str:
            em.emd_uniform
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
+    JOIN whta wt USING (image_id)
     LEFT JOIN mvagg mv USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     JOIN eagg e USING (image_id)
@@ -3595,6 +3624,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datagen.synth import gen_images, gen_videos
     from ..operators.multimodal import (
         audio_stats_stage,
+        audio_wht_stage,
         bilinear_resize_stage,
         decode_stats,
         emd_stage,
@@ -3668,6 +3698,10 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rms"),
         "trim_start",
         "trim_end",
+    )
+    wht = audio_wht_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "wht_dc", "wht_e_low", "wht_e_mid", "wht_e_high",
+        "wht_e_total",
     )
     sob = sobel_stage(
         imgs.select("image_id", "bytes", "w", "h"), edge_sq_min=_EDGE_SQ_MIN
@@ -3757,6 +3791,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vagg, "image_id")
         .join(mvs, "image_id")
         .join(aud, "image_id")
+        .join(wht, "image_id")
         .join(sob, "image_id")
         .join(ots, "image_id")
         .join(heq, "image_id")

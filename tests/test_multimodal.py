@@ -1858,3 +1858,64 @@ def test_motion_recovers_planted_shift(spark):
     assert r.mv_nz >= 1
     # net motion points the planted way
     assert r.mv_dy_sum > 0 and r.mv_dx_sum < 0
+
+
+def test_wht_matches_popcount_reference(spark):
+    """Butterfly == direct popcount-sign sum (two different algorithms),
+    plus the Parseval identity sum c² == N · sum s²."""
+    from osm_replication_rust_spark.operators.multimodal import (
+        WHT_N,
+        audio_wht_stage,
+    )
+
+    rng = np.random.default_rng(67)
+    pcm = rng.integers(0, 251, 16 * 16).astype(np.uint8)
+    rows = [
+        ("a", pcm.tobytes(), 16, 16),
+        ("tiny", bytes(range(100)), 10, 10),    # < 256 samples: NULLs
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in audio_wht_stage(df).collect()}
+    s = pcm[:WHT_N].astype(int) - 128
+    c = [
+        sum(int(s[k]) * (1 - 2 * (bin(b & k).count("1") % 2)) for k in range(WHT_N))
+        for b in range(WHT_N)
+    ]
+    e = [x * x for x in c]
+    pcs = [bin(b).count("1") for b in range(WHT_N)]
+    r = got["a"]
+    assert r.wht_dc == c[0]
+    assert r.wht_e_low == sum(x for x, p in zip(e, pcs) if 1 <= p <= 2)
+    assert r.wht_e_mid == sum(x for x, p in zip(e, pcs) if 3 <= p <= 5)
+    assert r.wht_e_high == sum(x for x, p in zip(e, pcs) if p >= 6)
+    assert r.wht_e_total == sum(e) == WHT_N * sum(int(x) * int(x) for x in s)
+    t = got["tiny"]
+    assert t.wht_dc is None and t.wht_e_total is None
+
+
+def test_wht_impulse_and_constant(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        WHT_N,
+        audio_wht_stage,
+    )
+
+    # constant clip: every centered sample = 9 -> ONLY the DC survives
+    const = bytes([137] * WHT_N)
+    # impulse at k=3: flat spectrum, every band's energy = count * s0²
+    imp = bytearray([128] * WHT_N)
+    imp[3] = 128 + 50
+    df = spark.createDataFrame(
+        [("const", const, 16, 16), ("imp", bytes(imp), 16, 16)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    got = {r.image_id: r for r in audio_wht_stage(df).collect()}
+    r = got["const"]
+    assert r.wht_dc == 9 * WHT_N
+    assert r.wht_e_low == r.wht_e_mid == r.wht_e_high == 0
+    assert r.wht_e_total == r.wht_dc * r.wht_dc
+    r = got["imp"]
+    pcs = [bin(b).count("1") for b in range(WHT_N)]
+    assert r.wht_dc == 50
+    assert r.wht_e_total == WHT_N * 50 * 50
+    assert r.wht_e_low == sum(1 for p in pcs if 1 <= p <= 2) * 2500
+    assert r.wht_e_high == sum(1 for p in pcs if p >= 6) * 2500
