@@ -19,6 +19,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -705,4 +706,100 @@ def robust_outliers(
             (2 * d2 > F.lit(int(k)) * F.col("rz_mad22")).cast("long"),
         )
         .drop("_rz_rn", "_rz_rn2", "_rz_n")
+    )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    v: str = "v",
+    id_col: str = "event_id",
+    max_n: int = 12,
+) -> DataFrame:
+    """Isotonic regression per key (PAVA, the pool-adjacent-violators
+    algorithm) — THE score-calibration primitive: the least-squares
+    NON-DECREASING fit to a noisy series (calibrating a quality score
+    against downstream outcomes, enforcing monotone rate curves).
+    Restricted to each key's first ``max_n`` points in (ts, id) order —
+    the bounded-trajectory contract hmm_map_match uses, and what makes
+    the oracle's O(n³) brute minimax affordable.
+
+    Cross-engine exactness via the SCALED-FLOOR pin: every candidate
+    fitted value is a block average sum/len with len <= n, so two
+    DISTINCT candidates differ by >= 1/n²; with S = 2n² the map
+    q = floor(S·sum / len) is strictly order-preserving on the
+    candidate set (equal stays equal, and a gap of >= 1/n² becomes a
+    scaled gap of >= 2, which survives the floor).  Order-preserving
+    maps commute with max/min, so
+
+        fitq_i = floor(S · PAVA_fit_i)
+               = max_{j<=i} min_{k>=i} floor(S·sum(y[j..k]) / (k-j+1))
+
+    — the LEFT side is what the numpy PAVA stack emits, the RIGHT side
+    is the textbook minimax characterization the DuckDB twin brute-
+    forces: two genuinely different algorithms, one exact integer
+    answer per row.  Emits (id, <key>, iso_n, iso_fitq).
+
+    Plan: ONE (key)-keyed sort-collect agg (the mann_kendall shuffle
+    class), a single Arrow-batched UDF over the bounded arrays, one
+    posexplode back to rows."""
+    from pyspark.sql import Window as W
+
+    @F.pandas_udf("array<long>")
+    def _pava(arrs: pd.Series) -> pd.Series:
+        out = []
+        for a in arrs:
+            y = [int(x) for x in a]
+            n = len(y)
+            S = 2 * n * n
+            stack: list[tuple[int, int]] = []  # (sum, len) blocks
+            for val in y:
+                s, ln = val, 1
+                # merge while previous block average >= current's
+                # (exact cross-multiplied compare; merging equal
+                # averages leaves the fitted values unchanged)
+                while stack and stack[-1][0] * ln >= s * stack[-1][1]:
+                    ps, pl = stack.pop()
+                    s += ps
+                    ln += pl
+                stack.append((s, ln))
+            fit: list[int] = []
+            for s, ln in stack:
+                fit.extend([(S * s) // ln] * ln)
+            out.append(fit)
+        return pd.Series(out)
+
+    w = W.partitionBy(key).orderBy(ts, id_col)
+    base = (
+        df.select(key, ts, id_col, F.col(v).cast("long").alias("_y"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_n)
+    )
+    per = base.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col("_y").alias("x"),
+                )
+            )
+        ).alias("_a")
+    )
+    per = per.select(
+        key,
+        F.col("_a.i").alias("_ids"),
+        _pava(F.col("_a.x")).alias("_fit"),
+        F.size("_a").alias("iso_n"),
+    )
+    return per.select(
+        key,
+        "iso_n",
+        F.explode(F.arrays_zip("_ids", "_fit")).alias("_z"),
+    ).select(
+        F.col("_z._ids").alias(id_col),
+        F.col(key),
+        "iso_n",
+        F.col("_z._fit").alias("iso_fitq"),
     )

@@ -6088,6 +6088,10 @@ _FUNNEL_H_S = 14_400
 #: cohorts, cell counts 1-19; weekly/daily periods are degenerate
 #: full-retention on this fixture)
 _COHORT_PERIOD_S = 3_600
+#: isotonic-regression gate cap: first 12 events per user (the bounded-
+#: trajectory contract hmm_map_match set; keeps the oracle's O(n³)
+#: brute minimax trivial while PAVA pooling is genuinely mixed)
+_ISO_MAX_N = 12
 
 
 def _mm_segments_values() -> str:
@@ -6335,6 +6339,47 @@ def _mm_oracle_ctes() -> str:
       SELECT a.pid, a.mm_way, a.mm_pos, a.mm_rank, a.mm_e, a.mm_cost,
              w.mm_switches
       FROM mmassign a JOIN mmswitch w USING (traj)
+    ),
+    isot AS (
+      -- isotonic regression (relational.isotonic_fit): first {_ISO_MAX_N}
+      -- events per user; the oracle brute-forces the textbook minimax
+      -- characterization over scaled-floor block averages
+      SELECT * FROM (
+        SELECT user_id, event_id, (event_id % 997) AS y,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn <= {_ISO_MAX_N}
+    ),
+    ison AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS iso_n
+      FROM isot GROUP BY user_id
+    ),
+    isop AS (
+      SELECT user_id, rn, y, event_id,
+             SUM(y) OVER (PARTITION BY user_id ORDER BY rn) AS ps
+      FROM isot
+    ),
+    isow AS (
+      SELECT j.user_id, j.rn AS wj, k.rn AS wk,
+             (2 * n.iso_n * n.iso_n * (k.ps - j.ps + j.y))
+               // (k.rn - j.rn + 1) AS qv
+      FROM isop j
+      JOIN isop k ON k.user_id = j.user_id AND k.rn >= j.rn
+      JOIN ison n ON n.user_id = j.user_id
+    ),
+    isomn AS (
+      SELECT w.user_id, w.wj, i.rn AS wi, MIN(w.qv) AS mn
+      FROM isow w
+      JOIN isot i ON i.user_id = w.user_id AND i.rn BETWEEN w.wj AND w.wk
+      GROUP BY w.user_id, w.wj, i.rn
+    ),
+    isofit AS (
+      SELECT t.event_id, n.iso_n, MAX(m.mn) AS iso_fitq
+      FROM isomn m
+      JOIN isot t ON t.user_id = m.user_id AND t.rn = m.wi
+      JOIN ison n ON n.user_id = m.user_id
+      GROUP BY t.event_id, n.iso_n
     )
     SELECT sg.user_id, sg.event_id AS event_id, session_id, seg_id,
            CAST(count(*) OVER ws AS BIGINT) AS seg_n,
@@ -6359,7 +6404,8 @@ def _mm_oracle_ctes() -> str:
            cm.ret_n,
            mmf.mm_way, mmf.mm_pos, mmf.mm_rank, mmf.mm_e, mmf.mm_cost,
            mmf.mm_switches,
-           rz.rz_med2, rz.rz_d2, rz.rz_mad22, rz.rz_out
+           rz.rz_med2, rz.rz_d2, rz.rz_mad22, rz.rz_out,
+           iso.iso_n, iso.iso_fitq
     FROM sg JOIN tt ON tt.user_id = sg.user_id
     JOIN mkf ON mkf.user_id = sg.user_id
     LEFT JOIN fnl ON fnl.user_id = sg.user_id
@@ -6369,6 +6415,7 @@ def _mm_oracle_ctes() -> str:
                              - cf.cohort_p
     LEFT JOIN mmfull mmf ON mmf.pid = sg.event_id
     JOIN rz ON rz.event_id = sg.event_id
+    LEFT JOIN isofit iso ON iso.event_id = sg.event_id
     WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
     ORDER BY sg.user_id, event_id
     """,
@@ -6445,6 +6492,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort_retention,
         funnel_levels,
         group_trend,
+        isotonic_fit,
         mann_kendall,
         robust_outliers,
         scd2_intervals,
@@ -6504,6 +6552,15 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact median/MAD robust outliers (Hampel screen) per user over a
     # deliberately heavy-tailed exact amplitude (2^(id mod 19)): the
     # regime where mean/stddev z-scores drown and MAD is the tool
+    iso = isotonic_fit(
+        raw_ev.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            (F.col("event_id") % 997).alias("v"),
+        ),
+        max_n=_ISO_MAX_N,
+    ).select("event_id", "iso_n", "iso_fitq")
     ro = robust_outliers(
         raw_ev.select(
             "user_id",
@@ -6573,6 +6630,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(mm, "event_id", "left")
         .join(ro, "event_id")
+        .join(iso, "event_id", "left")
         .orderBy("user_id", "event_id")
     )
 

@@ -601,3 +601,73 @@ def test_robust_outliers_contracts(spark):
     assert all(got[i].rz_out == 0 for i in (6, 7, 8))
     with pytest.raises(ValueError):
         robust_outliers(df, "key", "v", k=-1)
+
+
+def _ref_pava_fitq(y):
+    """Textbook minimax characterization (a DIFFERENT algorithm from
+    the operator's stack PAVA): fitq_i = max_{j<=i} min_{k>=i}
+    floor(S*sum/len), exact ints."""
+    n = len(y)
+    S = 2 * n * n
+    ps = [0]
+    for v in y:
+        ps.append(ps[-1] + v)
+    out = []
+    for i in range(n):
+        best = None
+        for j in range(i + 1):
+            mn = min(
+                (S * (ps[k + 1] - ps[j])) // (k - j + 1) for k in range(i, n)
+            )
+            best = mn if best is None else max(best, mn)
+        out.append(best)
+    return out
+
+
+def test_isotonic_matches_minimax_reference(spark):
+    from osm_replication_rust_spark.operators.relational import isotonic_fit
+
+    rng = __import__("numpy").random.default_rng(71)
+    rows = []
+    series = {}
+    for u in range(6):
+        n = int(rng.integers(1, 13))
+        ys = [int(x) for x in rng.integers(0, 100, n)]
+        series[u] = ys
+        for i, y in enumerate(ys):
+            rows.append((u, i, u * 1000 + i, y))
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, v long")
+    got = isotonic_fit(df, max_n=12).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, {})[r.event_id] = (r.iso_fitq, r.iso_n)
+    for u, ys in series.items():
+        ref = _ref_pava_fitq(ys)
+        assert len(by_user[u]) == len(ys)
+        for i in range(len(ys)):
+            fq, n = by_user[u][u * 1000 + i]
+            assert n == len(ys)
+            assert fq == ref[i], (u, i, fq, ref[i])
+
+
+def test_isotonic_contracts(spark):
+    from osm_replication_rust_spark.operators.relational import isotonic_fit
+
+    # already monotone: fit == 2n²·y exactly; fit is non-decreasing
+    rows = [(1, i, i, v) for i, v in enumerate([1, 3, 3, 7])]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, v long")
+    got = sorted(isotonic_fit(df).collect(), key=lambda r: r.event_id)
+    S = 2 * 16
+    assert [r.iso_fitq for r in got] == [S * 1, S * 3, S * 3, S * 7]
+    # strictly decreasing input pools into ONE block = the global mean
+    rows = [(1, i, i, v) for i, v in enumerate([9, 5, 1])]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, v long")
+    got = sorted(isotonic_fit(df).collect(), key=lambda r: r.event_id)
+    assert len({r.iso_fitq for r in got}) == 1
+    assert got[0].iso_fitq == (2 * 9 * 15) // 3  # floor(S * mean)
+    # max_n truncation: only the first max_n rows come back
+    rows = [(1, i, i, i % 3) for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, v long")
+    got = isotonic_fit(df, max_n=5).collect()
+    assert sorted(r.event_id for r in got) == [0, 1, 2, 3, 4]
+    assert all(r.iso_n == 5 for r in got)
