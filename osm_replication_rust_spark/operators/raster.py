@@ -701,6 +701,135 @@ def local_moran(
     )
 
 
+#: forced-positive offset for the line-cell rounding division: Spark's
+#: integer DIV truncates toward zero while DuckDB's // floors, so the
+#: numerator is shifted positive (|2k*d| < 2*dM*_LOS_OFF for any
+#: in-tile geometry) and the two rules coincide
+_LOS_OFF = 64
+
+
+def viewshed(
+    pixels: DataFrame,
+    tile_res: int = 23,
+    px_res: int = 19,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+    tower: int = 2,
+) -> DataFrame:
+    """Per-tile viewshed — line-of-sight visibility (GRASS r.viewshed /
+    ST_Viewshed) reduced to exact integers over the sparse raster: the
+    tile's value surface is the elevation model (empty cells = 0), the
+    observer is the tile's MAXIMUM-value pixel (ties -> smallest
+    (py, px)) raised by ``tower``, and target t (at step distance dM)
+    is visible iff every intermediate sightline cell c (at step k)
+    satisfies
+
+        (elev_c - h_o) * dM  <  (elev_t - h_o) * k
+
+    — the cross-multiplied tangent compare (the step index along the
+    dominant axis is a uniform-sampling distance proxy), so no
+    division, no floats, no engine drift; a grazing tie BLOCKS
+    (strict <).  Sightline cells are the midpoint-rounded lattice
+    c(k) = o + round(k*d / dM) per axis, spelled as the forced-positive
+    floor division (2k*d + dM + 2*dM*OFF) DIV (2*dM) - OFF so Spark's
+    truncating DIV and DuckDB's flooring // agree on negative deltas.
+
+    Emits per tile: vs_opx / vs_opy (observer, pins the argmax),
+    vs_n (visible occupied pixels, observer included), vs_mass
+    (sum of value over visible pixels), vs_ntot (occupied pixels).
+
+    Plan: one per-tile argmax window + ONE <=(dM-1)-fan explode of the
+    occupied pixels (dM < npx, a constant) + a hash join back to the
+    pixel frame for intermediate elevations + two aggs — tile = study
+    area = partition unit (the morans_i convention), fully
+    declarative, no Python."""
+    _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    from pyspark.sql import Window as W
+
+    def _tile(cx, cy):
+        return F.shiftright(cy, shift) * Y_STRIDE + F.shiftright(cx, shift)
+
+    mask = (1 << shift) - 1
+    base = pixels.select(
+        _tile(F.col(x), F.col(y)).alias("tile"),
+        F.col(x).bitwiseAND(F.lit(mask)).alias("_px"),
+        F.col(y).bitwiseAND(F.lit(mask)).alias("_py"),
+        F.col(v).cast("long").alias("_pv"),
+    )
+    w = W.partitionBy("tile").orderBy(
+        F.col("_pv").desc(), F.col("_py"), F.col("_px")
+    )
+    obs = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "tile",
+            F.col("_px").alias("_opx"),
+            F.col("_py").alias("_opy"),
+            (F.col("_pv") + tower).alias("_ho"),
+        )
+    )
+    t = base.join(obs, "tile").select(
+        "tile", "_px", "_py", "_pv", "_opx", "_opy", "_ho",
+        (F.col("_px") - F.col("_opx")).alias("_dx"),
+        (F.col("_py") - F.col("_opy")).alias("_dy"),
+        F.greatest(
+            F.abs(F.col("_px") - F.col("_opx")),
+            F.abs(F.col("_py") - F.col("_opy")),
+        ).alias("_dm"),
+    )
+    steps = F.when(
+        F.col("_dm") >= 2, F.sequence(F.lit(1), (F.col("_dm") - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = t.select("*", F.explode_outer(steps).alias("_k")).select(
+        "tile", "_px", "_py", "_pv", "_ho", "_dm", "_k",
+        (
+            F.col("_opx")
+            + F.expr(f"(2 * _k * _dx + _dm + 2 * _dm * {_LOS_OFF}) DIV (2 * _dm)")
+            - F.lit(_LOS_OFF)
+        ).alias("_cx"),
+        (
+            F.col("_opy")
+            + F.expr(f"(2 * _k * _dy + _dm + 2 * _dm * {_LOS_OFF}) DIV (2 * _dm)")
+            - F.lit(_LOS_OFF)
+        ).alias("_cy"),
+    )
+    elev = base.select(
+        "tile",
+        F.col("_px").alias("_cx"),
+        F.col("_py").alias("_cy"),
+        F.col("_pv").alias("_ce"),
+    )
+    ex = ex.join(elev, ["tile", "_cx", "_cy"], "left")
+    e = F.coalesce(F.col("_ce"), F.lit(0))
+    blocked = F.col("_k").isNotNull() & (
+        (e - F.col("_ho")) * F.col("_dm")
+        >= (F.col("_pv") - F.col("_ho")) * F.col("_k")
+    )
+    per = ex.groupBy("tile", "_px", "_py", "_pv").agg(
+        F.max(F.when(blocked, 1).otherwise(0)).alias("_blk")
+    )
+    agg = per.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("vs_ntot"),
+        F.sum(F.when(F.col("_blk") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("vs_n"),
+        F.sum(F.when(F.col("_blk") == 0, F.col("_pv")).otherwise(0))
+        .cast("long")
+        .alias("vs_mass"),
+    )
+    return agg.join(obs, "tile").select(
+        "tile",
+        F.col("_opx").cast("long").alias("vs_opx"),
+        F.col("_opy").cast("long").alias("vs_opy"),
+        "vs_ntot",
+        "vs_n",
+        "vs_mass",
+    )
+
+
 def gini_tile(
     pixels: DataFrame,
     tile_res: int = 23,

@@ -7468,6 +7468,64 @@ def _sql_raster_vectorize() -> str:
              lqa.lisa_num_str
       FROM mx LEFT JOIN lqa ON lqa.tile = mx.tile
     ),
+    vso AS (
+      -- viewshed observer (raster.viewshed): per-tile max-value pixel,
+      -- tie -> smallest (py, px), raised by tower=2
+      SELECT tile, opx, opy, ho FROM (
+        SELECT (gy // {enpx}) * {ys} + (gx // {enpx}) AS tile,
+               gx % {enpx} AS opx, gy % {enpx} AS opy, n + 2 AS ho,
+               row_number() OVER (
+                 PARTITION BY (gy // {enpx}) * {ys} + (gx // {enpx})
+                 ORDER BY n DESC, gy % {enpx}, gx % {enpx}) AS rn
+        FROM gpx
+      ) WHERE rn = 1
+    ),
+    vst AS (
+      SELECT (gy // {enpx}) * {ys} + (gx // {enpx}) AS tile,
+             gx % {enpx} AS tx, gy % {enpx} AS ty, n AS tv
+      FROM gpx
+    ),
+    vsx AS (
+      SELECT t.tile, t.tx, t.ty, t.tv, o.ho, o.opx, o.opy,
+             t.tx - o.opx AS dx, t.ty - o.opy AS dy,
+             greatest(abs(t.tx - o.opx), abs(t.ty - o.opy)) AS dm
+      FROM vst t JOIN vso o ON o.tile = t.tile
+    ),
+    vsk AS (
+      -- sightline lattice cells (forced-positive floor division: the
+      -- same spelling the Spark operator uses, so truncation == floor)
+      SELECT x.tile, x.tx, x.ty, x.tv, x.ho, x.dm, kk.k,
+             x.opx + (2 * kk.k * x.dx + x.dm + 2 * x.dm * 64)
+                       // (2 * x.dm) - 64 AS cx,
+             x.opy + (2 * kk.k * x.dy + x.dm + 2 * x.dm * 64)
+                       // (2 * x.dm) - 64 AS cy
+      FROM vsx x, UNNEST(generate_series(1, CAST(x.dm AS BIGINT) - 1)) AS kk(k)
+    ),
+    vsblk AS (
+      SELECT v.tile, v.tx, v.ty,
+             MAX(CASE WHEN (COALESCE(e.tv, 0) - v.ho) * v.dm
+                           >= (v.tv - v.ho) * v.k THEN 1 ELSE 0 END) AS blk
+      FROM vsk v
+      LEFT JOIN vst e ON e.tile = v.tile AND e.tx = v.cx AND e.ty = v.cy
+      GROUP BY v.tile, v.tx, v.ty
+    ),
+    vsagg AS (
+      SELECT x.tile,
+             CAST(COUNT(*) AS BIGINT) AS vs_ntot,
+             CAST(SUM(CASE WHEN COALESCE(b.blk, 0) = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vs_n,
+             CAST(SUM(CASE WHEN COALESCE(b.blk, 0) = 0 THEN x.tv ELSE 0 END)
+                  AS BIGINT) AS vs_mass
+      FROM vsx x
+      LEFT JOIN vsblk b ON b.tile = x.tile AND b.tx = x.tx AND b.ty = x.ty
+      GROUP BY x.tile
+    ),
+    vs AS (
+      SELECT o.tile, CAST(o.opx AS BIGINT) AS vs_opx,
+             CAST(o.opy AS BIGINT) AS vs_opy,
+             a.vs_ntot, a.vs_n, a.vs_mass
+      FROM vso o JOIN vsagg a USING (tile)
+    ),
     grk AS (
       -- Gini rank frame (raster.gini_tile): equal values occupy a
       -- consecutive rank block, so SUM(rk * n) is tie-order invariant
@@ -7556,6 +7614,11 @@ def _sql_raster_vectorize() -> str:
              CAST(NULL AS BIGINT) AS lq_lh,
              CAST(NULL AS BIGINT) AS lq_iso,
              CAST(NULL AS VARCHAR) AS lisa_num_str,
+             CAST(NULL AS BIGINT) AS vs_opx,
+             CAST(NULL AS BIGINT) AS vs_opy,
+             CAST(NULL AS BIGINT) AS vs_ntot,
+             CAST(NULL AS BIGINT) AS vs_n,
+             CAST(NULL AS BIGINT) AS vs_mass,
              CAST(NULL AS BIGINT) AS gini_mass,
              CAST(NULL AS DOUBLE) AS gini,
              CAST(NULL AS BIGINT) AS dt_sum,
@@ -7574,6 +7637,7 @@ def _sql_raster_vectorize() -> str:
              mi.mi_w, mi.moran_i, mi.geary_c, mi.jc_bb, mi.jc_ww, mi.jc_bw,
              lq.lq_n, lq.lq_hh, lq.lq_ll, lq.lq_hl, lq.lq_lh, lq.lq_iso,
              lq.lisa_num_str,
+             vs.vs_opx, vs.vs_opy, vs.vs_ntot, vs.vs_n, vs.vs_mass,
              gini.gini_mass, gini.gini,
              dtile.dt_sum, dtile.dt_max, dtile.dt_zeros
       FROM erects e
@@ -7582,6 +7646,7 @@ def _sql_raster_vectorize() -> str:
       JOIN ftile ft ON ft.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN mi ON mi.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN lq ON lq.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
+      JOIN vs ON vs.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN gini ON gini.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN dtile ON dtile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
     )
@@ -7641,6 +7706,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_pixel_counts,
         rasterize_polygon,
         vectorize_raster,
+        viewshed,
     )
 
     mp = fixture_regions()[5]
@@ -7672,6 +7738,11 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("lq_lh"),
         F.lit(None).cast("long").alias("lq_iso"),
         F.lit(None).cast("string").alias("lisa_num_str"),
+        F.lit(None).cast("long").alias("vs_opx"),
+        F.lit(None).cast("long").alias("vs_opy"),
+        F.lit(None).cast("long").alias("vs_ntot"),
+        F.lit(None).cast("long").alias("vs_n"),
+        F.lit(None).cast("long").alias("vs_mass"),
         F.lit(None).cast("long").alias("gini_mass"),
         F.lit(None).cast("double").alias("gini"),
         F.lit(None).cast("long").alias("dt_sum"),
@@ -7728,6 +7799,9 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LISA quadrant census — the per-cell decomposition of moran_i on
     # the same shared pairs (the scatter/join collapses again)
     lm = local_moran(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
+    # viewshed over the same pixel frame: the density surface is the
+    # elevation model, the tile's mega-cell is the observer
+    vsd = viewshed(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
     # Gini of the value mass across each tile's occupied pixels — the
     # mega-cell concentration statistic on the same shared pixel frame
     gin = gini_tile(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES).select(
@@ -7756,6 +7830,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mi, "tile")
         .join(gj, "tile")
         .join(lm, "tile")
+        .join(vsd, "tile")
         .join(gin, "tile")
         .join(dtile, "tile")
         .select(
@@ -7785,6 +7860,11 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lq_lh",
             "lq_iso",
             "lisa_num_str",
+            "vs_opx",
+            "vs_opy",
+            "vs_ntot",
+            "vs_n",
+            "vs_mass",
             "gini_mass",
             "gini",
             "dt_sum",

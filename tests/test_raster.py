@@ -976,3 +976,73 @@ def test_local_moran_contracts(spark):
     got = local_moran(pix, tile_res=20, px_res=16).collect()[0]
     assert (got.lq_hh, got.lq_ll, got.lq_hl, got.lq_lh) == (0, 0, 0, 0)
     assert got.lisa_num_str == "0"
+
+
+def _ref_viewshed(pts, tower=2):
+    """Brute per-target loop over the same lattice + compare rules."""
+    OFF = 64
+    # observer: max value, tie smallest (py, px)
+    opx, opy, ov = min(
+        ((x, y, v) for (x, y), v in pts.items()),
+        key=lambda t: (-t[2], t[1], t[0]),
+    )
+    ho = ov + tower
+    vis_n = vis_mass = 0
+    for (tx, ty), tv in pts.items():
+        dx, dy = tx - opx, ty - opy
+        dm = max(abs(dx), abs(dy))
+        blocked = False
+        for k in range(1, dm):
+            cx = opx + (2 * k * dx + dm + 2 * dm * OFF) // (2 * dm) - OFF
+            cy = opy + (2 * k * dy + dm + 2 * dm * OFF) // (2 * dm) - OFF
+            e = pts.get((cx, cy), 0)
+            if (e - ho) * dm >= (tv - ho) * k:
+                blocked = True
+                break
+        if not blocked:
+            vis_n += 1
+            vis_mass += tv
+    return (opx, opy, len(pts), vis_n, vis_mass)
+
+
+def test_viewshed_matches_loop_reference(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.raster import viewshed
+
+    rng = np.random.default_rng(83)
+    W = 16
+    mask = rng.random((W, W)) < 0.4
+    vals = rng.integers(1, 40, (W, W))
+    pts = {
+        (int(x), int(y)): int(vals[y, x])
+        for y in range(W)
+        for x in range(W)
+        if mask[y, x]
+    }
+    rows = [(x, y, v) for (x, y), v in pts.items()]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    out = viewshed(pix, tile_res=20, px_res=16).collect()
+    assert len(out) == 1
+    got = out[0]
+    opx, opy, ntot, vn, vm = _ref_viewshed(pts)
+    assert (got.vs_opx, got.vs_opy) == (opx, opy)
+    assert (got.vs_ntot, got.vs_n, got.vs_mass) == (ntot, vn, vm)
+
+
+def test_viewshed_ridge_contract(spark):
+    from osm_replication_rust_spark.operators.raster import viewshed
+
+    # observer (peak 30) at x=0; a ridge of height 20 at x=4 hides the
+    # LOW target at x=8 (elev 1) but not the TALL one at x=12 (elev 25)
+    rows = [(0, 5, 30), (4, 5, 20), (8, 5, 1), (12, 5, 25)]
+    pix = spark.createDataFrame(rows, "gx long, gy long, n long")
+    got = viewshed(pix, tile_res=20, px_res=16).collect()[0]
+    assert (got.vs_opx, got.vs_opy) == (0, 5)
+    # visible: observer, the ridge itself, the tall target; hidden: x=8
+    assert got.vs_ntot == 4 and got.vs_n == 3
+    assert got.vs_mass == 30 + 20 + 25
+    # single-pixel tile: trivially visible
+    pix = spark.createDataFrame([(3, 3, 7)], "gx long, gy long, n long")
+    got = viewshed(pix, tile_res=20, px_res=16).collect()[0]
+    assert (got.vs_ntot, got.vs_n, got.vs_mass) == (1, 1, 7)
