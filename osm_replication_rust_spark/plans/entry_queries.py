@@ -1880,10 +1880,26 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc = roc_auc(core, "n_tokens", "is_contaminated", prefix="contam_auc")
     chi = chi2_2x2(core, F.col("bm25_q") > 0, "is_contaminated", prefix="rel_chi2")
     rho = spearman(core, "n_tokens", "n_shingles", prefix="spear")
+    # vocabulary stats (Zipf/hapax screen) off the SAME distinct-word
+    # frequency table the BPE trainer already built — zero extra scans
+    vt = bpe_seg.agg(
+        F.count(F.lit(1)).cast("long").alias("vt_types"),
+        F.sum("wf").cast("long").alias("vt_tokens"),
+        F.coalesce(F.sum(F.when(F.col("wf") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("vt_hapax"),
+    )
+    vtop = (
+        bpe_seg.orderBy(F.col("wf").desc(), "w")
+        .limit(1)
+        .select(F.col("w").alias("vt_top_w"), F.col("wf").alias("vt_top_n"))
+    )
     return (
         core.crossJoin(F.broadcast(auc))
         .crossJoin(F.broadcast(chi))
         .crossJoin(F.broadcast(rho))
+        .crossJoin(F.broadcast(vt))
+        .crossJoin(F.broadcast(vtop))
         .crossJoin(F.broadcast(bpe_row))
         .crossJoin(F.broadcast(bpe_stats))
         .orderBy("doc_id")
@@ -1971,9 +1987,23 @@ def _fill_pipeline_oracle() -> None:
     WHERE q.n_tokens >= 10 AND q.mean_tok_len BETWEEN 3 AND 12 AND q.swr > 0
       AND q.doc_id IN (SELECT doc_id FROM lang)
       AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    vtagg AS (
+      -- vocabulary statistics (the Zipf / hapax corpus screen) off the
+      -- SAME word-frequency table the BPE twin builds (bpe_w0)
+      SELECT CAST(COUNT(*) AS BIGINT) AS vt_types,
+             CAST(SUM(wf) AS BIGINT) AS vt_tokens,
+             CAST(COALESCE(SUM(CASE WHEN wf = 1 THEN 1 END), 0) AS BIGINT)
+               AS vt_hapax
+      FROM bpe_w0
+    ),
+    vttop AS (
+      SELECT w AS vt_top_w, wf AS vt_top_n
+      FROM bpe_w0 ORDER BY wf DESC, w LIMIT 1
     ),{sql_roc_auc_ctes('fin', 'n_tokens', 'is_contaminated', prefix='contam_auc')},{sql_chi2_2x2('fin', 'bm25_q > 0', 'is_contaminated', prefix='rel_chi2')},{sql_spearman_ctes('fin', 'n_tokens', 'n_shingles', prefix='spear')}
-    SELECT fin.*, contam_auc.*, rel_chi2.*, spear.*
+    SELECT fin.*, contam_auc.*, rel_chi2.*, spear.*, vtagg.*, vttop.*
     FROM fin CROSS JOIN contam_auc CROSS JOIN rel_chi2 CROSS JOIN spear
+    CROSS JOIN vtagg CROSS JOIN vttop
     ORDER BY fin.doc_id
     """
 
