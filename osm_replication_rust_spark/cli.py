@@ -691,7 +691,47 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cl.add_argument("--hil-col", default="hil")
     cl.add_argument("--files", type=int, default=32)
+    gj = sub.add_parser(
+        "geojson",
+        help="convert a .poly file or polygon dir tree to a GeoJSON "
+        "FeatureCollection (exact decimicro decimals)",
+    )
+    gj.add_argument("source")
+    gj.add_argument("dest", help="output path, or - for stdout")
     return p
+
+
+def cmd_geojson(spark: SparkSession, args) -> int:
+    """Region-format interop: convert a ``.poly`` file or polygon
+    directory tree into a GeoJSON FeatureCollection (RFC 7946) — the
+    exchange format downstream GIS tools speak.  Coordinates are the
+    engine's decimicro ints rendered as EXACT 7-decimal numbers;
+    ``sources/geojson.parse_geojson`` round-trips them losslessly, so
+    the pair is a converter in both directions.  The reference's region
+    model is the .poly tree (src/poly.rs); this closes the interop gap
+    without touching its on-disk format."""
+    import os
+
+    from .sources.geojson import feature_collection
+    from .sources.poly import parse_poly, regions_from_dir
+
+    if os.path.isdir(args.source):
+        regions = regions_from_dir(args.source)
+    else:
+        rid = os.path.splitext(os.path.basename(args.source))[0]
+        with open(args.source) as f:
+            regions = [parse_poly(f.read(), rid)]
+    txt = feature_collection(regions)
+    if args.dest == "-":
+        print(txt)
+    else:
+        tmp = args.dest + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(txt)
+        os.replace(tmp, args.dest)
+        print(f"wrote {len(regions)} region(s) to {args.dest}")
+    return 0
+
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -708,6 +748,7 @@ def main(argv: list[str] | None = None) -> int:
         "bbox": cmd_bbox,
         "maintain": cmd_maintain,
         "cluster": cmd_cluster,
+        "geojson": cmd_geojson,
     }[args.cmd](spark, args)
 
 

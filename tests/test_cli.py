@@ -505,3 +505,34 @@ def test_cli_maintain_expire_and_orphans(spark, tmp_path, capsys):
         got.filter(F.col("image_id") == some_id).collect()[0]["caption"]
         == f"cap2-{some_id}"
     )
+
+
+def test_cli_geojson_roundtrips_reference_poly(spark, tmp_path, capsys):
+    """`geojson` converts the reference's own .poly fixture to RFC 7946
+    and the parser recovers the identical decimicro rings."""
+    import json
+
+    import numpy as np
+
+    from osm_replication_rust_spark.sources.geojson import parse_geojson
+    from osm_replication_rust_spark.sources.poly import parse_poly
+
+    dest = str(tmp_path / "sbh.geojson")
+    rc = cli.main(
+        ["geojson", f"{REF}/saint_barthelemy.poly", dest]
+    )
+    assert rc == 0
+    txt = open(dest).read()
+    doc = json.loads(txt)
+    assert doc["type"] == "FeatureCollection" and len(doc["features"]) == 1
+    back = parse_geojson(txt)[0]
+    src = parse_poly(
+        open(f"{REF}/saint_barthelemy.poly").read(), "saint_barthelemy"
+    )
+    assert back.region_id == "saint_barthelemy"
+    assert len(back.rings) == len(src.rings)
+    for ra, rb in zip(src.rings, back.rings):
+        assert ra.hole == rb.hole
+        sa = {tuple(p) for p in np.asarray(ra.coords).tolist()}
+        sb = {tuple(p) for p in np.asarray(rb.coords).tolist()}
+        assert sa == sb

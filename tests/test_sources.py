@@ -126,3 +126,93 @@ def test_read_osc_dir_and_pipeline(spark, regions, images_pdf, tmp_path):
     m1 = json.load(open(tmp_path / "out/metrics/state=1.json"))
     assert m1["tile_rows"] == m1["kept"] + m1["forced_delete"]
     assert m1["tile_rows"] > 0
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON interop (sources/geojson.py)
+# ---------------------------------------------------------------------------
+
+
+def test_geojson_roundtrip_exact_on_fixture_regions():
+    import json
+
+    import numpy as np
+
+    from osm_replication_rust_spark.plans.entry_queries import fixture_regions
+    from osm_replication_rust_spark.sources.geojson import (
+        feature_collection,
+        parse_geojson,
+    )
+
+    regions = fixture_regions()
+    fc = feature_collection(regions)
+    back = parse_geojson(fc)
+    assert [m.region_id for m in back] == [m.region_id for m in regions]
+    for a, b in zip(regions, back):
+        assert len(a.rings) == len(b.rings)
+        for ra, rb in zip(a.rings, b.rings):
+            assert ra.hole == rb.hole
+            # EXACT point sets (write normalizes winding, not points)
+            sa = {tuple(p) for p in np.asarray(ra.coords).tolist()}
+            sb = {tuple(p) for p in np.asarray(rb.coords).tolist()}
+            assert sa == sb, a.region_id
+    # the document is valid JSON with NUMBER coordinates
+    doc = json.loads(fc)
+    c = doc["features"][0]["geometry"]["coordinates"][0][0][0]
+    assert isinstance(c[0], float) and isinstance(c[1], float)
+
+
+def test_geojson_winding_and_roles():
+    import json
+
+    import numpy as np
+
+    from osm_replication_rust_spark.functions.geometry import MultiPolygon, Ring
+    from osm_replication_rust_spark.sources.geojson import (
+        multipolygon_to_geojson,
+        parse_geojson,
+    )
+
+    # exterior given CW, hole given CCW: writer must flip both
+    ext_cw = np.array([[0, 0], [0, 9], [9, 9], [9, 0]], dtype=np.int64)
+    hole_ccw = np.array([[2, 2], [5, 2], [5, 5], [2, 5]], dtype=np.int64)
+    mp = MultiPolygon("w", [Ring(ext_cw), Ring(hole_ccw, hole=True)])
+    doc = json.loads(multipolygon_to_geojson(mp))
+    poly = doc["geometry"]["coordinates"][0]
+
+    def shoelace(ring):
+        s = 0
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+            s += x1 * y2 - x2 * y1
+        return s
+
+    assert shoelace(poly[0]) > 0   # exterior CCW
+    assert shoelace(poly[1]) < 0   # hole CW
+    # read ignores winding, role comes from position
+    back = parse_geojson(json.dumps(doc))[0]
+    assert [r.hole for r in back.rings] == [False, True]
+
+
+def test_geojson_foreign_inputs():
+    import pytest as _pytest
+
+    from osm_replication_rust_spark.sources.geojson import (
+        _parse_coord,
+        parse_geojson,
+    )
+
+    # bare geometry, float coords, sub-grid value snaps to nearest
+    txt = (
+        '{"type": "Polygon", "coordinates":'
+        ' [[[1.00000004, 2.0], [3.0, 2.0], [3.0, 4.0], [1.00000004, 4.0]]]}'
+    )
+    mp = parse_geojson(txt)[0]
+    assert mp.region_id == "geojson"
+    pts = {tuple(p) for p in mp.rings[0].coords.tolist()}
+    assert (10_000_000, 20_000_000) in pts  # 1.00000004 -> nearest grid
+    # string coords finer than the grid raise
+    with _pytest.raises(ValueError):
+        _parse_coord("1.00000004")
+    # unsupported geometry type raises
+    with _pytest.raises(ValueError):
+        parse_geojson('{"type": "LineString", "coordinates": [[0, 0], [1, 1]]}')
