@@ -1354,8 +1354,20 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: At scale m_bits grows with the corpus (16 bits/key ~ 0.05% fp).
 _BLOOM_M, _BLOOM_K = 4096, 3
 
+#: JSONL round-trip hazard suffix: quote, backslash, newline, tab,
+#: BMP unicode (ü é €), an astral pair (𝄞 -> surrogate escaping), and a
+#: control byte — everything a JSON writer must escape and a reader
+#: must recover.  _SQL_JSONL_SPECIALS is the SAME string spelled in
+#: SQL (chr() composition keeps the literal quoting-proof).
+_JSONL_SPECIALS = ' "\\\n\tüé€\U0001d11e\x01'
+_SQL_JSONL_SPECIALS = (
+    "' \"' || chr(92) || chr(10) || chr(9) || chr(252) || chr(233)"
+    " || chr(8364) || chr(119070) || chr(1)"
+)
+
 
 def _sql_dedup_incremental() -> str:
+    from ..operators.dedup import sql_h64_md5
     from ..operators.sketch import sql_bloom_hit_expr, sql_bloom_words
 
     return f"""
@@ -1368,12 +1380,21 @@ def _sql_dedup_incremental() -> str:
       FROM documents WHERE doc_id % 3 = 1
     ),
     bw AS ({sql_bloom_words('hist', 'text', _BLOOM_M, _BLOOM_K)}),
-    kp AS (SELECT text, min(doc_id) AS keeper_id FROM hist GROUP BY text)
+    kp AS (SELECT text, min(doc_id) AS keeper_id FROM hist GROUP BY text),
+    jl AS (
+      -- what the JSONL round-trip MUST return (source-of-truth pins)
+      SELECT CAST(COUNT(*) AS BIGINT) AS jl_n,
+             CAST(SUM(CAST({sql_h64_md5(f"text || {_SQL_JSONL_SPECIALS}")}
+                           AS HUGEINT)) AS VARCHAR) AS jl_h64_sum
+      FROM documents WHERE doc_id % 7 = 0
+    )
     SELECT n.doc_id,
            {sql_bloom_hit_expr('bw', 'n.text', _BLOOM_M, _BLOOM_K)} AS bloom_hit,
            kp.keeper_id IS NOT NULL AS is_dup,
-           kp.keeper_id
+           kp.keeper_id,
+           jl.jl_n, jl.jl_h64_sum
     FROM newb n LEFT JOIN kp ON kp.text = n.text
+    CROSS JOIN jl
     ORDER BY n.doc_id
     """
 
@@ -1419,6 +1440,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = bloom_pack(bloom_words(hist, "text", _BLOOM_M, _BLOOM_K))
     probed = bloom_probe(newb, packed, "text", _BLOOM_M, _BLOOM_K)
     keepers = hist.groupBy("text").agg(F.min("doc_id").alias("keeper_id"))
+    # JSONL corpus round-trip (the LLM-corpus interchange format):
+    # write a deterministic sample WITH planted JSON-escaping hazards
+    # (quote, backslash, newline, tab, control byte, BMP + astral
+    # unicode) as JSONL, read it back through Spark's JSON parser, and
+    # pin the global row count + content-hash sum.  The oracle computes
+    # the SAME pins straight from the parquet source — any writer or
+    # reader escaping defect breaks jl_h64_sum.  (DuckDB parsing the
+    # same file bytes is pinned in test_dedup's twin test.)
+    import tempfile
+
+    from ..operators.dedup import h64_md5
+
+    samp = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_JSONL_SPECIALS)).alias("text")
+    )
+    jpath = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+    samp.coalesce(1).write.mode("overwrite").json(jpath)
+    back = spark.read.schema("doc_id long, text string").json(jpath)
+    jl = back.agg(
+        F.count(F.lit(1)).cast("long").alias("jl_n"),
+        F.sum(h64_md5(F.col("text")).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("jl_h64_sum"),
+    )
     return (
         probed.join(keepers, "text", "left")
         .select(
@@ -1427,6 +1472,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("keeper_id").isNotNull().alias("is_dup"),
             "keeper_id",
         )
+        .crossJoin(F.broadcast(jl))
         .orderBy("doc_id")
     )
 

@@ -308,3 +308,44 @@ def test_winnow_kernel_equals_hof(spark):
         for r in df.select("id", udf(F.col("txt")).alias("f")).collect()
     }
     assert kern == hof
+
+
+def test_jsonl_roundtrip_duckdb_parses_spark_bytes(spark, tmp_path):
+    """Spark writes JSONL with every escaping hazard planted; DuckDB
+    parses the SAME file bytes and lands on identical (doc_id, text)
+    rows — the cross-engine interchange guarantee for LLM corpora."""
+    import glob
+
+    duckdb = pytest.importorskip("duckdb")
+    from pyspark.sql import functions as F
+
+    from osm_replication_rust_spark.plans.entry_queries import _JSONL_SPECIALS
+
+    rows = [
+        (1, "plain ascii"),
+        (2, 'has "quotes" and \\backslash\\'),
+        (3, "new\nline and\ttab"),
+        (4, "unicode üé€ and astral \U0001d11e"),
+        (5, "control \x01 byte"),
+        (6, _JSONL_SPECIALS),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "jl")
+    df.coalesce(1).write.mode("overwrite").json(path)
+    back = {
+        r.doc_id: r.text
+        for r in spark.read.schema("doc_id long, text string").json(path).collect()
+    }
+    assert back == dict(rows)  # Spark round-trips its own bytes
+    files = sorted(glob.glob(path + "/*.json"))
+    assert files
+    duck = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, text FROM read_json(?, "
+            "columns = {doc_id: 'BIGINT', text: 'VARCHAR'})",
+            [files],
+        )
+        .fetchall()
+    )
+    assert duck == dict(rows)  # DuckDB parses the SAME bytes identically
