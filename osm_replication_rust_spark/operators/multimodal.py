@@ -1594,6 +1594,57 @@ def audio_stats_stage(
     return df.mapInPandas(stage, out_schema)
 
 
+def bitplane_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Bit-plane statistics — the LSB-steganography / synthetic-content
+    forensic screen: natural images have strongly structured high bit
+    planes and noisy-but-correlated low planes, while embedded payloads
+    or generator artifacts push a plane's mass toward 50% and its
+    horizontal transition rate toward independence.  Per plane b in
+    {0, 1, 6, 7} (the two forensic extremes), all exact int64:
+
+    - bp{b}_n   = popcount of the plane (set-pixel count),
+    - bp{b}_t   = horizontal transitions (xor of row-adjacent bits) —
+      for an independent fair plane E[t] ≈ half the adjacencies, so
+      (n, t) together expose both bias and correlation.
+
+    Map-only, equal-shape Arrow batch stacks, zero shuffle; the twin
+    spells (v >> b) & 1 over the same LCG pixels."""
+    fields = [f"{c} {ty}" for c, ty in df.dtypes]
+    planes = (0, 1, 6, 7)
+    out_schema = ", ".join(
+        fields
+        + [f"bp{b}_{s} bigint" for b in planes for s in ("n", "t")]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {
+                f"bp{b}_{s}": np.zeros(n, dtype=np.int64)
+                for b in planes
+                for s in ("n", "t")
+            }
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if w == 0 or h == 0:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                for b in planes:
+                    pl = (px >> b) & 1
+                    cols[f"bp{b}_n"][ii] = pl.sum(axis=(1, 2))
+                    if w >= 2:
+                        cols[f"bp{b}_t"][ii] = (
+                            pl[:, :, 1:] ^ pl[:, :, :-1]
+                        ).sum(axis=(1, 2))
+            yield pdf.assign(**cols)
+
+    return df.mapInPandas(stage, out_schema)
+
+
 #: WHT frame length (power of two; every fixture clip has >= 256
 #: samples since min image is 16x16)
 WHT_N = 256

@@ -3106,6 +3106,20 @@ def _multimodal_oracle() -> str:
         FROM nmsn
       ) GROUP BY image_id
     ),
+    bpn AS (
+      -- bit-plane popcounts (multimodal.bitplane_stage)
+      SELECT image_id,
+             {", ".join(f"CAST(SUM((v >> {b}) & 1) AS BIGINT) AS bp{b}_n" for b in (0, 1, 6, 7))}
+      FROM px GROUP BY image_id
+    ),
+    bpt AS (
+      -- horizontal bit transitions per plane (same LCG-tap spelling)
+      SELECT image_id,
+             {", ".join(f"CAST(COALESCE(SUM(CASE WHEN ((({_sql_lcg_px('k')}) >> {b}) & 1) <> ((({_sql_lcg_px('k + 1')}) >> {b}) & 1) THEN 1 END), 0) AS BIGINT) AS bp{b}_t" for b in (0, 1, 6, 7))}
+      FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
+      WHERE k % w < w - 1
+      GROUP BY image_id
+    ),
     whtc AS (
       -- WHT coefficients (multimodal.audio_wht_stage): the direct
       -- popcount-sign sum — a genuinely different algorithm from the
@@ -3508,6 +3522,9 @@ def _multimodal_oracle() -> str:
            aud.n_samples, aud.peak, aud.energy,
            wt.wht_dc, wt.wht_e_low, wt.wht_e_mid, wt.wht_e_high,
            wt.wht_e_total,
+           bn.bp0_n, bn.bp1_n, bn.bp6_n, bn.bp7_n,
+           COALESCE(bt.bp0_t, 0) AS bp0_t, COALESCE(bt.bp1_t, 0) AS bp1_t,
+           COALESCE(bt.bp6_t, 0) AS bp6_t, COALESCE(bt.bp7_t, 0) AS bp7_t,
            SQRT(CAST(aud.energy AS DOUBLE) / CAST(aud.n_samples AS DOUBLE)) AS rms,
            aud.trim_start, aud.trim_end,
            COALESCE(sg.gx_abs_sum, 0) AS gx_abs_sum,
@@ -3562,6 +3579,8 @@ def _multimodal_oracle() -> str:
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     JOIN whta wt USING (image_id)
+    JOIN bpn bn USING (image_id)
+    LEFT JOIN bpt bt USING (image_id)
     LEFT JOIN mvagg mv USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     JOIN eagg e USING (image_id)
@@ -3701,6 +3720,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
         audio_stats_stage,
         audio_wht_stage,
+        bitplane_stage,
         bilinear_resize_stage,
         decode_stats,
         emd_stage,
@@ -3778,6 +3798,10 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     wht = audio_wht_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "wht_dc", "wht_e_low", "wht_e_mid", "wht_e_high",
         "wht_e_total",
+    )
+    bpl = bitplane_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id",
+        *[f"bp{b}_{s}" for b in (0, 1, 6, 7) for s in ("n", "t")],
     )
     sob = sobel_stage(
         imgs.select("image_id", "bytes", "w", "h"), edge_sq_min=_EDGE_SQ_MIN
@@ -3868,6 +3892,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mvs, "image_id")
         .join(aud, "image_id")
         .join(wht, "image_id")
+        .join(bpl, "image_id")
         .join(sob, "image_id")
         .join(ots, "image_id")
         .join(heq, "image_id")

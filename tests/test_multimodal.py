@@ -1919,3 +1919,29 @@ def test_wht_impulse_and_constant(spark):
     assert r.wht_e_total == WHT_N * 50 * 50
     assert r.wht_e_low == sum(1 for p in pcs if 1 <= p <= 2) * 2500
     assert r.wht_e_high == sum(1 for p in pcs if p >= 6) * 2500
+
+
+def test_bitplane_matches_loop_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        bitplane_stage,
+        fake_decode,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([255] * 24), 24, 1),   # all-ones: n = w*h, t = 0
+        ("c", bytes([0b01010101, 0b10101010] * 8), 4, 4),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in bitplane_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        px = fake_decode(payload, w, h).astype(int)
+        r = got[image_id]
+        for b in (0, 1, 6, 7):
+            pl = (px >> b) & 1
+            assert r[f"bp{b}_n"] == int(pl.sum()), (image_id, b)
+            t = int((pl[:, 1:] ^ pl[:, :-1]).sum())
+            assert r[f"bp{b}_t"] == t, (image_id, b)
+    assert got["b"].bp7_n == 24 and got["b"].bp7_t == 0
+    # alternating LSB: every horizontal adjacency is a transition
+    assert got["c"].bp0_t == 4 * 3
