@@ -223,12 +223,15 @@ def main(sf_dir: str) -> int:
         n_arrow == 1 and "BatchEvalPython" not in p,
         f"arrow_nodes={n_arrow}",
     )
-    # budget 2: the small-file rebalance (map-heavy projection must not
+    # budget 3: the small-file rebalance (map-heavy projection must not
     # serialize on a one-row-group scan) / the stratified-head window's
-    # partition-by-lang exchange, + the output sort. The per-language
-    # rate sample must stay map-side (no exchange of its own).
+    # partition-by-lang exchange, + the output sort, + the Soundex
+    # blocking-bucket census (hash agg on a <= 26*7^3 key domain with
+    # map-side combine — the bucket table itself broadcasts back, so
+    # facts never shuffle for it). The per-language rate sample must
+    # stay map-side (no exchange of its own).
     n_ex = count_shuffle_exchanges(p)
-    check("text.exchange_budget", n_ex <= 2, f"exchanges={n_ex}")
+    check("text.exchange_budget", n_ex <= 3, f"exchanges={n_ex}")
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = m.group(1) if m else ""
     check(
