@@ -591,6 +591,54 @@ def sql_soundex(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization — the URL-dedup primitive for crawl corpora:
+# the same page arrives as http://Example.com/a?utm_source=x#frag and
+# https://example.com/a, and exact dedup on raw URLs misses it.  The
+# canonical form here: lowercase scheme+authority, drop the fragment,
+# drop utm_* tracking params (fixing separators), drop a trailing '/'.
+# Deliberately spelled as a chain of backref-free regex replaces with
+# NO replacement groups — Java spells group refs `$1` where RE2 spells
+# `\1`, so any group replacement would silently diverge between the
+# engines; every step below is pattern-only.  (Query-param SORTING
+# needs split+sort and is documented out of scope of the shared form.)
+# ---------------------------------------------------------------------------
+
+#: first http(s) URL in a text blob (no trailing whitespace);
+#: (?i) scopes case-insensitivity to the scheme match and is spelled
+#: identically in Java regex and RE2
+URL_PATTERN = r"(?i)https?://[^\s]+"
+#: scheme + authority prefix (up to the first /, ?, or #)
+_URL_PREFIX = r"(?i)^https?://[^/?#]*"
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Canonical form of a URL column (NULL stays NULL)."""
+    pre = F.regexp_extract(url, _URL_PREFIX, 0)
+    rest = F.substring(url, F.length(pre) + 1, F.lit(1 << 30))
+    rest = F.regexp_replace(rest, r"#.*$", "")          # fragment
+    rest = F.regexp_replace(rest, r"&utm_[^&#]*", "")   # mid/tail utm
+    rest = F.regexp_replace(rest, r"\?utm_[^&#]*&", "?")  # leading utm
+    rest = F.regexp_replace(rest, r"\?utm_[^&#]*$", "")   # only utm
+    rest = F.regexp_replace(rest, r"/$", "")            # trailing slash
+    return F.when(url.isNotNull(), F.concat(F.lower(pre), rest))
+
+
+def sql_url_canonicalize(url: str) -> str:
+    """DuckDB twin of :func:`url_canonicalize` ('g' flags match
+    Spark's replace-all default; all patterns RE2-and-Java safe)."""
+    pre = f"regexp_extract({url}, '{_URL_PREFIX}', 0)"
+    rest = f"substr({url}, length({pre}) + 1)"
+    rest = f"regexp_replace({rest}, '#.*$', '', 'g')"
+    rest = f"regexp_replace({rest}, '&utm_[^&#]*', '', 'g')"
+    rest = f"regexp_replace({rest}, '\\?utm_[^&#]*&', '?', 'g')"
+    rest = f"regexp_replace({rest}, '\\?utm_[^&#]*$', '', 'g')"
+    rest = f"regexp_replace({rest}, '/$', '', 'g')"
+    return (
+        f"CASE WHEN {url} IS NOT NULL THEN lower({pre}) || {rest} END"
+    )
+
+
+# ---------------------------------------------------------------------------
 # character-bigram language-model fluency (the CCNet-style perplexity
 # filter, stripped to its engine-expressible core: a corpus-trained
 # char n-gram LM scoring every document; low avg log-prob = noisy /

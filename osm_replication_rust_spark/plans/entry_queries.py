@@ -2103,6 +2103,8 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii,
         soundex_expr,
         text_features,
+        url_canonicalize,
+        URL_PATTERN,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -2135,6 +2137,9 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         soundex_expr(
             F.regexp_extract(F.col("text"), r"^\s*(\S+)", 1)
         ).alias("sx_first"),
+        url_canonicalize(
+            F.nullif(F.regexp_extract(ptxt, URL_PATTERN, 0), F.lit(""))
+        ).alias("url_canon"),
     ]
     tf = text_features(d, "text", "doc_id", extra_cols=pii_cols)
     # phonetic blocking (entity resolution): the bucket size of each
@@ -2172,7 +2177,13 @@ def _fill_text_oracles() -> None:
         sql_stratified_fixed_n_expr,
         sql_stratified_keep_expr,
     )
-    from ..operators.text import sql_pii_counts, sql_redact_pii, sql_soundex
+    from ..operators.text import (
+        sql_pii_counts,
+        sql_redact_pii,
+        sql_soundex,
+        sql_url_canonicalize,
+        URL_PATTERN,
+    )
     from ..operators.text import (
         LANG_MARKERS as markers,
         sql_bpe_token_count,
@@ -2246,7 +2257,10 @@ def _fill_text_oracles() -> None:
            {red_sql},
            {dlf_sql},
            {sql_bpe_token_count('text')} AS bpe_tokens,
-           {sql_soundex(_SX_FIRST_WORD)} AS sx_first
+           {sql_soundex(_SX_FIRST_WORD)} AS sx_first,
+           {sql_url_canonicalize(
+               f"nullif(regexp_extract({ptxt_sql}, '{URL_PATTERN}', 0), '')"
+           )} AS url_canon
     FROM s2
     )
     SELECT tfo.*, b.sx_block_n,

@@ -574,3 +574,54 @@ def test_soundex_duckdb_twin_parity(spark):
     ).fetchall())
     for w in words:
         assert srows[w] == orows[w], (w, srows[w], orows[w])
+
+
+def test_url_canonicalize_vectors(spark):
+    from osm_replication_rust_spark.operators.text import url_canonicalize
+
+    vectors = [
+        ("HTTP://Example.COM/Path/a?x=1#frag", "http://example.com/Path/a?x=1"),
+        ("https://A.B/p?utm_source=x&y=2", "https://a.b/p?y=2"),
+        ("https://a.b/p?utm_a=1&utm_b=2", "https://a.b/p"),
+        ("https://a.b/p?y=2&utm_c=3", "https://a.b/p?y=2"),
+        ("https://a.b/dir/", "https://a.b/dir"),
+        ("https://a.b/", "https://a.b"),
+        ("https://a.b/CaseKept/Q?Z=1", "https://a.b/CaseKept/Q?Z=1"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(vectors)], "i long, u string"
+    ).select("i", url_canonicalize(F.col("u")).alias("c"))
+    got = {r.i: r.c for r in df.collect()}
+    for i, (_, want) in enumerate(vectors):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_canonicalize_duckdb_twin_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osm_replication_rust_spark.operators.text import (
+        sql_url_canonicalize,
+        url_canonicalize,
+    )
+
+    urls = [
+        "HTTP://Example.COM/Path/a?x=1#frag",
+        "https://A.B/p?utm_source=x&y=2",
+        "https://a.b/p?utm_a=1&utm_b=2&z=9",
+        "https://a.b/p?y=2&utm_c=3#x?y",
+        "https://a.b/dir/", "https://a.b", "https://a.b/?utm_only=1",
+        "http://H.Co:8080/UPPER/path/?utm_x=1&keep=2#f",
+    ]
+    sdf = spark.createDataFrame([(u,) for u in urls], "u string")
+    srows = {r.u: r.c for r in sdf.select(
+        "u", url_canonicalize(F.col("u")).alias("c")).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{u}')" for u in urls) + ") v(u)"
+    )
+    orows = dict(con.execute(
+        f"SELECT u, {sql_url_canonicalize('u')} AS c FROM t"
+    ).fetchall())
+    for u in urls:
+        assert srows[u] == orows[u], (u, srows[u], orows[u])
