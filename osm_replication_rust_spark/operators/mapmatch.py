@@ -129,22 +129,42 @@ def _viterbi_pdf(
         gap = (a[5] - b[5]) ** 2 + (a[6] - b[6]) ** 2
         return (switch_cost if a[2] != b[2] else 0) + gap_weight * gap
 
-    # backward min suffix cost b[t][i] (emission of t included)
+    # backward 2-BEST min suffix costs (emission of t included):
+    # b[t][i] and b2[t][i] are the smallest and SECOND-smallest costs
+    # over the multiset of all suffix paths starting at candidate i —
+    # the classic k-best Viterbi with k=2.  The gap between the global
+    # best and second-best total is the match-confidence statistic
+    # (Newson & Krumm's alternatives test); b2 = None marks "no second
+    # path exists" (single-candidate chains).
     b: dict = {}
+    b2: dict = {}
     for t in reversed(ts):
         cur = by_t[t]
-        if t == ts[-1]:
+        brk = t == ts[-1] or (t + 1) not in by_t
+        if brk:  # last layer / gap: one path per candidate (itself)
             b[t] = [c[4] for c in cur]
+            b2[t] = [None] * len(cur)
         else:
-            nxt = by_t[t + 1] if (t + 1) in by_t else None
-            if nxt is None:  # gap in t sequence: treat as chain break
-                b[t] = [c[4] for c in cur]
-            else:
-                b[t] = [
-                    c[4] + min(tr(c, n) + b[t + 1][j] for j, n in enumerate(nxt))
-                    for c in cur
-                ]
+            nxt = by_t[t + 1]
+            b[t], b2[t] = [], []
+            for c in cur:
+                vals = []
+                for j, n in enumerate(nxt):
+                    w = tr(c, n)
+                    vals.append(w + b[t + 1][j])
+                    if b2[t + 1][j] is not None:
+                        vals.append(w + b2[t + 1][j])
+                vals.sort()
+                b[t].append(c[4] + vals[0])
+                b2[t].append(c[4] + vals[1] if len(vals) > 1 else None)
     # greedy forward extraction (exact equalities on ints)
+    totals = sorted(
+        v
+        for i in range(len(b[ts[0]]))
+        for v in (b[ts[0]][i], b2[ts[0]][i])
+        if v is not None
+    )
+    cost2 = totals[1] if len(totals) > 1 else None
     best = min(b[ts[0]])
     chosen = []
     prev = None
@@ -169,6 +189,7 @@ def _viterbi_pdf(
             "mm_rank": [c[0] for c in chosen],
             "mm_e": [c[4] for c in chosen],
             "mm_cost": best,
+            "mm_cost2": cost2,
             "mm_switches": switches,
         }
     )
@@ -197,7 +218,7 @@ def hmm_map_match(
     )
     schema = (
         "pid long, mm_way string, mm_pos long, mm_rank int, mm_e long, "
-        "mm_cost long, mm_switches int"
+        "mm_cost long, mm_cost2 long, mm_switches int"
     )
     sc, gw = int(switch_cost), int(gap_weight)
     return cand.groupBy("traj").applyInPandas(
@@ -273,6 +294,11 @@ def sql_hmm_ctes(
       FROM mmc c
       JOIN (SELECT traj, path, cost FROM mmbest WHERE brn = 1) s
         ON s.traj = c.traj AND c.rnk = s.path[c.t]
+    ),
+    mmsecond AS (
+      -- second-smallest path cost (the match-confidence alternative):
+      -- row 2 of the SAME full enumeration that proves the DP optimal
+      SELECT traj, cost AS mm_cost2 FROM mmbest WHERE brn = 2
     ),
     mmswitch AS (
       SELECT traj, CAST(SUM(CASE WHEN pg IS NOT NULL AND mm_way <> pg

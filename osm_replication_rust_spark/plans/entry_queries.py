@@ -6452,8 +6452,9 @@ def _mm_oracle_ctes() -> str:
     {_mm_oracle_ctes()},
     mmfull AS (
       SELECT a.pid, a.mm_way, a.mm_pos, a.mm_rank, a.mm_e, a.mm_cost,
-             w.mm_switches
+             s2.mm_cost2, w.mm_switches
       FROM mmassign a JOIN mmswitch w USING (traj)
+      LEFT JOIN mmsecond s2 USING (traj)
     ),
     isot AS (
       -- isotonic regression (relational.isotonic_fit): first {_ISO_MAX_N}
@@ -6518,7 +6519,7 @@ def _mm_oracle_ctes() -> str:
                 AS BIGINT) AS offset_p,
            cm.ret_n,
            mmf.mm_way, mmf.mm_pos, mmf.mm_rank, mmf.mm_e, mmf.mm_cost,
-           mmf.mm_switches,
+           mmf.mm_cost2, mmf.mm_switches,
            rz.rz_med2, rz.rz_d2, rz.rz_mad22, rz.rz_out,
            iso.iso_n, iso.iso_fitq
     FROM sg JOIN tt ON tt.user_id = sg.user_id

@@ -234,3 +234,36 @@ def test_oracle_segment_values_match_way_segments(spark):
         for m in pat.findall(_mm_segments_values())
     }
     assert want == got and len(want) > 30
+
+
+def test_second_best_cost_matches_enumeration(spark):
+    """mm_cost2 == the SECOND element of the sorted multiset of ALL
+    path costs (the match-confidence alternative) — 2-best DP vs full
+    enumeration, a genuinely different algorithm."""
+    pts, segs = _fixture(spark)
+    cand = [r.asDict() for r in hmm_candidates(pts, segs).collect()]
+    by_traj: dict = {}
+    for r in cand:
+        by_traj.setdefault(r["traj"], {}).setdefault(r["t"], []).append(r)
+    ref2 = {}
+    for traj, ts in by_traj.items():
+        order = sorted(ts)
+        costs = []
+        for combo in itertools.product(*(ts[t] for t in order)):
+            cost = sum(c["e"] for c in combo)
+            for a, b in zip(combo, combo[1:]):
+                if a["group_id"] != b["group_id"]:
+                    cost += SW
+                cost += GW * (
+                    (a["mx"] - b["mx"]) ** 2 + (a["my"] - b["my"]) ** 2
+                )
+            costs.append(cost)
+        costs.sort()
+        ref2[traj] = costs[1] if len(costs) > 1 else None
+    got = hmm_map_match(pts, segs).collect()
+    pid2traj = {c["pid"]: c["traj"] for c in cand}
+    for r in got:
+        traj = pid2traj[r["pid"]]
+        assert r["mm_cost2"] == ref2[traj], traj
+        if ref2[traj] is not None:
+            assert r["mm_cost2"] >= r["mm_cost"]
