@@ -1594,6 +1594,76 @@ def audio_stats_stage(
     return df.mapInPandas(stage, out_schema)
 
 
+def seam_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Minimum-energy vertical seam (Avidan & Shamir '07 seam carving,
+    the content-aware-resize primitive): the cheapest top-to-bottom
+    8-connected path through the Sobel energy map — images whose
+    minimum seam is CHEAP have removable low-content columns (borders,
+    letterboxing, synthetic padding), which makes seam cost a crop /
+    padding screen next to the sharpness and entropy statistics.
+
+    Energy = gx² + gy² over the interior (h−2)×(w−2) Sobel grid
+    (sobel_stage's exact kernel — shared definition with the oracle's
+    sob CTE).  DP: cum[r][c] = e[r][c] + min(cum[r−1][c−1..c+1])
+    (column-clamped), all exact int64.  Emits per image:
+
+    - sc_cost  = min over c of cum[last][c]  (the seam's total energy)
+    - sc_end   = the argmin column (ties → smallest c; pins WHERE)
+    - sc_top   = min over c of cum[first][c] = the cheapest single-row
+      energy (the DP's base row — pins the base case separately)
+    Images thinner than 3 px have no interior: all NULL.  Map-only,
+    equal-shape Arrow batch stacks; the twin runs the SAME recurrence
+    as a recursive CTE over per-row energy LISTS — dynamic programming
+    in SQL list algebra vs numpy, one exact answer."""
+    fields = [f"{c} {ty}" for c, ty in df.dtypes]
+    out_schema = ", ".join(
+        fields + ["sc_cost bigint", "sc_end bigint", "sc_top bigint"]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {
+                k: np.full(n, np.nan, dtype=object)
+                for k in ("sc_cost", "sc_end", "sc_top")
+            }
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 3 or w < 3:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                tl, tc, tr = px[:, :-2, :-2], px[:, :-2, 1:-1], px[:, :-2, 2:]
+                ml, mr = px[:, 1:-1, :-2], px[:, 1:-1, 2:]
+                bl, bc, br = px[:, 2:, :-2], px[:, 2:, 1:-1], px[:, 2:, 2:]
+                gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+                gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+                e = gx * gx + gy * gy  # (m, h-2, w-2)
+                cum = e[:, 0, :].copy()
+                cols["sc_top"][ii] = cum.min(axis=1)
+                big = np.int64(1) << 62
+                for r in range(1, e.shape[1]):
+                    left = np.concatenate(
+                        [np.full((len(cum), 1), big), cum[:, :-1]], axis=1
+                    )
+                    right = np.concatenate(
+                        [cum[:, 1:], np.full((len(cum), 1), big)], axis=1
+                    )
+                    cum = e[:, r, :] + np.minimum(
+                        np.minimum(left, cum), right
+                    )
+                cols["sc_cost"][ii] = cum.min(axis=1)
+                cols["sc_end"][ii] = cum.argmin(axis=1)  # first min = smallest c
+            yield pdf.assign(
+                **{k: pd.array(a, dtype="Int64") for k, a in cols.items()}
+            )
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def bitplane_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Bit-plane statistics — the LSB-steganography / synthetic-content
     forensic screen: natural images have strongly structured high bit

@@ -2874,7 +2874,7 @@ def _multimodal_oracle() -> str:
             for kk in range(16)
         ) + ")"
     return f"""
-    WITH meta(image_id, w, h, i) AS (VALUES
+    WITH RECURSIVE meta(image_id, w, h, i) AS (VALUES
       {meta}
     ),
     px AS (
@@ -2952,6 +2952,41 @@ def _multimodal_oracle() -> str:
               - 2 * ({_sql_lcg_px('k - w')}) - ({_sql_lcg_px('k - w + 1')})) AS gy
       FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
       WHERE (k // w) BETWEEN 1 AND h - 2 AND (k % w) BETWEEN 1 AND w - 2
+    ),
+    scrow AS (
+      -- per interior row the Sobel energy LIST (seam_stage's frame)
+      SELECT image_id, r, list(gx * gx + gy * gy ORDER BY c) AS erow
+      FROM sob GROUP BY image_id, r
+    ),
+    scrng AS (
+      SELECT image_id, min(r) AS r0, max(r) AS r1 FROM scrow GROUP BY image_id
+    ),
+    scdp(image_id, r, costs) AS (
+      -- the seam DP as a recursive list recurrence: dynamic
+      -- programming in SQL list algebra vs the kernel's numpy rows
+      SELECT s.image_id, s.r, s.erow
+      FROM scrow s JOIN scrng g ON g.image_id = s.image_id AND s.r = g.r0
+      UNION ALL
+      SELECT n.image_id, n.r,
+             list_transform(range(1, len(n.erow) + 1), i ->
+               n.erow[i] + least(
+                 d.costs[greatest(i - 1, 1)],
+                 d.costs[i],
+                 d.costs[least(i + 1, len(d.costs))]))
+      FROM scdp d JOIN scrow n ON n.image_id = d.image_id AND n.r = d.r + 1
+    ),
+    scagg AS (
+      SELECT d.image_id,
+             CAST(list_min(d.costs) AS BIGINT) AS sc_cost,
+             CAST(list_position(d.costs, list_min(d.costs)) - 1
+                  AS BIGINT) AS sc_end,
+             CAST(t.sc_top AS BIGINT) AS sc_top
+      FROM scdp d
+      JOIN scrng g ON g.image_id = d.image_id AND d.r = g.r1
+      JOIN (
+        SELECT s.image_id, list_min(s.erow) AS sc_top
+        FROM scrow s JOIN scrng g2 ON g2.image_id = s.image_id AND s.r = g2.r0
+      ) t ON t.image_id = d.image_id
     ),
     sagg AS (
       SELECT image_id,
@@ -3556,6 +3591,7 @@ def _multimodal_oracle() -> str:
            COALESCE(og.og_e2, 0) AS og_e2, COALESCE(og.og_e3, 0) AS og_e3,
            COALESCE(hg.hc_n, 0) AS hc_n, hg.hc_max, hg.hc_min,
            COALESCE(hg.hc_wpos, 0) AS hc_wpos,
+           sc.sc_cost, sc.sc_end, sc.sc_top,
            COALESCE(fg.fast_n, 0) AS fast_n,
            COALESCE(fg.fast_bn, 0) AS fast_bn,
            COALESCE(fg.fast_wpos, 0) AS fast_wpos,
@@ -3602,6 +3638,7 @@ def _multimodal_oracle() -> str:
     JOIN tmbest tb USING (image_id)
     LEFT JOIN og USING (image_id)
     LEFT JOIN hagg hg USING (image_id)
+    LEFT JOIN scagg sc USING (image_id)
     LEFT JOIN fastagg fg USING (image_id)
     LEFT JOIN wvagg1 w1 USING (image_id)
     LEFT JOIN wvagg2 w2 USING (image_id)
@@ -3753,6 +3790,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         otsu_stage,
         patchify_stage,
         scene_cut_stage,
+        seam_stage,
         orientation_hist_stage,
         sharpness_stage,
         sobel_stage,
@@ -3816,6 +3854,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpl = bitplane_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id",
         *[f"bp{b}_{s}" for b in (0, 1, 6, 7) for s in ("n", "t")],
+    )
+    scm = seam_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "sc_cost", "sc_end", "sc_top"
     )
     sob = sobel_stage(
         imgs.select("image_id", "bytes", "w", "h"), edge_sq_min=_EDGE_SQ_MIN
@@ -3907,6 +3948,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(aud, "image_id")
         .join(wht, "image_id")
         .join(bpl, "image_id")
+        .join(scm, "image_id")
         .join(sob, "image_id")
         .join(ots, "image_id")
         .join(heq, "image_id")

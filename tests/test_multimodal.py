@@ -1945,3 +1945,54 @@ def test_bitplane_matches_loop_reference(spark):
     assert got["b"].bp7_n == 24 and got["b"].bp7_t == 0
     # alternating LSB: every horizontal adjacency is a transition
     assert got["c"].bp0_t == 4 * 3
+
+
+def test_seam_matches_loop_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        seam_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([5] * (8 * 12)), 8, 12),    # constant: zero energy
+        ("c", bytes(range(4 * 2)), 4, 2),       # h < 3: NULLs
+        ("d", bytes([(k * k) % 251 for k in range(20 * 12)]), 20, 12),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in seam_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        r = got[image_id]
+        if h < 3 or w < 3:
+            assert r.sc_cost is None and r.sc_end is None and r.sc_top is None
+            continue
+        px = fake_decode(payload, w, h).astype(int)
+        E = [
+            [0] * (w - 2)
+            for _ in range(h - 2)
+        ]
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = (
+                    px[y - 1][x + 1] + 2 * px[y][x + 1] + px[y + 1][x + 1]
+                    - px[y - 1][x - 1] - 2 * px[y][x - 1] - px[y + 1][x - 1]
+                )
+                gy = (
+                    px[y + 1][x - 1] + 2 * px[y + 1][x] + px[y + 1][x + 1]
+                    - px[y - 1][x - 1] - 2 * px[y - 1][x] - px[y - 1][x + 1]
+                )
+                E[y - 1][x - 1] = gx * gx + gy * gy
+        cum = E[0][:]
+        top = min(cum)
+        for rr in range(1, h - 2):
+            cum = [
+                E[rr][c]
+                + min(
+                    cum[max(c - 1, 0) : min(c + 2, w - 2)]
+                )
+                for c in range(w - 2)
+            ]
+        assert r.sc_top == top, image_id
+        assert r.sc_cost == min(cum), image_id
+        assert r.sc_end == cum.index(min(cum)), image_id
+    assert got["b"].sc_cost == 0  # constant image: a free seam exists
