@@ -806,3 +806,64 @@ def sql_pca_ctes(dim: int, iters: int = 12, scale_bits: int = 20) -> str:
                AS pca_gtrace
     )""")
     return ",".join(out)
+
+
+def kcenter_greedy(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int | None]]:
+    """k-center greedy (farthest-point / Gonzalez) coreset selection —
+    the diversity-sampling primitive of training-data curation (pick k
+    maximally-spread exemplars; the selection radii are the classic
+    coverage diagnostic, and Gonzalez '85 proves the result is a
+    2-approximation of the optimal k-center cover).
+
+    Exact-integer: vectors quantize to round(x*1000) int64 (the
+    repo-wide embedding discipline), d² = Σ (qa_i − qb_i)² is exact,
+    the seed is the SMALLEST id, each round picks argmax of
+    min-d²-to-selected with ties → smallest id — fully deterministic,
+    so the DuckDB twin's unrolled rounds land on the identical ids and
+    radii.
+
+    Returns [(id_0, None), (id_1, r2_1), ...] — r2_i is the chosen
+    point's min-d² at selection time (the non-increasing radius
+    sequence).  k driver actions by design: selection is inherently
+    sequential, so this belongs on a NON-benched gate row (the DBSCAN
+    relocation lesson); each round is one scan + a broadcast of ≤ k
+    quantized vectors."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"),
+        ).alias("_q"),
+    )
+    seed = q.orderBy("_id").limit(1).collect()[0]
+    chosen: list[tuple[int, int | None]] = [(seed["_id"], None)]
+    chosen_vecs = [seed["_q"]]
+    for _ in range(k - 1):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("_q"),
+                    F.array(*[F.lit(int(v)) for v in cv]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for cv in chosen_vecs
+        ]
+        pick = (
+            q.select("_id", "_q", F.least(*dists).alias("_d2"))
+            if len(dists) > 1
+            else q.select("_id", "_q", dists[0].alias("_d2"))
+        )
+        row = pick.orderBy(F.col("_d2").desc(), "_id").limit(1).collect()[0]
+        chosen.append((row["_id"], int(row["_d2"])))
+        chosen_vecs.append(row["_q"])
+    return chosen

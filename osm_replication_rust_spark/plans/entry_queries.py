@@ -7039,13 +7039,52 @@ def _near_dup_oracle() -> str:
       FROM cand c
       JOIN iv x ON x.vec_id = c.id_a
       JOIN iv y ON y.vec_id = c.id_b
-    ),{sql_pca_ctes(dim=64, iters=_PCA_ITERS)}
+    ),{sql_pca_ctes(dim=64, iters=_PCA_ITERS)},{_sql_kcenter_ctes(_KC_K)}
     SELECT id_a, id_b,
            pca.pca_eig, pca.pca_v_sig, pca.pca_v0, pca.pca_v1, pca.pca_v2,
-           pca.pca_gtrace
-    FROM chk CROSS JOIN pca WHERE cosine >= 0.99
+           pca.pca_gtrace, kc.*
+    FROM chk CROSS JOIN pca CROSS JOIN kc WHERE cosine >= 0.99
     ORDER BY id_a, id_b
     """
+
+
+#: k-center greedy gate size: seed + 4 picks (each oracle round is an
+#: unrolled min-join + argmax CTE pair)
+_KC_K = 5
+
+
+def _sql_kcenter_ctes(k: int) -> str:
+    """DuckDB twin of similarity.kcenter_greedy: k unrolled rounds —
+    per round one min-d²-to-selected join + the (d² DESC, id) argmax.
+    Final CTE ``kc`` is one row of kc_id0..k-1 + kc_r2_1..k-1."""
+    d2 = (
+        "list_sum(list_transform(range(1, len(k.q) + 1),"
+        " i -> (k.q[i] - s.q[i]) * (k.q[i] - s.q[i])))"
+    )
+    parts = [f"""kcq AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    kc_sel0 AS (SELECT id, q FROM kcq ORDER BY id LIMIT 1)"""]
+    for r in range(1, k):
+        parts.append(f"""kc_c{r} AS (
+      SELECT k.id, k.q, MIN({d2}) AS d2
+      FROM kcq k CROSS JOIN kc_sel{r - 1} s
+      GROUP BY k.id, k.q
+      ORDER BY d2 DESC, k.id LIMIT 1
+    ),
+    kc_sel{r} AS (
+      SELECT id, q FROM kc_sel{r - 1}
+      UNION ALL SELECT id, q FROM kc_c{r}
+    )""")
+    cols = ["(SELECT id FROM kc_sel0 LIMIT 1) AS kc_id0"]
+    for r in range(1, k):
+        cols.append(f"(SELECT id FROM kc_c{r}) AS kc_id{r}")
+        cols.append(f"(SELECT CAST(d2 AS BIGINT) FROM kc_c{r}) AS kc_r2_{r}")
+    parts.append("kc AS (SELECT " + ",\n           ".join(cols) + ")")
+    return ",\n    ".join(parts)
 
 
 @register("embedding_near_dup", _near_dup_oracle())
@@ -7069,6 +7108,7 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled materialized-CTE twin."""
     from ..operators.similarity import (
         embedding_near_dup_pairs,
+        kcenter_greedy,
         pca_power_top,
     )
 
@@ -7090,10 +7130,19 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pca_eig double, pca_v_sig string, pca_v0 string, pca_v1 string, "
         "pca_v2 string, pca_gtrace string",
     )
+    # k-center greedy coreset (diversity curation) over the FULL table:
+    # seed + radii pinned as global columns (the pca_row pattern)
+    sel = kcenter_greedy(emb_all, k=_KC_K)
+    kc_vals = [sel[0][0]] + [x for i, r2 in sel[1:] for x in (i, r2)]
+    kc_schema = "kc_id0 long, " + ", ".join(
+        f"kc_id{r} long, kc_r2_{r} long" for r in range(1, _KC_K)
+    )
+    kc_row = spark.createDataFrame([tuple(kc_vals)], kc_schema)
     return (
         embedding_near_dup_pairs(u, 0.99, dim=64)
         .select("id_a", "id_b")
         .crossJoin(F.broadcast(pca_row))
+        .crossJoin(F.broadcast(kc_row))
         .orderBy("id_a", "id_b")
     )
 

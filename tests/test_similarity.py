@@ -200,3 +200,52 @@ def test_pca_power_top_matches_numpy_and_duckdb(spark):
     assert (row[2], row[3], row[4]) == (str(v[0]), str(v[1]), str(v[2]))
     assert abs(row[0] - eig) < 1e-12
     assert row[5] == str(gtrace)
+
+
+def test_kcenter_greedy_matches_bruteforce(spark):
+    """Gonzalez farthest-point selection == a brute python reference
+    on a planted 3-cluster layout: the first 3 picks land one per
+    cluster, radii are non-increasing."""
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.similarity import kcenter_greedy
+
+    rng = np.random.default_rng(97)
+    centers = np.array([[0.0] * 8, [10.0] * 8, [-10.0] * 8])
+    rows = []
+    for i in range(60):
+        c = centers[i % 3] + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sel = kcenter_greedy(df, k=4)
+
+    # brute reference over the same quantization
+    def q(v):
+        import numpy as _np
+
+        x = _np.asarray(v, dtype=_np.float64) * 1000
+        r = _np.rint(x)
+        half = _np.abs(x - _np.trunc(x)) == 0.5
+        return _np.where(half, _np.trunc(x) + _np.sign(x), r).astype(int)
+
+    qs = {i: q([float(np.float32(x)) for x in v]) for i, v in rows}
+    chosen = [min(qs)]
+    ref = [(chosen[0], None)]
+    for _ in range(3):
+        best = None
+        for i in sorted(qs):
+            d2 = min(int(((qs[i] - qs[c]) ** 2).sum()) for c in chosen)
+            if best is None or d2 > best[1]:
+                best = (i, d2)
+        chosen.append(best[0])
+        ref.append(best)
+    assert sel == ref
+    # one pick per planted cluster among the first three
+    assert {i % 3 for i, _ in sel[:3]} == {0, 1, 2}
+    radii = [r for _, r in sel[1:]]
+    assert radii == sorted(radii, reverse=True)
+    # k validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kcenter_greedy(df, k=0)
