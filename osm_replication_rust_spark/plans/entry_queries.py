@@ -975,6 +975,10 @@ _KCORE_UNROLL = 10
 #: are no-ops, so the unroll just needs to be >= the peel depth.
 _KTRUSS_K = 4
 _KTRUSS_UNROLL = 6
+#: SCC gate subsample: the DIRECTED md5-half graph at event_id % 23 has
+#: a genuinely mixed census at sf0.01 (one giant 119-node SCC, a 3-SCC,
+#: 84 singletons) and the coloring algorithm retires it in 3 phases
+_SCC_MOD = 23
 
 
 def _graph_raw_edges(
@@ -1159,7 +1163,44 @@ def _sql_graph_ctes() -> str:
           / CAST(count(*)::HUGEINT * SUM(dx::HUGEINT * dx)
                - SUM(dx::HUGEINT) * SUM(dx::HUGEINT) AS DOUBLE)
         END AS assortativity
-      FROM asamp)"""
+      FROM asamp),
+    sccE AS (
+      -- DIRECTED subsample graph (graph.scc): a -> b as drawn
+      SELECT DISTINCT ('0x' || substr({h}, 1, 8))::BIGINT % {K} AS a,
+                      ('0x' || substr({h}, 9, 8))::BIGINT % {K} AS b
+      FROM events WHERE event_id % {_SCC_MOD} = 0
+    ),
+    sccEf AS (SELECT a, b FROM sccE WHERE a <> b),
+    sccN AS (SELECT a AS id FROM sccEf UNION SELECT b FROM sccEf),
+    sccR(s, t) AS (
+      -- full directed transitive closure (fixture-scale oracle)
+      SELECT a, b FROM sccEf
+      UNION
+      SELECT r.s, e.b FROM sccR r JOIN sccEf e ON e.a = r.t
+    ),
+    sccP AS (
+      -- mutually reachable ordered pairs
+      SELECT r1.s AS u, r1.t AS v
+      FROM sccR r1 JOIN sccR r2 ON r2.s = r1.t AND r2.t = r1.s
+    ),
+    sccId AS (
+      SELECT n.id, least(n.id, COALESCE(MIN(p.v), n.id)) AS comp
+      FROM sccN n LEFT JOIN sccP p ON p.u = n.id
+      GROUP BY n.id
+    ),
+    sccSz AS (SELECT comp, COUNT(*) AS sz FROM sccId GROUP BY comp),
+    sccagg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS scc_n,
+             CAST(MAX(sz) AS BIGINT) AS scc_max,
+             CAST(SUM(sz) AS BIGINT) AS scc_nodes
+      FROM sccSz
+    ),
+    sccsig AS (
+      SELECT md5(string_agg(CAST(id AS VARCHAR) || ':' ||
+                            CAST(comp AS VARCHAR), ',' ORDER BY id))
+               AS scc_sig
+      FROM sccId
+    )"""
 
 
 def _graph_sig(id_col: str, parts: list[str]) -> Column:
@@ -1181,7 +1222,7 @@ def _graph_sig(id_col: str, parts: list[str]) -> Column:
 @register(
     "integrity_anti_join",
     f"""
-    WITH dang AS (
+    WITH RECURSIVE dang AS (
       SELECT DISTINCT l.l_partkey AS dangling_key
       FROM lineitem l
       WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 40)
@@ -1191,10 +1232,11 @@ def _graph_sig(id_col: str, parts: list[str]) -> Column:
            p.pr_top, p.pr_top_val, g.pr_sig,
            kca.kc_n, kca.kc_sig, kta.kt_n, kta.kt_sig,
            lpa.lp_n, lpa.lp_top, lpa.lp_sig,
-           ar.asr_num_str, ar.asr_den_str, ar.assortativity
+           ar.asr_num_str, ar.asr_den_str, ar.assortativity,
+           sa.scc_n, sa.scc_max, sa.scc_nodes, ss.scc_sig
     FROM dang d CROSS JOIN tstats t CROSS JOIN ptop p CROSS JOIN psig g
     CROSS JOIN kcagg kca CROSS JOIN ktagg kta CROSS JOIN lpagg lpa
-    CROSS JOIN asr ar
+    CROSS JOIN asr ar CROSS JOIN sccagg sa CROSS JOIN sccsig ss
     ORDER BY d.dangling_key
     """,
 )
@@ -1248,6 +1290,7 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_truss,
         link_prediction,
         pagerank,
+        scc,
         transitivity_stats,
         triangle_counts,
     )
@@ -1335,6 +1378,18 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lp_sig"),
     )
+    # strongly connected components of the DIRECTED subsample graph
+    # (graph.scc, the coloring FW-BW decomposition): census + labeling
+    # signature as riding constants
+    sgraph = _graph_raw_edges(spark, sf_dir, subsample_mod=_SCC_MOD)
+    slab = scc(sgraph)
+    ssz = slab.groupBy("scc").agg(F.count(F.lit(1)).alias("_sz"))
+    sccagg = ssz.agg(
+        F.count(F.lit(1)).cast("long").alias("scc_n"),
+        F.max("_sz").cast("long").alias("scc_max"),
+        F.sum("_sz").cast("long").alias("scc_nodes"),
+    )
+    sccsig = slab.agg(_graph_sig("id", ["scc"]).alias("scc_sig"))
     return (
         dang.crossJoin(F.broadcast(tstats))
         .crossJoin(F.broadcast(ptop))
@@ -1343,6 +1398,8 @@ def integrity_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ktagg))
         .crossJoin(F.broadcast(lpagg))
         .crossJoin(F.broadcast(assortativity(raw)))
+        .crossJoin(F.broadcast(sccagg))
+        .crossJoin(F.broadcast(sccsig))
         .orderBy("dangling_key")
     )
 

@@ -804,3 +804,89 @@ def test_transitivity_known_shapes(spark):
     # single edge: no wedges -> NULL
     r = stats([("a", "b")])
     assert r.transitivity is None and r.trans_den_str == "0"
+
+
+def _kosaraju(edges):
+    """Reference SCC: iterative Kosaraju, scc id = min member."""
+    from collections import defaultdict
+
+    fw, bw = defaultdict(list), defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        fw[a].append(b)
+        bw[b].append(a)
+        nodes.update((a, b))
+    seen, order = set(), []
+    for s in sorted(nodes):
+        if s in seen:
+            continue
+        stack = [(s, 0)]
+        seen.add(s)
+        while stack:
+            v, i = stack.pop()
+            if i < len(fw[v]):
+                stack.append((v, i + 1))
+                w = fw[v][i]
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, 0))
+            else:
+                order.append(v)
+    comp = {}
+    for u in reversed(order):
+        if u in comp:
+            continue
+        stack, members = [u], [u]
+        comp[u] = u
+        while stack:
+            v = stack.pop()
+            for w in bw[v]:
+                if w not in comp:
+                    comp[w] = u
+                    members.append(w)
+                    stack.append(w)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp
+
+
+def test_scc_matches_kosaraju_on_random_digraphs(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.graph import scc
+
+    rng = np.random.default_rng(101)
+    for n, m in ((30, 45), (40, 90), (25, 20)):
+        edges = list(
+            {
+                (int(rng.integers(0, n)), int(rng.integers(0, n)))
+                for _ in range(m)
+            }
+        )
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r.id: r.scc for r in scc(df).collect()}
+        ref = _kosaraju(edges)
+        assert got == ref, (n, m)
+
+
+def test_scc_planted_structures(spark):
+    from osm_replication_rust_spark.operators.graph import scc
+
+    # two directed cycles bridged one-way + a tail: SCCs {0,1,2},
+    # {10,11}, {20}, {21}
+    edges = [
+        (0, 1), (1, 2), (2, 0),       # 3-cycle
+        (2, 10),                      # one-way bridge
+        (10, 11), (11, 10),           # 2-cycle
+        (11, 20), (20, 21),           # tail: singletons
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: r.scc for r in scc(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20, 21: 21}
+    # a pure DAG: every node its own SCC
+    dag = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    got = {r.id: r.scc for r in scc(spark.createDataFrame(dag, "a long, b long")).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
