@@ -294,7 +294,14 @@ def test_bloom_split_plan_equals_plain_left_join(spark, sf_dir):
     split = pos.unionByName(neg).select(
         "doc_id", "bloom_hit", F.col("keeper_id").isNotNull().alias("is_dup"), "keeper_id"
     )
-    a = sorted(map(tuple, out.collect()))
+    # the gated row also carries the JSONL round-trip globals; compare
+    # the dedup columns only
+    a = sorted(
+        map(
+            tuple,
+            out.select("doc_id", "bloom_hit", "is_dup", "keeper_id").collect(),
+        )
+    )
     b = sorted(map(tuple, split.collect()))
     assert a == b
     # one-sided guarantee as seen through the gated row
