@@ -1796,6 +1796,62 @@ def audio_wht_stage(
     return df.mapInPandas(stage, out_schema)
 
 
+#: autocorrelation lags probed by audio_acf_stage (powers of two:
+#: short-range correlation through frame-level periodicity)
+ACF_LAGS = (1, 2, 4, 8, 16)
+
+
+def audio_acf_stage(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Autocorrelation lag products — the periodicity / pitch-presence
+    screen next to the WHT spectrum (a voiced or tonal clip has large
+    positive ACF at its period's lags; white noise decays to ~0;
+    a constant DC clip is removed by centering): for each lag L in
+    ACF_LAGS, the EXACT integer lag product
+
+        acf{L} = Σ_k s_k · s_{k+L}    (s = pcm − 128, full clip)
+
+    plus acf0 = Σ s² (the normalizer, = audio_stats' energy — pinning
+    the two stages against each other).  Clips shorter than
+    max(lag)+1 samples emit NULL for the lags they can't support.
+    Map-only, equal-shape Arrow batch stacks; the twin spells the same
+    shifted LCG taps."""
+    fields = [f"{c} {ty}" for c, ty in df.dtypes]
+    out_schema = ", ".join(
+        fields + ["acf0 bigint"] + [f"acf{lg} bigint" for lg in ACF_LAGS]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {
+                k: np.full(n, np.nan, dtype=object)
+                for k in ["acf0"] + [f"acf{lg}" for lg in ACF_LAGS]
+            }
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if L == 0:
+                    continue
+                s = (
+                    np.frombuffer(b"".join(payloads[k] for k in ii), dtype=np.uint8)
+                    .reshape(len(ii), L)
+                    .astype(np.int64)
+                    - 128
+                )
+                cols["acf0"][ii] = (s * s).sum(axis=1)
+                for lg in ACF_LAGS:
+                    if L > lg:
+                        cols[f"acf{lg}"][ii] = (
+                            s[:, :-lg] * s[:, lg:]
+                        ).sum(axis=1)
+            yield pdf.assign(
+                **{k: pd.array(a, dtype="Int64") for k, a in cols.items()}
+            )
+
+    return df.mapInPandas(stage, out_schema)
+
+
 def morphology_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """3x3 grayscale morphology — erosion (window min) and dilation
     (window max), the opening/closing building blocks every binary-mask

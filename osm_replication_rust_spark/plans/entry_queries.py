@@ -2899,6 +2899,7 @@ def _multimodal_oracle() -> str:
     a transpose bug, an off-by-one crop — breaks the hash even when the
     pixel multiset is right."""
     from ..datagen.synth import gen_images
+    from ..operators.multimodal import ACF_LAGS as _ACF_LAGS
     from ..operators.multimodal import FAST_OFFSETS
 
     images = gen_images(500, seed=42)
@@ -3224,6 +3225,20 @@ def _multimodal_oracle() -> str:
              {", ".join(f"CAST(COALESCE(SUM(CASE WHEN ((({_sql_lcg_px('k')}) >> {b}) & 1) <> ((({_sql_lcg_px('k + 1')}) >> {b}) & 1) THEN 1 END), 0) AS BIGINT) AS bp{b}_t" for b in (0, 1, 6, 7))}
       FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
       WHERE k % w < w - 1
+      GROUP BY image_id
+    ),
+    acf AS (
+      -- autocorrelation lag products (multimodal.audio_acf_stage)
+      SELECT image_id,
+             CAST(SUM((({_sql_lcg_px('k')}) - 128)
+                      * (({_sql_lcg_px('k')}) - 128)) AS BIGINT) AS acf0,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN k < w * h - {lg} THEN"
+                 f" (({_sql_lcg_px('k')}) - 128)"
+                 f" * (({_sql_lcg_px(f'k + {lg}')}) - 128) END)"
+                 f" AS BIGINT) AS acf{lg}"
+                 for lg in _ACF_LAGS)}
+      FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
       GROUP BY image_id
     ),
     whtc AS (
@@ -3628,6 +3643,7 @@ def _multimodal_oracle() -> str:
            aud.n_samples, aud.peak, aud.energy,
            wt.wht_dc, wt.wht_e_low, wt.wht_e_mid, wt.wht_e_high,
            wt.wht_e_total,
+           ac.acf0, ac.acf1, ac.acf2, ac.acf4, ac.acf8, ac.acf16,
            bn.bp0_n, bn.bp1_n, bn.bp6_n, bn.bp7_n,
            COALESCE(bt.bp0_t, 0) AS bp0_t, COALESCE(bt.bp1_t, 0) AS bp1_t,
            COALESCE(bt.bp6_t, 0) AS bp6_t, COALESCE(bt.bp7_t, 0) AS bp7_t,
@@ -3686,6 +3702,7 @@ def _multimodal_oracle() -> str:
     FROM stats s JOIN pagg p USING (image_id) LEFT JOIN lagg l USING (image_id)
     JOIN vagg v USING (image_id) JOIN aud USING (image_id)
     JOIN whta wt USING (image_id)
+    JOIN acf ac USING (image_id)
     JOIN bpn bn USING (image_id)
     LEFT JOIN bpt bt USING (image_id)
     LEFT JOIN mvagg mv USING (image_id)
@@ -3826,6 +3843,8 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..datagen.synth import gen_images, gen_videos
     from ..operators.multimodal import (
+        ACF_LAGS,
+        audio_acf_stage,
         audio_stats_stage,
         audio_wht_stage,
         bitplane_stage,
@@ -3907,6 +3926,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     wht = audio_wht_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "wht_dc", "wht_e_low", "wht_e_mid", "wht_e_high",
         "wht_e_total",
+    )
+    acf = audio_acf_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "acf0", *[f"acf{lg}" for lg in ACF_LAGS]
     )
     bpl = bitplane_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id",
@@ -4004,6 +4026,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mvs, "image_id")
         .join(aud, "image_id")
         .join(wht, "image_id")
+        .join(acf, "image_id")
         .join(bpl, "image_id")
         .join(scm, "image_id")
         .join(sob, "image_id")

@@ -1996,3 +1996,48 @@ def test_seam_matches_loop_reference(spark):
         assert r.sc_cost == min(cum), image_id
         assert r.sc_end == cum.index(min(cum)), image_id
     assert got["b"].sc_cost == 0  # constant image: a free seam exists
+
+
+def test_acf_matches_loop_reference(spark):
+    from osm_replication_rust_spark.operators.multimodal import (
+        ACF_LAGS,
+        audio_acf_stage,
+        fake_decode,
+    )
+
+    rng = np.random.default_rng(103)
+    pcm = rng.integers(0, 251, 16 * 16).astype(np.uint8)
+    rows = [
+        ("a", pcm.tobytes(), 16, 16),
+        ("short", bytes(range(10)), 10, 1),   # lags 16 unsupported
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in audio_acf_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        s = [int(b) - 128 for b in payload]
+        r = got[image_id]
+        assert r.acf0 == sum(x * x for x in s)
+        for lg in ACF_LAGS:
+            want = (
+                sum(s[k] * s[k + lg] for k in range(len(s) - lg))
+                if len(s) > lg
+                else None
+            )
+            assert r[f"acf{lg}"] == want, (image_id, lg)
+
+
+def test_acf_periodicity_contract(spark):
+    """A pure period-4 square wave: acf4 == acf0 (perfect positive),
+    acf2 == -acf0 (anti-phase), acf8/acf16 == acf0."""
+    from osm_replication_rust_spark.operators.multimodal import audio_acf_stage
+
+    wave = bytes([128 + 50, 128 + 50, 128 - 50, 128 - 50] * 64)
+    df = spark.createDataFrame(
+        [("sq", wave, 16, 16)], "image_id string, bytes binary, w int, h int"
+    )
+    r = audio_acf_stage(df).collect()[0]
+    n = 256
+    assert r.acf0 == n * 2500
+    assert r.acf4 == (n - 4) * 2500
+    assert r.acf2 == -(n - 2) * 2500
+    assert r.acf8 == (n - 8) * 2500
