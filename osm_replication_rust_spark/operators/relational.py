@@ -19,6 +19,8 @@
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -802,4 +804,79 @@ def isotonic_fit(
         F.col(key),
         "iso_n",
         F.col("_z._fit").alias("iso_fitq"),
+    )
+
+
+#: Allen census column order (the 13 relations folded to 7 by
+#: classifying the unordered pair from its lexicographically-earlier
+#: (s, e) member)
+ALLEN_COLS = (
+    "al_prec", "al_meets", "al_over", "al_starts", "al_during",
+    "al_fin", "al_eq",
+)
+
+
+def allen_census(
+    intervals: DataFrame,
+    key_cols: Sequence[str],
+    item: str,
+    s: str = "s",
+    e: str = "e",
+) -> DataFrame:
+    """Allen interval-relations census (Allen '83 — the temporal-join
+    algebra): for every unordered pair of items within a key, classify
+    the pair into one of the SEVEN canonical relations (the 13 fold
+    pairwise into 7 once the pair is anchored at its
+    lexicographically-earlier (s, e) member A):
+
+        equals   s_A=s_B ∧ e_A=e_B      starts   s_A=s_B ∧ e_A<e_B
+        precedes e_A< s_B               meets    e_A=s_B
+        during   s_A<s_B ∧ e_B<e_A      finishes s_A<s_B ∧ e_B=e_A
+        overlaps otherwise (s_A<s_B<=e_A<e_B)
+
+    — disjoint and exhaustive for integer endpoints, so the census is
+    exact and engine-independent.  This is what a temporal-consistency
+    screen runs over entity validity intervals ("no two versions of X
+    may overlap"), session/type co-occurrence profiles, and
+    label-span QA.
+
+    Emits one row per key with the 7 counts (ALLEN_COLS order).
+    Plan: ONE self equi-join on the key (pairs bounded by
+    items-per-key², the bounded-group contract), one hash census agg —
+    no window, no Python."""
+    g = list(key_cols)
+    base = intervals.select(
+        *g,
+        F.col(item).alias("_it"),
+        F.col(s).cast("long").alias("_s"),
+        F.col(e).cast("long").alias("_e"),
+    )
+    a = base.select(*g, *[F.col(c).alias(f"{c}_a") for c in ("_it", "_s", "_e")])
+    b = base.select(*g, *[F.col(c).alias(f"{c}_b") for c in ("_it", "_s", "_e")])
+    pairs = a.join(b, g).filter(F.col("_it_a") < F.col("_it_b"))
+    # anchor A = lexicographically earlier (s, e)
+    swap = (F.col("_s_b") < F.col("_s_a")) | (
+        (F.col("_s_b") == F.col("_s_a")) & (F.col("_e_b") < F.col("_e_a"))
+    )
+    sa = F.when(swap, F.col("_s_b")).otherwise(F.col("_s_a"))
+    ea = F.when(swap, F.col("_e_b")).otherwise(F.col("_e_a"))
+    sb = F.when(swap, F.col("_s_a")).otherwise(F.col("_s_b"))
+    eb = F.when(swap, F.col("_e_a")).otherwise(F.col("_e_b"))
+    rel = (
+        F.when((sa == sb) & (ea == eb), F.lit("al_eq"))
+        .when(sa == sb, F.lit("al_starts"))
+        .when(ea < sb, F.lit("al_prec"))
+        .when(ea == sb, F.lit("al_meets"))
+        .when(eb < ea, F.lit("al_during"))
+        .when(eb == ea, F.lit("al_fin"))
+        .otherwise(F.lit("al_over"))
+    )
+    tagged = pairs.select(*g, rel.alias("_rel"))
+    return tagged.groupBy(*g).agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("_rel") == c, 1)), F.lit(0))
+            .cast("long")
+            .alias(c)
+            for c in ALLEN_COLS
+        ]
     )

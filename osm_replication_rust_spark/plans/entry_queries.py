@@ -6578,6 +6578,48 @@ def _mm_oracle_ctes() -> str:
       FROM mmassign a JOIN mmswitch w USING (traj)
       LEFT JOIN mmsecond s2 USING (traj)
     ),
+    alsid AS (
+      -- Allen census (relational.allen_census): the same 30-min
+      -- session assignment, joined back for the event type
+      SELECT g.user_id, g.ts, e.event_type,
+             SUM(new_s) OVER (PARTITION BY g.user_id ORDER BY g.ts, g.event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g JOIN events e ON e.event_id = g.event_id
+    ),
+    aliv AS (
+      SELECT user_id, sid, event_type,
+             min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+      FROM alsid GROUP BY user_id, sid, event_type
+    ),
+    alp AS (
+      SELECT user_id,
+             CASE WHEN sa = sb AND ea = eb THEN 'al_eq'
+                  WHEN sa = sb THEN 'al_starts'
+                  WHEN ea < sb THEN 'al_prec'
+                  WHEN ea = sb THEN 'al_meets'
+                  WHEN eb < ea THEN 'al_during'
+                  WHEN eb = ea THEN 'al_fin'
+                  ELSE 'al_over' END AS rel
+      FROM (
+        SELECT x.user_id,
+               CASE WHEN (y.s, y.e) < (x.s, x.e) THEN y.s ELSE x.s END AS sa,
+               CASE WHEN (y.s, y.e) < (x.s, x.e) THEN y.e ELSE x.e END AS ea,
+               CASE WHEN (y.s, y.e) < (x.s, x.e) THEN x.s ELSE y.s END AS sb,
+               CASE WHEN (y.s, y.e) < (x.s, x.e) THEN x.e ELSE y.e END AS eb
+        FROM aliv x JOIN aliv y ON y.user_id = x.user_id AND y.sid = x.sid
+                                AND y.event_type > x.event_type
+      )
+    ),
+    alc AS (
+      SELECT user_id,
+             {", ".join(
+                 f"CAST(COALESCE(SUM(CASE WHEN rel = '{c}' THEN 1 END), 0)"
+                 f" AS BIGINT) AS {c}"
+                 for c in (
+                     'al_prec', 'al_meets', 'al_over', 'al_starts',
+                     'al_during', 'al_fin', 'al_eq'))}
+      FROM alp GROUP BY user_id
+    ),
     isot AS (
       -- isotonic regression (relational.isotonic_fit): first {_ISO_MAX_N}
       -- events per user; the oracle brute-forces the textbook minimax
@@ -6643,7 +6685,9 @@ def _mm_oracle_ctes() -> str:
            mmf.mm_way, mmf.mm_pos, mmf.mm_rank, mmf.mm_e, mmf.mm_cost,
            mmf.mm_cost2, mmf.mm_switches,
            rz.rz_med2, rz.rz_d2, rz.rz_mad22, rz.rz_out,
-           iso.iso_n, iso.iso_fitq
+           iso.iso_n, iso.iso_fitq,
+           al.al_prec, al.al_meets, al.al_over, al.al_starts,
+           al.al_during, al.al_fin, al.al_eq
     FROM sg JOIN tt ON tt.user_id = sg.user_id
     JOIN mkf ON mkf.user_id = sg.user_id
     LEFT JOIN fnl ON fnl.user_id = sg.user_id
@@ -6654,6 +6698,7 @@ def _mm_oracle_ctes() -> str:
     LEFT JOIN mmfull mmf ON mmf.pid = sg.event_id
     JOIN rz ON rz.event_id = sg.event_id
     LEFT JOIN isofit iso ON iso.event_id = sg.event_id
+    LEFT JOIN alc al ON al.user_id = sg.user_id
     WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
     ORDER BY sg.user_id, event_id
     """,
@@ -6727,6 +6772,8 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clip import way_segments
     from ..operators.mapmatch import hmm_map_match
     from ..operators.relational import (
+        ALLEN_COLS,
+        allen_census,
         cohort_retention,
         funnel_levels,
         group_trend,
@@ -6790,6 +6837,34 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact median/MAD robust outliers (Hampel screen) per user over a
     # deliberately heavy-tailed exact amplitude (2^(id mod 19)): the
     # regime where mean/stddev z-scores drown and MAD is the tool
+    # Allen interval-relations census per user: the (session, type)
+    # activity intervals classified by temporal relation — uses the
+    # SAME 30-min session assignment as the main pipeline
+    sess_ev = raw_ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    w_al = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_al = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
+        w_al
+    )
+    sid = F.sum(
+        F.when(gap_al.isNull() | (gap_al > 1800), 1).otherwise(0)
+    ).over(w_al.rowsBetween(W.unboundedPreceding, 0))
+    aliv = (
+        sess_ev.withColumn("_sid", sid)
+        .groupBy("user_id", "_sid", "event_type")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+        )
+    )
+    alc = allen_census(aliv, ["user_id", "_sid"], "event_type")
+    al_user = alc.groupBy("user_id").agg(
+        *[F.sum(c).cast("long").alias(c) for c in ALLEN_COLS]
+    )
     iso = isotonic_fit(
         raw_ev.select(
             "user_id",
@@ -6869,6 +6944,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mm, "event_id", "left")
         .join(ro, "event_id")
         .join(iso, "event_id", "left")
+        .join(al_user, "user_id", "left")
         .orderBy("user_id", "event_id")
     )
 

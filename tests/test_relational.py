@@ -671,3 +671,81 @@ def test_isotonic_contracts(spark):
     got = isotonic_fit(df, max_n=5).collect()
     assert sorted(r.event_id for r in got) == [0, 1, 2, 3, 4]
     assert all(r.iso_n == 5 for r in got)
+
+
+def _ref_allen(ivals):
+    """Brute reference: ivals = {item: (s, e)}; returns the 7-census."""
+    import itertools
+
+    cnt = dict.fromkeys(
+        ["al_prec", "al_meets", "al_over", "al_starts", "al_during",
+         "al_fin", "al_eq"], 0
+    )
+    for x, y in itertools.combinations(sorted(ivals), 2):
+        A, B = sorted([ivals[x], ivals[y]])
+        (sa, ea), (sb, eb) = A, B
+        if sa == sb and ea == eb:
+            r = "al_eq"
+        elif sa == sb:
+            r = "al_starts"
+        elif ea < sb:
+            r = "al_prec"
+        elif ea == sb:
+            r = "al_meets"
+        elif eb < ea:
+            r = "al_during"
+        elif eb == ea:
+            r = "al_fin"
+        else:
+            r = "al_over"
+        cnt[r] += 1
+    return cnt
+
+
+def test_allen_census_all_seven_relations(spark):
+    from osm_replication_rust_spark.operators.relational import (
+        ALLEN_COLS,
+        allen_census,
+    )
+
+    # one key exercising every relation at least once
+    ivals = {
+        "a": (0, 10), "b": (0, 10),     # equals with a
+        "c": (0, 5),                    # starts (vs a, b)
+        "d": (20, 30),                  # precedes (vs everything early)
+        "e": (10, 20),                  # meets a/b, finishes? no — meets d
+        "f": (2, 4),                    # during a/b/c
+        "g": (3, 5),                    # finishes c, overlaps f
+    }
+    rows = [(1, k, s, e) for k, (s, e) in ivals.items()]
+    df = spark.createDataFrame(rows, "k long, item string, s long, e long")
+    got = allen_census(df, ["k"], "item").collect()[0].asDict()
+    ref = _ref_allen(ivals)
+    for c in ALLEN_COLS:
+        assert got[c] == ref[c], (c, got[c], ref[c])
+    assert sum(ref.values()) == 21  # all pairs classified exactly once
+
+
+def test_allen_census_random_parity(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.relational import (
+        ALLEN_COLS,
+        allen_census,
+    )
+
+    rng = np.random.default_rng(107)
+    rows, refs = [], {}
+    for k in range(8):
+        ivals = {}
+        for j in range(int(rng.integers(2, 7))):
+            s = int(rng.integers(0, 20))
+            e = s + int(rng.integers(0, 10))
+            ivals[f"t{j}"] = (s, e)
+        refs[k] = _ref_allen(ivals)
+        rows += [(k, it, s, e) for it, (s, e) in ivals.items()]
+    df = spark.createDataFrame(rows, "k long, item string, s long, e long")
+    got = {r.k: r.asDict() for r in allen_census(df, ["k"], "item").collect()}
+    for k, ref in refs.items():
+        for c in ALLEN_COLS:
+            assert got[k][c] == ref[c], (k, c)
