@@ -1292,3 +1292,269 @@ def rasterize_line(segs: DataFrame, px_res: int = 19) -> DataFrame:
         axis("_px1", "_dx").alias("px"),
         axis("_py1", "_dy").alias("py"),
     )
+
+
+# D8 direction codes, counterclockwise from east: d -> (dx, dy).
+D8_OFFSETS = (
+    (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1),
+)
+
+
+def d8_flow(
+    pixels: DataFrame,
+    tile_res: int = 23,
+    px_res: int = 19,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """D8 flow direction + flow accumulation — the raster-hydrology
+    primitive pair (GRASS r.watershed / ArcGIS FlowDirection +
+    FlowAccumulation) over the sparse density raster, exact-integer
+    throughout.  The tile's value surface is the elevation model
+    (``v``, empty cells absent); each occupied pixel flows to its
+    steepest strictly-DOWNHILL occupied 8-neighbour within the SAME
+    tile (the tile is the study area and the partition unit — the
+    ``morans_i`` / ``viewshed`` convention).  D8's drop/distance
+    steepness compare (diagonal distance √2) is cross-multiplied into
+    integers: for positive drops, ``drop_c / 1 > drop_d / √2  ⇔
+    2·drop_c² > drop_d²``, so the argmax key is ``w·drop²`` with w=2
+    for cardinal and w=1 for diagonal neighbours — no floats, no
+    engine drift.  Ties break to the smallest direction code (E, NE,
+    N, NW, W, SW, S, SE = 0..7).  Pixels with no occupied lower
+    neighbour are pits (``d8_dir`` null).
+
+    Flow accumulation is the classic "number of cells draining
+    through" (self included): the flow edges form a functional forest
+    (strict descent ⇒ acyclic), and ``acc`` is computed by the
+    monotone in-tree fixpoint ``acc ← 1 + Σ acc(upstream)``, which
+    after k rounds counts ancestors within k hops and converges in
+    longest-flow-path rounds.  Convergence is certified by the global
+    Σacc (strictly increasing until fixed); ONE count action per
+    round, every frontier localCheckpoint-truncated (the
+    ``dedup_components`` discipline), RuntimeError past
+    ``max_rounds`` rather than returning a partial accumulation.
+
+    Output: one row per occupied pixel — ``(tile, px, py, elev,
+    d8_dir, acc)`` with px/py the within-tile coords.
+
+    Scale: the neighbour argmax is one 8-offset map-side scatter + one
+    hash equi-join + one max(struct) agg (~8·nnz narrow rows, the
+    ``focal_sum`` shape); each accumulation round shuffles only edge
+    rows.  Rounds = longest flow path, bounded by the per-tile
+    distinct-elevation count (strict descent) and in practice by the
+    tile diagonal — independent of the NUMBER of tiles, which scale
+    out embarrassingly."""
+    npx = _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    mask = npx - 1
+    base = pixels.select(
+        (
+            F.shiftright(F.col(y), shift) * Y_STRIDE + F.shiftright(F.col(x), shift)
+        ).alias("tile"),
+        F.col(x).bitwiseAND(F.lit(mask)).alias("px"),
+        F.col(y).bitwiseAND(F.lit(mask)).alias("py"),
+        F.col(v).cast("long").alias("elev"),
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(2 if dx == 0 or dy == 0 else 1).alias("w"),
+            )
+            for d, (dx, dy) in enumerate(D8_OFFSETS)
+        ]
+    )
+    cand = (
+        base.select("tile", "px", "py", "elev", F.explode(offs).alias("_o"))
+        .select(
+            "tile",
+            "px",
+            "py",
+            "elev",
+            F.col("_o.d").alias("_d"),
+            F.col("_o.w").alias("_w"),
+            (F.col("px") + F.col("_o.dx")).alias("_tx"),
+            (F.col("py") + F.col("_o.dy")).alias("_ty"),
+        )
+        .join(
+            base.select(
+                F.col("tile").alias("_tb"),
+                F.col("px").alias("_tx"),
+                F.col("py").alias("_ty"),
+                F.col("elev").alias("_ne"),
+            ),
+            ["_tx", "_ty"],
+            "inner",
+        )
+        .filter((F.col("tile") == F.col("_tb")) & (F.col("_ne") < F.col("elev")))
+    )
+    drop = F.col("elev") - F.col("_ne")
+    best = (
+        cand.select(
+            "tile",
+            "px",
+            "py",
+            F.struct(
+                (F.col("_w") * drop * drop).alias("k"),
+                (F.lit(7) - F.col("_d")).alias("nd"),
+            ).alias("_c"),
+        )
+        .groupBy("tile", "px", "py")
+        .agg(F.max("_c").alias("_m"))
+        .select("tile", "px", "py", (F.lit(7) - F.col("_m.nd")).alias("d8_dir"))
+    )
+    flow = base.join(best, ["tile", "px", "py"], "left")
+    dxe = F.element_at(
+        F.array(*[F.lit(dx) for dx, _ in D8_OFFSETS]), F.col("d8_dir").cast("int") + 1
+    )
+    dye = F.element_at(
+        F.array(*[F.lit(dy) for _, dy in D8_OFFSETS]), F.col("d8_dir").cast("int") + 1
+    )
+    edges = (
+        flow.filter(F.col("d8_dir").isNotNull())
+        .select(
+            "tile",
+            F.col("px").alias("_ux"),
+            F.col("py").alias("_uy"),
+            (F.col("px") + dxe).alias("_vx"),
+            (F.col("py") + dye).alias("_vy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    acc = base.select(
+        "tile", "px", "py", F.lit(1).cast("long").alias("acc")
+    ).localCheckpoint(eager=True)
+    prev_total = acc.count()  # sum of acc at round 0 (all ones)
+    for _ in range(max_rounds):
+        contrib = (
+            edges.join(
+                acc.select(
+                    "tile",
+                    F.col("px").alias("_ux"),
+                    F.col("py").alias("_uy"),
+                    F.col("acc").alias("_ua"),
+                ),
+                ["tile", "_ux", "_uy"],
+                "inner",
+            )
+            .groupBy("tile", F.col("_vx").alias("px"), F.col("_vy").alias("py"))
+            .agg(F.sum("_ua").alias("_in"))
+        )
+        acc = (
+            base.select("tile", "px", "py")
+            .join(contrib, ["tile", "px", "py"], "left")
+            .select(
+                "tile",
+                "px",
+                "py",
+                (F.lit(1) + F.coalesce(F.col("_in"), F.lit(0))).cast("long").alias("acc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = acc.agg(F.sum("acc").alias("s")).first()["s"]
+        if total == prev_total:
+            break
+        prev_total = total
+    else:
+        raise RuntimeError(
+            f"d8_flow accumulation did not converge in {max_rounds} rounds"
+        )
+    return flow.join(acc, ["tile", "px", "py"]).select(
+        "tile", "px", "py", "elev", "d8_dir", "acc"
+    )
+
+
+#: marching-squares segment count per 4-bit corner case, bit layout
+#: b0=SW(0,0) b1=SE(1,0) b2=NW(0,1) b3=NE(1,1): empty/full 0, the two
+#: diagonal saddles (b0+b3=9, b1+b2=6) 2, every other mixed case 1.
+MS_SEGMENTS = tuple(
+    0 if c in (0, 15) else 2 if c in (6, 9) else 1 for c in range(16)
+)
+
+
+def marching_squares(
+    pixels: DataFrame,
+    tile_res: int = 23,
+    px_res: int = 19,
+    thr: int = 1,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+) -> DataFrame:
+    """Marching-squares contour census over the sparse raster — the
+    iso-line extraction primitive (GDAL contour / skimage
+    find_contours) reduced to its exact-integer combinatorial core.
+    Every 2×2 pixel window fully inside a tile whose corners are not
+    all below ``thr`` gets its 4-bit case (bit set ⇔ corner value ≥
+    thr; bit layout b0=SW b1=SE b2=NW b3=NE) and the contour-segment
+    count the case emits: 0 for empty/full, 2 for the two diagonal
+    saddles (cases 6 and 9 in this layout — resolved unambiguously as
+    two segments, the census convention), 1 otherwise.  All-below-thr
+    windows are excluded (the sparse complement; their count is
+    derivable as (npx−1)² − emitted per tile).
+
+    Output: one row per emitted window — ``(tile, wx, wy, mcase,
+    segs)`` with (wx, wy) the window's SW corner in within-tile
+    coords, 0 ≤ wx, wy ≤ npx−2.
+
+    Plan: each occupied pixel scatters to the ≤4 windows it corners
+    (map-side literal-offset explode, the ``focal_sum`` adjoint
+    shape), one hash agg summing the bit contributions — ~4·nnz
+    narrow rows, no dense grid, no Python, exact int64.  Scale: per
+    occupied pixel, never per grid cell; tiles independent."""
+    npx = _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    mask = npx - 1
+    base = pixels.select(
+        (
+            F.shiftright(F.col(y), shift) * Y_STRIDE + F.shiftright(F.col(x), shift)
+        ).alias("tile"),
+        F.col(x).bitwiseAND(F.lit(mask)).alias("px"),
+        F.col(y).bitwiseAND(F.lit(mask)).alias("py"),
+        F.col(v).cast("long").alias("_pv"),
+    )
+    # corner offset (cx, cy) of the pixel within window (px-cx, py-cy)
+    corners = F.array(
+        *[
+            F.struct(F.lit(cx).alias("cx"), F.lit(cy).alias("cy"))
+            for cy in (0, 1)
+            for cx in (0, 1)
+        ]
+    )
+    scat = (
+        base.select("tile", "px", "py", "_pv", F.explode(corners).alias("_c"))
+        .select(
+            "tile",
+            (F.col("px") - F.col("_c.cx")).alias("wx"),
+            (F.col("py") - F.col("_c.cy")).alias("wy"),
+            F.when(
+                F.col("_pv") >= thr,
+                F.element_at(
+                    F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)),
+                    (F.col("_c.cx") + 2 * F.col("_c.cy")).cast("int") + 1,
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_bit"),
+        )
+        .filter(
+            (F.col("wx") >= 0)
+            & (F.col("wy") >= 0)
+            & (F.col("wx") <= npx - 2)
+            & (F.col("wy") <= npx - 2)
+        )
+    )
+    segs = F.element_at(
+        F.array(*[F.lit(s) for s in MS_SEGMENTS]), F.col("mcase").cast("int") + 1
+    )
+    return (
+        scat.groupBy("tile", "wx", "wy")
+        .agg(F.sum("_bit").alias("mcase"))
+        .filter(F.col("mcase") > 0)
+        .select("tile", "wx", "wy", "mcase", segs.cast("long").alias("segs"))
+    )

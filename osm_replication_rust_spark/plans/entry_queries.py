@@ -7950,6 +7950,98 @@ def _sql_raster_vectorize() -> str:
              CAST(max(dt) AS BIGINT) AS dt_max,
              CAST(sum(CASE WHEN dt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dt_zeros
       FROM dtf GROUP BY tile
+    ),
+    -- D8 flow direction (raster.d8_flow): steepest strictly-downhill
+    -- occupied 8-neighbour within the tile; the drop/distance compare
+    -- cross-multiplied to ints (cardinal w=2, diagonal w=1: 2*drop_c²
+    -- vs drop_d²), ties to the smallest direction code
+    d8c AS (
+      SELECT a.gx, a.gy, o.d,
+             (CASE WHEN o.dx = 0 OR o.dy = 0 THEN 2 ELSE 1 END)
+               * CAST(a.n - b.n AS HUGEINT)
+               * CAST(a.n - b.n AS HUGEINT) AS k
+      FROM gpx a
+      CROSS JOIN (VALUES (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+                         (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1))
+                 o(d, dx, dy)
+      JOIN gpx b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+                AND b.n < a.n
+                AND a.gx // {enpx} = b.gx // {enpx}
+                AND a.gy // {enpx} = b.gy // {enpx}
+    ),
+    d8dir AS (
+      SELECT gx, gy, d FROM (
+        SELECT gx, gy, d,
+               row_number() OVER (PARTITION BY gx, gy ORDER BY k DESC, d) AS rn
+        FROM d8c)
+      WHERE rn = 1
+    ),
+    d8e AS (
+      SELECT f.gx, f.gy, f.gx + o.dx AS tx, f.gy + o.dy AS ty
+      FROM d8dir f
+      JOIN (VALUES (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+                   (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1))
+           o(d, dx, dy) ON o.d = f.d
+    ),
+    -- flow accumulation = per-cell visit count over every occupied
+    -- cell's downstream walk (strict descent => acyclic => terminates)
+    d8walk(gx, gy) AS (
+      SELECT gx, gy FROM gpx
+      UNION ALL
+      SELECT e.tx, e.ty FROM d8walk w
+      JOIN d8e e ON e.gx = w.gx AND e.gy = w.gy
+    ),
+    d8acc AS (
+      SELECT gx, gy, CAST(count(*) AS BIGINT) AS acc
+      FROM d8walk GROUP BY 1, 2
+    ),
+    d8t AS (
+      SELECT (g.gy // {enpx}) * {ys} + (g.gx // {enpx}) AS tile,
+             CAST(count(d.d) AS BIGINT) AS d8_flows,
+             CAST(count(*) - count(d.d) AS BIGINT) AS d8_pits,
+             CAST(COALESCE(SUM((d.d + 1)
+                   * ((g.gy % {enpx}) * {enpx} + (g.gx % {enpx}) + 1)), 0)
+                  AS BIGINT) AS d8_dirw,
+             CAST(SUM(a.acc) AS BIGINT) AS d8_acc_sum,
+             CAST(MAX(a.acc) AS BIGINT) AS d8_acc_max
+      FROM gpx g
+      LEFT JOIN d8dir d ON d.gx = g.gx AND d.gy = g.gy
+      JOIN d8acc a ON a.gx = g.gx AND a.gy = g.gy
+      GROUP BY 1
+    ),
+    -- marching-squares census at density threshold 2 (raster.
+    -- marching_squares): 4-bit case per fully-inside 2x2 window with
+    -- >= 1 occupied corner, bits b0=SW b1=SE b2=NW b3=NE; diagonal
+    -- saddles (6, 9) emit 2 segments, empty/full 0, others 1
+    msw AS (
+      SELECT (g.gy // {enpx}) * {ys} + (g.gx // {enpx}) AS tile,
+             (g.gx % {enpx}) - c.cx AS wx,
+             (g.gy % {enpx}) - c.cy AS wy,
+             SUM(CASE WHEN g.n >= 2 THEN
+                   CASE c.cx + 2 * c.cy
+                     WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+                 ELSE 0 END) AS mcase
+      FROM gpx g CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) c(cx, cy)
+      WHERE (g.gx % {enpx}) - c.cx BETWEEN 0 AND {enpx - 2}
+        AND (g.gy % {enpx}) - c.cy BETWEEN 0 AND {enpx - 2}
+      GROUP BY 1, 2, 3
+      HAVING SUM(CASE WHEN g.n >= 2 THEN
+                   CASE c.cx + 2 * c.cy
+                     WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+                 ELSE 0 END) > 0
+    ),
+    mstile AS (
+      SELECT tile,
+             CAST(SUM(CASE WHEN mcase BETWEEN 1 AND 14 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ms_cells,
+             CAST(SUM(CASE WHEN mcase = 15 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ms_full,
+             CAST(SUM(CASE WHEN mcase IN (6, 9) THEN 2
+                           WHEN mcase = 15 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS ms_segs,
+             CAST(SUM(mcase * (wy * {enpx - 1} + wx + 1))
+                  AS BIGINT) AS ms_wsum
+      FROM msw GROUP BY tile
     )
     SELECT * FROM (
       SELECT 'poly' AS leg,
@@ -7986,7 +8078,16 @@ def _sql_raster_vectorize() -> str:
              CAST(NULL AS DOUBLE) AS gini,
              CAST(NULL AS BIGINT) AS dt_sum,
              CAST(NULL AS BIGINT) AS dt_max,
-             CAST(NULL AS BIGINT) AS dt_zeros
+             CAST(NULL AS BIGINT) AS dt_zeros,
+             CAST(NULL AS BIGINT) AS d8_flows,
+             CAST(NULL AS BIGINT) AS d8_pits,
+             CAST(NULL AS BIGINT) AS d8_dirw,
+             CAST(NULL AS BIGINT) AS d8_acc_sum,
+             CAST(NULL AS BIGINT) AS d8_acc_max,
+             CAST(NULL AS BIGINT) AS ms_cells,
+             CAST(NULL AS BIGINT) AS ms_full,
+             CAST(NULL AS BIGINT) AS ms_segs,
+             CAST(NULL AS BIGINT) AS ms_wsum
       FROM rects
       UNION ALL
       SELECT 'events' AS leg,
@@ -8002,7 +8103,13 @@ def _sql_raster_vectorize() -> str:
              lq.lisa_num_str,
              vs.vs_opx, vs.vs_opy, vs.vs_ntot, vs.vs_n, vs.vs_mass,
              gini.gini_mass, gini.gini,
-             dtile.dt_sum, dtile.dt_max, dtile.dt_zeros
+             dtile.dt_sum, dtile.dt_max, dtile.dt_zeros,
+             d8t.d8_flows, d8t.d8_pits, d8t.d8_dirw,
+             d8t.d8_acc_sum, d8t.d8_acc_max,
+             COALESCE(mstile.ms_cells, 0) AS ms_cells,
+             COALESCE(mstile.ms_full, 0) AS ms_full,
+             COALESCE(mstile.ms_segs, 0) AS ms_segs,
+             COALESCE(mstile.ms_wsum, 0) AS ms_wsum
       FROM erects e
       JOIN lab l ON l.gx = e.x0 AND l.gy = e.y0
       JOIN bsz b USING (blob)
@@ -8012,6 +8119,9 @@ def _sql_raster_vectorize() -> str:
       JOIN vs ON vs.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN gini ON gini.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN dtile ON dtile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
+      JOIN d8t ON d8t.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
+      LEFT JOIN mstile
+             ON mstile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
     )
     ORDER BY leg, min_lon, min_lat
     """
@@ -8058,8 +8168,10 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees and windows are spelled identically in the SQL twin."""
     from ..operators.raster import (
         blob_labels,
+        d8_flow,
         distance_transform_l1,
         focal_sum,
+        marching_squares,
         geary_join_stats,
         gi_star,
         gini_tile,
@@ -8111,6 +8223,15 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("dt_sum"),
         F.lit(None).cast("long").alias("dt_max"),
         F.lit(None).cast("long").alias("dt_zeros"),
+        F.lit(None).cast("long").alias("d8_flows"),
+        F.lit(None).cast("long").alias("d8_pits"),
+        F.lit(None).cast("long").alias("d8_dirw"),
+        F.lit(None).cast("long").alias("d8_acc_sum"),
+        F.lit(None).cast("long").alias("d8_acc_max"),
+        F.lit(None).cast("long").alias("ms_cells"),
+        F.lit(None).cast("long").alias("ms_full"),
+        F.lit(None).cast("long").alias("ms_segs"),
+        F.lit(None).cast("long").alias("ms_wsum"),
     )
 
     ev = _t(spark, sf_dir, "events").select(
@@ -8181,6 +8302,54 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dt_zeros"),
         )
     )
+    # D8 flow direction + accumulation over the same density surface
+    # (raster.d8_flow — hydrology's FlowDirection/FlowAccumulation
+    # pair, integer-exact via the cross-multiplied √2 compare); the
+    # per-tile direction-weighted sum pins every pixel's direction and
+    # acc_sum pins every flow path node-by-node
+    d8t = (
+        d8_flow(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
+        .groupBy("tile")
+        .agg(
+            F.count("d8_dir").cast("long").alias("d8_flows"),
+            (F.count(F.lit(1)) - F.count("d8_dir"))
+            .cast("long")
+            .alias("d8_pits"),
+            F.coalesce(
+                F.sum(
+                    (F.col("d8_dir") + 1)
+                    * (F.col("py") * _RAS_NPX + F.col("px") + 1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("d8_dirw"),
+            F.sum("acc").cast("long").alias("d8_acc_sum"),
+            F.max("acc").cast("long").alias("d8_acc_max"),
+        )
+    )
+    # marching-squares contour census at density threshold 2 (thr=1
+    # would equal the occupancy mask the rectangles already pin);
+    # LEFT-joined because a tile may have no >=thr window at all
+    mst = (
+        marching_squares(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES, thr=2)
+        .groupBy("tile")
+        .agg(
+            F.sum(F.when(F.col("mcase") <= 14, 1).otherwise(0))
+            .cast("long")
+            .alias("ms_cells"),
+            F.sum(F.when(F.col("mcase") == 15, 1).otherwise(0))
+            .cast("long")
+            .alias("ms_full"),
+            F.sum("segs").cast("long").alias("ms_segs"),
+            F.sum(
+                F.col("mcase")
+                * (F.col("wy") * (_RAS_NPX - 1) + F.col("wx") + 1)
+            )
+            .cast("long")
+            .alias("ms_wsum"),
+        )
+    )
     events_leg = (
         erects.join(corner, ["min_lon", "min_lat"], "inner")
         .withColumn(
@@ -8196,6 +8365,12 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vsd, "tile")
         .join(gin, "tile")
         .join(dtile, "tile")
+        .join(d8t, "tile")
+        .join(mst, "tile", "left")
+        .withColumn("ms_cells", F.coalesce("ms_cells", F.lit(0).cast("long")))
+        .withColumn("ms_full", F.coalesce("ms_full", F.lit(0).cast("long")))
+        .withColumn("ms_segs", F.coalesce("ms_segs", F.lit(0).cast("long")))
+        .withColumn("ms_wsum", F.coalesce("ms_wsum", F.lit(0).cast("long")))
         .select(
             F.lit("events").alias("leg"),
             "min_lon",
@@ -8233,6 +8408,15 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dt_sum",
             "dt_max",
             "dt_zeros",
+            "d8_flows",
+            "d8_pits",
+            "d8_dirw",
+            "d8_acc_sum",
+            "d8_acc_max",
+            "ms_cells",
+            "ms_full",
+            "ms_segs",
+            "ms_wsum",
         )
     )
     return poly.unionByName(events_leg).orderBy("leg", "min_lon", "min_lat")

@@ -1046,3 +1046,168 @@ def test_viewshed_ridge_contract(spark):
     pix = spark.createDataFrame([(3, 3, 7)], "gx long, gy long, n long")
     got = viewshed(pix, tile_res=20, px_res=16).collect()[0]
     assert (got.vs_ntot, got.vs_n, got.vs_mass) == (1, 1, 7)
+
+
+# ---------------------------------------------------------------------------
+# D8 flow direction + accumulation (raster.d8_flow)
+# ---------------------------------------------------------------------------
+
+from osm_replication_rust_spark.operators.raster import (  # noqa: E402
+    D8_OFFSETS,
+    MS_SEGMENTS,
+    d8_flow,
+    marching_squares,
+)
+
+
+def _mk_pix(spark, cells, tile_res=TILE_RES, px_res=PX_RES):
+    """cells: {(gx_local, gy_local): v} within the tile at grid origin."""
+    rows = [
+        {"gx": (LON_OFFSET >> px_res) // NPX * NPX + x,
+         "gy": (LAT_OFFSET >> px_res) // NPX * NPX + y,
+         "n": v}
+        for (x, y), v in cells.items()
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _d8_python(cells):
+    """Brute-force D8 + accumulation oracle over {(x, y): elev}."""
+    dirs = {}
+    for (x, y), e in cells.items():
+        best = None
+        for d, (dx, dy) in enumerate(D8_OFFSETS):
+            ne = cells.get((x + dx, y + dy))
+            if ne is None or ne >= e:
+                continue
+            w = 2 if dx == 0 or dy == 0 else 1
+            key = (w * (e - ne) ** 2, -d)
+            if best is None or key > best[0]:
+                best = (key, d)
+        dirs[(x, y)] = None if best is None else best[1]
+    acc = {c: 0 for c in cells}
+    for c in cells:
+        cur = c
+        while cur is not None:
+            acc[cur] += 1
+            d = dirs[cur]
+            cur = None if d is None else (
+                cur[0] + D8_OFFSETS[d][0], cur[1] + D8_OFFSETS[d][1]
+            )
+    return dirs, acc
+
+
+def _local(cells_rows):
+    """Map d8_flow/ms output rows to within-tile (px, py) keyed dicts."""
+    return {(r["px"], r["py"]): r for r in cells_rows}
+
+
+def test_d8_flow_tiny_grid(spark):
+    # _mk_pix aligns to the tile origin, so within-tile (px, py) == keys
+    cells = {(0, 0): 5, (1, 0): 3, (0, 1): 4, (1, 1): 1}
+    got = _local(d8_flow(_mk_pix(spark, cells)).collect())
+    assert got[(0, 0)]["d8_dir"] == 1  # NE: diag drop 4, key 16 > E key 8
+    assert got[(1, 0)]["d8_dir"] == 2  # N
+    assert got[(0, 1)]["d8_dir"] == 0  # E: cardinal drop 3 key 18
+    assert got[(1, 1)]["d8_dir"] is None  # pit
+    assert got[(1, 1)]["acc"] == 4
+    assert all(got[c]["acc"] == 1 for c in [(0, 0), (1, 0), (0, 1)])
+
+
+def test_d8_tiebreak_and_sqrt2_compare(spark):
+    # E and N both drop 2 (key 8): tie -> smallest code = E (0)
+    cells = {(1, 1): 5, (2, 1): 3, (1, 2): 3}
+    out = _local(d8_flow(_mk_pix(spark, cells)).collect())
+    assert out[(1, 1)]["d8_dir"] == 0
+    # cardinal drop 3 (key 18) beats diagonal drop 4 (key 16):
+    # 3/1 > 4/sqrt(2) cross-multiplied
+    cells = {(1, 1): 10, (2, 1): 7, (2, 2): 6}
+    out = _local(d8_flow(_mk_pix(spark, cells)).collect())
+    assert out[(1, 1)]["d8_dir"] == 0
+
+
+def test_d8_chain_accumulation(spark):
+    n = 9
+    cells = {(i, 3): 20 - i for i in range(n)}
+    df = d8_flow(_mk_pix(spark, cells))
+    rows = df.collect()
+    accs = sorted(r["acc"] for r in rows)
+    assert accs == list(range(1, n + 1))
+    assert sum(r["acc"] for r in rows) == n * (n + 1) // 2
+    assert sum(r["d8_dir"] is None for r in rows) == 1
+
+
+def test_d8_nonconvergence_raises(spark):
+    cells = {(i, 0): 10 - i for i in range(6)}
+    with pytest.raises(Exception, match="converge"):
+        d8_flow(_mk_pix(spark, cells), max_rounds=2).collect()
+
+
+def test_d8_random_matches_python(spark):
+    rng = np.random.default_rng(7)
+    cells = {}
+    for _ in range(120):
+        x, y = int(rng.integers(0, NPX)), int(rng.integers(0, NPX))
+        cells[(x, y)] = int(rng.integers(1, 30))
+    dirs, acc = _d8_python(cells)
+    out = _local(d8_flow(_mk_pix(spark, cells)).collect())
+    assert len(out) == len(cells)
+    for (x, y), e in cells.items():
+        r = out[(x, y)]
+        assert r["elev"] == e
+        assert r["d8_dir"] == dirs[(x, y)], (x, y)
+        assert r["acc"] == acc[(x, y)], (x, y)
+
+
+# ---------------------------------------------------------------------------
+# marching squares census (raster.marching_squares)
+# ---------------------------------------------------------------------------
+
+
+def _ms_python(cells, thr):
+    """Window census oracle over {(x, y): v} within one tile."""
+    wins = {}
+    for (x, y), v in cells.items():
+        for cx in (0, 1):
+            for cy in (0, 1):
+                wx, wy = x - cx, y - cy
+                if 0 <= wx <= NPX - 2 and 0 <= wy <= NPX - 2:
+                    if v >= thr:
+                        wins[(wx, wy)] = wins.get((wx, wy), 0) | (1 << (cx + 2 * cy))
+                    else:
+                        wins.setdefault((wx, wy), 0)
+    return {w: c for w, c in wins.items() if c > 0}
+
+
+def test_marching_squares_single_pixel(spark):
+    cells = {(5, 5): 3}
+    out = marching_squares(_mk_pix(spark, cells), thr=1).collect()
+    got = {(r["wx"] - 5, r["wy"] - 5): r["mcase"] for r in out}
+    assert got == {(-1, -1): 8, (0, -1): 4, (-1, 0): 2, (0, 0): 1}
+    assert all(r["segs"] == 1 for r in out)
+
+
+def test_marching_squares_saddle_and_threshold(spark):
+    # diagonal pair SW+NE in one window -> case 9, two segments
+    cells = {(4, 4): 5, (5, 5): 5}
+    out = marching_squares(_mk_pix(spark, cells), thr=2).collect()
+    got = {(r["wx"], r["wy"]): (r["mcase"], r["segs"]) for r in out}
+    assert got[(4, 4)] == (9, 2)
+    # below-threshold pixels contribute nothing: all-below window vanishes
+    out2 = marching_squares(_mk_pix(spark, {(8, 8): 1}), thr=2).collect()
+    assert out2 == []
+
+
+def test_marching_squares_random_matches_python(spark):
+    rng = np.random.default_rng(11)
+    thr = 2
+    cells = {}
+    for _ in range(150):
+        x, y = int(rng.integers(0, NPX)), int(rng.integers(0, NPX))
+        cells[(x, y)] = int(rng.integers(1, 4))
+    oracle = _ms_python(cells, thr)
+    out = marching_squares(_mk_pix(spark, cells), thr=thr).collect()
+    got = {(r["wx"], r["wy"]): r["mcase"] for r in out}
+    assert got == oracle
+    for r in out:
+        assert r["segs"] == MS_SEGMENTS[r["mcase"]]
