@@ -1346,6 +1346,60 @@ def d8_flow(
     distinct-elevation count (strict descent) and in practice by the
     tile diagonal — independent of the NUMBER of tiles, which scale
     out embarrassingly."""
+    base, flow, edges = _d8_frames(pixels, tile_res, px_res, x, y, v)
+    acc = base.select(
+        "tile", "px", "py", F.lit(1).cast("long").alias("acc")
+    ).localCheckpoint(eager=True)
+    prev_total = acc.count()  # sum of acc at round 0 (all ones)
+    for _ in range(max_rounds):
+        contrib = (
+            edges.join(
+                acc.select(
+                    "tile",
+                    F.col("px").alias("_ux"),
+                    F.col("py").alias("_uy"),
+                    F.col("acc").alias("_ua"),
+                ),
+                ["tile", "_ux", "_uy"],
+                "inner",
+            )
+            .groupBy("tile", F.col("_vx").alias("px"), F.col("_vy").alias("py"))
+            .agg(F.sum("_ua").alias("_in"))
+        )
+        acc = (
+            base.select("tile", "px", "py")
+            .join(contrib, ["tile", "px", "py"], "left")
+            .select(
+                "tile",
+                "px",
+                "py",
+                (F.lit(1) + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long")
+                .alias("acc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = acc.agg(F.sum("acc").alias("s")).first()["s"]
+        if total == prev_total:
+            break
+        prev_total = total
+    else:
+        raise RuntimeError(
+            f"d8_flow accumulation did not converge in {max_rounds} rounds"
+        )
+    return flow.join(acc, ["tile", "px", "py"]).select(
+        "tile", "px", "py", "elev", "d8_dir", "acc"
+    )
+
+
+def _d8_frames(
+    pixels: DataFrame, tile_res: int, px_res: int, x: str, y: str, v: str
+):
+    """Shared D8 core: within-tile pixel frame ``base`` (tile, px, py,
+    elev), ``flow`` = base + the argmax ``d8_dir`` (null = pit), and
+    the checkpointed downstream edge frame ``edges`` (tile, _ux, _uy,
+    _vx, _vy) — reused by ``d8_flow`` (accumulation) and
+    ``d8_basins`` (watershed labeling)."""
     npx = _check_res(tile_res, px_res)
     shift = tile_res - px_res
     mask = npx - 1
@@ -1425,46 +1479,103 @@ def d8_flow(
         )
         .localCheckpoint(eager=True)
     )
-    acc = base.select(
-        "tile", "px", "py", F.lit(1).cast("long").alias("acc")
-    ).localCheckpoint(eager=True)
-    prev_total = acc.count()  # sum of acc at round 0 (all ones)
-    for _ in range(max_rounds):
-        contrib = (
-            edges.join(
-                acc.select(
-                    "tile",
-                    F.col("px").alias("_ux"),
-                    F.col("py").alias("_uy"),
-                    F.col("acc").alias("_ua"),
-                ),
-                ["tile", "_ux", "_uy"],
-                "inner",
-            )
-            .groupBy("tile", F.col("_vx").alias("px"), F.col("_vy").alias("py"))
-            .agg(F.sum("_ua").alias("_in"))
-        )
-        acc = (
-            base.select("tile", "px", "py")
-            .join(contrib, ["tile", "px", "py"], "left")
-            .select(
+    return base, flow, edges
+
+
+def d8_basins(
+    pixels: DataFrame,
+    tile_res: int = 23,
+    px_res: int = 19,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Watershed basin labeling over the D8 flow graph (the basins
+    half of GRASS r.watershed): every occupied pixel is labeled by the
+    PIT its flow path terminates in — ``basin`` = the terminal pixel's
+    within-tile key ``py·npx + px``, so a pit's label is its own key
+    and the basin count per tile equals the pit count.  Shares the
+    exact D8 direction semantics of ``d8_flow`` (``_d8_frames``).
+
+    The flow graph is a functional forest (strict descent), so root
+    labels are computed by POINTER DOUBLING: every pixel starts
+    pointing at its next cell (pits at themselves), and each round
+    replaces the pointer with the pointer's pointer — after k rounds a
+    pixel points 2^k steps downstream, so convergence takes
+    ⌈log₂(longest path)⌉ rounds (vs the linear rounds of the
+    accumulation fixpoint, which cannot pointer-double because it
+    aggregates over PATH PREFIXES, not endpoints).  One self-join +
+    one changed-count action per round, localCheckpoint-truncated;
+    RuntimeError past ``max_rounds`` (2^20 steps).
+
+    Output: ``(tile, px, py, basin)``, one row per occupied pixel.
+
+    Scale: state is one pointer row per occupied pixel; each round is
+    one self equi-join on the (tile, pointer) key — O(log path) rounds
+    of O(nnz) narrow shuffles; tiles independent."""
+    npx = _check_res(tile_res, px_res)
+    base, _flow, edges = _d8_frames(pixels, tile_res, px_res, x, y, v)
+    ptr = (
+        base.select("tile", "px", "py")
+        .join(
+            edges.select(
                 "tile",
-                "px",
-                "py",
-                (F.lit(1) + F.coalesce(F.col("_in"), F.lit(0))).cast("long").alias("acc"),
-            )
-            .localCheckpoint(eager=True)
+                F.col("_ux").alias("px"),
+                F.col("_uy").alias("py"),
+                "_vx",
+                "_vy",
+            ),
+            ["tile", "px", "py"],
+            "left",
         )
-        total = acc.agg(F.sum("acc").alias("s")).first()["s"]
-        if total == prev_total:
+        .select(
+            "tile",
+            "px",
+            "py",
+            F.coalesce(F.col("_vx"), F.col("px")).alias("tx"),
+            F.coalesce(F.col("_vy"), F.col("py")).alias("ty"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        hop = ptr.select(
+            F.col("tile").alias("_jt"),
+            F.col("px").alias("_jx"),
+            F.col("py").alias("_jy"),
+            F.col("tx").alias("_ntx"),
+            F.col("ty").alias("_nty"),
+        )
+        nxt = ptr.join(
+            hop,
+            (F.col("tile") == F.col("_jt"))
+            & (F.col("tx") == F.col("_jx"))
+            & (F.col("ty") == F.col("_jy")),
+            "inner",
+        ).select(
+            "tile", "px", "py", "tx", "ty", "_ntx", "_nty"
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter(
+            (F.col("_ntx") != F.col("tx")) | (F.col("_nty") != F.col("ty"))
+        ).count()
+        ptr = nxt.select(
+            "tile",
+            "px",
+            "py",
+            F.col("_ntx").alias("tx"),
+            F.col("_nty").alias("ty"),
+        )
+        if changed == 0:
             break
-        prev_total = total
     else:
         raise RuntimeError(
-            f"d8_flow accumulation did not converge in {max_rounds} rounds"
+            f"d8_basins pointer doubling did not converge in {max_rounds} rounds"
         )
-    return flow.join(acc, ["tile", "px", "py"]).select(
-        "tile", "px", "py", "elev", "d8_dir", "acc"
+    return ptr.select(
+        "tile",
+        "px",
+        "py",
+        (F.col("ty") * npx + F.col("tx")).cast("long").alias("basin"),
     )
 
 

@@ -8009,6 +8009,34 @@ def _sql_raster_vectorize() -> str:
       JOIN d8acc a ON a.gx = g.gx AND a.gy = g.gy
       GROUP BY 1
     ),
+    -- watershed basins (raster.d8_basins): every occupied cell walks
+    -- its flow path to the terminal pit; basin = the pit's within-tile
+    -- key py*npx + px
+    d8r(gx0, gy0, gx, gy) AS (
+      SELECT gx, gy, gx, gy FROM gpx
+      UNION ALL
+      SELECT r.gx0, r.gy0, e.tx, e.ty FROM d8r r
+      JOIN d8e e ON e.gx = r.gx AND e.gy = r.gy
+    ),
+    d8b AS (
+      SELECT r.gx0 AS gx, r.gy0 AS gy,
+             (r.gy % {enpx}) * {enpx} + (r.gx % {enpx}) AS basin
+      FROM d8r r LEFT JOIN d8e e ON e.gx = r.gx AND e.gy = r.gy
+      WHERE e.gx IS NULL
+    ),
+    wbg AS (
+      SELECT (gy // {enpx}) * {ys} + (gx // {enpx}) AS tile, basin,
+             count(*) AS bn,
+             SUM((basin + 1) * ((gy % {enpx}) * {enpx} + (gx % {enpx}) + 1))
+               AS bw
+      FROM d8b GROUP BY 1, 2
+    ),
+    wbt AS (
+      SELECT tile, CAST(count(*) AS BIGINT) AS wb_nbas,
+             CAST(max(bn) AS BIGINT) AS wb_max,
+             CAST(sum(bw) AS BIGINT) AS wb_wsum
+      FROM wbg GROUP BY 1
+    ),
     -- marching-squares census at density threshold 2 (raster.
     -- marching_squares): 4-bit case per fully-inside 2x2 window with
     -- >= 1 occupied corner, bits b0=SW b1=SE b2=NW b3=NE; diagonal
@@ -8084,6 +8112,9 @@ def _sql_raster_vectorize() -> str:
              CAST(NULL AS BIGINT) AS d8_dirw,
              CAST(NULL AS BIGINT) AS d8_acc_sum,
              CAST(NULL AS BIGINT) AS d8_acc_max,
+             CAST(NULL AS BIGINT) AS wb_nbas,
+             CAST(NULL AS BIGINT) AS wb_max,
+             CAST(NULL AS BIGINT) AS wb_wsum,
              CAST(NULL AS BIGINT) AS ms_cells,
              CAST(NULL AS BIGINT) AS ms_full,
              CAST(NULL AS BIGINT) AS ms_segs,
@@ -8106,6 +8137,7 @@ def _sql_raster_vectorize() -> str:
              dtile.dt_sum, dtile.dt_max, dtile.dt_zeros,
              d8t.d8_flows, d8t.d8_pits, d8t.d8_dirw,
              d8t.d8_acc_sum, d8t.d8_acc_max,
+             wbt.wb_nbas, wbt.wb_max, wbt.wb_wsum,
              COALESCE(mstile.ms_cells, 0) AS ms_cells,
              COALESCE(mstile.ms_full, 0) AS ms_full,
              COALESCE(mstile.ms_segs, 0) AS ms_segs,
@@ -8120,6 +8152,7 @@ def _sql_raster_vectorize() -> str:
       JOIN gini ON gini.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN dtile ON dtile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN d8t ON d8t.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
+      JOIN wbt ON wbt.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       LEFT JOIN mstile
              ON mstile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
     )
@@ -8168,6 +8201,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees and windows are spelled identically in the SQL twin."""
     from ..operators.raster import (
         blob_labels,
+        d8_basins,
         d8_flow,
         distance_transform_l1,
         focal_sum,
@@ -8228,6 +8262,9 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("d8_dirw"),
         F.lit(None).cast("long").alias("d8_acc_sum"),
         F.lit(None).cast("long").alias("d8_acc_max"),
+        F.lit(None).cast("long").alias("wb_nbas"),
+        F.lit(None).cast("long").alias("wb_max"),
+        F.lit(None).cast("long").alias("wb_wsum"),
         F.lit(None).cast("long").alias("ms_cells"),
         F.lit(None).cast("long").alias("ms_full"),
         F.lit(None).cast("long").alias("ms_segs"),
@@ -8328,6 +8365,25 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("acc").cast("long").alias("d8_acc_max"),
         )
     )
+    # watershed basins over the same D8 flow graph (raster.d8_basins —
+    # pointer doubling, O(log path) rounds): wb_wsum pins every
+    # pixel's basin label, wb_nbas == pit count by construction
+    wbg = (
+        d8_basins(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
+        .groupBy("tile", "basin")
+        .agg(
+            F.count(F.lit(1)).alias("_bn"),
+            F.sum(
+                (F.col("basin") + 1)
+                * (F.col("py") * _RAS_NPX + F.col("px") + 1)
+            ).alias("_bw"),
+        )
+    )
+    wbt = wbg.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("wb_nbas"),
+        F.max("_bn").cast("long").alias("wb_max"),
+        F.sum("_bw").cast("long").alias("wb_wsum"),
+    )
     # marching-squares contour census at density threshold 2 (thr=1
     # would equal the occupancy mask the rectangles already pin);
     # LEFT-joined because a tile may have no >=thr window at all
@@ -8366,6 +8422,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gin, "tile")
         .join(dtile, "tile")
         .join(d8t, "tile")
+        .join(wbt, "tile")
         .join(mst, "tile", "left")
         .withColumn("ms_cells", F.coalesce("ms_cells", F.lit(0).cast("long")))
         .withColumn("ms_full", F.coalesce("ms_full", F.lit(0).cast("long")))
@@ -8413,6 +8470,9 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d8_dirw",
             "d8_acc_sum",
             "d8_acc_max",
+            "wb_nbas",
+            "wb_max",
+            "wb_wsum",
             "ms_cells",
             "ms_full",
             "ms_segs",

@@ -1211,3 +1211,63 @@ def test_marching_squares_random_matches_python(spark):
     assert got == oracle
     for r in out:
         assert r["segs"] == MS_SEGMENTS[r["mcase"]]
+
+
+# ---------------------------------------------------------------------------
+# watershed basins (raster.d8_basins)
+# ---------------------------------------------------------------------------
+
+from osm_replication_rust_spark.operators.raster import d8_basins  # noqa: E402
+
+
+def _basin_python(cells):
+    dirs, _ = _d8_python(cells)
+    roots = {}
+    for c in cells:
+        cur = c
+        while dirs[cur] is not None:
+            d = dirs[cur]
+            cur = (cur[0] + D8_OFFSETS[d][0], cur[1] + D8_OFFSETS[d][1])
+        roots[c] = cur[1] * NPX + cur[0]
+    return roots
+
+
+def test_d8_basins_tiny(spark):
+    cells = {(0, 0): 5, (1, 0): 3, (0, 1): 4, (1, 1): 1}
+    out = _local(d8_basins(_mk_pix(spark, cells)).collect())
+    pit = 1 * NPX + 1
+    assert {k: r["basin"] for k, r in out.items()} == {
+        (0, 0): pit, (1, 0): pit, (0, 1): pit, (1, 1): pit
+    }
+
+
+def test_d8_basins_two_pits_and_chain(spark):
+    # two descending chains to two separate pits + an isolated pixel
+    cells = {(i, 0): 10 - i for i in range(4)}
+    cells.update({(i, 8): 20 - i for i in range(5, 9)})
+    cells[(12, 12)] = 7
+    out = _local(d8_basins(_mk_pix(spark, cells)).collect())
+    got = {k: r["basin"] for k, r in out.items()}
+    assert got[(0, 0)] == got[(3, 0)] == 0 * NPX + 3
+    assert got[(5, 8)] == got[(8, 8)] == 8 * NPX + 8
+    assert got[(12, 12)] == 12 * NPX + 12
+    # pointer doubling: a 4-chain needs 2 rounds; prove log behavior
+    # by converging a 9-chain within 5 rounds
+    chain = {(i, 3): 30 - i for i in range(9)}
+    out2 = _local(d8_basins(_mk_pix(spark, chain), max_rounds=5).collect())
+    assert all(r["basin"] == 3 * NPX + 8 for r in out2.values())
+
+
+def test_d8_basins_random_matches_python(spark):
+    rng = np.random.default_rng(23)
+    cells = {}
+    for _ in range(120):
+        x, y = int(rng.integers(0, NPX)), int(rng.integers(0, NPX))
+        cells[(x, y)] = int(rng.integers(1, 30))
+    oracle = _basin_python(cells)
+    out = _local(d8_basins(_mk_pix(spark, cells)).collect())
+    assert {k: r["basin"] for k, r in out.items()} == oracle
+    # basin count == pit count (labels are pit self-keys)
+    dirs, _ = _d8_python(cells)
+    n_pits = sum(d is None for d in dirs.values())
+    assert len({r["basin"] for r in out.values()}) == n_pits
