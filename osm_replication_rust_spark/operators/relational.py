@@ -880,3 +880,94 @@ def allen_census(
             for c in ALLEN_COLS
         ]
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    v: str,
+) -> DataFrame:
+    """CUSUM changepoint screen (Page '54 / the at-most-one-changepoint
+    mean-shift statistic) per key, exact-integer.  Over the ordered
+    values v_1..v_n the classic centered CUSUM is
+    C_k = S_k − (k/n)·S_n (S_k = prefix sum); to stay
+    division-free and engine-exact we carry the n-SCALED statistic
+
+        D_k = n·S_k − k·S_n  ( = n·C_k )
+
+    so the changepoint estimate is argmax_k |D_k| over the interior
+    split points k = 1..n−1 (ties → smallest k, the earliest
+    candidate).  The screen is the standard level-shift detector for
+    drifting sensors / regime changes in per-entity event streams —
+    a large max |D_k| concentrated at one k flags a mean shift there.
+
+    Emits one row per key: ``cp_n`` (sequence length), ``cp_stat``
+    (max |D_k|, 0 when n < 2), ``cp_pos`` (the argmax k, null when
+    n < 2), ``cp_sign`` (sign of D at the argmax: +1 = the prefix
+    runs ABOVE the global mean, −1 below, 0 never occurs at a strict
+    max unless the series is constant — then stat = 0 and pos = 1).
+
+    Plan: ONE (key, order) window for the prefix sum (shuffle shared
+    with any sibling per-key window fold) + one hash argmax agg via
+    max(struct) — no self-join, no Python, O(1) state per row.
+
+    Scale: |D_k| ≤ n·|S_n| — int64-safe while n·Σ|v| < 2^63 (2e18);
+    callers with larger groups cast the two products to decimal."""
+    g = list(keys)
+    w = Window.partitionBy(*g).orderBy(*[F.col(c) for c in order_cols])
+    pref = df.select(
+        *g,
+        F.col(v).cast("long").alias("_v"),
+        F.row_number().over(w).alias("_k"),
+        F.sum(F.col(v).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_sk"),
+    )
+    tot = pref.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("cp_n"),
+        F.sum("_v").cast("long").alias("_sn"),
+    )
+    d = (
+        pref.join(tot, g)
+        .filter((F.col("_k") < F.col("cp_n")) & (F.col("cp_n") >= 2))
+        .select(
+            *g,
+            "cp_n",
+            "_k",
+            (F.col("cp_n") * F.col("_sk") - F.col("_k") * F.col("_sn")).alias(
+                "_d"
+            ),
+        )
+    )
+    best = (
+        d.select(
+            *g,
+            "cp_n",
+            F.struct(
+                F.abs(F.col("_d")).alias("a"),
+                (-F.col("_k")).alias("nk"),
+                F.signum(F.col("_d")).cast("long").alias("sg"),
+            ).alias("_c"),
+        )
+        .groupBy(*g, "cp_n")
+        .agg(F.max("_c").alias("_m"))
+        .select(
+            *g,
+            "cp_n",
+            F.col("_m.a").cast("long").alias("cp_stat"),
+            (-F.col("_m.nk")).cast("long").alias("cp_pos"),
+            F.col("_m.sg").alias("cp_sign"),
+        )
+    )
+    short = (
+        tot.filter(F.col("cp_n") < 2)
+        .select(
+            *g,
+            "cp_n",
+            F.lit(0).cast("long").alias("cp_stat"),
+            F.lit(None).cast("long").alias("cp_pos"),
+            F.lit(0).cast("long").alias("cp_sign"),
+        )
+    )
+    return best.unionByName(short)

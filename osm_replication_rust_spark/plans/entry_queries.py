@@ -6660,6 +6660,35 @@ def _mm_oracle_ctes() -> str:
       JOIN isot t ON t.user_id = m.user_id AND t.rn = m.wi
       JOIN ison n ON n.user_id = m.user_id
       GROUP BY t.event_id, n.iso_n
+    ),
+    cpp AS (
+      -- CUSUM changepoint (relational.cusum_changepoint): n-scaled
+      -- D_k = n*S_k - k*S_n over the same (ts, event_id) order,
+      -- argmax |D| over interior k (ties -> earliest k)
+      SELECT user_id, event_id % 997 AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k,
+             SUM(event_id % 997) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk
+      FROM events
+    ),
+    cpt AS (
+      SELECT user_id, count(*) AS cp_n, SUM(v) AS sn FROM cpp GROUP BY 1
+    ),
+    cpb AS (
+      SELECT user_id, cp_stat, cp_pos, cp_sign FROM (
+        SELECT p.user_id,
+               CAST(abs(t.cp_n * p.sk - p.k * t.sn) AS BIGINT) AS cp_stat,
+               CAST(p.k AS BIGINT) AS cp_pos,
+               CAST(CASE WHEN t.cp_n * p.sk - p.k * t.sn > 0 THEN 1
+                         WHEN t.cp_n * p.sk - p.k * t.sn < 0 THEN -1
+                         ELSE 0 END AS BIGINT) AS cp_sign,
+               row_number() OVER (PARTITION BY p.user_id
+                   ORDER BY abs(t.cp_n * p.sk - p.k * t.sn) DESC, p.k) AS rn
+        FROM cpp p JOIN cpt t USING (user_id)
+        WHERE p.k < t.cp_n AND t.cp_n >= 2
+      ) WHERE rn = 1
     )
     SELECT sg.user_id, sg.event_id AS event_id, session_id, seg_id,
            CAST(count(*) OVER ws AS BIGINT) AS seg_n,
@@ -6687,7 +6716,11 @@ def _mm_oracle_ctes() -> str:
            rz.rz_med2, rz.rz_d2, rz.rz_mad22, rz.rz_out,
            iso.iso_n, iso.iso_fitq,
            al.al_prec, al.al_meets, al.al_over, al.al_starts,
-           al.al_during, al.al_fin, al.al_eq
+           al.al_during, al.al_fin, al.al_eq,
+           CAST(cpt.cp_n AS BIGINT) AS cp_n,
+           COALESCE(cpb.cp_stat, 0) AS cp_stat,
+           cpb.cp_pos AS cp_pos,
+           COALESCE(cpb.cp_sign, 0) AS cp_sign
     FROM sg JOIN tt ON tt.user_id = sg.user_id
     JOIN mkf ON mkf.user_id = sg.user_id
     LEFT JOIN fnl ON fnl.user_id = sg.user_id
@@ -6699,6 +6732,8 @@ def _mm_oracle_ctes() -> str:
     JOIN rz ON rz.event_id = sg.event_id
     LEFT JOIN isofit iso ON iso.event_id = sg.event_id
     LEFT JOIN alc al ON al.user_id = sg.user_id
+    JOIN cpt ON cpt.user_id = sg.user_id
+    LEFT JOIN cpb ON cpb.user_id = sg.user_id
     WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
     ORDER BY sg.user_id, event_id
     """,
@@ -6775,6 +6810,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ALLEN_COLS,
         allen_census,
         cohort_retention,
+        cusum_changepoint,
         funnel_levels,
         group_trend,
         isotonic_fit,
@@ -6895,6 +6931,20 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("_p").cast("long").alias("cohort_p"))
     )
+    # CUSUM changepoint screen per user over the same (ts, event_id)
+    # order and the same v = event_id % 997 the trend/isotonic folds
+    # use (relational.cusum_changepoint — n-scaled exact D_k)
+    cp = cusum_changepoint(
+        raw_ev.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            (F.col("event_id") % 997).alias("v"),
+        ),
+        ["user_id"],
+        ["ts", "event_id"],
+        "v",
+    ).select("user_id", "cp_n", "cp_stat", "cp_pos", "cp_sign")
     return (
         scd2_intervals(
             seg.withColumn(
@@ -6945,6 +6995,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ro, "event_id")
         .join(iso, "event_id", "left")
         .join(al_user, "user_id", "left")
+        .join(cp, "user_id")
         .orderBy("user_id", "event_id")
     )
 

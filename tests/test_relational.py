@@ -749,3 +749,75 @@ def test_allen_census_random_parity(spark):
     for k, ref in refs.items():
         for c in ALLEN_COLS:
             assert got[k][c] == ref[c], (k, c)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint screen (relational.cusum_changepoint)
+# ---------------------------------------------------------------------------
+
+from osm_replication_rust_spark.operators.relational import (  # noqa: E402
+    cusum_changepoint,
+)
+
+
+def _cusum_python(vals):
+    n = len(vals)
+    if n < 2:
+        return (n, 0, None, 0)
+    sn = sum(vals)
+    best = None
+    sk = 0
+    for k in range(1, n):
+        sk += vals[k - 1]
+        d = n * sk - k * sn
+        key = (abs(d), -k)
+        if best is None or key > best[0]:
+            sg = 0 if d == 0 else (1 if d > 0 else -1)
+            best = (key, k, abs(d), sg)
+    return (n, best[2], best[1], best[3])
+
+
+def _run_cusum(spark, series):
+    rows = [
+        {"k": key, "i": i, "v": v}
+        for key, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    out = cusum_changepoint(
+        spark.createDataFrame(rows), ["k"], ["i"], "v"
+    ).collect()
+    return {
+        r["k"]: (r["cp_n"], r["cp_stat"], r["cp_pos"], r["cp_sign"]) for r in out
+    }
+
+
+def test_cusum_level_shift_and_edges(spark):
+    series = {
+        "shift": [0, 0, 0, 0, 10, 10, 10, 10],  # clean mean shift at k=4
+        "const": [5, 5, 5, 5],                  # no change: stat 0, pos 1
+        "single": [42],                          # n<2: stat 0, pos null
+        "down": [9, 9, 9, 1, 1, 1],              # downward shift, sign +
+    }
+    got = _run_cusum(spark, series)
+    n, stat, pos, sg = got["shift"]
+    assert (n, pos) == (8, 4) and stat == 8 * 0 * 0 + abs(8 * 0 - 4 * 40)
+    assert sg == -1  # prefix below the global mean
+    assert got["const"] == (4, 0, 1, 0)
+    assert got["single"] == (1, 0, None, 0)
+    assert got["down"][2] == 3 and got["down"][3] == 1
+    for k, vals in series.items():
+        assert got[k] == _cusum_python(vals), k
+
+
+def test_cusum_random_matches_python(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    series = {}
+    for i in range(25):
+        n = int(rng.integers(1, 40))
+        vals = [int(x) for x in rng.integers(-50, 50, n)]
+        series[f"s{i}"] = vals
+    got = _run_cusum(spark, series)
+    for k, vals in series.items():
+        assert got[k] == _cusum_python(vals), k
