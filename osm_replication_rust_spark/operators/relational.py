@@ -971,3 +971,60 @@ def cusum_changepoint(
         )
     )
     return best.unionByName(short)
+
+
+def speed_screen(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    vmax: int = 100_000,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trajectory speed-feasibility screen — the GPS-cleaning primitive
+    run before map matching / stay detection: a consecutive step whose
+    implied speed exceeds ``vmax`` (decimicro per SECOND, planar) is
+    physically impossible (teleport / multipath jump) and flags the
+    fix for removal.  Division-free and exact: step k violates iff
+
+        d² > vmax² · dt²     (d² = dx² + dy², dt in whole seconds)
+
+    — a pure integer compare carried in decimal(38,0) (dx can reach
+    3.6e9 decimicro, so d² overflows int64 by design; HUGEINT on the
+    DuckDB side).  A zero-dt step with any displacement violates
+    automatically (rhs 0), the classic duplicate-timestamp teleport.
+
+    Emits one row per key: ``sp_steps`` (consecutive pairs),
+    ``sp_viol`` (violating steps), and ``sp_ex_str`` (Σ of the
+    positive excess d² − vmax²·dt² over violating steps, exact digits
+    as a string — pins the violation magnitudes, not just the count).
+
+    Plan: ONE (key, order) lag window (the shuffle every sibling
+    trajectory fold shares) + one hash agg; O(1) state per row."""
+    order_cols = order_cols or [ts]
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    dec = "decimal(38,0)"
+    dx = (F.col(lon) - F.lag(lon).over(w)).cast(dec)
+    dy = (F.col(lat) - F.lag(lat).over(w)).cast(dec)
+    dt = (
+        F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    ).cast(dec)
+    stepped = events.select(
+        F.col(key),
+        (dx * dx + dy * dy).alias("_d2"),
+        (F.lit(vmax).cast(dec) * F.lit(vmax).cast(dec) * dt * dt).alias("_b2"),
+    )
+    ex = F.when(F.col("_d2") > F.col("_b2"), F.col("_d2") - F.col("_b2"))
+    return stepped.groupBy(key).agg(
+        F.count("_d2").cast("long").alias("sp_steps"),
+        F.coalesce(
+            F.sum(F.when(F.col("_d2") > F.col("_b2"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("sp_viol"),
+        F.coalesce(F.sum(ex), F.lit(0).cast(dec))
+        .cast(dec)
+        .cast("string")
+        .alias("sp_ex_str"),
+    )

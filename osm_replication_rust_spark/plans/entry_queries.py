@@ -6315,6 +6315,11 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 10-minute stay criterion
 _TRAJ_EPS = 8_000_000
 _TRAJ_MIN_STAY_S = 600
+#: speed-screen bound (decimicro/s) for the sessionize fold: the
+#: synthetic per-user steps imply planar speeds of ~90..4400
+#: decimicro/s (median ~338 at sf0.01), so 400 splits the steps into a
+#: genuine ok/violation mix (~40% violations)
+_SPEED_VMAX = 400
 #: window-funnel gate params: view -> click -> purchase within 4 h of
 #: the chain's FIRST step (150/99/4 users at levels >=1/2/3 at sf0.01 —
 #: genuinely mixed at the driver's gate scale)
@@ -6689,6 +6694,34 @@ def _mm_oracle_ctes() -> str:
         FROM cpp p JOIN cpt t USING (user_id)
         WHERE p.k < t.cp_n AND t.cp_n >= 2
       ) WHERE rn = 1
+    ),
+    spq AS (
+      -- speed screen (relational.speed_screen): per consecutive step
+      -- the planar displacement and the whole-second gap, same
+      -- (ts, event_id) order as every trajectory fold
+      SELECT user_id,
+             lat - lag(lat) OVER wsp AS ddy,
+             lon - lag(lon) OVER wsp AS ddx,
+             epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000) OVER wsp AS ddt
+      FROM (SELECT user_id, event_id, ts, {_EV_LAT} AS lat, {_EV_LON} AS lon
+            FROM events)
+      WINDOW wsp AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    spx AS (
+      SELECT user_id,
+             CAST(ddx AS HUGEINT) * ddx + CAST(ddy AS HUGEINT) * ddy AS d2,
+             CAST({_SPEED_VMAX} AS HUGEINT) * {_SPEED_VMAX} * ddt * ddt AS b2
+      FROM spq WHERE ddt IS NOT NULL
+    ),
+    spagg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS sp_steps,
+             CAST(COALESCE(SUM(CASE WHEN d2 > b2 THEN 1 END), 0) AS BIGINT)
+               AS sp_viol,
+             CAST(COALESCE(SUM(CASE WHEN d2 > b2 THEN d2 - b2 END), 0)
+                  AS VARCHAR) AS sp_ex_str
+      FROM spx GROUP BY user_id
     )
     SELECT sg.user_id, sg.event_id AS event_id, session_id, seg_id,
            CAST(count(*) OVER ws AS BIGINT) AS seg_n,
@@ -6720,7 +6753,10 @@ def _mm_oracle_ctes() -> str:
            CAST(cpt.cp_n AS BIGINT) AS cp_n,
            COALESCE(cpb.cp_stat, 0) AS cp_stat,
            cpb.cp_pos AS cp_pos,
-           COALESCE(cpb.cp_sign, 0) AS cp_sign
+           COALESCE(cpb.cp_sign, 0) AS cp_sign,
+           COALESCE(spagg.sp_steps, 0) AS sp_steps,
+           COALESCE(spagg.sp_viol, 0) AS sp_viol,
+           COALESCE(spagg.sp_ex_str, '0') AS sp_ex_str
     FROM sg JOIN tt ON tt.user_id = sg.user_id
     JOIN mkf ON mkf.user_id = sg.user_id
     LEFT JOIN fnl ON fnl.user_id = sg.user_id
@@ -6734,6 +6770,7 @@ def _mm_oracle_ctes() -> str:
     LEFT JOIN alc al ON al.user_id = sg.user_id
     JOIN cpt ON cpt.user_id = sg.user_id
     LEFT JOIN cpb ON cpb.user_id = sg.user_id
+    LEFT JOIN spagg ON spagg.user_id = sg.user_id
     WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
     ORDER BY sg.user_id, event_id
     """,
@@ -6811,6 +6848,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         allen_census,
         cohort_retention,
         cusum_changepoint,
+        speed_screen,
         funnel_levels,
         group_trend,
         isotonic_fit,
@@ -6945,6 +6983,11 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["ts", "event_id"],
         "v",
     ).select("user_id", "cp_n", "cp_stat", "cp_pos", "cp_sign")
+    # speed-feasibility screen over the same derived trajectory
+    # (relational.speed_screen — GPS-cleaning teleport detector)
+    sp = speed_screen(
+        ev, "user_id", "ts", vmax=_SPEED_VMAX, order_cols=["ts", "event_id"]
+    )
     return (
         scd2_intervals(
             seg.withColumn(
@@ -6996,6 +7039,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(iso, "event_id", "left")
         .join(al_user, "user_id", "left")
         .join(cp, "user_id")
+        .join(sp, "user_id")
         .orderBy("user_id", "event_id")
     )
 

@@ -821,3 +821,96 @@ def test_cusum_random_matches_python(spark):
     got = _run_cusum(spark, series)
     for k, vals in series.items():
         assert got[k] == _cusum_python(vals), k
+
+
+# ---------------------------------------------------------------------------
+# trajectory speed screen (relational.speed_screen)
+# ---------------------------------------------------------------------------
+
+from osm_replication_rust_spark.operators.relational import speed_screen  # noqa: E402
+import datetime as _dt  # noqa: E402
+
+
+def _ts(s):
+    return _dt.datetime(2026, 1, 1) + _dt.timedelta(seconds=s)
+
+
+def _speed_python(pts, vmax):
+    steps = viol = 0
+    ex = 0
+    for (t0, x0, y0), (t1, x1, y1) in zip(pts, pts[1:]):
+        steps += 1
+        d2 = (x1 - x0) ** 2 + (y1 - y0) ** 2
+        b2 = vmax * vmax * (t1 - t0) ** 2
+        if d2 > b2:
+            viol += 1
+            ex += d2 - b2
+    return steps, viol, str(ex)
+
+
+def test_speed_screen_basic(spark):
+    vmax = 10
+    pts = {
+        # 3 steps: ok (d=5, dt=1), teleport (dt=0, d>0), too fast (d=100, dt=1)
+        "a": [(0, 0, 0), (1, 3, 4), (1, 3, 104), (2, 103, 104)],
+        "b": [(0, 7, 7)],                      # single fix: 0 steps
+        "c": [(0, 0, 0), (10, 0, 100)],        # exactly at bound: no viol
+    }
+    rows = [
+        {"k": k, "ts": _ts(t), "lat": y, "lon": x, "i": j}
+        for k, seq in pts.items()
+        for j, (t, x, y) in enumerate(seq)
+    ]
+    out = {
+        r["k"]: (r["sp_steps"], r["sp_viol"], r["sp_ex_str"])
+        for r in speed_screen(
+            spark.createDataFrame(rows), "k", "ts", vmax=vmax,
+            order_cols=["ts", "i"],
+        ).collect()
+    }
+    # a: teleport ex 100²-0, then (3,104)->(103,104) ex 100²-10²
+    assert out["a"] == (3, 2, str(10_000 + 9_900))
+    assert out["b"] == (1 - 1, 0, "0")
+    assert out["c"] == (1, 0, "0")
+    for k, seq in pts.items():
+        assert out[k] == _speed_python([(t, x, y) for t, x, y in seq], vmax), k
+
+
+def test_speed_screen_bigint_overflow_range(spark):
+    # dx ~ 3.6e9 -> d² ~ 1.3e19 > int64 max: the decimal carry must hold
+    rows = [
+        {"k": "w", "ts": _ts(0), "lat": -900_000_000, "lon": -1_800_000_000},
+        {"k": "w", "ts": _ts(1), "lat": 900_000_000, "lon": 1_800_000_000},
+    ]
+    out = speed_screen(spark.createDataFrame(rows), "k", "ts", vmax=1).collect()[0]
+    d2 = 3_600_000_000**2 + 1_800_000_000**2
+    assert (out["sp_steps"], out["sp_viol"]) == (1, 1)
+    assert out["sp_ex_str"] == str(d2 - 1)
+
+
+def test_speed_screen_random_matches_python(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    vmax = 1000
+    series = {}
+    for i in range(15):
+        n = int(rng.integers(1, 25))
+        t = np.cumsum(rng.integers(0, 5, n)).tolist()
+        xs = rng.integers(-100_000, 100_000, n).tolist()
+        ys = rng.integers(-100_000, 100_000, n).tolist()
+        series[f"s{i}"] = list(zip(map(int, t), map(int, xs), map(int, ys)))
+    rows = [
+        {"k": k, "ts": _ts(t), "lat": y, "lon": x, "i": j}
+        for k, seq in series.items()
+        for j, (t, x, y) in enumerate(seq)
+    ]
+    out = {
+        r["k"]: (r["sp_steps"], r["sp_viol"], r["sp_ex_str"])
+        for r in speed_screen(
+            spark.createDataFrame(rows), "k", "ts", vmax=vmax,
+            order_cols=["ts", "i"],
+        ).collect()
+    }
+    for k, seq in series.items():
+        assert out[k] == _speed_python(seq, vmax), k
