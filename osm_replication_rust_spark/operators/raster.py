@@ -1669,3 +1669,117 @@ def marching_squares(
         .filter(F.col("mcase") > 0)
         .select("tile", "wx", "wy", "mcase", segs.cast("long").alias("segs"))
     )
+
+
+#: Horn 3x3 kernel weights: contribution of the neighbour at offset o
+#: (relative to the TARGET pixel) to the target's (sx, sy) gradient
+#: numerators — sx = (NE + 2E + SE) - (NW + 2W + SW), sy = (NW + 2N +
+#: NE) - (SW + 2S + SE); the center pixel has weight 0 in both.
+HORN_WEIGHTS = (
+    ((1, 0), 2, 0), ((1, 1), 1, 1), ((1, -1), 1, -1),
+    ((-1, 0), -2, 0), ((-1, 1), -1, 1), ((-1, -1), -1, -1),
+    ((0, 1), 0, 2), ((0, -1), 0, -2),
+)
+
+
+def slope_aspect(
+    pixels: DataFrame,
+    tile_res: int = 23,
+    px_res: int = 19,
+    x: str = "gx",
+    y: str = "gy",
+    v: str = "n",
+) -> DataFrame:
+    """Horn slope/aspect (gdaldem slope/aspect, Horn '81) over the
+    sparse raster, reduced to exact integers: for every INTERIOR pixel
+    of an occupied tile's dense grid (1 ≤ px, py ≤ npx−2; border
+    pixels have no full 3×3 window) with at least one occupied
+    8-neighbour, the Horn gradient NUMERATORS
+
+        sx = (NE + 2·E + SE) − (NW + 2·W + SW)
+        sy = (NW + 2·N + NE) − (SW + 2·S + SE)
+
+    (absent pixels contribute 0; the /8·cellsize slope denominator is
+    a global constant, so ``slope2`` = sx² + sy² carries the exact
+    squared-slope ordering).  ``oct`` is the gradient-direction octant
+    k = ⌊atan2(sy, sx) / 45°⌋ ∈ 0..7, decided by PURE SIGN AND
+    MAGNITUDE COMPARES (half-open [k·45°, (k+1)·45°) sectors anchored
+    at east — the 45°-grid convention, NOT the 22.5°-offset
+    cartographic rose, whose boundaries are irrational in the grid);
+    null when sx = sy = 0 (flat).  Verified by the exact rotation
+    property: (sx, sy) → (sx−sy, sx+sy) rotates by +45° and must map
+    k → k+1 (mod 8).
+
+    Output: one row per interior pixel RECEIVING ≥1 contribution —
+    ``(tile, px, py, sx, sy, slope2, oct)``; interior pixels with a
+    fully-empty neighbourhood are flat by definition and derivable as
+    (npx−2)² − emitted per tile (the sparse complement).
+
+    Plan: one 8-offset weighted scatter (the ``focal_sum`` adjoint) +
+    ONE hash agg on the target key + the interior filter — ~8·nnz
+    narrow rows, no dense grid, no Python; tiles independent."""
+    npx = _check_res(tile_res, px_res)
+    shift = tile_res - px_res
+    mask = npx - 1
+    base = pixels.select(
+        (
+            F.shiftright(F.col(y), shift) * Y_STRIDE + F.shiftright(F.col(x), shift)
+        ).alias("tile"),
+        F.col(x).bitwiseAND(F.lit(mask)).alias("px"),
+        F.col(y).bitwiseAND(F.lit(mask)).alias("py"),
+        F.col(v).cast("long").alias("_pv"),
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(ox).alias("ox"),
+                F.lit(oy).alias("oy"),
+                F.lit(wx).alias("wx"),
+                F.lit(wy).alias("wy"),
+            )
+            for (ox, oy), wx, wy in HORN_WEIGHTS
+        ]
+    )
+    grad = (
+        base.select("tile", "px", "py", "_pv", F.explode(offs).alias("_o"))
+        .select(
+            "tile",
+            (F.col("px") - F.col("_o.ox")).alias("px"),
+            (F.col("py") - F.col("_o.oy")).alias("py"),
+            (F.col("_pv") * F.col("_o.wx")).alias("_cx"),
+            (F.col("_pv") * F.col("_o.wy")).alias("_cy"),
+        )
+        .filter(
+            (F.col("px") >= 1)
+            & (F.col("py") >= 1)
+            & (F.col("px") <= npx - 2)
+            & (F.col("py") <= npx - 2)
+        )
+        .groupBy("tile", "px", "py")
+        .agg(
+            F.sum("_cx").cast("long").alias("sx"),
+            F.sum("_cy").cast("long").alias("sy"),
+        )
+    )
+    sx, sy = F.col("sx"), F.col("sy")
+    oct_ = (
+        F.when((sx == 0) & (sy == 0), F.lit(None).cast("long"))
+        .when((sx > 0) & (sy >= 0) & (sy < sx), F.lit(0))
+        .when((sy > 0) & (sx > 0), F.lit(1))
+        .when((sy > 0) & (sx <= 0) & (-sx < sy), F.lit(2))
+        .when((sy > 0), F.lit(3))
+        .when((sy <= 0) & (sx < 0) & (-sy < -sx), F.lit(4))
+        .when((sy < 0) & (sx < 0), F.lit(5))
+        .when((sy < 0) & (sx >= 0) & (sx < -sy), F.lit(6))
+        .otherwise(F.lit(7))
+        .cast("long")
+    )
+    return grad.select(
+        "tile",
+        "px",
+        "py",
+        "sx",
+        "sy",
+        (sx * sx + sy * sy).cast("long").alias("slope2"),
+        oct_.alias("oct"),
+    )

@@ -8132,6 +8132,55 @@ def _sql_raster_vectorize() -> str:
              CAST(sum(bw) AS BIGINT) AS wb_wsum
       FROM wbg GROUP BY 1
     ),
+    -- Horn slope/aspect (raster.slope_aspect): exact gradient
+    -- numerators via the 8-offset weighted scatter; octant = the
+    -- half-open 45-degree sector decision table (flat -> NULL)
+    sasc AS (
+      SELECT (g.gy // {enpx}) * {ys} + (g.gx // {enpx}) AS tile,
+             (g.gx % {enpx}) - o.ox AS px,
+             (g.gy % {enpx}) - o.oy AS py,
+             g.n * o.wx AS cx, g.n * o.wy AS cy
+      FROM gpx g
+      CROSS JOIN (VALUES (1, 0, 2, 0), (1, 1, 1, 1), (1, -1, 1, -1),
+                         (-1, 0, -2, 0), (-1, 1, -1, 1),
+                         (-1, -1, -1, -1), (0, 1, 0, 2), (0, -1, 0, -2))
+                 o(ox, oy, wx, wy)
+      WHERE (g.gx % {enpx}) - o.ox BETWEEN 1 AND {enpx - 2}
+        AND (g.gy % {enpx}) - o.oy BETWEEN 1 AND {enpx - 2}
+    ),
+    sagr AS (
+      SELECT tile, px, py, SUM(cx) AS sx, SUM(cy) AS sy
+      FROM sasc GROUP BY 1, 2, 3
+    ),
+    saoct AS (
+      SELECT tile, px, py, sx * sx + sy * sy AS slope2,
+             CASE WHEN sx = 0 AND sy = 0 THEN NULL
+                  WHEN sx > 0 AND sy >= 0 AND sy < sx THEN 0
+                  WHEN sy > 0 AND sx > 0 THEN 1
+                  WHEN sy > 0 AND sx <= 0 AND -sx < sy THEN 2
+                  WHEN sy > 0 THEN 3
+                  WHEN sy <= 0 AND sx < 0 AND -sy < -sx THEN 4
+                  WHEN sy < 0 AND sx < 0 THEN 5
+                  WHEN sy < 0 AND sx >= 0 AND sx < -sy THEN 6
+                  ELSE 7 END AS oct
+      FROM sagr
+    ),
+    sat AS (
+      SELECT tile,
+             CAST(SUM(CASE WHEN slope2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS sa_nonflat,
+             CAST(SUM(CASE WHEN slope2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS sa_flat0,
+             CAST(SUM(slope2) AS BIGINT) AS sa_ssum,
+             CAST(MAX(slope2) AS BIGINT) AS sa_smax,
+             {" || ',' || ".join(
+                 f"CAST(COALESCE(SUM(CASE WHEN oct = {k} THEN 1 END), 0)"
+                 " AS VARCHAR)"
+                 for k in range(8))} AS sa_oct_sig,
+             CAST(COALESCE(SUM((oct + 1) * (py * {enpx} + px + 1)), 0)
+                  AS BIGINT) AS sa_wsum
+      FROM saoct GROUP BY tile
+    ),
     -- marching-squares census at density threshold 2 (raster.
     -- marching_squares): 4-bit case per fully-inside 2x2 window with
     -- >= 1 occupied corner, bits b0=SW b1=SE b2=NW b3=NE; diagonal
@@ -8210,6 +8259,12 @@ def _sql_raster_vectorize() -> str:
              CAST(NULL AS BIGINT) AS wb_nbas,
              CAST(NULL AS BIGINT) AS wb_max,
              CAST(NULL AS BIGINT) AS wb_wsum,
+             CAST(NULL AS BIGINT) AS sa_nonflat,
+             CAST(NULL AS BIGINT) AS sa_flat0,
+             CAST(NULL AS BIGINT) AS sa_ssum,
+             CAST(NULL AS BIGINT) AS sa_smax,
+             CAST(NULL AS VARCHAR) AS sa_oct_sig,
+             CAST(NULL AS BIGINT) AS sa_wsum,
              CAST(NULL AS BIGINT) AS ms_cells,
              CAST(NULL AS BIGINT) AS ms_full,
              CAST(NULL AS BIGINT) AS ms_segs,
@@ -8233,6 +8288,12 @@ def _sql_raster_vectorize() -> str:
              d8t.d8_flows, d8t.d8_pits, d8t.d8_dirw,
              d8t.d8_acc_sum, d8t.d8_acc_max,
              wbt.wb_nbas, wbt.wb_max, wbt.wb_wsum,
+             COALESCE(sat.sa_nonflat, 0) AS sa_nonflat,
+             COALESCE(sat.sa_flat0, 0) AS sa_flat0,
+             COALESCE(sat.sa_ssum, 0) AS sa_ssum,
+             COALESCE(sat.sa_smax, 0) AS sa_smax,
+             COALESCE(sat.sa_oct_sig, '0,0,0,0,0,0,0,0') AS sa_oct_sig,
+             COALESCE(sat.sa_wsum, 0) AS sa_wsum,
              COALESCE(mstile.ms_cells, 0) AS ms_cells,
              COALESCE(mstile.ms_full, 0) AS ms_full,
              COALESCE(mstile.ms_segs, 0) AS ms_segs,
@@ -8248,6 +8309,7 @@ def _sql_raster_vectorize() -> str:
       JOIN dtile ON dtile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN d8t ON d8t.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN wbt ON wbt.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
+      LEFT JOIN sat ON sat.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       LEFT JOIN mstile
              ON mstile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
     )
@@ -8301,6 +8363,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         distance_transform_l1,
         focal_sum,
         marching_squares,
+        slope_aspect,
         geary_join_stats,
         gi_star,
         gini_tile,
@@ -8360,6 +8423,12 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("wb_nbas"),
         F.lit(None).cast("long").alias("wb_max"),
         F.lit(None).cast("long").alias("wb_wsum"),
+        F.lit(None).cast("long").alias("sa_nonflat"),
+        F.lit(None).cast("long").alias("sa_flat0"),
+        F.lit(None).cast("long").alias("sa_ssum"),
+        F.lit(None).cast("long").alias("sa_smax"),
+        F.lit(None).cast("string").alias("sa_oct_sig"),
+        F.lit(None).cast("long").alias("sa_wsum"),
         F.lit(None).cast("long").alias("ms_cells"),
         F.lit(None).cast("long").alias("ms_full"),
         F.lit(None).cast("long").alias("ms_segs"),
@@ -8479,6 +8548,41 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("_bn").cast("long").alias("wb_max"),
         F.sum("_bw").cast("long").alias("wb_wsum"),
     )
+    # Horn slope/aspect octant census (raster.slope_aspect): exact
+    # gradient numerators per interior pixel; sa_wsum pins every
+    # pixel's octant, the sig pins the per-octant counts
+    sat = (
+        slope_aspect(pix, tile_res=_RAS_TILE_RES, px_res=_RAS_PX_RES)
+        .groupBy("tile")
+        .agg(
+            F.sum(F.when(F.col("slope2") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("sa_nonflat"),
+            F.sum(F.when(F.col("slope2") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("sa_flat0"),
+            F.sum("slope2").cast("long").alias("sa_ssum"),
+            F.max("slope2").cast("long").alias("sa_smax"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col("oct") == k, 1)), F.lit(0)
+                    ).cast("string")
+                    for k in range(8)
+                ],
+            ).alias("sa_oct_sig"),
+            F.coalesce(
+                F.sum(
+                    (F.col("oct") + 1)
+                    * (F.col("py") * _RAS_NPX + F.col("px") + 1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sa_wsum"),
+        )
+    )
     # marching-squares contour census at density threshold 2 (thr=1
     # would equal the occupancy mask the rectangles already pin);
     # LEFT-joined because a tile may have no >=thr window at all
@@ -8518,6 +8622,15 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dtile, "tile")
         .join(d8t, "tile")
         .join(wbt, "tile")
+        .join(sat, "tile", "left")
+        .withColumn("sa_nonflat", F.coalesce("sa_nonflat", F.lit(0).cast("long")))
+        .withColumn("sa_flat0", F.coalesce("sa_flat0", F.lit(0).cast("long")))
+        .withColumn("sa_ssum", F.coalesce("sa_ssum", F.lit(0).cast("long")))
+        .withColumn("sa_smax", F.coalesce("sa_smax", F.lit(0).cast("long")))
+        .withColumn(
+            "sa_oct_sig", F.coalesce("sa_oct_sig", F.lit("0,0,0,0,0,0,0,0"))
+        )
+        .withColumn("sa_wsum", F.coalesce("sa_wsum", F.lit(0).cast("long")))
         .join(mst, "tile", "left")
         .withColumn("ms_cells", F.coalesce("ms_cells", F.lit(0).cast("long")))
         .withColumn("ms_full", F.coalesce("ms_full", F.lit(0).cast("long")))
@@ -8568,6 +8681,12 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wb_nbas",
             "wb_max",
             "wb_wsum",
+            "sa_nonflat",
+            "sa_flat0",
+            "sa_ssum",
+            "sa_smax",
+            "sa_oct_sig",
+            "sa_wsum",
             "ms_cells",
             "ms_full",
             "ms_segs",

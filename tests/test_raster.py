@@ -1271,3 +1271,100 @@ def test_d8_basins_random_matches_python(spark):
     dirs, _ = _d8_python(cells)
     n_pits = sum(d is None for d in dirs.values())
     assert len({r["basin"] for r in out.values()}) == n_pits
+
+
+# ---------------------------------------------------------------------------
+# Horn slope/aspect (raster.slope_aspect)
+# ---------------------------------------------------------------------------
+
+from osm_replication_rust_spark.operators.raster import (  # noqa: E402
+    HORN_WEIGHTS,
+    slope_aspect,
+)
+
+
+def _oct_python(sx, sy):
+    if sx == 0 and sy == 0:
+        return None
+    if sx > 0 and sy >= 0 and sy < sx:
+        return 0
+    if sy > 0 and sx > 0:
+        return 1
+    if sy > 0 and sx <= 0 and -sx < sy:
+        return 2
+    if sy > 0:
+        return 3
+    if sy <= 0 and sx < 0 and -sy < -sx:
+        return 4
+    if sy < 0 and sx < 0:
+        return 5
+    if sy < 0 and sx >= 0 and sx < -sy:
+        return 6
+    return 7
+
+
+def _horn_python(cells):
+    out = {}
+    for tx in range(1, NPX - 1):
+        for ty in range(1, NPX - 1):
+            z = lambda dx, dy: cells.get((tx + dx, ty + dy), 0)  # noqa: E731
+            any_nb = any(
+                (tx + ox, ty + oy) in cells for (ox, oy), _, _ in HORN_WEIGHTS
+            )
+            if not any_nb:
+                continue
+            sx = (z(1, 1) + 2 * z(1, 0) + z(1, -1)) - (
+                z(-1, 1) + 2 * z(-1, 0) + z(-1, -1)
+            )
+            sy = (z(-1, 1) + 2 * z(0, 1) + z(1, 1)) - (
+                z(-1, -1) + 2 * z(0, -1) + z(1, -1)
+            )
+            out[(tx, ty)] = (sx, sy, sx * sx + sy * sy, _oct_python(sx, sy))
+    return out
+
+
+def test_octant_rotation_property():
+    # rotating (sx, sy) by +45 deg — (x, y) -> (x - y, x + y) — must
+    # advance the octant by exactly 1 (mod 8); anchors pin the phase
+    assert _oct_python(1, 0) == 0 and _oct_python(1, 1) == 1
+    for sx in range(-3, 4):
+        for sy in range(-3, 4):
+            k = _oct_python(sx, sy)
+            k2 = _oct_python(sx - sy, sx + sy)
+            if k is None:
+                assert k2 is None
+            else:
+                assert k2 == (k + 1) % 8, (sx, sy)
+
+
+def test_slope_aspect_spark_matches_python_decision_table(spark):
+    # every octant + flat, planted via single-neighbour gradients:
+    # a pixel east of the target makes sx=+2v, sy=0, etc.
+    rng = np.random.default_rng(53)
+    cells = {}
+    for _ in range(130):
+        xx, yy = int(rng.integers(0, NPX)), int(rng.integers(0, NPX))
+        cells[(xx, yy)] = int(rng.integers(1, 9))
+    oracle = _horn_python(cells)
+    out = {
+        (r["px"], r["py"]): (r["sx"], r["sy"], r["slope2"], r["oct"])
+        for r in slope_aspect(_mk_pix(spark, cells)).collect()
+    }
+    assert out == oracle
+    # sanity: the random grid actually exercised several octants
+    assert len({v[3] for v in oracle.values() if v[3] is not None}) >= 5
+
+
+def test_slope_aspect_interior_only_and_flat(spark):
+    # a pixel at the tile corner scatters only to interior targets;
+    # symmetric cross makes the center exactly flat (sx=sy=0) but
+    # present (it received contributions)
+    c = NPX // 2
+    cells = {(c + 1, c): 5, (c - 1, c): 5, (c, c + 1): 5, (c, c - 1): 5}
+    out = {
+        (r["px"], r["py"]): r
+        for r in slope_aspect(_mk_pix(spark, cells)).collect()
+    }
+    r = out[(c, c)]
+    assert (r["sx"], r["sy"], r["slope2"], r["oct"]) == (0, 0, 0, None)
+    assert all(1 <= px <= NPX - 2 and 1 <= py <= NPX - 2 for px, py in out)
