@@ -889,3 +889,89 @@ def sql_bpe_ctes(n_merges: int = 5, sep: str = "chr(1)") -> str:
       FROM {mfrom} CROSS JOIN bpe_stats s
     )""")
     return ",".join(out)
+
+
+#: tracked alphabet for the char-entropy screen: space + the 16 most
+#: frequent English letters; everything else lands in the OTHER
+#: bucket. No case folding — Unicode lower() is not contracted
+#: identical across engines, and a case-sensitive census is still a
+#: valid quality screen (documented).
+ENTROPY_ALPHABET = " etaoinshrdlucmfw"
+
+
+def _entropy_counts(t):
+    return [
+        F.length(t) - F.length(F.replace(t, F.lit(c), F.lit("")))
+        for c in ENTROPY_ALPHABET
+    ]
+
+
+def char_entropy_cols(t) -> list:
+    """Character-entropy quality screen — the classic corpus filter
+    for mojibake / binary spill / boilerplate (low-entropy) and
+    random-key (high-entropy) documents, map-only: per document the
+    Shannon entropy (NATS) of the character distribution over
+    ``ENTROPY_ALPHABET`` + an OTHER bucket,
+
+        H = ln(N) − (Σ_c n_c·ln(n_c)) / N        (n_c > 0 terms)
+
+    with n_c = length(t) − length(replace(t, c, '')) — pure string
+    built-ins, zero shuffle, zero Python, and the Σ spelled as a
+    FIXED left-associated chain so the float tree is identical in the
+    DuckDB twin (ln may drift an ulp; the gate's 9-significant-digit
+    compare absorbs it, the BM25 precedent).  Emits ``ce_n`` (total
+    chars), ``ce_distinct`` (tracked chars present + other-present),
+    ``ce_h`` (nats; null when the text is empty)."""
+    counts = _entropy_counts(t)
+    n = F.length(t)
+    other = n - sum(counts[1:], counts[0])
+    terms = counts + [other]
+    dist = sum(
+        (F.when(c > 0, 1).otherwise(0) for c in terms[1:]),
+        F.when(terms[0] > 0, 1).otherwise(0),
+    )
+    def plogp(c):
+        return F.when(
+            c > 0, c.cast("double") * F.log(c.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    ssum = plogp(terms[0])
+    for c in terms[1:]:
+        ssum = ssum + plogp(c)
+    h = F.when(
+        n > 0,
+        F.log(n.cast("double")) - ssum / n.cast("double"),
+    )
+    return [
+        n.cast("long").alias("ce_n"),
+        dist.cast("long").alias("ce_distinct"),
+        h.alias("ce_h"),
+    ]
+
+
+def sql_char_entropy(expr: str) -> dict[str, str]:
+    """DuckDB twin of ``char_entropy_cols`` — the same counts, the
+    same left-associated Σ, ln for ln."""
+    counts = [
+        f"(length({expr}) - length(replace({expr}, '{c}', '')))"
+        for c in ENTROPY_ALPHABET
+    ]
+    other = f"(length({expr}) - ({' + '.join(counts)}))"
+    terms = counts + [other]
+    dist = " + ".join(f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 END)" for c in terms)
+    ssum = ""
+    for c in terms:
+        t = (
+            f"(CASE WHEN {c} > 0 THEN CAST({c} AS DOUBLE)"
+            f" * ln(CAST({c} AS DOUBLE)) ELSE 0.0 END)"
+        )
+        ssum = t if not ssum else f"({ssum} + {t})"
+    return {
+        "ce_n": f"CAST(length({expr}) AS BIGINT)",
+        "ce_distinct": f"CAST({dist} AS BIGINT)",
+        "ce_h": (
+            f"CASE WHEN length({expr}) > 0 THEN"
+            f" ln(CAST(length({expr}) AS DOUBLE))"
+            f" - {ssum} / CAST(length({expr}) AS DOUBLE) END"
+        ),
+    }

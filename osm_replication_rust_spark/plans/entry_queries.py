@@ -2155,6 +2155,7 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import stratified_fixed_n, stratified_rate_sample
     from ..operators.text import (
         bpe_token_count,
+        char_entropy_cols,
         dup_line_frac,
         pii_count_cols,
         redact_pii,
@@ -2197,6 +2198,8 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_canonicalize(
             F.nullif(F.regexp_extract(ptxt, URL_PATTERN, 0), F.lit(""))
         ).alias("url_canon"),
+        # char-entropy quality screen (map-only, zero new exchange)
+        *char_entropy_cols(F.col("text")),
     ]
     tf = text_features(d, "text", "doc_id", extra_cols=pii_cols)
     # phonetic blocking (entity resolution): the bucket size of each
@@ -2244,6 +2247,7 @@ def _fill_text_oracles() -> None:
     from ..operators.text import (
         LANG_MARKERS as markers,
         sql_bpe_token_count,
+        sql_char_entropy,
         sql_dup_line_frac,
         sql_dup_trigram_frac,
         sql_dup_trigrams,
@@ -2280,6 +2284,12 @@ def _fill_text_oracles() -> None:
         f"|| {footer_sql} ELSE text END)"
     )
     dlf_sql = f"{sql_dup_line_frac(ltxt_sql)} AS dup_line_frac"
+    ce = sql_char_entropy("text")
+    ce_sql = (
+        f"{ce['ce_n']} AS ce_n,\n           "
+        f"{ce['ce_distinct']} AS ce_distinct,\n           "
+        f"{ce['ce_h']} AS ce_h"
+    )
     _ORACLES["text_features"] = f"""
     WITH s AS (
       SELECT doc_id, text, {score['en']} AS s_en, {score['de']} AS s_de,
@@ -2313,6 +2323,7 @@ def _fill_text_oracles() -> None:
            {pii_sql},
            {red_sql},
            {dlf_sql},
+           {ce_sql},
            {sql_bpe_token_count('text')} AS bpe_tokens,
            {sql_soundex(_SX_FIRST_WORD)} AS sx_first,
            {sql_url_canonicalize(

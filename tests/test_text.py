@@ -625,3 +625,92 @@ def test_url_canonicalize_duckdb_twin_parity(spark):
     ).fetchall())
     for u in urls:
         assert srows[u] == orows[u], (u, srows[u], orows[u])
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality screen (text.char_entropy_cols)
+# ---------------------------------------------------------------------------
+
+import math
+
+from osm_replication_rust_spark.operators.text import (  # noqa: E402
+    ENTROPY_ALPHABET,
+    char_entropy_cols,
+    sql_char_entropy,
+)
+
+
+def _entropy_python(t):
+    n = len(t)
+    counts = [t.count(c) for c in ENTROPY_ALPHABET]
+    other = n - sum(counts)
+    terms = counts + [other]
+    dist = sum(1 for c in terms if c > 0)
+    if n == 0:
+        return (0, dist, None)
+    s = 0.0
+    for c in terms:
+        if c > 0:
+            s = s + float(c) * math.log(float(c))
+    return (n, dist, math.log(float(n)) - s / float(n))
+
+
+def test_char_entropy_hand_and_edges(spark):
+    import pyspark.sql.functions as F
+
+    texts = [
+        "",                      # empty: h null
+        "aaaa",                  # single tracked char: h == 0
+        "zzzz",                  # single OTHER char: h == 0
+        "the rain in spain",     # mixed
+        "ab" * 50,               # two-symbol: h == ln(2) exactly-ish
+    ]
+    df = spark.createDataFrame([{"i": i, "t": t} for i, t in enumerate(texts)])
+    out = {
+        r["i"]: (r["ce_n"], r["ce_distinct"], r["ce_h"])
+        for r in df.select("i", *char_entropy_cols(F.col("t"))).collect()
+    }
+    assert out[0] == (0, 0, None)
+    assert out[1][2] == 0.0 and out[2][2] == 0.0
+    assert abs(out[4][2] - math.log(2)) < 1e-12
+    for i, t in enumerate(texts):
+        n, d, h = _entropy_python(t)
+        assert out[i][0] == n and out[i][1] == d, i
+        if h is None:
+            assert out[i][2] is None
+        else:
+            assert abs(out[i][2] - h) < 1e-9, i
+
+
+def test_char_entropy_duckdb_twin_parity(spark):
+    import duckdb
+    import pyspark.sql.functions as F
+
+    texts = [
+        "", "aaaa", "The quick brown fox!", "  spaces  ",
+        "entropy entropy entropy", "??!!~~##", "a", "z",
+        "mixed CASE Text With 123 and  double  spaces",
+    ]
+    df = spark.createDataFrame([{"i": i, "t": t} for i, t in enumerate(texts)])
+    got = {
+        r["i"]: (r["ce_n"], r["ce_distinct"], r["ce_h"])
+        for r in df.select("i", *char_entropy_cols(F.col("t"))).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE tt AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") v(i, t)"
+    )
+    sq = sql_char_entropy("t")
+    want = con.execute(
+        f"SELECT i, {sq['ce_n']} AS n, {sq['ce_distinct']} AS d,"
+        f" {sq['ce_h']} AS h FROM tt ORDER BY i"
+    ).fetchall()
+    for i, n, d, h in want:
+        gn, gd, gh = got[i]
+        assert (gn, gd) == (n, d), i
+        if h is None:
+            assert gh is None
+        else:
+            assert abs(gh - h) < 1e-12, i
