@@ -8143,6 +8143,61 @@ def _sql_raster_vectorize() -> str:
              CAST(sum(bw) AS BIGINT) AS wb_wsum
       FROM wbg GROUP BY 1
     ),
+    -- emerging-hotspot trend: per-tile Mann-Kendall over the
+    -- densified daily space-time cube (zero-bins included); the twin
+    -- proves S with the brute pair join, a different algorithm
+    ehd AS (
+      SELECT (({_EV_LAT}) + {C.LAT_OFFSET}) // {1 << _RAS_TILE_RES} * {ys}
+             + (({_EV_LON}) + {C.LON_OFFSET}) // {1 << _RAS_TILE_RES} AS tile,
+             epoch_us(ts) // 1000000 // 86400 AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ehspan AS (SELECT min(day) AS d0, max(day) AS d1 FROM ehd),
+    ehcube AS (
+      SELECT g.tile, g.day, COALESCE(e.n, 0) AS n
+      FROM (SELECT t.tile, gs.day
+            FROM (SELECT DISTINCT tile FROM ehd) t, ehspan s,
+                 UNNEST(generate_series(s.d0, s.d1)) AS gs(day)) g
+      LEFT JOIN ehd e ON e.tile = g.tile AND e.day = g.day
+    ),
+    ehp AS (
+      SELECT a.tile,
+             CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1
+                  ELSE 0 END AS sg
+      FROM ehcube a JOIN ehcube b ON b.tile = a.tile AND a.day < b.day
+    ),
+    ehs AS (SELECT tile, CAST(SUM(sg) AS BIGINT) AS eh_s FROM ehp GROUP BY tile),
+    ehn AS (SELECT tile, CAST(count(*) AS HUGEINT) AS en FROM ehcube GROUP BY tile),
+    eht AS (
+      SELECT tile,
+             SUM(CASE WHEN t > 1 THEN t * (t - 1) * (2 * t + 5)
+                 ELSE 0 END) AS tie
+      FROM (SELECT tile, CAST(count(*) AS HUGEINT) AS t
+            FROM ehcube GROUP BY tile, n)
+      GROUP BY tile
+    ),
+    ehf AS (
+      SELECT ehn.tile,
+             CAST(ehn.en AS BIGINT) AS eh_n,
+             COALESCE(ehs.eh_s, 0) AS eh_s,
+             CAST(en * (en - 1) * (2 * en + 5) - COALESCE(eht.tie, 0)
+                  AS VARCHAR) AS eh_var18_str,
+             CASE WHEN en * (en - 1) * (2 * en + 5) - COALESCE(eht.tie, 0) = 0
+                    THEN NULL
+                  WHEN COALESCE(ehs.eh_s, 0) > 0
+                    THEN CAST(ehs.eh_s - 1 AS DOUBLE)
+                         / sqrt(CAST(en * (en - 1) * (2 * en + 5)
+                                     - COALESCE(eht.tie, 0) AS DOUBLE) / 18.0)
+                  WHEN COALESCE(ehs.eh_s, 0) < 0
+                    THEN CAST(ehs.eh_s + 1 AS DOUBLE)
+                         / sqrt(CAST(en * (en - 1) * (2 * en + 5)
+                                     - COALESCE(eht.tie, 0) AS DOUBLE) / 18.0)
+                  ELSE 0.0 END AS eh_z
+      FROM ehn
+      LEFT JOIN ehs ON ehs.tile = ehn.tile
+      LEFT JOIN eht ON eht.tile = ehn.tile
+    ),
     -- Horn slope/aspect (raster.slope_aspect): exact gradient
     -- numerators via the 8-offset weighted scatter; octant = the
     -- half-open 45-degree sector decision table (flat -> NULL)
@@ -8270,6 +8325,10 @@ def _sql_raster_vectorize() -> str:
              CAST(NULL AS BIGINT) AS wb_nbas,
              CAST(NULL AS BIGINT) AS wb_max,
              CAST(NULL AS BIGINT) AS wb_wsum,
+             CAST(NULL AS BIGINT) AS eh_n,
+             CAST(NULL AS BIGINT) AS eh_s,
+             CAST(NULL AS VARCHAR) AS eh_var18_str,
+             CAST(NULL AS DOUBLE) AS eh_z,
              CAST(NULL AS BIGINT) AS sa_nonflat,
              CAST(NULL AS BIGINT) AS sa_flat0,
              CAST(NULL AS BIGINT) AS sa_ssum,
@@ -8299,6 +8358,7 @@ def _sql_raster_vectorize() -> str:
              d8t.d8_flows, d8t.d8_pits, d8t.d8_dirw,
              d8t.d8_acc_sum, d8t.d8_acc_max,
              wbt.wb_nbas, wbt.wb_max, wbt.wb_wsum,
+             ehf.eh_n, ehf.eh_s, ehf.eh_var18_str, ehf.eh_z,
              COALESCE(sat.sa_nonflat, 0) AS sa_nonflat,
              COALESCE(sat.sa_flat0, 0) AS sa_flat0,
              COALESCE(sat.sa_ssum, 0) AS sa_ssum,
@@ -8320,6 +8380,7 @@ def _sql_raster_vectorize() -> str:
       JOIN dtile ON dtile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN d8t ON d8t.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       JOIN wbt ON wbt.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
+      JOIN ehf ON ehf.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       LEFT JOIN sat ON sat.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
       LEFT JOIN mstile
              ON mstile.tile = (e.y0 // {enpx}) * {ys} + (e.x0 // {enpx})
@@ -8434,6 +8495,10 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("wb_nbas"),
         F.lit(None).cast("long").alias("wb_max"),
         F.lit(None).cast("long").alias("wb_wsum"),
+        F.lit(None).cast("long").alias("eh_n"),
+        F.lit(None).cast("long").alias("eh_s"),
+        F.lit(None).cast("string").alias("eh_var18_str"),
+        F.lit(None).cast("double").alias("eh_z"),
         F.lit(None).cast("long").alias("sa_nonflat"),
         F.lit(None).cast("long").alias("sa_flat0"),
         F.lit(None).cast("long").alias("sa_ssum"),
@@ -8559,6 +8624,47 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("_bn").cast("long").alias("wb_max"),
         F.sum("_bw").cast("long").alias("wb_wsum"),
     )
+    # emerging-hotspot trend (the ArcGIS space-time-pattern-mining
+    # shape): per-tile Mann-Kendall over the DENSIFIED daily count
+    # series of the space-time cube — zero-bins included, so the tie
+    # correction genuinely bites; composes relational.mann_kendall
+    # with the raster tile key (same derivation as the pixel frame)
+    from ..operators.relational import mann_kendall
+
+    ev2 = _t(spark, sf_dir, "events").select(
+        (
+            F.shiftright(
+                C.derived_lat(F.col("event_id")) + C.LAT_OFFSET, _RAS_TILE_RES
+            )
+            * C.Y_STRIDE
+            + F.shiftright(
+                C.derived_lon(F.col("event_id")) + C.LON_OFFSET, _RAS_TILE_RES
+            )
+        ).alias("tile"),
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 86400").alias("day"),
+    )
+    ehd = ev2.groupBy("tile", "day").agg(F.count(F.lit(1)).alias("n"))
+    _b = ehd.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).first()
+    cube = (
+        ehd.select("tile")
+        .distinct()
+        .crossJoin(
+            spark.range(int(_b["d0"]), int(_b["d1"]) + 1).select(
+                F.col("id").alias("day")
+            )
+        )
+        .join(ehd, ["tile", "day"], "left")
+        .select(
+            "tile", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+        )
+    )
+    eh = mann_kendall(cube, key="tile", ts="day", v="n", id_col="day").select(
+        "tile",
+        F.col("mk_n").alias("eh_n"),
+        F.col("mk_s").alias("eh_s"),
+        F.col("mk_var18_str").alias("eh_var18_str"),
+        F.col("mk_z").alias("eh_z"),
+    )
     # Horn slope/aspect octant census (raster.slope_aspect): exact
     # gradient numerators per interior pixel; sa_wsum pins every
     # pixel's octant, the sig pins the per-octant counts
@@ -8633,6 +8739,7 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dtile, "tile")
         .join(d8t, "tile")
         .join(wbt, "tile")
+        .join(eh, "tile")
         .join(sat, "tile", "left")
         .withColumn("sa_nonflat", F.coalesce("sa_nonflat", F.lit(0).cast("long")))
         .withColumn("sa_flat0", F.coalesce("sa_flat0", F.lit(0).cast("long")))
@@ -8692,6 +8799,10 @@ def raster_vectorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wb_nbas",
             "wb_max",
             "wb_wsum",
+            "eh_n",
+            "eh_s",
+            "eh_var18_str",
+            "eh_z",
             "sa_nonflat",
             "sa_flat0",
             "sa_ssum",
