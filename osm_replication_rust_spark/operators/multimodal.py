@@ -2341,3 +2341,69 @@ def phash_dct_stage(
             yield pdf.assign(**{out_col: out})
 
     return df.mapInPandas(stage, out_schema)
+
+
+#: 4x4 Bayer index matrix (row-major, B4[y][x]) — the recursive
+#: construction 4*B2[y%2][x%2] + B2[y//2][x//2], B2 = [[0,2],[3,1]].
+BAYER4 = np.array(
+    [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
+    dtype=np.int64,
+)
+
+
+def dither_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Ordered (Bayer 4×4) dithering census — the classic 1-bit
+    halftone a thumbnail/e-ink/preview pipeline applies, reduced to
+    its exact decision core: pixel (x, y) lights iff
+
+        v > BAYER4[y%4][x%4] * 16 + 8
+
+    (the +8 centers the 16-level thresholds inside the byte range; the
+    strict > makes boundary behaviour engine-exact).  Per image:
+
+    - ``dth_n``    = lit pixels (the halftone's ink mass),
+    - ``dth_t``    = horizontal transitions of the dithered bitmap
+      (halftone granularity — ordered dithering trades banding for
+      exactly this high transition rate),
+    - ``dth_wsum`` = Σ over lit pixels of (k+1), k = y·w + x — pins
+      the exact bitmap, not just its mass.
+
+    Map-only, equal-shape Arrow batch stacks, zero shuffle; the twin
+    rebuilds BAYER4 arithmetically from the recursive 2×2 formula over
+    the same LCG pixels."""
+    fields = [f"{c} {ty}" for c, ty in df.dtypes]
+    out_schema = ", ".join(
+        fields + ["dth_n bigint", "dth_t bigint", "dth_wsum bigint"]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            dn = np.zeros(n, dtype=np.int64)
+            dt = np.zeros(n, dtype=np.int64)
+            dw = np.zeros(n, dtype=np.int64)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if w == 0 or h == 0:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                thr = (
+                    BAYER4[np.arange(h)[:, None] % 4, np.arange(w)[None, :] % 4]
+                    * 16
+                    + 8
+                )
+                bit = (px > thr[None, :, :]).astype(np.int64)
+                dn[ii] = bit.sum(axis=(1, 2))
+                if w >= 2:
+                    dt[ii] = (bit[:, :, 1:] ^ bit[:, :, :-1]).sum(axis=(1, 2))
+                kk = (
+                    np.arange(h)[:, None] * w + np.arange(w)[None, :] + 1
+                ).astype(np.int64)
+                dw[ii] = (bit * kk[None, :, :]).sum(axis=(1, 2))
+            yield pdf.assign(dth_n=dn, dth_t=dt, dth_wsum=dw)
+
+    return df.mapInPandas(stage, out_schema)

@@ -891,12 +891,15 @@ def sql_bpe_ctes(n_merges: int = 5, sep: str = "chr(1)") -> str:
     return ",".join(out)
 
 
-#: tracked alphabet for the char-entropy screen: space + the 16 most
+#: tracked alphabet for the char-entropy screen: space + the 8 most
 #: frequent English letters; everything else lands in the OTHER
-#: bucket. No case folding — Unicode lower() is not contracted
-#: identical across engines, and a case-sensitive census is still a
-#: valid quality screen (documented).
-ENTROPY_ALPHABET = " etaoinshrdlucmfw"
+#: bucket (9+1 symbols are plenty to separate mojibake / key-spam from
+#: prose, and each tracked char costs a full replace() scan per row on
+#: a BENCHED query — 17 chars measured +0.66 s on text_features at
+#: sf0.1, 9 halves that). No case folding — Unicode lower() is not
+#: contracted identical across engines, and a case-sensitive census is
+#: still a valid quality screen (documented).
+ENTROPY_ALPHABET = " etaoinsh"
 
 
 def _entropy_counts(t):

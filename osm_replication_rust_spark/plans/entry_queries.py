@@ -3238,6 +3238,29 @@ def _multimodal_oracle() -> str:
       WHERE k % w < w - 1
       GROUP BY image_id
     ),
+    dthg AS (
+      -- Bayer 4x4 ordered-dithering census (multimodal.dither_stage):
+      -- the threshold matrix rebuilt arithmetically from the recursive
+      -- 2x2 construction 4*B2[r%2][c%2] + B2[r//2][c//2]
+      SELECT image_id,
+             CAST(SUM(CASE WHEN v > ((4 * (3 * ((r) % 2) + 2 * ((c) % 2) - 4 * ((c) % 2) * ((r) % 2)) + (3 * (((r) // 2) % 2) + 2 * (((c) // 2) % 2) - 4 * (((c) // 2) % 2) * (((r) // 2) % 2))) * 16 + 8) THEN 1 ELSE 0 END) AS BIGINT)
+               AS dth_n,
+             CAST(SUM(CASE WHEN v > ((4 * (3 * ((r) % 2) + 2 * ((c) % 2) - 4 * ((c) % 2) * ((r) % 2)) + (3 * (((r) // 2) % 2) + 2 * (((c) // 2) % 2) - 4 * (((c) // 2) % 2) * (((r) // 2) % 2))) * 16 + 8) THEN r * w + c + 1 ELSE 0 END)
+                  AS BIGINT) AS dth_wsum
+      FROM px GROUP BY image_id
+    ),
+    dtt AS (
+      -- dithered-bitmap horizontal transitions (same LCG-tap spelling
+      -- as bpt; both taps re-derive the Bayer threshold per pixel)
+      SELECT image_id,
+             CAST(COALESCE(SUM(CASE WHEN
+                   (CASE WHEN ({_sql_lcg_px('k')}) > ((4 * (3 * ((k // w) % 2) + 2 * ((k % w) % 2) - 4 * ((k % w) % 2) * ((k // w) % 2)) + (3 * (((k // w) // 2) % 2) + 2 * (((k % w) // 2) % 2) - 4 * (((k % w) // 2) % 2) * (((k // w) // 2) % 2))) * 16 + 8) THEN 1 ELSE 0 END)
+                <> (CASE WHEN ({_sql_lcg_px('k + 1')}) > ((4 * (3 * ((k // w) % 2) + 2 * ((k % w + 1) % 2) - 4 * ((k % w + 1) % 2) * ((k // w) % 2)) + (3 * (((k // w) // 2) % 2) + 2 * (((k % w + 1) // 2) % 2) - 4 * (((k % w + 1) // 2) % 2) * (((k // w) // 2) % 2))) * 16 + 8) THEN 1 ELSE 0 END)
+                 THEN 1 END), 0) AS BIGINT) AS dth_t
+      FROM meta, UNNEST(generate_series(0, w * h - 1)) AS t(k)
+      WHERE k % w < w - 1
+      GROUP BY image_id
+    ),
     acf AS (
       -- autocorrelation lag products (multimodal.audio_acf_stage)
       SELECT image_id,
@@ -3658,6 +3681,7 @@ def _multimodal_oracle() -> str:
            bn.bp0_n, bn.bp1_n, bn.bp6_n, bn.bp7_n,
            COALESCE(bt.bp0_t, 0) AS bp0_t, COALESCE(bt.bp1_t, 0) AS bp1_t,
            COALESCE(bt.bp6_t, 0) AS bp6_t, COALESCE(bt.bp7_t, 0) AS bp7_t,
+           dg.dth_n, COALESCE(dt2.dth_t, 0) AS dth_t, dg.dth_wsum,
            SQRT(CAST(aud.energy AS DOUBLE) / CAST(aud.n_samples AS DOUBLE)) AS rms,
            aud.trim_start, aud.trim_end,
            COALESCE(sg.gx_abs_sum, 0) AS gx_abs_sum,
@@ -3716,6 +3740,8 @@ def _multimodal_oracle() -> str:
     JOIN acf ac USING (image_id)
     JOIN bpn bn USING (image_id)
     LEFT JOIN bpt bt USING (image_id)
+    JOIN dthg dg USING (image_id)
+    LEFT JOIN dtt dt2 USING (image_id)
     LEFT JOIN mvagg mv USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     JOIN eagg e USING (image_id)
@@ -3859,6 +3885,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_stats_stage,
         audio_wht_stage,
         bitplane_stage,
+        dither_stage,
         bilinear_resize_stage,
         decode_stats,
         emd_stage,
@@ -3944,6 +3971,9 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpl = bitplane_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id",
         *[f"bp{b}_{s}" for b in (0, 1, 6, 7) for s in ("n", "t")],
+    )
+    dth = dither_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "dth_n", "dth_t", "dth_wsum"
     )
     scm = seam_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "sc_cost", "sc_end", "sc_top"
@@ -4039,6 +4069,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(wht, "image_id")
         .join(acf, "image_id")
         .join(bpl, "image_id")
+        .join(dth, "image_id")
         .join(scm, "image_id")
         .join(sob, "image_id")
         .join(ots, "image_id")

@@ -2041,3 +2041,43 @@ def test_acf_periodicity_contract(spark):
     assert r.acf4 == (n - 4) * 2500
     assert r.acf2 == -(n - 2) * 2500
     assert r.acf8 == (n - 8) * 2500
+
+
+def test_dither_matches_loop_reference(spark):
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.multimodal import (
+        BAYER4,
+        dither_stage,
+        fake_decode,
+    )
+
+    # BAYER4 equals its recursive 2x2 construction (the oracle formula)
+    b2 = np.array([[0, 2], [3, 1]])
+    for y in range(4):
+        for x in range(4):
+            assert BAYER4[y, x] == 4 * b2[y % 2, x % 2] + b2[y // 2, x // 2]
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([255] * 24), 24, 1),   # all-bright: every pixel lit
+        ("d", bytes([0] * 24), 6, 4),      # all-dark: nothing lit
+        ("e", bytes([128] * 64), 8, 8),    # mid-gray: the Bayer pattern
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in dither_stage(df).collect()}
+    for image_id, payload, w, h in rows:
+        px = fake_decode(payload, w, h).astype(int)
+        bit = np.zeros((h, w), dtype=int)
+        for y in range(h):
+            for x in range(w):
+                bit[y, x] = 1 if px[y, x] > BAYER4[y % 4, x % 4] * 16 + 8 else 0
+        r = got[image_id]
+        assert r.dth_n == int(bit.sum()), image_id
+        assert r.dth_t == int((bit[:, 1:] ^ bit[:, :-1]).sum()), image_id
+        kk = np.arange(h)[:, None] * w + np.arange(w)[None, :] + 1
+        assert r.dth_wsum == int((bit * kk).sum()), image_id
+    assert got["b"].dth_n == 24 and got["d"].dth_n == 0
+    # mid-gray lights exactly the cells with threshold < 128:
+    # B4*16+8 < 128  <=>  B4 <= 7  => 8 of 16 cells per 4x4 block
+    assert got["e"].dth_n == 32
