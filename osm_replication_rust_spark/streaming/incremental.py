@@ -467,3 +467,115 @@ def stateful_trajectory_segments(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stateful_speed_screen(
+    events: DataFrame,
+    vmax: int,
+    watermark: str = "1 hour",
+    idle_ttl_sec: int = 3600,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    the streaming sibling of ``operators.relational.speed_screen`` —
+    per-user consecutive-step speed feasibility over an unbounded fix
+    stream, division-free (step violates iff d² > vmax²·dt², the
+    teleport/multipath GPS-cleaning rule).
+
+    Emits one row per step ONCE, when the step is provably final
+    under the watermark discipline: step (t0 → t1) is final when the
+    watermark passes t1 — any still-admissible late fix has ts ≥
+    watermark, so nothing can insert between t0 and t1 and change
+    which fixes are consecutive (the trajectory-segments finality
+    argument, applied to pairs).  Output: ``(user_id, step_ts, dt_s,
+    viol, ex_str)`` — the later fix's timestamp, the whole-second
+    gap, the violation flag, and the exact positive excess
+    d² − vmax²·dt² as digits ('0' when feasible; python ints carry
+    past int64 at full coordinate range).
+
+    State per user = the fixes not yet in a final step (bounded by
+    the watermark horizon) plus ONE anchor fix; a user idle past
+    ``idle_ttl_sec`` times out — remaining steps flush and the anchor
+    is forgotten (the next fix starts a new chain, the same
+    forget-on-timeout contract as ``stateful_trajectory_segments``).
+    Stream == batch asserted in tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    vb = int(vmax) * int(vmax)
+    ttl = int(idle_ttl_sec)
+
+    src = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("lat").cast("long").alias("lat"),
+        F.col("lon").cast("long").alias("lon"),
+    ).withWatermark("ts", watermark)
+
+    def _steps(pts, lo, hi):
+        """Rows for steps (k-1, k) with lo < k <= hi (python ints)."""
+        rows = {"step_ts": [], "dt_s": [], "viol": [], "ex_str": []}
+        for k in range(max(lo, 1), hi + 1):
+            t0, la0, lo0 = pts[k - 1]
+            t1, la1, lo1 = pts[k]
+            d2 = (la1 - la0) ** 2 + (lo1 - lo0) ** 2
+            b2 = vb * (t1 - t0) ** 2
+            rows["step_ts"].append(pd.Timestamp(t1, unit="s"))
+            rows["dt_s"].append(t1 - t0)
+            rows["viol"].append(1 if d2 > b2 else 0)
+            rows["ex_str"].append(str(d2 - b2) if d2 > b2 else "0")
+        return rows
+
+    def _emit(uid, rows):
+        n = len(rows["step_ts"])
+        return pd.DataFrame({"user_id": [uid] * n, **rows})
+
+    def fold(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            ts_l, la_l, lo_l = state.get
+            state.remove()
+            pts = sorted(zip(ts_l, la_l, lo_l))
+            if len(pts) > 1:
+                yield _emit(uid, _steps(pts, 1, len(pts) - 1))
+            return
+
+        pdf = pd.concat(list(pdfs))
+        ts = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        la = pdf["lat"].tolist()
+        lo = pdf["lon"].tolist()
+        if state.exists:
+            ots, ola, olo = state.get
+            ts += list(ots)
+            la += list(ola)
+            lo += list(olo)
+        pts = sorted(zip(ts, la, lo))
+        if not pts:
+            return
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        # final steps: later fix at-or-behind the watermark
+        hi = 0
+        for k in range(1, len(pts)):
+            if pts[k][0] <= wm_sec:
+                hi = k
+        if hi >= 1:
+            yield _emit(uid, _steps(pts, 1, hi))
+        rem = pts[hi:]  # the last finalized fix anchors the next step
+        state.update((
+            [p[0] for p in rem],
+            [p[1] for p in rem],
+            [p[2] for p in rem],
+        ))
+        state.setTimeoutTimestamp(
+            max((rem[-1][0] + ttl) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id long, step_ts timestamp, dt_s long, viol long, "
+            "ex_str string"
+        ),
+        stateStructType="ts array<long>, lat array<long>, lon array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

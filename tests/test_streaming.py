@@ -570,3 +570,90 @@ def test_stream_interval_join_drops_late_rows(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(9, "cfar", "pfar")}
+
+
+def test_stateful_speed_screen_stream_equals_batch(spark, tmp_path):
+    """Streaming speed screen: per-step violation rows (in-stream
+    finalization by watermark, late in-horizon reordering, timeout
+    flush) equal the batch twin (relational.speed_screen) per user."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from osm_replication_rust_spark.operators.relational import speed_screen
+    from osm_replication_rust_spark.streaming.incremental import (
+        stateful_speed_screen,
+    )
+
+    t0 = 1_600_000_000
+    vmax = 10
+    # user 1: ok step, teleport-speed step, then a LATE in-horizon fix
+    # that lands between two already-buffered fixes and re-splits the
+    # consecutive pairs; user 2: single fix then idle (no steps).
+    batch1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [t0, t0 + 100, t0 + 300, t0 + 50], unit="s"
+            ),
+            "lat": [0, 500, 20_000, 7],
+            "lon": [0, 0, 0, 7],
+        }
+    )
+    batch2 = pd.DataFrame(
+        {
+            "user_id": [1, 3],
+            "ts": pd.to_datetime([t0 + 200, t0 + 10_000_000], unit="s"),
+            "lat": [400, 0],
+            "lon": [0, 0],
+        }
+    )
+    batch3 = pd.DataFrame(
+        {
+            "user_id": [3],
+            "ts": pd.to_datetime([t0 + 20_000_000], unit="s"),
+            "lat": [0],
+            "lon": [0],
+        }
+    )
+    src_dir = str(tmp_path / "spd_src")
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, lat long, lon long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = stateful_speed_screen(stream, vmax=vmax, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("spd_steps")
+        .option("checkpointLocation", str(tmp_path / "spd_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    spark.createDataFrame(batch3).coalesce(1).write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM spd_steps").collect()
+    # no duplicate step emissions
+    keyed = [(r.user_id, int(r.step_ts.timestamp())) for r in rows]
+    assert len(keyed) == len(set(keyed))
+    got = {}
+    for r in rows:
+        if r.user_id == 3:  # watermark driver, trailing steps open
+            continue
+        a = got.setdefault(r.user_id, [0, 0, 0])
+        a[0] += 1
+        a[1] += int(r.viol)
+        a[2] += int(r.ex_str)
+    all_rows = pd.concat([batch1, batch2])
+    bdf = spark.createDataFrame(all_rows[all_rows.user_id != 3])
+    want = {
+        r["user_id"]: [r["sp_steps"], r["sp_viol"], int(r["sp_ex_str"])]
+        for r in speed_screen(bdf, "user_id", "ts", vmax=vmax).collect()
+        if r["sp_steps"] > 0
+    }
+    assert got == want
+    # the late fix re-split the pairs: user 1 has 3 final steps
+    assert got[1][0] == 3 and got[1][1] >= 1
