@@ -1028,3 +1028,81 @@ def speed_screen(
         .cast("string")
         .alias("sp_ex_str"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key: str,
+    x: str,
+    y: str,
+    order_cols: Sequence[str],
+    max_n: int = 12,
+) -> DataFrame:
+    """Theil–Sen robust slope per key — the median of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i), the classic outlier-resistant
+    trend estimator (up to ~29% contamination) next to OLS
+    (``group_trend``) and Mann-Kendall — kept EXACT: slopes are
+    rationals, the median is selected under exact cross-multiplied
+    comparison (denominators positive by construction), and the
+    result is emitted as CANONICAL reduced digits ``ts_num_str /
+    ts_den_str`` (gcd-reduced, den > 0; even pair-counts average the
+    two middle rationals exactly).  Vertical pairs (Δx = 0, possible
+    under timestamp ties) are skipped, the standard Theil-Sen rule.
+
+    Only the first ``max_n`` rows per key enter (the ``isotonic_fit``
+    cap discipline): pair count is then ≤ max_n(max_n−1)/2 and the
+    kernel is O(max_n²) per key with NO pair shuffle.  Keys with no
+    valid pair emit ``ts_m = 0`` and null digit strings.
+
+    Emits (key, ts_m, ts_num_str, ts_den_str).  Plan: one (key,
+    order) row_number window + one applyInPandas over the capped
+    rows — per-key state is the ≤ max_n point buffer."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    capped = (
+        df.select(
+            F.col(key),
+            F.col(x).cast("long").alias("_x"),
+            F.col(y).cast("long").alias("_y"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= max_n)
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf[key].iloc[0]
+        pts = sorted(zip(pdf["_rn"], pdf["_x"], pdf["_y"]))
+        slopes = []
+        for a in range(len(pts)):
+            for b in range(a + 1, len(pts)):
+                dx = int(pts[b][1]) - int(pts[a][1])
+                if dx != 0:
+                    slopes.append(Fraction(int(pts[b][2]) - int(pts[a][2]), dx))
+        m = len(slopes)
+        if m == 0:
+            return pd.DataFrame(
+                {key: [kv], "ts_m": [0], "ts_num_str": [None],
+                 "ts_den_str": [None]}
+            )
+        slopes.sort()
+        if m % 2 == 1:
+            med = slopes[m // 2]
+        else:
+            med = (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+        return pd.DataFrame(
+            {
+                key: [kv],
+                "ts_m": [m],
+                "ts_num_str": [str(med.numerator)],
+                "ts_den_str": [str(med.denominator)],
+            }
+        )
+
+    out_schema = (
+        f"{key} {dict(df.dtypes)[key]}, ts_m long, "
+        "ts_num_str string, ts_den_str string"
+    )
+    return capped.groupBy(key).applyInPandas(kernel, out_schema)

@@ -6764,6 +6764,68 @@ def _mm_oracle_ctes() -> str:
              CAST(COALESCE(SUM(CASE WHEN d2 > b2 THEN d2 - b2 END), 0)
                   AS VARCHAR) AS sp_ex_str
       FROM spx GROUP BY user_id
+    ),
+    tspt AS (
+      -- Theil-Sen point frame: same first-{_ISO_MAX_N} cap and
+      -- (ts, event_id) order as isotonic; x = epoch second
+      SELECT user_id, rn, x, y FROM (
+        SELECT user_id, epoch_us(ts) // 1000000 AS x, (event_id % 997) AS y,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn <= {_ISO_MAX_N}
+    ),
+    tsp AS (
+      -- pairwise slopes as rationals (d0 > 0 by the rn order; dx = 0
+      -- vertical pairs skipped, the standard Theil-Sen rule)
+      SELECT a.user_id, b.y - a.y AS n0, b.x - a.x AS d0
+      FROM tspt a JOIN tspt b ON b.user_id = a.user_id AND b.rn > a.rn
+      WHERE b.x <> a.x
+    ),
+    tsm2 AS (SELECT user_id, count(*) AS m FROM tsp GROUP BY 1),
+    tsrk AS (
+      -- exact value ranks by cross-multiplied compare (dens positive)
+      SELECT p.user_id, p.n0, p.d0,
+             SUM(CASE WHEN q.n0 * p.d0 < p.n0 * q.d0 THEN 1 ELSE 0 END) AS lt,
+             SUM(CASE WHEN q.n0 * p.d0 <= p.n0 * q.d0 THEN 1 ELSE 0 END) AS le
+      FROM (SELECT DISTINCT user_id, n0, d0 FROM tsp) p
+      JOIN tsp q ON q.user_id = p.user_id
+      GROUP BY p.user_id, p.n0, p.d0
+    ),
+    tsrr AS (
+      -- the needed order-statistic ranks: upper middle always, lower
+      -- middle too when the pair count is even
+      SELECT t.user_id, t.m,
+             CASE WHEN u.i = 0 THEN t.m // 2 + 1 ELSE t.m // 2 END AS r
+      FROM tsm2 t CROSS JOIN (VALUES (0), (1)) u(i)
+      WHERE u.i = 0 OR t.m % 2 = 0
+    ),
+    tsv AS (
+      SELECT DISTINCT k.user_id, rr.r,
+             k.n0 // gcd(abs(k.n0), k.d0) AS vn,
+             k.d0 // gcd(abs(k.n0), k.d0) AS vd
+      FROM tsrk k
+      JOIN tsrr rr ON rr.user_id = k.user_id
+                  AND k.lt < rr.r AND rr.r <= k.le
+    ),
+    tsfin AS (
+      SELECT a.user_id, t.m,
+             CASE WHEN b.user_id IS NULL THEN a.vn
+                  ELSE (a.vn * b.vd + b.vn * a.vd)
+                       // gcd(abs(a.vn * b.vd + b.vn * a.vd),
+                              2 * a.vd * b.vd) END AS fn,
+             CASE WHEN b.user_id IS NULL THEN a.vd
+                  ELSE (2 * a.vd * b.vd)
+                       // gcd(abs(a.vn * b.vd + b.vn * a.vd),
+                              2 * a.vd * b.vd) END AS fd
+      FROM (SELECT v.user_id, v.vn, v.vd FROM tsv v
+            JOIN tsm2 t2 ON t2.user_id = v.user_id
+            WHERE v.r = t2.m // 2 + 1) a
+      JOIN tsm2 t ON t.user_id = a.user_id
+      LEFT JOIN (SELECT v.user_id, v.vn, v.vd FROM tsv v
+                 JOIN tsm2 t3 ON t3.user_id = v.user_id
+                 WHERE t3.m % 2 = 0 AND v.r = t3.m // 2) b
+             ON b.user_id = a.user_id
     )
     SELECT sg.user_id, sg.event_id AS event_id, session_id, seg_id,
            CAST(count(*) OVER ws AS BIGINT) AS seg_n,
@@ -6798,7 +6860,10 @@ def _mm_oracle_ctes() -> str:
            COALESCE(cpb.cp_sign, 0) AS cp_sign,
            COALESCE(spagg.sp_steps, 0) AS sp_steps,
            COALESCE(spagg.sp_viol, 0) AS sp_viol,
-           COALESCE(spagg.sp_ex_str, '0') AS sp_ex_str
+           COALESCE(spagg.sp_ex_str, '0') AS sp_ex_str,
+           CAST(COALESCE(tsfin.m, 0) AS BIGINT) AS ts_m,
+           CAST(tsfin.fn AS VARCHAR) AS ts_num_str,
+           CAST(tsfin.fd AS VARCHAR) AS ts_den_str
     FROM sg JOIN tt ON tt.user_id = sg.user_id
     JOIN mkf ON mkf.user_id = sg.user_id
     LEFT JOIN fnl ON fnl.user_id = sg.user_id
@@ -6813,6 +6878,7 @@ def _mm_oracle_ctes() -> str:
     JOIN cpt ON cpt.user_id = sg.user_id
     LEFT JOIN cpb ON cpb.user_id = sg.user_id
     LEFT JOIN spagg ON spagg.user_id = sg.user_id
+    LEFT JOIN tsfin ON tsfin.user_id = sg.user_id
     WINDOW ws AS (PARTITION BY sg.user_id, seg_id)
     ORDER BY sg.user_id, event_id
     """,
@@ -6891,6 +6957,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort_retention,
         cusum_changepoint,
         speed_screen,
+        theil_sen,
         funnel_levels,
         group_trend,
         isotonic_fit,
@@ -7030,6 +7097,23 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = speed_screen(
         ev, "user_id", "ts", vmax=_SPEED_VMAX, order_cols=["ts", "event_id"]
     )
+    # Theil-Sen robust slope over the SAME capped (x, y) series the
+    # isotonic fold uses (relational.theil_sen — exact rational median
+    # of pairwise slopes, canonical reduced digits)
+    tsl = theil_sen(
+        raw_ev.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)").alias("x"),
+            (F.col("event_id") % 997).alias("y"),
+        ),
+        "user_id",
+        "x",
+        "y",
+        ["ts", "event_id"],
+        max_n=_ISO_MAX_N,
+    )
     return (
         scd2_intervals(
             seg.withColumn(
@@ -7082,6 +7166,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(al_user, "user_id", "left")
         .join(cp, "user_id")
         .join(sp, "user_id")
+        .join(tsl, "user_id")
         .orderBy("user_id", "event_id")
     )
 

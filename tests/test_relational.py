@@ -914,3 +914,79 @@ def test_speed_screen_random_matches_python(spark):
     }
     for k, seq in series.items():
         assert out[k] == _speed_python(seq, vmax), k
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope (relational.theil_sen)
+# ---------------------------------------------------------------------------
+
+from osm_replication_rust_spark.operators.relational import theil_sen  # noqa: E402
+
+
+def _ts_python(pts, max_n=12):
+    from fractions import Fraction
+
+    pts = pts[:max_n]
+    slopes = []
+    for a in range(len(pts)):
+        for b in range(a + 1, len(pts)):
+            dx = pts[b][0] - pts[a][0]
+            if dx != 0:
+                slopes.append(Fraction(pts[b][1] - pts[a][1], dx))
+    if not slopes:
+        return (0, None, None)
+    slopes.sort()
+    m = len(slopes)
+    med = slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+    return (m, str(med.numerator), str(med.denominator))
+
+
+def _run_ts(spark, series, max_n=12):
+    rows = [
+        {"k": k, "i": i, "x": x, "y": y}
+        for k, pts in series.items()
+        for i, (x, y) in enumerate(pts)
+    ]
+    out = theil_sen(
+        spark.createDataFrame(rows), "k", "x", "y", ["i"], max_n=max_n
+    ).collect()
+    return {r["k"]: (r["ts_m"], r["ts_num_str"], r["ts_den_str"]) for r in out}
+
+
+def test_theil_sen_hand_cases(spark):
+    series = {
+        # perfect line y = 2x: every slope 2/1
+        "line": [(0, 0), (1, 2), (2, 4), (3, 6)],
+        # one wild outlier: median slope stays 1 (robustness)
+        "outlier": [(0, 0), (1, 1), (2, 2), (3, 3), (4, 1000)],
+        # even pair count averaging: slopes 1/1 and 3/1 -> 2/1... build:
+        "even": [(0, 0), (1, 1), (2, 4)],  # slopes 1, 3, 2 -> median 2
+        "single": [(5, 5)],
+        "vertical": [(1, 1), (1, 5)],  # only a dx=0 pair: m=0
+        "halves": [(0, 0), (2, 1), (4, 2)],  # all slopes 1/2
+    }
+    got = _run_ts(spark, series)
+    assert got["line"] == (6, "2", "1")
+    m, n, d = got["outlier"]
+    assert (n, d) == ("1", "1")
+    assert got["even"] == (3, "2", "1")
+    assert got["single"] == (0, None, None)
+    assert got["vertical"] == (0, None, None)
+    assert got["halves"] == (3, "1", "2")
+    for k, pts in series.items():
+        assert got[k] == _ts_python(pts), k
+
+
+def test_theil_sen_random_and_cap(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(61)
+    series = {}
+    for i in range(20):
+        n = int(rng.integers(1, 16))
+        xs = sorted(int(v) for v in rng.integers(0, 1000, n))
+        ys = [int(v) for v in rng.integers(-50, 50, n)]
+        series[f"s{i}"] = list(zip(xs, ys))
+    got = _run_ts(spark, series, max_n=12)
+    for k, pts in series.items():
+        assert got[k] == _ts_python(pts, max_n=12), k
