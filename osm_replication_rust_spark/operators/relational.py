@@ -1106,3 +1106,50 @@ def theil_sen(
         "ts_num_str string, ts_den_str string"
     )
     return capped.groupBy(key).applyInPandas(kernel, out_schema)
+
+
+def k_anonymity_census(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive: str,
+    k_threshold: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity census — the privacy-governance
+    screen a dataset release runs over its quasi-identifier columns
+    (Sweeney '02 / Machanavajjhala '07): rows grouped by the QI tuple
+    form equivalence classes; the dataset is k-anonymous for k = the
+    smallest class and l-diverse for l = the smallest per-class count
+    of distinct ``sensitive`` values.  Emits ONE summary row:
+
+    - ``ka_classes``  — number of QI equivalence classes,
+    - ``ka_min``      — the k (smallest class size),
+    - ``ka_sup``      — rows in classes below ``k_threshold`` (what a
+      release at that threshold would suppress),
+    - ``ka_sum2_str`` — Σ n² as exact digits (the re-identification
+      collision mass: the expected class size of a random row is
+      Σn²/N),
+    - ``ld_min``      — the l (min distinct sensitive values/class).
+
+    Plan: ONE hash agg on the QI tuple (map-side combine) + one
+    single-row agg; the distinct-count rides the same shuffle.  Scale:
+    state is one row per QI class, never per input row; a skewed QI
+    class is a single accumulating counter."""
+    dec = "decimal(38,0)"
+    cls = df.groupBy(*list(qi_cols)).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(sensitive).alias("_l"),
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("ka_classes"),
+        F.min("_n").cast("long").alias("ka_min"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k_threshold, F.col("_n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("ka_sup"),
+        F.sum(F.col("_n").cast(dec) * F.col("_n").cast(dec))
+        .cast(dec)
+        .cast("string")
+        .alias("ka_sum2_str"),
+        F.min("_l").cast("long").alias("ld_min"),
+    )

@@ -6357,6 +6357,8 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 10-minute stay criterion
 _TRAJ_EPS = 8_000_000
 _TRAJ_MIN_STAY_S = 600
+#: k-anonymity QI coarse-tile resolution (~1.6 degrees per cell)
+_KA_TILE_RES = 24
 #: speed-screen bound (decimicro/s) for the sessionize fold: the
 #: synthetic per-user steps imply planar speeds of ~90..4400
 #: decimicro/s (median ~338 at sf0.01), so 400 splits the steps into a
@@ -7527,7 +7529,7 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_window_stats",
-    """
+    f"""
     WITH g AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -7556,11 +7558,37 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     iju AS (SELECT user_id, count(*) AS ij_n FROM ij GROUP BY user_id),
     ijs AS (SELECT md5(COALESCE(string_agg(
               CAST(cid AS VARCHAR) || ':' || CAST(bid AS VARCHAR),
-              ',' ORDER BY cid, bid), '')) AS ij_sig FROM ij)
+              ',' ORDER BY cid, bid), '')) AS ij_sig FROM ij),
+    kaq AS (
+      -- k-anonymity QI frame (relational.k_anonymity_census): the
+      -- release-shaped (event_type, hour, coarse-tile) tuple
+      SELECT event_type,
+             (epoch_us(ts) // 1000000 // 3600) % 24 AS hr,
+             ((({_EV_LAT}) + {C.LAT_OFFSET}) // {1 << _KA_TILE_RES})
+               * {C.Y_STRIDE}
+               + ((({_EV_LON}) + {C.LON_OFFSET}) // {1 << _KA_TILE_RES})
+               AS ct,
+             user_id
+      FROM events
+    ),
+    kac AS (SELECT event_type, hr, ct, count(*) AS n,
+                   count(DISTINCT user_id) AS l
+            FROM kaq GROUP BY 1, 2, 3),
+    kag AS (SELECT CAST(count(*) AS BIGINT) AS ka_classes,
+                   CAST(min(n) AS BIGINT) AS ka_min,
+                   CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0)
+                        AS BIGINT) AS ka_sup,
+                   CAST(SUM(CAST(n AS HUGEINT) * n) AS VARCHAR)
+                     AS ka_sum2_str,
+                   CAST(min(l) AS BIGINT) AS ld_min
+            FROM kac)
     SELECT se.user_id, se.s_start, se.n, se.sum_value,
-           COALESCE(u.ij_n, 0) AS ij_n, ijs.ij_sig
+           COALESCE(u.ij_n, 0) AS ij_n, ijs.ij_sig,
+           kag.ka_classes, kag.ka_min, kag.ka_sup, kag.ka_sum2_str,
+           kag.ld_min
     FROM sess se LEFT JOIN iju u ON u.user_id = se.user_id
     CROSS JOIN ijs
+    CROSS JOIN kag
     ORDER BY se.user_id, se.s_start
     """,
 )
@@ -7610,11 +7638,36 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ij_sig")
     )
+    # k-anonymity / l-diversity census over the release-shaped QI
+    # tuple (event_type, hour-of-day, coarse tile) with user_id as the
+    # sensitive attribute (relational.k_anonymity_census)
+    from ..operators.relational import k_anonymity_census
+
+    kaq = evi.select(
+        "event_type",
+        (F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 3600") % 24)
+        .alias("hr"),
+        (
+            F.shiftright(
+                C.derived_lat(F.col("event_id")) + C.LAT_OFFSET, _KA_TILE_RES
+            )
+            * C.Y_STRIDE
+            + F.shiftright(
+                C.derived_lon(F.col("event_id")) + C.LON_OFFSET, _KA_TILE_RES
+            )
+        ).alias("ct"),
+        "user_id",
+    )
+    ka = k_anonymity_census(kaq, ["event_type", "hr", "ct"], "user_id")
     return (
         sess.join(iju, "user_id", "left")
         .withColumn("ij_n", F.coalesce(F.col("ij_n"), F.lit(0).cast("long")))
         .crossJoin(F.broadcast(ijs))
-        .select("user_id", "s_start", "n", "sum_value", "ij_n", "ij_sig")
+        .crossJoin(F.broadcast(ka))
+        .select(
+            "user_id", "s_start", "n", "sum_value", "ij_n", "ij_sig",
+            "ka_classes", "ka_min", "ka_sup", "ka_sum2_str", "ld_min",
+        )
         .orderBy("user_id", "s_start")
     )
 

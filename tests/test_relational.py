@@ -990,3 +990,56 @@ def test_theil_sen_random_and_cap(spark):
     got = _run_ts(spark, series, max_n=12)
     for k, pts in series.items():
         assert got[k] == _ts_python(pts, max_n=12), k
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity census (relational.k_anonymity_census)
+# ---------------------------------------------------------------------------
+
+from osm_replication_rust_spark.operators.relational import (  # noqa: E402
+    k_anonymity_census,
+)
+
+
+def test_k_anonymity_census(spark):
+    rows = [
+        # class (a,1): 3 rows, 2 distinct users
+        {"q1": "a", "q2": 1, "u": 10}, {"q1": "a", "q2": 1, "u": 10},
+        {"q1": "a", "q2": 1, "u": 11},
+        # class (a,2): 1 row (below threshold, suppressed; l = 1)
+        {"q1": "a", "q2": 2, "u": 12},
+        # class (b,1): 5 rows, 5 distinct (at threshold, kept)
+        *[{"q1": "b", "q2": 1, "u": 20 + i} for i in range(5)],
+    ]
+    out = k_anonymity_census(
+        spark.createDataFrame(rows), ["q1", "q2"], "u", k_threshold=5
+    ).collect()[0]
+    assert out["ka_classes"] == 3
+    assert out["ka_min"] == 1
+    assert out["ka_sup"] == 3 + 1  # both classes under 5 suppress
+    assert out["ka_sum2_str"] == str(9 + 1 + 25)
+    assert out["ld_min"] == 1
+
+
+def test_k_anonymity_census_random_matches_python(spark):
+    import numpy as np
+    from collections import Counter, defaultdict
+
+    rng = np.random.default_rng(71)
+    rows = [
+        {"q1": int(rng.integers(0, 4)), "q2": int(rng.integers(0, 3)),
+         "u": int(rng.integers(0, 9))}
+        for _ in range(200)
+    ]
+    out = k_anonymity_census(
+        spark.createDataFrame(rows), ["q1", "q2"], "u", k_threshold=10
+    ).collect()[0]
+    cnt = Counter((r["q1"], r["q2"]) for r in rows)
+    usr = defaultdict(set)
+    for r in rows:
+        usr[(r["q1"], r["q2"])].add(r["u"])
+    assert out["ka_classes"] == len(cnt)
+    assert out["ka_min"] == min(cnt.values())
+    assert out["ka_sup"] == sum(n for n in cnt.values() if n < 10)
+    assert out["ka_sum2_str"] == str(sum(n * n for n in cnt.values()))
+    assert out["ld_min"] == min(len(s) for s in usr.values())
