@@ -99,3 +99,86 @@ def cover_rows(
         for cell, full in cover_cells(mp, res, buffer):
             rows.append({"region_id": mp.region_id, "cell": cell, "full": full})
     return rows
+
+
+def hex_bin(df, x: str = "lon", y: str = "lat", a: int = 1_000_000, b: int = 866_025):
+    """Hexagonal binning (the H3-flavored aggregation cell): every
+    point is assigned to the Voronoi cell of an INTEGER offset lattice
+    — centers at ``(q·a + (r odd ? a/2 : 0), r·b)`` — whose cells are
+    hexagons (near-regular at b ≈ a·√3/2; an EXACTLY regular hex grid
+    has irrational centers on the decimicro grid, the same
+    impossibility as the 22.5°-offset aspect rose, so near-regular +
+    exact beats regular + floaty).  Assignment is EXACT integer
+    geometry: the nearest center provably lies among the 4 candidates
+    (r ∈ {⌊y/b⌋, +1} × q ∈ {⌊(x−off)/a⌋, +1}) because the third row is
+    ≥ b away while any candidate is ≤ √((a/2)² + (b/2)²) < b away
+    (holds whenever b > a/√3, true at the default near-regular pitch);
+    ties break to the smallest (d², r, q) struct order.
+
+    ``a`` must be even (the odd-row offset is a/2).  Adds ``hq, hr``
+    (offset coordinates of the owning hex).  Pure codegen expressions
+    — floor divisions use the euclidean spelling shared with DuckDB's
+    ``//``, and the negative-safe parity is ((r % 2) + 2) % 2 in both
+    engines."""
+    from pyspark.sql import functions as F
+
+    if a % 2 != 0:
+        raise ValueError(f"hex pitch a must be even, got {a}")
+    if 3 * b * b <= a * a:
+        raise ValueError(
+            f"b must exceed a/sqrt(3) for the 4-candidate bound: a={a} b={b}"
+        )
+
+    def _fdiv(col, n):
+        s = col.cast("long")
+        nn = F.lit(int(n)).cast("long")
+        return F.call_function("div", s - (((s % nn) + nn) % nn), nn)
+
+    px, py = F.col(x).cast("long"), F.col(y).cast("long")
+    ry = _fdiv(py, b)
+    cands = []
+    for dr in (0, 1):
+        r = ry + F.lit(dr)
+        rm = ((r % 2) + 2) % 2
+        off = rm * (a // 2)
+        qf = _fdiv(px - off, a)
+        for dq in (0, 1):
+            q = qf + F.lit(dq)
+            cx = q * a + off
+            cy = r * b
+            d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+            cands.append(
+                F.struct(d2.alias("d2"), r.alias("r"), q.alias("q"))
+            )
+    best = F.array_min(F.array(*cands))
+    return df.withColumn("hq", best["q"]).withColumn("hr", best["r"])
+
+
+def sql_hex_bin(x: str, y: str, a: int = 1_000_000, b: int = 866_025) -> str:
+    """DuckDB twin of ``hex_bin`` as a scalar struct expression
+    ``{q:..., r:...}``: the same 4 candidates via list comprehension +
+    list_min under the same (d2, r, q) struct order.  DuckDB's integer
+    ``//`` TRUNCATES toward zero on negatives (unlike its float ``//``)
+    — every division here uses the euclidean spelling, which makes the
+    numerator exactly divisible so truncation == floor."""
+
+    def fdiv(s: str, n: int) -> str:
+        return f"((({s}) - (((({s}) % {n}) + {n}) % {n})) // {n})"
+
+    half = a // 2
+    items = []
+    for dr in (0, 1):
+        r = f"({fdiv(y, b)} + {dr})"
+        rm = f"((({r} % 2) + 2) % 2)"
+        off = f"({rm} * {half})"
+        qf = fdiv(f"({x}) - {off}", a)
+        for dq in (0, 1):
+            q = f"({qf} + {dq})"
+            cx = f"({q} * {a} + {off})"
+            cy = f"({r} * {b})"
+            d2 = (
+                f"((({x}) - {cx}) * (({x}) - {cx})"
+                f" + (({y}) - {cy}) * (({y}) - {cy}))"
+            )
+            items.append(f"{{'d2': {d2}, 'r': {r}, 'q': {q}}}")
+    return f"list_min([{', '.join(items)}])"

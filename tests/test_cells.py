@@ -314,3 +314,71 @@ def test_hex_cell_size_guard(spark):
 
     with pytest.raises(ValueError, match="hex size"):
         hex_cell(F.lit(0), F.lit(0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# hexagonal binning (cells.hex_bin)
+# ---------------------------------------------------------------------------
+
+
+def _hex_python(x, y, a, b):
+    ry = y // b
+    best = None
+    for r in range(ry - 2, ry + 4):
+        rm = ((r % 2) + 2) % 2
+        off = rm * (a // 2)
+        qf = (x - off) // a
+        for q in range(qf - 2, qf + 4):
+            cx, cy = q * a + off, r * b
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+            key = (d2, r, q)
+            if best is None or key < best:
+                best = key
+    return (best[2], best[1])
+
+
+def test_hex_bin_matches_bruteforce_and_duckdb(spark):
+    import duckdb
+    import numpy as np
+
+    from osm_replication_rust_spark.operators.cells import hex_bin, sql_hex_bin
+
+    a, b = 10, 9
+    rng = np.random.default_rng(83)
+    pts = [(int(rng.integers(-100, 100)), int(rng.integers(-100, 100)))
+           for _ in range(300)]
+    # planted exact ties: midpoints between horizontally/vertically
+    # adjacent centers, and a lattice center itself
+    pts += [(5, 0), (0, 4), (0, 0), (-5, 0), (15, 9), (10, 18)]
+    df = spark.createDataFrame(
+        [{"i": i, "lon": x, "lat": y} for i, (x, y) in enumerate(pts)]
+    )
+    got = {
+        r["i"]: (r["hq"], r["hr"])
+        for r in hex_bin(df, a=a, b=b).collect()
+    }
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == _hex_python(x, y, a, b), (i, x, y)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {x}, {y})" for i, (x, y) in enumerate(pts))
+        + ") v(i, x, y)"
+    )
+    e = sql_hex_bin("x", "y", a=a, b=b)
+    for i, q, r in con.execute(
+        f"SELECT i, ({e}).q, ({e}).r FROM p"
+    ).fetchall():
+        assert got[i] == (q, r), i
+
+
+def test_hex_bin_guards(spark):
+    import pytest
+
+    from osm_replication_rust_spark.operators.cells import hex_bin
+
+    df = spark.createDataFrame([{"lon": 0, "lat": 0}])
+    with pytest.raises(ValueError, match="even"):
+        hex_bin(df, a=11, b=10)
+    with pytest.raises(ValueError, match="sqrt"):
+        hex_bin(df, a=10, b=5)
