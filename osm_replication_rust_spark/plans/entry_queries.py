@@ -2471,20 +2471,38 @@ _MEMBER_RECT = (-22_000_000, -22_000_000, 0, 0)  # lon0, lat0, lon1, lat1
 @register(
     "group_membership_exists",
     f"""
-    SELECT DISTINCT o.o_orderkey AS group_id
-    FROM orders o
-    WHERE EXISTS (
-      SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
-      AND ({C.sql_derived_lat('l.l_partkey')}) BETWEEN {_MEMBER_RECT[1]} AND {_MEMBER_RECT[3]}
-      AND ({C.sql_derived_lon('l.l_partkey')}) BETWEEN {_MEMBER_RECT[0]} AND {_MEMBER_RECT[2]}
+    WITH win AS (
+      SELECT o_orderkey AS group_id,
+             percent_rank() OVER w AS wn_pr,
+             cume_dist() OVER w AS wn_cd,
+             CAST(ntile(4) OVER w AS BIGINT) AS wn_nt,
+             o_totalprice - lag(o_totalprice) OVER w AS wn_gap
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
     )
+    SELECT m.group_id, w.wn_pr, w.wn_cd, w.wn_nt, w.wn_gap FROM (
+      SELECT DISTINCT o.o_orderkey AS group_id
+      FROM orders o
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        AND ({C.sql_derived_lat('l.l_partkey')}) BETWEEN {_MEMBER_RECT[1]} AND {_MEMBER_RECT[3]}
+        AND ({C.sql_derived_lon('l.l_partkey')}) BETWEEN {_MEMBER_RECT[0]} AND {_MEMBER_RECT[2]}
+      )
+    ) m JOIN win w USING (group_id)
     ORDER BY group_id
     """,
 )
 def group_membership_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: existential membership (way ∈ region ⇔ ∃ member point ∈
     region) as a left semi join; orders play the composite element,
-    lineitems its members."""
+    lineitems its members.
+
+    PLUS the SQL-standard analytic quartet over the orders-per-customer
+    window (§2.6 breadth — percent_rank / cume_dist / ntile(4) /
+    lag-gap, total-ordered by (o_totalprice, o_orderkey) so ntile's
+    positional split is engine-deterministic): built-ins on both
+    engines, parity driver-gated; the lag-gap is a same-typed double
+    subtraction, bit-identical."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     lon0, lat0, lon1, lat1 = _MEMBER_RECT
@@ -2492,10 +2510,19 @@ def group_membership_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.derived_lat(F.col("l_partkey")).between(lat0, lat1)
         & C.derived_lon(F.col("l_partkey")).between(lon0, lon1)
     ).select(F.col("l_orderkey").alias("group_id"))
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wins = o.select(
+        F.col("o_orderkey").alias("group_id"),
+        F.percent_rank().over(w).alias("wn_pr"),
+        F.cume_dist().over(w).alias("wn_cd"),
+        F.ntile(4).over(w).cast("long").alias("wn_nt"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("wn_gap"),
+    )
     return (
         o.select(F.col("o_orderkey").alias("group_id"))
         .join(members_in, "group_id", "left_semi")
         .distinct()
+        .join(wins, "group_id")
         .orderBy("group_id")
     )
 
