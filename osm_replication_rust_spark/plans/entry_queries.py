@@ -1422,6 +1422,15 @@ _SQL_JSONL_SPECIALS = (
     " || chr(8364) || chr(119070) || chr(1)"
 )
 
+#: CSV round-trip hazard suffix: comma, RFC-doubled quotes, newline,
+#: tab, semicolon, BMP unicode, and EDGE SPACES (the classic CSV
+#: reader trim hazard — Spark's read-side ignore*WhiteSpace must be
+#: disabled to round-trip).  _SQL_CSV_SPECIALS spells the same string.
+_CSV_SPECIALS = ' ,"q"\n\t;é€ '
+_SQL_CSV_SPECIALS = (
+    "' ,\"q\"' || chr(10) || chr(9) || ';' || chr(233) || chr(8364) || ' '"
+)
+
 
 def _sql_dedup_incremental() -> str:
     from ..operators.dedup import sql_h64_md5
@@ -1444,14 +1453,23 @@ def _sql_dedup_incremental() -> str:
              CAST(SUM(CAST({sql_h64_md5(f"text || {_SQL_JSONL_SPECIALS}")}
                            AS HUGEINT)) AS VARCHAR) AS jl_h64_sum
       FROM documents WHERE doc_id % 7 = 0
+    ),
+    cs AS (
+      -- what the CSV round-trip MUST return (same source-of-truth
+      -- discipline; the file is never read here)
+      SELECT CAST(COUNT(*) AS BIGINT) AS cs_n,
+             CAST(SUM(CAST({sql_h64_md5(f"text || {_SQL_CSV_SPECIALS}")}
+                           AS HUGEINT)) AS VARCHAR) AS cs_h64_sum
+      FROM documents WHERE doc_id % 5 = 0
     )
     SELECT n.doc_id,
            {sql_bloom_hit_expr('bw', 'n.text', _BLOOM_M, _BLOOM_K)} AS bloom_hit,
            kp.keeper_id IS NOT NULL AS is_dup,
            kp.keeper_id,
-           jl.jl_n, jl.jl_h64_sum
+           jl.jl_n, jl.jl_h64_sum, cs.cs_n, cs.cs_h64_sum
     FROM newb n LEFT JOIN kp ON kp.text = n.text
     CROSS JOIN jl
+    CROSS JOIN cs
     ORDER BY n.doc_id
     """
 
@@ -1521,6 +1539,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("jl_h64_sum"),
     )
+    # CSV corpus round-trip (the other interchange format a corpus
+    # pipeline must not corrupt): RFC-4180 quote doubling on write,
+    # multiLine + whitespace-preserving read — edge spaces, embedded
+    # newlines, commas and doubled quotes all survive or cs_h64_sum
+    # breaks against the parquet-derived pin.
+    csamp = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_CSV_SPECIALS)).alias("text")
+    )
+    cpath = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    (
+        csamp.coalesce(1)
+        .write.mode("overwrite")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("header", "true")
+        # the WRITER also trims by default — both sides must preserve
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(cpath)
+    )
+    cback = (
+        spark.read.schema("doc_id long, text string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(cpath)
+    )
+    cs = cback.agg(
+        F.count(F.lit(1)).cast("long").alias("cs_n"),
+        F.sum(h64_md5(F.col("text")).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("cs_h64_sum"),
+    )
     return (
         probed.join(keepers, "text", "left")
         .select(
@@ -1530,6 +1584,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keeper_id",
         )
         .crossJoin(F.broadcast(jl))
+        .crossJoin(F.broadcast(cs))
         .orderBy("doc_id")
     )
 

@@ -349,3 +349,62 @@ def test_jsonl_roundtrip_duckdb_parses_spark_bytes(spark, tmp_path):
         .fetchall()
     )
     assert duck == dict(rows)  # DuckDB parses the SAME bytes identically
+
+
+def test_csv_roundtrip_duckdb_parses_spark_bytes(spark, tmp_path):
+    """Spark writes RFC-4180 CSV (quote doubling, writer-side trim
+    DISABLED — the default silently strips edge spaces) with every CSV
+    hazard planted; Spark re-reads its own bytes exactly, and DuckDB
+    parses the SAME file bytes onto identical rows."""
+    import glob
+
+    duckdb = pytest.importorskip("duckdb")
+
+    from osm_replication_rust_spark.plans.entry_queries import _CSV_SPECIALS
+
+    rows = [
+        (1, "plain ascii"),
+        (2, 'has "quotes", commas, and ;semicolons;'),
+        (3, "embedded\nnewline and\ttab"),
+        (4, " leading and trailing spaces "),
+        (5, "unicode üé€"),
+        (6, _CSV_SPECIALS),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "cs")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    )
+    back = {
+        r.doc_id: r.text
+        for r in spark.read.schema("doc_id long, text string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+        .collect()
+    }
+    assert back == dict(rows)  # Spark round-trips its own bytes
+    files = sorted(glob.glob(path + "/*.csv"))
+    assert files
+    duck = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, text FROM read_csv(?, header = true, "
+            "columns = {doc_id: 'BIGINT', text: 'VARCHAR'}, "
+            "quote = '\"', escape = '\"')",
+            [files],
+        )
+        .fetchall()
+    )
+    assert duck == dict(rows)  # DuckDB parses the SAME bytes identically
