@@ -558,6 +558,21 @@ _PP_RES = 23
             for b in range(_VG_NBINS)
         )}
       FROM ppg
+    ),
+    rtp AS (
+      -- R-tree full-hierarchy assignment twin (operators/rtree.
+      -- assign_regions_rtree): same raycast truth per region
+      {" UNION ALL ".join(
+          f"SELECT event_id, '{mp.region_id}' AS region_id FROM events "
+          f"WHERE {sql_raycast(mp, _EV_LON, _EV_LAT)}"
+          for mp in fixture_regions()
+      )}
+    ),
+    rtg AS (
+      SELECT CAST(count(*) AS BIGINT) AS rt_n,
+             md5(string_agg(CAST(event_id AS VARCHAR) || ':' || region_id,
+                            ',' ORDER BY event_id, region_id)) AS rt_sig
+      FROM rtp
     )
     SELECT pip.event_id AS event_id,
            CAST(da.is_core AS BIGINT) AS dbscan_core,
@@ -574,6 +589,7 @@ _PP_RES = 23
            sl.sky AS sky,
            sg.sky_n AS sky_n,
            sg.sky_sig AS sky_sig,
+           rg.rt_n, rg.rt_sig,
            pk.*
     FROM pip
     LEFT JOIN dall da ON da.point_id = pip.event_id
@@ -582,6 +598,7 @@ _PP_RES = 23
     JOIN ipts hp ON hp.event_id = pip.event_id
     LEFT JOIN skyl sl ON sl.point_id = pip.event_id
     CROSS JOIN skyg sg
+    CROSS JOIN rtg rg
     CROSS JOIN ppk pk
     ORDER BY pip.event_id
     """,
@@ -737,6 +754,44 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbins=_VG_NBINS,
         res=_PP_RES,
     )
+    # broadcast STR R-tree strategy (operators/rtree.py — the north
+    # rule's "broadcast R-tree" sibling of the cell-prefilter join):
+    # the FULL region hierarchy assigned via tree-walk pruning + the
+    # shared exact kernels, pinned by the global match count and an
+    # md5 over every (event, region) pair vs the raycast-UNION truth
+    from ..operators.rtree import assign_regions_rtree
+
+    rtp = (
+        assign_regions_rtree(
+            ev, fixture_regions(), keep_cols=["event_id"], buffer=0
+        )
+        .filter(F.col("in_poly"))
+        .select("event_id", "region_id")
+    )
+    rtg = rtp.agg(
+        F.count(F.lit(1)).cast("long").alias("rt_n"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("event_id"),
+                                F.col("region_id"),
+                                F.concat_ws(
+                                    ":",
+                                    F.col("event_id").cast("string"),
+                                    F.col("region_id"),
+                                ).alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            )
+        ).alias("rt_sig"),
+    )
     return (
         pip.join(dlabels, "event_id", "left")
         .crossJoin(F.broadcast(dglob))
@@ -744,6 +799,7 @@ def pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hx, "event_id")
         .join(sklab, "event_id", "left")
         .crossJoin(F.broadcast(skg))
+        .crossJoin(F.broadcast(rtg))
         .crossJoin(F.broadcast(rip))
         .crossJoin(F.broadcast(vg))
         .orderBy("event_id")
