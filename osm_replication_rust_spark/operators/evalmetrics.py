@@ -587,3 +587,120 @@ def sql_spearman_ctes(src: str, x: str, y: str, prefix: str = "rho") -> str:
              CAST(n AS BIGINT) AS {prefix}_n
       FROM {prefix}_ag
     )"""
+
+
+def average_precision(
+    gt: DataFrame,
+    det: DataFrame,
+    group: str = "image_id",
+    thr_num: int = 1,
+    thr_den: int = 2,
+) -> DataFrame:
+    """Detection average precision — THE vision-evaluation metric
+    (PASCAL VOC / COCO AP@IoU) next to ``roc_auc``: per group (image),
+    detections are greedily matched to ground-truth boxes in
+    (score DESC, det_id) order, each det taking the highest-IoU
+    still-free GT with IoU >= thr_num/thr_den (the COCO greedy rule),
+    and the UNINTERPOLATED average precision
+
+        AP = (1 / n_gt) * Σ_{k : det k is TP}  tp_k / k
+
+    is carried as an EXACT fraction (python Fraction in the kernel;
+    the twin accumulates over the n_det! common denominator and
+    gcd-reduces — identical canonical digits).
+
+    Exactness contract: boxes are half-open integer rectangles (the
+    ``iou_pairs`` convention); the MATCH THRESHOLD is the integer
+    cross-multiplication ``inter * thr_den >= thr_num * union`` — no
+    float ever decides TP/FP; the greedy ARGMAX orders candidates by
+    the shared correctly-rounded double inter/union (identical ints ->
+    identical doubles -> identical order in both engines), ties to the
+    smallest gt_id.
+
+    Input: ``gt``  (group, gt_id, x0, y0, x1, y1),
+           ``det`` (group, det_id, score, x0, y0, x1, y1).
+    Output per group: ``ap_n_gt, ap_n_det, ap_tp, ap_num_str,
+    ap_den_str`` (AP = num/den canonical; groups with n_gt = 0 emit
+    null digits — AP undefined).
+
+    Plan: ONE cogroup shuffle on the group key + a bounded-group
+    kernel (boxes per image are tens, the mann_kendall discipline —
+    O(n_det · n_gt) compares inside the executor, no pair shuffle)."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    gsrc = gt.select(
+        F.col(group),
+        F.col("gt_id").cast("long").alias("gt_id"),
+        *[F.col(c).cast("long").alias(c) for c in ("x0", "y0", "x1", "y1")],
+    )
+    dsrc = det.select(
+        F.col(group),
+        F.col("det_id").cast("long").alias("det_id"),
+        F.col("score").cast("long").alias("score"),
+        *[F.col(c).cast("long").alias(c) for c in ("x0", "y0", "x1", "y1")],
+    )
+
+    def kernel(key, gpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        (kv,) = key
+        gts = [
+            (int(r.gt_id), int(r.x0), int(r.y0), int(r.x1), int(r.y1))
+            for r in gpdf.itertuples()
+        ]
+        dets = sorted(
+            (
+                (-int(r.score), int(r.det_id), int(r.x0), int(r.y0),
+                 int(r.x1), int(r.y1))
+                for r in dpdf.itertuples()
+            )
+        )
+        taken: set[int] = set()
+        ap = Fraction(0)
+        tp = 0
+        for k, (_, _, dx0, dy0, dx1, dy1) in enumerate(dets, start=1):
+            darea = (dx1 - dx0) * (dy1 - dy0)
+            best = None
+            for gid, gx0, gy0, gx1, gy1 in gts:
+                if gid in taken:
+                    continue
+                iw = min(dx1, gx1) - max(dx0, gx0)
+                ih = min(dy1, gy1) - max(dy0, gy0)
+                inter = iw * ih if iw > 0 and ih > 0 else 0
+                union = darea + (gx1 - gx0) * (gy1 - gy0) - inter
+                if union <= 0 or inter * thr_den < thr_num * union:
+                    continue
+                key2 = (-(inter / union), gid)  # shared-double order
+                if best is None or key2 < best[0]:
+                    best = (key2, gid)
+            if best is not None:
+                taken.add(best[1])
+                tp += 1
+                ap += Fraction(tp, k)
+        n_gt = len(gts)
+        if n_gt > 0:
+            apf = ap / n_gt
+            num, den = str(apf.numerator), str(apf.denominator)
+        else:
+            num = den = None
+        return pd.DataFrame(
+            {
+                group: [kv],
+                "ap_n_gt": [n_gt],
+                "ap_n_det": [len(dets)],
+                "ap_tp": [tp],
+                "ap_num_str": [num],
+                "ap_den_str": [den],
+            }
+        )
+
+    out_schema = (
+        f"{group} {dict(gt.dtypes).get(group, dict(det.dtypes)[group])}, "
+        "ap_n_gt long, ap_n_det long, ap_tp long, "
+        "ap_num_str string, ap_den_str string"
+    )
+    return (
+        gsrc.groupBy(group)
+        .cogroup(dsrc.groupBy(group))
+        .applyInPandas(kernel, out_schema)
+    )

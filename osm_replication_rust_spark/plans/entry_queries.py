@@ -3376,6 +3376,112 @@ def _multimodal_oracle() -> str:
       WHERE k % w < w - 1
       GROUP BY image_id
     ),
+    apg AS (
+      -- detection-AP ground truth (evalmetrics.average_precision):
+      -- boxes from pure integer arithmetic on the image index i
+      SELECT image_id, j AS gt_id,
+             (i * 37 + j * 101) % 180 AS x0,
+             (i * 53 + j * 71) % 180 AS y0,
+             (i * 37 + j * 101) % 180 + 20 + (i * 11 + j * 13) % 25 AS x1,
+             (i * 53 + j * 71) % 180 + 20 + (i * 17 + j * 19) % 25 AS y1
+      FROM meta, UNNEST(generate_series(0, 2)) t(j)
+      WHERE j < 1 + i % 3
+    ),
+    apd AS (
+      -- detections: per-GT shifted matches (±7) + 1-2 far FPs
+      SELECT image_id,
+             CASE WHEN j < 3 THEN j ELSE 100 + (j - 3) END AS det_id,
+             CASE WHEN j < 3 THEN (i * 41 + j * 59) % 100
+                  ELSE (i * 41 + (j - 3) * 59 + 3) % 100 END AS score,
+             CASE WHEN j < 3 THEN (i * 37 + j * 101) % 180
+                                  + (i * 7 + j * 23) % 15 - 7
+                  ELSE 200 + (i * 13 + (j - 3) * 37) % 150 END AS x0,
+             CASE WHEN j < 3 THEN (i * 53 + j * 71) % 180
+                                  + (i * 29 + j * 5) % 15 - 7
+                  ELSE (i * 43 + (j - 3) * 29) % 300 END AS y0,
+             CASE WHEN j < 3 THEN (i * 37 + j * 101) % 180
+                                  + (i * 7 + j * 23) % 15 - 7
+                                  + 20 + (i * 11 + j * 13) % 25
+                  ELSE 200 + (i * 13 + (j - 3) * 37) % 150
+                       + 15 + (i + 100 + (j - 3)) % 20 END AS x1,
+             CASE WHEN j < 3 THEN (i * 53 + j * 71) % 180
+                                  + (i * 29 + j * 5) % 15 - 7
+                                  + 20 + (i * 17 + j * 19) % 25
+                  ELSE (i * 43 + (j - 3) * 29) % 300
+                       + 15 + (i * 3 + 100 + (j - 3)) % 20 END AS y1
+      FROM meta, UNNEST(generate_series(0, 4)) t(j)
+      WHERE (j < 3 AND j < 1 + i % 3) OR (j >= 3 AND j - 3 < 1 + i % 2)
+    ),
+    apdr AS (
+      SELECT *, row_number() OVER (PARTITION BY image_id
+                                   ORDER BY score DESC, det_id) AS rn
+      FROM apd
+    ),
+    apnd AS (
+      SELECT image_id, count(*) AS nd,
+             CASE count(*) WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6
+                           WHEN 4 THEN 24 ELSE 120 END AS fct
+      FROM apd GROUP BY 1
+    ),
+    apng AS (SELECT image_id, count(*) AS ng FROM apg GROUP BY 1),
+    appair AS (
+      SELECT d.image_id, d.rn, g.gt_id,
+             CASE WHEN least(d.x1, g.x1) - greatest(d.x0, g.x0) > 0
+                   AND least(d.y1, g.y1) - greatest(d.y0, g.y0) > 0
+                  THEN (least(d.x1, g.x1) - greatest(d.x0, g.x0))
+                       * (least(d.y1, g.y1) - greatest(d.y0, g.y0))
+                  ELSE 0 END AS inter,
+             (d.x1 - d.x0) * (d.y1 - d.y0)
+             + (g.x1 - g.x0) * (g.y1 - g.y0) AS ab
+      FROM apdr d JOIN apg g USING (image_id)
+    ),
+    apcand AS (
+      -- per det: candidate GTs at IoU >= 1/2 (exact cross-mult),
+      -- ordered by the shared correctly-rounded double, then gt_id
+      SELECT image_id, rn,
+             list(gt_id ORDER BY CAST(inter AS DOUBLE)
+                                 / CAST(ab - inter AS DOUBLE) DESC, gt_id)
+               AS cands
+      FROM appair
+      WHERE ab - inter > 0 AND inter * 2 >= 1 * (ab - inter)
+      GROUP BY image_id, rn
+    ),
+    apwalk AS (
+      -- COCO greedy matching as a recursive walk with a taken-list
+      SELECT image_id, 0 AS rn, CAST([] AS BIGINT[]) AS taken,
+             0 AS tp, CAST(0 AS HUGEINT) AS apn
+      FROM apnd
+      UNION ALL
+      SELECT s.image_id, s.rn + 1,
+             CASE WHEN s.pick IS NULL THEN s.taken
+                  ELSE list_append(s.taken, s.pick) END,
+             s.tp + CASE WHEN s.pick IS NULL THEN 0 ELSE 1 END,
+             s.apn + CASE WHEN s.pick IS NULL THEN CAST(0 AS HUGEINT)
+                          ELSE CAST(s.tp + 1 AS HUGEINT)
+                               * (s.fct // (s.rn + 1)) END
+      FROM (
+        SELECT w.image_id, w.rn, w.taken, w.tp, w.apn, n.nd, n.fct,
+               list_filter(COALESCE(c.cands, CAST([] AS BIGINT[])),
+                           g -> NOT list_contains(w.taken, g))[1] AS pick
+        FROM apwalk w
+        JOIN apnd n ON n.image_id = w.image_id AND w.rn < n.nd
+        LEFT JOIN apcand c ON c.image_id = w.image_id AND c.rn = w.rn + 1
+      ) s
+    ),
+    apfin AS (
+      SELECT w.image_id,
+             CAST(g.ng AS BIGINT) AS ap_n_gt,
+             CAST(n.nd AS BIGINT) AS ap_n_det,
+             CAST(w.tp AS BIGINT) AS ap_tp,
+             CAST(w.apn // gcd(w.apn, CAST(n.fct AS HUGEINT) * g.ng)
+                  AS VARCHAR) AS ap_num_str,
+             CAST((CAST(n.fct AS HUGEINT) * g.ng)
+                  // gcd(w.apn, CAST(n.fct AS HUGEINT) * g.ng)
+                  AS VARCHAR) AS ap_den_str
+      FROM apwalk w
+      JOIN apnd n ON n.image_id = w.image_id AND w.rn = n.nd
+      JOIN apng g ON g.image_id = w.image_id
+    ),
     dthg AS (
       -- Bayer 4x4 ordered-dithering census (multimodal.dither_stage):
       -- the threshold matrix rebuilt arithmetically from the recursive
@@ -3820,6 +3926,7 @@ def _multimodal_oracle() -> str:
            COALESCE(bt.bp0_t, 0) AS bp0_t, COALESCE(bt.bp1_t, 0) AS bp1_t,
            COALESCE(bt.bp6_t, 0) AS bp6_t, COALESCE(bt.bp7_t, 0) AS bp7_t,
            dg.dth_n, COALESCE(dt2.dth_t, 0) AS dth_t, dg.dth_wsum,
+           af.ap_n_gt, af.ap_n_det, af.ap_tp, af.ap_num_str, af.ap_den_str,
            SQRT(CAST(aud.energy AS DOUBLE) / CAST(aud.n_samples AS DOUBLE)) AS rms,
            aud.trim_start, aud.trim_end,
            COALESCE(sg.gx_abs_sum, 0) AS gx_abs_sum,
@@ -3880,6 +3987,7 @@ def _multimodal_oracle() -> str:
     LEFT JOIN bpt bt USING (image_id)
     JOIN dthg dg USING (image_id)
     LEFT JOIN dtt dt2 USING (image_id)
+    JOIN apfin af USING (image_id)
     LEFT JOIN mvagg mv USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     JOIN eagg e USING (image_id)
@@ -4017,6 +4125,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..datagen.synth import gen_images, gen_videos
+    from ..operators.evalmetrics import average_precision
     from ..operators.multimodal import (
         ACF_LAGS,
         audio_acf_stage,
@@ -4113,6 +4222,81 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dth = dither_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "dth_n", "dth_t", "dth_wsum"
     )
+    # detection AP fixture (evalmetrics.average_precision): GT and DET
+    # boxes derived from the image index by pure integer arithmetic
+    # (i = the digits of image_id), so the oracle rebuilds them exactly;
+    # matched dets are the GT boxes shifted by up to ±7 (a genuine
+    # TP/FP mix at IoU>=1/2 on 20..45-sized boxes) plus 1-2 far FPs
+    ii = F.substring("image_id", 4, 8).cast("long")
+    jj = F.col("j")
+    gtb = (
+        imgs.select("image_id", ii.alias("i"))
+        .select("image_id", "i", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"))
+        .filter(jj < 1 + F.col("i") % 3)
+        .select(
+            "image_id",
+            jj.alias("gt_id"),
+            ((F.col("i") * 37 + jj * 101) % 180).alias("x0"),
+            ((F.col("i") * 53 + jj * 71) % 180).alias("y0"),
+            ((F.col("i") * 37 + jj * 101) % 180 + 20
+             + (F.col("i") * 11 + jj * 13) % 25).alias("x1"),
+            ((F.col("i") * 53 + jj * 71) % 180 + 20
+             + (F.col("i") * 17 + jj * 19) % 25).alias("y1"),
+        )
+    )
+    detb = (
+        imgs.select("image_id", ii.alias("i"))
+        .select("image_id", "i", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"))
+        .filter(
+            ((jj < 3) & (jj < 1 + F.col("i") % 3))
+            | ((jj >= 3) & (jj - 3 < 1 + F.col("i") % 2))
+        )
+        .select(
+            "image_id",
+            F.when(jj < 3, jj).otherwise(100 + jj - 3).alias("det_id"),
+            F.when(jj < 3, (F.col("i") * 41 + jj * 59) % 100)
+            .otherwise((F.col("i") * 41 + (jj - 3) * 59 + 3) % 100)
+            .alias("score"),
+            F.when(
+                jj < 3,
+                (F.col("i") * 37 + jj * 101) % 180
+                + (F.col("i") * 7 + jj * 23) % 15 - 7,
+            )
+            .otherwise(200 + (F.col("i") * 13 + (jj - 3) * 37) % 150)
+            .alias("x0"),
+            F.when(
+                jj < 3,
+                (F.col("i") * 53 + jj * 71) % 180
+                + (F.col("i") * 29 + jj * 5) % 15 - 7,
+            )
+            .otherwise((F.col("i") * 43 + (jj - 3) * 29) % 300)
+            .alias("y0"),
+        )
+        .select(
+            "image_id",
+            "det_id",
+            "score",
+            "x0",
+            "y0",
+            F.when(F.col("det_id") < 100,
+                   F.col("x0") + 20
+                   + (F.substring("image_id", 4, 8).cast("long") * 11
+                      + F.col("det_id") * 13) % 25)
+            .otherwise(F.col("x0") + 15
+                       + (F.substring("image_id", 4, 8).cast("long")
+                          + F.col("det_id")) % 20)
+            .alias("x1"),
+            F.when(F.col("det_id") < 100,
+                   F.col("y0") + 20
+                   + (F.substring("image_id", 4, 8).cast("long") * 17
+                      + F.col("det_id") * 19) % 25)
+            .otherwise(F.col("y0") + 15
+                       + (F.substring("image_id", 4, 8).cast("long") * 3
+                          + F.col("det_id")) % 20)
+            .alias("y1"),
+        )
+    )
+    apf = average_precision(gtb, detb)
     scm = seam_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "sc_cost", "sc_end", "sc_top"
     )
@@ -4208,6 +4392,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(acf, "image_id")
         .join(bpl, "image_id")
         .join(dth, "image_id")
+        .join(apf, "image_id")
         .join(scm, "image_id")
         .join(sob, "image_id")
         .join(ots, "image_id")

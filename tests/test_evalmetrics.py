@@ -413,3 +413,123 @@ def test_spearman_duckdb_twin_parity(spark):
     for k in ("rho_num_str", "rho_dx_str", "rho_dy_str", "rho_n"):
         assert str(srow[k]) == str(orow[k]), k
     assert srow["rho"] == orow["rho"]  # bit-identical, not approx
+
+
+# ---------------------------------------------------------------------------
+# detection average precision (evalmetrics.average_precision)
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+
+from osm_replication_rust_spark.operators.evalmetrics import average_precision
+
+
+def _ap_python(gts, dets, thr_num=1, thr_den=2):
+    dets = sorted(((-s, i, b) for i, s, b in dets))
+    taken = set()
+    ap = Fraction(0)
+    tp = 0
+    for k, (_, _, (dx0, dy0, dx1, dy1)) in enumerate(dets, start=1):
+        da = (dx1 - dx0) * (dy1 - dy0)
+        best = None
+        for gid, (gx0, gy0, gx1, gy1) in gts:
+            if gid in taken:
+                continue
+            iw = min(dx1, gx1) - max(dx0, gx0)
+            ih = min(dy1, gy1) - max(dy0, gy0)
+            inter = iw * ih if iw > 0 and ih > 0 else 0
+            union = da + (gx1 - gx0) * (gy1 - gy0) - inter
+            if union <= 0 or inter * thr_den < thr_num * union:
+                continue
+            key = (-(inter / union), gid)
+            if best is None or key < best[0]:
+                best = (key, gid)
+        if best is not None:
+            taken.add(best[1])
+            tp += 1
+            ap += Fraction(tp, k)
+    n_gt = len(gts)
+    if n_gt == 0:
+        return (0, len(dets), tp, None, None)
+    a = ap / n_gt
+    return (n_gt, len(dets), tp, str(a.numerator), str(a.denominator))
+
+
+def _run_ap(spark, cases):
+    grows, drows = [], []
+    for img, (gts, dets) in cases.items():
+        for gid, (x0, y0, x1, y1) in gts:
+            grows.append({"image_id": img, "gt_id": gid, "x0": x0, "y0": y0,
+                          "x1": x1, "y1": y1})
+        for did, s, (x0, y0, x1, y1) in dets:
+            drows.append({"image_id": img, "det_id": did, "score": s,
+                          "x0": x0, "y0": y0, "x1": x1, "y1": y1})
+    gdf = spark.createDataFrame(
+        grows or [],
+        "image_id string, gt_id long, x0 long, y0 long, x1 long, y1 long",
+    )
+    ddf = spark.createDataFrame(
+        drows,
+        "image_id string, det_id long, score long, "
+        "x0 long, y0 long, x1 long, y1 long",
+    )
+    out = average_precision(gdf, ddf).collect()
+    return {
+        r["image_id"]: (r["ap_n_gt"], r["ap_n_det"], r["ap_tp"],
+                        r["ap_num_str"], r["ap_den_str"])
+        for r in out
+    }
+
+
+def test_ap_hand_cases(spark):
+    g = [(0, (0, 0, 10, 10)), (1, (100, 100, 110, 110))]
+    cases = {
+        # perfect: two exact-match dets in score order -> AP = 1
+        "perfect": (g, [(0, 9, (0, 0, 10, 10)), (1, 8, (100, 100, 110, 110))]),
+        # fp first: FP at rank 1, then both TP -> (1/2 + 2/3)/2 = 7/12
+        "fp_first": (g, [
+            (9, 10, (500, 500, 510, 510)),
+            (0, 9, (0, 0, 10, 10)),
+            (1, 8, (100, 100, 110, 110)),
+        ]),
+        # duplicate det on one GT: second is FP (GT taken)
+        "dupdet": ([(0, (0, 0, 10, 10))], [
+            (0, 9, (0, 0, 10, 10)),
+            (1, 8, (0, 0, 10, 10)),
+        ]),
+        # IoU exactly at threshold counts (>=): shifted half overlap
+        # inter 50, union 150 -> 1/3 < 1/2 FP; but thr passes at 5x10
+        "no_match": ([(0, (0, 0, 10, 10))], [(0, 9, (5, 0, 15, 10))]),
+    }
+    got = _run_ap(spark, cases)
+    assert got["perfect"] == (2, 2, 2, "1", "1")
+    assert got["fp_first"] == (2, 3, 2, "7", "12")
+    assert got["dupdet"] == (1, 2, 1, "1", "1")
+    assert got["no_match"] == (1, 1, 0, "0", "1")
+    for img, (gts, dets) in cases.items():
+        assert got[img] == _ap_python(gts, dets), img
+
+
+def test_ap_random_matches_python(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(113)
+    cases = {}
+    for i in range(25):
+        n_gt = int(rng.integers(0, 5))
+        gts = []
+        for j in range(n_gt):
+            x0, y0 = int(rng.integers(0, 150)), int(rng.integers(0, 150))
+            gts.append((j, (x0, y0, x0 + int(rng.integers(8, 40)),
+                            y0 + int(rng.integers(8, 40)))))
+        n_det = int(rng.integers(1, 7))
+        dets = []
+        for j in range(n_det):
+            x0, y0 = int(rng.integers(0, 150)), int(rng.integers(0, 150))
+            dets.append((j, int(rng.integers(0, 100)),
+                         (x0, y0, x0 + int(rng.integers(8, 40)),
+                          y0 + int(rng.integers(8, 40)))))
+        cases[f"i{i}"] = (gts, dets)
+    got = _run_ap(spark, cases)
+    for img, (gts, dets) in cases.items():
+        assert got[img] == _ap_python(gts, dets), img
