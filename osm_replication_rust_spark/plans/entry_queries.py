@@ -2985,9 +2985,35 @@ def _ann_lsh_oracle() -> str:
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY dot_q DESC, vec_id) AS rank
       FROM scored
+    ),
+    tru AS (
+      -- EXACT brute top-5 by the same integer dot (the retrieval
+      -- ground truth the ANN ranking is scored against)
+      SELECT query_id, vec_id, trank FROM (
+        SELECT q.vec_id AS query_id, i.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY CAST(list_dot_product(q.v, i.v) AS BIGINT) DESC,
+                          i.vec_id) AS trank
+        FROM iv q, iv i WHERE q.vec_id < 10
+      ) WHERE trank <= 5
+    ),
+    evl AS (
+      -- recall@5 + DCG/NDCG@5 with graded relevance 6 - trank; the
+      -- DCG is a FIXED left-associated chain over the shared float
+      -- literals so the double tree is engine-identical
+      SELECT a.query_id,
+             CAST(COALESCE(SUM(CASE WHEN t.trank IS NOT NULL THEN 1 END), 0)
+                  AS BIGINT) AS rt5_rec,
+             ((((COALESCE(CAST(SUM(CASE WHEN a.rank = 1 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.0 + COALESCE(CAST(SUM(CASE WHEN a.rank = 2 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.584962500721156) + COALESCE(CAST(SUM(CASE WHEN a.rank = 3 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.0) + COALESCE(CAST(SUM(CASE WHEN a.rank = 4 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.321928094887362) + COALESCE(CAST(SUM(CASE WHEN a.rank = 5 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.584962500721156) AS rt5_dcg,
+             ((((COALESCE(CAST(SUM(CASE WHEN a.rank = 1 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.0 + COALESCE(CAST(SUM(CASE WHEN a.rank = 2 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.584962500721156) + COALESCE(CAST(SUM(CASE WHEN a.rank = 3 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.0) + COALESCE(CAST(SUM(CASE WHEN a.rank = 4 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.321928094887362) + COALESCE(CAST(SUM(CASE WHEN a.rank = 5 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.584962500721156) / 10.271924937667158 AS rt5_ndcg
+      FROM (SELECT query_id, vec_id, rank FROM r WHERE rank <= 5) a
+      LEFT JOIN tru t USING (query_id, vec_id)
+      GROUP BY a.query_id
     )
-    SELECT query_id, vec_id, dot_q, rank FROM r WHERE rank <= 5
-    ORDER BY query_id, rank
+    SELECT r.query_id, r.vec_id, r.dot_q, r.rank,
+           e.rt5_rec, e.rt5_dcg, e.rt5_ndcg
+    FROM r JOIN evl e USING (query_id) WHERE r.rank <= 5
+    ORDER BY r.query_id, r.rank
     """
 
 
@@ -2995,14 +3021,75 @@ def _ann_lsh_oracle() -> str:
 def ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH + exact rerank. Integer
     hyperplanes on quantized embeddings make the whole pipeline —
-    buckets, candidates, rerank order — reproducible in the oracle."""
-    from ..operators.similarity import ann_lsh_topk
+    buckets, candidates, rerank order — reproducible in the oracle.
+
+    PLUS the retrieval-quality evaluation every ANN deployment runs:
+    per query, recall@5 and DCG/NDCG@5 of the LSH ranking against the
+    EXACT brute top-5 by the same integer dot product (graded
+    relevance 6 − true_rank; the DCG is a fixed left-associated chain
+    over shared float literals — identical doubles cross-engine; IDCG
+    is the shared constant for 5 graded levels)."""
+    from ..operators.similarity import ann_lsh_topk, dot_q_expr
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
-    return ann_lsh_topk(
+    ann = ann_lsh_topk(
         q, emb, k=5, dim=64, n_tables=8, n_bits=8, rank_by="dot_q"
-    ).select("query_id", "vec_id", "dot_q", "rank").orderBy("query_id", "rank")
+    ).select("query_id", "vec_id", "dot_q", "rank")
+    truth = (
+        emb.crossJoin(
+            F.broadcast(
+                q.select("query_id", F.col("embedding").alias("_qe"))
+            )
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            dot_q_expr(F.col("_qe"), F.col("embedding")).alias("_d"),
+        )
+        .withColumn(
+            "trank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_d"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("trank") <= 5)
+        .select("query_id", "vec_id", "trank")
+    )
+    rel = F.when(F.col("trank").isNull(), F.lit(0)).otherwise(
+        F.lit(6) - F.col("trank")
+    )
+    lab = ann.join(truth, ["query_id", "vec_id"], "left").select(
+        "query_id", "rank", rel.alias("_rel")
+    )
+    terms = [
+        F.coalesce(
+            F.sum(F.when(F.col("rank") == pp, F.col("_rel"))).cast("double"),
+            F.lit(0.0),
+        )
+        / F.lit([0.0, 1.0, 1.584962500721156, 2.0, 2.321928094887362, 2.584962500721156][pp])
+        for pp in range(1, 6)
+    ]
+    dcg = terms[0]
+    for t in terms[1:]:
+        dcg = dcg + t
+    evl = lab.groupBy("query_id").agg(
+        F.coalesce(F.sum(F.when(F.col("_rel") > 0, 1)), F.lit(0))
+        .cast("long")
+        .alias("rt5_rec"),
+        dcg.alias("rt5_dcg"),
+        (dcg / F.lit(10.271924937667158)).alias("rt5_ndcg"),
+    )
+    return (
+        ann.join(evl, "query_id")
+        .select(
+            "query_id", "vec_id", "dot_q", "rank",
+            "rt5_rec", "rt5_dcg", "rt5_ndcg",
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 #: scene-cut mean-abs-diff threshold in millis (20.0/pixel): separates
@@ -7645,9 +7732,35 @@ def _ivf_oracle() -> str:
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY dot_q DESC, vec_id) AS rank
       FROM scored
+    ),
+    tru AS (
+      -- EXACT brute top-5 by the same integer dot (the retrieval
+      -- ground truth the ANN ranking is scored against)
+      SELECT query_id, vec_id, trank FROM (
+        SELECT q.vec_id AS query_id, i.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY CAST(list_dot_product(q.v, i.v) AS BIGINT) DESC,
+                          i.vec_id) AS trank
+        FROM iv q, iv i WHERE q.vec_id < 10
+      ) WHERE trank <= 5
+    ),
+    evl AS (
+      -- recall@5 + DCG/NDCG@5 with graded relevance 6 - trank; the
+      -- DCG is a FIXED left-associated chain over the shared float
+      -- literals so the double tree is engine-identical
+      SELECT a.query_id,
+             CAST(COALESCE(SUM(CASE WHEN t.trank IS NOT NULL THEN 1 END), 0)
+                  AS BIGINT) AS rt5_rec,
+             ((((COALESCE(CAST(SUM(CASE WHEN a.rank = 1 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.0 + COALESCE(CAST(SUM(CASE WHEN a.rank = 2 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.584962500721156) + COALESCE(CAST(SUM(CASE WHEN a.rank = 3 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.0) + COALESCE(CAST(SUM(CASE WHEN a.rank = 4 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.321928094887362) + COALESCE(CAST(SUM(CASE WHEN a.rank = 5 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.584962500721156) AS rt5_dcg,
+             ((((COALESCE(CAST(SUM(CASE WHEN a.rank = 1 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.0 + COALESCE(CAST(SUM(CASE WHEN a.rank = 2 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.584962500721156) + COALESCE(CAST(SUM(CASE WHEN a.rank = 3 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.0) + COALESCE(CAST(SUM(CASE WHEN a.rank = 4 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.321928094887362) + COALESCE(CAST(SUM(CASE WHEN a.rank = 5 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.584962500721156) / 10.271924937667158 AS rt5_ndcg
+      FROM (SELECT query_id, vec_id, rank FROM r WHERE rank <= 5) a
+      LEFT JOIN tru t USING (query_id, vec_id)
+      GROUP BY a.query_id
     )
-    SELECT query_id, vec_id, dot_q, rank FROM r WHERE rank <= 5
-    ORDER BY query_id, rank
+    SELECT r.query_id, r.vec_id, r.dot_q, r.rank,
+           e.rt5_rec, e.rt5_dcg, e.rt5_ndcg
+    FROM r JOIN evl e USING (query_id) WHERE r.rank <= 5
+    ORDER BY r.query_id, r.rank
     """
 
 
