@@ -2407,3 +2407,81 @@ def dither_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             yield pdf.assign(dth_n=dn, dth_t=dt, dth_wsum=dw)
 
     return df.mapInPandas(stage, out_schema)
+
+
+def segmetrics_stage(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    gt_thr: int = 128,
+    pred_thr: int = 120,
+    pred_mul: int = 1,
+    pred_mod: int = 256,
+) -> DataFrame:
+    """Binary-segmentation evaluation census — the mask-quality
+    metrics (pixel confusion matrix + mean IoU) a segmentation
+    pipeline computes per image, over the deterministic decoded
+    pixels: GT mask = px >= ``gt_thr``, predicted mask =
+    (px · ``pred_mul``) % ``pred_mod`` >= ``pred_thr`` (default mod 256
+    = identity on byte pixels) — with
+    pred_mul = 1 the band between the thresholds is a pure
+    false-positive boundary disagreement; with a scrambling multiplier
+    (e.g. 7) the predictor is imperfect in BOTH directions and every
+    confusion cell populates.  Emits exact int64
+    ``sg_tp, sg_fp, sg_fn`` (tn = w·h − the rest) and the mean IoU as
+    CANONICAL reduced digits ``sg_miou_num/sg_miou_den``:
+
+        mIoU = (tp/(tp+fp+fn) + tn/(tn+fn+fp)) / 2
+
+    — exact rational (Fraction), engine-identical; an image with an
+    empty union on either class uses the convention IoU = 1 for that
+    class (nothing to segment, nothing wrong).
+
+    Map-only, equal-shape Arrow batch stacks, zero shuffle; the twin
+    recomputes the confusion cells from the LCG formula and reduces
+    the same fraction with gcd."""
+    from fractions import Fraction
+
+    fields = [f"{c} {ty}" for c, ty in df.dtypes]
+    out_schema = ", ".join(
+        fields
+        + ["sg_tp bigint", "sg_fp bigint", "sg_fn bigint",
+           "sg_miou_num string", "sg_miou_den string"]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            tp = np.zeros(n, dtype=np.int64)
+            fp = np.zeros(n, dtype=np.int64)
+            fn = np.zeros(n, dtype=np.int64)
+            nums = np.empty(n, dtype=object)
+            dens = np.empty(n, dtype=object)
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if w == 0 or h == 0:
+                    continue
+                px = _decode_stack(list(payloads[ii]), L, w, h).astype(np.int64)
+                g = px >= gt_thr
+                p = (px * pred_mul) % pred_mod >= pred_thr
+                tp[ii] = (g & p).sum(axis=1)
+                fp[ii] = (~g & p).sum(axis=1)
+                fn[ii] = (g & ~p).sum(axis=1)
+            total = (
+                pdf["w"].to_numpy(dtype=np.int64)
+                * pdf["h"].to_numpy(dtype=np.int64)
+            )
+            for r in range(n):
+                tn = int(total[r]) - int(tp[r]) - int(fp[r]) - int(fn[r])
+                ufg = int(tp[r]) + int(fp[r]) + int(fn[r])
+                ubg = tn + int(fp[r]) + int(fn[r])
+                ifg = Fraction(int(tp[r]), ufg) if ufg else Fraction(1)
+                ibg = Fraction(tn, ubg) if ubg else Fraction(1)
+                m = (ifg + ibg) / 2
+                nums[r] = str(m.numerator)
+                dens[r] = str(m.denominator)
+            yield pdf.assign(
+                sg_tp=tp, sg_fp=fp, sg_fn=fn,
+                sg_miou_num=nums, sg_miou_den=dens,
+            )
+
+    return df.mapInPandas(stage, out_schema)

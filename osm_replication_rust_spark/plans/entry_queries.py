@@ -3463,6 +3463,42 @@ def _multimodal_oracle() -> str:
       WHERE k % w < w - 1
       GROUP BY image_id
     ),
+    sgc AS (
+      -- binary-segmentation confusion (multimodal.segmetrics_stage):
+      -- gt = v >= 128, pred = (v*7) % 251 >= 120 (the scrambled
+      -- imperfect predictor); mIoU reduced to canonical digits
+      SELECT image_id,
+             CAST(SUM(CASE WHEN v >= 128 AND (v * 7) % 251 >= 120
+                           THEN 1 ELSE 0 END) AS BIGINT) AS sg_tp,
+             CAST(SUM(CASE WHEN v < 128 AND (v * 7) % 251 >= 120
+                           THEN 1 ELSE 0 END) AS BIGINT) AS sg_fp,
+             CAST(SUM(CASE WHEN v >= 128 AND (v * 7) % 251 < 120
+                           THEN 1 ELSE 0 END) AS BIGINT) AS sg_fn,
+             CAST(SUM(CASE WHEN v < 128 AND (v * 7) % 251 < 120
+                           THEN 1 ELSE 0 END) AS BIGINT) AS sg_tn
+      FROM px GROUP BY image_id
+    ),
+    sgm AS (
+      -- mIoU = (tp/(tp+fp+fn) + tn/(tn+fp+fn)) / 2 as one exact
+      -- fraction over den = 2*ufg*ubg (unions nonzero on this
+      -- fixture: the scrambled predictor always disagrees somewhere)
+      SELECT image_id, sg_tp, sg_fp, sg_fn,
+             CAST((CAST(sg_tp AS HUGEINT) * (sg_tn + sg_fp + sg_fn)
+                   + CAST(sg_tn AS HUGEINT) * (sg_tp + sg_fp + sg_fn))
+                  // gcd(CAST(sg_tp AS HUGEINT) * (sg_tn + sg_fp + sg_fn)
+                         + CAST(sg_tn AS HUGEINT) * (sg_tp + sg_fp + sg_fn),
+                         2 * CAST(sg_tp + sg_fp + sg_fn AS HUGEINT)
+                           * (sg_tn + sg_fp + sg_fn))
+                  AS VARCHAR) AS sg_miou_num,
+             CAST((2 * CAST(sg_tp + sg_fp + sg_fn AS HUGEINT)
+                   * (sg_tn + sg_fp + sg_fn))
+                  // gcd(CAST(sg_tp AS HUGEINT) * (sg_tn + sg_fp + sg_fn)
+                         + CAST(sg_tn AS HUGEINT) * (sg_tp + sg_fp + sg_fn),
+                         2 * CAST(sg_tp + sg_fp + sg_fn AS HUGEINT)
+                           * (sg_tn + sg_fp + sg_fn))
+                  AS VARCHAR) AS sg_miou_den
+      FROM sgc
+    ),
     apg AS (
       -- detection-AP ground truth (evalmetrics.average_precision):
       -- boxes from pure integer arithmetic on the image index i
@@ -4014,6 +4050,7 @@ def _multimodal_oracle() -> str:
            COALESCE(bt.bp6_t, 0) AS bp6_t, COALESCE(bt.bp7_t, 0) AS bp7_t,
            dg.dth_n, COALESCE(dt2.dth_t, 0) AS dth_t, dg.dth_wsum,
            af.ap_n_gt, af.ap_n_det, af.ap_tp, af.ap_num_str, af.ap_den_str,
+           sm.sg_tp, sm.sg_fp, sm.sg_fn, sm.sg_miou_num, sm.sg_miou_den,
            SQRT(CAST(aud.energy AS DOUBLE) / CAST(aud.n_samples AS DOUBLE)) AS rms,
            aud.trim_start, aud.trim_end,
            COALESCE(sg.gx_abs_sum, 0) AS gx_abs_sum,
@@ -4075,6 +4112,7 @@ def _multimodal_oracle() -> str:
     JOIN dthg dg USING (image_id)
     LEFT JOIN dtt dt2 USING (image_id)
     JOIN apfin af USING (image_id)
+    JOIN sgm sm USING (image_id)
     LEFT JOIN mvagg mv USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     JOIN eagg e USING (image_id)
@@ -4220,6 +4258,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_wht_stage,
         bitplane_stage,
         dither_stage,
+        segmetrics_stage,
         bilinear_resize_stage,
         decode_stats,
         emd_stage,
@@ -4384,6 +4423,15 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     apf = average_precision(gtb, detb)
+    # binary-segmentation confusion + exact-fraction mIoU per image
+    # (multimodal.segmetrics_stage; the mul-7 scrambled predictor
+    # populates every confusion cell)
+    seg = segmetrics_stage(
+        imgs.select("image_id", "bytes", "w", "h"),
+        pred_mul=7, pred_mod=251,
+    ).select(
+        "image_id", "sg_tp", "sg_fp", "sg_fn", "sg_miou_num", "sg_miou_den"
+    )
     scm = seam_stage(imgs.select("image_id", "bytes", "w", "h")).select(
         "image_id", "sc_cost", "sc_end", "sc_top"
     )
@@ -4480,6 +4528,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bpl, "image_id")
         .join(dth, "image_id")
         .join(apf, "image_id")
+        .join(seg, "image_id")
         .join(scm, "image_id")
         .join(sob, "image_id")
         .join(ots, "image_id")

@@ -2081,3 +2081,44 @@ def test_dither_matches_loop_reference(spark):
     # mid-gray lights exactly the cells with threshold < 128:
     # B4*16+8 < 128  <=>  B4 <= 7  => 8 of 16 cells per 4x4 block
     assert got["e"].dth_n == 32
+
+
+def test_segmetrics_matches_loop_reference(spark):
+    from fractions import Fraction
+
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        segmetrics_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([255] * 24), 24, 1),   # all-fg: tn=0 -> bg IoU = 1
+        ("d", bytes([0] * 24), 6, 4),      # all-bg: fg union 0 -> IoU 1
+        ("e", bytes([119, 120, 127, 128] * 4), 4, 4),  # the fp band
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    got = {r.image_id: r for r in segmetrics_stage(df).collect()}
+    got7 = {r.image_id: r for r in segmetrics_stage(df, pred_mul=7, pred_mod=251).collect()}
+    for image_id, payload, w, h in rows:
+        px = fake_decode(payload, w, h).astype(int)
+        g = px >= 128
+        p7 = (px * 7) % 251 >= 120  # fold config: mul 7 mod 251
+        r7 = got7[image_id]
+        assert (r7.sg_tp, r7.sg_fp, r7.sg_fn) == (
+            int((g & p7).sum()), int((~g & p7).sum()), int((g & ~p7).sum())
+        ), image_id
+        p = px >= 120
+        tp = int((g & p).sum()); fp = int((~g & p).sum())
+        fn = int((g & ~p).sum()); tn = w * h - tp - fp - fn
+        r = got[image_id]
+        assert (r.sg_tp, r.sg_fp, r.sg_fn) == (tp, fp, fn), image_id
+        ufg, ubg = tp + fp + fn, tn + fp + fn
+        m = ((Fraction(tp, ufg) if ufg else Fraction(1))
+             + (Fraction(tn, ubg) if ubg else Fraction(1))) / 2
+        assert r.sg_miou_num == str(m.numerator), image_id
+        assert r.sg_miou_den == str(m.denominator), image_id
+    # the band image: values 120..127 are exactly the fp pixels
+    assert got["e"].sg_fp == 8 and got["e"].sg_tp == 4
+    # the scrambled predictor misses in BOTH directions on image a
+    assert got7["a"].sg_fp > 0 and got7["a"].sg_fn > 0
