@@ -704,3 +704,78 @@ def average_precision(
         .cogroup(dsrc.groupBy(group))
         .applyInPandas(kernel, out_schema)
     )
+
+
+def ece_quantized(
+    df: DataFrame,
+    score: str,
+    label: str,
+    bin_w: int = 10,
+    scale: int = 100,
+    prefix: str = "ece",
+) -> DataFrame:
+    """Expected calibration error over an integer-quantized confidence
+    — the calibration screen next to ROC-AUC: scores s in [0, scale]
+    bin by ``s DIV bin_w``, and
+
+        ECE = Σ_b (n_b/N) · |acc_b − conf_b|
+            = Σ_b |scale·pos_b − Σs_b|  /  (scale · N)
+
+    — the rewrite makes it a PURE INTEGER statistic (acc_b = pos_b/n_b,
+    conf_b = Σs_b/(scale·n_b); the n_b weights cancel the
+    denominators), so numerator and denominator are exact longs and
+    the float is ONE shared division.  Emits a single row:
+    ``{prefix}_bins, {prefix}_num, {prefix}_den, {prefix}`` (NULL when
+    N = 0).
+
+    Plan: one hash agg on the bin key (map-side combine; bin domain =
+    scale/bin_w + 1) + one single-row agg."""
+    s = F.col(score).cast("long")
+    y = F.col(label).cast("long")
+    per = df.select(
+        F.call_function("div", s, F.lit(int(bin_w))).alias("_b"),
+        s.alias("_s"),
+        y.alias("_y"),
+    ).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_pos"),
+        F.sum("_s").alias("_ssum"),
+    )
+    num = F.sum(F.abs(F.lit(scale) * F.col("_pos") - F.col("_ssum")))
+    den = F.lit(scale) * F.sum("_n")
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias(f"{prefix}_bins"),
+        F.coalesce(num, F.lit(0)).cast("long").alias(f"{prefix}_num"),
+        den.cast("long").alias(f"{prefix}_den"),
+        F.when(
+            F.sum("_n") > 0,
+            F.coalesce(num, F.lit(0)).cast("double") / den.cast("double"),
+        ).alias(prefix),
+    )
+
+
+def sql_ece_ctes(
+    src: str,
+    score: str,
+    label: str,
+    bin_w: int = 10,
+    scale: int = 100,
+    prefix: str = "ece",
+) -> str:
+    """DuckDB twin of ``ece_quantized`` as a named CTE ``{prefix}``
+    (cross-join it onto the final select)."""
+    return f"""{prefix}b AS (
+      SELECT ({score}) // {bin_w} AS b,
+             count(*) AS n, SUM({label}) AS pos, SUM({score}) AS ssum
+      FROM {src} GROUP BY 1
+    ),
+    {prefix} AS (
+      SELECT CAST(count(*) AS BIGINT) AS {prefix}_bins,
+             CAST(COALESCE(SUM(abs({scale} * pos - ssum)), 0) AS BIGINT)
+               AS {prefix}_num,
+             CAST({scale} * SUM(n) AS BIGINT) AS {prefix}_den,
+             CASE WHEN SUM(n) > 0 THEN
+               CAST(COALESCE(SUM(abs({scale} * pos - ssum)), 0) AS DOUBLE)
+               / CAST({scale} * SUM(n) AS DOUBLE) END AS {prefix}
+      FROM {prefix}b
+    )"""

@@ -2032,7 +2032,12 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     num/sqrt(dx*dy) double tree)."""
     from ..operators.contamination import contamination_scores
     from ..operators.dedup import exact_duplicates
-    from ..operators.evalmetrics import chi2_2x2, roc_auc, spearman
+    from ..operators.evalmetrics import (
+        chi2_2x2,
+        ece_quantized,
+        roc_auc,
+        spearman,
+    )
     from ..operators.text import (
         bigram_lm_scores,
         bm25_scores,
@@ -2092,6 +2097,17 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     auc = roc_auc(core, "n_tokens", "is_contaminated", prefix="contam_auc")
+    # calibration of the shingle-derived confidence vs the
+    # contamination label (evalmetrics.ece_quantized — pure-integer
+    # ECE; conf = min(100, 5*n_shingles) is deliberately imperfect)
+    ece = ece_quantized(
+        core.select(
+            F.least(F.lit(100), F.col("n_shingles") * 5).alias("_s"),
+            F.col("is_contaminated").cast("long").alias("_y"),
+        ),
+        "_s",
+        "_y",
+    )
     chi = chi2_2x2(core, F.col("bm25_q") > 0, "is_contaminated", prefix="rel_chi2")
     rho = spearman(core, "n_tokens", "n_shingles", prefix="spear")
     # vocabulary stats (Zipf/hapax screen) off the SAME distinct-word
@@ -2112,6 +2128,7 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         core.crossJoin(F.broadcast(auc))
         .crossJoin(F.broadcast(chi))
         .crossJoin(F.broadcast(rho))
+        .crossJoin(F.broadcast(ece))
         .crossJoin(F.broadcast(vt))
         .crossJoin(F.broadcast(vtop))
         .crossJoin(F.broadcast(bpe_row))
@@ -2124,6 +2141,7 @@ def _fill_pipeline_oracle() -> None:
     from ..operators.contamination import sql_contamination_ctes
     from ..operators.evalmetrics import (
         sql_chi2_2x2,
+        sql_ece_ctes,
         sql_roc_auc_ctes,
         sql_spearman_ctes,
     )
@@ -2214,9 +2232,11 @@ def _fill_pipeline_oracle() -> None:
     vttop AS (
       SELECT w AS vt_top_w, wf AS vt_top_n
       FROM bpe_w0 ORDER BY wf DESC, w LIMIT 1
-    ),{sql_roc_auc_ctes('fin', 'n_tokens', 'is_contaminated', prefix='contam_auc')},{sql_chi2_2x2('fin', 'bm25_q > 0', 'is_contaminated', prefix='rel_chi2')},{sql_spearman_ctes('fin', 'n_tokens', 'n_shingles', prefix='spear')}
-    SELECT fin.*, contam_auc.*, rel_chi2.*, spear.*, vtagg.*, vttop.*
+    ),{sql_roc_auc_ctes('fin', 'n_tokens', 'is_contaminated', prefix='contam_auc')},{sql_chi2_2x2('fin', 'bm25_q > 0', 'is_contaminated', prefix='rel_chi2')},{sql_spearman_ctes('fin', 'n_tokens', 'n_shingles', prefix='spear')},
+    {sql_ece_ctes('(SELECT least(100, n_shingles * 5) AS s, CAST(is_contaminated AS BIGINT) AS y FROM fin)', 's', 'y')}
+    SELECT fin.*, contam_auc.*, rel_chi2.*, spear.*, vtagg.*, vttop.*, ece.*
     FROM fin CROSS JOIN contam_auc CROSS JOIN rel_chi2 CROSS JOIN spear
+    CROSS JOIN ece
     CROSS JOIN vtagg CROSS JOIN vttop
     ORDER BY fin.doc_id
     """

@@ -533,3 +533,72 @@ def test_ap_random_matches_python(spark):
     got = _run_ap(spark, cases)
     for img, (gts, dets) in cases.items():
         assert got[img] == _ap_python(gts, dets), img
+
+
+# ---------------------------------------------------------------------------
+# expected calibration error (evalmetrics.ece_quantized)
+# ---------------------------------------------------------------------------
+
+from osm_replication_rust_spark.operators.evalmetrics import (
+    ece_quantized,
+    sql_ece_ctes,
+)
+
+
+def _ece_python(pairs, bin_w=10, scale=100):
+    from collections import defaultdict
+
+    bins = defaultdict(lambda: [0, 0, 0])
+    for s, y in pairs:
+        b = s // bin_w
+        bins[b][0] += 1
+        bins[b][1] += y
+        bins[b][2] += s
+    num = sum(abs(scale * pos - ssum) for _, pos, ssum in bins.values())
+    den = scale * sum(n for n, _, _ in bins.values())
+    return (len(bins), num, den, num / den if den else None)
+
+
+def test_ece_hand_and_duckdb_twin(spark):
+    import duckdb
+
+    pairs = (
+        # perfectly calibrated bin: conf 50, half positive
+        [(50, 1), (50, 0)] * 5
+        # overconfident bin: conf 90, rarely positive
+        + [(90, 0)] * 8 + [(90, 1)] * 2
+        # underconfident: conf 10, mostly positive
+        + [(10, 1)] * 7 + [(10, 0)] * 3
+        + [(0, 0), (100, 1)]
+    )
+    df = spark.createDataFrame(pairs, "s long, y long")
+    r = ece_quantized(df, "s", "y").collect()[0]
+    nb, num, den, e = _ece_python(pairs)
+    assert (r["ece_bins"], r["ece_num"], r["ece_den"]) == (nb, num, den)
+    assert abs(r["ece"] - e) < 1e-15
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({s}, {y})" for s, y in pairs)
+        + ") v(s, y)"
+    )
+    want = con.execute(
+        f"WITH {sql_ece_ctes('t', 's', 'y')} SELECT * FROM ece"
+    ).fetchone()
+    assert want == (r["ece_bins"], r["ece_num"], r["ece_den"], r["ece"])
+
+
+def test_ece_random_matches_python(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(131)
+    pairs = [
+        (int(s), int(rng.random() < s / 100.0) if s != 50 else int(rng.integers(0, 2)))
+        for s in rng.integers(0, 101, 400)
+    ]
+    df = spark.createDataFrame(pairs, "s long, y long")
+    r = ece_quantized(df, "s", "y").collect()[0]
+    nb, num, den, e = _ece_python(pairs)
+    assert (r["ece_bins"], r["ece_num"], r["ece_den"]) == (nb, num, den)
+    # a roughly calibrated sampler lands at small-but-nonzero ECE
+    assert 0 < r["ece"] < 0.2
