@@ -7801,35 +7801,9 @@ def _ivf_oracle() -> str:
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY dot_q DESC, vec_id) AS rank
       FROM scored
-    ),
-    tru AS (
-      -- EXACT brute top-5 by the same integer dot (the retrieval
-      -- ground truth the ANN ranking is scored against)
-      SELECT query_id, vec_id, trank FROM (
-        SELECT q.vec_id AS query_id, i.vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY CAST(list_dot_product(q.v, i.v) AS BIGINT) DESC,
-                          i.vec_id) AS trank
-        FROM iv q, iv i WHERE q.vec_id < 10
-      ) WHERE trank <= 5
-    ),
-    evl AS (
-      -- recall@5 + DCG/NDCG@5 with graded relevance 6 - trank; the
-      -- DCG is a FIXED left-associated chain over the shared float
-      -- literals so the double tree is engine-identical
-      SELECT a.query_id,
-             CAST(COALESCE(SUM(CASE WHEN t.trank IS NOT NULL THEN 1 END), 0)
-                  AS BIGINT) AS rt5_rec,
-             ((((COALESCE(CAST(SUM(CASE WHEN a.rank = 1 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.0 + COALESCE(CAST(SUM(CASE WHEN a.rank = 2 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.584962500721156) + COALESCE(CAST(SUM(CASE WHEN a.rank = 3 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.0) + COALESCE(CAST(SUM(CASE WHEN a.rank = 4 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.321928094887362) + COALESCE(CAST(SUM(CASE WHEN a.rank = 5 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.584962500721156) AS rt5_dcg,
-             ((((COALESCE(CAST(SUM(CASE WHEN a.rank = 1 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.0 + COALESCE(CAST(SUM(CASE WHEN a.rank = 2 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 1.584962500721156) + COALESCE(CAST(SUM(CASE WHEN a.rank = 3 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.0) + COALESCE(CAST(SUM(CASE WHEN a.rank = 4 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.321928094887362) + COALESCE(CAST(SUM(CASE WHEN a.rank = 5 THEN CASE WHEN t.trank IS NULL THEN 0 ELSE 6 - t.trank END END) AS DOUBLE), 0.0) / 2.584962500721156) / 10.271924937667158 AS rt5_ndcg
-      FROM (SELECT query_id, vec_id, rank FROM r WHERE rank <= 5) a
-      LEFT JOIN tru t USING (query_id, vec_id)
-      GROUP BY a.query_id
     )
-    SELECT r.query_id, r.vec_id, r.dot_q, r.rank,
-           e.rt5_rec, e.rt5_dcg, e.rt5_ndcg
-    FROM r JOIN evl e USING (query_id) WHERE r.rank <= 5
-    ORDER BY r.query_id, r.rank
+    SELECT query_id, vec_id, dot_q, rank FROM r WHERE rank <= 5
+    ORDER BY query_id, rank
     """
 
 
