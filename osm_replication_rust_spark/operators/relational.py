@@ -1153,3 +1153,69 @@ def k_anonymity_census(
         .alias("ka_sum2_str"),
         F.min("_l").cast("long").alias("ld_min"),
     )
+
+
+def seasonal_decompose(
+    counts: DataFrame,
+    t: str = "t",
+    v: str = "n",
+    period: int = 24,
+) -> tuple[DataFrame, DataFrame]:
+    """Classical additive seasonal decomposition (the centered-moving-
+    average ancestor of STL) over an evenly-binned series, EXACT:
+    for an even ``period`` p the trend at bin t is the 2×p-weighted
+    centered window
+
+        trend_scaled(t) = v[t-p/2] + 2·(v[t-p/2+1..t+p/2-1]) + v[t+p/2]
+                        ( = 2p · the classic centered MA )
+
+    carried as the SCALED integer (denominator 2p, never divided), the
+    seasonal component of phase q is the mean of the scaled detrended
+    values over the phase's interior occurrences
+
+        s_num(q) = Σ_t≡q (2p·v[t] − trend_scaled(t)),  s_den(q) = 2p·m_q
+
+    (exact integer pair; interior = bins with a full window), and the
+    caller pins remainders from the same integers.  Returns
+    ``(trend, seasonal)``: trend = (t, v, trend_scaled | null at the
+    p/2-bin edges), seasonal = (phase, m, s_num, s_den).
+
+    Plan: the series is BIN-domain sized (counts per bin, never
+    events), so the single-partition centered window is the roc_auc
+    distinct-table shape — it orders bins, not facts; the phase agg is
+    an ordinary hash agg."""
+    if period % 2 != 0 or period < 2:
+        raise ValueError(f"period must be even and >= 2, got {period}")
+    half = period // 2
+    w = Window.orderBy(t).rowsBetween(-half, half)
+    wn = Window.orderBy(t).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vv = F.col(v).cast("long")
+    full = F.count(F.lit(1)).over(w) == period + 1
+    tsc = (
+        F.sum(vv * 2).over(w)
+        - F.first(vv).over(w)
+        - F.last(vv).over(w)
+    )
+    trend = counts.select(
+        F.col(t).cast("long").alias(t),
+        vv.alias(v),
+        F.when(full, tsc).cast("long").alias("trend_scaled"),
+    )
+    seasonal = (
+        trend.filter(F.col("trend_scaled").isNotNull())
+        .groupBy((F.col(t) % period).alias("phase"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(
+                F.lit(2 * period) * F.col(v) - F.col("trend_scaled")
+            ).cast("long").alias("s_num"),
+        )
+        .select(
+            "phase",
+            "m",
+            "s_num",
+            (F.lit(2 * period) * F.col("m")).cast("long").alias("s_den"),
+        )
+    )
+    _ = wn  # single-partition by design; documented above
+    return trend, seasonal

@@ -8053,6 +8053,44 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kac AS (SELECT event_type, hr, ct, count(*) AS n,
                    count(DISTINCT user_id) AS l
             FROM kaq GROUP BY 1, 2, 3),
+    stb AS (
+      SELECT epoch_us(ts) // 1000000 // 3600 AS hb, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    stspan AS (SELECT min(hb) AS h0, max(hb) AS h1 FROM stb),
+    stden AS (
+      SELECT g.hb, COALESCE(b.n, 0) AS n
+      FROM (SELECT gs.hb FROM stspan sp,
+                 UNNEST(generate_series(sp.h0, sp.h1)) AS gs(hb)) g
+      LEFT JOIN stb b ON b.hb = g.hb
+    ),
+    sttr AS (
+      -- centered 2x24 moving average, SCALED integer (den 48); NULL
+      -- at the 12-bin edges (relational.seasonal_decompose)
+      SELECT hb, n,
+             CASE WHEN count(*) OVER w = 25 THEN
+               SUM(2 * n) OVER w - first_value(n) OVER w
+               - last_value(n) OVER w
+             END AS tsc
+      FROM stden
+      WINDOW w AS (ORDER BY hb ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    stse AS (
+      SELECT hb % 24 AS phase, count(*) AS m, SUM(48 * n - tsc) AS s_num
+      FROM sttr WHERE tsc IS NOT NULL GROUP BY 1
+    ),
+    stg1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS st_bins,
+             CAST(COALESCE(SUM(tsc), 0) AS BIGINT) AS st_trend_sum
+      FROM sttr
+    ),
+    stg2 AS (
+      SELECT string_agg(CAST(phase AS VARCHAR) || ':'
+                        || CAST(s_num AS VARCHAR) || '/'
+                        || CAST(48 * m AS VARCHAR), ';' ORDER BY phase)
+               AS st_seas_sig
+      FROM stse
+    ),
     kag AS (SELECT CAST(count(*) AS BIGINT) AS ka_classes,
                    CAST(min(n) AS BIGINT) AS ka_min,
                    CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0)
@@ -8064,10 +8102,13 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT se.user_id, se.s_start, se.n, se.sum_value,
            COALESCE(u.ij_n, 0) AS ij_n, ijs.ij_sig,
            kag.ka_classes, kag.ka_min, kag.ka_sup, kag.ka_sum2_str,
-           kag.ld_min
+           kag.ld_min,
+           stg1.st_bins, stg1.st_trend_sum, stg2.st_seas_sig
     FROM sess se LEFT JOIN iju u ON u.user_id = se.user_id
     CROSS JOIN ijs
     CROSS JOIN kag
+    CROSS JOIN stg1
+    CROSS JOIN stg2
     ORDER BY se.user_id, se.s_start
     """,
 )
@@ -8138,14 +8179,64 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     ka = k_anonymity_census(kaq, ["event_type", "hr", "ct"], "user_id")
+    # classical seasonal decomposition of the global hourly series
+    # (relational.seasonal_decompose — centered 2x24 MA, exact scaled
+    # integers; the series is bin-domain sized, densified over the
+    # observed hour span)
+    from ..operators.relational import seasonal_decompose
+
+    stb = evi.select(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 3600").alias("hb")
+    ).groupBy("hb").agg(F.count(F.lit(1)).alias("n"))
+    _sb = stb.agg(F.min("hb").alias("h0"), F.max("hb").alias("h1")).first()
+    dense = (
+        spark.range(int(_sb["h0"]), int(_sb["h1"]) + 1)
+        .select(F.col("id").alias("hb"))
+        .join(stb, "hb", "left")
+        .select("hb", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
+    sttr, stse = seasonal_decompose(dense, t="hb", v="n", period=24)
+    stg1 = sttr.agg(
+        F.count(F.lit(1)).cast("long").alias("st_bins"),
+        F.coalesce(F.sum("trend_scaled"), F.lit(0))
+        .cast("long")
+        .alias("st_trend_sum"),
+    )
+    stg2 = stse.agg(
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("phase"),
+                            F.concat_ws(
+                                ":",
+                                F.col("phase").cast("string"),
+                                F.concat_ws(
+                                    "/",
+                                    F.col("s_num").cast("string"),
+                                    F.col("s_den").cast("string"),
+                                ),
+                            ).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("st_seas_sig")
+    )
     return (
         sess.join(iju, "user_id", "left")
         .withColumn("ij_n", F.coalesce(F.col("ij_n"), F.lit(0).cast("long")))
         .crossJoin(F.broadcast(ijs))
         .crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(stg1))
+        .crossJoin(F.broadcast(stg2))
         .select(
             "user_id", "s_start", "n", "sum_value", "ij_n", "ij_sig",
             "ka_classes", "ka_min", "ka_sup", "ka_sum2_str", "ld_min",
+            "st_bins", "st_trend_sum", "st_seas_sig",
         )
         .orderBy("user_id", "s_start")
     )

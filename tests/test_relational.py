@@ -1043,3 +1043,67 @@ def test_k_anonymity_census_random_matches_python(spark):
     assert out["ka_sup"] == sum(n for n in cnt.values() if n < 10)
     assert out["ka_sum2_str"] == str(sum(n * n for n in cnt.values()))
     assert out["ld_min"] == min(len(s) for s in usr.values())
+
+
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition (relational.seasonal_decompose)
+# ---------------------------------------------------------------------------
+
+from osm_replication_rust_spark.operators.relational import seasonal_decompose
+
+
+def _decomp_python(vals, p):
+    h = p // 2
+    n = len(vals)
+    trend = [None] * n
+    for i in range(h, n - h):
+        trend[i] = vals[i - h] + 2 * sum(vals[i - h + 1:i + h]) + vals[i + h]
+    seas = {}
+    for q in range(p):
+        det = [2 * p * vals[i] - trend[i]
+               for i in range(n) if trend[i] is not None and i % p == q]
+        if det:
+            seas[q] = (len(det), sum(det), 2 * p * len(det))
+    return trend, seas
+
+
+def test_seasonal_decompose_pure_wave(spark):
+    # v[t] = base + season(t%4), no noise: detrended == season - mean
+    p = 4
+    season = [10, 0, -4, -6]
+    vals = [100 + season[t % p] for t in range(20)]
+    df = spark.createDataFrame([{"t": t, "n": v} for t, v in enumerate(vals)])
+    tr, se = seasonal_decompose(df, period=p)
+    trend, seas = _decomp_python(vals, p)
+    got_t = {r["t"]: r["trend_scaled"] for r in tr.collect()}
+    for t, want in enumerate(trend):
+        assert got_t[t] == want, t
+    got_s = {r["phase"]: (r["m"], r["s_num"], r["s_den"]) for r in se.collect()}
+    assert got_s == seas
+    # a perfectly periodic series has constant trend == 2p * base-mean
+    mid = [v for v in trend if v is not None]
+    assert len(set(mid)) == 1 and mid[0] == 2 * p * 100
+    # seasonal means recover season - mean(season) exactly (den-scaled)
+    msum = sum(season)  # mean = msum / p
+    for q, (m, num, den) in seas.items():
+        from fractions import Fraction
+
+        assert Fraction(num, den) == Fraction(season[q] * p - msum, p)
+
+
+def test_seasonal_decompose_random_and_guards(spark):
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(137)
+    vals = [int(x) for x in rng.integers(0, 50, 57)]
+    p = 6
+    df = spark.createDataFrame([{"t": t, "n": v} for t, v in enumerate(vals)])
+    tr, se = seasonal_decompose(df, period=p)
+    trend, seas = _decomp_python(vals, p)
+    got_t = {r["t"]: r["trend_scaled"] for r in tr.collect()}
+    assert got_t == {t: trend[t] for t in range(len(vals))}
+    got_s = {r["phase"]: (r["m"], r["s_num"], r["s_den"]) for r in se.collect()}
+    assert got_s == seas
+    with pytest.raises(ValueError, match="even"):
+        seasonal_decompose(df, period=5)
