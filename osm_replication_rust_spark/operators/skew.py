@@ -92,3 +92,46 @@ def split_hot_cells(
         )
         .drop("_n")
     )
+
+
+def hrw_assign(key, nodes: list[str]):
+    """Highest-random-weight (rendezvous) hashing — the shard-placement
+    primitive a partitioned sink uses so a topology change moves ONLY
+    the keys of the affected node (Thaler & Ravishankar '98; the
+    property consistent hashing approximates, HRW gives exactly):
+    ``owner(key) = argmax_node md5(key || '|' || node)``, ties (md5
+    collisions, practically impossible but the rule is total) to the
+    lexicographically smallest node.
+
+    Returns a Column: the owning node for ``key`` over the LITERAL
+    node list — a pure map-side expression (md5 per node, a
+    greatest-struct fold), no shuffle, engine-exact (md5 is the
+    repo-wide shared hash).  The minimal-disruption contract —
+    dropping node X moves exactly X's keys and NOTHING else — follows
+    from per-(key, node) weights being independent of the list, and
+    is pinned by the gate fold."""
+    from pyspark.sql import functions as F
+
+    if not nodes:
+        raise ValueError("hrw_assign needs at least one node")
+    cands = [
+        F.struct(
+            F.md5(F.concat(key.cast("string"), F.lit("|" + n))).alias("w"),
+            F.lit(n).alias("node"),
+        )
+        for n in sorted(nodes, reverse=True)  # ties -> smallest node wins
+    ]
+    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    return best["node"]
+
+
+def sql_hrw_assign(key: str, nodes: list[str]) -> str:
+    """DuckDB twin of ``hrw_assign``: the same md5 weights folded with
+    greatest() over the same struct order."""
+    items = [
+        f"{{'w': md5(CAST({key} AS VARCHAR) || '|{n}'), 'node': '{n}'}}"
+        for n in sorted(nodes, reverse=True)
+    ]
+    if len(items) == 1:
+        return f"({items[0]}).node"
+    return f"(list_max([{', '.join(items)}])).node"

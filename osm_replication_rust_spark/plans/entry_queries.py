@@ -2828,7 +2828,9 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN b.text ELSE COALESCE(c.new_text, b.text) END AS text,
            CASE WHEN c.doc_id IS NULL
                      OR (b.version IS NOT NULL AND c.cv <= b.version)
-                THEN b.version ELSE c.cv END AS version
+                THEN b.version ELSE c.cv END AS version,
+           (list_max([{'w': md5(CAST(COALESCE(b.doc_id, c.doc_id) AS VARCHAR) || '|n4'), 'node': 'n4'}, {'w': md5(CAST(COALESCE(b.doc_id, c.doc_id) AS VARCHAR) || '|n3'), 'node': 'n3'}, {'w': md5(CAST(COALESCE(b.doc_id, c.doc_id) AS VARCHAR) || '|n2'), 'node': 'n2'}, {'w': md5(CAST(COALESCE(b.doc_id, c.doc_id) AS VARCHAR) || '|n1'), 'node': 'n1'}, {'w': md5(CAST(COALESCE(b.doc_id, c.doc_id) AS VARCHAR) || '|n0'), 'node': 'n0'}])).node AS hrw_node,
+           (list_max([{'w': md5(CAST(COALESCE(b.doc_id, c.doc_id) AS VARCHAR) || '|n4'), 'node': 'n4'}, {'w': md5(CAST(COALESCE(b.doc_id, c.doc_id) AS VARCHAR) || '|n3'), 'node': 'n3'}, {'w': md5(CAST(COALESCE(b.doc_id, c.doc_id) AS VARCHAR) || '|n1'), 'node': 'n1'}, {'w': md5(CAST(COALESCE(b.doc_id, c.doc_id) AS VARCHAR) || '|n0'), 'node': 'n0'}])).node AS hrw_node4
     FROM base b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
     WHERE c.doc_id IS NULL
        OR (b.version IS NOT NULL AND c.cv <= b.version)
@@ -2885,8 +2887,21 @@ def merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     changes = mods.unionByName(dels).unionByName(crts)
-    return merge_changes(
+    # rendezvous-hash shard placement of every merged key (skew.
+    # hrw_assign): the owner over the 5-node ring plus the owner after
+    # node n2 leaves — the per-row pair pins HRW's minimal-disruption
+    # contract (only n2's keys move), driver-verified key by key
+    from ..operators.skew import hrw_assign
+
+    merged = merge_changes(
         d, changes, key="doc_id", order="version", version_col="version"
+    )
+    nodes5 = [f"n{i}" for i in range(5)]
+    nodes4 = [n for n in nodes5 if n != "n2"]
+    return merged.select(
+        "*",
+        hrw_assign(F.col("doc_id"), nodes5).alias("hrw_node"),
+        hrw_assign(F.col("doc_id"), nodes4).alias("hrw_node4"),
     ).orderBy("doc_id")
 
 

@@ -65,3 +65,59 @@ def test_split_hot_cells_spreads(spark, skewed):
     assert all(n == 1 for c, n in per.items() if c != 7)  # cold cells: sub 0
     # row count preserved
     assert out.count() == big.count()
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (HRW) hashing (skew.hrw_assign)
+# ---------------------------------------------------------------------------
+
+
+def test_hrw_minimal_disruption_and_duckdb_twin(spark):
+    import duckdb
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from osm_replication_rust_spark.operators.skew import (
+        hrw_assign,
+        sql_hrw_assign,
+    )
+
+    nodes5 = [f"n{i}" for i in range(5)]
+    nodes4 = [n for n in nodes5 if n != "n2"]
+    df = spark.range(0, 2000).select(F.col("id"))
+    out = df.select(
+        "id",
+        hrw_assign(F.col("id"), nodes5).alias("o5"),
+        hrw_assign(F.col("id"), nodes4).alias("o4"),
+    ).collect()
+    got5 = {r["id"]: r["o5"] for r in out}
+    got4 = {r["id"]: r["o4"] for r in out}
+
+    def ref(k, nodes):
+        return max(
+            ((hashlib.md5(f"{k}|{n}".encode()).hexdigest(), n) for n in nodes),
+            key=lambda t: (t[0], tuple(-ord(c) for c in t[1])),
+        )[1]
+
+    for k in range(2000):
+        assert got5[k] == ref(k, nodes5), k
+    # balance: every node owns a reasonable share
+    from collections import Counter
+
+    c = Counter(got5.values())
+    assert set(c) == set(nodes5) and min(c.values()) > 2000 / 5 * 0.6
+    # minimal disruption: ONLY n2's keys move when n2 leaves
+    for k in range(2000):
+        if got5[k] == "n2":
+            assert got4[k] != "n2"
+        else:
+            assert got4[k] == got5[k], k
+    con = duckdb.connect()
+    e5 = sql_hrw_assign("k", nodes5)
+    duck = dict(
+        con.execute(
+            f"SELECT k, {e5} FROM (SELECT unnest(range(0, 2000)) AS k)"
+        ).fetchall()
+    )
+    assert duck == got5
