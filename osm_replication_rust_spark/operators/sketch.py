@@ -689,3 +689,52 @@ def sql_hist_quantile(
     ) c
     WHERE cum >= trg AND (cum - cnt) < trg
     """
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    v: str,
+    k: int = 8,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact equi-depth histogram — the optimizer/profiling primitive
+    (ANALYZE-style depth-balanced bins) kept exact: boundary i
+    (1 ≤ i ≤ k) is the order statistic at rank ⌈i·N/k⌉ under the
+    total order (v, tiebreak), and ``cum`` is the VALUE-based count of
+    rows with v ≤ boundary — so duplicate-heavy values expose their
+    tie mass (cum jumps past the ideal i·N/k) instead of being
+    silently split, which is exactly what a cardinality estimator
+    needs to know.  Emits (i, boundary, cum), k rows.
+
+    Plan: one (v, tiebreak) row_number window for the rank picks + one
+    broadcast of the k boundaries back over an aggregated
+    distinct-value frame for the cumulative counts — the fact table is
+    scanned twice but shuffled as (value, count) rows only.
+
+    Scale: the window orders facts once (the one fact-width shuffle);
+    the cum join runs on the distinct-value table (domain-sized, the
+    roc_auc discipline)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = [F.col(v)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.orderBy(*order)
+    ranked = df.select(
+        F.col(v).alias("_v"), F.row_number().over(w).alias("_rn")
+    )
+    n = df.count()
+    ranks = [(i, -(-i * n // k)) for i in range(1, k + 1)]
+    rk = df.sparkSession.createDataFrame(ranks, "i long, _rn long")
+    bounds = ranked.join(F.broadcast(rk), "_rn").select(
+        "i", F.col("_v").alias("boundary")
+    )
+    dist = df.groupBy(F.col(v).alias("_dv")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cum = (
+        dist.join(
+            F.broadcast(bounds), F.col("_dv") <= F.col("boundary"), "inner"
+        )
+        .groupBy("i", "boundary")
+        .agg(F.sum("_c").cast("long").alias("cum"))
+    )
+    return cum.orderBy("i")

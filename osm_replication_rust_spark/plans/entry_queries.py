@@ -8106,6 +8106,29 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS st_seas_sig
       FROM stse
     ),
+    eqr AS (
+      SELECT event_id % 9973 AS v,
+             row_number() OVER (ORDER BY event_id % 9973, event_id) AS rn
+      FROM events
+    ),
+    eqn AS (SELECT count(*) AS n FROM events),
+    eqbd AS (
+      SELECT ii.i, r.v AS boundary
+      FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) ii(i), eqn, eqr r
+      WHERE r.rn = (ii.i * eqn.n + 7) // 8
+    ),
+    eqc AS (
+      SELECT b.i, b.boundary,
+             CAST((SELECT count(*) FROM eqr r2 WHERE r2.v <= b.boundary)
+                  AS BIGINT) AS cum
+      FROM eqbd b
+    ),
+    eqg AS (
+      SELECT string_agg(CAST(i AS VARCHAR) || ':' || CAST(boundary AS VARCHAR)
+                        || ':' || CAST(cum AS VARCHAR), ';' ORDER BY i)
+               AS eq_sig
+      FROM eqc
+    ),
     kag AS (SELECT CAST(count(*) AS BIGINT) AS ka_classes,
                    CAST(min(n) AS BIGINT) AS ka_min,
                    CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0)
@@ -8118,12 +8141,13 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(u.ij_n, 0) AS ij_n, ijs.ij_sig,
            kag.ka_classes, kag.ka_min, kag.ka_sup, kag.ka_sum2_str,
            kag.ld_min,
-           stg1.st_bins, stg1.st_trend_sum, stg2.st_seas_sig
+           stg1.st_bins, stg1.st_trend_sum, stg2.st_seas_sig, eqg.eq_sig
     FROM sess se LEFT JOIN iju u ON u.user_id = se.user_id
     CROSS JOIN ijs
     CROSS JOIN kag
     CROSS JOIN stg1
     CROSS JOIN stg2
+    CROSS JOIN eqg
     ORDER BY se.user_id, se.s_start
     """,
 )
@@ -8211,6 +8235,40 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hb", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
     )
     sttr, stse = seasonal_decompose(dense, t="hb", v="n", period=24)
+    # exact equi-depth histogram of the derived integer value surface
+    # (sketch.equi_depth_bins — tie-aware cum counts, the cardinality-
+    # estimator profile)
+    from ..operators.sketch import equi_depth_bins
+
+    eqb = equi_depth_bins(
+        evi.select(
+            (F.col("event_id") % 9973).alias("_eqv"), "event_id"
+        ),
+        "_eqv",
+        k=8,
+        tiebreak="event_id",
+    )
+    eqg = eqb.agg(
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("i"),
+                            F.concat_ws(
+                                ":",
+                                F.col("i").cast("string"),
+                                F.col("boundary").cast("string"),
+                                F.col("cum").cast("string"),
+                            ).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("eq_sig")
+    )
     stg1 = sttr.agg(
         F.count(F.lit(1)).cast("long").alias("st_bins"),
         F.coalesce(F.sum("trend_scaled"), F.lit(0))
@@ -8248,10 +8306,11 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ka))
         .crossJoin(F.broadcast(stg1))
         .crossJoin(F.broadcast(stg2))
+        .crossJoin(F.broadcast(eqg))
         .select(
             "user_id", "s_start", "n", "sum_value", "ij_n", "ij_sig",
             "ka_classes", "ka_min", "ka_sup", "ka_sum2_str", "ld_min",
-            "st_bins", "st_trend_sum", "st_seas_sig",
+            "st_bins", "st_trend_sum", "st_seas_sig", "eq_sig",
         )
         .orderBy("user_id", "s_start")
     )

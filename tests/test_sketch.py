@@ -464,3 +464,37 @@ def test_hist_validation(spark, hist_df):
         )
     with pytest.raises(ValueError, match=r"\(0, 1\]"):
         sql_hist_quantile("t", "v", 1.5, 0, 1024, 256)
+
+
+# ---------------------------------------------------------------------------
+# exact equi-depth histogram (sketch.equi_depth_bins)
+# ---------------------------------------------------------------------------
+
+
+def test_equi_depth_bins_exact(spark):
+    import numpy as np
+    import pytest
+
+    from osm_replication_rust_spark.operators.sketch import equi_depth_bins
+
+    rng = np.random.default_rng(139)
+    # heavy ties: half the rows share 10 hot values
+    vals = [int(x) for x in rng.integers(0, 1000, 300)]
+    vals += [int(x) for x in rng.choice([5, 7, 500], 300)]
+    df = spark.createDataFrame([{"i": i, "v": v} for i, v in enumerate(vals)])
+    k = 8
+    got = {
+        r["i"]: (r["boundary"], r["cum"])
+        for r in equi_depth_bins(df, "v", k=k, tiebreak="i").collect()
+    }
+    sv = sorted(vals)
+    n = len(sv)
+    for i in range(1, k + 1):
+        r = -(-i * n // k)
+        b = sv[r - 1]
+        assert got[i] == (b, sum(1 for x in vals if x <= b)), i
+    # ties make cum overshoot the ideal depth at hot boundaries
+    assert any(got[i][1] > -(-i * n // k) for i in range(1, k + 1))
+    assert got[k][1] == n
+    with pytest.raises(ValueError):
+        equi_depth_bins(df, "v", k=0)
