@@ -157,6 +157,59 @@ def sql_lsh_buckets(
     return exprs
 
 
+def lsh_probe_bucket_udf(spark, dim: int, n_tables: int, n_bits: int, seed: int = 13):
+    """Multi-probe companion of :func:`lsh_bucket_udf`: per row and
+    table, [base_bucket, probe_bucket] where the probe flips the bit
+    with the SMALLEST |projection| (ties -> smallest bit index) — the
+    classic multi-probe LSH move (Lv '07): the lowest-margin bit is
+    the likeliest sign flip for a true neighbour, so probing that one
+    neighbouring bucket buys most of a second table's recall at zero
+    index cost.  All-integer margins, bit-reproducible in SQL."""
+    planes_bc = spark.sparkContext.broadcast(_hyperplanes(dim, n_tables, n_bits, seed))
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.LongType())))
+    def buckets(emb: pd.Series) -> pd.Series:
+        planes = planes_bc.value
+        vq = _quantize(_emb_matrix(emb))
+        proj = np.einsum("tbd,nd->tbn", planes, vq)
+        bits = (proj > 0).astype(np.int64)
+        weights = (1 << np.arange(bits.shape[1], dtype=np.int64))[None, :, None]
+        packed = (bits * weights).sum(axis=1)  # (T, N)
+        flip = np.abs(proj).argmin(axis=1)  # (T, N), first = smallest b
+        probe = packed ^ (1 << flip)
+        out = [
+            [[int(packed[t, i]), int(probe[t, i])] for t in range(planes.shape[0])]
+            for i in range(vq.shape[0])
+        ]
+        return pd.Series(out)
+
+    return buckets
+
+
+def sql_lsh_probe_buckets(
+    dim: int, n_tables: int, n_bits: int, seed: int = 13, vec: str = "v"
+) -> list[str]:
+    """DuckDB twin of the PROBE bucket per table: base bucket XOR
+    (1 << argmin_b |proj_b|), ties to the smallest b via first-match
+    CASE order."""
+    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    base = sql_lsh_buckets(dim, n_tables, n_bits, seed, vec)
+    exprs = []
+    for t in range(n_tables):
+        lits = [
+            "[" + ", ".join(str(int(x)) for x in planes[t, b]) + "]"
+            for b in range(n_bits)
+        ]
+        lst = (
+            "["
+            + ", ".join(f"abs(list_dot_product({vec}, {lit}))" for lit in lits)
+            + "]"
+        )
+        bit = f"(list_position({lst}, list_min({lst})) - 1)"
+        exprs.append(f"xor(CAST(({base[t]}) AS BIGINT), (1 << {bit}))")
+    return exprs
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     items: DataFrame,
@@ -169,6 +222,7 @@ def ann_lsh_topk(
     n_bits: int = 10,
     seed: int = 13,
     rank_by: str = "cosine",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: multi-table LSH bucket join for candidates,
     exact rerank of candidates only. Output schema is
@@ -195,8 +249,18 @@ def ann_lsh_topk(
             F.posexplode("_bkts").alias("table", "bucket"),
         )
 
+    if multiprobe:
+        # queries probe [base, lowest-margin-flip]; items index base only
+        pudf = lsh_probe_bucket_udf(spark, dim, n_tables, n_bits, seed)
+        qtag = (
+            queries.withColumn("_bkts", pudf(F.col(vec)))
+            .select(F.col(q_id), F.posexplode("_bkts").alias("table", "_pair"))
+            .select(q_id, "table", F.explode("_pair").alias("bucket"))
+        )
+    else:
+        qtag = tag(queries, q_id)
     cands = (
-        tag(queries, q_id)
+        qtag
         .join(tag(items, i_id), ["table", "bucket"], "inner")
         .select(q_id, i_id)
         .distinct()

@@ -249,3 +249,68 @@ def test_kcenter_greedy_matches_bruteforce(spark):
 
     with _pytest.raises(ValueError):
         kcenter_greedy(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH (similarity.ann_lsh_topk multiprobe=True)
+# ---------------------------------------------------------------------------
+
+
+def test_multiprobe_improves_recall_and_twin_matches(spark):
+    import duckdb
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from osm_replication_rust_spark.operators.similarity import (
+        _emb_matrix,
+        _hyperplanes,
+        _quantize,
+        ann_lsh_topk,
+        lsh_probe_bucket_udf,
+        sql_lsh_probe_buckets,
+        sql_quantized,
+    )
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    q = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+
+    def recall(mp):
+        out = ann_lsh_topk(
+            q, emb, k=5, dim=64, n_tables=8, n_bits=8,
+            rank_by="dot_q", multiprobe=mp,
+        ).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        # exact truth by quantized dot
+        import pandas as pd
+
+        pdf = emb.orderBy("vec_id").toPandas()
+        vq = _quantize(_emb_matrix(pdf["embedding"]))
+        ids = pdf["vec_id"].to_numpy()
+        dots = vq[:10] @ vq.T
+        tot = 0
+        for qi in range(10):
+            order = sorted(range(len(ids)), key=lambda i: (-dots[qi, i], ids[i]))
+            tot += len(got.get(qi, set()) & {int(ids[i]) for i in order[:5]})
+        return tot
+
+    r0, r1 = recall(False), recall(True)
+    assert r1 > r0, (r0, r1)  # measured 20 -> 29 of 50 on this fixture
+    # probe-bucket parity: Spark UDF vs DuckDB twin on 50 vectors
+    sub = emb.filter(F.col("vec_id") < 50)
+    pudf = lsh_probe_bucket_udf(spark, 64, 8, 8)
+    got = {
+        r["vec_id"]: [p[1] for p in r["pb"]]
+        for r in sub.select("vec_id", pudf(F.col("embedding")).alias("pb")).collect()
+    }
+    con = duckdb.connect()
+    probes = sql_lsh_probe_buckets(64, 8, 8, vec="v")
+    rows = con.execute(
+        f"SELECT vec_id, {', '.join(probes)} FROM "
+        f"(SELECT vec_id, {sql_quantized('embedding')} AS v "
+        f"FROM read_parquet('{path}') WHERE vec_id < 50)"
+    ).fetchall()
+    for row in rows:
+        assert got[row[0]] == list(row[1:]), row[0]
