@@ -2485,3 +2485,99 @@ def segmetrics_stage(
             )
 
     return df.mapInPandas(stage, out_schema)
+
+
+def ssim_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Global SSIM moments vs the 3×3-median denoise — the structural
+    image-quality metric next to PSNR (Wang '04), in the repo's
+    exact-integer discipline: the stage emits ONLY the integer moment
+    sums over interior pixels (x = center, y = its exact 3×3 median)
+
+        ssim_n, ssim_sx, ssim_sy, ssim_sx2, ssim_sy2, ssim_sxy
+
+    and the query layer computes the (single-window, global) SSIM
+
+        ((2μxμy + c1)(2cov + c2)) / ((μx² + μy² + c1)(σx² + σy² + c2))
+
+    with the SAME spelled float tree on both engines (the lap_var
+    precedent) — c1 = (0.01·255)², c2 = (0.03·255)².  An image whose
+    median equals itself everywhere (smooth) scores 1; impulse noise
+    drops cov and the score.  Images thinner than 3 px emit zeros
+    (n = 0 ⇒ SSIM null at the query layer).
+
+    Map-only, equal-shape Arrow batch stacks, zero shuffle."""
+    fields = [f"{c} {t}" for c, t in df.dtypes]
+    cols = ["ssim_n", "ssim_sx", "ssim_sy", "ssim_sx2", "ssim_sy2", "ssim_sxy"]
+    out_schema = ", ".join(fields + [f"{c} bigint" for c in cols])
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            acc = {c: np.zeros(n, dtype=np.int64) for c in cols}
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for ii, L, w, h in _shape_groups(pdf, bytes_col):
+                if h < 3 or w < 3:
+                    continue
+                px = (
+                    _decode_stack(list(payloads[ii]), L, w, h)
+                    .astype(np.int64)
+                    .reshape(len(ii), h, w)
+                )
+                neigh = np.stack(
+                    [
+                        px[:, dy : h - 2 + dy, dx : w - 2 + dx]
+                        for dy in range(3)
+                        for dx in range(3)
+                    ],
+                    axis=-1,
+                )
+                med = np.partition(neigh, 4, axis=-1)[..., 4]
+                ctr = px[:, 1:-1, 1:-1]
+                acc["ssim_n"][ii] = ctr.shape[1] * ctr.shape[2]
+                acc["ssim_sx"][ii] = ctr.sum(axis=(1, 2))
+                acc["ssim_sy"][ii] = med.sum(axis=(1, 2))
+                acc["ssim_sx2"][ii] = (ctr * ctr).sum(axis=(1, 2))
+                acc["ssim_sy2"][ii] = (med * med).sum(axis=(1, 2))
+                acc["ssim_sxy"][ii] = (ctr * med).sum(axis=(1, 2))
+            yield pdf.assign(**acc)
+
+    return df.mapInPandas(stage, out_schema)
+
+
+def ssim_expr(n, sx, sy, sx2, sy2, sxy):
+    """The shared SSIM float tree over the integer moments — spelled
+    ONCE for Spark; ``sql_ssim_expr`` is the character-identical
+    DuckDB twin.  Population statistics, single global window."""
+    from pyspark.sql import functions as F
+
+    nn = n.cast("double")
+    mx = sx.cast("double") / nn
+    my = sy.cast("double") / nn
+    vx = sx2.cast("double") / nn - mx * mx
+    vy = sy2.cast("double") / nn - my * my
+    cv = sxy.cast("double") / nn - mx * my
+    c1, c2 = 6.5025, 58.5225
+    num = (2.0 * mx * my + F.lit(c1)) * (2.0 * cv + F.lit(c2))
+    den = (mx * mx + my * my + F.lit(c1)) * (vx + vy + F.lit(c2))
+    return F.when(n > 0, num / den)
+
+
+def sql_ssim_expr(n: str, sx: str, sy: str, sx2: str, sy2: str, sxy: str) -> str:
+    return (
+        f"CASE WHEN {n} > 0 THEN "
+        f"((2.0 * (CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        f" * (CAST({sy} AS DOUBLE) / CAST({n} AS DOUBLE)) + 6.5025)"
+        f" * (2.0 * (CAST({sxy} AS DOUBLE) / CAST({n} AS DOUBLE)"
+        f" - (CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        f" * (CAST({sy} AS DOUBLE) / CAST({n} AS DOUBLE))) + 58.5225))"
+        f" / (((CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        f" * (CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        f" + (CAST({sy} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        f" * (CAST({sy} AS DOUBLE) / CAST({n} AS DOUBLE)) + 6.5025)"
+        f" * ((CAST({sx2} AS DOUBLE) / CAST({n} AS DOUBLE)"
+        f" - (CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        f" * (CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE)))"
+        f" + (CAST({sy2} AS DOUBLE) / CAST({n} AS DOUBLE)"
+        f" - (CAST({sy} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        f" * (CAST({sy} AS DOUBLE) / CAST({n} AS DOUBLE))) + 58.5225)) END"
+    )

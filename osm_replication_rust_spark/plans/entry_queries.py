@@ -3940,6 +3940,22 @@ def _multimodal_oracle() -> str:
       WHERE m.n9 = 9
       GROUP BY m.image_id
     ),
+    ssmom AS (
+      -- SSIM integer moments vs the 3x3 median (multimodal.ssim_stage
+      -- — reuses macc's exact order-statistic median; every fixture
+      -- image is >= 16 px so the interior is never empty)
+      SELECT m.image_id,
+             CAST(count(*) AS BIGINT) AS ssim_n,
+             CAST(SUM(p.v) AS BIGINT) AS ssim_sx,
+             CAST(SUM(m.medv) AS BIGINT) AS ssim_sy,
+             CAST(SUM(p.v * p.v) AS BIGINT) AS ssim_sx2,
+             CAST(SUM(m.medv * m.medv) AS BIGINT) AS ssim_sy2,
+             CAST(SUM(p.v * m.medv) AS BIGINT) AS ssim_sxy
+      FROM macc m JOIN px p ON p.image_id = m.image_id
+                           AND p.r = m.mr AND p.c = m.mc
+      WHERE m.n9 = 9
+      GROUP BY m.image_id
+    ),
     lbpb AS (
       -- LBP ring taps (multimodal.lbp_stage): bit i set when the
       -- clockwise-from-top-left neighbor i >= center, per interior
@@ -4170,6 +4186,9 @@ def _multimodal_oracle() -> str:
            dg.dth_n, COALESCE(dt2.dth_t, 0) AS dth_t, dg.dth_wsum,
            af.ap_n_gt, af.ap_n_det, af.ap_tp, af.ap_num_str, af.ap_den_str,
            sm.sg_tp, sm.sg_fp, sm.sg_fn, sm.sg_miou_num, sm.sg_miou_den,
+           sso.ssim_n, sso.ssim_sx, sso.ssim_sy, sso.ssim_sx2,
+           sso.ssim_sy2, sso.ssim_sxy,
+           CASE WHEN sso.ssim_n > 0 THEN ((2.0 * (CAST(sso.ssim_sx AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE)) * (CAST(sso.ssim_sy AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE)) + 6.5025) * (2.0 * (CAST(sso.ssim_sxy AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE) - (CAST(sso.ssim_sx AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE)) * (CAST(sso.ssim_sy AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE))) + 58.5225)) / (((CAST(sso.ssim_sx AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE)) * (CAST(sso.ssim_sx AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE)) + (CAST(sso.ssim_sy AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE)) * (CAST(sso.ssim_sy AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE)) + 6.5025) * ((CAST(sso.ssim_sx2 AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE) - (CAST(sso.ssim_sx AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE)) * (CAST(sso.ssim_sx AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE))) + (CAST(sso.ssim_sy2 AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE) - (CAST(sso.ssim_sy AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE)) * (CAST(sso.ssim_sy AS DOUBLE) / CAST(sso.ssim_n AS DOUBLE))) + 58.5225)) END AS ssim,
            SQRT(CAST(aud.energy AS DOUBLE) / CAST(aud.n_samples AS DOUBLE)) AS rms,
            aud.trim_start, aud.trim_end,
            COALESCE(sg.gx_abs_sum, 0) AS gx_abs_sum,
@@ -4232,6 +4251,7 @@ def _multimodal_oracle() -> str:
     LEFT JOIN dtt dt2 USING (image_id)
     JOIN apfin af USING (image_id)
     JOIN sgm sm USING (image_id)
+    JOIN ssmom sso USING (image_id)
     LEFT JOIN mvagg mv USING (image_id)
     LEFT JOIN sagg sg USING (image_id) LEFT JOIN obest ob USING (image_id)
     JOIN eagg e USING (image_id)
@@ -4378,6 +4398,8 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bitplane_stage,
         dither_stage,
         segmetrics_stage,
+        ssim_expr,
+        ssim_stage,
         bilinear_resize_stage,
         decode_stats,
         emd_stage,
@@ -4545,6 +4567,17 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary-segmentation confusion + exact-fraction mIoU per image
     # (multimodal.segmetrics_stage; the mul-7 scrambled predictor
     # populates every confusion cell)
+    ssm = ssim_stage(imgs.select("image_id", "bytes", "w", "h")).select(
+        "image_id", "ssim_n", "ssim_sx", "ssim_sy", "ssim_sx2",
+        "ssim_sy2", "ssim_sxy",
+    )
+    ssm = ssm.select(
+        "*",
+        ssim_expr(
+            F.col("ssim_n"), F.col("ssim_sx"), F.col("ssim_sy"),
+            F.col("ssim_sx2"), F.col("ssim_sy2"), F.col("ssim_sxy"),
+        ).alias("ssim"),
+    )
     seg = segmetrics_stage(
         imgs.select("image_id", "bytes", "w", "h"),
         pred_mul=7, pred_mod=251,
@@ -4648,6 +4681,7 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dth, "image_id")
         .join(apf, "image_id")
         .join(seg, "image_id")
+        .join(ssm, "image_id")
         .join(scm, "image_id")
         .join(sob, "image_id")
         .join(ots, "image_id")

@@ -2122,3 +2122,60 @@ def test_segmetrics_matches_loop_reference(spark):
     assert got["e"].sg_fp == 8 and got["e"].sg_tp == 4
     # the scrambled predictor misses in BOTH directions on image a
     assert got7["a"].sg_fp > 0 and got7["a"].sg_fn > 0
+
+
+def test_ssim_stage_and_shared_tree(spark):
+    import duckdb
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from osm_replication_rust_spark.operators.multimodal import (
+        fake_decode,
+        sql_ssim_expr,
+        ssim_expr,
+        ssim_stage,
+    )
+
+    rows = [
+        ("a", bytes([(k * 37 + 11) % 256 for k in range(16 * 16)]), 16, 16),
+        ("b", bytes([77] * (8 * 8)), 8, 8),        # constant: SSIM == 1
+        ("c", bytes(([77] * 12 + [255] + [77] * 51))[:64], 8, 8),  # impulse
+        ("d", bytes(range(8)), 4, 2),               # thinner than 3: n=0
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    st = ssim_stage(df)
+    out = {
+        r["image_id"]: r
+        for r in st.select(
+            "*",
+            ssim_expr(
+                F.col("ssim_n"), F.col("ssim_sx"), F.col("ssim_sy"),
+                F.col("ssim_sx2"), F.col("ssim_sy2"), F.col("ssim_sxy"),
+            ).alias("ssim"),
+        ).collect()
+    }
+    for image_id, payload, w, h in rows:
+        px = fake_decode(payload, w, h).astype(int)
+        r = out[image_id]
+        if h < 3 or w < 3:
+            assert r["ssim_n"] == 0 and r["ssim"] is None
+            continue
+        med = np.zeros((h - 2, w - 2), dtype=int)
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                med[y - 1, x - 1] = int(np.median(px[y - 1:y + 2, x - 1:x + 2]))
+        ctr = px[1:-1, 1:-1]
+        assert r["ssim_n"] == ctr.size and r["ssim_sxy"] == int((ctr * med).sum())
+        assert r["ssim_sy2"] == int((med * med).sum()), image_id
+    assert abs(out["b"]["ssim"] - 1.0) < 1e-15     # constant image
+    assert out["c"]["ssim"] < out["b"]["ssim"]     # impulse noise drops it
+    # DuckDB twin computes the identical double from the same moments
+    con = duckdb.connect()
+    for image_id in ("a", "b", "c"):
+        r = out[image_id]
+        e = sql_ssim_expr(
+            str(r["ssim_n"]), str(r["ssim_sx"]), str(r["ssim_sy"]),
+            str(r["ssim_sx2"]), str(r["ssim_sy2"]), str(r["ssim_sxy"]),
+        )
+        (want,) = con.execute(f"SELECT {e}").fetchone()
+        assert want == r["ssim"], image_id
