@@ -293,13 +293,20 @@ def psnr_check(
     id_col: str = "image_id",
     bytes_col: str = "bytes",
     min_db: float = 40.0,
+    caption_col: str | None = None,
 ) -> DataFrame:
     """Per-row decoded-pixel comparison (the BASELINE.json invariant):
     join the two tables on id and compute PSNR inside mapInPandas.
-    Returns (id, psnr_db, ok)."""
-    l = left.select(F.col(id_col), F.col(bytes_col).alias("_lb"), "w", "h")
-    r = right.select(F.col(id_col), F.col(bytes_col).alias("_rb"))
-    j = l.join(r, id_col, "inner")
+    Returns (id, psnr_db, ok).  With ``caption_col`` set, the OTHER
+    half of the invariant — per-row caption EQUALITY (null-safe) —
+    rides the same join: adds ``caption_ok`` and folds it into ``ok``,
+    so one frame answers "pixels allclose AND caption identical"."""
+    lcols = [F.col(id_col), F.col(bytes_col).alias("_lb"), "w", "h"]
+    rcols = [F.col(id_col), F.col(bytes_col).alias("_rb")]
+    if caption_col is not None:
+        lcols.append(F.col(caption_col).alias("_lc"))
+        rcols.append(F.col(caption_col).alias("_rc"))
+    j = left.select(*lcols).join(right.select(*rcols), id_col, "inner")
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -308,11 +315,20 @@ def psnr_check(
                 p = psnr(fake_decode(lb, int(w), int(h)), fake_decode(rb, int(w), int(h)))
                 vals.append(p if np.isfinite(p) else 1e9)
                 oks.append(bool(p >= min_db))
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "psnr_db": vals, "ok": oks}
-            )
+            out = {id_col: pdf[id_col], "psnr_db": vals, "ok": oks}
+            if caption_col is not None:
+                ceq = [
+                    (a == b) or (a is None and b is None)
+                    for a, b in zip(pdf["_lc"], pdf["_rc"])
+                ]
+                out["caption_ok"] = ceq
+                out["ok"] = [o and c for o, c in zip(oks, ceq)]
+            yield pd.DataFrame(out)
 
-    return j.mapInPandas(stage, f"{id_col} string, psnr_db double, ok boolean")
+    schema = f"{id_col} string, psnr_db double, ok boolean"
+    if caption_col is not None:
+        schema = f"{id_col} string, psnr_db double, ok boolean, caption_ok boolean"
+    return j.mapInPandas(stage, schema)
 
 
 def ahash_stage(df: DataFrame, bytes_col: str = "bytes", out_col: str = "ahash") -> DataFrame:

@@ -2179,3 +2179,33 @@ def test_ssim_stage_and_shared_tree(spark):
         )
         (want,) = con.execute(f"SELECT {e}").fetchone()
         assert want == r["ssim"], image_id
+
+
+def test_psnr_check_caption_equality(spark, imgs):
+    import pyspark.sql.functions as F
+
+    from osm_replication_rust_spark.operators.multimodal import psnr_check
+
+    # the full BASELINE invariant: pixels allclose AND caption equal
+    res = {
+        r.image_id: r
+        for r in psnr_check(imgs, imgs, caption_col="caption").collect()
+    }
+    assert all(r.ok and r.caption_ok for r in res.values())
+    # a flipped caption fails caption_ok (and ok) but not the PSNR
+    bad = imgs.withColumn(
+        "caption",
+        F.when(
+            F.col("image_id") == F.first_value("image_id").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("image_id")
+            ),
+            F.lit("tampered"),
+        ).otherwise(F.col("caption")),
+    )
+    res2 = {
+        r.image_id: r
+        for r in psnr_check(imgs, bad, caption_col="caption").collect()
+    }
+    flipped = [r for r in res2.values() if not r.caption_ok]
+    assert len(flipped) == 1 and flipped[0].psnr_db >= 40.0
+    assert not flipped[0].ok
