@@ -931,3 +931,77 @@ def kcenter_greedy(
         chosen.append((row["_id"], int(row["_d2"])))
         chosen_vecs.append(row["_q"])
     return chosen
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    codebooks_q: np.ndarray,
+    k: int,
+    dim: int,
+    q_id: str = "query_id",
+    i_id: str = "vec_id",
+    vec: str = "embedding",
+    nprobe: int = 4,
+    centroids_q: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    seed: int = 17,
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN index (the FAISS
+    IVFxx,PQyy shape), composed from the engine's two certified
+    halves: items route ONCE into centroid lists (exact integer
+    argmin, the IVF coarse quantizer) and store only their m PQ codes;
+    each query probes its nprobe nearest lists and ranks candidates by
+    the EXACT-integer ADC sum from its m×ksub distance table — the
+    scan touches codes, never raw item vectors.
+
+    Output (q_id, i_id, pq_d2, rank) with the (pq_d2, i_id) tie rule —
+    identical semantics to ``pq_topk`` restricted to the probed lists
+    (asserted in tests), so recall tunes with nprobe exactly like IVF
+    while memory per item is m codes.
+
+    Scale shape: both UDF passes over items (assign + encode) COALESCE
+    into one stage; queries (with their tables) broadcast; the item
+    side is never exchanged — the ivf_topk broadcast discipline."""
+    spark = queries.sparkSession
+    if centroids_q is not None:
+        cq = centroids_q.astype(np.int64)
+    else:
+        if centroids is None:
+            centroids = train_centroids(items, dim, n_centroids, vec, seed=seed)
+        cq = _quantize(np.asarray(centroids, dtype=np.float64))
+    m, ksub, dsub = _pq_check(dim, codebooks_q)
+    assign = _argmin_centroid_udf(spark, cq)
+    probes = _nprobe_centroids_udf(spark, cq, nprobe)
+    enc = _pq_encode_udf(spark, codebooks_q)
+    qt = _pq_qtab_udf(spark, codebooks_q)
+
+    coded = items.select(
+        F.col(i_id),
+        assign(F.col(vec)).alias("_cid"),
+        enc(F.col(vec)).alias("_codes"),
+    )
+    qp = queries.select(
+        F.col(q_id), qt(F.col(vec)).alias("_qtab"),
+        F.explode(probes(F.col(vec))).alias("_cid"),
+    )
+    pairs = coded.join(F.broadcast(qp), "_cid", "inner")
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.col("_qtab"),
+                j * ksub + F.element_at(F.col("_codes"), j + 1) + 1,
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, d: a + d,
+    )
+    w = Window.partitionBy(q_id).orderBy("pq_d2", i_id)
+    return (
+        pairs.withColumn("pq_d2", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, i_id, "pq_d2", "rank")
+    )

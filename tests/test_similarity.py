@@ -314,3 +314,73 @@ def test_multiprobe_improves_recall_and_twin_matches(spark):
     ).fetchall()
     for row in rows:
         assert got[row[0]] == list(row[1:]), row[0]
+
+
+# ---------------------------------------------------------------------------
+# composed IVF-PQ index (similarity.ivfpq_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_equals_pq_on_probed_lists_and_recall_tunes(spark):
+    from osm_replication_rust_spark.operators.similarity import (
+        _quantize,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    m, ksub, dsub = 4, 8, 4
+    dim = m * dsub
+    rng = np.random.default_rng(23)
+    iv = rng.standard_normal((200, dim)).astype(np.float32)
+    cb_src = np.round(iv[:ksub].astype(np.float64) * 1000).astype(np.int64)
+    cb = np.stack([cb_src[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+    # coarse quantizer: 8 data vectors as centroids (quantized space)
+    cents_q = _quantize(iv[10:18].astype(np.float64))
+    qv = iv[:6]
+    items = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(200), "embedding": list(map(list, iv))})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(6), "embedding": list(map(list, qv))})
+    )
+    k = 5
+
+    def run(nprobe):
+        out = {}
+        for r in ivfpq_topk(
+            queries, items, cb, k=k, dim=dim, nprobe=nprobe,
+            centroids_q=cents_q,
+        ).collect():
+            out.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.pq_d2))
+        return out
+
+    # nprobe = ALL lists == plain PQ over everything
+    full = run(8)
+    want = {}
+    for r in pq_topk(queries, items, cb, k=k, dim=dim).collect():
+        want.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.pq_d2))
+    assert {q: sorted(v) for q, v in full.items()} == {
+        q: sorted(v) for q, v in want.items()
+    }
+    # candidate reference: python routing of items + queries
+    iq = np.round(iv.astype(np.float64) * 1000).astype(np.int64)
+    qq = np.round(qv.astype(np.float64) * 1000).astype(np.int64)
+
+    def nearest_lists(v, n):
+        d = ((cents_q[None, :, :] - v[:, None, :]) ** 2).sum(axis=2)
+        return np.argsort(d + np.arange(len(cents_q))[None, :] * 0, kind="stable")[:, :n]
+
+    assign = nearest_lists(iq, 1)[:, 0]
+    small = run(2)
+    for qi in range(6):
+        probed = set(nearest_lists(qq[qi:qi+1], 2)[0])
+        for _, vid, _ in small.get(qi, []):
+            assert assign[vid] in probed, (qi, vid)
+    # recall vs the full-PQ ranking tunes UP with nprobe
+    def hits(res):
+        return sum(
+            len({v for _, v, _ in res.get(q, [])}
+                & {v for _, v, _ in want.get(q, [])})
+            for q in range(6)
+        )
+    assert hits(run(2)) <= hits(run(4)) <= hits(full) == 30
