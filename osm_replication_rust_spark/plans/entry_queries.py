@@ -51,19 +51,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _rebalance(
+    spark: SparkSession, df: DataFrame, key: str | None = None
+) -> DataFrame:
     """Spread a narrow scan across the cluster before EXPENSIVE per-row
     map work (string expressions, Arrow kernels). The testdata parquet
     is one row group per file, so Spark's split planner yields ONE scan
     partition and a map-heavy projection serializes on a single core
     (measured: 12 s single-task vs sub-second spread for
     text_features). At 100 TB a scan arrives in thousands of splits and
-    this is a no-op (partitions >= parallelism); the round-robin
-    exchange only fires when the scan under-parallelizes, and moves
-    just the input columns, never the computed ones."""
+    this is a no-op (partitions >= parallelism); the exchange only
+    fires when the scan under-parallelizes, and moves just the input
+    columns, never the computed ones.
+
+    ``key``: hash-distribute on this (unique, deterministic) column
+    instead of round-robin. Keyless ``repartition(n)`` pays a local
+    sort of its input first (sortBeforeRepartition, needed for
+    deterministic retries) — on the one fat scan partition that sort
+    is single-threaded dead time, and a deterministic key sidesteps
+    the retry hazard by construction (guide §2.5). A unique id hashes
+    evenly over any partition count."""
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
         return df
+    if key is not None:
+        return df.repartition(par, F.col(key))
     return df.repartition(par)
 
 
@@ -241,7 +253,23 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     `shard_path` and `cell_encode`/`quadkey_encode` queries to keep the
     catalog within the driver's 50-row gate; per-row codec equality is
     strictly stronger than the retired grouped-count check.)"""
-    ev = _rebalance(spark, _t(spark, sf_dir, "events"))
+    # sort FIRST, on the narrow 8-byte key, and only then compute the
+    # codec columns: a trailing .orderBy would (a) range-sample its
+    # child — recomputing the ENTIRE codec projection a second time
+    # (r6 profile: two ~70 CPU-s stages at sf1.0, one of them pure
+    # sampling) — and (b) shuffle the computed strings (67 MB at sf1.0
+    # vs 8 MB of ids). Range-exchange event_id, local-sort it, then
+    # project: Project streams rows in place, so the per-partition
+    # order (and hence the global order of the output) is exactly what
+    # orderBy("event_id") produced. Guide §8: decide placement on the
+    # small rows, move/compute the heavy ones once.
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id")
+        .repartitionByRange(par, "event_id")
+        .sortWithinPartitions("event_id")
+    )
     lat = C.derived_lat(F.col("event_id"))
     lon = C.derived_lon(F.col("event_id"))
     # hilbert FIRST while the frame is three narrow longs: its 2*levels
@@ -269,7 +297,7 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lon").between(_COVER_BBOX[0], _COVER_BBOX[2])
             & F.col("lat").between(_COVER_BBOX[1], _COVER_BBOX[3])
         ).alias("in_bbox"),
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -1943,6 +1971,11 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _emb_matrix, _quantize, dot_q_expr, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    # the item side does ALL the per-row work here (64-wide HOF dot per
+    # brute pair, PQ encode Arrow stage): spread the one-row-group scan
+    # first or both run single-task (r6 profile: 10.5 s + 3.3 s
+    # single-task stages at sf1.0; ~1 s each spread over 32)
+    items = _rebalance(spark, emb, key="vec_id")
     cb = _PQ_CB_CACHE.get(sf_dir)
     if cb is None:
         pdf = (
@@ -1959,7 +1992,7 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
     )
-    it = emb.select("vec_id", F.col("embedding").alias("_iv"))
+    it = items.select("vec_id", F.col("embedding").alias("_iv"))
     d = F.broadcast(q).crossJoin(it).withColumn(
         "dot_q", dot_q_expr(F.col("_qv"), F.col("_iv"))
     )
@@ -1968,7 +2001,7 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding"
         ),
-        emb,
+        items,
         cb,
         k=3,
         dim=64,
@@ -2296,7 +2329,13 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         URL_PATTERN,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # hash-spread the one-row-group scan BEFORE the heavy per-row text
+    # work (regex stacks, soundex, Arrow winnowing kernels): the whole
+    # map pipeline otherwise runs on a single core (r6 profile: 14.3 s
+    # single-task stage at sf1.0 vs ~5 MB of exchange to avoid it);
+    # both the feature branch and the soundex-blocks agg branch hang
+    # off the same spread frame so each parallelizes (guide §2.5)
+    d = _rebalance(spark, _t(spark, sf_dir, "documents"), key="doc_id")
     # planted line-structured boilerplate (the fixture corpus has no
     # newlines): every 3rd doc gets a duplicated error line + footer,
     # every 6th an extra copy — dup_line_frac carries 0 / 0.25 / 0.4
@@ -2509,7 +2548,11 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     every counter and estimate bit-for-bit)."""
     from ..operators.sketch import cms_build, cms_pack, cms_probe
 
-    ev = _t(spark, sf_dir, "events")
+    # spread the one-row-group scan: the map side of BOTH branches is
+    # real per-row work — the WindowGroupLimit local top-3 sort and the
+    # CMS md5 slot hashing — and otherwise runs single-task (r6
+    # profile: 2.3 s + 2.0 s single-task stages at sf1.0)
+    ev = _rebalance(spark, _t(spark, sf_dir, "events"), key="event_id")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
     top = (
         ev.withColumn("rnk", F.row_number().over(w))
@@ -2542,7 +2585,9 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins dedup (§2.6; the diff in-order overwrite rule)."""
-    ev = _t(spark, sf_dir, "events")
+    # spread the scan so the WindowGroupLimit local top-1 sort runs on
+    # every core instead of one (same shape as topk_per_group)
+    ev = _rebalance(spark, _t(spark, sf_dir, "events"), key="event_id")
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -6922,7 +6967,11 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic overlap join."""
     from ..operators.relational import asof_join, range_join
 
-    ev = _t(spark, sf_dir, "events").select(
+    # spread the one-row-group events scan before the interval fan-out
+    # and the union/window map work: the bucket explode + join probe
+    # otherwise serialize on one core (r6 profile: 10.3 s -> ~3 s for
+    # the range-join leg at sf1.0 once spread; guide §2.5)
+    ev = _rebalance(spark, _t(spark, sf_dir, "events"), key="event_id").select(
         "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
         (F.col("user_id") % 150 + 1).alias("cust"),
     )
@@ -7831,7 +7880,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2^p-bounded state per group, never re-reading rows per level).
     md5-shared hashing + exact-integer denominators make the estimate
     bit-identical in the DuckDB oracle."""
-    from ..operators.sketch import hll_estimate, hll_registers
+    from ..operators.sketch import hll_estimate, hll_rank_cols
 
     li = _t(spark, sf_dir, "lineitem")
     roll = (
@@ -7849,35 +7898,50 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lvl",
         )
     )
-    fine = hll_registers(
-        li.select("l_orderkey", "l_returnflag", "l_linestatus"),
-        "l_orderkey",
-        p=8,
-        group_cols=["l_returnflag", "l_linestatus"],
+    # ONE scan builds every rollup level's registers via GROUPING SETS
+    # ((rf,ls,bucket),(rf,bucket),(bucket)) — max(rank) per set is
+    # exactly max-of-maxes of the finest registers (the sketch-union
+    # property), so the result is bit-identical to building lvl0 and
+    # re-aggregating it twice, but the lineitem scan + per-row md5 run
+    # ONCE instead of three times (r6 profile: three ~20 CPU-s map
+    # stages with ~5 s GC each at sf1.0 collapsed to one; guide §2.4 —
+    # two operations keyed the same way share one pass)
+    bucket, rank = hll_rank_cols(F.col("l_orderkey"), p=8)
+    rows = li.where(F.col("l_orderkey").isNotNull()).select(
+        "l_returnflag",
+        "l_linestatus",
+        bucket.alias("bucket"),
+        rank.alias("rank"),
     )
-    lvl0 = fine.select(
-        F.col("l_returnflag").alias("rf"),
-        F.col("l_linestatus").alias("ls"),
-        "bucket",
-        "reg",
-    )
-    lvl1 = (
-        fine.groupBy("l_returnflag", "bucket")
-        .agg(F.max("reg").alias("reg"))
+    regs = (
+        rows.groupingSets(
+            [
+                ["l_returnflag", "l_linestatus", "bucket"],
+                ["l_returnflag", "bucket"],
+                ["bucket"],
+            ],
+            "l_returnflag",
+            "l_linestatus",
+            "bucket",
+        )
+        .agg(
+            F.max("rank").alias("reg"),
+            F.grouping("l_returnflag").alias("_g_rf"),
+            F.grouping("l_linestatus").alias("_g_ls"),
+        )
         .select(
-            F.col("l_returnflag").alias("rf"),
-            F.lit("ALL").alias("ls"),
+            F.when(F.col("_g_rf") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("rf"),
+            F.when(F.col("_g_ls") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_linestatus"))
+            .alias("ls"),
             "bucket",
             "reg",
         )
     )
-    lvl2 = (
-        fine.groupBy("bucket")
-        .agg(F.max("reg").alias("reg"))
-        .select(F.lit("ALL").alias("rf"), F.lit("ALL").alias("ls"), "bucket", "reg")
-    )
     est = hll_estimate(
-        lvl0.unionByName(lvl1).unionByName(lvl2),
+        regs,
         p=8,
         group_cols=["rf", "ls"],
         out_col="orders_hll_est",
@@ -7975,8 +8039,12 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         refined = lloyd_refine_centroids(emb, seeds, iters=1)
         _IVF_CENT_CACHE[sf_dir] = refined
     q = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    # item-side list assignment is an Arrow stage over every vector:
+    # spread the one-row-group scan first (r6 profile: 5.2 s
+    # single-task at sf1.0, ~0.5 s spread over 32)
+    items = _rebalance(spark, emb, key="vec_id")
     return ivf_topk(
-        q, emb, k=5, dim=64, nprobe=4, centroids_q=refined, rank_by="dot_q"
+        q, items, k=5, dim=64, nprobe=4, centroids_q=refined, rank_by="dot_q"
     ).select("query_id", "vec_id", "dot_q", "rank").orderBy("query_id", "rank")
 
 
