@@ -569,6 +569,30 @@ def hilbert_range_predicate(col: Column, ranges: list[tuple[int, int]]) -> Colum
     return pred if pred is not None else F.lit(False)
 
 
+def hilbert_range_predicate_bound(
+    col: Column, ranges: list[tuple[int, int]]
+) -> Column:
+    """Same boolean as ``hilbert_range_predicate``, but with ``col``
+    BOUND ONCE before the comparisons: ``exists(array(col), h -> OR of
+    h BETWEEN lo AND hi)``. Use this when ``col`` is a DERIVED
+    expression (e.g. the freshly computed Hilbert id): project
+    collapsing otherwise substitutes the full expression into every
+    comparison — 2 copies per range, measured 2.1 s vs 0.76 s for the
+    16-range cover over 1M rows. Keep the plain form for scan columns,
+    where simple comparisons are what pushes into the parquet scan."""
+    if not ranges:
+        return F.lit(False)
+
+    def _chain(h: Column) -> Column:
+        pred = None
+        for lo, hi in ranges:
+            term = h.between(F.lit(lo), F.lit(hi))
+            pred = term if pred is None else pred | term
+        return pred
+
+    return F.exists(F.array(col), _chain)
+
+
 def sql_hilbert_range_predicate(expr: str, ranges: list[tuple[int, int]]) -> str:
     if not ranges:
         return "FALSE"

@@ -314,6 +314,23 @@ def tile_pyramid(
     if weight is not None:
         cols.append(F.col(weight))
     base = df.select(*cols).groupBy("cell").agg(measure)
+    return pyramid_rollup(base, base_res=base_res, levels=levels)
+
+
+def pyramid_rollup(
+    base: DataFrame, base_res: int, levels: int
+) -> DataFrame:
+    """Shuffle #2 of ``tile_pyramid`` on its own: roll a base-level
+    ``(cell, n)`` table up into the full ``(res, cell, n)`` pyramid
+    (ancestor explode + one agg). Exposed so callers that already hold
+    several base-level counter sets from ONE fact-table pass (e.g. the
+    direct/base/delta triple of an IVM check) can pyramid each without
+    re-scanning rows — the base agg is the only shuffle that scales
+    with input rows, so sharing it is the whole game."""
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    if base_res < 16:
+        raise ValueError("base_res < 16 overflows Y_STRIDE cell packing")
     bcx = F.col("cell") % Y_STRIDE
     bcy = F.floor(F.col("cell") / Y_STRIDE).cast("long")
     ancestors = F.explode(

@@ -8,6 +8,7 @@ Query keys map to SURVEY.md §2 operator ids in each docstring.
 from __future__ import annotations
 
 import functools
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -51,8 +52,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+@functools.lru_cache(maxsize=None)
+def _rg_count(sf_dir: str, name: str) -> int:
+    """Effective scan parallelism of a parquet table: its total ROW
+    GROUP count (a split without a row-group midpoint reads zero rows,
+    so the split count overstates parallelism on coarse layouts; at
+    production scale row groups >> cores and callers' rebalances
+    become no-ops). Footer-only read, driver-side, cached."""
+    import glob as _glob
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    files = [path] if os.path.isfile(path) else _glob.glob(f"{path}/*.parquet")
+    try:
+        return sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:  # noqa: BLE001 - unreadable footer: assume fine layout
+        return 1 << 30
+
+
 def _rebalance(
-    spark: SparkSession, df: DataFrame, key: str | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    key: str | tuple[str, ...] | None = None,
+    eff: int | None = None,
 ) -> DataFrame:
     """Spread a narrow scan across the cluster before EXPENSIVE per-row
     map work (string expressions, Arrow kernels). The testdata parquet
@@ -70,12 +92,21 @@ def _rebalance(
     deterministic retries) — on the one fat scan partition that sort
     is single-threaded dead time, and a deterministic key sidesteps
     the retry hazard by construction (guide §2.5). A unique id hashes
-    evenly over any partition count."""
+    evenly over any partition count. Passing the DOWNSTREAM clustering
+    key (e.g. a window's partition key) is doubly effective: the
+    exchange both spreads the scan and already satisfies the window's
+    required distribution, so no second exchange fires AND map-side
+    WindowGroupLimit filtering stays exact (guide §2.4 — two
+    operations keyed the same way share one exchange)."""
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    # ``eff``: the caller's better estimate of real scan parallelism
+    # (e.g. _rg_count — the split count lies when a file has fewer row
+    # groups than byte-range splits)
+    if (eff if eff is not None else df.rdd.getNumPartitions()) >= par:
         return df
     if key is not None:
-        return df.repartition(par, F.col(key))
+        keys = (key,) if isinstance(key, str) else tuple(key)
+        return df.repartition(par, *[F.col(k) for k in keys])
     return df.repartition(par)
 
 
@@ -292,7 +323,11 @@ def footprint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.quadkey(lon2, lat2).alias("qk"),
         C.geohash(lon2, lat2).alias("gh"),
         "hil",
-        C.hilbert_range_predicate(F.col("hil"), _COVER_RANGES).alias("in_cover"),
+        # bound form: `hil` is a derived expression here — the plain
+        # OR-chain would inline its full tree into all 32 comparisons
+        C.hilbert_range_predicate_bound(F.col("hil"), _COVER_RANGES).alias(
+            "in_cover"
+        ),
         (
             F.col("lon").between(_COVER_BBOX[0], _COVER_BBOX[2])
             & F.col("lat").between(_COVER_BBOX[1], _COVER_BBOX[3])
@@ -2548,11 +2583,14 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     every counter and estimate bit-for-bit)."""
     from ..operators.sketch import cms_build, cms_pack, cms_probe
 
-    # spread the one-row-group scan: the map side of BOTH branches is
-    # real per-row work — the WindowGroupLimit local top-3 sort and the
-    # CMS md5 slot hashing — and otherwise runs single-task (r6
-    # profile: 2.3 s + 2.0 s single-task stages at sf1.0)
-    ev = _rebalance(spark, _t(spark, sf_dir, "events"), key="event_id")
+    # spread the one-row-group scan ON THE WINDOW KEY: one exchange
+    # both parallelizes the map side of BOTH branches (WindowGroupLimit
+    # local top-3 sort, CMS md5 hashing) and already satisfies the
+    # window's clustering, so no second exchange fires and the
+    # map-side top-3 filter is exact (hashing by event_id instead left
+    # each user's rows spread over every partition — WindowGroupLimit
+    # kept ~all 1M rows and the window re-shuffled them; r6 profile)
+    ev = _rebalance(spark, _t(spark, sf_dir, "events"), key="user_id")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
     top = (
         ev.withColumn("rnk", F.row_number().over(w))
@@ -2585,9 +2623,12 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins dedup (§2.6; the diff in-order overwrite rule)."""
-    # spread the scan so the WindowGroupLimit local top-1 sort runs on
-    # every core instead of one (same shape as topk_per_group)
-    ev = _rebalance(spark, _t(spark, sf_dir, "events"), key="event_id")
+    # spread the scan on the window key so the WindowGroupLimit local
+    # top-1 sort runs on every core AND the one exchange already
+    # satisfies the window's clustering (same shape as topk_per_group)
+    ev = _rebalance(
+        spark, _t(spark, sf_dir, "events"), key=("user_id", "event_type")
+    )
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -6990,9 +7031,14 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("s"),
         (s + (F.col("event_id") % 5 + 1) * 86400).alias("e"),
     )
+    # bucket = the MAX interval length (5 days): every interval then
+    # spans <= 2 buckets, so the exploded/shuffled/sorted row count is
+    # bounded at <= 2x input regardless of density, while per-bucket
+    # candidate growth vs the 3-day median stays ~5% ((bw+len)^2/bw).
+    # Measured at sf1.0: 2.1 s vs 2.4 s for the 3-day width.
     pairs = range_join(
         iv, iv, "s", "e", "s", "e",
-        bucket_width=3 * 86400, key="user_id", right_cols=["event_id"],
+        bucket_width=5 * 86400, key="user_id", right_cols=["event_id"],
     )
     ov = (
         pairs.filter(F.col("event_id") != F.col("right_event_id"))
@@ -7907,7 +7953,17 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages with ~5 s GC each at sf1.0 collapsed to one; guide §2.4 —
     # two operations keyed the same way share one pass)
     bucket, rank = hll_rank_cols(F.col("l_orderkey"), p=8)
-    rows = li.where(F.col("l_orderkey").isNotNull()).select(
+    # spread the 6-row-group scan (narrow 3-col projection) before the
+    # per-row md5: the register build otherwise runs on 6 cores of 32
+    # (r6 profile: 12 CPU-s / 2.2 s-wall warm stage at sf1.0)
+    rows = _rebalance(
+        spark,
+        li.where(F.col("l_orderkey").isNotNull()).select(
+            "l_returnflag", "l_linestatus", "l_orderkey"
+        ),
+        key="l_orderkey",
+        eff=_rg_count(sf_dir, "lineitem"),
+    ).select(
         "l_returnflag",
         "l_linestatus",
         bucket.alias("bucket"),
@@ -8649,29 +8705,63 @@ def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     declaratively from the pyramid itself (one ancestor explode + one
     join + one min-agg, no iteration), vs the oracle's non-equi
     ancestor self-join twin."""
-    from ..operators.raster import merge_pyramids, quadtree_leaves, tile_pyramid
+    from ..operators.raster import merge_pyramids, pyramid_rollup, quadtree_leaves
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        C.derived_lat(F.col("event_id")).alias("lat"),
-        C.derived_lon(F.col("event_id")).alias("lon"),
+    # ONE events pass builds ALL THREE base-level counter sets
+    # (effective / base / signed delta): per base cell, n_eff counts
+    # the effective rows, n_base the pre-diff rows, wsum the signed
+    # delta (+1 insert / -1 delete) and n_dr the delta ROW count (so a
+    # cancelled-out cell — wsum 0 with rows present — stays in the
+    # delta exactly as tile_pyramid(weight=...) keeps it). Filtered
+    # counts per cell are definitionally the per-cell counts of the
+    # filtered rows, so each projected base level is bit-identical to
+    # the separate tile_pyramid() base agg it replaces — but the fact
+    # table is scanned and aggregated ONCE instead of three times (r6
+    # profile: three concurrent 1.2 s scan stages at sf1.0; guide
+    # §2.4). The IVM semantics are untouched: the delta still rolls up
+    # separately and merges at delta-proportional cost.
+    lat = C.derived_lat(F.col("event_id"))
+    lon = C.derived_lon(F.col("event_id"))
+    cell = (
+        F.shiftright(lat + C.LAT_OFFSET, _PYR_BASE_RES) * C.Y_STRIDE
+        + F.shiftright(lon + C.LON_OFFSET, _PYR_BASE_RES)
     )
-    eff = ev.filter(F.expr(_PYR_EFF))
-    base = ev.filter(F.col("event_id") % 17 != 0)
-    diff = base.filter(F.col("event_id") % 13 == 0).withColumn(
-        "w", F.lit(-1)
-    ).unionByName(
-        ev.filter(F.col("event_id") % 17 == 0).withColumn("w", F.lit(1))
+    is_ins = F.col("event_id") % 17 == 0
+    is_base = ~is_ins
+    is_del = is_base & (F.col("event_id") % 13 == 0)
+    counters = (
+        _t(spark, sf_dir, "events")
+        .select(
+            cell.alias("cell"),
+            F.when(is_ins | ~is_del, 1).otherwise(0).alias("_eff"),
+            F.when(is_base, 1).otherwise(0).alias("_base"),
+            F.when(is_ins, 1).when(is_del, -1).otherwise(0).alias("_w"),
+            F.when(is_ins | is_del, 1).otherwise(0).alias("_dr"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum("_eff").cast("long").alias("n_eff"),
+            F.sum("_base").cast("long").alias("n_base"),
+            F.sum("_w").cast("long").alias("wsum"),
+            F.sum("_dr").cast("long").alias("n_dr"),
+        )
     )
-    direct = tile_pyramid(eff, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS)
+    eff_base = counters.filter(F.col("n_eff") > 0).select(
+        "cell", F.col("n_eff").alias("n")
+    )
+    base_base = counters.filter(F.col("n_base") > 0).select(
+        "cell", F.col("n_base").alias("n")
+    )
+    diff_base = counters.filter(F.col("n_dr") > 0).select(
+        "cell", F.col("wsum").alias("n")
+    )
+    direct = pyramid_rollup(eff_base, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS)
     # check_levels=False: both sides are built RIGHT HERE with the same
     # base_res/levels, and the guard's distinct-res probes would re-run
     # the full upstream pyramid aggs as two extra driver actions
     ivm = merge_pyramids(
-        tile_pyramid(base, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS),
-        tile_pyramid(
-            diff, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS, weight="w"
-        ),
+        pyramid_rollup(base_base, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS),
+        pyramid_rollup(diff_base, base_res=_PYR_BASE_RES, levels=_PYR_LEVELS),
         check_levels=False,
     )
     # check_levels=False: `direct` is built right here with the same
