@@ -21,6 +21,8 @@ production near-dup pipelines drop stopwords.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -70,6 +72,35 @@ def _hash_params(num: int, seed: int = 7) -> list[tuple[int, int]]:
         (int(rng.integers(1, MINHASH_PRIME)), int(rng.integers(0, MINHASH_PRIME)))
         for _ in range(num)
     ]
+
+
+@functools.lru_cache(maxsize=None)
+def _band_agg_cols(num_hashes: int, bands: int, seed: int) -> tuple[Column, ...]:
+    """minhash_lsh_pairs' band-key aggregate Columns, built once per
+    (num_hashes, bands, seed): band keys computed INSIDE the aggregate
+    (xxhash64 over the row's ``rows`` min-states) so the 32 sig columns
+    never materialize through a projection and the post-agg plan is
+    bands-wide, not sigs-wide. Identical buckets either way (same
+    aggregate state); interleaved min-of-3 A/B
+    (tools/ab_minhash_bands.py) measures only ~1.04x at fixture scale —
+    the win is plan width, which matters at real signature widths.
+    Cached: pure expression trees over the fixed "h" column whose
+    construction is ~150 py4j round-trips of build latency."""
+    rows = num_hashes // bands
+    params = _hash_params(num_hashes, seed)
+    hp = F.col("h") % MINHASH_PRIME
+
+    def sig(i: int) -> Column:
+        return F.min(
+            (F.lit(params[i][0]) * hp + F.lit(params[i][1])) % MINHASH_PRIME
+        )
+
+    return tuple(
+        F.xxhash64(*[sig(b * rows + r) for r in range(rows)], F.lit(b)).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    )
 
 
 def exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -243,27 +274,9 @@ def minhash_lsh_pairs(
        a shingle-level self-join."""
     if verify not in ("array", "join"):
         raise ValueError(f"verify must be 'array' or 'join', got {verify!r}")
-    rows = num_hashes // bands
     sh = _drop_hot_shingles(word_shingles(df, text_col, id_col, n), max_shingle_df)
     h = sh.withColumn("h", F.abs(F.xxhash64(F.col("shingle"))))
-    params = _hash_params(num_hashes, seed)
-    hp = F.col("h") % MINHASH_PRIME
-    sig = lambda i: F.min(  # noqa: E731
-        (F.lit(params[i][0]) * hp + F.lit(params[i][1])) % MINHASH_PRIME
-    )
-    # band keys computed INSIDE the aggregate (xxhash64 over the row's
-    # `rows` min-states): the 32 sig columns never materialize through
-    # a projection, so the post-agg plan is bands-wide, not sigs-wide.
-    # Identical buckets either way (same aggregate state); interleaved
-    # min-of-3 A/B (tools/ab_minhash_bands.py) measures only ~1.04x at
-    # fixture scale — the win is plan width (8 vs 32 post-agg columns),
-    # which matters at real signature widths, not this query's wall time.
-    band_aggs = [
-        F.xxhash64(*[sig(b * rows + r) for r in range(rows)], F.lit(b)).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
+    band_aggs = _band_agg_cols(num_hashes, bands, seed)
     carry = (
         [F.collect_set("shingle").alias("_shset")] if verify == "array" else []
     )

@@ -35,6 +35,8 @@ rows, never a driver-side bitmap.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -331,9 +333,22 @@ def pyramid_rollup(
         raise ValueError(f"levels must be >= 1, got {levels}")
     if base_res < 16:
         raise ValueError("base_res < 16 overflows Y_STRIDE cell packing")
+    return (
+        base.select(_ancestor_explode(base_res, levels).alias("a"), "n")
+        .groupBy(F.col("a.res").alias("res"), F.col("a.cell").alias("cell"))
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _ancestor_explode(base_res: int, levels: int):
+    """The ancestor-explode Column of pyramid_rollup, built once per
+    (base_res, levels): a pure expression tree over the fixed "cell"
+    column name whose construction costs ~levels x 6 py4j round-trips
+    — measurable build latency when several pyramids share a query."""
     bcx = F.col("cell") % Y_STRIDE
     bcy = F.floor(F.col("cell") / Y_STRIDE).cast("long")
-    ancestors = F.explode(
+    return F.explode(
         F.array(*[
             F.struct(
                 F.lit(base_res + k).alias("res"),
@@ -341,11 +356,6 @@ def pyramid_rollup(
             )
             for k in range(levels)
         ])
-    )
-    return (
-        base.select(ancestors.alias("a"), "n")
-        .groupBy(F.col("a.res").alias("res"), F.col("a.cell").alias("cell"))
-        .agg(F.sum("n").alias("n"))
     )
 
 

@@ -12,6 +12,7 @@ equal in tests.
 
 from __future__ import annotations
 
+import functools
 import re
 
 import numpy as np
@@ -211,13 +212,16 @@ def dup_trigram_frac_udf():
     return frac
 
 
-def _quality_cols(text_col: str) -> list[Column]:
+@functools.lru_cache(maxsize=None)
+def _quality_cols(text_col: str) -> tuple[Column, ...]:
     """The six cheap pretraining quality signals as named Columns —
     the single definition shared by quality_features and text_features
-    (and, via the sql_* twins, the DuckDB oracles)."""
+    (and, via the sql_* twins, the DuckDB oracles). Cached per column
+    name: pure expression trees whose construction is ~100 py4j
+    round-trips of driver build latency."""
     t = F.col(text_col)
     n_tok = token_count(t)
-    return [
+    return (
         F.length(t).alias("n_chars"),
         n_tok.alias("n_tokens"),
         (F.length(t) / F.greatest(n_tok, F.lit(1))).alias("mean_tok_len"),
@@ -226,7 +230,7 @@ def _quality_cols(text_col: str) -> list[Column]:
             "n_punct"
         ),
         dup_trigram_frac_udf()(t).alias("dup_trigram_frac"),
-    ]
+    )
 
 
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -247,9 +251,11 @@ LANG_MARKERS = {
 }
 
 
+@functools.lru_cache(maxsize=None)
 def _lang_best(text_col: str) -> Column:
     """argmax-of-struct language pick over the padded text (ties ->
-    lexicographically largest language, deterministic)."""
+    lexicographically largest language, deterministic). Cached per
+    column name — pure expression tree, see _quality_cols."""
     t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     scores = [
         F.struct(
