@@ -2029,7 +2029,7 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute pair, PQ encode Arrow stage): spread the one-row-group scan
     # first or both run single-task (r6 profile: 10.5 s + 3.3 s
     # single-task stages at sf1.0; ~1 s each spread over 32)
-    items = _rebalance(spark, emb, key="vec_id")
+    items = _rebalance(spark, emb, key="vec_id", eff=_rg_count(sf_dir, "embeddings"))
     cb = _PQ_CB_CACHE.get(sf_dir)
     if cb is None:
         pdf = (
@@ -2378,7 +2378,7 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task stage at sf1.0 vs ~5 MB of exchange to avoid it);
     # both the feature branch and the soundex-blocks agg branch hang
     # off the same spread frame so each parallelizes (guide §2.5)
-    d = _rebalance(spark, _t(spark, sf_dir, "documents"), key="doc_id")
+    d = _rebalance(spark, _t(spark, sf_dir, "documents"), key="doc_id", eff=_rg_count(sf_dir, "documents"))
     tf = text_features(d, "text", "doc_id", extra_cols=list(_text_extra_cols()))
     # phonetic blocking (entity resolution): the bucket size of each
     # doc's first-word Soundex key — the candidate-pair budget a
@@ -2618,7 +2618,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side top-3 filter is exact (hashing by event_id instead left
     # each user's rows spread over every partition — WindowGroupLimit
     # kept ~all 1M rows and the window re-shuffled them; r6 profile)
-    ev = _rebalance(spark, _t(spark, sf_dir, "events"), key="user_id")
+    ev = _rebalance(spark, _t(spark, sf_dir, "events"), key="user_id", eff=_rg_count(sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
     top = (
         ev.withColumn("rnk", F.row_number().over(w))
@@ -2655,7 +2655,10 @@ def dedup_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-1 sort runs on every core AND the one exchange already
     # satisfies the window's clustering (same shape as topk_per_group)
     ev = _rebalance(
-        spark, _t(spark, sf_dir, "events"), key=("user_id", "event_type")
+        spark,
+        _t(spark, sf_dir, "events"),
+        key=("user_id", "event_type"),
+        eff=_rg_count(sf_dir, "events"),
     )
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
@@ -7040,7 +7043,7 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the union/window map work: the bucket explode + join probe
     # otherwise serialize on one core (r6 profile: 10.3 s -> ~3 s for
     # the range-join leg at sf1.0 once spread; guide §2.5)
-    ev = _rebalance(spark, _t(spark, sf_dir, "events"), key="event_id").select(
+    ev = _rebalance(spark, _t(spark, sf_dir, "events"), key="event_id", eff=_rg_count(sf_dir, "events")).select(
         "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
         (F.col("user_id") % 150 + 1).alias("cust"),
     )
@@ -7050,8 +7053,6 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
-    out = asof_join(ev, orders, key="cust", ts="ts", value_cols=["o_orderkey", "o_totalprice"])
-
     s = F.col("ts").cast("long")
     iv = ev.select(
         "event_id",
@@ -7076,9 +7077,20 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("right_event_id").alias("overlap_idsum"),
         )
     )
+    # attach the overlap columns to the EVENT side BEFORE the as-of
+    # union: they ride through the per-cust window as two extra longs,
+    # so the former post-window sort-merge join by event_id (one more
+    # exchange + sort of the full 1M-row as-of output) disappears —
+    # and the ov side joins straight off its aggregation's existing
+    # hash(event_id) partitioning (guide §2.4). Same rows, same
+    # coalesce-to-0 semantics, same final order.
+    ev_ov = ev.join(ov, on="event_id", how="left")
+    out = asof_join(
+        ev_ov, orders, key="cust", ts="ts",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
     return (
-        out.join(ov, on="event_id", how="left")
-        .select(
+        out.select(
             "event_id", "user_id", "ts", "right_o_orderkey", "right_o_totalprice",
             F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
             F.coalesce(F.col("overlap_idsum"), F.lit(0)).alias("overlap_idsum"),
@@ -8126,7 +8138,7 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item-side list assignment is an Arrow stage over every vector:
     # spread the one-row-group scan first (r6 profile: 5.2 s
     # single-task at sf1.0, ~0.5 s spread over 32)
-    items = _rebalance(spark, emb, key="vec_id")
+    items = _rebalance(spark, emb, key="vec_id", eff=_rg_count(sf_dir, "embeddings"))
     return ivf_topk(
         q, items, k=5, dim=64, nprobe=4, centroids_q=refined, rank_by="dot_q"
     ).select("query_id", "vec_id", "dot_q", "rank").orderBy("query_id", "rank")

@@ -77,6 +77,15 @@ def get_spark(
         # 22M at 64k vs ~6M at the 10k default (flagship refine, 32
         # threads; BENCH.md)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        # the JVM-wide generated-class cache defaults to 100 entries; a
+        # workload cycling through ~24 distinct queries (the bench, the
+        # gate, any multi-query job) evicts its own classes between
+        # passes and pays Janino recompilation on every run (measured:
+        # interleaved re-runs 1.3-1.8x slower than back-to-back purely
+        # from recompiles). Size it so a whole catalog's classes stay
+        # resident; cost is a few hundred MB of driver/executor
+        # metaspace at worst, independent of data scale.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # only meaningful under local-cluster / a real cluster manager
         .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
