@@ -64,6 +64,8 @@ def _rg_count(sf_dir: str, name: str) -> int:
 
     path = f"{sf_dir}/{name}.parquet"
     files = [path] if os.path.isfile(path) else _glob.glob(f"{path}/*.parquet")
+    if not files:
+        return 1 << 30  # unknown layout: never force an exchange
     try:
         return sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
     except Exception:  # noqa: BLE001 - unreadable footer: assume fine layout

@@ -230,8 +230,13 @@ def main(sf_dir: str) -> int:
     # map-side combine — the bucket table itself broadcasts back, so
     # facts never shuffle for it). The per-language rate sample must
     # stay map-side (no exchange of its own).
+    # r6: +2 over the former budget of 3 — the feature branch and the
+    # soundex-blocks branch each hash-spread the one-row-group scan
+    # before the heavy per-row regex/Arrow work (a deliberate narrow
+    # exchange of (doc_id, text); the whole map pipeline otherwise
+    # serializes on one core — 14.3 s single-task measured at sf1.0)
     n_ex = count_shuffle_exchanges(p)
-    check("text.exchange_budget", n_ex <= 3, f"exchanges={n_ex}")
+    check("text.exchange_budget", n_ex <= 5, f"exchanges={n_ex}")
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = m.group(1) if m else ""
     check(
