@@ -1786,6 +1786,9 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
         )
     )
+    # spread the docs before the shingle explode (same shape as
+    # minhash_lsh_pairs)
+    u = _rebalance(spark, u, key="doc_id", eff=_rg_count(sf_dir, "documents"))
     return (
         ngram_jaccard_pairs(u, "text", "doc_id", n=3, threshold=0.5)
         .select("id_a", "id_b", "n_common", "jaccard")
@@ -2024,7 +2027,7 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduced bit-for-bit by the oracle's subspace-L2 twin."""
     import numpy as np
 
-    from ..operators.similarity import _emb_matrix, _quantize, dot_q_expr, pq_topk
+    from ..operators.similarity import _emb_matrix, _quantize, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     # the item side does ALL the per-row work here (64-wide HOF dot per
@@ -2045,13 +2048,24 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             [vq[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for j in range(_PQ_M)]
         )  # (m, ksub, dsub)
         _PQ_CB_CACHE[sf_dir] = cb
+    # pre-quantize BOTH sides below the cross join: round(x*1000) per
+    # element otherwise re-evaluates per PAIR inside the dot fold —
+    # 10x per item element for 10 queries. Same rounds, same long
+    # products, bit-identical dot_q (dot_q_expr == quantize + plain
+    # integer zip_with/aggregate by definition).
+    quant = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        F.col("vec_id").alias("query_id"), quant(F.col("embedding")).alias("_qv")
     )
-    it = items.select("vec_id", F.col("embedding").alias("_iv"))
-    d = F.broadcast(q).crossJoin(it).withColumn(
-        "dot_q", dot_q_expr(F.col("_qv"), F.col("_iv"))
+    it = items.select("vec_id", quant(F.col("embedding")).alias("_iv"))
+    idot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_iv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
+    d = F.broadcast(q).crossJoin(it).withColumn("dot_q", idot)
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.col("vec_id"))
     pq = pq_topk(
         emb.filter(F.col("vec_id") < 10).select(
@@ -2135,6 +2149,11 @@ def pretrain_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_features,
     )
 
+    # NOT rebalanced (r6): this pipeline fans the scan into ~8 separate
+    # legs; a rebalance exchange per leg (column pruning keeps them
+    # from sharing one) adds more exchange + task-scheduling cost than
+    # the single-task map work it removes — A/B'd 9.8 s vs 11.4 s warm
+    # at sf0.1 with the spread variant
     d = _t(spark, sf_dir, "documents")
     q = quality_features(d, "text", "doc_id")
     lang = lang_score(d, "text", "doc_id")
@@ -3072,6 +3091,10 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
         )
     )
+    # spread the docs before the shingle explode + 32-min signature
+    # aggregate: the one-row-group scan otherwise puts the whole
+    # per-doc map side on one core (r6 profile: ~0.9 s single-task)
+    u = _rebalance(spark, u, key="doc_id", eff=_rg_count(sf_dir, "documents"))
     return minhash_lsh_pairs(u, "text", "doc_id").select(
         "id_a", "id_b", "jaccard"
     ).orderBy("id_a", "id_b")
@@ -3097,6 +3120,9 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
         )
     )
+    # spread the docs before the per-doc token-hash/bit-vote map (one-
+    # row-group scan; same shape as minhash_lsh_pairs)
+    u = _rebalance(spark, u, key="doc_id", eff=_rg_count(sf_dir, "documents"))
     return simhash_near_pairs(u, "text", "doc_id", max_hamming=3).select(
         "id_a", "id_b", "hamming"
     ).orderBy("id_a", "id_b")
@@ -8271,6 +8297,13 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb_all = _t(spark, sf_dir, "embeddings")
+    # spread the one-row-group scan before the heavy full-table passes:
+    # the PCA Gram posexplodes dim^2 rows per vector (82M rows at
+    # sf0.1) and the k-center loop re-scans per round — both otherwise
+    # run single-task (r6 profile: 10.2 s single-task Gram collect)
+    emb_all = _rebalance(
+        spark, emb_all, key="vec_id", eff=_rg_count(sf_dir, "embeddings")
+    )
     emb = emb_all.filter(F.col("vec_id") < 200)
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
