@@ -1005,112 +1005,117 @@ def scc(
     )
     assigned = None
     remaining = nodes
-    for _ in range(max_phases):
-        if remaining.isEmpty():
-            break
-        er = (
-            e0.join(remaining.select(F.col("id").alias("u")), "u", "left_semi")
-            .join(remaining.select(F.col("id").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        # 1. forward min-label (directed) with pointer jumping
-        labels = remaining.withColumn("label", F.col("id")).localCheckpoint(
-            eager=True
-        )
-        ok = False
-        for _r in range(max_prop_rounds):
-            nbr = (
-                er.join(
-                    labels.select(
-                        F.col("id").alias("u"), F.col("label").alias("_nl")
-                    ),
-                    "u",
+    # e0 is scanned by every phase; release it on ALL exits —
+    # the non-convergence raises otherwise leak the cached frame
+    # for the session's lifetime (r6, ADVICE item)
+    try:
+        for _ in range(max_phases):
+            if remaining.isEmpty():
+                break
+            er = (
+                e0.join(remaining.select(F.col("id").alias("u")), "u", "left_semi")
+                .join(remaining.select(F.col("id").alias("v")), "v", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            # 1. forward min-label (directed) with pointer jumping
+            labels = remaining.withColumn("label", F.col("id")).localCheckpoint(
+                eager=True
+            )
+            ok = False
+            for _r in range(max_prop_rounds):
+                nbr = (
+                    er.join(
+                        labels.select(
+                            F.col("id").alias("u"), F.col("label").alias("_nl")
+                        ),
+                        "u",
+                    )
+                    .groupBy(F.col("v").alias("id"))
+                    .agg(F.min("_nl").alias("_nl"))
                 )
-                .groupBy(F.col("v").alias("id"))
-                .agg(F.min("_nl").alias("_nl"))
-            )
-            jump = labels.select(
-                F.col("id").alias("label"), F.col("label").alias("_jl")
-            )
-            upd = (
-                labels.join(nbr, "id", "left")
-                .join(jump, "label", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("_nl"), F.col("label")),
-                        F.coalesce(F.col("_jl"), F.col("label")),
-                    ).alias("label"),
-                    (
+                jump = labels.select(
+                    F.col("id").alias("label"), F.col("label").alias("_jl")
+                )
+                upd = (
+                    labels.join(nbr, "id", "left")
+                    .join(jump, "label", "left")
+                    .select(
+                        "id",
                         F.least(
                             F.col("label"),
                             F.coalesce(F.col("_nl"), F.col("label")),
                             F.coalesce(F.col("_jl"), F.col("label")),
-                        )
-                        != F.col("label")
-                    ).alias("_chg"),
+                        ).alias("label"),
+                        (
+                            F.least(
+                                F.col("label"),
+                                F.coalesce(F.col("_nl"), F.col("label")),
+                                F.coalesce(F.col("_jl"), F.col("label")),
+                            )
+                            != F.col("label")
+                        ).alias("_chg"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
+                changed = upd.filter(F.col("_chg")).count()
+                labels = upd.select("id", "label")
+                if changed == 0:
+                    ok = True
+                    break
+            if not ok:
+                raise RuntimeError(
+                    f"scc color propagation did not converge in "
+                    f"{max_prop_rounds} rounds"
+                )
+            # 2. backward reach from each pivot within its color class
+            lab_u = labels.select(F.col("id").alias("u"), F.col("label").alias("_lu"))
+            lab_v = labels.select(F.col("id").alias("v"), F.col("label").alias("_lv"))
+            ec = (
+                er.join(lab_u, "u")
+                .join(lab_v, "v")
+                .filter(F.col("_lu") == F.col("_lv"))
+                .select("u", "v", F.col("_lu").alias("c"))
                 .localCheckpoint(eager=True)
             )
-            changed = upd.filter(F.col("_chg")).count()
-            labels = upd.select("id", "label")
-            if changed == 0:
-                ok = True
-                break
-        if not ok:
-            raise RuntimeError(
-                f"scc color propagation did not converge in "
-                f"{max_prop_rounds} rounds"
-            )
-        # 2. backward reach from each pivot within its color class
-        lab_u = labels.select(F.col("id").alias("u"), F.col("label").alias("_lu"))
-        lab_v = labels.select(F.col("id").alias("v"), F.col("label").alias("_lv"))
-        ec = (
-            er.join(lab_u, "u")
-            .join(lab_v, "v")
-            .filter(F.col("_lu") == F.col("_lv"))
-            .select("u", "v", F.col("_lu").alias("c"))
-            .localCheckpoint(eager=True)
-        )
-        reach = labels.filter(F.col("id") == F.col("label")).select(
-            F.col("id"), F.col("label").alias("c")
-        ).localCheckpoint(eager=True)
-        ok = False
-        for _r in range(max_prop_rounds):
-            grow = (
-                ec.join(
-                    reach.select(F.col("id").alias("v"), F.col("c").alias("_rc")),
-                    "v",
+            reach = labels.filter(F.col("id") == F.col("label")).select(
+                F.col("id"), F.col("label").alias("c")
+            ).localCheckpoint(eager=True)
+            ok = False
+            for _r in range(max_prop_rounds):
+                grow = (
+                    ec.join(
+                        reach.select(F.col("id").alias("v"), F.col("c").alias("_rc")),
+                        "v",
+                    )
+                    .filter(F.col("c") == F.col("_rc"))
+                    .select(F.col("u").alias("id"), "c")
+                    .distinct()
                 )
-                .filter(F.col("c") == F.col("_rc"))
-                .select(F.col("u").alias("id"), "c")
-                .distinct()
+                new = grow.join(reach, ["id", "c"], "left_anti").localCheckpoint(
+                    eager=True
+                )
+                n_new = new.count()
+                if n_new == 0:
+                    ok = True
+                    break
+                reach = reach.unionByName(new).localCheckpoint(eager=True)
+            if not ok:
+                raise RuntimeError(
+                    f"scc backward reach did not converge in {max_prop_rounds} "
+                    "rounds"
+                )
+            found = reach.select("id", F.col("c").alias("scc"))
+            assigned = (
+                found if assigned is None else assigned.unionByName(found)
             )
-            new = grow.join(reach, ["id", "c"], "left_anti").localCheckpoint(
-                eager=True
-            )
-            n_new = new.count()
-            if n_new == 0:
-                ok = True
-                break
-            reach = reach.unionByName(new).localCheckpoint(eager=True)
-        if not ok:
-            raise RuntimeError(
-                f"scc backward reach did not converge in {max_prop_rounds} "
-                "rounds"
-            )
-        found = reach.select("id", F.col("c").alias("scc"))
-        assigned = (
-            found if assigned is None else assigned.unionByName(found)
-        )
-        assigned = assigned.localCheckpoint(eager=True)
-        remaining = remaining.join(
-            found.select("id"), "id", "left_anti"
-        ).localCheckpoint(eager=True)
-    else:
-        raise RuntimeError(f"scc did not finish in {max_phases} phases")
-    e0.unpersist()
+            assigned = assigned.localCheckpoint(eager=True)
+            remaining = remaining.join(
+                found.select("id"), "id", "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            raise RuntimeError(f"scc did not finish in {max_phases} phases")
+    finally:
+        e0.unpersist()
     return assigned if assigned is not None else nodes.select(
         "id", F.col("id").alias("scc")
     )

@@ -1190,7 +1190,17 @@ def seasonal_decompose(
     w = Window.orderBy(t).rowsBetween(-half, half)
     wn = Window.orderBy(t).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     vv = F.col(v).cast("long")
-    full = F.count(F.lit(1)).over(w) == period + 1
+    # a ROWS window is only the centered BIN window when the series is
+    # dense; on a series with missing bins the p+1 rows span a wider t
+    # range and the trend would silently be wrong (r6, ADVICE item).
+    # Guard per window — rows == bins locally iff the spanned t range
+    # is exactly `period` — so sparse neighborhoods emit NULL trend
+    # (and drop from the seasonal means) instead of a wrong value;
+    # dense series are bit-identical. Pure expression, no extra action.
+    tl = F.col(t).cast("long")
+    full = (F.count(F.lit(1)).over(w) == period + 1) & (
+        F.last(tl).over(w) - F.first(tl).over(w) == period
+    )
     tsc = (
         F.sum(vv * 2).over(w)
         - F.first(vv).over(w)

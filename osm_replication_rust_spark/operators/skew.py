@@ -101,7 +101,11 @@ def hrw_assign(key, nodes: list[str]):
     property consistent hashing approximates, HRW gives exactly):
     ``owner(key) = argmax_node md5(key || '|' || node)``, ties (md5
     collisions, practically impossible but the rule is total) to the
-    lexicographically smallest node.
+    lexicographically LARGEST node: greatest() over structs compares
+    (w, node) field by field, so on equal weights the larger node
+    string wins regardless of argument order — both engines implement
+    exactly this total order (r6: docstring corrected; the previous
+    text claimed smallest-node ties, which the code never did).
 
     Returns a Column: the owning node for ``key`` over the LITERAL
     node list — a pure map-side expression (md5 per node, a
@@ -119,7 +123,10 @@ def hrw_assign(key, nodes: list[str]):
             F.md5(F.concat(key.cast("string"), F.lit("|" + n))).alias("w"),
             F.lit(n).alias("node"),
         )
-        for n in sorted(nodes, reverse=True)  # ties -> smallest node wins
+        # argument order is irrelevant to greatest() over structs —
+        # ties break to the LARGEST node via struct field comparison;
+        # the sort only fixes the expression text for the SQL twin
+        for n in sorted(nodes, reverse=True)
     ]
     best = F.greatest(*cands) if len(cands) > 1 else cands[0]
     return best["node"]

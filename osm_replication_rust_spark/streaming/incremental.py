@@ -552,10 +552,15 @@ def stateful_speed_screen(
         if not pts:
             return
         wm_sec = state.getCurrentWatermarkMs() // 1000
-        # final steps: later fix at-or-behind the watermark
+        # final steps: later fix STRICTLY behind the watermark. Spark
+        # still admits late rows with event time == the watermark, so
+        # an equal-boundary fix (same second, smaller (lat, lon) sort
+        # key) could re-split an already-emitted "final" step; the
+        # finality argument ("any admissible late fix has ts >= wm")
+        # only holds strictly (r6, ADVICE item).
         hi = 0
         for k in range(1, len(pts)):
-            if pts[k][0] <= wm_sec:
+            if pts[k][0] < wm_sec:
                 hi = k
         if hi >= 1:
             yield _emit(uid, _steps(pts, 1, hi))
